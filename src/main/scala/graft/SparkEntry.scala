@@ -1,13 +1,177 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` key maps to a SURVEY §2 operator; keys with a matching
+  * `oracleSql` entry are hash-checked against DuckDB on the same parquet
+  * tables (column names MUST match between the two — every computed column
+  * is aliased identically on both sides, floats rounded to 4 decimals,
+  * results deterministically ordered).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(Tables(spark, "/root/testdata/sf0.001").lineitem)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables(s, d).lineitem)),
+    "q02_filter_project" -> ((s, d) => Relational.filterProject(Tables(s, d).lineitem)),
+    "q03_topk_orders" -> ((s, d) => Relational.topkOrders(Tables(s, d).orders)),
+    "q04_join_broadcast" -> ((s, d) => { val t = Tables(s, d); Relational.joinBroadcast(t.lineitem, t.part) }),
+    "q05_multi_join_agg" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.multiJoinAgg(t.region, t.nation, t.customer, t.orders, t.lineitem, t.supplier)
+    }),
+    "q06_selective_agg" -> ((s, d) => Relational.selectiveAgg(Tables(s, d).lineitem)),
+    "q07_window_rank" -> ((s, d) => Relational.windowRank(Tables(s, d).orders)),
+    "q08_distinct_count" -> ((s, d) => Relational.distinctCount(Tables(s, d).events)),
+    "q09_rollup" -> ((s, d) => Relational.rollupAgg(Tables(s, d).lineitem)),
+    "q10_semi_join" -> ((s, d) => { val t = Tables(s, d); Relational.semiJoin(t.customer, t.orders) }),
+    "q11_anti_join" -> ((s, d) => { val t = Tables(s, d); Relational.antiJoin(t.customer, t.orders) }),
+    "q12_case_agg" -> ((s, d) => Relational.caseAgg(Tables(s, d).events)),
+    "q13_having" -> ((s, d) => Relational.havingAgg(Tables(s, d).lineitem)),
+    "q14_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(Tables(s, d).part)),
+    "q15_union_slices" -> ((s, d) => Relational.unionSlices(Tables(s, d).events)),
+    "q16_percentiles" -> ((s, d) => Relational.percentiles(Tables(s, d).events)),
+    "q17_first_last" -> ((s, d) => Relational.firstLast(Tables(s, d).events)),
+    "q18_events_json" -> ((s, d) => Relational.eventsJson(Tables(s, d).events)),
+    "q20_events_hourly" -> ((s, d) => EventAnalytics.hourlyRollup(Tables(s, d).events)),
+    "q21_partition_layout" -> ((s, d) => EventAnalytics.partitionLayout(Tables(s, d).events)),
+    "q22_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables(s, d).events)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity,4) AS qty
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
+        |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q04_join_broadcast" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q05_multi_join_agg" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q06_selective_agg" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, round(o_totalprice,4) AS total_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q08_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q09_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | round(sum(l_quantity),4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT event_type,
+        | round(sum(CASE WHEN value > 100 THEN value ELSE 0 END),4) AS high_value_sum,
+        | count(CASE WHEN value > 100 THEN 1 END) AS high_value_cnt,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_having" ->
+      """SELECT l_partkey, round(sum(l_quantity),4) AS sum_qty, count(*) AS n_items
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING round(sum(l_quantity),4) > 350.0 ORDER BY l_partkey""".stripMargin,
+    "q14_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice,4) AS retail_price
+        |FROM part WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q15_union_slices" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM (
+        |  SELECT * FROM events WHERE event_type = 'purchase' AND value > 150
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_type = 'signup' AND value > 150) u
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5),4) AS median_value,
+        | round(quantile_cont(value, 0.95),4) AS p95_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_first_last" ->
+      """SELECT user_id,
+        | arg_max(event_type, ts) AS last_event_type,
+        | arg_min(event_type, ts) AS first_event_type,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q18_events_json" ->
+      """SELECT event_type,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),4) AS avg_k,
+        | max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q20_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        | count(*) AS n_events, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q21_partition_layout" ->
+      """SELECT strftime(ts, '%Y%m%d') AS dt, strftime(ts, '%H') AS hr,
+        | count(*) AS n_rows, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1, 2 ORDER BY dt, hr""".stripMargin,
+    "q22_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events)
+        |SELECT user_id,
+        | count(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 END) AS n_sessions,
+        | count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-partition analytics over the event stream (SURVEY.md §2 q20–q22).
+  *
+  * These are the batch duals of the reference sink's core job: bucketing
+  * an event flow into Hive time partitions (`dt=yyyyMMdd/hr=HH`) and
+  * aggregating per bucket. The same `dt`/`hr` derivation feeds
+  * [[graft.streaming.HiveBatchSink]].
+  */
+object EventAnalytics {
+
+  /** Hive-style partition key columns from an event timestamp. */
+  def withPartitionKeys(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withColumn("dt", date_format(col(tsCol), "yyyyMMdd"))
+      .withColumn("hr", date_format(col(tsCol), "HH"))
+
+  /** q20: event-time tumbling hourly rollup per type — the aggregation the
+    * reference's downstream Hive jobs run per closed partition. Group keys
+    * are (hour-bucket × type): low cardinality, map-side combine shrinks
+    * the shuffle to ~nothing at any scale. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("hour", "event_type")
+
+  /** q21: the sink's partition layout — row counts per (dt, hr). */
+  def partitionLayout(events: DataFrame): DataFrame =
+    withPartitionKeys(events)
+      .groupBy("dt", "hr")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("event_type")).as("n_types"))
+      .orderBy("dt", "hr")
+
+  /** q22: gap-based sessionization (30-min inactivity) via window lag +
+    * running sum. Integer microsecond math (`unix_micros`) keeps the gap
+    * test exact and engine-portable. One shuffle on user_id; at scale the
+    * same result comes from the streaming path's state-store sessionizer. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs  = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("new_session"), lit(1))).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytical operator suite (SURVEY.md §2 q01–q18).
+  *
+  * Pure DataFrame transformations — no UDFs, no RDDs — so every operator
+  * stays inside Catalyst optimization and whole-stage codegen. Floating
+  * aggregates are rounded to 4 decimals and results deterministically
+  * ordered, because the correctness gate hash-compares against a DuckDB
+  * oracle (sum-order float jitter must be absorbed).
+  *
+  * Scale notes are per-operator; the shared rule: dims are broadcast,
+  * aggregations rely on partial (map-side) combine, and nothing collects
+  * to the driver.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-shaped pricing summary. One shuffle on a 2-key,
+    * ~8-group aggregation — map-side combine reduces 100 TB to KBs. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02: selective filter + narrow projection. The point at scale:
+    * `.explain` must show PushedFilters + a 4-column ReadSchema, so the
+    * scan never materializes unused columns. */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") >= 45 && col("l_shipdate") >= lit("2000-01-01"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        round(col("l_quantity"), 4).as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03: global top-k. orderBy+limit planspace → TakeOrderedAndProject:
+    * per-partition heap + driver merge of k rows, never a full sort. */
+  def topkOrders(orders: DataFrame, k: Int = 50): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice"), 4).as("total_price"))
+      .orderBy(desc("total_price"), asc("o_orderkey"))
+      .limit(k)
+
+  /** q04: fact ⋈ small dim. Explicit broadcast — at 100 TB the fact side
+    * must not shuffle for a bounded dimension. */
+  def joinBroadcast(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** q05: TPC-H Q5-shaped 6-table star join → revenue per nation.
+    * Every dim chain (region→nation→supplier, customer) broadcasts; only
+    * orders⋈lineitem is a genuine big-big join, shuffled on orderkey. */
+  def multiJoinAgg(
+      region: DataFrame,
+      nation: DataFrame,
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("n_name")
+
+  /** q06: TPC-H Q6-shaped tight filter + single sum — all predicates push
+    * to the scan; result is one row. */
+  def selectiveAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** q07: windowed ranking per customer. Single shuffle on the partition
+    * key; tie-broken by orderkey so ranks are deterministic. */
+  def windowRank(orders: DataFrame, topN: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topN)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("rn"),
+        round(col("o_totalprice"), 4).as("total_price"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q08: exact distinct count per group (expands to a 2-phase partial
+    * distinct aggregate — no full-row shuffle). */
+  def distinctCount(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q09: hierarchical ROLLUP — grouping-set expansion stays a single
+    * shuffle in Spark (Expand + partial agg). */
+  def rollupAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("n_rows"))
+      .orderBy("rf", "ls")
+
+  /** q10: LEFT SEMI (EXISTS) — customers holding at least one order above
+    * a price floor. Semi-join keeps only the probe side's columns, so no
+    * payload duplication at scale. */
+  def semiJoin(customer: DataFrame, orders: DataFrame, minTotal: Double = 400000.0): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minTotal), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** q11: LEFT ANTI (NOT EXISTS) — customers with no order in a window. */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderdate") >= lit("2000-01-01")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** q12: conditional aggregation — CASE WHEN folded into the aggregate,
+    * one pass over the fact. */
+  def caseAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        round(sum(when(col("value") > 100, col("value")).otherwise(lit(0.0))), 4).as("high_value_sum"),
+        count(when(col("value") > 100, lit(1))).as("high_value_cnt"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q13: HAVING — post-aggregation filter evaluated after the (already
+    * tiny) aggregate output. */
+  def havingAgg(lineitem: DataFrame, minQty: Double = 350.0): DataFrame =
+    lineitem
+      .groupBy("l_partkey")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_items"))
+      .filter(col("sum_qty") > minQty)
+      .orderBy("l_partkey")
+
+  /** q14: scalar subquery — parts priced above the global mean. The
+    * 1-row aggregate is broadcast-cross-joined (no driver collect). */
+  def scalarSubquery(part: DataFrame): DataFrame = {
+    val avgPrice = part.agg(avg("p_retailprice").as("avg_price"))
+    part
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_brand"), round(col("p_retailprice"), 4).as("retail_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** q15: UNION ALL of filtered slices + aggregation — union is a no-op
+    * at the physical layer (both children feed one aggregate). */
+  def unionSlices(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase" && col("value") > 150)
+    val signups   = events.filter(col("event_type") === "signup" && col("value") > 150)
+    purchases
+      .unionAll(signups)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** q16: exact interpolated percentiles (median/p95) per group. */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q17: argmax/argmin per group via max_by/min_by — one aggregate pass,
+    * no self-join-on-max anti-pattern. */
+  def firstLast(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        expr("max_by(event_type, ts)").as("last_event_type"),
+        expr("min_by(event_type, ts)").as("first_event_type"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** q18: JSON field extraction from a string column (the reference's
+    * event `props`) — `get_json_object` is codegen'd, no UDF. */
+  def eventsJson(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+}
