@@ -43,6 +43,20 @@ object SparkEntry {
     "q20_events_hourly" -> ((s, d) => EventAnalytics.hourlyRollup(Tables(s, d).events)),
     "q21_partition_layout" -> ((s, d) => EventAnalytics.partitionLayout(Tables(s, d).events)),
     "q22_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables(s, d).events)),
+    "q30_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d).documents)),
+    "q31_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d).documents)),
+    "q32_fingerprint" -> ((s, d) => TextAnalysis.fingerprintGroups(Tables(s, d).documents)),
+    "q33_dedup_exact" -> ((s, d) => TextAnalysis.dedupExact(Tables(s, d).documents)),
+    "q34_token_regex" -> ((s, d) => TextAnalysis.tokenRegexStats(Tables(s, d).documents)),
+    "q35_lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d).documents)),
+    "q40_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
+    "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
+    "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
+    "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
+    "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
+    "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
+    "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
+    "q61_frame_extract" -> ((s, d) => Multimodal.frameExtract(s, Tables(s, d).documents).toDF()),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,5 +187,58 @@ object SparkEntry {
         | count(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 END) AS n_sessions,
         | count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q30_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(length(text)),4) AS avg_chars,
+        | round(avg(len(regexp_extract_all(text,'\S+'))),4) AS avg_tokens,
+        | round(sum(CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE)),4) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q31_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(text,'\S+')) AS n_tok,
+        |    len(list_filter(regexp_extract_all(text,'\S+'),
+        |        x -> x IN ('the','a','and','of','to'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_stop AS BIGINT) AS n_stop,
+        | round(CAST(n_stop AS DOUBLE)/n_tok, 4) AS stop_ratio,
+        | round((1 - CAST(n_stop AS DOUBLE)/n_tok) * least(1.0, n_tok/50.0), 4) AS quality
+        |FROM t WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" ->
+      """WITH t AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp FROM documents)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM t GROUP BY fp ORDER BY fp""".stripMargin,
+    "q33_dedup_exact" ->
+      """WITH t AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp FROM documents),
+        |k AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS keep FROM t)
+        |SELECT doc_id, fp FROM k WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
+    "q34_token_regex" ->
+      """WITH t AS (SELECT source, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe FROM documents)
+        |SELECT source, count(*) AS n_docs, round(avg(n_bpe),4) AS avg_bpe_tokens,
+        | round(sum(CAST(n_bpe AS DOUBLE)),4) AS total_bpe_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q42_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(text,'\S+')) AS tok FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.tok,b.tok)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.tok,b.tok))), 4) AS jaccard
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin,
+    "q50_embedding_stats" ->
+      """WITH t AS (SELECT label, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) AS nrm FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, round(avg(nrm),4) AS avg_norm,
+        | round(min(nrm),4) AS min_norm, round(max(nrm),4) AS max_norm
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
+    "q51_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+        | s AS (SELECT qid, cid,
+        |   list_sum(list_transform(list_zip(qe,ce), z -> CAST(z[1] AS DOUBLE)*z[2])) AS cos
+        |   FROM q, c),
+        | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
+        |SELECT qid, cid, rk, round(cos,4) AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q60_multimodal_meta" ->
+      """WITH t AS (SELECT source, octet_length(encode(text)) AS nb FROM documents)
+        |SELECT source, count(*) AS n_docs, round(avg(nb),4) AS avg_bytes,
+        | round(sum(CAST(nb AS DOUBLE)),4) AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` columns via higher-order
+  * functions — fully codegen'd, left-to-right double accumulation
+  * (bit-identical to a serial loop, so results are engine-portable). */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** ‖v‖₂ in double precision. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed-random-projection bucket id: sign bits of `v·plane_j` folded
+    * into an int. `planes` must be a literal array<array<double>>. */
+  def srpBucket(v: Column, planes: Column): Column =
+    aggregate(
+      transform(planes, p => when(dot(v, p) > 0, 1).otherwise(0)),
+      lit(0),
+      (acc, bit) => acc * 2 + bit)
+
+  /** Deterministic ±1 hyperplanes (Rademacher) for SRP-LSH: seeded hash,
+    * no RNG state, so every executor derives the same planes. */
+  def rademacherPlanes(numPlanes: Int, dim: Int, seed: Int = 42): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes) { j =>
+      Seq.tabulate(dim) { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, j, i))
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    }
+}

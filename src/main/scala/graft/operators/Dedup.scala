@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection (SURVEY.md §2 q40–q42).
+  *
+  * Scale shape: signatures are pure map-side column math (higher-order
+  * functions, codegen'd); the only shuffles are (a) the LSH bucket join on
+  * (band, bucket-hash) — data-proportional, never a cross join — and
+  * (b) the pair-verification join, bounded by the candidate count.
+  * Mega-buckets (degenerate hash collisions) are capped so one hot bucket
+  * can't quadratically blow up a 100 TB run.
+  */
+object Dedup {
+
+  val NumPerm  = 128
+  val Bands    = 32
+  val RowsPer  = 4 // threshold ≈ (1/32)^(1/4) ≈ 0.42
+  val MersP    = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation parameters (seeded, executor-independent). */
+  private val permParams: (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val as  = Seq.fill(NumPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs  = Seq.fill(NumPerm)(rnd.nextInt(Int.MaxValue).toLong)
+    (as, bs)
+  }
+
+  /** doc_id, shingles(array), minhash signature (array<bigint> length
+    * NumPerm) — all map-side. */
+  def signatures(documents: DataFrame, shingleK: Int = 3): DataFrame = {
+    val (as, bs) = permParams
+    val sh = array_distinct(shingles(tokens(col("text")), shingleK))
+    // reduce into [0, 2^31) first so a*h stays < 2^62 (ANSI overflow-safe)
+    val hashes = transform(sh, s => pmod(xxhash64(s), lit(MersP)))
+    val sig = transform(
+      arrays_zip(typedlit(as), typedlit(bs)),
+      p =>
+        array_min(transform(hashes, h =>
+          pmod(p.getField("0") * h + p.getField("1"), lit(MersP)))))
+    documents.select(col("doc_id"), sh.as("shingles"), sig.as("sig"))
+  }
+
+  /** Explode the signature into (doc_id, band, bucket) rows. */
+  def bands(sigs: DataFrame): DataFrame = {
+    val bandArr = transform(
+      sequence(lit(0), lit(Bands - 1)),
+      b =>
+        struct(
+          b.as("band"),
+          xxhash64(concat_ws("_", transform(slice(col("sig"), b * RowsPer + 1, lit(RowsPer)), x => x.cast("string"))))
+            .as("bucket")))
+    sigs
+      .select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** q40: MinHash+LSH near-dup pairs, exact-verified.
+    *
+    * candidate pairs from same (band,bucket) → dedup → verify with exact
+    * shingle-set jaccard ≥ verifyThreshold. `maxBucket` drops degenerate
+    * buckets before the quadratic pair expansion.
+    */
+  def minhashLshPairs(
+      documents: DataFrame,
+      shingleK: Int = 3,
+      verifyThreshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    val sigs = signatures(documents, shingleK).cache()
+    val bkt  = bands(sigs)
+    val bucketSized = bkt.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucket)
+    val l = bucketSized.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = bucketSized.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cand = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
+    cand
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn(
+        "est_jaccard",
+        round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double") / NumPerm,
+          4))
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          4))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q41: 64-bit SimHash per document over word hashes. Bit votes and the
+    * final fold are higher-order column math — one pass, no shuffle. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val masks  = typedlit(Seq.tabulate(64)(i => 1L << i))
+    val hashes = transform(tokens(lower(col("text"))), t => xxhash64(t))
+    val sig = aggregate(
+      transform(
+        masks,
+        m =>
+          when(
+            aggregate(hashes, lit(0L), (acc, h) =>
+              acc + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)) > 0,
+            m).otherwise(0L)),
+      lit(0L),
+      (acc, v) => acc + v)
+    documents.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash candidate pairs with hamming distance ≤ maxHamming, via
+    * 16-bit band blocking (a pair within hamming 3 of 64 bits must agree
+    * exactly on ≥1 of 4 bands — pigeonhole). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val bandMasks = typedlit(Seq.tabulate(4)(j => 0xFFFFL << (16 * j)))
+    val banded = sh
+      .select(
+        col("doc_id"),
+        posexplode(transform(bandMasks, m => col("simhash").bitwiseAND(m))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+    val l = banded.select(col("band"), col("band_bits"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("band_bits"), col("doc_id").as("doc_b"))
+    val cand = l.join(r, Seq("band", "band_bits")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ha = sh.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val hb = sh.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    cand
+      .join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q42: n-gram (token-set) jaccard between consecutive doc ids — the
+    * exact-verification kernel, oracle-checkable. */
+  def ngramJaccardAdjacent(documents: DataFrame): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val t    = documents.select(col("doc_id"), toks.as("tok"))
+    val a    = t.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
+    val b    = t.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+            size(array_union(col("tok_a"), col("tok_b"))),
+          4).as("jaccard"))
+      .orderBy("doc_a")
+  }
+}

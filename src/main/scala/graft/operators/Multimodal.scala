@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2 q60–q61).
+  *
+  * Media are opaque `binary` payloads + a typed metadata struct. The
+  * decode step is where a real codec (image/audio lib) would run; those
+  * libs aren't in this container, so `fakeDecodeFrames` is a clearly
+  * marked deterministic stand-in — but the Spark-side shape is the real
+  * one: binary column in, `mapPartitions` batch iteration (amortizes
+  * per-partition codec init, the same batching contract a Pandas UDF
+  * would have), typed rows out.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata struct to each document. Payload
+    * is the utf-8 bytes of the text (a deterministic stand-in for real
+    * media bytes). */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("source"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("image").as("modality"),
+        lit(64).as("width_px"),
+        lit(64).as("height_px"),
+        lit(0).as("sample_rate_hz")).as("media_meta"))
+
+  /** q60: byte-level stats per source over the binary payload. */
+  def metaStats(documents: DataFrame): DataFrame =
+    withPayload(documents)
+      .select(col("source"), octet_length(col("payload")).as("nb"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("nb"), 4).as("avg_bytes"),
+        round(sum(col("nb").cast("double")), 4).as("total_bytes"),
+        max(col("nb")).cast("long").as("max_bytes"))
+      .orderBy("source")
+
+  final case class FrameInfo(doc_id: Long, n_frames: Long, sampled_frames: Long, first_frame_checksum: Long)
+
+  /** q61: "decode" + frame-sample each payload. STUB CODEC: frames are
+    * fixed 16-byte windows and the checksum a byte sum — a real build
+    * swaps `decode` for an image/video library call; everything around
+    * it (partition iteration, batch shape, typed output) is production
+    * shape. */
+  def frameExtract(spark: SparkSession, documents: DataFrame, frameBytes: Int = 16, sampleEvery: Int = 4): Dataset[FrameInfo] = {
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init site (codec handles would be opened here, once)
+        def decode(bytes: Array[Byte]): Iterator[Array[Byte]] = bytes.grouped(frameBytes)
+        it.map { case (id, payload) =>
+          val frames  = decode(payload).toArray
+          val sampled = frames.indices.count(_ % sampleEvery == 0)
+          val checksum = if (frames.isEmpty) 0L else frames.head.foldLeft(0L)((a, b) => a + (b & 0xFF))
+          FrameInfo(id, frames.length.toLong, sampled.toLong, checksum)
+        }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table (SURVEY.md §2 q30–q35).
+  * Everything is per-row map-side work + a small aggregation — the shape
+  * that scales linearly to 100 TB with no shuffle beyond the final
+  * low-cardinality groupBy. */
+object TextAnalysis {
+
+  /** q30: token/char statistics per language. */
+  def textStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("lang"), length(col("text")).as("chars"), size(toks).as("n_tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("chars"), 4).as("avg_chars"),
+        round(avg("n_tok"), 4).as("avg_tokens"),
+        round(sum(col("n_tok").cast("double")), 4).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  /** q31: heuristic quality score per document — stopword ratio damped by
+    * a length factor. Pure map-side; the kind of scorer a pretraining
+    * pipeline runs inline with the scan. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        stopCount(toks).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tok"), 4))
+      .withColumn(
+        "quality",
+        round(
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) *
+            least(lit(1.0), col("n_tok").cast("double") / 50.0),
+          4))
+      .orderBy("doc_id")
+  }
+
+  /** q32: fingerprint dup-groups — md5 of whitespace-normalized text. */
+  def fingerprintGroups(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("fp")
+
+  /** q33: exact dedup — keep the smallest doc_id per fingerprint. The
+    * min-over-window form shuffles once on fp; at scale this is the
+    * hash-groupBy exact-dedup pass run before any fuzzy pass. */
+  def dedupExact(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+    documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keep"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  /** q34: BPE-ish regex token counts per source. */
+  def tokenRegexStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), size(bpeTokens(col("text"))).as("n_bpe"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_bpe"), 4).as("avg_bpe_tokens"),
+        round(sum(col("n_bpe").cast("double")), 4).as("total_bpe_tokens"))
+      .orderBy("source")
+
+  /** q35: marker-word language ID (rows-only check; semantic spec in
+    * ScalaTest against fixture sentences). */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    documents
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        predictedLang(toks).as("pred_lang"),
+        round(array_max(langScores(toks)).getField("score"), 4).as("best_score"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+  lazy val t = Tables(spark, sfDir)
+
+  /** 8-dim fixture: vec 10 is a near-dup of query 0; 11 is orthogonal-ish. */
+  def fixtureVecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+    (1L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+    (2L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), 0),
+    (10L, Array(0.99f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f), 1),
+    (11L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0.6f, 0.8f), 1),
+    (12L, Array(0.7f, 0.7f, 0.1f, 0f, 0f, 0f, 0f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("q51 brute force ranks the near-duplicate first") {
+    val top = Similarity.annBruteForce(fixtureVecs, numQueries = 3, k = 2)
+      .filter(col("qid") === 0 && col("rk") === 1)
+      .select("cid").as[Long].collect()
+    assert(top.sameElements(Array(10L)))
+  }
+
+  test("q52 LSH finds the near-duplicate for the query (high-sim recall)") {
+    val top = Similarity.annLsh(fixtureVecs, numQueries = 3, k = 2, numPlanes = 2, dim = 8)
+      .filter(col("qid") === 0)
+      .select("cid").as[Long].collect().toSet
+    assert(top.contains(10L), s"near-dup missing from LSH result $top")
+  }
+
+  test("q52 on real embeddings returns ranked rows with valid cosines") {
+    val rows = Similarity.annLsh(t.embeddings).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+  }
+
+  test("q50 norms are ~1 (unit-normalized corpus)") {
+    val rows = Similarity.embeddingStats(t.embeddings).collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01))
+  }
+
+  test("q61 frame extract: frame count and checksum are deterministic") {
+    val docs = Seq((0L, "abcdefghijklmnopqrstuvwxyz012345", "en", "s", 1L), (1L, "xy", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.frameExtract(spark, docs, frameBytes = 16).collect().map(f => f.doc_id -> f).toMap
+    assert(out(0L).n_frames == 2) // 32 bytes / 16
+    assert(out(1L).n_frames == 1)
+    assert(out(0L).first_frame_checksum == "abcdefghijklmnop".getBytes.map(_ & 0xFF).sum.toLong)
+    val again = Multimodal.frameExtract(spark, docs, frameBytes = 16).collect().map(f => f.doc_id -> f).toMap
+    assert(again(0L).first_frame_checksum == out(0L).first_frame_checksum)
+  }
+}

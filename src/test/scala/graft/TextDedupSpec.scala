@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+  lazy val t = Tables(spark, sfDir)
+
+  def fixtureDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "The  quick brown FOX jumps over the lazy dog ", "en", "s0", 45L), // normalized dup of 0
+    (2L, "der hund ist nicht die katze und das haus", "de", "s1", 41L),
+    (3L, "completely different content about spark engines", "en", "s1", 48L),
+    (4L, "the quick brown fox jumps over the lazy cat", "en", "s2", 43L) // near-dup of 0
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("q33 exact dedup keeps min doc_id per normalized fingerprint") {
+    val kept = TextAnalysis.dedupExact(fixtureDocs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L)) // doc 1 collapses into doc 0
+  }
+
+  test("q35 language ID picks the language with most marker hits") {
+    val preds = TextAnalysis.langId(fixtureDocs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds(0L) == "en")
+    assert(preds(2L) == "de")
+  }
+
+  test("q31 quality: stopword-heavy doc scores below content-heavy doc") {
+    val q = TextAnalysis.qualityScore(
+      Seq(
+        (0L, "the the the the a a and of to the", "en", "s", 1L),
+        (1L, "spark catalyst optimizer rewrites logical plans efficiently always", "en", "s", 1L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q(0L) < q(1L))
+  }
+
+  test("q40 minhash-lsh recovers the planted near-dup pairs (vs exact jaccard)") {
+    val docs = t.documents
+    val found = Dedup.minhashLshPairs(docs, verifyThreshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact ground truth: all pairs with 3-shingle jaccard >= 0.8
+    val sh = Dedup.signatures(docs).select(col("doc_id"), col("shingles"))
+    val a  = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b  = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val recall = exact.count(found.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    assert(found.forall { case (x, y) => x < y })
+  }
+
+  test("q41 simhash: near-identical docs land within small hamming distance") {
+    val pairs = Dedup.simhashPairs(fixtureDocs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"dup pair not found in $pairs")
+  }
+
+  test("q42 jaccard kernel: identical sets = 1, disjoint = 0") {
+    val j = Dedup.ngramJaccardAdjacent(
+      Seq(
+        (0L, "alpha beta gamma", "en", "s", 1L),
+        (1L, "alpha beta gamma", "en", "s", 1L),
+        (2L, "delta epsilon zeta", "en", "s", 1L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_a", "jaccard").as[(Long, Double)].collect().toMap
+    assert(j(0L) == 1.0 && j(1L) == 0.0)
+  }
+}
