@@ -43,6 +43,17 @@ object SparkEntry {
     "q20_events_hourly" -> ((s, d) => EventAnalytics.hourlyRollup(Tables(s, d).events)),
     "q21_partition_layout" -> ((s, d) => EventAnalytics.partitionLayout(Tables(s, d).events)),
     "q22_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables(s, d).events)),
+    "q23_parser_roundtrip" -> ((s, d) => {
+      // serialize → parse → aggregate must equal aggregating the source
+      val parsed = graft.streaming.EventParser.wellFormed(
+        graft.streaming.EventParser.parseLines(
+          graft.streaming.EventParser.formatLines(Tables(s, d).events)))
+      parsed.groupBy("event_type")
+        .agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+          org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
     "q30_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d).documents)),
     "q31_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d).documents)),
     "q32_fingerprint" -> ((s, d) => TextAnalysis.fingerprintGroups(Tables(s, d).documents)),
@@ -187,6 +198,9 @@ object SparkEntry {
         | count(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 END) AS n_sessions,
         | count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_parser_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q30_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | round(avg(length(text)),4) AS avg_chars,

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Partition sealing: the reference's "batch load into Hive" step.
+  *
+  * A closed staging partition (`staging/dt=…/hr=…`, one subdir per
+  * micro-batch) is rewritten as `targetFiles` plain parquet files in the
+  * final table (`table/dt=…/hr=…`), a `_DONE` marker is dropped, and the
+  * staging partition is deleted. Dynamic partition overwrite keeps the
+  * rewrite atomic-per-partition and idempotent; partitions seal
+  * independently, so the step parallelizes trivially across a cluster.
+  */
+object Compaction {
+
+  /** File count for a partition: size-based (like the reference's rolled
+    * file sizing), at least 1. */
+  def targetFileCount(partitionBytes: Long, targetFileBytes: Long = 128L << 20): Int =
+    math.max(1, math.ceil(partitionBytes.toDouble / targetFileBytes).toInt)
+
+  def sealPartition(spark: SparkSession, sink: HiveBatchSink, dt: String, hr: String, targetFiles: Int = 1): Unit =
+    sealPartitions(spark, sink, Seq((dt, hr)), targetFiles)
+
+  /** Seal many closed partitions in ONE Spark job: read exactly the
+    * staging partition dirs (basePath keeps dt/hr as columns — natural
+    * partition pruning, no full-table listing), shuffle once on (dt, hr)
+    * so each partition lands as ~targetFiles files, dynamic-overwrite
+    * into the final table, then drop markers + staging dirs. O(1) jobs
+    * per micro-batch regardless of how many partitions close — the
+    * difference between O(partitions) job launches and a single shuffle
+    * at cluster scale. */
+  def sealPartitions(spark: SparkSession, sink: HiveBatchSink, parts: Seq[(String, String)], targetFiles: Int = 1): Unit = {
+    if (parts.isEmpty) return
+    val dirs = parts.map { case (dt, hr) => s"${sink.stagingPath}/dt=$dt/hr=$hr" }
+    spark.read
+      .option("basePath", sink.stagingPath)
+      .parquet(dirs: _*)
+      // partition dirs infer dt/hr as ints ("hr=09" -> 9); re-derive the
+      // zero-padded string keys from ts, the same way writeBatch did
+      .drop("ingest_batch", "dt", "hr")
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+      .repartition(col("dt"), col("hr"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("dt", "hr")
+      .parquet(sink.tablePath)
+    val fs = new Path(sink.tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.foreach { case (dt, hr) =>
+      fs.create(new Path(sink.tablePath, s"dt=$dt/hr=$hr/_DONE"), true).close()
+      fs.delete(new Path(s"${sink.stagingPath}/dt=$dt/hr=$hr"), true)
+    }
+    spark.catalog.refreshByPath(sink.stagingPath)
+    spark.catalog.refreshByPath(sink.tablePath)
+  }
+}

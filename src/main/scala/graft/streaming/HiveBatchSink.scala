@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.util.LongAccumulator
+import java.sql.Timestamp
+
+/** Spark-first re-expression of the reference's Hive batch sink.
+  *
+  * The reference buffers Flume events into staging files laid out like
+  * Hive time partitions, batch-loads each completed partition into the
+  * warehouse table, and marks it consumable once its hour has passed.
+  * Same lifecycle here, each step Spark-native:
+  *
+  *   - micro-batch staging writes under `<root>/staging/dt=…/hr=…/
+  *     ingest_batch=N`: `ingest_batch` is a partition column, so a
+  *     replayed batch dynamically overwrites exactly its own files —
+  *     exactly-once under retries, append-safe across batches (the
+  *     reference's commit/rollback, without any rollback bookkeeping);
+  *   - watermark-driven partition close: (dt, hr) fully behind
+  *     `maxEventTime - allowedLateness` are eligible for sealing;
+  *   - [[Compaction.sealPartition]] batch-loads a closed staging
+  *     partition into `<root>/table/dt=…/hr=…` at a target file count
+  *     and drops a `_DONE` marker (the reference's Hive load + done
+  *     flag);
+  *   - received/written/corrupt counters as LongAccumulators.
+  *
+  * At 100 TB/day: staging writes shuffle only on (dt, hr), sealing is
+  * per-partition-parallel, markers are O(partitions), and the only
+  * driver state is the streaming checkpoint.
+  */
+final class HiveBatchSink(
+    spark: SparkSession,
+    rootPath: String,
+    allowedLatenessMinutes: Int = 60) {
+
+  val stagingPath: String = s"$rootPath/staging"
+  val tablePath: String   = s"$rootPath/table"
+
+  val received: LongAccumulator = spark.sparkContext.longAccumulator("graft.sink.received")
+  val written: LongAccumulator  = spark.sparkContext.longAccumulator("graft.sink.written")
+  val corrupt: LongAccumulator  = spark.sparkContext.longAccumulator("graft.sink.corrupt")
+
+  private def fs = new Path(rootPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One micro-batch: partition, count, stage idempotently. Rows with a
+    * null `ts` are counted corrupt and dropped (the reference's failed
+    * counter). */
+  def writeBatch(events: DataFrame, batchId: Long): Unit = {
+    val n = events.count()
+    received.add(n)
+    val bad = events.filter(col("ts").isNull).count()
+    corrupt.add(bad)
+    val good = events.filter(col("ts").isNotNull)
+    good
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+      .withColumn("ingest_batch", lit(batchId))
+      .repartition(col("dt"), col("hr"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("dt", "hr", "ingest_batch")
+      .parquet(stagingPath)
+    written.add(n - bad)
+  }
+
+  /** Staged (dt, hr) partitions fully behind the watermark and not yet
+    * sealed into the final table. */
+  def closedPartitions(maxEventTime: Timestamp): Seq[(String, String)] = {
+    val cutoff = maxEventTime.getTime - allowedLatenessMinutes * 60000L
+    val root   = new Path(stagingPath)
+    if (!fs.exists(root)) return Seq.empty
+    val fmt = new java.text.SimpleDateFormat("yyyyMMdd'T'HH")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    for {
+      dtDir <- fs.listStatus(root).toSeq if dtDir.isDirectory && dtDir.getPath.getName.startsWith("dt=")
+      hrDir <- fs.listStatus(dtDir.getPath).toSeq if hrDir.isDirectory && hrDir.getPath.getName.startsWith("hr=")
+      dt = dtDir.getPath.getName.stripPrefix("dt=")
+      hr = hrDir.getPath.getName.stripPrefix("hr=")
+      if fmt.parse(s"${dt}T$hr").getTime + 3600000L <= cutoff
+      if !isSealed(dt, hr)
+    } yield (dt, hr)
+  }
+
+  def isSealed(dt: String, hr: String): Boolean =
+    fs.exists(new Path(tablePath, s"dt=$dt/hr=$hr/_DONE"))
+
+  /** Seal every closed partition (idempotent). Returns sealed (dt, hr). */
+  def sealClosed(maxEventTime: Timestamp, targetFiles: Int = 1): Seq[(String, String)] = {
+    val closed = closedPartitions(maxEventTime)
+    Compaction.sealPartitions(spark, this, closed, targetFiles)
+    closed
+  }
+
+  /** The final warehouse table (sealed partitions only). */
+  def readTable(): DataFrame = spark.read.parquet(tablePath)
+
+  /** Wire the full lifecycle (stage → close → seal) into a stream. */
+  def start(stream: DataFrame, checkpoint: String): StreamingQuery =
+    streamWriter(stream, checkpoint).start()
+
+  def streamWriter(stream: DataFrame, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId)
+        val mx = batch.agg(max(col("ts"))).collect().headOption.flatMap(r => Option(r.getTimestamp(0)))
+        mx.foreach(ts => sealClosed(ts))
+        ()
+      }
+}

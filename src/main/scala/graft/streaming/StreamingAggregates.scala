@@ -1,0 +1,23 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked event-time aggregation — the streaming dual of
+  * [[graft.operators.EventAnalytics.hourlyRollup]]. State is bounded by
+  * the watermark (late data beyond it is dropped, matching the sink's
+  * partition-close contract), so state-store size is O(open windows),
+  * not O(stream length). */
+object StreamingAggregates {
+
+  def hourlyCounts(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+}
