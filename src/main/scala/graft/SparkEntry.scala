@@ -40,6 +40,7 @@ object SparkEntry {
     "q16_percentiles" -> ((s, d) => Relational.percentiles(Tables(s, d).events)),
     "q17_first_last" -> ((s, d) => Relational.firstLast(Tables(s, d).events)),
     "q18_events_json" -> ((s, d) => Relational.eventsJson(Tables(s, d).events)),
+    "q19_approx_distinct" -> ((s, d) => Relational.approxDistinct(Tables(s, d).events)),
     "q20_events_hourly" -> ((s, d) => EventAnalytics.hourlyRollup(Tables(s, d).events)),
     "q21_partition_layout" -> ((s, d) => EventAnalytics.partitionLayout(Tables(s, d).events)),
     "q22_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables(s, d).events)),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q40_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
+    "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
     "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),

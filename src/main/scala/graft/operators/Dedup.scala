@@ -29,20 +29,73 @@ object Dedup {
     (as, bs)
   }
 
-  /** doc_id, shingles(array), minhash signature (array<bigint> length
-    * NumPerm) — all map-side. */
-  def signatures(documents: DataFrame, shingleK: Int = 3): DataFrame = {
+  /** JIT-compiled shingle+minhash kernel. Higher-order column functions
+    * evaluate interpreted (boxed, per-element expression eval) — nested
+    * perms×shingles transforms cost ~60ms/doc; this tight loop does the
+    * same work in ~µs/doc. Tokens → k-shingles → MurmurHash3 (seeded,
+    * deterministic across executors) → distinct sorted hash set + the
+    * NumPerm affine-permutation minima. Permutation factors and reduced
+    * hashes are < 2^31, so products stay < 2^62 (no long overflow).
+    * Returns (shingle hash set, signature). */
+  private def sigUdf(shingleK: Int) = {
     val (as, bs) = permParams
-    val sh = array_distinct(shingles(tokens(col("text")), shingleK))
-    // reduce into [0, 2^31) first so a*h stays < 2^62 (ANSI overflow-safe)
-    val hashes = transform(sh, s => pmod(xxhash64(s), lit(MersP)))
-    val sig = transform(
-      arrays_zip(typedlit(as), typedlit(bs)),
-      p =>
-        array_min(transform(hashes, h =>
-          pmod(p.getField("0") * h + p.getField("1"), lit(MersP)))))
-    documents.select(col("doc_id"), sh.as("shingles"), sig.as("sig"))
+    val aArr     = as.toArray
+    val bArr     = bs.toArray
+    udf { (toks: Seq[String]) =>
+      val n = toks.length - shingleK + 1
+      if (n <= 0) (Array.empty[Long], Array.empty[Long])
+      else {
+        val hs = Array.tabulate(n) { i =>
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < shingleK) { sb.append(' ').append(toks(i + j)); j += 1 }
+          (scala.util.hashing.MurmurHash3.bytesHash(sb.result().getBytes("UTF-8"), 42) & 0x7FFFFFFF).toLong
+        }.distinct.sorted
+        val sig = Array.tabulate(NumPerm) { i =>
+          val a = aArr(i); val b = bArr(i)
+          var m = Long.MaxValue
+          var k = 0
+          while (k < hs.length) {
+            val v = (a * hs(k) + b) % MersP
+            if (v < m) m = v
+            k += 1
+          }
+          m
+        }
+        (hs, sig)
+      }
+    }
   }
+
+  /** Exact jaccard of two sorted long arrays (two-pointer merge). */
+  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val x = a.toArray; val y = b.toArray
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    val union = x.length + y.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Signature agreement fraction (minhash jaccard estimate). */
+  private val estJaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var eq = 0
+    while (i < a.length && i < b.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (a.isEmpty) 0.0 else eq.toDouble / a.length
+  }
+
+  /** doc_id, shingles (distinct sorted hash set), minhash signature
+    * (array<bigint> length NumPerm) — all map-side. Shingle-less docs are
+    * dropped (nothing to compare; keeps them out of a degenerate
+    * all-empty LSH bucket). */
+  def signatures(documents: DataFrame, shingleK: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), sigUdf(shingleK)(tokens(col("text"))).as("ss"))
+      .select(col("doc_id"), col("ss._1").as("shingles"), col("ss._2").as("sig"))
+      .filter(size(col("shingles")) > 0)
 
   /** Explode the signature into (doc_id, band, bucket) rows. */
   def bands(sigs: DataFrame): DataFrame = {
@@ -85,17 +138,8 @@ object Dedup {
     cand
       .join(sa, "doc_a")
       .join(sb, "doc_b")
-      .withColumn(
-        "est_jaccard",
-        round(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double") / NumPerm,
-          4))
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
-          4))
+      .withColumn("est_jaccard", round(estJaccardUdf(col("sig_a"), col("sig_b")), 4))
+      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
       .orderBy("doc_a", "doc_b")

@@ -127,6 +127,19 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** q19: HyperLogLog approximate distinct — the 100 TB path beside
+    * q08's exact count-distinct: constant memory per group, no
+    * distinct-expansion shuffle, mergeable sketches. Rows-only check
+    * (approximation is engine-specific). */
+  def approxDistinct(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** q09: hierarchical ROLLUP — grouping-set expansion stays a single
     * shuffle in Spark (Expand + partial agg). */
   def rollupAgg(lineitem: DataFrame): DataFrame =

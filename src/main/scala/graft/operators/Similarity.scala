@@ -43,19 +43,61 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** JIT kernels for the no-oracle LSH path: higher-order column math is
+    * interpreted (≈µs/element, boxed); these tight loops are the same
+    * arithmetic at ns/element. q51 keeps the declarative dot so its
+    * evaluation order matches the DuckDB oracle exactly. */
+  private def srpBucketUdf(planes: Seq[Seq[Double]]) = {
+    val p = planes.map(_.toArray).toArray
+    udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      var bucket = 0
+      p.foreach { plane =>
+        var d = 0.0; var i = 0
+        while (i < plane.length && i < a.length) { d += plane(i) * a(i); i += 1 }
+        bucket = bucket * 2 + (if (d > 0) 1 else 0)
+      }
+      bucket
+    }
+  }
+
+  private val dotUdf = udf { (x: Seq[Float], y: Seq[Float]) =>
+    val a = x.toArray; val b = y.toArray
+    var d = 0.0; var i = 0
+    while (i < a.length && i < b.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
+  /** q43: embedding-cosine near-dup pairs — the dedup-by-embedding path.
+    * SRP buckets bound the candidate set (no O(n²) cross join at scale);
+    * within-bucket pairs are ranked by cosine and the global top-N kept
+    * (TakeOrdered merge, not a full sort). */
+  def embeddingNearDupPairs(embeddings: DataFrame, numPlanes: Int = 4, dim: Int = 64, topN: Int = 20): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", srpBucketUdf(rademacherPlanes(numPlanes, dim))(col("embedding")))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dotUdf(col("e_a"), col("e_b")))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+      .limit(topN)
+  }
+
   /** q52: SRP-LSH bucketed ANN. Same output shape as q51 but candidates
     * are restricted to the query's hyperplane-sign bucket; ScalaTest
     * measures recall against the brute-force baseline. */
   def annLsh(embeddings: DataFrame, numQueries: Int = 3, k: Int = 5, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val planes   = typedlit(rademacherPlanes(numPlanes, dim))
-    val bucketed = embeddings.withColumn("bucket", srpBucket(col("embedding"), planes))
+    val bucketed = embeddings.withColumn(
+      "bucket", srpBucketUdf(rademacherPlanes(numPlanes, dim))(col("embedding")))
     val q = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val c = bucketed.filter(col("vec_id") >= numQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     c.join(broadcast(q), "bucket")
-      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("cos", dotUdf(col("qe"), col("ce")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))

@@ -38,6 +38,25 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0001))
   }
 
+  test("q43 near-dup pairs: duplicate vectors rank first with cosine ~1") {
+    val withDup = fixtureVecs.unionAll(
+      Seq((20L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label"))
+    val top = Similarity.embeddingNearDupPairs(withDup, numPlanes = 2, dim = 8, topN = 3).collect()
+    assert(top.nonEmpty)
+    val best = top.head
+    assert((best.getAs[Long]("vec_a"), best.getAs[Long]("vec_b")) == (0L, 20L))
+    assert(math.abs(best.getAs[Double]("cosine") - 1.0) < 1e-6)
+  }
+
+  test("q19 approx distinct is within rsd of exact") {
+    val rows = graft.operators.Relational.approxDistinct(Tables(spark, sfDir).events).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact  = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15, s"approx $approx vs exact $exact")
+    }
+  }
+
   test("q50 norms are ~1 (unit-normalized corpus)") {
     val rows = Similarity.embeddingStats(t.embeddings).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01))
