@@ -23,8 +23,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate may return a pre-existing session that was built
+    // without the extensions config — make registration unconditional
+    graft.plans.VectorFunctionRegistry.register(spark)
     spark
   }
 }

@@ -7,19 +7,31 @@ import org.apache.spark.sql.functions._
   * functions — fully codegen'd, left-to-right double accumulation
   * (bit-identical to a serial loop, so results are engine-portable). */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColumn, expression}
+  import graft.plans.{VecCosine, VecDot, VecNorm}
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision — native codegen'd expression
+    * ([[graft.plans.VecDot]]): primitive loop inside whole-stage codegen,
+    * same left-to-right accumulation as a serial reference loop. */
+  def dot(a: Column, b: Column): Column = toColumn(VecDot(expression(a), expression(b)))
+
+  /** ‖v‖₂ in double precision (native codegen). */
+  def norm(v: Column): Column = toColumn(VecNorm(expression(v)))
+
+  /** Single-pass cosine (native codegen). */
+  def cosine(a: Column, b: Column): Column = toColumn(VecCosine(expression(a), expression(b)))
+
+  /** Declarative (higher-order-function) variants: interpreted and ~1000×
+    * slower per element, kept as the portable reference semantics the
+    * native expressions are tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** ‖v‖₂ in double precision. */
-  def norm(v: Column): Column =
+  def normHof(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Signed-random-projection bucket id: sign bits of `v·plane_j` folded
     * into an int. `planes` must be a literal array<array<double>>. */
