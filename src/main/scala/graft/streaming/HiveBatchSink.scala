@@ -98,6 +98,27 @@ final class HiveBatchSink(
   /** The final warehouse table (sealed partitions only). */
   def readTable(): DataFrame = spark.read.parquet(tablePath)
 
+  /** Register the final table in the session catalog so downstream SQL
+    * reads it by name (the reference's Hive-table surface). With
+    * `enableHiveSupport` the identical statement lands in the Hive
+    * metastore; locally it registers in the in-memory catalog. */
+  def registerTable(tableName: String): Unit = {
+    // partitioned CREATE TABLE needs an explicit column list; derive the
+    // data columns from the sealed files and declare dt/hr as strings
+    val dataCols = readTable().schema.fields
+      .filterNot(f => f.name == "dt" || f.name == "hr")
+      .map(f => s"`${f.name}` ${f.dataType.sql}")
+      .mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $tableName ($dataCols, dt STRING, hr STRING)
+         |USING parquet
+         |PARTITIONED BY (dt, hr)
+         |LOCATION '$tablePath'""".stripMargin)
+    // discover the sealed dt/hr dirs (MSCK REPAIR); idempotent, so call
+    // again after sealing new partitions
+    spark.catalog.recoverPartitions(tableName)
+  }
+
   /** Wire the full lifecycle (stage → close → seal) into a stream. */
   def start(stream: DataFrame, checkpoint: String): StreamingQuery =
     streamWriter(stream, checkpoint).start()
