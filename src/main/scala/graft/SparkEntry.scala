@@ -70,6 +70,7 @@ object SparkEntry {
     "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
     "q61_frame_extract" -> ((s, d) => Multimodal.frameExtract(s, Tables(s, d).documents).toDF()),
+    "q62_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, Tables(s, d).documents).toDF()),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -43,6 +43,33 @@ object Multimodal {
 
   final case class FrameInfo(doc_id: Long, n_frames: Long, sampled_frames: Long, first_frame_checksum: Long)
 
+  final case class MediaFeature(doc_id: Long, width_px: Int, height_px: Int, feature: Array[Float])
+
+  /** q62: "decode → resize → feature-extract" over binary payloads. STUB
+    * CODEC: the resize just reports clamped target dims and the feature
+    * vector is a deterministic byte-histogram embedding — a real build
+    * swaps in an image library + model; the pipeline shape (binary in,
+    * per-partition batching where the model would be loaded once, fixed-
+    * width float vector out, ready for graft.operators.Similarity) is the
+    * production contract. */
+  def featureExtract(spark: SparkSession, documents: DataFrame, dim: Int = 16, targetPx: Int = 64): Dataset[MediaFeature] = {
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // model/codec handles would be initialized here, once per partition
+        it.map { case (id, payload) =>
+          val hist = new Array[Float](dim)
+          payload.foreach(b => hist((b & 0xFF) % dim) += 1f)
+          val n = math.max(1, payload.length)
+          var i = 0
+          while (i < dim) { hist(i) /= n; i += 1 }
+          MediaFeature(id, math.min(targetPx, 4096), math.min(targetPx, 4096), hist)
+        }
+      }
+  }
+
   /** q61: "decode" + frame-sample each payload. STUB CODEC: frames are
     * fixed 16-byte windows and the checksum a byte sum — a real build
     * swaps `decode` for an image/video library call; everything around

@@ -62,6 +62,15 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("avg_norm") - 1.0) < 0.01))
   }
 
+  test("q62 feature extract: deterministic unit-l1 histogram embedding") {
+    val docs = Seq((0L, "aaaabbbb", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f1 = Multimodal.featureExtract(spark, docs, dim = 8).collect().head
+    val f2 = Multimodal.featureExtract(spark, docs, dim = 8).collect().head
+    assert(f1.feature.sameElements(f2.feature))
+    assert(math.abs(f1.feature.sum - 1.0) < 1e-6) // normalized histogram
+    assert(f1.width_px == 64 && f1.height_px == 64)
+  }
+
   test("q61 frame extract: frame count and checksum are deterministic") {
     val docs = Seq((0L, "abcdefghijklmnopqrstuvwxyz012345", "en", "s", 1L), (1L, "xy", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
