@@ -55,6 +55,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum("value"), 4).as("sum_value"))
         .orderBy("event_type")
     }),
+    "q24_running_total" -> ((s, d) => Relational.runningTotal(Tables(s, d).orders)),
+    "q25_ntile_buckets" -> ((s, d) => Relational.ntileBuckets(Tables(s, d).orders)),
+    "q26_left_join_agg" -> ((s, d) => { val t = Tables(s, d); Relational.leftJoinAgg(t.customer, t.orders) }),
     "q30_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d).documents)),
     "q31_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d).documents)),
     "q32_fingerprint" -> ((s, d) => TextAnalysis.fingerprintGroups(Tables(s, d).documents)),
@@ -204,6 +207,23 @@ object SparkEntry {
     "q23_parser_roundtrip" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q24_running_total" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q25_ntile_buckets" ->
+      """WITH t AS (SELECT o_totalprice,
+        |  ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile FROM orders)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+        | round(min(o_totalprice),4) AS min_price, round(max(o_totalprice),4) AS max_price
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    "q26_left_join_agg" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
     "q30_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | round(avg(length(text)),4) AS avg_chars,

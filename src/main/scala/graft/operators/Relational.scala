@@ -235,6 +235,45 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** q24: running total per customer (rows-unbounded-preceding window).
+    * One shuffle on the partition key; frame is incremental, not
+    * recomputed per row. */
+  def runningTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(sum("o_totalprice").over(w), 4).as("running_total"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** q25: decile bucketing by ntile — distribution analysis shape. */
+  def ntileBuckets(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .withColumn("decile", ntile(buckets).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 4).as("min_price"),
+        round(max("o_totalprice"), 4).as("max_price"))
+      .orderBy("decile")
+  }
+
+  /** q26: LEFT OUTER join keeping zero-order customers (null-safe
+    * aggregation over the preserved side). */
+  def leftJoinAgg(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(customer("c_custkey").as("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spend"))
+      .orderBy("c_custkey")
+
   /** q18: JSON field extraction from a string column (the reference's
     * event `props`) — `get_json_object` is codegen'd, no UDF. */
   def eventsJson(events: DataFrame): DataFrame =
