@@ -52,7 +52,7 @@ object SparkEntry {
       parsed.groupBy("event_type")
         .agg(
           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
-          org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum("value"), 4).as("sum_value"))
+          graft.functions.PortableRound.round(org.apache.spark.sql.functions.sum("value"), 4).as("sum_value"))
         .orderBy("event_type")
     }),
     "q24_running_total" -> ((s, d) => Relational.runningTotal(Tables(s, d).orders)),
@@ -79,34 +79,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
+        | floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_base_price,
+        | floor((sum(l_extendedprice*(1-l_discount)))*10000 + 0.5)/10000 AS sum_disc_price,
+        | floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*10000 + 0.5)/10000 AS sum_charge,
+        | floor((avg(l_quantity))*10000 + 0.5)/10000 AS avg_qty,
+        | floor((avg(l_extendedprice))*10000 + 0.5)/10000 AS avg_price,
+        | floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity,4) AS qty
+      """SELECT l_orderkey, l_linenumber, l_partkey, floor((l_quantity)*10000 + 0.5)/10000 AS qty
         |FROM lineitem
         |WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS total_price
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice)*10000 + 0.5)/10000 AS total_price
         |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 50""".stripMargin,
     "q04_join_broadcast" ->
       """SELECT p_brand,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
-        | round(sum(l_quantity),4) AS sum_qty,
+        | floor((sum(l_extendedprice*(1-l_discount)))*10000 + 0.5)/10000 AS revenue,
+        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q05_multi_join_agg" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+      """SELECT n_name, floor((sum(l_extendedprice*(1-l_discount)))*10000 + 0.5)/10000 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -117,13 +117,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q06_selective_agg" ->
-      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue
+      """SELECT floor((sum(l_extendedprice*l_discount))*10000 + 0.5)/10000 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         | AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
     "q07_window_rank" ->
-      """SELECT o_custkey, o_orderkey, rn, round(o_totalprice,4) AS total_price
+      """SELECT o_custkey, o_orderkey, rn, floor((o_totalprice)*10000 + 0.5)/10000 AS total_price
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -134,7 +134,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q09_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
-        | round(sum(l_quantity),4) AS sum_qty, count(*) AS n_rows
+        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
     "q10_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -148,20 +148,20 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q12_case_agg" ->
       """SELECT event_type,
-        | round(sum(CASE WHEN value > 100 THEN value ELSE 0 END),4) AS high_value_sum,
+        | floor((sum(CASE WHEN value > 100 THEN value ELSE 0 END))*10000 + 0.5)/10000 AS high_value_sum,
         | count(CASE WHEN value > 100 THEN 1 END) AS high_value_cnt,
         | count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_having" ->
-      """SELECT l_partkey, round(sum(l_quantity),4) AS sum_qty, count(*) AS n_items
+      """SELECT l_partkey, floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty, count(*) AS n_items
         |FROM lineitem GROUP BY l_partkey
-        |HAVING round(sum(l_quantity),4) > 350.0 ORDER BY l_partkey""".stripMargin,
+        |HAVING floor((sum(l_quantity))*10000 + 0.5)/10000 > 350.0 ORDER BY l_partkey""".stripMargin,
     "q14_scalar_subquery" ->
-      """SELECT p_partkey, p_brand, round(p_retailprice,4) AS retail_price
+      """SELECT p_partkey, p_brand, floor((p_retailprice)*10000 + 0.5)/10000 AS retail_price
         |FROM part WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
     "q15_union_slices" ->
-      """SELECT event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+      """SELECT event_type, count(*) AS n_events, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM (
         |  SELECT * FROM events WHERE event_type = 'purchase' AND value > 150
         |  UNION ALL
@@ -169,8 +169,8 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q16_percentiles" ->
       """SELECT event_type,
-        | round(quantile_cont(value, 0.5),4) AS median_value,
-        | round(quantile_cont(value, 0.95),4) AS p95_value,
+        | floor((quantile_cont(value, 0.5))*10000 + 0.5)/10000 AS median_value,
+        | floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 AS p95_value,
         | count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q17_first_last" ->
@@ -183,13 +183,13 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q18_events_json" ->
       """SELECT event_type,
-        | round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),4) AS avg_k,
+        | floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER)))*10000 + 0.5)/10000 AS avg_k,
         | max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
         | count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
-        | count(*) AS n_events, round(sum(value),4) AS sum_value, round(avg(value),4) AS avg_value
+        | count(*) AS n_events, floor((sum(value))*10000 + 0.5)/10000 AS sum_value, floor((avg(value))*10000 + 0.5)/10000 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q21_partition_layout" ->
       """SELECT strftime(ts, '%Y%m%d') AS dt, strftime(ts, '%H') AS hr,
@@ -205,30 +205,30 @@ object SparkEntry {
         | count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q23_parser_roundtrip" ->
-      """SELECT event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+      """SELECT event_type, count(*) AS n_events, floor((sum(value))*10000 + 0.5)/10000 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q24_running_total" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        | round(sum(o_totalprice) OVER (
+        | floor((sum(o_totalprice) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000 AS running_total
         |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
     "q25_ntile_buckets" ->
       """WITH t AS (SELECT o_totalprice,
         |  ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile FROM orders)
         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
-        | round(min(o_totalprice),4) AS min_price, round(max(o_totalprice),4) AS max_price
+        | floor((min(o_totalprice))*10000 + 0.5)/10000 AS min_price, floor((max(o_totalprice))*10000 + 0.5)/10000 AS max_price
         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     "q26_left_join_agg" ->
       """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
-        | round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spend
+        | floor((coalesce(sum(o_totalprice), 0.0))*10000 + 0.5)/10000 AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
     "q30_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | round(avg(length(text)),4) AS avg_chars,
-        | round(avg(len(regexp_extract_all(text,'\S+'))),4) AS avg_tokens,
-        | round(sum(CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE)),4) AS total_tokens
+        | floor((avg(length(text)))*10000 + 0.5)/10000 AS avg_chars,
+        | floor((avg(len(regexp_extract_all(text,'\S+'))))*10000 + 0.5)/10000 AS avg_tokens,
+        | floor((sum(CAST(len(regexp_extract_all(text,'\S+')) AS DOUBLE)))*10000 + 0.5)/10000 AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q31_quality_score" ->
       """WITH t AS (
@@ -237,8 +237,8 @@ object SparkEntry {
         |        x -> x IN ('the','a','and','of','to'))) AS n_stop
         |  FROM documents)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_stop AS BIGINT) AS n_stop,
-        | round(CAST(n_stop AS DOUBLE)/n_tok, 4) AS stop_ratio,
-        | round((1 - CAST(n_stop AS DOUBLE)/n_tok) * least(1.0, n_tok/50.0), 4) AS quality
+        | floor((CAST(n_stop AS DOUBLE)/n_tok)*10000 + 0.5)/10000 AS stop_ratio,
+        | floor(((1 - CAST(n_stop AS DOUBLE)/n_tok) * least(1.0, n_tok/50.0))*10000 + 0.5)/10000 AS quality
         |FROM t WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
     "q32_fingerprint" ->
       """WITH t AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp FROM documents)
@@ -250,19 +250,19 @@ object SparkEntry {
         |SELECT doc_id, fp FROM k WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
     "q34_token_regex" ->
       """WITH t AS (SELECT source, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe FROM documents)
-        |SELECT source, count(*) AS n_docs, round(avg(n_bpe),4) AS avg_bpe_tokens,
-        | round(sum(CAST(n_bpe AS DOUBLE)),4) AS total_bpe_tokens
+        |SELECT source, count(*) AS n_docs, floor((avg(n_bpe))*10000 + 0.5)/10000 AS avg_bpe_tokens,
+        | floor((sum(CAST(n_bpe AS DOUBLE)))*10000 + 0.5)/10000 AS total_bpe_tokens
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q42_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(text,'\S+')) AS tok FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(CAST(len(list_intersect(a.tok,b.tok)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.tok,b.tok))), 4) AS jaccard
+        | floor((CAST(len(list_intersect(a.tok,b.tok)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.tok,b.tok))))*10000 + 0.5)/10000 AS jaccard
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin,
     "q50_embedding_stats" ->
       """WITH t AS (SELECT label, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) AS nrm FROM embeddings)
-        |SELECT label, count(*) AS n_vecs, round(avg(nrm),4) AS avg_norm,
-        | round(min(nrm),4) AS min_norm, round(max(nrm),4) AS max_norm
+        |SELECT label, count(*) AS n_vecs, floor((avg(nrm))*10000 + 0.5)/10000 AS avg_norm,
+        | floor((min(nrm))*10000 + 0.5)/10000 AS min_norm, floor((max(nrm))*10000 + 0.5)/10000 AS max_norm
         |FROM t GROUP BY label ORDER BY label""".stripMargin,
     "q51_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
@@ -271,11 +271,11 @@ object SparkEntry {
         |   list_sum(list_transform(list_zip(qe,ce), z -> CAST(z[1] AS DOUBLE)*z[2])) AS cos
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
-        |SELECT qid, cid, rk, round(cos,4) AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+        |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q60_multimodal_meta" ->
       """WITH t AS (SELECT source, octet_length(encode(text)) AS nb FROM documents)
-        |SELECT source, count(*) AS n_docs, round(avg(nb),4) AS avg_bytes,
-        | round(sum(CAST(nb AS DOUBLE)),4) AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
+        |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
+        | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
 import graft.functions.TextFunctions._
 
 /** Near-duplicate detection (SURVEY.md §2 q40–q42).

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
 
 /** Time-partition analytics over the event stream (SURVEY.md §2 q20–q22).
   *

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
 
 /** Multimodal column plumbing (SURVEY.md §2 q60–q61).
   *

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
 
 /** Relational/analytical operator suite (SURVEY.md §2 q01–q18).
   *

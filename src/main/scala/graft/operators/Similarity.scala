@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
 import graft.functions.VectorFunctions._
 
 /** Similarity search over embedding columns (SURVEY.md §2 q50–q52).
