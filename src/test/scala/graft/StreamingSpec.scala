@@ -98,6 +98,20 @@ class StreamingSpec extends SparkSpec {
     assert(total == events.count())
   }
 
+  test("streaming dedup: re-delivered events collapse to one per id") {
+    val in = tmp(); val events = t.events.limit(200)
+    // simulate at-least-once delivery: every event delivered twice
+    events.unionAll(events).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(events.schema).parquet(in)
+    val q = graft.streaming.StreamingDedup.dedup(stream)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_test")
+    assert(out.count() == events.count(), s"${out.count()} vs ${events.count()}")
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+
   test("streaming watermarked hourly aggregation matches the batch rollup") {
     val in = tmp(); val events = t.events
     events.write.mode("overwrite").parquet(in)
