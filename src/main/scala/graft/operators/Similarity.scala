@@ -86,18 +86,34 @@ object Similarity {
       .limit(topN)
   }
 
-  /** q52: SRP-LSH bucketed ANN. Same output shape as q51 but candidates
-    * are restricted to the query's hyperplane-sign bucket; ScalaTest
-    * measures recall against the brute-force baseline. */
-  def annLsh(embeddings: DataFrame, numQueries: Int = 3, k: Int = 5, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+  /** q52: SRP-LSH bucketed ANN with multi-probe. Candidates are
+    * restricted to the query's hyperplane-sign bucket plus (multi-probe)
+    * every bucket at sign-hamming distance ≤ `probeHamming` — the
+    * standard recall lever: a near neighbor that lands on the wrong side
+    * of one hyperplane is still found, at probes× (not candidates×)
+    * cost. Only the tiny query side is exploded; the candidate table is
+    * touched once. ScalaTest measures recall against brute force. */
+  def annLsh(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5,
+      numPlanes: Int = 4,
+      dim: Int = 64,
+      probeHamming: Int = 1): DataFrame = {
     val bucketed = embeddings.withColumn(
       "bucket", srpBucketUdf(rademacherPlanes(numPlanes, dim))(col("embedding")))
+    // probe masks: all bucket-bit flips within hamming distance
+    val probeMasks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeHamming)
+      .map(m => lit(m))
     val q = bucketed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      .withColumn("bucket", explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(m)): _*)))
     val c = bucketed.filter(col("vec_id") >= numQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     c.join(broadcast(q), "bucket")
+      .select(col("qid"), col("cid"), col("qe"), col("ce")).dropDuplicates(Seq("qid", "cid"))
       .withColumn("cos", dotUdf(col("qe"), col("ce")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

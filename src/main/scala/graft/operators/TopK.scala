@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Shuffle-reducing grouped top-k.
+  *
+  * Spark's idiomatic `row_number().over(partitionBy(key))` shuffles EVERY
+  * row to the key's reducer before discarding all but k — at 100 TB the
+  * shuffle is the job. This operator runs a bounded per-partition
+  * selection first (each task keeps ≤ k rows per key it sees, via a
+  * size-k heap), so the shuffle carries at most k·keys·partitions rows
+  * instead of n. The window pass then finishes the job exactly: because
+  * partial and final use the same total order (orderCol desc, tieCol
+  * asc), no true top-k row can be evicted locally — the result is
+  * identical to the window-only plan.
+  */
+object TopK {
+
+  def topKPerKey(df: DataFrame, keyCol: String, orderCol: String, tieCol: String, k: Int): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+
+    def num(r: Row, i: Int): Double = r.get(i) match {
+      case n: Number => n.doubleValue()
+      case other     => throw new IllegalArgumentException(s"non-numeric sort value: $other")
+    }
+    // total order: orderCol desc, tieCol asc; heap keeps the k best
+    val ord = Ordering.by[Row, (Double, Double)](r => (-num(r, ordIdx), num(r, tieIdx)))
+
+    val partial = df.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(keyIdx), mutable.PriorityQueue.empty[Row](ord)) // max-heap of worst-first
+        if (h.size < k) h.enqueue(r)
+        else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+
+    val w = Window.partitionBy(keyCol).orderBy(desc(orderCol), asc(tieCol))
+    partial
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Similarity, TopK}
+import graft.sources.{Bucketing, Tables}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+  lazy val t = Tables(spark, sfDir)
+
+  test("topKPerKey: partial-selection result identical to window-only plan") {
+    val orders = t.orders
+    val got = TopK.topKPerKey(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .as[(Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val ref = orders.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("q52 multi-probe recall >= single-probe recall vs brute force") {
+    val emb = t.embeddings
+    val truth = Similarity.annBruteForce(emb)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recall(probe: Int): Double = {
+      val got = Similarity.annLsh(emb, probeHamming = probe)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val r0 = recall(0); val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
+  }
+
+  test("bucketed tables join without an Exchange in the plan") {
+    // a stale warehouse dir from a previous JVM blocks saveAsTable
+    Seq("b_orders", "b_customer").foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tb")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    Bucketing.writeBucketed(t.orders, "b_orders", "o_custkey", 8)
+    Bucketing.writeBucketed(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"), "o_custkey")
+      .groupBy("c_mktsegment").count()
+    joined.collect() // force execution so AQE finalizes the plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"), s"bucket co-location lost:\n$plan")
+  }
+}
