@@ -74,6 +74,18 @@ object SparkEntry {
     "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
     "q61_frame_extract" -> ((s, d) => Multimodal.frameExtract(s, Tables(s, d).documents).toDF()),
     "q62_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, Tables(s, d).documents).toDF()),
+    "q70_sink_ingest" -> ((s, d) => {
+      // full micro-batch ingest of the events table, then the written
+      // partition layout read back — oracle-checks the sink's dt
+      // bucketing AND times ingest throughput in Bench
+      val root = java.nio.file.Files.createTempDirectory("graft-q70").toString
+      val sink = new graft.streaming.HiveBatchSink(s, root)
+      sink.writeBatch(Tables(s, d).events, batchId = 0)
+      s.read.parquet(sink.stagingPath)
+        .groupBy(org.apache.spark.sql.functions.col("dt").cast("string").as("dt"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+        .orderBy("dt")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,6 +284,9 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q70_sink_ingest" ->
+      """SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
     "q60_multimodal_meta" ->
       """WITH t AS (SELECT source, octet_length(encode(text)) AS nb FROM documents)
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
