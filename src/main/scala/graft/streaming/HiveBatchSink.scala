@@ -45,13 +45,19 @@ final class HiveBatchSink(
 
   private def fs = new Path(rootPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  final case class BatchStats(received: Long, corrupt: Long, maxEventTime: Option[Timestamp])
+
   /** One micro-batch: partition, count, stage idempotently. Rows with a
     * null `ts` are counted corrupt and dropped (the reference's failed
-    * counter). */
-  def writeBatch(events: DataFrame, batchId: Long): Unit = {
-    val n = events.count()
+    * counter). All batch statistics (received/corrupt/max event time)
+    * come from ONE aggregate pass — not three jobs. */
+  def writeBatch(events: DataFrame, batchId: Long): BatchStats = {
+    val row = events
+      .agg(count(lit(1)), count(when(col("ts").isNull, lit(1))), max(col("ts")))
+      .collect().head
+    val n   = row.getLong(0)
+    val bad = row.getLong(1)
     received.add(n)
-    val bad = events.filter(col("ts").isNull).count()
     corrupt.add(bad)
     val good = events.filter(col("ts").isNotNull)
     good
@@ -65,6 +71,7 @@ final class HiveBatchSink(
       .partitionBy("dt", "hr", "ingest_batch")
       .parquet(stagingPath)
     written.add(n - bad)
+    BatchStats(n, bad, Option(row.getTimestamp(2)))
   }
 
   /** Staged (dt, hr) partitions fully behind the watermark and not yet
@@ -127,9 +134,7 @@ final class HiveBatchSink(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId)
-        val mx = batch.agg(max(col("ts"))).collect().headOption.flatMap(r => Option(r.getTimestamp(0)))
-        mx.foreach(ts => sealClosed(ts))
+        writeBatch(batch, batchId).maxEventTime.foreach(ts => sealClosed(ts))
         ()
       }
 }
