@@ -58,12 +58,16 @@ object SparkEntry {
     "q24_running_total" -> ((s, d) => Relational.runningTotal(Tables(s, d).orders)),
     "q25_ntile_buckets" -> ((s, d) => Relational.ntileBuckets(Tables(s, d).orders)),
     "q26_left_join_agg" -> ((s, d) => { val t = Tables(s, d); Relational.leftJoinAgg(t.customer, t.orders) }),
+    "q27_cube" -> ((s, d) => Relational.cubeAgg(Tables(s, d).lineitem)),
+    "q28_pivot" -> ((s, d) => Relational.pivotCounts(Tables(s, d).events)),
+    "q29_stats_agg" -> ((s, d) => Relational.statsAgg(Tables(s, d).events)),
     "q30_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables(s, d).documents)),
     "q31_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables(s, d).documents)),
     "q32_fingerprint" -> ((s, d) => TextAnalysis.fingerprintGroups(Tables(s, d).documents)),
     "q33_dedup_exact" -> ((s, d) => TextAnalysis.dedupExact(Tables(s, d).documents)),
     "q34_token_regex" -> ((s, d) => TextAnalysis.tokenRegexStats(Tables(s, d).documents)),
     "q35_lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d).documents)),
+    "q36_ngram_freq" -> ((s, d) => TextAnalysis.ngramFrequencies(Tables(s, d).documents)),
     "q40_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
@@ -236,6 +240,29 @@ object SparkEntry {
         | floor((coalesce(sum(o_totalprice), 0.0))*10000 + 0.5)/10000 AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+    "q27_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q28_pivot" ->
+      """SELECT strftime(ts,'%Y%m%d') AS dt,
+        | count(CASE WHEN event_type='click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type='error' THEN 1 END) AS error,
+        | count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type='view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+    "q29_stats_agg" ->
+      """SELECT event_type,
+        | floor((stddev_samp(value))*10000 + 0.5)/10000 AS sd_value,
+        | floor((var_samp(value))*10000 + 0.5)/10000 AS var_value,
+        | floor((covar_samp(value, CAST(user_id AS DOUBLE)))*10000 + 0.5)/10000 AS covar_vu,
+        | floor((corr(value, CAST(user_id AS DOUBLE)))*10000 + 0.5)/10000 AS corr_vu,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_ngram_freq" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text,'\S+')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n FROM w GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q30_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | floor((avg(length(text)))*10000 + 0.5)/10000 AS avg_chars,

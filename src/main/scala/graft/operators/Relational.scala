@@ -275,6 +275,44 @@ object Relational {
         round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spend"))
       .orderBy("c_custkey")
 
+  /** q27: CUBE aggregation — all grouping-set combinations in one
+    * Expand + single shuffle. */
+  def cubeAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("n_rows"))
+      .orderBy("rf", "ls")
+
+  /** q28: pivot — event counts per day fanned into one column per type.
+    * Explicit pivot values keep the plan single-pass (no distinct scan). */
+  def pivotCounts(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .groupBy("dt")
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L)))).orderBy("dt")
+  }
+
+  /** q29: statistical aggregates (stddev/variance/covariance/correlation)
+    * — one-pass mergeable moments, so map-side partials hold at scale. */
+  def statsAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** q18: JSON field extraction from a string column (the reference's
     * event `props`) — `get_json_object` is codegen'd, no UDF. */
   def eventsJson(events: DataFrame): DataFrame =

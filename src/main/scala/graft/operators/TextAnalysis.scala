@@ -79,6 +79,16 @@ object TextAnalysis {
         round(sum(col("n_bpe").cast("double")), 4).as("total_bpe_tokens"))
       .orderBy("source")
 
+  /** q36: corpus-wide n-gram (token) frequencies via explode — generate
+    * → partial-count map-side → tiny shuffle on token → global top-k. */
+  def ngramFrequencies(documents: DataFrame, topK: Int = 20): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok"))
+      .limit(topK)
+
   /** q35: marker-word language ID (rows-only check; semantic spec in
     * ScalaTest against fixture sentences). */
   def langId(documents: DataFrame): DataFrame = {
