@@ -16,6 +16,14 @@ import scala.collection.mutable
   * partial and final use the same total order (orderCol desc, tieCol
   * asc), no true top-k row can be evicted locally — the result is
   * identical to the window-only plan.
+  *
+  * NOTE: for the plain `row_number().over(...) <= k` SQL idiom, Spark
+  * 3.5+ performs this optimization natively (Partial/Final
+  * `WindowGroupLimit`, asserted in PlanSpec) — prefer the idiom there.
+  * This operator is the explicit form for pipelines where the selection
+  * must happen inside caller-controlled per-partition code (e.g. fused
+  * with a codec/scoring pass in mapPartitions) or where the rank
+  * function isn't rank-like.
   */
 object TopK {
 

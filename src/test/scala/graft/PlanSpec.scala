@@ -36,4 +36,10 @@ class PlanSpec extends SparkSpec {
   test("q04: explicit broadcast hint survives into the physical plan") {
     assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
   }
+
+  test("q07: rank-filter idiom plans Partial+Final WindowGroupLimit (bounded pre-shuffle top-k)") {
+    val p = plan("q07_window_rank")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      s"expected partial window group limit in:\n$p")
+  }
 }
