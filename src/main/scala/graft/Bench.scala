@@ -25,10 +25,16 @@ object Bench {
       .foreach(_.count())
     t.lineitem.groupBy("l_returnflag").count().count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // steady-state timing: min of two runs (the first pays per-query
+    // codegen compilation); queries over 10s run once to bound wall time
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = timeOnce(fn)
+      name -> (if (first > 10.0) first else math.min(first, timeOnce(fn)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
