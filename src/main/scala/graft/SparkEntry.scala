@@ -68,6 +68,7 @@ object SparkEntry {
     "q34_token_regex" -> ((s, d) => TextAnalysis.tokenRegexStats(Tables(s, d).documents)),
     "q35_lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d).documents)),
     "q36_ngram_freq" -> ((s, d) => TextAnalysis.ngramFrequencies(Tables(s, d).documents)),
+    "q37_approx_percentile" -> ((s, d) => Relational.approxPercentiles(Tables(s, d).events)),
     "q40_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),

@@ -275,6 +275,20 @@ object Relational {
         round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spend"))
       .orderBy("c_custkey")
 
+  /** q37: approximate percentiles (KLL/GK-style sketch) — the 100 TB
+    * path beside q16's exact interpolation: bounded memory, mergeable,
+    * one pass. Rows-only (sketch is engine-specific); ScalaTest bounds
+    * it against the exact value. */
+  def approxPercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        round(expr(s"approx_percentile(value, 0.5, $accuracy)"), 4).as("approx_median"),
+        round(expr(s"approx_percentile(value, 0.95, $accuracy)"), 4).as("approx_p95"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_median"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** q27: CUBE aggregation — all grouping-set combinations in one
     * Expand + single shuffle. */
   def cubeAgg(lineitem: DataFrame): DataFrame =

@@ -48,6 +48,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(best.getAs[Double]("cosine") - 1.0) < 1e-6)
   }
 
+  test("q37 approx percentile lands near the exact value") {
+    val rows = graft.operators.Relational.approxPercentiles(Tables(spark, sfDir).events).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("approx_median")
+      val exact  = r.getAs[Double]("exact_median")
+      assert(math.abs(approx - exact) / math.max(1.0, exact) < 0.05, s"$approx vs $exact")
+    }
+  }
+
   test("q19 approx distinct is within rsd of exact") {
     val rows = graft.operators.Relational.approxDistinct(Tables(spark, sfDir).events).collect()
     rows.foreach { r =>
