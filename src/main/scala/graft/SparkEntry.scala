@@ -73,6 +73,14 @@ object SparkEntry {
     "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
+    "q44_asof_join" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asofJoin(ev, purchases, "user_id", "ts", "value", "last_purchase_value")
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    }),
     "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
     "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
@@ -312,6 +320,12 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q44_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q70_sink_ingest" ->
       """SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n_rows
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row, the newest right row with
+  * `right.ts <= left.ts` on the same key. Spark has no native operator
+  * for this (a naive formulation is an O(n·m) range join, or a
+  * per-left-row correlated subquery).
+  *
+  * Spark-first composition in ONE shuffle: tag both sides, union them,
+  * and run `last(payload, ignoreNulls)` over a
+  * (key, ts, side)-ordered running window — each left row picks up the
+  * most recent right payload that sorted before it. Ties
+  * (right.ts == left.ts) sort the right row first, so an equal-time
+  * match is included (DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+  * semantics). Cost is exactly one hash shuffle on the key plus a sort —
+  * the same shape as a window aggregate, at any scale.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (kept in full)
+    * @param right     reference side: (keyCol, tsCol, valueCol) only
+    * @param keyCol    equi-join key present on both sides
+    * @param tsCol     event-time column present on both sides
+    * @param valueCol  right-side payload to carry forward
+    * @param as        output column name for the carried payload */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      as: String): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left
+      .withColumn("_asof_v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("_side", lit(1))
+      .unionByName(
+        right
+          .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
+          .withColumn("_side", lit(0)),
+        allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(as, last(col("_asof_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) :+ col(as): _*)
+  }
+}

@@ -21,6 +21,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("q44 as-of join: carries the newest right value at or before each left ts") {
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val left = Seq((1L, ts(0), 10L), (2L, ts(5), 10L), (3L, ts(10), 10L), (4L, ts(1), 99L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq((10L, ts(1), 100.0), (10L, ts(7), 200.0), (55L, ts(0), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.AsOfJoin.asofJoin(left, right, "user_id", "ts", "value", "v")
+      .select("event_id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isEmpty)            // before any right row
+    assert(out(2L).contains(100.0))    // newest right at m1
+    assert(out(3L).contains(200.0))    // newest right at m7
+    assert(out(4L).isEmpty)            // user 99 has no right rows
+  }
+
+  test("q44 equal timestamps match (>= semantics)") {
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val left  = Seq((1L, ts(5), 10L)).toDF("event_id", "ts", "user_id")
+    val right = Seq((10L, ts(5), 42.0)).toDF("user_id", "ts", "value")
+    val out = graft.operators.AsOfJoin.asofJoin(left, right, "user_id", "ts", "value", "v").collect()
+    assert(out.head.getAs[Double]("v") == 42.0)
+  }
+
   test("q52 multi-probe recall >= single-probe recall vs brute force") {
     val emb = t.embeddings
     val truth = Similarity.annBruteForce(emb)
