@@ -1,12 +1,38 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times every SparkEntry query at the target scale
   * factor and prints one JSON line. A warmup pass (scan each table once +
   * a small shuffle) runs first so per-query numbers measure the operators,
-  * not JVM/codegen/session initialization. */
+  * not JVM/codegen/session initialization. A query that throws is reported
+  * in an `errors` object (and its wall time kept) — failures are visible,
+  * never silently recorded as a fast timing. */
 object Bench {
+
+  /** One timed run: (seconds, error message if the query threw). */
+  def timeQuery(spark: SparkSession, sfDir: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).count(); None }
+      catch {
+        case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(300))
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,20 +52,23 @@ object Bench {
     t.lineitem.groupBy("l_returnflag").count().count()
 
     // steady-state timing: min of two runs (the first pays per-query
-    // codegen compilation); queries over 10s run once to bound wall time
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
+    // codegen compilation); queries over 10s — or queries that fail —
+    // run once to bound wall time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = timeOnce(fn)
-      name -> (if (first > 10.0) first else math.min(first, timeOnce(fn)))
+      val (first, err1) = timeQuery(spark, sfDir, fn)
+      if (err1.isDefined || first > 10.0) (name, first, err1)
+      else {
+        val (second, err2) = timeQuery(spark, sfDir, fn)
+        (name, math.min(first, second), err2)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (results.exists(_._3.isDefined)) System.err.println(s"bench: ${results.count(_._3.isDefined)} queries FAILED")
     spark.stop()
   }
 }

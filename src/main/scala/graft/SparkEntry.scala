@@ -86,7 +86,22 @@ object SparkEntry {
     "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
     "q61_frame_extract" -> ((s, d) => Multimodal.frameExtract(s, Tables(s, d).documents).toDF()),
-    "q62_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, Tables(s, d).documents).toDF()),
+    "q62_feature_extract" -> ((s, d) => {
+      // oracle-sortable projection of the feature vectors: raw
+      // array<float> columns crash the driver's pandas sort, so emit the
+      // dims + the l1 mass (the histogram embedding is l1-normalized, a
+      // real per-doc property DuckDB can assert without decoding bytes)
+      import org.apache.spark.sql.functions._
+      Multimodal.featureExtract(s, Tables(s, d).documents).toDF()
+        .select(
+          col("doc_id"),
+          col("width_px"),
+          col("height_px"),
+          size(col("feature")).as("dims"),
+          graft.functions.PortableRound.round(
+            aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feature_l1"))
+        .orderBy("doc_id")
+    }),
     "q70_sink_ingest" -> ((s, d) => {
       // full micro-batch ingest of the events table, then the written
       // partition layout read back — oracle-checks the sink's dt
@@ -329,6 +344,11 @@ object SparkEntry {
     "q70_sink_ingest" ->
       """SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n_rows
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+    "q62_feature_extract" ->
+      """SELECT doc_id, 64 AS width_px, 64 AS height_px, 16 AS dims,
+        | CASE WHEN octet_length(encode(text)) = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE CAST(1.0 AS DOUBLE) END AS feature_l1
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_multimodal_meta" ->
       """WITH t AS (SELECT source, octet_length(encode(text)) AS nb FROM documents)
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,

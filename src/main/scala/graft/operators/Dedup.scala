@@ -146,12 +146,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q41: 64-bit SimHash per document over word hashes. Bit votes and the
-    * final fold are higher-order column math — one pass, no shuffle. */
-  def simhash(documents: DataFrame): DataFrame = {
+  /** Single-pass SimHash kernel: all 64 bit votes accumulate in one walk
+    * over the token list. The per-token hash is Spark's own XXH64 over
+    * the UTF8 bytes with seed 42 — bit-identical to the `xxhash64`
+    * column function, so the kernel's output equals the declarative
+    * nested-HOF formula ([[simhashHof]]) it replaced. That formula
+    * re-walked the token-hash array 64× in interpreted mode (the same
+    * ~100× interpreted-HOF trap SURVEY §5 measured for MinHash). */
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Declarative SimHash (nested higher-order functions) — interpreted
+    * and ~64× the work of the kernel; kept as the portable reference
+    * semantics the kernel is spec-tested against. */
+  def simhashHof(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val masks  = typedlit(Seq.tabulate(64)(i => 1L << i))
-    val hashes = transform(tokens(lower(col("text"))), t => xxhash64(t))
-    val sig = aggregate(
+    val hashes = transform(tokens(lower(text)), t => xxhash64(t))
+    aggregate(
       transform(
         masks,
         m =>
@@ -161,8 +187,14 @@ object Dedup {
             m).otherwise(0L)),
       lit(0L),
       (acc, v) => acc + v)
-    documents.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
   }
+
+  /** q41: 64-bit SimHash per document over word hashes — one JIT kernel
+    * pass per doc, map-side, no shuffle. */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), simhashUdf(tokens(lower(col("text")))).as("simhash"))
+      .orderBy("doc_id")
 
   /** SimHash candidate pairs with hamming distance ≤ maxHamming, via
     * 16-bit band blocking (a pair within hamming 3 of 64 bits must agree

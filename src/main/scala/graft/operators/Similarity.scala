@@ -9,10 +9,24 @@ import graft.functions.VectorFunctions._
 /** Similarity search over embedding columns (SURVEY.md §2 q50–q52).
   *
   * Brute-force cosine is the exact baseline (query side broadcast, one
-  * pass over candidates, TakeOrdered-style window top-k). SRP-LSH is the
-  * scale path: bucket ids are map-side column math, the candidate join is
-  * bucket-equality (data-proportional), so 100 TB of vectors never meets
-  * a cross join.
+  * pass over candidates, TakeOrdered-style window top-k). The scale path
+  * is *banded* signed-random-projection LSH — the same OR-of-ANDs band
+  * construction as MinHash LSH (Dedup.scala): `numBands` independent
+  * bucket tables of `planesPerBand` sign bits each. A candidate is
+  * anything sharing ≥1 band bucket with the query. Two scale guarantees
+  * the flat-bucket design lacked:
+  *
+  *   - recall is an OR across bands (1-(1-p^r)^b), tunable without
+  *     growing any single bucket's occupancy;
+  *   - `maxBucket` caps degenerate buckets BEFORE pair expansion, so a
+  *     hot bucket is Θ(maxBucket²), never Ω(n²/buckets).
+  *
+  * LSH's contract is *near*-neighbor retrieval: recall is high where
+  * cosine is high (the dedup/near-dup regime it exists for) and decays
+  * for low-similarity "neighbors" — on uniformly random vectors whose
+  * true top-k sit at cosine ≈ 0.4, no sublinear index retrieves the
+  * exact top-k; the specs therefore measure recall on planted
+  * high-similarity clusters.
   */
 object Similarity {
 
@@ -48,17 +62,24 @@ object Similarity {
     * interpreted (≈µs/element, boxed); these tight loops are the same
     * arithmetic at ns/element. q51 keeps the declarative dot so its
     * evaluation order matches the DuckDB oracle exactly. */
-  private def srpBucketUdf(planes: Seq[Seq[Double]]) = {
-    val p = planes.map(_.toArray).toArray
+  private def srpBandsUdf(numBands: Int, planesPerBand: Int, dim: Int) = {
+    val planes = rademacherPlanes(numBands * planesPerBand, dim).map(_.toArray).toArray
     udf { (v: Seq[Float]) =>
       val a = v.toArray
-      var bucket = 0
-      p.foreach { plane =>
-        var d = 0.0; var i = 0
-        while (i < plane.length && i < a.length) { d += plane(i) * a(i); i += 1 }
-        bucket = bucket * 2 + (if (d > 0) 1 else 0)
+      Array.tabulate(numBands) { b =>
+        var bucket = 0
+        var j = 0
+        while (j < planesPerBand) {
+          val plane = planes(b * planesPerBand + j)
+          var d = 0.0
+          var i = 0
+          val n = math.min(plane.length, a.length)
+          while (i < n) { d += plane(i) * a(i); i += 1 }
+          bucket = bucket * 2 + (if (d > 0) 1 else 0)
+          j += 1
+        }
+        bucket
       }
-      bucket
     }
   }
 
@@ -69,52 +90,79 @@ object Similarity {
     d
   }
 
+  /** (vec_id, embedding, band, bucket) — one row per band, all map-side. */
+  private def banded(embeddings: DataFrame, numBands: Int, planesPerBand: Int, dim: Int): DataFrame =
+    embeddings
+      .withColumn("bands", srpBandsUdf(numBands, planesPerBand, dim)(col("embedding")))
+      .select(col("vec_id"), col("embedding"), posexplode(col("bands")).as(Seq("band", "bucket")))
+
+  /** Drop rows in degenerate (band, bucket) groups — the cap that keeps
+    * pair expansion Θ(maxBucket²) per bucket instead of Ω(n²/buckets). */
+  private def capBuckets(bandedRows: DataFrame, maxBucket: Int): DataFrame =
+    bandedRows
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+
   /** q43: embedding-cosine near-dup pairs — the dedup-by-embedding path.
-    * SRP buckets bound the candidate set (no O(n²) cross join at scale);
-    * within-bucket pairs are ranked by cosine and the global top-N kept
-    * (TakeOrdered merge, not a full sort). */
-  def embeddingNearDupPairs(embeddings: DataFrame, numPlanes: Int = 4, dim: Int = 64, topN: Int = 20): DataFrame = {
-    val bucketed = embeddings
-      .withColumn("bucket", srpBucketUdf(rademacherPlanes(numPlanes, dim))(col("embedding")))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("bucket"))
+    * Banded SRP buckets generate candidates (OR across bands, never a
+    * cross join), `maxBucket` bounds every bucket's pair expansion,
+    * verification joins embeddings back onto the DISTINCT pair ids
+    * (16-byte rows through the dedup shuffle, not float arrays), and the
+    * global top-N is an `orderBy.limit` TakeOrdered merge. */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      numBands: Int = 6,
+      planesPerBand: Int = 5,
+      dim: Int = 64,
+      topN: Int = 20,
+      maxBucket: Int = 200): DataFrame = {
+    val capped = capBuckets(banded(embeddings, numBands, planesPerBand, dim), maxBucket)
+    val l = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+    val r = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val ea = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val eb = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    cand
+      .join(ea, "vec_a")
+      .join(eb, "vec_b")
       .withColumn("cos", dotUdf(col("e_a"), col("e_b")))
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
       .limit(topN)
   }
 
-  /** q52: SRP-LSH bucketed ANN with multi-probe. Candidates are
-    * restricted to the query's hyperplane-sign bucket plus (multi-probe)
-    * every bucket at sign-hamming distance ≤ `probeHamming` — the
-    * standard recall lever: a near neighbor that lands on the wrong side
-    * of one hyperplane is still found, at probes× (not candidates×)
-    * cost. Only the tiny query side is exploded; the candidate table is
-    * touched once. ScalaTest measures recall against brute force. */
+  /** q52: banded SRP-LSH ANN — the 100 TB scale path beside q51.
+    *
+    * The tiny query side is banded and broadcast; the candidate side is
+    * banded map-side, degenerate buckets capped, and joined on
+    * (band, bucket) — data-proportional, each candidate row touched once
+    * per band it shares with a query. A pair matching in several bands is
+    * deduplicated by aggregating the 24-byte (qid, cid, cos) triple
+    * (map-side combinable partial aggregation), NOT by dropDuplicates
+    * over embedding arrays. Final ranking is a per-query window over the
+    * deduped candidates only. */
   def annLsh(
       embeddings: DataFrame,
       numQueries: Int = 3,
       k: Int = 5,
-      numPlanes: Int = 4,
+      numBands: Int = 6,
+      planesPerBand: Int = 5,
       dim: Int = 64,
-      probeHamming: Int = 1): DataFrame = {
-    val bucketed = embeddings.withColumn(
-      "bucket", srpBucketUdf(rademacherPlanes(numPlanes, dim))(col("embedding")))
-    // probe masks: all bucket-bit flips within hamming distance
-    val probeMasks = (0 until (1 << numPlanes))
-      .filter(m => Integer.bitCount(m) <= probeHamming)
-      .map(m => lit(m))
-    val q = bucketed.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-      .withColumn("bucket", explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(m)): _*)))
-    val c = bucketed.filter(col("vec_id") >= numQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+      maxBucket: Int = 500): DataFrame = {
+    val b = banded(embeddings, numBands, planesPerBand, dim)
+    val q = b.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("band"), col("bucket"))
+    val c = capBuckets(b.filter(col("vec_id") >= numQueries), maxBucket)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("band"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
-    c.join(broadcast(q), "bucket")
-      .select(col("qid"), col("cid"), col("qe"), col("ce")).dropDuplicates(Seq("qid", "cid"))
+    c.join(broadcast(q), Seq("band", "bucket"))
       .withColumn("cos", dotUdf(col("qe"), col("ce")))
+      .groupBy("qid", "cid")
+      .agg(max("cos").as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))

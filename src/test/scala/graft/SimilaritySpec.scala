@@ -26,10 +26,51 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("q52 LSH finds the near-duplicate for the query (high-sim recall)") {
-    val top = Similarity.annLsh(fixtureVecs, numQueries = 3, k = 2, numPlanes = 2, dim = 8)
+    val top = Similarity.annLsh(fixtureVecs, numQueries = 3, k = 2, numBands = 2, planesPerBand = 1, dim = 8)
       .filter(col("qid") === 0)
       .select("cid").as[Long].collect().toSet
     assert(top.contains(10L), s"near-dup missing from LSH result $top")
+  }
+
+  /** Deterministic planted-cluster corpus: `nBase` random unit vectors +
+    * one near-dup (cosine ≳ 0.95) planted per query id. LSH's contract is
+    * near-neighbor recall, so recall is measured in the high-sim regime
+    * (the driver embeddings table is uniform random — its "top-5" sit at
+    * cosine ≈ 0.4, where no sublinear index can match exact search). */
+  def plantedVecs(nBase: Int, nQueries: Int, dim: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def randVec() = unit(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val base = (0 until nBase).map(i => ((nQueries + i).toLong, randVec(), 0))
+    val queries = (0 until nQueries).map(q => (q.toLong, randVec(), 1))
+    // planted near-dup of each query: q + small noise, renormalized
+    val planted = queries.map { case (qid, qv, _) =>
+      // per-dim noise 0.04 → |ε| ≈ 0.32 over 64 dims → cosine ≈ 0.95
+      val noisy = unit(qv.map(x => x + 0.04f * rnd.nextGaussian().toFloat))
+      (10000L + qid, noisy, 2)
+    }
+    (base ++ queries ++ planted).toDF("vec_id", "embedding", "label")
+  }
+
+  test("q52 recall >= 0.9 on planted high-sim neighbors (300-vector corpus)") {
+    val dim  = 64
+    val vecs = plantedVecs(nBase = 300, nQueries = 10, dim = dim)
+    val got = Similarity.annLsh(vecs, numQueries = 10, k = 5, dim = dim)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val hits = (0 until 10).count(q => got.contains((q.toLong, 10000L + q)))
+    assert(hits >= 9, s"planted-neighbor recall $hits/10 < 0.9")
+  }
+
+  test("q52 wall-clock does not exceed brute force on the real embeddings") {
+    def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    // warm both paths once (codegen + UDF compilation), then compare
+    Similarity.annLsh(t.embeddings).count(); Similarity.annBruteForce(t.embeddings).count()
+    val lsh   = time(Similarity.annLsh(t.embeddings).count())
+    val brute = time(Similarity.annBruteForce(t.embeddings).count())
+    assert(lsh <= brute * 2.0, s"LSH $lsh s vs brute $brute s — approximate path may not be slower")
   }
 
   test("q52 on real embeddings returns ranked rows with valid cosines") {
@@ -41,7 +82,7 @@ class SimilaritySpec extends SparkSpec {
   test("q43 near-dup pairs: duplicate vectors rank first with cosine ~1") {
     val withDup = fixtureVecs.unionAll(
       Seq((20L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label"))
-    val top = Similarity.embeddingNearDupPairs(withDup, numPlanes = 2, dim = 8, topN = 3).collect()
+    val top = Similarity.embeddingNearDupPairs(withDup, numBands = 2, planesPerBand = 1, dim = 8, topN = 3).collect()
     assert(top.nonEmpty)
     val best = top.head
     assert((best.getAs[Long]("vec_a"), best.getAs[Long]("vec_b")) == (0L, 20L))

@@ -64,6 +64,15 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), s"dup pair not found in $pairs")
   }
 
+  test("q41 simhash kernel equals the declarative nested-HOF formula") {
+    val kernel = Dedup.simhash(t.documents.limit(50))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val hof = t.documents.limit(50)
+      .select(col("doc_id"), Dedup.simhashHof(col("text")).as("simhash"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(kernel == hof, "JIT kernel diverges from reference HOF semantics")
+  }
+
   test("q42 jaccard kernel: identical sets = 1, disjoint = 0") {
     val j = Dedup.ngramJaccardAdjacent(
       Seq(
