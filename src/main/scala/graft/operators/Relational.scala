@@ -251,11 +251,51 @@ object Relational {
       .orderBy("o_custkey", "order_date", "o_orderkey")
   }
 
-  /** q25: decile bucketing by ntile — distribution analysis shape. */
-  def ntileBuckets(orders: DataFrame, buckets: Int = 10): DataFrame = {
-    val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
-    orders
-      .withColumn("decile", ntile(buckets).over(w).cast("long"))
+  /** q25: decile bucketing — scale-safe ntile.
+    *
+    * A bare `ntile(n) OVER (ORDER BY …)` funnels every row through ONE
+    * reducer (`Exchange SinglePartition`): correct at sf0.1, dead at
+    * 100×. Same result here with no global sort: value-range buckets
+    * from one `approx_percentile` pass (a tiny driver-collected literal),
+    * per-bucket ranks from a hash-partitioned window, global rank =
+    * local rank + broadcast bucket offsets, then ntile's exact bucket
+    * arithmetic applied to the global rank. Equal prices always share a
+    * range bucket, so the (price DESC, orderkey ASC) total order is
+    * preserved across buckets and the output is bit-identical to the
+    * single-reducer ntile (asserted by the DuckDB oracle). */
+  def ntileBuckets(orders: DataFrame, buckets: Int = 10, rangeParts: Int = 32): DataFrame = {
+    val probs = (1 until rangeParts).map(i => i.toDouble / rangeParts)
+    val boundsRow = orders
+      .agg(expr(s"approx_percentile(o_totalprice, array(${probs.mkString(",")}), 10000)"))
+      .head()
+    val bounds: Seq[Double] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
+    // pid = #boundaries ≥ price → pid 0 holds the highest prices,
+    // matching the DESC global order; equal prices share one pid.
+    val pidCol = bounds
+      .foldLeft(lit(0)) { (acc, b) => acc + when(col("o_totalprice") <= lit(b), 1).otherwise(0) }
+      .as("pid")
+    val parted = orders.withColumn("pid", pidCol)
+    val cnts = parted.groupBy("pid").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = cnts.values.sum
+    // rows ranked before each pid (the broadcast offset table, ≤ rangeParts entries)
+    val offsets: Map[Int, Long] = {
+      val sortedPids = cnts.keys.toSeq.sorted
+      sortedPids.zip(sortedPids.scanLeft(0L)((acc, p) => acc + cnts(p))).toMap
+    }
+    val w    = Window.partitionBy("pid").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val rank = row_number().over(w).cast("long") + element_at(typedlit(offsets), col("pid"))
+    // ntile bucket arithmetic: first n%b buckets hold ⌈n/b⌉ rows, the rest ⌊n/b⌋
+    val q = n / buckets
+    val r = n % buckets
+    val decile =
+      if (q == 0L) rank
+      else
+        when(rank <= lit(r * (q + 1)), (rank - 1) / lit(q + 1))
+          .otherwise(lit(r) + (rank - lit(r * (q + 1)) - 1) / lit(q)) + lit(1L)
+    parted
+      .withColumn("decile", decile.cast("long"))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_orders"),

@@ -30,11 +30,12 @@ object Compaction {
     * into the final table, then drop markers + staging dirs. O(1) jobs
     * per micro-batch regardless of how many partitions close — the
     * difference between O(partitions) job launches and a single shuffle
-    * at cluster scale. */
+    * at cluster scale. The sealed format follows `sink.sealFormat`:
+    * parquet/ORC columnar, or the reference's delimited text lines. */
   def sealPartitions(spark: SparkSession, sink: HiveBatchSink, parts: Seq[(String, String)], targetFiles: Int = 1): Unit = {
     if (parts.isEmpty) return
     val dirs = parts.map { case (dt, hr) => s"${sink.stagingPath}/dt=$dt/hr=$hr" }
-    spark.read
+    val staged = spark.read
       .option("basePath", sink.stagingPath)
       .parquet(dirs: _*)
       // partition dirs infer dt/hr as ints ("hr=09" -> 9); re-derive the
@@ -42,12 +43,19 @@ object Compaction {
       .drop("ingest_batch", "dt", "hr")
       .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
       .withColumn("hr", date_format(col("ts"), "HH"))
+    val toSeal =
+      if (sink.sealFormat == "text")
+        // the reference's Hive load shape: delimited event lines
+        staged.select(EventParser.lineColumn().as("value"), col("dt"), col("hr"))
+      else staged
+    toSeal
       .repartition(col("dt"), col("hr"))
       .write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("dt", "hr")
-      .parquet(sink.tablePath)
+      .format(sink.sealFormat)
+      .save(sink.tablePath)
     val fs = new Path(sink.tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     parts.foreach { case (dt, hr) =>
       fs.create(new Path(sink.tablePath, s"dt=$dt/hr=$hr/_DONE"), true).close()

@@ -38,16 +38,20 @@ object EventParser {
   def wellFormed(parsed: DataFrame): DataFrame = parsed.filter(col("_corrupt").isNull).drop("_corrupt")
   def corrupt(parsed: DataFrame): DataFrame    = parsed.filter(col("_corrupt").isNotNull)
 
+  /** The delimited-line serialization of one typed event row (the
+    * reference sink's output format). */
+  def lineColumn(sep: String = "\t"): Column =
+    concat_ws(
+      sep,
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("props"))
+
   /** Serialize typed events back to delimited lines (round-trip dual,
     * used by tests and by sinks that emit text). */
   def formatLines(events: DataFrame, sep: String = "\t"): DataFrame =
-    events.select(
-      concat_ws(
-        sep,
-        col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        col("user_id"),
-        col("event_type"),
-        col("value"),
-        col("props")).as("value"))
+    events.select(lineColumn(sep).as("value"))
 }

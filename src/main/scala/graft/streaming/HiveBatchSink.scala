@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.util.LongAccumulator
@@ -21,20 +21,33 @@ import java.sql.Timestamp
   *     reference's commit/rollback, without any rollback bookkeeping);
   *   - watermark-driven partition close: (dt, hr) fully behind
   *     `maxEventTime - allowedLateness` are eligible for sealing;
-  *   - [[Compaction.sealPartition]] batch-loads a closed staging
-  *     partition into `<root>/table/dt=…/hr=…` at a target file count
+  *   - [[Compaction.sealPartitions]] batch-loads closed staging
+  *     partitions into `<root>/table/dt=…/hr=…` at a target file count
   *     and drops a `_DONE` marker (the reference's Hive load + done
-  *     flag);
+  *     flag) — in parquet, ORC, or the reference's delimited text;
   *   - received/written/corrupt counters as LongAccumulators.
   *
-  * At 100 TB/day: staging writes shuffle only on (dt, hr), sealing is
-  * per-partition-parallel, markers are O(partitions), and the only
-  * driver state is the streaming checkpoint.
+  * At 100 TB/day: batch statistics ride the single write pass as
+  * `observe()` metrics (no second scan of the input), the staging
+  * shuffle is an AQE REBALANCE on (dt, hr) — cold hours coalesce into
+  * shared writer tasks (no small-file explosion) while a hot hour is
+  * skew-split across many tasks by size
+  * (`optimizeSkewsInRebalancePartitions`) — staged files roll at
+  * `maxRecordsPerFile` (the reference's size-based rolling), sealing is
+  * one job for all closed partitions, markers are O(partitions), and
+  * the only driver state is the streaming checkpoint.
+  *
+  * @param maxRecordsPerFile staging file roll threshold (0 = no limit)
+  * @param sealFormat        sealed-table format: parquet | orc | text
+  *                          (text = the reference's delimited event lines)
   */
 final class HiveBatchSink(
     spark: SparkSession,
     rootPath: String,
-    allowedLatenessMinutes: Int = 60) {
+    allowedLatenessMinutes: Int = 60,
+    maxRecordsPerFile: Long = 0L,
+    val sealFormat: String = "parquet") {
+  require(Seq("parquet", "orc", "text").contains(sealFormat), s"unsupported seal format $sealFormat")
 
   val stagingPath: String = s"$rootPath/staging"
   val tablePath: String   = s"$rootPath/table"
@@ -49,29 +62,40 @@ final class HiveBatchSink(
 
   /** One micro-batch: partition, count, stage idempotently. Rows with a
     * null `ts` are counted corrupt and dropped (the reference's failed
-    * counter). All batch statistics (received/corrupt/max event time)
-    * come from ONE aggregate pass — not three jobs. */
+    * counter). Batch statistics (received/corrupt/max event time) ride
+    * the write pass as `observe()` metrics — ONE scan of the input, not
+    * a stats job plus a write job. */
   def writeBatch(events: DataFrame, batchId: Long): BatchStats = {
-    val row = events
-      .agg(count(lit(1)), count(when(col("ts").isNull, lit(1))), max(col("ts")))
-      .collect().head
-    val n   = row.getLong(0)
-    val bad = row.getLong(1)
-    received.add(n)
-    corrupt.add(bad)
-    val good = events.filter(col("ts").isNotNull)
-    good
+    val obs = Observation()
+    events
+      .observe(
+        obs,
+        count(lit(1)).as("received"),
+        count(when(col("ts").isNull, lit(1))).as("corrupt"),
+        max(col("ts")).as("max_ts"))
+      .filter(col("ts").isNotNull)
       .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
       .withColumn("hr", date_format(col("ts"), "HH"))
       .withColumn("ingest_batch", lit(batchId))
-      .repartition(col("dt"), col("hr"))
+      // REBALANCE, not repartition: AQE merges cold hours into shared
+      // writer tasks (each hour still lands in ONE task → one file) and
+      // splits a hot hour across tasks once it exceeds the advisory
+      // partition size — per-hour write parallelism proportional to the
+      // hour's actual bytes, with no salt column and no 4× tiny files
+      .hint("rebalance", col("dt"), col("hr"))
       .write
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .partitionBy("dt", "hr", "ingest_batch")
       .parquet(stagingPath)
+    val m   = obs.get
+    val n   = m("received").asInstanceOf[Long]
+    val bad = m("corrupt").asInstanceOf[Long]
+    received.add(n)
+    corrupt.add(bad)
     written.add(n - bad)
-    BatchStats(n, bad, Option(row.getTimestamp(2)))
+    BatchStats(n, bad, Option(m("max_ts")).map(_.asInstanceOf[Timestamp]))
   }
 
   /** Staged (dt, hr) partitions fully behind the watermark and not yet
@@ -102,8 +126,10 @@ final class HiveBatchSink(
     closed
   }
 
-  /** The final warehouse table (sealed partitions only). */
-  def readTable(): DataFrame = spark.read.parquet(tablePath)
+  /** The final warehouse table (sealed partitions only). For `text` seals
+    * this is the raw (value, dt, hr) lines — parse with
+    * [[EventParser.parseLines]]. */
+  def readTable(): DataFrame = spark.read.format(sealFormat).load(tablePath)
 
   /** Register the final table in the session catalog so downstream SQL
     * reads it by name (the reference's Hive-table surface). With
@@ -118,12 +144,37 @@ final class HiveBatchSink(
       .mkString(", ")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $tableName ($dataCols, dt STRING, hr STRING)
-         |USING parquet
+         |USING $sealFormat
          |PARTITIONED BY (dt, hr)
          |LOCATION '$tablePath'""".stripMargin)
     // discover the sealed dt/hr dirs (MSCK REPAIR); idempotent, so call
     // again after sealing new partitions
     spark.catalog.recoverPartitions(tableName)
+  }
+
+  /** Load the sealed table into a catalog-managed table through the
+    * `saveAsTable`/`insertInto` writer path (SURVEY §1's "Hive table
+    * load" surface): `saveAsTable` creates the partitioned table on
+    * first load; later loads `insertInto` with dynamic partition
+    * overwrite, so re-loading a partition replaces exactly that
+    * partition — idempotent like the path-based seal. */
+  def loadIntoTable(tableName: String): Unit = {
+    val df = readTable()
+    if (!spark.catalog.tableExists(tableName)) {
+      df.write
+        .format(sealFormat)
+        .partitionBy("dt", "hr")
+        .saveAsTable(tableName)
+    } else {
+      // insertInto resolves by position: order data columns first,
+      // partition columns (dt, hr) last, matching the created table
+      val cols = df.columns.filterNot(c => c == "dt" || c == "hr") ++ Seq("dt", "hr")
+      df.select(cols.map(col): _*)
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .insertInto(tableName)
+    }
   }
 
   /** Wire the full lifecycle (stage → close → seal) into a stream. */

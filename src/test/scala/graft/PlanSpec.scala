@@ -42,4 +42,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
       s"expected partial window group limit in:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // lineitem ⋈ orders where the orders side is highly selective: at
+    // 100 TB the win is a bloom filter built from the selective side and
+    // pushed into the fact scan, dropping non-joining rows before the
+    // shuffle. Thresholds are tuned down so the toy-scale plan shows the
+    // same injection the full-scale plan would.
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle-join shape of fact⋈fact
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = graft.sources.Tables(spark, sfDir)
+      val selective = t.orders.filter(org.apache.spark.sql.functions.col("o_totalprice") > 500000.0)
+      val joined = t.lineitem
+        .join(selective, org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach { case (k, vOpt) => vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
+
+  test("q25: scale-safe ntile — no single-partition window in the plan") {
+    val p = plan("q25_ntile_buckets")
+    assert(!p.contains("SinglePartition"), s"global-window ntile leaked back in:\n$p")
+    assert(p.contains("hashpartitioning(pid"), s"expected pid-partitioned window in:\n$p")
+  }
 }

@@ -67,9 +67,12 @@ class SimilaritySpec extends SparkSpec {
   test("q52 wall-clock does not exceed brute force on the real embeddings") {
     def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
     // warm both paths once (codegen + UDF compilation), then compare
+    // min-of-3 — single runs in a shared test JVM jitter with GC and
+    // neighbouring suites; at sf0.001 the gap under test is fixed-stage
+    // overhead, so the floor is the stable statistic
     Similarity.annLsh(t.embeddings).count(); Similarity.annBruteForce(t.embeddings).count()
-    val lsh   = time(Similarity.annLsh(t.embeddings).count())
-    val brute = time(Similarity.annBruteForce(t.embeddings).count())
+    val lsh   = (1 to 3).map(_ => time(Similarity.annLsh(t.embeddings).count())).min
+    val brute = (1 to 3).map(_ => time(Similarity.annBruteForce(t.embeddings).count())).min
     assert(lsh <= brute * 2.0, s"LSH $lsh s vs brute $brute s — approximate path may not be slower")
   }
 

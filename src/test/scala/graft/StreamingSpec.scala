@@ -98,6 +98,97 @@ class StreamingSpec extends SparkSpec {
     assert(total == events.count())
   }
 
+  test("sink: staging files roll at maxRecordsPerFile (reference's size-based rolling)") {
+    // all events into ONE (dt, hr) partition so rolling is the only
+    // thing that splits files
+    val oneHour = t.events.limit(1000)
+      .withColumn("ts", lit("2024-03-01 10:00:00").cast("timestamp"))
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stagedFiles(root: String): Int =
+      fs.globStatus(new org.apache.hadoop.fs.Path(root, "staging/dt=*/hr=*/ingest_batch=*/*.parquet")).length
+
+    val rolled = tmp()
+    new HiveBatchSink(spark, rolled, maxRecordsPerFile = 100L)
+      .writeBatch(oneHour, batchId = 0)
+    assert(stagedFiles(rolled) >= 10, s"expected >=10 rolled files, got ${stagedFiles(rolled)}")
+
+    val unrolled = tmp()
+    new HiveBatchSink(spark, unrolled).writeBatch(oneHour, batchId = 0)
+    assert(stagedFiles(unrolled) == 1, s"expected 1 file without rolling, got ${stagedFiles(unrolled)}")
+  }
+
+  test("sink: hot hour skew-splits across writer tasks, cold hours stay one file each") {
+    // a hot hour arriving through many upstream tasks (AQE's skew split
+    // works at map-output granularity — as it does on a real cluster)
+    val oneHour = t.events.limit(1000)
+      .withColumn("ts", lit("2024-03-01 10:00:00").cast("timestamp"))
+      .repartition(8)
+    val root = tmp()
+    // shrink the advisory size so this toy hour counts as "hot"; at real
+    // sizes the same split happens past 64MB per hour
+    val key  = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4KB")
+    try new HiveBatchSink(spark, root).writeBatch(oneHour, batchId = 0)
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(root, "staging/dt=*/hr=*/ingest_batch=*/*.parquet")).length
+    assert(files > 1, s"hot hour wrote through one task (found $files file)")
+  }
+
+  test("sink: text seal emits the reference's delimited lines, parse round-trips") {
+    val root   = tmp()
+    val sink   = new HiveBatchSink(spark, root, sealFormat = "text")
+    val events = t.events
+    sink.writeBatch(events, batchId = 0)
+    val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+    assert(sink.sealClosed(maxTs).nonEmpty)
+    val raw = sink.readTable() // (value, dt, hr) text lines
+    assert(raw.columns.contains("value"))
+    val parsed = EventParser.wellFormed(EventParser.parseLines(raw))
+    val stagedLeft = spark.read.parquet(sink.stagingPath).count()
+    assert(parsed.count() + stagedLeft == events.count())
+    assert(EventParser.corrupt(EventParser.parseLines(raw)).count() == 0)
+    // values survive the text round-trip exactly (4-decimal agg)
+    val sealedIds = parsed.select("event_id")
+    val srcSum = events.join(sealedIds, "event_id").agg(round(sum("value"), 4)).first().getDouble(0)
+    val rtSum  = parsed.agg(round(sum("value"), 4)).first().getDouble(0)
+    assert(srcSum == rtSum)
+  }
+
+  test("sink: orc seal writes a readable ORC table") {
+    val root   = tmp()
+    val sink   = new HiveBatchSink(spark, root, sealFormat = "orc")
+    val events = t.events
+    sink.writeBatch(events, batchId = 0)
+    val maxTs = events.agg(max("ts")).first().getTimestamp(0)
+    assert(sink.sealClosed(maxTs).nonEmpty)
+    val sealedTable = sink.readTable()
+    assert(sealedTable.columns.contains("event_id"))
+    assert(sealedTable.count() + spark.read.parquet(sink.stagingPath).count() == events.count())
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(sink.tablePath, "dt=*/hr=*/*.orc")).nonEmpty)
+  }
+
+  test("sink: loadIntoTable saveAsTable/insertInto path is idempotent") {
+    val root   = tmp()
+    val sink   = new HiveBatchSink(spark, root)
+    val events = t.events
+    sink.writeBatch(events, batchId = 0)
+    sink.sealClosed(events.agg(max("ts")).first().getTimestamp(0))
+    // clear any stale managed table dir from a previous JVM
+    spark.sql("DROP TABLE IF EXISTS graft_load_tbl")
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir") + "/graft_load_tbl")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+
+    sink.loadIntoTable("graft_load_tbl") // create via saveAsTable
+    val c1 = spark.table("graft_load_tbl").count()
+    assert(c1 == sink.readTable().count() && c1 > 0)
+    sink.loadIntoTable("graft_load_tbl") // re-load via insertInto dynamic overwrite
+    val c2 = spark.table("graft_load_tbl").count()
+    assert(c2 == c1, s"insertInto re-load duplicated rows: $c2 vs $c1")
+  }
+
   test("streaming dedup: re-delivered events collapse to one per id") {
     val in = tmp(); val events = t.events.limit(200)
     // simulate at-least-once delivery: every event delivered twice
