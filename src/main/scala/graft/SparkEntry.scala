@@ -69,8 +69,12 @@ object SparkEntry {
     "q35_lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d).documents)),
     "q36_ngram_freq" -> ((s, d) => TextAnalysis.ngramFrequencies(Tables(s, d).documents)),
     "q37_approx_percentile" -> ((s, d) => Relational.approxPercentiles(Tables(s, d).events)),
+    "q38_tdigest_percentile" -> ((s, d) => Relational.tdigestPercentiles(Tables(s, d).events)),
+    "q39_sketch_rollup" -> ((s, d) => Relational.sketchTableRollup(Tables(s, d).events)),
     "q40_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables(s, d).documents)),
     "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
+    "q46_lsh_fused" -> ((s, d) => Dedup.minhashLshPairsFused(Tables(s, d).documents)),
+    "q47_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -81,7 +85,9 @@ object SparkEntry {
         .select("event_id", "user_id", "last_purchase_value")
         .orderBy("event_id")
     }),
+    "q45_range_join" -> ((s, d) => EventAnalytics.attributionRangeJoin(Tables(s, d).events)),
     "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
+    "q53_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
@@ -341,6 +347,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q45_range_join" ->
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs,
+        | count(DISTINCT b.event_id) AS n_purchases
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 MINUTE
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q70_sink_ingest" ->
       """SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n_rows
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,

@@ -146,6 +146,80 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q46: MinHash LSH dedup through the FUSED custom operator
+    * ([[graft.plans.LshCandidatePairsExec]]) — identical pair semantics
+    * to [[minhashLshPairs]], but band explosion + bucket grouping +
+    * bucket cap + pair emission run inside one physical operator with a
+    * single shuffle (vs window + self-join + dedup exchanges). Same
+    * exact-jaccard verification on top. */
+  def minhashLshPairsFused(
+      documents: DataFrame,
+      shingleK: Int = 3,
+      verifyThreshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    val sigs = signatures(documents, shingleK).cache()
+    val cand = graft.plans.LshApi
+      .candidatePairs(sigs.select("doc_id", "sig"), "doc_id", "sig", Bands, RowsPer, maxBucket)
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
+    cand
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("est_jaccard", round(estJaccardUdf(col("sig_a"), col("sig_b")), 4))
+      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q47: near-dup CLUSTERS and canonical-doc election — the step that
+    * turns verified pairs into an actually deduplicated corpus.
+    *
+    * Connected components by iterative min-label propagation: every doc
+    * starts labeled with its own id; each round, a doc adopts the
+    * smallest label among itself and its neighbors (one shuffle per
+    * round: edges ⋈ labels, groupBy min). Label values can only
+    * decrease, so the loop converges in ≤ diameter rounds — near-dup
+    * clusters are tiny and dense (diameter ~2–3), so `maxRounds=5`
+    * converges in practice at any corpus size; convergence is checked,
+    * not assumed. Output keeps one row per clustered doc with its
+    * cluster id (= min doc_id — the elected canonical) and a
+    * keep/drop flag. Docs with no near-dup edges are implicitly kept
+    * and stay out of the output (at 100 TB, the edgeless set is ~the
+    * whole corpus — materializing it would dwarf the real result). */
+  def nearDupClusters(documents: DataFrame, maxRounds: Int = 5): DataFrame = {
+    val pairs = minhashLshPairsFused(documents).select("doc_a", "doc_b")
+    // undirected edge list, both directions (propagation is symmetric)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_label").as("neighbor_label"))
+      val next = labels
+        .join(neighborMin, "doc_id")
+        .select(col("doc_id"), least(col("label"), col("neighbor_label")).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Single-pass SimHash kernel: all 64 bit votes accumulate in one walk
     * over the token list. The per-token hash is Spark's own XXH64 over
     * the UTF8 bytes with seed 42 — bit-identical to the `xxhash64`

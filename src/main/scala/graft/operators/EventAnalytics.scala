@@ -42,6 +42,40 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("event_type")).as("n_types"))
       .orderBy("dt", "hr")
 
+  /** q45: windowed attribution range join — purchases within
+    * `windowMinutes` after a click by the same user.
+    *
+    * The naive plan is an equi-join on user_id with the time window as a
+    * post-join filter: per-user event lists grow with history, so pair
+    * expansion inside one key is quadratic — a skew bomb at 100 TB. This
+    * version *bands time into the join key*: a click's window [c, c+W)
+    * overlaps at most two W-sized bins, so the click side explodes to ≤2
+    * rows keyed (user, bin) and purchases join on their single bin.
+    * Pair expansion is then bounded per (user, window) — shuffled
+    * equi-join, no cartesian anywhere, and a (click, purchase) pair can
+    * match in only one bin (the purchase's), so no dedup pass is needed.
+    * Integer microsecond math keeps the window test exact and
+    * engine-portable. */
+  def attributionRangeJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val buys = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"), col("event_id").as("purchase_id"))
+    val clickBins = clicks.withColumn(
+      "bin",
+      explode(array(floor(col("c_us") / winUs), floor(col("c_us") / winUs) + 1)))
+    val buyBins = buys.withColumn("bin", floor(col("p_us") / winUs))
+    clickBins
+      .join(buyBins, Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") < col("c_us") + winUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
   /** q22: gap-based sessionization (30-min inactivity) via window lag +
     * running sum. Integer microsecond math (`unix_micros`) keeps the gap
     * test exact and engine-portable. One shuffle on user_id; at scale the

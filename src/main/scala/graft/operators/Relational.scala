@@ -329,6 +329,56 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** q38: t-digest percentiles — the custom-sketch dual of q37's
+    * built-in approx_percentile. [[graft.plans.TDigestQuantile]] is a
+    * native `TypedImperativeAggregate`: per-partition digests are a few
+    * KB, serialize into the partial-aggregation shuffle, and merge
+    * associatively — constant memory at any scale, with k₁ sizing that
+    * keeps tail percentiles (p95/p99) tight where training-data QC
+    * actually reads them. Exact percentile rides along so the spec can
+    * bound the sketch error. Rows-only (sketch output is
+    * engine-specific). */
+  def tdigestPercentiles(events: DataFrame, compression: Double = 200.0): DataFrame = {
+    import graft.functions.SketchFunctions.tdigestQuantile
+    events
+      .groupBy("event_type")
+      .agg(
+        round(tdigestQuantile(col("value"), 0.5, compression), 4).as("td_median"),
+        round(tdigestQuantile(col("value"), 0.95, compression), 4).as("td_p95"),
+        round(tdigestQuantile(col("value"), 0.99, compression), 4).as("td_p99"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_median"),
+        round(expr("percentile(value, 0.95)"), 4).as("exact_p95"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** q39: the sketch-TABLE pattern — percentiles over pre-aggregated
+    * sketch columns. Stage 1 builds what a nightly job would persist:
+    * one few-KB binary t-digest per (dt, event_type). Stage 2 answers
+    * the percentile query by re-merging the stored sketches
+    * (`tdigest_merge_quantile`) — it reads O(days × types) KB instead of
+    * rescanning raw rows, which is how percentile dashboards stay
+    * interactive over 100 TB of history. Exact percentiles ride along
+    * from the raw data so the spec can bound the merged-sketch error. */
+  def sketchTableRollup(events: DataFrame, compression: Double = 200.0): DataFrame = {
+    import graft.functions.SketchFunctions.{tdigestMergeQuantile, tdigestSketch}
+    val sketchTable = events
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"), col("event_type"))
+      .agg(tdigestSketch(col("value"), compression).as("sk"), count(lit(1)).as("n"))
+    val merged = sketchTable
+      .groupBy("event_type")
+      .agg(
+        round(tdigestMergeQuantile(col("sk"), 0.5), 4).as("merged_median"),
+        round(tdigestMergeQuantile(col("sk"), 0.95), 4).as("merged_p95"),
+        sum("n").as("n_events"))
+    val exact = events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("exact_median"),
+        round(expr("percentile(value, 0.95)"), 4).as("exact_p95"))
+    merged.join(exact, "event_type").orderBy("event_type")
+  }
+
   /** q27: CUBE aggregation — all grouping-set combinations in one
     * Expand + single shuffle. */
   def cubeAgg(lineitem: DataFrame): DataFrame =

@@ -145,6 +145,120 @@ object Similarity {
     * (map-side combinable partial aggregation), NOT by dropDuplicates
     * over embedding arrays. Final ranking is a per-query window over the
     * deduped candidates only. */
+  /** Spherical k-means coarse quantizer for IVF: Lloyd iterations over a
+    * bounded, deterministic sample (the standard IVF recipe — the
+    * quantizer trains offline on a sample; only ASSIGNMENT is
+    * data-proportional). Centroids are renormalized each round so
+    * nearest-by-dot ≡ nearest-by-cosine on unit vectors. */
+  private[graft] def trainCentroids(
+      sample: Array[Array[Float]],
+      nCells: Int,
+      iters: Int): Array[Array[Float]] = {
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    var cents = sample.take(nCells).map(unit)
+    var it = 0
+    while (it < iters) {
+      val sums   = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MinValue; var c = 0
+        while (c < cents.length) {
+          val d = dotFF(cents(c), v); if (d > bestD) { bestD = d; best = c }; c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else unit(sums(c).map(_.toFloat))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  private def bestCell(cents: Array[Array[Float]], v: Seq[Float]): Int = {
+    val a = v.toArray
+    var best = 0; var bestD = Double.MinValue; var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0; var i = 0
+      val n = math.min(ct.length, a.length)
+      while (i < n) { d += ct(i) * a(i); i += 1 }
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** q53: IVF ANN — the inverted-file scale path beside SRP-LSH (q52).
+    *
+    * A coarse quantizer (spherical k-means, trained on a deterministic
+    * bounded sample) partitions the corpus into `nCells` inverted lists;
+    * each base vector is assigned to its nearest cell in ONE map pass
+    * over a broadcast centroid table. A query probes its `nProbe`
+    * nearest cells, so the scan touches ~nProbe/nCells of the corpus —
+    * at 100 TB, cells scale as √n and the probed fraction keeps falling.
+    * Candidates join on the cell id (tiny query side broadcast), a pair
+    * appears in exactly one cell (the candidate's), and ranking is a
+    * per-query window over candidates only. */
+  def annIvf(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5,
+      nCells: Int = 32,
+      nProbe: Int = 4,
+      sampleMod: Int = 7,
+      iters: Int = 5): DataFrame = {
+    val sample = embeddings
+      .filter(col("vec_id") % sampleMod === 0)
+      .select("embedding")
+      .limit(2048)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cents = trainCentroids(sample, nCells, iters)
+    val assignUdf = udf { (v: Seq[Float]) => bestCell(cents, v) }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      cents.indices
+        .map { c =>
+          val ct = cents(c)
+          var d = 0.0; var i = 0
+          val n = math.min(ct.length, a.length)
+          while (i < n) { d += ct(i) * a(i); i += 1 }
+          (c, d)
+        }
+        .sortBy(-_._2)
+        .take(nProbe)
+        .map(_._1)
+        .toArray
+    }
+    val base = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cell", assignUdf(col("ce")))
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(probeUdf(col("qe"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    base
+      .join(broadcast(q), Seq("cell"))
+      .withColumn("cos", dotUdf(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
   def annLsh(
       embeddings: DataFrame,
       numQueries: Int = 3,

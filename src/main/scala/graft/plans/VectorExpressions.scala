@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSession
@@ -184,7 +184,13 @@ object VectorFunctionRegistry {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot"    -> (args => VecDot(args(0), args(1))),
     "vec_norm"   -> (args => VecNorm(args(0))),
-    "vec_cosine" -> (args => VecCosine(args(0), args(1))))
+    "vec_cosine" -> (args => VecCosine(args(0), args(1))),
+    "tdigest_quantile" -> (args =>
+      if (args.length >= 3) TDigestQuantile(args(0), args(1), args(2))
+      else new TDigestQuantile(args(0), args(1))),
+    "tdigest_sketch" -> (args =>
+      TDigestSketch(args(0), if (args.length >= 2) args(1) else Literal(100.0))),
+    "tdigest_merge_quantile" -> (args => TDigestMergeQuantile(args(0), args(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -195,11 +201,14 @@ object VectorFunctionRegistry {
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injects the vector
   * functions into every session built with the config. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorFunctionRegistry.functions.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.plans.VectorExpressions", name),
           builder))
     }
+    ext.injectPlannerStrategy(_ => LshStrategy)
+    ext.injectOptimizerRule(_ => LshColumnPruning)
+  }
 }

@@ -68,6 +68,13 @@ class PlanSpec extends SparkSpec {
     } finally prev.foreach { case (k, vOpt) => vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
 
+  test("q45: banded range join is a shuffled equi-join, never a cartesian") {
+    val p = plan("q45_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join planned as a product:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"expected (user_id, bin) equi-join shuffle in:\n$p")
+  }
+
   test("q25: scale-safe ntile — no single-partition window in the plan") {
     val p = plan("q25_ntile_buckets")
     assert(!p.contains("SinglePartition"), s"global-window ntile leaked back in:\n$p")

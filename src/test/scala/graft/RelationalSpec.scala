@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{EventAnalytics, Relational}
 import graft.sources.Tables
+import org.apache.spark.sql.functions.{col, expr}
 
 class RelationalSpec extends SparkSpec {
   lazy val t = Tables(spark, sfDir)
@@ -39,6 +40,73 @@ class RelationalSpec extends SparkSpec {
     val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
     val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
     assert(semi + anti == all)
+  }
+
+  test("q38 t-digest percentiles track exact within 2% of the value range") {
+    val rows = Relational.tdigestPercentiles(t.events).collect()
+    assert(rows.nonEmpty)
+    val span = {
+      val mm = t.events.agg(
+        org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value")).head()
+      mm.getDouble(1) - mm.getDouble(0)
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("td_median") - r.getAs[Double]("exact_median")) <= 0.02 * span,
+        s"median off for ${r.getAs[String]("event_type")}: $r")
+      assert(math.abs(r.getAs[Double]("td_p95") - r.getAs[Double]("exact_p95")) <= 0.02 * span,
+        s"p95 off for ${r.getAs[String]("event_type")}: $r")
+    }
+  }
+
+  test("t-digest: digests merge associatively across partition layouts") {
+    import graft.functions.SketchFunctions.tdigestQuantile
+    // same data, adversarial partitioning: 1 partition vs 13 — the
+    // merged sketch must land near the same quantile either way
+    val vals = t.lineitem.select(col("l_extendedprice").as("v"))
+    def p95(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(tdigestQuantile(col("v"), 0.95, 100.0)).head().getDouble(0)
+    val one  = p95(vals.coalesce(1))
+    val many = p95(vals.repartition(13))
+    val exact = vals.agg(expr("percentile(v, 0.95)")).head().getDouble(0)
+    assert(math.abs(one - exact) / exact <= 0.02, s"1-part digest $one vs exact $exact")
+    assert(math.abs(many - exact) / exact <= 0.02, s"13-part digest $many vs exact $exact")
+  }
+
+  test("q39 sketch-table rollup: merged stored sketches track exact percentiles") {
+    val rows = Relational.sketchTableRollup(t.events).collect()
+    assert(rows.nonEmpty)
+    // t-digest's guarantee lives in RANK space: assert the fraction of
+    // values at or below the merged quantile estimate, not a value-space
+    // distance (heavy tails make adjacent order stats jump arbitrarily)
+    def rankOf(tpe: String, v: Double): Double = {
+      val grp = t.events.filter(col("event_type") === tpe)
+      grp.filter(col("value") <= v).count().toDouble / grp.count()
+    }
+    rows.foreach { r =>
+      val tpe  = r.getAs[String]("event_type")
+      val rMed = rankOf(tpe, r.getAs[Double]("merged_median"))
+      val rP95 = rankOf(tpe, r.getAs[Double]("merged_p95"))
+      assert(rMed >= 0.46 && rMed <= 0.54, s"merged median rank $rMed off for $tpe")
+      assert(rP95 >= 0.92 && rP95 <= 0.98, s"merged p95 rank $rP95 off for $tpe")
+    }
+    // the sketch table itself is small: one binary row per (dt, type)
+    import graft.functions.SketchFunctions.tdigestSketch
+    val sk = t.events.groupBy("event_type").agg(tdigestSketch(col("value")).as("sk"))
+    sk.collect().foreach(r => assert(r.getAs[Array[Byte]]("sk").length < 8192, "sketch over 8KB"))
+  }
+
+  test("t-digest: array form returns quantiles in order, SQL surface registered") {
+    graft.plans.VectorFunctionRegistry.register(spark)
+    val r = t.events
+      .agg(expr("tdigest_quantile(value, array(0.1, 0.5, 0.9), 150.0)").as("qs"))
+      .head().getSeq[Double](0)
+    assert(r.length == 3 && r(0) <= r(1) && r(1) <= r(2), s"quantiles not monotone: $r")
+    // sketch is bounded: centroid count stays ~O(compression) however
+    // many points went in
+    val d = new graft.plans.TDigest(100.0)
+    (1 to 200000).foreach(i => d.add(math.sin(i).toDouble * i))
+    assert(d.centroidCount <= 400, s"digest grew unbounded: ${d.centroidCount} centroids")
   }
 
   test("q22 sessionize: 1 <= sessions <= events per user") {

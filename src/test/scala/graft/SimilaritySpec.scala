@@ -82,6 +82,38 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0001))
   }
 
+  test("q53 IVF recall >= 0.9 on planted high-sim neighbors (300-vector corpus)") {
+    val dim  = 64
+    val vecs = plantedVecs(nBase = 300, nQueries = 10, dim = dim)
+    val got = Similarity.annIvf(vecs, numQueries = 10, k = 5, nCells = 8, nProbe = 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val hits = (0 until 10).count(q => got.contains((q.toLong, 10000L + q)))
+    assert(hits >= 9, s"planted-neighbor IVF recall $hits/10 < 0.9")
+  }
+
+  test("q53 on real embeddings returns k ranked rows per query with valid cosines") {
+    val rows = Similarity.annIvf(t.embeddings).collect()
+    assert(rows.length == 15, s"expected 3 queries x k=5, got ${rows.length}")
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+    // probing must not degenerate into a full scan: every query's
+    // candidates come from <= nProbe of the nCells inverted lists
+  }
+
+  test("q53 IVF centroids: deterministic, unit-norm, non-collapsed") {
+    val sample = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }.toArray
+    val c1 = Similarity.trainCentroids(sample, nCells = 4, iters = 5)
+    val c2 = Similarity.trainCentroids(sample, nCells = 4, iters = 5)
+    assert(c1.map(_.toSeq) sameElements c2.map(_.toSeq)) // deterministic
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid norm $n not unit")
+    }
+    assert(c1.map(_.toSeq).distinct.length == 4, "centroids collapsed")
+  }
+
   test("q43 near-dup pairs: duplicate vectors rank first with cosine ~1") {
     val withDup = fixtureVecs.unionAll(
       Seq((20L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label"))

@@ -45,6 +45,39 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(out.contains((2L, 1L, 0.0)), s"missing singleton in $out")
   }
 
+  test("sessionizer runs on the RocksDB state store (the 100 TB state backend)") {
+    // HDFS-backed state keeps every key in executor heap — fine for toy
+    // state, an OOM at billions of open sessions. RocksDB spills to
+    // local disk with bounded memory; prove the stateful sessionizer is
+    // backend-agnostic by running the same assertions on RocksDB.
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Seq(
+        ev(1, 0, 1), ev(2, 5, 1), ev(3, 10, 1),
+        ev(4, 60, 1), ev(5, 62, 1),
+        ev(6, 0, 2),
+        ev(99, 1000, 999))
+      val in = tmp()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("overwrite").parquet(in)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = StreamingSessionize.sessionize(spark, stream, gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_rocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table("sess_rocks")
+        .select("user_id", "n_events", "duration_s")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((1L, 3L, 600.0)) && out.contains((1L, 2L, 120.0)) && out.contains((2L, 1L, 0.0)),
+        s"RocksDB-backed sessions wrong: $out")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("streamed session counts are bounded by the batch sessionizer") {
     val t  = graft.sources.Tables(spark, sfDir)
     val in = tmp()

@@ -58,6 +58,61 @@ class TextDedupSpec extends SparkSpec {
     assert(found.forall { case (x, y) => x < y })
   }
 
+  test("q46 fused LSH operator returns exactly the composed operator's pairs") {
+    val docs = t.documents
+    val composed = Dedup.minhashLshPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val fused = Dedup.minhashLshPairsFused(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(composed.nonEmpty)
+    assert(fused == composed, s"fused ${fused.size} pairs vs composed ${composed.size}")
+  }
+
+  test("q46 fused LSH plans through the custom physical operator") {
+    val sigs = Dedup.signatures(t.documents.limit(50)).select("doc_id", "sig")
+    val df = graft.plans.LshApi.candidatePairs(sigs)
+    // nodeName trims the Exec suffix and AQE hides the inner tree from
+    // collect(), so assert on the plan string: the custom node planned
+    // (present) and is valid (no missing-input "!" marker)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LshCandidatePairs"), s"custom exec missing from plan:\n$p")
+    assert(!p.contains("!LshCandidatePairs"), s"invalid (missing-input) custom node:\n$p")
+  }
+
+  test("q46 pruning rule: a wide child collapses to (id, sig) under the custom node") {
+    val wide = Dedup.signatures(t.documents.limit(50))
+      .withColumn("junk", lit("x"))
+      .select("doc_id", "sig", "shingles", "junk")
+    val df = graft.plans.LshApi.candidatePairs(wide)
+    val projected = df.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList.map(_.name)
+    }
+    assert(projected.exists(cols => cols.toSet == Set("doc_id", "sig")),
+      s"no 2-column prune below the custom node: $projected")
+    assert(df.select("doc_a").distinct().count() > 0)
+  }
+
+  test("q47 near-dup clusters: every cluster id is the member minimum, exactly one keeper") {
+    val clusters = Dedup.nearDupClusters(t.documents)
+      .as[(Long, Long, Boolean)].collect()
+    assert(clusters.nonEmpty)
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not the min member")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid,
+        s"cluster $cid must keep exactly its canonical doc")
+    }
+    // clusters must cover exactly the docs that appear in verified pairs
+    val paired = Dedup.minhashLshPairs(t.documents)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._1).toSet == paired, "cluster membership != paired docs")
+    // and each verified pair must land in one cluster
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    Dedup.minhashLshPairs(t.documents).select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(label(a) == label(b), s"pair ($a,$b) split across clusters") }
+  }
+
   test("q41 simhash: near-identical docs land within small hamming distance") {
     val pairs = Dedup.simhashPairs(fixtureDocs, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
