@@ -75,6 +75,7 @@ object SparkEntry {
     "q41_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "q46_lsh_fused" -> ((s, d) => Dedup.minhashLshPairsFused(Tables(s, d).documents)),
     "q47_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables(s, d).documents)),
+    "q48_corpus_curation" -> ((s, d) => TextAnalysis.curateCorpus(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -309,6 +310,23 @@ object SparkEntry {
         | floor((CAST(n_stop AS DOUBLE)/n_tok)*10000 + 0.5)/10000 AS stop_ratio,
         | floor(((1 - CAST(n_stop AS DOUBLE)/n_tok) * least(1.0, n_tok/50.0))*10000 + 0.5)/10000 AS quality
         |FROM t WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
+    "q48_corpus_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    len(regexp_extract_all(text,'\S+')) AS n_tok,
+        |    len(list_filter(regexp_extract_all(text,'\S+'),
+        |        x -> x IN ('the','a','and','of','to'))) AS n_stop,
+        |    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
+        |  FROM documents),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM t),
+        |q AS (SELECT doc_id, source, lang, n_tok,
+        |        floor(((1 - CAST(n_stop AS DOUBLE)/n_tok) * least(1.0, n_tok/50.0))*10000 + 0.5)/10000 AS quality
+        |      FROM k WHERE doc_id = keep AND n_tok > 0)
+        |SELECT source, count(*) AS n_docs,
+        |  floor((sum(CAST(n_tok AS DOUBLE)))*10000 + 0.5)/10000 AS total_tokens,
+        |  floor((avg(quality))*10000 + 0.5)/10000 AS avg_quality
+        |FROM q WHERE lang = 'en' AND quality >= 0.3
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q32_fingerprint" ->
       """WITH t AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp FROM documents)
         |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc

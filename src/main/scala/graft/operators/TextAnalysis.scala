@@ -68,6 +68,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q48: end-to-end corpus curation — the composed training-data
+    * pipeline in one query: exact dedup (keep min doc_id per
+    * fingerprint) → language filter → quality floor → per-source corpus
+    * stats. Every stage is one of the already-verified operators
+    * (q33 + q31), so the whole pipeline stays oracle-checkable; the
+    * fuzzy near-dup pass (q47) composes the same way where exactness
+    * isn't required. Shuffles: one on fp (dedup), one on doc_id (join),
+    * one tiny groupBy — each data-proportional. */
+  def curateCorpus(
+      documents: DataFrame,
+      minQuality: Double = 0.3,
+      lang: String = "en"): DataFrame = {
+    val deduped = dedupExact(documents).select("doc_id")
+    val quality = qualityScore(documents).select("doc_id", "n_tok", "quality")
+    documents
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(deduped, "doc_id")
+      .filter(col("lang") === lang)
+      .join(quality, "doc_id")
+      .filter(col("quality") >= minQuality)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_tok").cast("double")), 4).as("total_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("source")
+  }
+
   /** q34: BPE-ish regex token counts per source. */
   def tokenRegexStats(documents: DataFrame): DataFrame =
     documents

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** At-least-once delivery dedup — upstream transports (Flume channels,
   * Kafka, retried producers) re-deliver events; the reference absorbs
@@ -14,4 +15,25 @@ object StreamingDedup {
     stream
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Content dedup AT INGEST — the streaming half of the exact-dedup
+    * pass (q33): key the dedup state on a payload fingerprint instead of
+    * the transport id, so re-submitted identical payloads (new event_id,
+    * same content) collapse before they ever reach staging. The
+    * fingerprint is one map-side md5 per row; state stays bounded by
+    * (throughput × watermark) exactly like id-dedup. Curating at ingest
+    * beats re-scanning the warehouse for duplicates later — at
+    * 100 TB/day, every duplicate dropped here is a row every downstream
+    * job never pays for. */
+  def dedupByContent(
+      stream: DataFrame,
+      // ts is part of the content: a re-submitted payload carries its
+      // original event time, while two genuinely distinct events that
+      // happen to share payload fields differ on it
+      contentCols: Seq[String] = Seq("ts", "user_id", "event_type", "value", "props"),
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("content_fp", md5(concat_ws("", contentCols.map(col): _*)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
 }

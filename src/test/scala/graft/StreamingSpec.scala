@@ -203,6 +203,22 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == events.count())
   }
 
+  test("streaming content dedup: re-submitted payloads with fresh ids collapse at ingest") {
+    val in = tmp(); val events = t.events.limit(200)
+    // a re-submission: same payload + event time, NEW transport ids —
+    // id-dedup would keep both, content-dedup must not
+    val resubmitted = events.withColumn("event_id", col("event_id") + 1000000L)
+    events.unionAll(resubmitted).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(events.schema).parquet(in)
+    val q = graft.streaming.StreamingDedup.dedupByContent(stream)
+      .writeStream.format("memory").queryName("content_dedup_test")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("content_dedup_test")
+    assert(out.count() == events.count(), s"${out.count()} vs ${events.count()}")
+    assert(out.select("content_fp").distinct().count() == events.count())
+  }
+
   test("streaming watermarked hourly aggregation matches the batch rollup") {
     val in = tmp(); val events = t.events
     events.write.mode("overwrite").parquet(in)
