@@ -76,6 +76,7 @@ object SparkEntry {
     "q46_lsh_fused" -> ((s, d) => Dedup.minhashLshPairsFused(Tables(s, d).documents)),
     "q47_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables(s, d).documents)),
     "q48_corpus_curation" -> ((s, d) => TextAnalysis.curateCorpus(Tables(s, d).documents)),
+    "q49_window_suite" -> ((s, d) => Relational.windowSuite(Tables(s, d).orders)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -109,6 +110,7 @@ object SparkEntry {
             aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feature_l1"))
         .orderBy("doc_id")
     }),
+    "q63_feature_similarity" -> ((s, d) => Multimodal.featureSimilarity(s, Tables(s, d).documents)),
     "q70_sink_ingest" -> ((s, d) => {
       // full micro-batch ingest of the events table, then the written
       // partition layout read back — oracle-checks the sink's dt
@@ -310,6 +312,15 @@ object SparkEntry {
         | floor((CAST(n_stop AS DOUBLE)/n_tok)*10000 + 0.5)/10000 AS stop_ratio,
         | floor(((1 - CAST(n_stop AS DOUBLE)/n_tok) * least(1.0, n_tok/50.0))*10000 + 0.5)/10000 AS quality
         |FROM t WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
+    "q49_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice) OVER w AS prev_price,
+        | lead(o_totalprice) OVER w AS next_price,
+        | floor((percent_rank() OVER w)*10000 + 0.5)/10000 AS pct_rank,
+        | floor((cume_dist() OVER w)*10000 + 0.5)/10000 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,

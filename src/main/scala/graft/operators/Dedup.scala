@@ -263,6 +263,11 @@ object Dedup {
       (acc, v) => acc + v)
   }
 
+  /** SimHash as a reusable column — the streaming ingest path keys its
+    * near-dup dedup state on it. */
+  def simhashColumn(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    simhashUdf(tokens(lower(text)))
+
   /** q41: 64-bit SimHash per document over word hashes — one JIT kernel
     * pass per doc, map-side, no shuffle. */
   def simhash(documents: DataFrame): DataFrame =

@@ -71,6 +71,34 @@ object Multimodal {
       }
   }
 
+  /** q63: the multimodal → similarity handoff — extracted feature
+    * vectors flow straight into cosine ANN ranking, proving the
+    * pipeline contract end-to-end: binary payload → per-partition
+    * feature extraction (q62) → `array<float>` column → the same
+    * codegen'd vector math the text-embedding path uses (q51). The
+    * feature histograms are l1-normalized, so ranking uses true cosine
+    * (single-pass native expression), not a unit-norm dot shortcut. */
+  def featureSimilarity(
+      spark: SparkSession,
+      documents: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    import org.apache.spark.sql.expressions.Window
+    val feats = featureExtract(spark, documents).toDF().select(col("doc_id"), col("feature"))
+    val q = feats.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("qid"), col("feature").as("qf"))
+    val c = feats.filter(col("doc_id") >= numQueries)
+      .select(col("doc_id").as("cid"), col("feature").as("cf"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qf"), col("cf")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
   /** q61: "decode" + frame-sample each payload. STUB CODEC: frames are
     * fixed 16-byte windows and the checksum a byte sum — a real build
     * swaps `decode` for an image/video library call; everything around

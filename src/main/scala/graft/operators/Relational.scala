@@ -352,6 +352,23 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q49: navigation + distribution window suite — lead/lag neighbours
+    * and percent_rank/cume_dist over per-customer order history. One
+    * hash-partitioned window (customer), one shuffle; all five window
+    * functions share a single sort. */
+  def windowSuite(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q39: the sketch-TABLE pattern — percentiles over pre-aggregated
     * sketch columns. Stage 1 builds what a nightly job would persist:
     * one few-KB binary t-digest per (dt, event_type). Stage 2 answers

@@ -36,4 +36,21 @@ object StreamingDedup {
       .withColumn("content_fp", md5(concat_ws("", contentCols.map(col): _*)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_fp")
+
+  /** NEAR-dup dedup at ingest for document streams: state keys on the
+    * 64-bit SimHash of the text, so re-ingested identical (and
+    * boilerplate-identical) docs collapse in-stream at 8 bytes of state
+    * per kept doc. SimHash equality is the aggressive-but-cheap ingest
+    * filter (hamming-0 collisions only); hamming>0 near-dups remain for
+    * the batch pass (q47) over sealed data. `tsCol` is the ingest/event
+    * time that bounds the dedup state. */
+  def dedupNearDocs(
+      stream: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("simhash", graft.operators.Dedup.simhashColumn(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
 }

@@ -114,6 +114,15 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).distinct.length == 4, "centroids collapsed")
   }
 
+  test("q63 multimodal features feed cosine ANN: k rows per query, deterministic") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val r1 = graft.operators.Multimodal.featureSimilarity(spark, docs).collect()
+    val r2 = graft.operators.Multimodal.featureSimilarity(spark, docs).collect()
+    assert(r1.length == 15, s"expected 3 queries x k=5, got ${r1.length}")
+    r1.foreach(r => assert(r.getAs[Double]("cosine") >= -1.0001 && r.getAs[Double]("cosine") <= 1.0001))
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "feature ANN not deterministic")
+  }
+
   test("q43 near-dup pairs: duplicate vectors rank first with cosine ~1") {
     val withDup = fixtureVecs.unionAll(
       Seq((20L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label"))

@@ -219,6 +219,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("content_fp").distinct().count() == events.count())
   }
 
+  test("streaming near-dup dedup: re-ingested identical docs collapse on simhash") {
+    val in = tmp()
+    val docs = Tables(spark, sfDir).documents.limit(100)
+      .withColumn("ingest_ts", lit("2024-03-01 10:00:00").cast("timestamp"))
+    // re-ingestion: same text, new doc ids
+    val reingested = docs.withColumn("doc_id", col("doc_id") + 500000L)
+    docs.unionAll(reingested).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+    val q = graft.streaming.StreamingDedup.dedupNearDocs(stream)
+      .writeStream.format("memory").queryName("neardup_ingest_test")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("neardup_ingest_test")
+    val distinctHashes = graft.operators.Dedup.simhash(docs)
+      .select("simhash").distinct().count()
+    assert(out.count() == distinctHashes,
+      s"${out.count()} kept vs $distinctHashes distinct simhashes")
+    assert(out.count() <= docs.count())
+  }
+
   test("streaming watermarked hourly aggregation matches the batch rollup") {
     val in = tmp(); val events = t.events
     events.write.mode("overwrite").parquet(in)
