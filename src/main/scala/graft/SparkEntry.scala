@@ -77,6 +77,8 @@ object SparkEntry {
     "q47_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables(s, d).documents)),
     "q48_corpus_curation" -> ((s, d) => TextAnalysis.curateCorpus(Tables(s, d).documents)),
     "q49_window_suite" -> ((s, d) => Relational.windowSuite(Tables(s, d).orders)),
+    "q54_hll_rollup" -> ((s, d) => Relational.hllSketchRollup(Tables(s, d).events)),
+    "q55_hash_sample" -> ((s, d) => TextAnalysis.deterministicSample(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -321,6 +323,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q55_hash_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        | floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,
+        | min(doc_id) AS min_doc
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,

@@ -396,6 +396,38 @@ object Relational {
     merged.join(exact, "event_type").orderBy("event_type")
   }
 
+  /** q54: the HLL sketch-TABLE pattern — distinct-count dashboards over
+    * stored sketches. Stage 1 persists one Apache DataSketches HLL
+    * binary per (dt, event_type) (`hll_sketch_agg`, a few KB each);
+    * stage 2 answers "distinct users per type, all time" by unioning the
+    * stored sketches (`hll_union_agg`) — O(days × types) KB re-read
+    * instead of a 100 TB rescan, and the union is loss-free across
+    * arbitrary partition groupings. Exact distinct rides along so the
+    * spec can bound the estimate error. lgConfigK=14 → ~0.8% stderr. */
+  def hllSketchRollup(events: DataFrame, lgConfigK: Int = 14): DataFrame = {
+    val sketchTable = events
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"), col("event_type"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"),
+        count(lit(1)).as("n"))
+    val merged = sketchTable
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
+        sum("n").as("n_events"))
+    val exact = events
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged
+      .join(exact, "event_type")
+      .select(
+        col("event_type"),
+        col("approx_users"),
+        col("exact_users"),
+        col("n_events"))
+      .orderBy("event_type")
+  }
+
   /** q27: CUBE aggregation — all grouping-set combinations in one
     * Expand + single shuffle. */
   def cubeAgg(lineitem: DataFrame): DataFrame =

@@ -129,4 +129,36 @@ object TextAnalysis {
         round(array_max(langScores(toks)).getField("score"), 4).as("best_score"))
       .orderBy("doc_id")
   }
+
+  /** q55: deterministic hash sampling — the training-mixture primitive.
+    * Membership is a pure function of the stable doc_id (first md5 hex
+    * nibble ∈ `hexChars` → a hexChars.size/16 systematic sample), so the
+    * sample is reproducible across runs, engines and cluster layouts,
+    * composable (a 2/16 sample is a strict subset of 3/16), and fully
+    * map-side — the filter rides the scan, no shuffle before the final
+    * tiny groupBy. Unlike `rand()`-based sampling, re-running over
+    * re-partitioned 100 TB inputs selects the identical document set. */
+  def deterministicSample(
+      documents: DataFrame,
+      hexChars: Seq[String] = Seq("0", "1", "2")): DataFrame =
+    documents
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin(hexChars: _*))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("doc_id").as("min_doc"))
+      .orderBy("lang")
+
+  /** Stratified sampling by column value (per-stratum fractions) —
+    * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
+    * Bernoulli draw per row seeded deterministically, no shuffle. Used
+    * to rebalance source/language mixtures when assembling training
+    * corpora. */
+  def stratifiedSample(
+      documents: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame =
+    documents.stat.sampleBy(strataCol, fractions, seed)
 }

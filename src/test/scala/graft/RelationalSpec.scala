@@ -128,4 +128,29 @@ class RelationalSpec extends SparkSpec {
     val plan = Relational.joinBroadcast(t.lineitem, t.part).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("q54 HLL sketch rollup: merged estimate within 5% of exact, deterministic") {
+    val r1 = Relational.hllSketchRollup(t.events).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact  = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+    val r2 = Relational.hllSketchRollup(t.events).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "HLL rollup not deterministic")
+  }
+
+  test("q54 HLL union over stored sketches equals the estimate over raw union") {
+    // the service-table property: estimate(union of per-dt sketches) must
+    // match estimate(one sketch over all rows) — sketches merge loss-free
+    val viaSketches = Relational.hllSketchRollup(t.events)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = t.events.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSketches == direct, s"$viaSketches vs $direct")
+  }
 }

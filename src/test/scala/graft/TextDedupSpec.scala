@@ -138,4 +138,42 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_a", "jaccard").as[(Long, Double)].collect().toMap
     assert(j(0L) == 1.0 && j(1L) == 0.0)
   }
+
+  test("q55 deterministic hash sample: reproducible, ~3/16 rate, composable subsets") {
+    val docs = Tables(spark, sfDir).documents
+    val total = docs.count()
+    val r1 = TextAnalysis.deterministicSample(docs).collect()
+    val r2 = TextAnalysis.deterministicSample(docs).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "sample not reproducible")
+    val sampled = r1.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val rate = sampled / total
+    assert(rate > 0.10 && rate < 0.28, s"sample rate $rate far from 3/16")
+    // composability: the 2-nibble sample is a strict subset of the 3-nibble one
+    val ids3 = docs.filter(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"))
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = docs.filter(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2.subsetOf(ids3) && ids2.size < ids3.size)
+  }
+
+  test("stratified sampleBy: per-stratum fractions honored within tolerance, deterministic") {
+    val docs = Tables(spark, sfDir).documents
+    val fr = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 7L)
+    val s2 = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 7L)
+    assert(s1.count() == s2.count(), "sampleBy not deterministic under fixed seed")
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.keySet.exists(l => !fr.contains(l)), "unrequested stratum sampled")
+    fr.foreach { case (lang, f) =>
+      val got = byLang.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(got - f) < 0.15, s"$lang: got rate $got want $f")
+    }
+  }
 }
