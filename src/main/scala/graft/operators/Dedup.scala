@@ -20,6 +20,18 @@ object Dedup {
   val NumPerm  = 128
   val Bands    = 32
   val RowsPer  = 4 // threshold ≈ (1/32)^(1/4) ≈ 0.42
+
+  /** Autotune the LSH OR-of-ANDs: pick (bands b, rows-per-band r) with
+    * b·r = `sigLen` whose S-curve threshold (1/b)^(1/r) lands nearest
+    * `targetJaccard`. More bands → lower threshold (higher recall, more
+    * candidates); longer bands → higher threshold (tighter candidates).
+    * Pure planning arithmetic — callers feed the result into
+    * [[minhashLshPairs]]/the fused operator instead of hand-picking. */
+  def tuneLshBands(targetJaccard: Double, sigLen: Int): (Int, Int) = {
+    require(targetJaccard > 0 && targetJaccard < 1, s"threshold $targetJaccard out of (0,1)")
+    val candidates = (1 to sigLen).filter(sigLen % _ == 0).map(b => (b, sigLen / b))
+    candidates.minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard) }
+  }
   val MersP    = 2147483647L // 2^31 - 1
 
   /** Deterministic permutation parameters (seeded, executor-independent). */

@@ -239,6 +239,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() <= docs.count())
   }
 
+  test("stream-stream interval join matches the batch attribution range join") {
+    val in = tmp()
+    t.events.write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def side(tpe: String) =
+      spark.readStream.schema(schema).parquet(in).filter(col("event_type") === tpe)
+    val q = graft.streaming.StreamingJoins.attributionJoin(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ss_join_test")
+    // batch oracle: q45 counts pairs per user over the same events
+    val batchPairs = graft.operators.EventAnalytics.attributionRangeJoin(t.events)
+      .agg(sum("n_pairs")).first().getLong(0)
+    assert(streamed.count() == batchPairs,
+      s"streamed ${streamed.count()} pairs vs batch $batchPairs")
+    // no pair violates the interval condition
+    val bad = streamed.filter(
+      col("p_ts") < col("c_ts") || col("p_ts") >= col("c_ts") + expr("INTERVAL 60 MINUTES")).count()
+    assert(bad == 0)
+  }
+
   test("streaming watermarked hourly aggregation matches the batch rollup") {
     val in = tmp(); val events = t.events
     events.write.mode("overwrite").parquet(in)

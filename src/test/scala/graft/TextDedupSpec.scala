@@ -160,6 +160,25 @@ class TextDedupSpec extends SparkSpec {
     assert(ids2.subsetOf(ids3) && ids2.size < ids3.size)
   }
 
+  test("LSH band autotuner: S-curve threshold tracks the target, monotone in threshold") {
+    // 128-perm signature, target 0.42 -> the hand-picked (32, 4) default
+    assert(Dedup.tuneLshBands(0.42, 128) == ((32, 4)))
+    // the choice is never beaten by another (b, r) factorization
+    Seq(0.3, 0.5, 0.7, 0.8, 0.9).foreach { t =>
+      val (b, r) = Dedup.tuneLshBands(t, 128)
+      assert(b * r == 128)
+      val err = math.abs(math.pow(1.0 / b, 1.0 / r) - t)
+      (1 to 128).filter(128 % _ == 0).foreach { b2 =>
+        val r2 = 128 / b2
+        val alt = math.abs(math.pow(1.0 / b2, 1.0 / r2) - t)
+        assert(err <= alt + 1e-12, s"target $t: ($b,$r) err $err beaten by ($b2,$r2)")
+      }
+    }
+    // higher target threshold never asks for more bands
+    val bandsAt = Seq(0.3, 0.5, 0.7, 0.9).map(t => Dedup.tuneLshBands(t, 128)._1)
+    assert(bandsAt == bandsAt.sorted.reverse, s"bands not monotone: $bandsAt")
+  }
+
   test("stratified sampleBy: per-stratum fractions honored within tolerance, deterministic") {
     val docs = Tables(spark, sfDir).documents
     val fr = Map("en" -> 0.5, "de" -> 0.1)
