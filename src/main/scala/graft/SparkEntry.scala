@@ -79,6 +79,8 @@ object SparkEntry {
     "q49_window_suite" -> ((s, d) => Relational.windowSuite(Tables(s, d).orders)),
     "q54_hll_rollup" -> ((s, d) => Relational.hllSketchRollup(Tables(s, d).events)),
     "q55_hash_sample" -> ((s, d) => TextAnalysis.deterministicSample(Tables(s, d).documents)),
+    "q56_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(Tables(s, d).documents, delimiter = " ")),
+    "q57_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -330,6 +332,31 @@ object SparkEntry {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q56_line_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS line,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |bl AS (SELECT line FROM tok GROUP BY line
+        |       HAVING count(DISTINCT doc_id) >= (SELECT nd * 0.5 FROM n))
+        |SELECT doc_id,
+        |  count(*) AS n_total,
+        |  count(*) FILTER (WHERE line NOT IN (SELECT line FROM bl)) AS n_kept,
+        |  coalesce(string_agg(line, ' ' ORDER BY pos)
+        |    FILTER (WHERE line NOT IN (SELECT line FROM bl)), '') AS kept_text
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q57_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tok, n_uniq,
+        |  floor((1 - CAST(n_uniq AS DOUBLE)/n_tok)*10000 + 0.5)/10000 AS dup_frac,
+        |  (floor((1 - CAST(n_uniq AS DOUBLE)/n_tok)*10000 + 0.5)/10000) <= 0.55 AS kept
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,

@@ -150,6 +150,64 @@ object TextAnalysis {
         min("doc_id").as("min_doc"))
       .orderBy("lang")
 
+  /** q56: corpus-adaptive line dedup — the C4/CCNet boilerplate rule
+    * ("drop lines that recur across many documents": nav bars, cookie
+    * banners, license footers). Three data-proportional stages:
+    * (1) posexplode text into (doc, pos, line); (2) one hash-shuffled
+    * groupBy counting per-line document frequency — lines in ≥
+    * `minDocFrac` of docs are boilerplate (by construction a SMALL set:
+    * each survivor recurs in that fraction of the corpus, so it's
+    * broadcast); (3) anti-match + ordered reassembly per doc. No
+    * cartesian anywhere; the reassembly shuffle is keyed on doc_id.
+    * `delimiter` picks the unit: "\n" for real lines, " " for
+    * corpus-stopword removal at token level (the oracle-checked mode,
+    * since the synthetic corpus has no newlines). */
+  def lineDedup(
+      documents: DataFrame,
+      delimiter: String = "\n",
+      minDocFrac: Double = 0.5): DataFrame = {
+    val lines = documents.select(
+      col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(delimiter))).as(Seq("pos", "line")))
+    val nd = documents.agg(count(lit(1)).cast("double").as("nd"))
+    val boiler = lines
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") >= col("nd") * minDocFrac)
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines
+      .join(broadcast(boiler), Seq("line"), "left")
+      .withColumn("keep", col("is_boiler").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        concat_ws(
+          delimiter,
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+            _.getField("line"))).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q57: repetition scoring — the Gopher "fraction of duplicate words"
+    * quality rule. Pure map-side array math (no explode, no shuffle
+    * before the final orderBy): dup_frac = 1 − distinct/total; docs over
+    * `maxDupFrac` are flagged for removal. */
+  def repetitionScore(documents: DataFrame, maxDupFrac: Double = 0.55): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("dup_frac", round(lit(1.0) - col("n_uniq").cast("double") / col("n_tok"), 4))
+      .withColumn("kept", col("dup_frac") <= maxDupFrac)
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling by column value (per-stratum fractions) —
     * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
     * Bernoulli draw per row seeded deterministically, no shuffle. Used

@@ -160,6 +160,35 @@ class TextDedupSpec extends SparkSpec {
     assert(ids2.subsetOf(ids3) && ids2.size < ids3.size)
   }
 
+  test("q56 line dedup removes planted boilerplate lines, keeps content in order") {
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (0L, s"$boiler\nunique content zero\nmore zero", "en", "s", 1L),
+      (1L, s"unique content one\n$boiler\ntail one", "en", "s", 1L),
+      (2L, s"$boiler\nunique content two", "en", "s", 1L),
+      (3L, "no boilerplate here at all\njust content", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lineDedup(docs, delimiter = "\n", minDocFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the boilerplate line (3/4 docs) is gone everywhere; order preserved
+    assert(out(0L).getAs[String]("kept_text") == "unique content zero\nmore zero")
+    assert(out(1L).getAs[String]("kept_text") == "unique content one\ntail one")
+    assert(out(2L).getAs[String]("kept_text") == "unique content two")
+    assert(out(3L).getAs[String]("kept_text") == "no boilerplate here at all\njust content")
+    assert(out(0L).getAs[Long]("n_total") == 3 && out(0L).getAs[Long]("n_kept") == 2)
+  }
+
+  test("q57 repetition score flags a degenerate all-same-word doc, keeps varied text") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam", "en", "s", 1L),
+      (1L, "a varied document with distinct words only", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.repetitionScore(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(0L).getAs[Boolean]("kept") && out(0L).getAs[Double]("dup_frac") > 0.8)
+    assert(out(1L).getAs[Boolean]("kept") && out(1L).getAs[Double]("dup_frac") == 0.0)
+  }
+
   test("LSH band autotuner: S-curve threshold tracks the target, monotone in threshold") {
     // 128-perm signature, target 0.42 -> the hand-picked (32, 4) default
     assert(Dedup.tuneLshBands(0.42, 128) == ((32, 4)))
