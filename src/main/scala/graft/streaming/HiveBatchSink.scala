@@ -67,28 +67,39 @@ final class HiveBatchSink(
     * a stats job plus a write job. */
   def writeBatch(events: DataFrame, batchId: Long): BatchStats = {
     val obs = Observation()
-    events
-      .observe(
-        obs,
-        count(lit(1)).as("received"),
-        count(when(col("ts").isNull, lit(1))).as("corrupt"),
-        max(col("ts")).as("max_ts"))
-      .filter(col("ts").isNotNull)
-      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
-      .withColumn("hr", date_format(col("ts"), "HH"))
-      .withColumn("ingest_batch", lit(batchId))
-      // REBALANCE, not repartition: AQE merges cold hours into shared
-      // writer tasks (each hour still lands in ONE task → one file) and
-      // splits a hot hour across tasks once it exceeds the advisory
-      // partition size — per-hour write parallelism proportional to the
-      // hour's actual bytes, with no salt column and no 4× tiny files
-      .hint("rebalance", col("dt"), col("hr"))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite")
-      .partitionBy("dt", "hr", "ingest_batch")
-      .parquet(stagingPath)
+    // REBALANCE, not repartition: rows hash on (dt, hr) so every hour
+    // lands in one writer task (one file per dir, no small-file
+    // explosion), while AQE's OptimizeSkewInRebalancePartitions splits a
+    // hot hour across tasks once it exceeds the advisory size — write
+    // parallelism proportional to each hour's actual bytes. AQE
+    // partition COALESCING is scoped off for this write only: a writer
+    // task pays a serial parquet open/close per partition directory it
+    // covers, so merging cold hours into few tasks makes wide layouts
+    // (hundreds of open hours) commit-bound — and coalescing can't
+    // reduce the file count anyway, since the hash layout already
+    // guarantees one file per dir. Skew-splitting is unaffected.
+    val coalesceKey  = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalescePrev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      events
+        .observe(
+          obs,
+          count(lit(1)).as("received"),
+          count(when(col("ts").isNull, lit(1))).as("corrupt"),
+          max(col("ts")).as("max_ts"))
+        .filter(col("ts").isNotNull)
+        .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+        .withColumn("hr", date_format(col("ts"), "HH"))
+        .withColumn("ingest_batch", lit(batchId))
+        .hint("rebalance", col("dt"), col("hr"))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite")
+        .partitionBy("dt", "hr", "ingest_batch")
+        .parquet(stagingPath)
+    } finally spark.conf.set(coalesceKey, coalescePrev)
     val m   = obs.get
     val n   = m("received").asInstanceOf[Long]
     val bad = m("corrupt").asInstanceOf[Long]

@@ -37,6 +37,45 @@ object StreamingDedup {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_fp")
 
+  /** Dedup against ALL history, not just the watermark horizon: each
+    * micro-batch anti-joins a persistent fingerprint store (parquet
+    * directory of `content_fp`) and only novel rows reach `outPath`;
+    * their fingerprints append to the store so later batches — and later
+    * RUNS — see them. This is how a corpus re-crawl collapses against
+    * months of already-ingested data: the store is O(distinct docs) ×
+    * 32 bytes, the anti-join shuffles on fp (data-proportional, no
+    * broadcast of the 100 TB side), and within-batch dups fold first via
+    * `dropDuplicates`. Store appends are fingerprints only, so a retried
+    * batch at worst re-appends fps it already wrote — duplicate fps in
+    * the store do not change anti-join semantics (idempotent under
+    * at-least-once). */
+  def dedupAgainstHistory(
+      stream: DataFrame,
+      storePath: String,
+      outPath: String,
+      contentCols: Seq[String] = Seq("text")): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val fp = batch
+        .withColumn("content_fp", md5(concat_ws("", contentCols.map(col): _*)))
+        .dropDuplicates("content_fp")
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fresh listing each batch — the shared file-status cache would
+      // otherwise serve a stale store between micro-batches
+      spark.catalog.refreshByPath(storePath)
+      val novel =
+        if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+          val store = spark.read.parquet(storePath).select("content_fp")
+          fp.join(store, Seq("content_fp"), "left_anti")
+        } else fp
+      novel.cache()
+      try {
+        novel.drop("content_fp").write.mode("append").parquet(outPath)
+        novel.select("content_fp").write.mode("append").parquet(storePath)
+      } finally novel.unpersist()
+  }
+
   /** NEAR-dup dedup at ingest for document streams: state keys on the
     * 64-bit SimHash of the text, so re-ingested identical (and
     * boilerplate-identical) docs collapse in-stream at 8 bytes of state

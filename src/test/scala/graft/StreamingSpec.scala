@@ -239,6 +239,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() <= docs.count())
   }
 
+  test("dedup against history: a re-crawl collapses against the fingerprint store across runs") {
+    val in1 = tmp(); val in2 = tmp(); val store = tmp() + "/store"; val out = tmp() + "/out"
+    val docs = Tables(spark, sfDir).documents.limit(100).cache()
+    val first50 = docs.filter(col("doc_id") < 50)
+    first50.write.mode("overwrite").parquet(in1)
+    // run 1: fresh corpus, everything is novel
+    val s1 = spark.readStream.schema(docs.schema).parquet(in1)
+    val q1 = s1.writeStream
+      .foreachBatch(graft.streaming.StreamingDedup.dedupAgainstHistory(s1, store, out))
+      .option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val distinct50 = first50.select(md5(col("text"))).distinct().count()
+    assert(spark.read.parquet(out).count() == distinct50)
+    // run 2: a re-crawl — all 100 docs arrive with NEW ids; only the 50 unseen texts pass
+    docs.withColumn("doc_id", col("doc_id") + 100000L).write.mode("overwrite").parquet(in2)
+    val s2 = spark.readStream.schema(docs.schema).parquet(in2)
+    val q2 = s2.writeStream
+      .foreachBatch(graft.streaming.StreamingDedup.dedupAgainstHistory(s2, store, out))
+      .option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    spark.catalog.refreshByPath(out)
+    val distinctAll = docs.select(md5(col("text"))).distinct().count()
+    assert(spark.read.parquet(out).count() == distinctAll,
+      s"out has ${spark.read.parquet(out).count()} rows, want $distinctAll")
+    // out never contains two rows with the same text
+    val dupTexts = spark.read.parquet(out).groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    assert(dupTexts == 0)
+    docs.unpersist()
+  }
+
   test("stream-stream interval join matches the batch attribution range join") {
     val in = tmp()
     t.events.write.mode("overwrite").parquet(in)
