@@ -81,6 +81,8 @@ object SparkEntry {
     "q55_hash_sample" -> ((s, d) => TextAnalysis.deterministicSample(Tables(s, d).documents)),
     "q56_line_dedup" -> ((s, d) => TextAnalysis.lineDedup(Tables(s, d).documents, delimiter = " ")),
     "q57_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables(s, d).documents)),
+    "q58_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(Tables(s, d).documents)),
+    "q59_ann_quantized" -> ((s, d) => Similarity.annQuantized(Tables(s, d).embeddings)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -357,6 +359,20 @@ object SparkEntry {
         |  floor((1 - CAST(n_uniq AS DOUBLE)/n_tok)*10000 + 0.5)/10000 AS dup_frac,
         |  (floor((1 - CAST(n_uniq AS DOUBLE)/n_tok)*10000 + 0.5)/10000) <= 0.55 AS kept
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q58_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    sum(len(string_split(text, ' '))) OVER
+        |      (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
+        |FROM t GROUP BY source, floor((cum - n_tok) / 512)
+        |ORDER BY source, bin""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,

@@ -208,6 +208,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q58: sequence packing — assemble documents into fixed token-budget
+    * training sequences (the pre-tokenization packing step of an LLM
+    * data pipeline). Docs are laid out in stable doc_id order per
+    * source; a running token sum assigns each doc to the bin its START
+    * offset falls in (offset binning: one window pass, deterministic,
+    * no sequential packer on the driver). Per-source windows keep the
+    * sort distributed — at 100 TB each source packs independently in
+    * its own partition. A doc straddling a boundary spills into the
+    * next bin, so fill can exceed 1 slightly; the trade is exactness of
+    * fill vs a fully parallel plan. */
+  def sequencePacking(documents: DataFrame, tokenBudget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / tokenBudget))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("bin_tokens"),
+        round(sum("n_tok").cast("double") / tokenBudget, 4).as("fill"))
+      .orderBy("source", "bin")
+  }
+
   /** Stratified sampling by column value (per-stratum fractions) —
     * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
     * Bernoulli draw per row seeded deterministically, no shuffle. Used

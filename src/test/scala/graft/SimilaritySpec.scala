@@ -114,6 +114,18 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).distinct.length == 4, "centroids collapsed")
   }
 
+  test("q59 quantized ANN reproduces the exact brute-force top-k") {
+    val emb = graft.sources.Tables(spark, sfDir).embeddings
+    val exact = graft.operators.Similarity.annBruteForce(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk")) -> r.getAs[Long]("cid")).toMap
+    val quant = graft.operators.Similarity.annQuantized(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk")) -> r.getAs[Long]("cid")).toMap
+    assert(quant.keySet == exact.keySet)
+    // with rerank = 4k the exact re-rank must recover the true top-k
+    val agree = quant.count { case (k2, cid) => exact(k2) == cid }
+    assert(agree >= (exact.size * 0.9).toInt, s"only $agree/${exact.size} positions agree")
+  }
+
   test("q63 multimodal features feed cosine ANN: k rows per query, deterministic") {
     val docs = graft.sources.Tables(spark, sfDir).documents
     val r1 = graft.operators.Multimodal.featureSimilarity(spark, docs).collect()

@@ -189,6 +189,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L).getAs[Boolean]("kept") && out(1L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("q58 sequence packing: bins conserve tokens, fill hovers at budget, bins are contiguous") {
+    val docs = Tables(spark, sfDir).documents
+    val budget = 512
+    val out = TextAnalysis.sequencePacking(docs, budget).collect()
+    val totalOut = out.map(_.getAs[Long]("bin_tokens")).sum
+    val totalIn = docs.select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum
+    assert(totalOut == totalIn, "packing lost or duplicated tokens")
+    // a mid-stream bin can lose at most one straddling doc's worth of
+    // tokens to its predecessor, so fill floor = budget - longest doc
+    val maxDoc = docs.select(size(split(col("text"), " ")).cast("long")).as[Long]
+      .collect().max
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, bins) =>
+      val sorted = bins.sortBy(_.getAs[Long]("bin"))
+      sorted.dropRight(1).foreach { b =>
+        assert(b.getAs[Long]("bin_tokens") >= budget - maxDoc,
+          s"$src bin ${b.getAs[Long]("bin")} underfilled mid-stream")
+      }
+      // bin ids contiguous from 0
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq == sorted.indices.map(_.toLong))
+    }
+  }
+
   test("LSH band autotuner: S-curve threshold tracks the target, monotone in threshold") {
     // 128-perm signature, target 0.42 -> the hand-picked (32, 4) default
     assert(Dedup.tuneLshBands(0.42, 128) == ((32, 4)))
