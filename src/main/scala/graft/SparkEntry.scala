@@ -83,6 +83,7 @@ object SparkEntry {
     "q57_repetition" -> ((s, d) => TextAnalysis.repetitionScore(Tables(s, d).documents)),
     "q58_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(Tables(s, d).documents)),
     "q59_ann_quantized" -> ((s, d) => Similarity.annQuantized(Tables(s, d).embeddings)),
+    "q64_training_pipeline" -> ((s, d) => TextAnalysis.trainingPipeline(Tables(s, d).documents)),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -372,6 +373,27 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
         |FROM t GROUP BY source, floor((cum - n_tok) / 512)
+        |ORDER BY source, bin""".stripMargin,
+    "q64_training_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM t),
+        |f AS (SELECT doc_id, source, n_tok FROM k
+        |      WHERE doc_id = keep
+        |        AND floor((1 - CAST(n_uniq AS DOUBLE)/n_tok)*10000 + 0.5)/10000 <= 0.55),
+        |c AS (SELECT source, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM f)
+        |SELECT source, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
+        |FROM c GROUP BY source, floor((cum - n_tok) / 512)
         |ORDER BY source, bin""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (

@@ -259,6 +259,18 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** IVF planning from table stats: per-query probe cost is
+    * nCells (centroid scan) + nProbe·n/nCells (probed lists); for fixed
+    * probe fraction the sum is minimized at nCells ≈ √(nProbe·n) — the
+    * classic √n rule. `targetScanFrac` is the recall knob: the expected
+    * fraction of the corpus each query inspects. */
+  def tuneIvf(n: Long, targetScanFrac: Double = 0.05): (Int, Int) = {
+    require(n > 0 && targetScanFrac > 0 && targetScanFrac <= 1)
+    val nCells = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(1, math.ceil(nCells * targetScanFrac).toInt)
+    (nCells, nProbe)
+  }
+
   /** int8 scalar quantization: each float in [-1, 1] → one signed byte
     * (×127), the whole vector packed into a BinaryType cell. 4× less
     * storage/shuffle/scan than float32 — at 100 TB of embeddings the

@@ -233,6 +233,26 @@ object TextAnalysis {
       .orderBy("source", "bin")
   }
 
+  /** q64: corpus → training sequences, end to end — the full document
+    * prep pipeline composed from verified stages in ONE oracle-checked
+    * query: exact dedup (q33) drops re-crawled copies, repetition
+    * filtering (q57) drops degenerate docs, and the survivors pack into
+    * fixed token-budget bins (q58). Stage costs at scale: one fp
+    * shuffle (dedup), map-side repetition math, one per-source window
+    * (packing) — three shuffles total for the whole corpus-to-sequences
+    * path. */
+  def trainingPipeline(
+      documents: DataFrame,
+      tokenBudget: Int = 512,
+      maxDupFrac: Double = 0.55): DataFrame = {
+    val kept = dedupExact(documents).select("doc_id")
+    val lowRep = repetitionScore(documents)
+      .filter(col("dup_frac") <= maxDupFrac)
+      .select("doc_id")
+    val survivors = documents.join(kept, "doc_id").join(lowRep, "doc_id")
+    sequencePacking(survivors, tokenBudget)
+  }
+
   /** Stratified sampling by column value (per-stratum fractions) —
     * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
     * Bernoulli draw per row seeded deterministically, no shuffle. Used

@@ -80,4 +80,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global-window ntile leaked back in:\n$p")
     assert(p.contains("hashpartitioning(pid"), s"expected pid-partitioned window in:\n$p")
   }
+
+  test("q54: HLL sketch aggregation is two-phase (partial sketches before the exchange)") {
+    val p = plan("q54_hll_rollup")
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hll_union_agg"),
+      s"no map-side partial sketch aggregation in:\n$p")
+  }
+
+  test("q56: boilerplate set joins broadcast, reassembly shuffles only on doc_id") {
+    val p = plan("q56_line_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"boilerplate anti-match not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"line dedup degraded to a heavy join:\n$p")
+  }
+
+  test("q58: packing windows are per-source (no single-partition window)") {
+    val p = plan("q58_seq_packing")
+    assert(p.contains("hashpartitioning(source"), s"expected per-source window shuffle in:\n$p")
+    val windowSection = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windowSection.contains("SinglePartition"), s"global window in packing:\n$p")
+  }
 }

@@ -114,6 +114,18 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).distinct.length == 4, "centroids collapsed")
   }
 
+  test("IVF tuner: sqrt rule, probe fraction honored, sane at extremes") {
+    val (c1, p1) = graft.operators.Similarity.tuneIvf(1000000L)
+    assert(c1 == 1000 && p1 == 50)
+    val (c2, p2) = graft.operators.Similarity.tuneIvf(100L, 0.2)
+    assert(c2 == 10 && p2 == 2)
+    val (c3, p3) = graft.operators.Similarity.tuneIvf(1L)
+    assert(c3 == 1 && p3 == 1)
+    // expected scan fraction ≈ target: nProbe/nCells within 2x of target
+    val frac = p1.toDouble / c1
+    assert(frac >= 0.05 && frac <= 0.1)
+  }
+
   test("q59 quantized ANN reproduces the exact brute-force top-k") {
     val emb = graft.sources.Tables(spark, sfDir).embeddings
     val exact = graft.operators.Similarity.annBruteForce(emb).collect()

@@ -212,6 +212,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q64 training pipeline: packs exactly the dedup+repetition survivors") {
+    val docs = Tables(spark, sfDir).documents
+    val out = TextAnalysis.trainingPipeline(docs).collect()
+    val packedTokens = out.map(_.getAs[Long]("bin_tokens")).sum
+    // independent survivor computation from the verified stages
+    val kept = TextAnalysis.dedupExact(docs).select("doc_id")
+    val lowRep = TextAnalysis.repetitionScore(docs)
+      .filter(col("dup_frac") <= 0.55).select("doc_id")
+    val survivors = docs.join(kept, "doc_id").join(lowRep, "doc_id")
+    val survivorTokens = survivors
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum
+    assert(packedTokens == survivorTokens, s"$packedTokens packed vs $survivorTokens survivor tokens")
+    assert(packedTokens < docs.select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum,
+      "pipeline filtered nothing — stages not applied")
+  }
+
   test("LSH band autotuner: S-curve threshold tracks the target, monotone in threshold") {
     // 128-perm signature, target 0.42 -> the hand-picked (32, 4) default
     assert(Dedup.tuneLshBands(0.42, 128) == ((32, 4)))
