@@ -64,4 +64,29 @@ object Compaction {
     spark.catalog.refreshByPath(sink.stagingPath)
     spark.catalog.refreshByPath(sink.tablePath)
   }
+
+  /** Which sealed partitions are worth rewriting — planned from file
+    * STATS (a driver-side listing, no data read): a partition whose
+    * data-file count exceeds what size-based rolling would produce by
+    * `slack`× is fragmented (many small files → many scan tasks + footer
+    * overhead downstream) and gets picked. Late data trickling into a
+    * re-opened hour is the usual cause. Run periodically; feed the
+    * result straight back into [[sealPartitions]]. */
+  def planCompaction(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L << 20,
+      slack: Double = 2.0): Seq[(String, String)] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      dtDir <- fs.listStatus(root).toSeq if dtDir.isDirectory && dtDir.getPath.getName.startsWith("dt=")
+      hrDir <- fs.listStatus(dtDir.getPath).toSeq if hrDir.isDirectory && hrDir.getPath.getName.startsWith("hr=")
+      files = fs.listStatus(hrDir.getPath).filterNot(_.getPath.getName.startsWith("_"))
+      nFiles = files.length
+      bytes = files.map(_.getLen).sum
+      if nFiles > math.max(1, slack * targetFileCount(bytes, targetFileBytes))
+    } yield (dtDir.getPath.getName.stripPrefix("dt="), hrDir.getPath.getName.stripPrefix("hr="))
+  }
 }

@@ -62,6 +62,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zb < ab / 2, s"z-order kb scan $zb not better than single-sort $ab")
   }
 
+  test("zone map prunes partitions on a value predicate, result identical to full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+    // time-ordered ingest: value ranges are disjoint per dt partition
+    val tab = spark.range(10000)
+      .select((col("id") / 1000).cast("long").as("dt"), col("id").as("uid"),
+        (col("id") % 97).as("v"))
+    tab.write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val zm = graft.sources.ZoneMap.build(table, Seq("dt"), Seq("uid"))
+    assert(zm.count() == 10)
+    // predicate uid in [1500, 1600] -> only dt=1 can contain it
+    val cands = graft.sources.ZoneMap
+      .candidatePartitions(zm, Seq("dt"), "uid", lit(1500L), lit(1600L)).collect()
+    // partition-dir inference reads dt back as int — compare numerically
+    assert(cands.map(_.get(0).toString).toSeq == Seq("1"))
+    val pruned = graft.sources.ZoneMap
+      .prunedRead(spark, dir, zm, Seq("dt"), "uid", lit(1500L), lit(1600L))
+    val expected = table.filter(col("uid").between(1500, 1600))
+    assert(pruned.collect().map(_.getAs[Long]("uid")).sorted.toSeq ==
+      expected.collect().map(_.getAs[Long]("uid")).sorted.toSeq)
+    // the scan itself is partition-pruned: only dt=1's rows are read
+    assert(scannedRows(pruned.select("uid")) <= 1000,
+      "zone-map read scanned partitions the side-table ruled out")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && !p.contains("PartitionFilters: []"),
+      s"no partition filters in pruned read:\n$p")
+  }
+
   test("topKPerKey: partial-selection result identical to window-only plan") {
     val orders = t.orders
     val got = TopK.topKPerKey(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)

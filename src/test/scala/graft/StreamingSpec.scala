@@ -239,6 +239,20 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() <= docs.count())
   }
 
+  test("compaction planner flags fragmented partitions from file stats only") {
+    val root = tmp()
+    val frag = s"$root/dt=20240301/hr=00"
+    val fine = s"$root/dt=20240301/hr=01"
+    // fragmented: 8 tiny files; fine: 1 file
+    spark.range(800).repartition(8).write.mode("overwrite").parquet(frag)
+    spark.range(800).coalesce(1).write.mode("overwrite").parquet(fine)
+    val picked = graft.streaming.Compaction.planCompaction(spark, root)
+    assert(picked == Seq(("20240301", "00")), s"picked $picked")
+    // a tight target size that 8 files legitimately satisfy -> nothing picked
+    val none = graft.streaming.Compaction.planCompaction(spark, root, targetFileBytes = 1L)
+    assert(none.isEmpty, s"over-eager plan: $none")
+  }
+
   test("dedup against history: a re-crawl collapses against the fingerprint store across runs") {
     val in1 = tmp(); val in2 = tmp(); val store = tmp() + "/store"; val out = tmp() + "/out"
     val docs = Tables(spark, sfDir).documents.limit(100).cache()
