@@ -81,6 +81,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(pid"), s"expected pid-partitioned window in:\n$p")
   }
 
+  test("CBO column stats shrink a filtered dim's estimate and flip the join to broadcast") {
+    // Without column stats a filtered table's size estimate stays at
+    // file size, so a selective dim filter can't earn a broadcast. With
+    // ANALYZE ... FOR ALL COLUMNS + CBO, filter selectivity shrinks the
+    // estimate below the threshold — at 100 TB this is the difference
+    // between shuffling the fact table and not.
+    val t = graft.sources.Tables(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    t.orders.write.saveAsTable("cbo_orders")
+    val fileBytes = spark.table("cbo_orders").queryExecution.optimizedPlan.stats.sizeInBytes
+    val keys = Seq(
+      "spark.sql.cbo.enabled",
+      "spark.sql.cbo.planStats.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    def shape(): String = {
+      val c = org.apache.spark.sql.functions.col _
+      val dim = spark.table("cbo_orders").filter(c("o_totalprice") > 550000.0) // ~handful of rows
+      t.lineitem.join(dim, c("l_orderkey") === c("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+    }
+    // size-only estimation still scales by the pruned-column ratio
+    // (~1/3 here); the threshold must sit below that but above the
+    // stats-informed post-filter estimate (~1% of rows)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (fileBytes / 20).toString)
+    try {
+      // size-only estimation: the filter does not shrink the estimate
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val before = shape()
+      assert(!before.contains("BroadcastHashJoin"),
+        s"already broadcast before stats — threshold not binding:\n$before")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = shape()
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats did not earn the broadcast:\n$after")
+    } finally {
+      prev.foreach { case (k, vOpt) => vOpt.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
+  }
+
   test("q54: HLL sketch aggregation is two-phase (partial sketches before the exchange)") {
     val p = plan("q54_hll_rollup")
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hll_union_agg"),
