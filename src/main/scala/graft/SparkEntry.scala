@@ -84,6 +84,12 @@ object SparkEntry {
     "q58_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(Tables(s, d).documents)),
     "q59_ann_quantized" -> ((s, d) => Similarity.annQuantized(Tables(s, d).embeddings)),
     "q64_training_pipeline" -> ((s, d) => TextAnalysis.trainingPipeline(Tables(s, d).documents)),
+    "q65_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
+    "q66_decontamination" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      // self-benchmark: every 20th doc is the held-out eval set
+      TextAnalysis.decontaminate(docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0))
+    }),
     "q42_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables(s, d).documents)),
     "q43_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(Tables(s, d).embeddings)),
     "q44_asof_join" -> ((s, d) => {
@@ -395,6 +401,16 @@ object SparkEntry {
         |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
         |FROM c GROUP BY source, floor((cum - n_tok) / 512)
         |ORDER BY source, bin""".stripMargin,
+    "q66_decontamination" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i) WHERE len(toks) >= 8),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |h AS (SELECT doc_id, count(*) AS n_hits FROM g
+        |      WHERE gram IN (SELECT gram FROM b) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  h.doc_id IS NOT NULL AS contaminated
+        |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,

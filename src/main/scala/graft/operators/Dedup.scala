@@ -200,36 +200,54 @@ object Dedup {
     * keep/drop flag. Docs with no near-dup edges are implicitly kept
     * and stay out of the output (at 100 TB, the edgeless set is ~the
     * whole corpus — materializing it would dwarf the real result). */
-  def nearDupClusters(documents: DataFrame, maxRounds: Int = 5): DataFrame = {
-    val pairs = minhashLshPairsFused(documents).select("doc_a", "doc_b")
+  def nearDupClusters(documents: DataFrame, maxRounds: Int = 5): DataFrame =
+    connectedComponents(
+      minhashLshPairsFused(documents).select("doc_a", "doc_b"), "doc_a", "doc_b", maxRounds)
+      .withColumnRenamed("node_id", "doc_id")
+      .orderBy("cluster_id", "doc_id")
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation — the generic clustering core shared by the
+    * text (q47) and embedding (q65) dedup paths. Labels monotonically
+    * decrease, so the loop converges in ≤ diameter rounds; near-dup
+    * clusters are tiny and dense (diameter ~2–3), so `maxRounds=5`
+    * converges at any corpus size; convergence is checked, not assumed.
+    * Returns one row per clustered node: (node_id, cluster_id = the
+    * component minimum — the elected canonical, keep flag). Edgeless
+    * nodes stay out of the output (at 100 TB they are ~the whole
+    * corpus). */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 5): DataFrame = {
     // undirected edge list, both directions (propagation is symmetric)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    var labels = edges.select(col("src").as("node_id")).distinct()
+      .withColumn("label", col("node_id"))
       .cache()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
-        .groupBy(col("src").as("doc_id"))
+        .join(labels.withColumnRenamed("node_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("node_id"))
         .agg(min("dst_label").as("neighbor_label"))
       val next = labels
-        .join(neighborMin, "doc_id")
-        .select(col("doc_id"), least(col("label"), col("neighbor_label")).as("label"))
+        .join(neighborMin, "node_id")
+        .select(col("node_id"), least(col("label"), col("neighbor_label")).as("label"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node_id")
         .filter(col("label") =!= col("old")).isEmpty
       labels = next
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
     labels
-      .select(col("doc_id"), col("label").as("cluster_id"))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy("cluster_id", "doc_id")
+      .select(col("node_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("node_id") === col("cluster_id"))
   }
 
   /** Single-pass SimHash kernel: all 64 bit votes accumulate in one walk

@@ -135,6 +135,49 @@ object Similarity {
       .limit(topN)
   }
 
+  /** All near-dup pairs above a cosine threshold (the un-truncated
+    * sibling of [[embeddingNearDupPairs]]): LSH-bucketed candidates,
+    * bucket-capped, exact-cosine verified. */
+  def embeddingPairsAbove(
+      embeddings: DataFrame,
+      cosThreshold: Double,
+      numBands: Int = 6,
+      planesPerBand: Int = 5,
+      dim: Int = 64,
+      maxBucket: Int = 200): DataFrame = {
+    val capped = capBuckets(banded(embeddings, numBands, planesPerBand, dim), maxBucket)
+    val l = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+    val r = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val ea = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val eb = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    cand
+      .join(ea, "vec_a")
+      .join(eb, "vec_b")
+      .withColumn("cos", dotUdf(col("e_a"), col("e_b")))
+      .filter(col("cos") >= cosThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** q65: semantic dedup (the SemDeDup recipe) — drop documents whose
+    * EMBEDDINGS nearly coincide, catching paraphrases and re-renders
+    * that defeat token-level dedup. Pipeline: SRP-LSH candidate pairs →
+    * exact cosine ≥ `cosThreshold` → connected components → keep one
+    * canonical per semantic cluster. Every stage is the verified scale
+    * shape from q43/q47: bucket-capped candidates, data-proportional
+    * shuffles, ≤diameter propagation rounds. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      cosThreshold: Double = 0.9,
+      maxRounds: Int = 5): DataFrame =
+    Dedup.connectedComponents(
+        embeddingPairsAbove(embeddings, cosThreshold), "vec_a", "vec_b", maxRounds)
+      .withColumnRenamed("node_id", "vec_id")
+      .orderBy("cluster_id", "vec_id")
+
   /** q52: banded SRP-LSH ANN — the 100 TB scale path beside q51.
     *
     * The tiny query side is banded and broadcast; the candidate side is

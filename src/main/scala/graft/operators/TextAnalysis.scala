@@ -253,6 +253,38 @@ object TextAnalysis {
     sequencePacking(survivors, tokenBudget)
   }
 
+  /** q66: benchmark decontamination — flag training documents sharing
+    * any `ngramN`-token shingle with an evaluation/benchmark set (the
+    * standard n-gram-overlap contamination test). The benchmark side is
+    * small by definition, so its hashed shingle set broadcasts; the
+    * corpus side is one map-side explode of hashed shingles + a
+    * broadcast semi-match — no shuffle of the 100 TB side at all until
+    * the tiny per-doc hit count. Hashes (xxhash64) stand in for the
+    * shingle strings end to end, so the broadcast is 8 bytes per
+    * benchmark shingle. */
+  def decontaminate(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      ngramN: Int = 8): DataFrame = {
+    def grams(c: org.apache.spark.sql.Column) =
+      transform(shingles(tokens(lower(c)), ngramN), s => xxhash64(s))
+    val benchGrams = benchmark
+      .select(explode(grams(col("text"))).as("g"))
+      .distinct()
+    val hits = documents
+      .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    documents
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling by column value (per-stratum fractions) —
     * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
     * Bernoulli draw per row seeded deterministically, no shuffle. Used

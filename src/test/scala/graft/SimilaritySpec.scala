@@ -126,6 +126,19 @@ class SimilaritySpec extends SparkSpec {
     assert(frac >= 0.05 && frac <= 0.1)
   }
 
+  test("q65 semantic dedup: planted paraphrase cluster collapses to one keeper") {
+    // 0 ≈ 10 ≈ 20 form one semantic cluster; everything else is far away
+    val vecs = fixtureVecs.unionAll(
+      Seq((20L, Array(0.995f, 0.05f, 0.05f, 0f, 0f, 0f, 0f, 0f), 2))
+        .toDF("vec_id", "embedding", "label"))
+    val out = Similarity.semanticDedup(vecs, cosThreshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.keySet == Set(0L, 10L, 20L), s"clustered ${out.keySet}")
+    assert(out.values.map(_._1).toSet == Set(0L), "cluster id is not the member minimum")
+    assert(out.count(_._2._2) == 1 && out(0L)._2, "exactly the canonical min id is kept")
+  }
+
   test("q59 quantized ANN reproduces the exact brute-force top-k") {
     val emb = graft.sources.Tables(spark, sfDir).embeddings
     val exact = graft.operators.Similarity.annBruteForce(emb).collect()

@@ -212,6 +212,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q66 decontamination flags docs overlapping the benchmark, spares clean ones") {
+    val eight = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-gram
+    val train = Seq(
+      (0L, s"intro words then $eight and a tail", "en", "s", 1L), // contains the benchmark 8-gram
+      (1L, "completely unrelated content with many distinct words here", "en", "s", 1L),
+      (2L, s"alpha beta gamma delta epsilon zeta eta NOT-theta filler filler", "en", "s", 1L) // 7-gram prefix only
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq((100L, s"$eight", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.decontaminate(train, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(0L) == ((1L, true)), s"got ${out(0L)}")
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L) == ((0L, false)), "7-token prefix wrongly flagged")
+  }
+
   test("q64 training pipeline: packs exactly the dedup+repetition survivors") {
     val docs = Tables(spark, sfDir).documents
     val out = TextAnalysis.trainingPipeline(docs).collect()
