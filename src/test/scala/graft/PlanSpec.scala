@@ -125,6 +125,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q66: benchmark gram set broadcasts — the corpus side never shuffles before the hit count") {
+    val p = plan("q66_decontamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark gram match not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join leaked in:\n$p")
+  }
+
   test("q54: HLL sketch aggregation is two-phase (partial sketches before the exchange)") {
     val p = plan("q54_hll_rollup")
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hll_union_agg"),
