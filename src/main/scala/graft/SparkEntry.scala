@@ -85,6 +85,7 @@ object SparkEntry {
     "q59_ann_quantized" -> ((s, d) => Similarity.annQuantized(Tables(s, d).embeddings)),
     "q64_training_pipeline" -> ((s, d) => TextAnalysis.trainingPipeline(Tables(s, d).documents)),
     "q65_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
+    "q67_winnowing" -> ((s, d) => Dedup.winnowingOverlap(Tables(s, d).documents)),
     "q66_decontamination" -> ((s, d) => {
       val docs = Tables(s, d).documents
       // self-benchmark: every 20th doc is the held-out eval set
@@ -401,6 +402,25 @@ object SparkEntry {
         |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
         |FROM c GROUP BY source, floor((cum - n_tok) / 512)
         |ORDER BY source, bin""".stripMargin,
+    "q67_winnowing" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram
+        |       FROM t, unnest(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3),
+        |h AS (SELECT doc_id, i, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_sh FROM sh),
+        |wm AS (SELECT doc_id, i, n_sh,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |       FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n_sh - 3),
+        |c AS (SELECT doc_id, fp FROM
+        |        (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        |      WHERE df <= 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        |FROM c a JOIN c b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q66_decontamination" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram

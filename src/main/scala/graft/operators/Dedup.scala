@@ -206,6 +206,57 @@ object Dedup {
       .withColumnRenamed("node_id", "doc_id")
       .orderBy("cluster_id", "doc_id")
 
+  /** q67: winnowing fingerprints (the MOSS rolling-hash scheme) — the
+    * plagiarism-detector's document fingerprint. Each k-token shingle
+    * hashes to a 32-bit value (md5-prefix — engine-portable); a sliding
+    * window of `w` consecutive hashes keeps its MINIMUM, and the
+    * distinct window minima are the doc's fingerprint set. Guarantee:
+    * any shared run of w+k-1 tokens between two docs shares ≥1
+    * fingerprint, while only ~2/(w+1) of all shingles are kept.
+    * Spark shape: one map-side explode + ONE per-doc window pass —
+    * winnowing is a running min, not an iterative scan. Fingerprints
+    * recurring across > `maxDf` docs (boilerplate) are dropped before
+    * the overlap join, the same hot-key cap as LSH buckets. Output:
+    * doc pairs sharing ≥ `minShared` fingerprints. */
+  def winnowingOverlap(
+      documents: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 100): DataFrame = {
+    val fps = winnowingFingerprints(documents, k, w)
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "fp")
+    val l = capped.select(col("doc_id").as("doc_a"), col("fp"))
+    val r = capped.select(col("doc_id").as("doc_b"), col("fp"))
+    l.join(r, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct (doc_id, fp) winnowing fingerprints — see
+    * [[winnowingOverlap]]. Docs with fewer than w shingles produce no
+    * fingerprints (standard winnowing domain). */
+  def winnowingFingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val winMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    documents
+      .select(
+        col("doc_id"),
+        posexplode(shingles(tokens(lower(col("text"))), k)).as(Seq("pos", "gram")))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min("h").over(winMin))
+      // a full window must exist at this start position (0-based pos)
+      .filter(col("pos") <= col("n_sh") - w)
+      .select("doc_id", "fp")
+      .distinct()
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation — the generic clustering core shared by the
     * text (q47) and embedding (q65) dedup paths. Labels monotonically

@@ -212,6 +212,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q67 winnowing: shared w+k-1 token run guarantees a shared fingerprint; disjoint docs share none") {
+    // k=3, w=4 -> any shared run of 6 tokens must yield >= 1 common fp
+    val run = "one two three four five six"
+    val docs = Seq(
+      (0L, s"prefix words here $run suffix end words", "en", "s", 1L),
+      (1L, s"$run totally different tail content words", "en", "s", 1L),
+      (2L, "nothing in common with the others at all whatsoever", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = Dedup.winnowingFingerprints(docs)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("fp")).toSet }
+    assert((fps(0L) intersect fps(1L)).nonEmpty, "shared 6-token run produced no shared fingerprint")
+    assert((fps(0L) intersect fps(2L)).isEmpty && (fps(1L) intersect fps(2L)).isEmpty)
+    // density: winnowing keeps far fewer fps than shingles
+    val nShingles0 = docs.filter(col("doc_id") === 0)
+      .select(size(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(lower(col("text"))), 3))).as[Int].first()
+    assert(fps(0L).size < nShingles0, "no compression over raw shingles")
+    // overlap operator surfaces exactly the overlapping pair at minShared=1
+    val pairs = Dedup.winnowingOverlap(docs, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
   test("q66 decontamination flags docs overlapping the benchmark, spares clean ones") {
     val eight = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-gram
     val train = Seq(
