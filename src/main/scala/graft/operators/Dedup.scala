@@ -239,10 +239,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Single-pass winnowing kernel: per doc, hash every shingle (first 4
+    * md5 bytes unsigned — identical to `conv(substring(md5(g),1,8),16,
+    * 10)`, so the DuckDB oracle matches bit-for-bit), slide the w-window
+    * min, emit the distinct minima. The whole fingerprint computation is
+    * map-side scan work — no explode, no per-doc window sort, no
+    * distinct shuffle; the first exchange in the operator is the (tiny)
+    * fingerprint join itself. */
+  private def winnowUdf(k: Int, w: Int) = udf { (toks: Seq[String]) =>
+    val nGrams = toks.length - k + 1
+    if (nGrams < w) Array.empty[Long]
+    else {
+      // shingling happens IN the kernel: building k-grams through the
+      // declarative shingles() column (transform+slice+concat_ws) runs
+      // interpreted per position — the HOF trap q40's sigUdf avoids the
+      // same way
+      val arr = toks.toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder
+      val hs = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(arr(i + j)); j += 1 }
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        md.reset()
+        hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        i += 1
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      i = 0
+      while (i <= hs.length - w) {
+        var m = hs(i); var j = 1
+        while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+        out += m
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
   /** Distinct (doc_id, fp) winnowing fingerprints — see
     * [[winnowingOverlap]]. Docs with fewer than w shingles produce no
     * fingerprints (standard winnowing domain). */
-  def winnowingFingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+  def winnowingFingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        explode(winnowUdf(k, w)(tokens(lower(col("text"))))).as("fp"))
+
+  /** Declarative winnowing (explode + sliding window-min) — the portable
+    * reference semantics the kernel is spec-tested against. */
+  private[graft] def winnowingFingerprintsHof(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val winMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     documents
       .select(

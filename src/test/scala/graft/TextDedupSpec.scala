@@ -236,6 +236,15 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)), s"got $pairs")
   }
 
+  test("q67 winnowing kernel equals the declarative sliding-window formula") {
+    val docs = Tables(spark, sfDir).documents.limit(200)
+    val kernel = Dedup.winnowingFingerprints(docs)
+      .as[(Long, Long)].collect().toSet
+    val hof = Dedup.winnowingFingerprintsHof(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(kernel == hof, "kernel diverges from reference winnowing semantics")
+  }
+
   test("q66 decontamination flags docs overlapping the benchmark, spares clean ones") {
     val eight = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-gram
     val train = Seq(
