@@ -239,6 +239,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() <= docs.count())
   }
 
+  test("sink monitor captures per-batch progress matching the data actually ingested") {
+    val in = tmp(); val events = t.events
+    events.write.mode("overwrite").parquet(in)
+    val mon = new graft.streaming.SinkMonitor().attach(spark)
+    try {
+      val q = spark.readStream.schema(events.schema).parquet(in)
+        .writeStream.format("noop")
+        .queryName("monitored_ingest")
+        .option("checkpointLocation", tmp())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // listener events are delivered asynchronously after termination
+      var waited = 0
+      while (mon.totalInputRows < events.count() && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(mon.totalInputRows == events.count(),
+        s"monitor saw ${mon.totalInputRows} rows, ingested ${events.count()}")
+      val batches = mon.progress.filter(_.queryName == "monitored_ingest")
+      assert(batches.nonEmpty)
+      assert(batches.map(_.batchId) == batches.map(_.batchId).sorted, "batch ids not monotone")
+      assert(batches.forall(b => b.numInputRows == 0 || b.processedRowsPerSecond > 0))
+    } finally mon.detach(spark)
+  }
+
   test("compaction planner flags fragmented partitions from file stats only") {
     val root = tmp()
     val frag = s"$root/dt=20240301/hr=00"
