@@ -200,7 +200,7 @@ object Dedup {
     * keep/drop flag. Docs with no near-dup edges are implicitly kept
     * and stay out of the output (at 100 TB, the edgeless set is ~the
     * whole corpus — materializing it would dwarf the real result). */
-  def nearDupClusters(documents: DataFrame, maxRounds: Int = 5): DataFrame =
+  def nearDupClusters(documents: DataFrame, maxRounds: Int = 16): DataFrame =
     connectedComponents(
       minhashLshPairsFused(documents).select("doc_a", "doc_b"), "doc_a", "doc_b", maxRounds)
       .withColumnRenamed("node_id", "doc_id")
@@ -320,7 +320,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 5): DataFrame = {
+      maxRounds: Int = 16): DataFrame = {
     // undirected edge list, both directions (propagation is symmetric)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -339,15 +339,23 @@ object Dedup {
         .join(neighborMin, "node_id")
         .select(col("node_id"), least(col("label"), col("neighbor_label")).as("label"))
         .cache()
+      // the isEmpty action materializes `next`, so the superseded
+      // round's cache can be released immediately (no storage-memory
+      // leak across rounds or calls)
       converged = next.join(labels.withColumnRenamed("label", "old"), "node_id")
         .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist(blocking = false)
       labels = next
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
-    labels
+    val result = labels
       .select(col("node_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("node_id") === col("cluster_id"))
+      .localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    result
   }
 
   /** Single-pass SimHash kernel: all 64 bit votes accumulate in one walk

@@ -116,7 +116,21 @@ object Similarity {
       planesPerBand: Int = 5,
       dim: Int = 64,
       topN: Int = 20,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200): DataFrame =
+    verifiedEmbeddingPairs(embeddings, numBands, planesPerBand, dim, maxBucket)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+      .limit(topN)
+
+  /** Shared candidate pipeline for the embedding near-dup family:
+    * banded SRP buckets → cap → self-join → distinct pairs → exact
+    * cosine. Both q43 (top-N) and q65 (threshold) rank/filter this. */
+  private def verifiedEmbeddingPairs(
+      embeddings: DataFrame,
+      numBands: Int,
+      planesPerBand: Int,
+      dim: Int,
+      maxBucket: Int): DataFrame = {
     val capped = capBuckets(banded(embeddings, numBands, planesPerBand, dim), maxBucket)
     val l = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
     val r = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_b"))
@@ -130,37 +144,20 @@ object Similarity {
       .join(ea, "vec_a")
       .join(eb, "vec_b")
       .withColumn("cos", dotUdf(col("e_a"), col("e_b")))
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
-      .limit(topN)
   }
 
   /** All near-dup pairs above a cosine threshold (the un-truncated
-    * sibling of [[embeddingNearDupPairs]]): LSH-bucketed candidates,
-    * bucket-capped, exact-cosine verified. */
+    * sibling of [[embeddingNearDupPairs]]). */
   def embeddingPairsAbove(
       embeddings: DataFrame,
       cosThreshold: Double,
       numBands: Int = 6,
       planesPerBand: Int = 5,
       dim: Int = 64,
-      maxBucket: Int = 200): DataFrame = {
-    val capped = capBuckets(banded(embeddings, numBands, planesPerBand, dim), maxBucket)
-    val l = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
-    val r = capped.select(col("band"), col("bucket"), col("vec_id").as("vec_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct()
-    val ea = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val eb = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    cand
-      .join(ea, "vec_a")
-      .join(eb, "vec_b")
-      .withColumn("cos", dotUdf(col("e_a"), col("e_b")))
+      maxBucket: Int = 200): DataFrame =
+    verifiedEmbeddingPairs(embeddings, numBands, planesPerBand, dim, maxBucket)
       .filter(col("cos") >= cosThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
-  }
 
   /** q65: semantic dedup (the SemDeDup recipe) — drop documents whose
     * EMBEDDINGS nearly coincide, catching paraphrases and re-renders
@@ -263,12 +260,17 @@ object Similarity {
       nProbe: Int = 4,
       sampleMod: Int = 7,
       iters: Int = 5): DataFrame = {
+    // orderBy before limit: an unordered limit picks whichever partitions
+    // scan first, so the "deterministic" training sample would drift with
+    // file layout; the sort makes it a layout-independent top-k (cheap —
+    // TakeOrdered over the modulo-filtered slice)
     val sample = embeddings
       .filter(col("vec_id") % sampleMod === 0)
-      .select("embedding")
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
       .limit(2048)
       .collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(_.getSeq[Float](1).toArray)
     val cents = trainCentroids(sample, nCells, iters)
     val assignUdf = udf { (v: Seq[Float]) => bestCell(cents, v) }
     val probeUdf = udf { (v: Seq[Float]) =>

@@ -23,7 +23,11 @@ import org.apache.spark.sql.types._
   * merges neighbours while the merged weight stays under the k₁ bound
   * `4·W·q(1-q)/δ`.
   */
-final class TDigest(val compression: Double) extends Serializable {
+final class TDigest(initialCompression: Double) extends Serializable {
+  // adopted upward when merging a finer-grained sketch, so re-merging
+  // stored δ=200 sketches through a δ=100 buffer keeps their accuracy
+  private var compressionV = initialCompression
+  def compression: Double = compressionV
   private var means   = new Array[Double](0)
   private var weights = new Array[Double](0)
   private var nCentroids = 0
@@ -47,22 +51,21 @@ final class TDigest(val compression: Double) extends Serializable {
     bufN += 1
   }
 
+  /** Bulk merge: append the other digest's centroid arrays in one copy,
+    * then ONE compress pass — the reduce path runs O((C₁+C₂)·log) per
+    * merge, not a full sort per incoming centroid. */
   def merge(other: TDigest): Unit = {
     other.compress()
-    var i = 0
-    while (i < other.nCentroids) {
-      addCentroid(other.means(i), other.weights(i))
-      i += 1
-    }
-  }
-
-  private def addCentroid(mean: Double, weight: Double): Unit = {
-    compress() // flush the point buffer so centroid arrays are canonical
-    means = means.take(nCentroids) :+ mean
-    weights = weights.take(nCentroids) :+ weight
-    nCentroids += 1
+    if (other.compressionV > compressionV) compressionV = other.compressionV
+    compress() // flush own point buffer so centroid arrays are canonical
+    val n2 = nCentroids + other.nCentroids
+    val m2 = java.util.Arrays.copyOf(means, n2)
+    val w2 = java.util.Arrays.copyOf(weights, n2)
+    System.arraycopy(other.means, 0, m2, nCentroids, other.nCentroids)
+    System.arraycopy(other.weights, 0, w2, nCentroids, other.nCentroids)
+    means = m2; weights = w2; nCentroids = n2
     dirty = true
-    if (nCentroids > 4 * compression.toInt) compress()
+    compress()
   }
 
   /** The k₁ scale function δ/2π·asin(2q−1): steep at the tails, so a
@@ -165,12 +168,13 @@ object TDigest {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val d  = new TDigest(in.readDouble())
     val n  = in.readInt()
-    var i  = 0
-    while (i < n) {
-      val m = in.readDouble(); val w = in.readDouble()
-      d.addCentroid(m, w)
-      i += 1
-    }
+    // serialize() wrote the compressed canonical (sorted) form — restore
+    // the arrays wholesale, no re-compression needed
+    d.means = new Array[Double](n)
+    d.weights = new Array[Double](n)
+    var i = 0
+    while (i < n) { d.means(i) = in.readDouble(); d.weights(i) = in.readDouble(); i += 1 }
+    d.nCentroids = n
     d
   }
 }
@@ -377,7 +381,8 @@ case class TDigestMergeQuantile(
   override def nullable: Boolean = true
 
   // compression rides inside each serialized sketch; the buffer adopts
-  // the first one it merges
+  // the finest (max) compression of the sketches it merges, so stored
+  // accuracy survives the re-merge
   override def createAggregationBuffer(): TDigest = new TDigest(100.0)
   override def update(buffer: TDigest, input: InternalRow): TDigest = {
     val v = child.eval(input)

@@ -78,8 +78,12 @@ final class HiveBatchSink(
     // (hundreds of open hours) commit-bound — and coalescing can't
     // reduce the file count anyway, since the hash layout already
     // guarantees one file per dir. Skew-splitting is unaffected.
+    // note: SQLConf is session-scoped, so a concurrent query planned in
+    // THIS session during the write also sees the flag — acceptable for
+    // a dedicated ingest session (the deployment shape for a sink);
+    // restore distinguishes explicitly-set from default
     val coalesceKey  = "spark.sql.adaptive.coalescePartitions.enabled"
-    val coalescePrev = spark.conf.get(coalesceKey)
+    val coalescePrev = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "false")
     try {
       events
@@ -99,7 +103,7 @@ final class HiveBatchSink(
         .mode("overwrite")
         .partitionBy("dt", "hr", "ingest_batch")
         .parquet(stagingPath)
-    } finally spark.conf.set(coalesceKey, coalescePrev)
+    } finally coalescePrev.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
     val m   = obs.get
     val n   = m("received").asInstanceOf[Long]
     val bad = m("corrupt").asInstanceOf[Long]

@@ -284,17 +284,27 @@ class StreamingSpec extends SparkSpec {
     // run 1: fresh corpus, everything is novel
     val s1 = spark.readStream.schema(docs.schema).parquet(in1)
     val q1 = s1.writeStream
-      .foreachBatch(graft.streaming.StreamingDedup.dedupAgainstHistory(s1, store, out))
+      .foreachBatch(graft.streaming.StreamingDedup.dedupAgainstHistory(store, out))
       .option("checkpointLocation", tmp())
       .trigger(Trigger.AvailableNow()).start()
     q1.awaitTermination()
     val distinct50 = first50.select(md5(col("text"))).distinct().count()
     assert(spark.read.parquet(out).count() == distinct50)
+    // replay a batch with the SAME writer instance (at-least-once retry
+    // after the fp append already committed): the novel set recomputes
+    // identically and dynamic overwrite replaces exactly its own output
+    val store2 = tmp() + "/store2"; val out2 = tmp() + "/out2"
+    val writer2 = graft.streaming.StreamingDedup.dedupAgainstHistory(store2, out2)
+    writer2(first50, 0L)
+    writer2(first50, 0L) // replay: own batch-0 fps must not mask the rows
+    spark.catalog.refreshByPath(out2)
+    assert(spark.read.parquet(out2).count() == distinct50,
+      s"replay broke idempotency: ${spark.read.parquet(out2).count()} vs $distinct50")
     // run 2: a re-crawl — all 100 docs arrive with NEW ids; only the 50 unseen texts pass
     docs.withColumn("doc_id", col("doc_id") + 100000L).write.mode("overwrite").parquet(in2)
     val s2 = spark.readStream.schema(docs.schema).parquet(in2)
     val q2 = s2.writeStream
-      .foreachBatch(graft.streaming.StreamingDedup.dedupAgainstHistory(s2, store, out))
+      .foreachBatch(graft.streaming.StreamingDedup.dedupAgainstHistory(store, out))
       .option("checkpointLocation", tmp())
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
