@@ -86,6 +86,8 @@ object SparkEntry {
     "q64_training_pipeline" -> ((s, d) => TextAnalysis.trainingPipeline(Tables(s, d).documents)),
     "q65_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
     "q67_winnowing" -> ((s, d) => Dedup.winnowingOverlap(Tables(s, d).documents)),
+    "q68_full_outer" -> ((s, d) => { val t = Tables(s, d); Relational.fullOuterAgg(t.customer, t.supplier) }),
+    "q69_set_ops" -> ((s, d) => Relational.setOps(Tables(s, d).orders)),
     "q66_decontamination" -> ((s, d) => {
       val docs = Tables(s, d).documents
       // self-benchmark: every 20th doc is the held-out eval set
@@ -402,6 +404,23 @@ object SparkEntry {
         |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
         |FROM c GROUP BY source, floor((cum - n_tok) / 512)
         |ORDER BY source, bin""".stripMargin,
+    "q68_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q69_set_ops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |large AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0),
+        |tagged AS (
+        |  SELECT o_custkey, 'both' AS which FROM (SELECT * FROM urgent INTERSECT SELECT * FROM large)
+        |  UNION ALL
+        |  SELECT o_custkey, 'urgent_only' AS which FROM (SELECT * FROM urgent EXCEPT SELECT * FROM large))
+        |SELECT which, count(*) AS n_custs, min(o_custkey) AS min_cust
+        |FROM tagged GROUP BY which ORDER BY which""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

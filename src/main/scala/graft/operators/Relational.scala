@@ -428,6 +428,35 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q68: FULL OUTER join — customers×suppliers per nation, keeping
+    * nations that have only one side. Null-safe coalesced counts; one
+    * shuffle per side on the join key. */
+  def fullOuterAgg(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = supplier.groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(
+        col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** q69: set operations — INTERSECT / EXCEPT between two order-key
+    * slices (customers with urgent orders vs customers with large
+    * orders). Spark plans both as aggregate-style joins (no sort): the
+    * distinct shuffle IS the operator. */
+  def setOps(orders: DataFrame): DataFrame = {
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val large  = orders.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+    val both       = urgent.intersect(large).withColumn("which", lit("both"))
+    val urgentOnly = urgent.except(large).withColumn("which", lit("urgent_only"))
+    both.unionAll(urgentOnly)
+      .groupBy("which")
+      .agg(count(lit(1)).as("n_custs"), min("o_custkey").as("min_cust"))
+      .orderBy("which")
+  }
+
   /** q27: CUBE aggregation — all grouping-set combinations in one
     * Expand + single shuffle. */
   def cubeAgg(lineitem: DataFrame): DataFrame =
