@@ -88,6 +88,7 @@ object SparkEntry {
     "q67_winnowing" -> ((s, d) => Dedup.winnowingOverlap(Tables(s, d).documents)),
     "q68_full_outer" -> ((s, d) => { val t = Tables(s, d); Relational.fullOuterAgg(t.customer, t.supplier) }),
     "q69_set_ops" -> ((s, d) => Relational.setOps(Tables(s, d).orders)),
+    "q71_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d).documents)),
     "q66_decontamination" -> ((s, d) => {
       val docs = Tables(s, d).documents
       // self-benchmark: every 20th doc is the held-out eval set

@@ -285,6 +285,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q71: perplexity-proxy quality filter (the CCNet recipe, with an
+    * in-corpus LM standing in for the external wiki-LM): train a
+    * character-bigram language model over the corpus, score each doc by
+    * average bits per bigram (−log₂ P(c₂|c₁), add-α smoothed), flag
+    * outliers. The model is BOUNDED by the alphabet (≤ |Σ|² entries)
+    * regardless of corpus size, so training is one map-side-combined
+    * count over ~1k keys and the model ships to scorers inside a UDF
+    * closure — the 100 TB shape: two linear passes, no shuffle beyond
+    * a ~1k-row aggregate. */
+  def lmScore(
+      documents: DataFrame,
+      smoothing: Double = 0.5,
+      maxBits: Double = 6.0): DataFrame = {
+    val bigramsUdf = udf { (s: String) =>
+      val t = s.toLowerCase
+      (0 until t.length - 1).map(i => t.substring(i, i + 2))
+    }
+    val counts = documents
+      .select(explode(bigramsUdf(col("text"))).as("bg"))
+      .groupBy("bg").count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val firstTotals = counts.groupMapReduce(_._1.substring(0, 1))(_._2)(_ + _)
+    val vocab = counts.keysIterator.map(_.substring(1, 2)).toSet.size.toDouble
+    val scoreUdf = udf { (s: String) =>
+      val t = s.toLowerCase
+      if (t.length < 2) Double.NaN
+      else {
+        var bits = 0.0
+        var i = 0
+        while (i < t.length - 1) {
+          val bg = t.substring(i, i + 2)
+          val p = (counts.getOrElse(bg, 0L) + smoothing) /
+            (firstTotals.getOrElse(bg.substring(0, 1), 0L) + smoothing * vocab)
+          bits -= math.log(p) / math.log(2.0)
+          i += 1
+        }
+        bits / (t.length - 1)
+      }
+    }
+    documents
+      .select(col("doc_id"), col("lang"), round(scoreUdf(col("text")), 4).as("bits_per_bigram"))
+      .withColumn("kept", col("bits_per_bigram") <= maxBits)
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling by column value (per-stratum fractions) —
     * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
     * Bernoulli draw per row seeded deterministically, no shuffle. Used

@@ -245,6 +245,21 @@ class TextDedupSpec extends SparkSpec {
     assert(kernel == hof, "kernel diverges from reference winnowing semantics")
   }
 
+  test("q71 LM score: in-corpus bigram model ranks gibberish worse than corpus-like text") {
+    val corpus = Tables(spark, sfDir).documents.limit(300)
+    val gibberish = Seq((999999L, "zq xv qqj zzk wxq vqz jxq qzz kvx zqj xqv", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scored = TextAnalysis.lmScore(corpus.unionAll(gibberish))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bits_per_bigram")).toMap
+    val corpusBits = scored.filter(_._1 != 999999L).values
+    assert(scored(999999L) > corpusBits.sum / corpusBits.size + 1.0,
+      s"gibberish ${scored(999999L)} not clearly above corpus mean ${corpusBits.sum / corpusBits.size}")
+    // deterministic across runs
+    val again = TextAnalysis.lmScore(corpus.unionAll(gibberish))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bits_per_bigram")).toMap
+    assert(again == scored)
+  }
+
   test("q66 decontamination flags docs overlapping the benchmark, spares clean ones") {
     val eight = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-gram
     val train = Seq(
