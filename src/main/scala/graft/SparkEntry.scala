@@ -89,6 +89,9 @@ object SparkEntry {
     "q68_full_outer" -> ((s, d) => { val t = Tables(s, d); Relational.fullOuterAgg(t.customer, t.supplier) }),
     "q69_set_ops" -> ((s, d) => Relational.setOps(Tables(s, d).orders)),
     "q71_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d).documents)),
+    "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
+      Tables(s, d).documents,
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
     "q66_decontamination" -> ((s, d) => {
       val docs = Tables(s, d).documents
       // self-benchmark: every 20th doc is the held-out eval set
@@ -405,6 +408,18 @@ object SparkEntry {
         |  floor((CAST(sum(n_tok) AS DOUBLE)/512)*10000 + 0.5)/10000 AS fill
         |FROM c GROUP BY source, floor((cum - n_tok) / 512)
         |ORDER BY source, bin""".stripMargin,
+    "q72_mixture_solver" ->
+      """WITH shares(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |t AS (SELECT d.source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |        CAST(s.share AS DOUBLE) AS share
+        |      FROM documents d JOIN shares s ON d.source = s.source
+        |      GROUP BY d.source, s.share),
+        |b AS (SELECT *, min(CAST(n_tokens AS DOUBLE) / share) OVER () AS budget FROM t)
+        |SELECT source, n_tokens,
+        |  floor(share*10000 + 0.5)/10000 AS share,
+        |  floor((share * budget / n_tokens)*10000 + 0.5)/10000 AS rate,
+        |  floor((share * budget)*10000 + 0.5)/10000 AS sampled_tokens
+        |FROM b ORDER BY source""".stripMargin,
     "q68_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
         |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)

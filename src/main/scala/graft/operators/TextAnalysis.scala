@@ -332,6 +332,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q72: training-mixture solver — turn target token SHARES into
+    * per-source sampling RATES. Downsampling only (rates ≤ 1, no
+    * repetition epochs): the feasible total budget is
+    * T = min_s(tokens_s / share_s), at which the scarcest source is
+    * taken whole (rate 1) and every other source downsamples to hit
+    * its share exactly. One tiny per-source aggregate; the solve is
+    * arithmetic on O(#sources) rows. Feed the rates into
+    * [[stratifiedSample]] to materialize the mixture. */
+  def mixtureRates(documents: DataFrame, targetShares: Map[String, Double]): DataFrame = {
+    val total = targetShares.values.sum
+    val shares = targetShares.map { case (s, v) => (s, v / total) }
+    val shareCol = shares.foldLeft(lit(null).cast("double")) { case (acc, (s, v)) =>
+      when(col("source") === s, lit(v)).otherwise(acc)
+    }
+    val perSource = documents
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("share", shareCol)
+      .filter(col("share").isNotNull)
+    val w = Window.partitionBy()
+    perSource
+      .withColumn("budget", min(col("n_tokens").cast("double") / col("share")).over(w))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        round(col("share"), 4).as("share"),
+        round(col("share") * col("budget") / col("n_tokens"), 4).as("rate"),
+        round(col("share") * col("budget"), 4).as("sampled_tokens"))
+      .orderBy("source")
+  }
+
+  /** The solved mixture, materialized: per-source Bernoulli sampling at
+    * the q72 rates. Realized token shares converge to the targets by
+    * LLN; the scarcest source passes through whole. */
+  def mixtureSample(
+      documents: DataFrame,
+      targetShares: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    val rates = mixtureRates(documents, targetShares)
+      .select("source", "rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    stratifiedSample(documents, "source", rates, seed)
+  }
+
   /** Stratified sampling by column value (per-stratum fractions) —
     * `DataFrameStatFunctions.sampleBy` under the hood: one map-side
     * Bernoulli draw per row seeded deterministically, no shuffle. Used

@@ -245,6 +245,29 @@ class TextDedupSpec extends SparkSpec {
     assert(kernel == hof, "kernel diverges from reference winnowing semantics")
   }
 
+  test("q72 mixture solver: rates hit target shares, scarcest source taken whole") {
+    val docs = Tables(spark, sfDir).documents
+    val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val rates = TextAnalysis.mixtureRates(docs, shares).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(rates.keySet == shares.keySet)
+    // all rates are valid Bernoulli fractions; the binding source is ~1
+    assert(rates.values.forall { case (rate, _) => rate > 0 && rate <= 1.0001 })
+    assert(rates.values.exists { case (rate, _) => rate > 0.9999 }, s"no binding source in $rates")
+    // sampled tokens realize the target ratios exactly (solver is exact)
+    val st = rates.map { case (s, (_, tok)) => s -> tok }
+    assert(math.abs(st("src0") / st.values.sum - 0.5) < 0.001)
+    assert(math.abs(st("src1") / st.values.sum - 0.3) < 0.001)
+    // materialized mixture: realized token shares approach targets
+    val sample = TextAnalysis.mixtureSample(docs, shares)
+    val realized = sample.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val tot = realized.values.sum
+    assert(math.abs(realized("src0") / tot - 0.5) < 0.15,
+      s"realized shares ${realized.map { case (k, v) => k -> v / tot }}")
+  }
+
   test("q71 LM score: in-corpus bigram model ranks gibberish worse than corpus-like text") {
     val corpus = Tables(spark, sfDir).documents.limit(300)
     val gibberish = Seq((999999L, "zq xv qqj zzk wxq vqz jxq qzz kvx zqj xqv", "en", "s", 1L))
