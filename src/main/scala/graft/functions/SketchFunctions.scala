@@ -33,4 +33,11 @@ object SketchFunctions {
   def tdigestMergeQuantile(sketches: Column, p: Double): Column =
     toColumn(
       graft.plans.TDigestMergeQuantile(expression(sketches), Literal(p)).toAggregateExpression())
+
+  /** Aggregate a key column into a serialized Bloom filter (the
+    * membership half of the zone-map side table). */
+  def bloomSketch(c: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    toColumn(
+      graft.plans.BloomSketch(expression(c), Literal(expectedItems), Literal(fpp))
+        .toAggregateExpression())
 }

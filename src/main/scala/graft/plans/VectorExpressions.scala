@@ -190,7 +190,12 @@ object VectorFunctionRegistry {
       else new TDigestQuantile(args(0), args(1))),
     "tdigest_sketch" -> (args =>
       TDigestSketch(args(0), if (args.length >= 2) args(1) else Literal(100.0))),
-    "tdigest_merge_quantile" -> (args => TDigestMergeQuantile(args(0), args(1))))
+    "tdigest_merge_quantile" -> (args => TDigestMergeQuantile(args(0), args(1))),
+    "bloom_sketch" -> (args =>
+      BloomSketch(
+        args(0),
+        if (args.length >= 2) args(1) else Literal(100000L),
+        if (args.length >= 3) args(2) else Literal(0.01))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -62,7 +62,13 @@ object ZoneMap {
       hi: Column): DataFrame = {
     val parts = candidatePartitions(zoneMap, partitionCols, valueCol, lo, hi).collect()
     val table = spark.read.parquet(tablePath)
-    val admit = parts
+    table
+      .filter(admitFilter(parts.toSeq, partitionCols))
+      .filter(col(valueCol) >= lo && col(valueCol) <= hi)
+  }
+
+  private def admitFilter(parts: Seq[org.apache.spark.sql.Row], partitionCols: Seq[String]): Column =
+    parts
       .map { row =>
         partitionCols.zipWithIndex
           .map { case (c, i) => col(c) === lit(row.get(i)) }
@@ -70,6 +76,70 @@ object ZoneMap {
       }
       .reduceOption(_ || _)
       .getOrElse(lit(false))
-    table.filter(admit).filter(col(valueCol) >= lo && col(valueCol) <= hi)
+
+  /** Zone map with per-partition BLOOM FILTERS beside min/max. Min/max
+    * prunes range predicates; a point lookup on a high-cardinality
+    * column whose values span every partition (user_id over time
+    * partitions) passes every [min, max] test. The bloom column answers
+    * "can this partition contain key X?" — no false negatives, `fpp`
+    * false positives — so the point lookup scans only the partitions
+    * that actually hold the key (plus ~fpp·partitions). Same one
+    * aggregation pass as [[build]]; ~1.2 KB per 1k expected keys at 1%
+    * fpp, still a tiny side-table at 100k partitions. */
+  def buildWithBloom(
+      table: DataFrame,
+      partitionCols: Seq[String],
+      valueCols: Seq[String],
+      expectedKeysPerPartition: Long = 100000L,
+      fpp: Double = 0.01): DataFrame = {
+    val aggs = valueCols.flatMap { c =>
+      Seq(
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        graft.functions.SketchFunctions
+          .bloomSketch(col(c), expectedKeysPerPartition, fpp)
+          .as(s"${c}_bloom"))
+    } :+ count(lit(1)).as("n_rows")
+    table.groupBy(partitionCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The partitions a POINT predicate `valueCol = value` can touch:
+    * [min, max] must admit the value AND the partition's bloom filter
+    * must report possible membership. Driver-side over the collected
+    * side-table (each row's filter deserializes once). */
+  def candidatePartitionsPoint(
+      zoneMap: DataFrame,
+      partitionCols: Seq[String],
+      valueCol: String,
+      value: Any): Seq[org.apache.spark.sql.Row] = {
+    val probe = lit(value)
+    val rows = zoneMap
+      .filter(col(s"${valueCol}_max") >= probe && col(s"${valueCol}_min") <= probe)
+      .select((partitionCols :+ s"${valueCol}_bloom").map(col): _*)
+      .collect()
+    rows.toSeq
+      .filter { row =>
+        val bf = graft.plans.BloomZone.deserialize(row.getAs[Array[Byte]](s"${valueCol}_bloom"))
+        graft.plans.BloomZone.mightContain(bf, value)
+      }
+      .map(row => org.apache.spark.sql.Row.fromSeq(partitionCols.indices.map(row.get)))
+  }
+
+  /** Bloom-pruned point read: like [[prunedRead]] but for equality
+    * predicates, with the bloom column vetoing partitions min/max alone
+    * would admit. Result is identical to filtering the full table —
+    * bloom filters have no false negatives. */
+  def prunedReadPoint(
+      spark: SparkSession,
+      tablePath: String,
+      zoneMap: DataFrame,
+      partitionCols: Seq[String],
+      valueCol: String,
+      value: Any): DataFrame = {
+    val parts = candidatePartitionsPoint(zoneMap, partitionCols, valueCol, value)
+    spark.read
+      .parquet(tablePath)
+      .filter(admitFilter(parts, partitionCols))
+      .filter(col(valueCol) === lit(value))
   }
 }

@@ -90,6 +90,41 @@ class ScaleOpsSpec extends SparkSpec {
       s"no partition filters in pruned read:\n$p")
   }
 
+  test("bloom zone map prunes point lookups that min/max alone cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomzone").toString
+    // adversarial layout for min/max: every partition's uid range spans
+    // the whole domain (uid ≡ dt mod 10, so dt=3 holds 3, 13, 23, …) —
+    // range stats admit EVERY partition for any probe; only membership
+    // can prune
+    val tab = spark.range(10000)
+      .select((col("id") % 10).as("dt"), col("id").as("uid"), (col("id") % 97).as("v"))
+    tab.write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val zm = graft.sources.ZoneMap
+      .buildWithBloom(table, Seq("dt"), Seq("uid"), expectedKeysPerPartition = 2000L, fpp = 0.01)
+      .cache()
+    assert(zm.count() == 10)
+    val probe = 4567L // lives only in dt=7
+    // min/max admits all 10 partitions; bloom vetoes the 9 that can't hold it
+    val rangeOnly = graft.sources.ZoneMap
+      .candidatePartitions(zm, Seq("dt"), "uid", lit(probe), lit(probe)).count()
+    assert(rangeOnly == 10, s"expected min/max to admit all partitions, got $rangeOnly")
+    val bloomCands = graft.sources.ZoneMap
+      .candidatePartitionsPoint(zm, Seq("dt"), "uid", probe)
+    assert(bloomCands.map(_.get(0).toString).contains("7"), "bloom dropped the true partition")
+    assert(bloomCands.size <= 2, s"bloom admitted ${bloomCands.size} partitions at fpp=0.01")
+    // pruned read: identical result, scan bounded by the admitted partitions
+    val pruned = graft.sources.ZoneMap
+      .prunedReadPoint(spark, dir, zm, Seq("dt"), "uid", probe)
+    assert(pruned.collect().map(_.getAs[Long]("uid")).toSeq == Seq(probe))
+    assert(scannedRows(pruned.select("uid")) <= bloomCands.size * 1000L,
+      "bloom-pruned read scanned partitions the side-table ruled out")
+    // absent key: bloom usually rules out every partition -> empty scan, no false negatives
+    assert(graft.sources.ZoneMap
+      .prunedReadPoint(spark, dir, zm, Seq("dt"), "uid", 999999L).count() == 0)
+    zm.unpersist()
+  }
+
   test("topKPerKey: partial-selection result identical to window-only plan") {
     val orders = t.orders
     val got = TopK.topKPerKey(orders, "o_custkey", "o_totalprice", "o_orderkey", 3)
