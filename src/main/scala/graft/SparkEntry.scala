@@ -89,6 +89,7 @@ object SparkEntry {
     "q68_full_outer" -> ((s, d) => { val t = Tables(s, d); Relational.fullOuterAgg(t.customer, t.supplier) }),
     "q69_set_ops" -> ((s, d) => Relational.setOps(Tables(s, d).orders)),
     "q71_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d).documents)),
+    "q73_shared_scan" -> ((s, d) => SharedScan.lineitemRollups(Tables(s, d).lineitem)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -437,6 +438,16 @@ object SparkEntry {
         |  SELECT o_custkey, 'urgent_only' AS which FROM (SELECT * FROM urgent EXCEPT SELECT * FROM large))
         |SELECT which, count(*) AS n_custs, min(o_custkey) AS min_cust
         |FROM tagged GROUP BY which ORDER BY which""".stripMargin,
+    "q73_shared_scan" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+        |  coalesce(l_linestatus, 'ALL') AS line_status,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  floor(sum(l_quantity)*10000 + 0.5)/10000 AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus), ())
+        |ORDER BY gid, ret_flag, line_status""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

@@ -17,6 +17,13 @@ object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The name a Column was `.as(...)`-aliased to, if any (the node tree
+    * is inspectable before analysis; the catalyst Expression is not). */
+  def aliasName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.Alias => a.name.headOption
+    case _ => None
+  }
+
   /** DataFrame over a raw logical plan (`classic.Dataset.ofRows` is
     * `private[sql]`) — how custom [[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
     * operators enter the DataFrame API. */

@@ -192,4 +192,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning(o_custkey"), s"bucket co-location lost:\n$plan")
   }
+
+  test("shared scan: N rollups from one scan, each view identical to its standalone groupBy") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SharedScan
+    import graft.operators.SharedScan.GroupSpec
+    val aggs = Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+    // duplicate key-set (by_flag twice, reordered by_both) must not double rows
+    val specs = Seq(
+      GroupSpec("by_flag", Seq("l_returnflag")),
+      GroupSpec("by_flag2", Seq("l_returnflag")),
+      GroupSpec("by_both", Seq("l_linestatus", "l_returnflag")),
+      GroupSpec("grand", Seq.empty))
+    // one scan of lineitem feeds an Expand: that IS the sharing
+    // (plan-assert on an uncached build — the cache's stored plan string
+    // would repeat the scan line in initial+final AQE sections)
+    val uncached = SharedScan.multiGroupBy(t.lineitem, specs, aggs, cache = false).combined
+    uncached.collect()
+    val fullPlan = uncached.queryExecution.executedPlan.toString
+    val plan = fullPlan.split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), s"no Expand (grouping sets) in:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$plan")
+    val shared = SharedScan.multiGroupBy(t.lineitem, specs, aggs)
+    try {
+      // every view ≡ the query it replaces
+      specs.foreach { s =>
+        val naive =
+          (if (s.keys.isEmpty) t.lineitem.groupBy() else t.lineitem.groupBy(s.keys.map(col): _*))
+            .agg(aggs.head, aggs.tail: _*)
+        val got = shared.views(s.name).collect().map(_.toSeq).toSet
+        val want = naive.collect().map(_.toSeq).toSet
+        assert(got == want, s"view ${s.name} diverged from standalone groupBy")
+      }
+    } finally shared.release()
+  }
 }

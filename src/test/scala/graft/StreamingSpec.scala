@@ -189,6 +189,48 @@ class StreamingSpec extends SparkSpec {
     assert(c2 == c1, s"insertInto re-load duplicated rows: $c2 vs $c1")
   }
 
+  test("backfill: replaying a corrected day reseals it, drops retracted hours, leaves other days alone") {
+    import graft.streaming.Backfill
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    def ev(id: Long, day: String, hr: Int, value: Double) =
+      (id, s"2026-01-0${day.last}T%02d:30:00Z".format(hr), value)
+    def toDf(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("event_id", "ts_s", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    // day 1: hours 00/01/02; day 2: hour 00
+    val original = toDf(Seq(
+      ev(1, "1", 0, 1.0), ev(2, "1", 1, 2.0), ev(3, "1", 2, 3.0), ev(4, "2", 0, 4.0)))
+    sink.writeBatch(original, batchId = 0)
+    val farFuture = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    sink.sealClosed(farFuture)
+    assert(sink.readTable().count() == 4 && sink.isSealed("20260101", "02"))
+
+    // corrected day 1: values revised, hour 02 retracted, hour 03 new;
+    // plus a revised day-2 row that must be IGNORED (out of scope)
+    val corrected = toDf(Seq(
+      ev(1, "1", 0, 10.0), ev(2, "1", 1, 20.0), ev(5, "1", 3, 30.0), ev(4, "2", 0, 999.0)))
+    val resealed = Backfill.reprocess(sink, corrected, Seq("20260101"), runId = 99)
+    assert(resealed == Seq(("20260101", "00"), ("20260101", "01"), ("20260101", "03")))
+
+    // partition-dir inference reads dt/hr back as ints — compare numerically
+    def tableRows() = sink.readTable()
+      .select(col("event_id"), col("value"), col("dt").cast("int"), col("hr").cast("int"))
+      .as[(Long, Double, Int, Int)].collect().toSet
+    val expected = Set(
+      (1L, 10.0, 20260101, 0), (2L, 20.0, 20260101, 1),
+      (5L, 30.0, 20260101, 3), (4L, 4.0, 20260102, 0))
+    assert(tableRows() == expected)
+    // retracted hour's directory is gone, resealed hours carry fresh _DONE
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink.tablePath, "dt=20260101/hr=02")))
+    resealed.foreach { case (dt, hr) => assert(sink.isSealed(dt, hr), s"$dt/$hr not resealed") }
+    assert(sink.isSealed("20260102", "00"), "untouched day lost its marker")
+    // a retried backfill run converges to the same state
+    assert(Backfill.reprocess(sink, corrected, Seq("20260101"), runId = 99) == resealed)
+    assert(tableRows() == expected)
+  }
+
   test("streaming dedup: re-delivered events collapse to one per id") {
     val in = tmp(); val events = t.events.limit(200)
     // simulate at-least-once delivery: every event delivered twice
