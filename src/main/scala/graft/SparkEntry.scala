@@ -90,6 +90,13 @@ object SparkEntry {
     "q69_set_ops" -> ((s, d) => Relational.setOps(Tables(s, d).orders)),
     "q71_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables(s, d).documents)),
     "q73_shared_scan" -> ((s, d) => SharedScan.lineitemRollups(Tables(s, d).lineitem)),
+    "q74_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables(s, d).documents)),
+    "q75_chunking" -> ((s, d) => TextAnalysis.chunkDocuments(Tables(s, d).documents)),
+    "q76_funnel" -> ((s, d) => EventAnalytics.funnel(Tables(s, d).events)),
+    "q77_rolling_window" -> ((s, d) => EventAnalytics.rollingWindow(Tables(s, d).events)),
+    "q78_cohort" -> ((s, d) => EventAnalytics.cohortRetention(Tables(s, d).events)),
+    "q79_histogram" -> ((s, d) => Relational.histogram(Tables(s, d).orders)),
+    "q80_pii_redact" -> ((s, d) => TextAnalysis.redactAudit(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -448,6 +455,67 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
         |  (l_returnflag, l_linestatus), ())
         |ORDER BY gid, ret_flag, line_status""".stripMargin,
+    "q74_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor((tf.tf * ln(CAST(n.n AS DOUBLE) / df.df))*10000 + 0.5)/10000 AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 AND doc_id < 100
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q75_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        |        unnest(generate_series(0, len(toks) - 1, 48)) AS start
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(start / 48 AS BIGINT) AS chunk_id,
+        |  CAST(least(64, n_tok - start) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + least(64, n_tok - start)), ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q76_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view_users,
+        |  (SELECT count(*) FROM c) AS n_click_users,
+        |  (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
+    "q77_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS cnt_1h,
+        |  floor(sum(value) OVER w * 10000 + 0.5)/10000 AS sum_1h
+        |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q78_cohort" ->
+      """WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS cohort_d FROM activity GROUP BY 1)
+        |SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', c.cohort_d, a.d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    "q79_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_orders,
+        |  floor(min(o_totalprice)*10000 + 0.5)/10000 AS bin_min,
+        |  floor(max(o_totalprice)*10000 + 0.5)/10000 AS bin_max
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q80_pii_redact" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(len(props) - len(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) AS digits_redacted,
+        |  min(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS sample_redacted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

@@ -94,4 +94,55 @@ object EventAnalytics {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
+
+  /** q76: ordered conversion funnel view → click → purchase. Each stage
+    * is a per-user aggregate of the one event type joined to the prior
+    * stage's first-completion time — three tiny user-cardinality frames,
+    * every join broadcast-able (a stage table is ≤ one row per user, and
+    * only shrinks down the funnel). The fact table is scanned once per
+    * stage with the type filter pushed to parquet. */
+  def funnel(events: DataFrame): DataFrame = {
+    def stage(tpe: String) = events.filter(col("event_type") === tpe).select("user_id", "ts")
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = stage("click").join(broadcast(v), "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = stage("purchase").join(broadcast(c), "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
+  /** q77: per-event trailing 1-hour activity via a RANGE window over
+    * epoch seconds (integer frame bounds keep the window arithmetic
+    * portable and exact). One shuffle on user_id; frame state per task is
+    * bounded by the densest single hour of one user. */
+  def rollingWindow(events: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+      .rangeBetween(-(windowSeconds - 1), Window.currentRow)
+    events
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum("value").over(w), 4))
+      .select("event_id", "user_id", "cnt_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
+  /** q78: cohort retention — users grouped by first-activity day, counted
+    * per day-offset of later activity. The cohort map is one per-user
+    * aggregate (user-cardinality, broadcast at any realistic scale);
+    * activity is pre-collapsed to distinct (user, day) before the join,
+    * so the shuffled volume is days×users, not raw events. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = activity.groupBy("user_id").agg(min("d").as("cohort_d"))
+    activity.join(broadcast(cohort), "user_id")
+      .groupBy(
+        date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
 }

@@ -506,4 +506,15 @@ object Relational {
         max("k").as("max_k"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** q79: equi-width histogram by floor-division binning — bin assignment
+    * is pure map-side arithmetic, the shuffle carries only #bins rows. */
+  def histogram(orders: DataFrame, binWidth: Double = 50000.0): DataFrame =
+    orders
+      .groupBy(floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 4).as("bin_min"),
+        round(max("o_totalprice"), 4).as("bin_max"))
+      .orderBy("bin")
 }

@@ -387,4 +387,76 @@ object TextAnalysis {
       fractions: Map[String, Double],
       seed: Long = 42L): DataFrame =
     documents.stat.sampleBy(strataCol, fractions, seed)
+
+  /** q74: TF-IDF top terms per document. Two data-proportional shuffles:
+    * (doc, term) counts and per-term document frequency; the DF table is
+    * vocabulary-sized, joined back on `term` (broadcast-able whenever the
+    * vocabulary fits, which a word-level vocab does even at 100 TB). The
+    * corpus size N is a 1-row broadcast. Scores are rounded BEFORE
+    * ranking so the `(tfidf desc, term)` tie-break is engine-stable. */
+  def tfidf(documents: DataFrame, topK: Int = 3, maxDocId: Long = 100L): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK && col("doc_id") < maxDocId)
+      .select("doc_id", "term", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** q75: fixed-window document chunking with overlap (training-sequence
+    * prep): token windows of `window` tokens every `stride`. Pure
+    * map-side — `sequence()` generates chunk starts, `slice` cuts each
+    * window, no shuffle at all; 100 TB chunks at scan speed. Chunk text
+    * is fingerprinted (md5) so the oracle compares content without
+    * hauling it. */
+  def chunkDocuments(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("start", explode(sequence(lit(0L), col("n_tok") - 1, lit(stride.toLong))))
+      .withColumn("chunk_id", (col("start") / stride).cast("long"))
+      .withColumn("chunk_len", least(lit(window.toLong), col("n_tok") - col("start")))
+      .withColumn(
+        "chunk_md5",
+        md5(concat_ws(" ", slice(col("toks"), (col("start") + 1).cast("int"), col("chunk_len").cast("int")))))
+      .select("doc_id", "chunk_id", "chunk_len", "chunk_md5")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Generic PII-style pattern redaction: each (label, regex) is applied
+    * in order, matches replaced by `<LABEL>`. Map-side only. Patterns
+    * stick to portable regex (character classes, no lookarounds) so the
+    * same pattern set runs identically in other engines. */
+  def redact(c: org.apache.spark.sql.Column, patterns: Seq[(String, String)]): org.apache.spark.sql.Column =
+    patterns.foldLeft(c) { case (acc, (label, re)) => regexp_replace(acc, re, s"<$label>") }
+
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IP" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "PHONE" -> "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+    "NUM" -> "[0-9]+")
+
+  /** q80: redaction audit over the events `props` payload — digit runs
+    * replaced by `<NUM>`, per-type row/char counts plus the lexicographic
+    * min redacted sample as a content witness. */
+  def redactAudit(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        redact(col("props"), Seq("NUM" -> "[0-9]+")).as("redacted"),
+        (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", ""))).cast("long").as("digit_chars"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("digit_chars").as("digits_redacted"),
+        min("redacted").as("sample_redacted"))
+      .orderBy("event_type")
 }

@@ -153,4 +153,58 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaSketches == direct, s"$viaSketches vs $direct")
   }
+
+  test("q76 funnel: stages only count conversions in order") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, tpe: String, min: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00"), user, tpe, 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3), // full funnel
+      ev(4, 2, "click", 1), ev(5, 2, "view", 2),                          // click BEFORE view
+      ev(6, 3, "view", 1), ev(7, 3, "purchase", 2)                        // skips click
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.funnel(events).as[(Long, Long, Long)].head()
+    assert(r == ((3L, 1L, 1L)), s"got $r") // 3 viewers, only user 1 converts through
+  }
+
+  test("q77 rolling window: trailing hour counts only in-range prior events") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:59:59"), 1L, "view", 20.0, "{}"), // within 1h of e1
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 01:00:00"), 1L, "view", 30.0, "{}"), // e1 just aged out
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 05:00:00"), 1L, "view", 40.0, "{}")  // alone
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.rollingWindow(events)
+      .select("event_id", "cnt_1h", "sum_1h").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 1L, 10.0), (2L, 2L, 30.0), (3L, 2L, 50.0), (4L, 1L, 40.0)), s"got $r")
+  }
+
+  test("q78 cohort retention: users bucket by first-seen day, offsets count later activity") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:00"), user, "view", 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 2), // user1: cohort d1, active d1+d2
+      ev(4, 2, 1), ev(5, 3, 2)               // user2: d1 only; user3: cohort d2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.cohortRetention(events)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("2026-01-01", 0L, 2L), ("2026-01-01", 1L, 1L), ("2026-01-02", 0L, 1L)), s"got $r")
+  }
+
+  test("q79 histogram: bins partition the orders exactly") {
+    val bins = Relational.histogram(t.orders)
+      .select("n_orders").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    assert(bins.sum == t.orders.count(), "histogram dropped or double-counted rows")
+    val bounds = Relational.histogram(t.orders)
+      .select("bin", "bin_min", "bin_max")
+      .as[(Long, Double, Double)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble)).collect()
+    bounds.foreach { case (bin, lo, hi) =>
+      assert(lo >= bin * 50000.0 && hi < (bin + 1) * 50000.0, s"bin $bin bounds [$lo,$hi] leak")
+    }
+  }
 }

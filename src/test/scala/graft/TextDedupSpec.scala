@@ -351,4 +351,42 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(got - f) < 0.15, s"$lang: got rate $got want $f")
     }
   }
+
+  test("q74 tfidf: corpus-wide words score zero, rare distinctive words rank first") {
+    val docs = Seq(
+      (0L, "spark spark spark common", "en", "s0", 24L),
+      (1L, "duck duck common", "en", "s0", 16L),
+      (2L, "unique common", "en", "s0", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = TextAnalysis.tfidf(docs, topK = 1)
+      .select("doc_id", "term", "tfidf").as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // 'common' appears in every doc → idf = ln(1) = 0; never the top term
+    assert(top(0L)._1 == "spark" && top(0L)._2 > 0)
+    assert(top(1L)._1 == "duck")
+    assert(top(2L)._1 == "unique")
+    // tf weighting: 3 sparks in doc0 vs 2 ducks in doc1 (same idf)
+    assert(top(0L)._2 > top(1L)._2)
+  }
+
+  test("q75 chunking: windows tile with overlap, tails shorten, content round-trips") {
+    val text100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text100, "en", "s0", text100.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = TextAnalysis.chunkDocuments(docs, window = 64, stride = 48)
+      .select("chunk_id", "chunk_len", "chunk_md5").as[(Long, Long, String)].collect()
+    assert(chunks.map(c => (c._1, c._2)).toSeq == Seq((0L, 64L), (1L, 52L), (2L, 4L)))
+    val md5OfFirst = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 64).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(chunks.head._3 == md5OfFirst, "chunk content fingerprint diverged")
+  }
+
+  test("pii redaction replaces planted emails/IPs/phones/numbers with labels") {
+    val redacted = TextAnalysis.redact(lit(
+      "mail a.user+x@example.co.uk from 10.0.255.3 or +44 (0)20 7946-0958 room 42"),
+      TextAnalysis.defaultPiiPatterns)
+    val got = Seq(1).toDF("x").select(redacted.as("r")).as[String].head()
+    assert(got == "mail <EMAIL> from <IP> or <PHONE> room <NUM>", got)
+  }
 }
