@@ -150,4 +150,29 @@ class PlanSpec extends SparkSpec {
     val windowSection = p.linesIterator.filter(_.contains("Window")).mkString("\n")
     assert(!windowSection.contains("SinglePartition"), s"global window in packing:\n$p")
   }
+
+  test("q75: chunking is pure map-side — no hash shuffle anywhere in the plan") {
+    val p = plan("q75_chunking")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking should only range-partition for the final ordering:\n$p")
+  }
+
+  test("q74: the document-frequency table joins broadcast (corpus side never reshuffles for it)") {
+    val p = plan("q74_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"DF join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocabulary join degraded to SMJ:\n$p")
+  }
+
+  test("q78: cohort map joins broadcast against collapsed activity") {
+    val p = plan("q78_cohort")
+    assert(p.contains("BroadcastHashJoin"), s"cohort join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cohort join degraded to SMJ:\n$p")
+  }
+
+  test("q73: shared scan plans one Expand over one parquet scan") {
+    val p = plan("q73_shared_scan")
+    assert(p.contains("Expand"), s"no Expand in shared scan:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==")(0)).length
+    assert(scans <= 1, s"shared scan reads the input $scans times:\n$p")
+  }
 }

@@ -231,6 +231,42 @@ class StreamingSpec extends SparkSpec {
     assert(tableRows() == expected)
   }
 
+  test("table maintenance: delete and upsert rewrite only the affected partitions") {
+    import graft.streaming.TableMaintenance
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    def toDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"), col("value"))
+    // hr 00: events 1 (user 7) + 2 (user 8); hr 01: event 3 (user 7); hr 02: event 4 (user 9)
+    sink.writeBatch(toDf(Seq(
+      (1L, "2026-01-01T00:10:00Z", 7L, 1.0), (2L, "2026-01-01T00:20:00Z", 8L, 2.0),
+      (3L, "2026-01-01T01:10:00Z", 7L, 3.0), (4L, "2026-01-01T02:10:00Z", 9L, 4.0))), batchId = 0)
+    sink.sealClosed(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def untouchedFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(sink.tablePath, "dt=20260101/hr=02"))
+      .filter(_.isFile).map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val before = untouchedFiles()
+
+    // GDPR-style erasure of user 7: hr 00 rewritten, hr 01 emptied out
+    val del = TableMaintenance.deleteWhere(spark, sink, col("user_id") === 7L)
+    assert(del.affected == Seq(("20260101", "00"), ("20260101", "01")) && del.rowsRemoved == 2 && del.rowsWritten == 1, s"$del")
+    def ids() = sink.readTable().select("event_id").as[Long].collect().toSet
+    assert(ids() == Set(2L, 4L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink.tablePath, "dt=20260101/hr=01")), "emptied hour survived")
+    assert(sink.isSealed("20260101", "00"), "rewritten hour lost its _DONE")
+    assert(untouchedFiles() == before, "untouched partition was rewritten")
+
+    // upsert: revise event 2 in place, insert event 5 into a fresh hour
+    val up = TableMaintenance.upsert(spark, sink, toDf(Seq(
+      (2L, "2026-01-01T00:20:00Z", 8L, 20.0), (5L, "2026-01-01T03:30:00Z", 3L, 50.0))), Seq("event_id"))
+    assert(up.affected == Seq(("20260101", "00"), ("20260101", "03")) && up.rowsRemoved == 1 && up.rowsWritten == 2, s"$up")
+    val rows = sink.readTable().select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(rows == Map(2L -> 20.0, 4L -> 4.0, 5L -> 50.0))
+    assert(sink.isSealed("20260101", "00") && sink.isSealed("20260101", "03"))
+    assert(untouchedFiles() == before, "untouched partition was rewritten by upsert")
+  }
+
   test("streaming dedup: re-delivered events collapse to one per id") {
     val in = tmp(); val events = t.events.limit(200)
     // simulate at-least-once delivery: every event delivered twice
