@@ -37,6 +37,10 @@ object Compaction {
     val dirs = parts.map { case (dt, hr) => s"${sink.stagingPath}/dt=$dt/hr=$hr" }
     val staged = spark.read
       .option("basePath", sink.stagingPath)
+      // batches staged before a schema change lack the new columns;
+      // union the file schemas so the sealed hour carries the widest one
+      // (missing values read back as null)
+      .option("mergeSchema", "true")
       .parquet(dirs: _*)
       // partition dirs infer dt/hr as ints ("hr=09" -> 9); re-derive the
       // zero-padded string keys from ts, the same way writeBatch did

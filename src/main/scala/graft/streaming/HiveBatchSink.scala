@@ -49,8 +49,9 @@ final class HiveBatchSink(
     val sealFormat: String = "parquet") {
   require(Seq("parquet", "orc", "text").contains(sealFormat), s"unsupported seal format $sealFormat")
 
-  val stagingPath: String = s"$rootPath/staging"
-  val tablePath: String   = s"$rootPath/table"
+  val stagingPath: String    = s"$rootPath/staging"
+  val tablePath: String      = s"$rootPath/table"
+  val quarantinePath: String = s"$rootPath/quarantine"
 
   val received: LongAccumulator = spark.sparkContext.longAccumulator("graft.sink.received")
   val written: LongAccumulator  = spark.sparkContext.longAccumulator("graft.sink.written")
@@ -110,7 +111,56 @@ final class HiveBatchSink(
     received.add(n)
     corrupt.add(bad)
     written.add(n - bad)
+    // the reference keeps failed events for retry instead of losing them:
+    // corrupt rows (null ts) land in a per-batch quarantine partition.
+    // This second, corrupt-only scan runs ONLY when the observe metrics
+    // say the batch actually had corrupt rows — the clean-batch hot path
+    // stays single-pass.
+    if (bad > 0) {
+      events
+        .filter(col("ts").isNull)
+        .withColumn("ingest_batch", lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(quarantinePath)
+    }
     BatchStats(n, bad, Option(m("max_ts")).map(_.asInstanceOf[Timestamp]))
+  }
+
+  /** Quarantined (corrupt) events, with their ingest batch. */
+  def readQuarantine(): DataFrame =
+    if (fs.exists(new Path(quarantinePath))) spark.read.parquet(quarantinePath)
+    else spark.emptyDataFrame
+
+  /** Re-ingest quarantined events after `repair` fixes them (the
+    * reference's failed-event retry, as an explicit operator): repaired
+    * rows with a valid `ts` go back through [[writeBatch]] under
+    * `replayBatchId` (idempotent — a re-run overwrites its own files);
+    * rows the repair still can't fix stay quarantined. Returns the
+    * number of rows restored. */
+  def replayQuarantine(repair: DataFrame => DataFrame, replayBatchId: Long): Long = {
+    if (!fs.exists(new Path(quarantinePath))) return 0L
+    val repaired = repair(readQuarantine().drop("ingest_batch")).cache()
+    try {
+      val fixed = repaired.filter(col("ts").isNotNull)
+      val nFixed = fixed.count()
+      if (nFixed > 0) {
+        writeBatch(fixed, replayBatchId)
+        // quarantine now holds only what's still broken; materialize the
+        // remainder BEFORE deleting the files it was computed from
+        val still = repaired.filter(col("ts").isNull).localCheckpoint(true)
+        fs.delete(new Path(quarantinePath), true)
+        if (!still.isEmpty) {
+          still
+            .withColumn("ingest_batch", lit(replayBatchId))
+            .write.mode("overwrite").partitionBy("ingest_batch").parquet(quarantinePath)
+        }
+        spark.catalog.refreshByPath(quarantinePath)
+      }
+      nFixed
+    } finally repaired.unpersist()
   }
 
   /** Staged (dt, hr) partitions fully behind the watermark and not yet
@@ -144,7 +194,10 @@ final class HiveBatchSink(
   /** The final warehouse table (sealed partitions only). For `text` seals
     * this is the raw (value, dt, hr) lines — parse with
     * [[EventParser.parseLines]]. */
-  def readTable(): DataFrame = spark.read.format(sealFormat).load(tablePath)
+  def readTable(): DataFrame =
+    // hours sealed before a schema change lack the newer columns —
+    // merge file schemas so the table exposes the widest one
+    spark.read.option("mergeSchema", "true").format(sealFormat).load(tablePath)
 
   /** Register the final table in the session catalog so downstream SQL
     * reads it by name (the reference's Hive-table surface). With

@@ -267,6 +267,80 @@ class StreamingSpec extends SparkSpec {
     assert(untouchedFiles() == before, "untouched partition was rewritten by upsert")
   }
 
+  test("quarantine: corrupt events are kept for retry, replay re-ingests the repaired ones") {
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    val batch = Seq(
+      (1L, Some("2026-01-01T00:10:00Z"), 1.0),
+      (2L, None, 2.0), // corrupt: no timestamp
+      (3L, None, 3.0)
+    ).toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val stats = sink.writeBatch(batch, batchId = 0)
+    assert(stats.received == 3 && stats.corrupt == 2)
+    assert(sink.readQuarantine().count() == 2, "corrupt rows not quarantined")
+
+    // repair recovers event 2's timestamp; event 3 stays broken
+    val n = sink.replayQuarantine(
+      df => df.withColumn("ts",
+        when(col("event_id") === 2L, to_timestamp(lit("2026-01-01T00:50:00Z"))).otherwise(col("ts"))),
+      replayBatchId = 1000)
+    assert(n == 1, s"restored $n")
+    sink.sealClosed(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    assert(sink.readTable().select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(sink.readQuarantine().select("event_id").as[Long].collect().toSet == Set(3L),
+      "unrepairable row lost from quarantine")
+  }
+
+  test("incremental rollup: updating only newly sealed hours equals a full recompute") {
+    import graft.streaming.IncrementalRollup
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    def batch(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("event_id", "ts_s", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val rollup = new IncrementalRollup(spark, sink, s"$root/rollup",
+      df => df.groupBy("dt", "hr").agg(count(lit(1)).as("n"), sum("value").as("sum_v")))
+
+    sink.writeBatch(batch(Seq(
+      (1L, "2026-01-01T00:10:00Z", 1.0), (2L, "2026-01-01T00:20:00Z", 2.0),
+      (3L, "2026-01-01T01:10:00Z", 3.0))), batchId = 0)
+    val far = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    rollup.update(sink.sealClosed(far))
+    // two more hours arrive and seal; only they get recomputed
+    sink.writeBatch(batch(Seq(
+      (4L, "2026-01-01T02:10:00Z", 4.0), (5L, "2026-01-01T03:10:00Z", 5.0))), batchId = 1)
+    val sealed2 = sink.sealClosed(far)
+    assert(sealed2.map(_._2).toSet == Set("02", "03"), s"unexpected seal set $sealed2")
+    rollup.update(sealed2)
+
+    def snapshot() = rollup.read()
+      .select(col("dt").cast("string"), col("hr").cast("string"), col("n"), col("sum_v"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val incremental = snapshot()
+    assert(incremental.map(r => (r._2.toInt, r._3, r._4)) ==
+      Set((0, 2L, 3.0), (1, 1L, 3.0), (2, 1L, 4.0), (3, 1L, 5.0)), s"got $incremental")
+    rollup.fullRecompute()
+    assert(snapshot() == incremental, "incremental rollup diverged from full recompute")
+  }
+
+  test("schema evolution: a column added mid-stream reads back as null for older batches") {
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    val v1 = Seq((1L, "2026-01-01T00:10:00Z"))
+      .toDF("event_id", "ts_s")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"))
+    val v2 = Seq((2L, "2026-01-01T00:20:00Z", "mobile"))
+      .toDF("event_id", "ts_s", "device")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("device"))
+    sink.writeBatch(v1, batchId = 0)
+    sink.writeBatch(v2, batchId = 1) // same hour, wider schema
+    sink.sealClosed(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    val rows = sink.readTable().select("event_id", "device")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some("mobile")), s"got $rows")
+  }
+
   test("streaming dedup: re-delivered events collapse to one per id") {
     val in = tmp(); val events = t.events.limit(200)
     // simulate at-least-once delivery: every event delivered twice
