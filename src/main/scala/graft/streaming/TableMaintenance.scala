@@ -45,12 +45,18 @@ object TableMaintenance {
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     if (counts.isEmpty) return MaintenanceStats(Seq.empty, 0L, 0L)
     val affected = counts.keySet.toSeq.sorted
-    val emptied = counts.collect { case (p, (m, tot)) if m == tot => p }.toSet
-    val survivors = partitionSlice(spark, sink, affected.filterNot(emptied))
-      .filter(!coalesce(predicate, lit(false)))
+    // NB: Map.collect returning a tuple would rebuild a Map keyed by dt
+    // and silently collapse hours of the same day — filter + keySet
+    val emptied: Set[(String, String)] = counts.filter { case (_, (m, tot)) => m == tot }.keySet
+    // build the survivor slice only when some partition keeps rows — a
+    // zero-path read throws at construction
     val kept =
       if (affected.forall(emptied)) { removeAndRefresh(spark, sink, emptied); 0L }
-      else rewrite(spark, sink, survivors, affected, emptied)
+      else {
+        val survivors = partitionSlice(spark, sink, affected.filterNot(emptied))
+          .filter(!coalesce(predicate, lit(false)))
+        rewrite(spark, sink, survivors, affected, emptied)
+      }
     MaintenanceStats(affected, counts.values.map(_._1).sum, kept)
   }
 

@@ -265,6 +265,14 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(2L -> 20.0, 4L -> 4.0, 5L -> 50.0))
     assert(sink.isSealed("20260101", "00") && sink.isSealed("20260101", "03"))
     assert(untouchedFiles() == before, "untouched partition was rewritten by upsert")
+
+    // erase-everything path: every affected hour empties out (no rewrite job)
+    val wipe = TableMaintenance.deleteWhere(spark, sink, lit(true))
+    assert(wipe.rowsRemoved == 3 && wipe.rowsWritten == 0, s"$wipe")
+    wipe.affected.foreach { case (dt, hr) =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(sink.tablePath, s"dt=$dt/hr=$hr")),
+        s"emptied $dt/$hr survived full erasure")
+    }
   }
 
   test("quarantine: corrupt events are kept for retry, replay re-ingests the repaired ones") {
