@@ -97,6 +97,7 @@ object SparkEntry {
     "q78_cohort" -> ((s, d) => EventAnalytics.cohortRetention(Tables(s, d).events)),
     "q79_histogram" -> ((s, d) => Relational.histogram(Tables(s, d).orders)),
     "q80_pii_redact" -> ((s, d) => TextAnalysis.redactAudit(Tables(s, d).events)),
+    "q81_hopping" -> ((s, d) => EventAnalytics.hoppingWindow(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -516,6 +517,15 @@ object SparkEntry {
         |  CAST(sum(len(props) - len(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) AS digits_redacted,
         |  min(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS sample_redacted
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q81_hopping" ->
+      """WITH e AS (SELECT event_type, value,
+        |  CAST(floor(epoch(ts)/900) AS BIGINT) AS k FROM events),
+        |x AS (SELECT event_type, value,
+        |  unnest(generate_series(k-3, k)) AS wk FROM e)
+        |SELECT wk*900 AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  floor(sum(value)*10000 + 0.5)/10000 AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

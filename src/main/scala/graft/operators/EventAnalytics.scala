@@ -95,6 +95,23 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** q81: hopping (sliding) window aggregation — 1-hour windows every 15
+    * minutes. Spark's native `window()` expression expands each event
+    * into its window/slide ratio (4) windows inside codegen, then a
+    * normal partial-agg shuffle on (window, type): the shuffle carries
+    * #windows × #types rows, never the events. The missing sibling of
+    * q20's tumbling rollup. */
+  def hoppingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** q76: ordered conversion funnel view → click → purchase. Each stage
     * is a per-user aggregate of the one event type joined to the prior
     * stage's first-completion time — three tiny user-cardinality frames,

@@ -28,4 +28,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view so the whole surface is
+    * reachable from `spark.sql(...)` — together with the
+    * SparkSessionExtensions-registered functions (vec_*, tdigest_*,
+    * bloom_sketch) this is the library's SQL front door. Views are
+    * lazy: nothing is scanned until a query runs, and pushdown/pruning
+    * work exactly as through the DataFrame API. */
+  def createViews(): Unit =
+    Seq(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
 }

@@ -193,6 +193,31 @@ class RelationalSpec extends SparkSpec {
     assert(r == Seq(("2026-01-01", 0L, 2L), ("2026-01-01", 1L, 1L), ("2026-01-02", 0L, 1L)), s"got $r")
   }
 
+  test("q81 hopping windows: every event lands in exactly window/slide windows") {
+    val agg = EventAnalytics.hoppingWindow(t.events)
+    val total = agg.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(total == 4 * t.events.count(), "1h/15min hopping must count each event 4 times")
+    // window starts align to the 15-minute grid
+    val misaligned = agg.filter(col("window_start") % 900 =!= 0).count()
+    assert(misaligned == 0, s"$misaligned windows off the slide grid")
+  }
+
+  test("SQL front door: registered views + extension functions answer spark.sql queries") {
+    t.createViews()
+    val viaSql = spark.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+    val viaApi = t.customer.join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().orderBy("n_name").collect()
+    assert(viaSql.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      viaApi.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // extension-registered vector functions compose with the views in SQL
+    val sim = spark.sql(
+      "SELECT vec_id, vec_cosine(embedding, embedding) AS self FROM embeddings LIMIT 5").collect()
+    assert(sim.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6), "self-cosine != 1")
+  }
+
   test("q79 histogram: bins partition the orders exactly") {
     val bins = Relational.histogram(t.orders)
       .select("n_orders").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
