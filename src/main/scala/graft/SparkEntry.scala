@@ -98,6 +98,7 @@ object SparkEntry {
     "q79_histogram" -> ((s, d) => Relational.histogram(Tables(s, d).orders)),
     "q80_pii_redact" -> ((s, d) => TextAnalysis.redactAudit(Tables(s, d).events)),
     "q81_hopping" -> ((s, d) => EventAnalytics.hoppingWindow(Tables(s, d).events)),
+    "q82_heavy_hitters" -> ((s, d) => Relational.cmsHeavyHitters(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),

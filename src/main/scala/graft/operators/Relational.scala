@@ -428,6 +428,46 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q82: count-min heavy hitters — the third sketch-table member beside
+    * t-digest (q39) and HLL (q54). CMS binaries are aggregated per (dt,
+    * type) partition group exactly like a stored sketch table, merged
+    * loss-free per type, and probed for candidate keys WITHOUT
+    * re-scanning raw events: at 100 TB a "how often did key X appear in
+    * period P" service answers from O(groups) KB-sized sketches. The
+    * probe set here is the exact per-type top-k (deterministic oracle for
+    * the spec); CMS guarantees est ≥ exact with ≤ eps·N overshoot at the
+    * configured confidence. */
+  def cmsHeavyHitters(events: DataFrame, topK: Int = 3, eps: Double = 0.001, conf: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the sketch table: one CMS per (dt, type) group — what a service
+    // would persist beside the sealed partitions
+    val sketchTable = events
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"), col("event_type"))
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${conf}d, 42)").as("cms"))
+    // merge per type driver-side: sketches are KBs × #groups
+    val merged = sketchTable.select("event_type", "cms").collect()
+      .groupBy(_.getString(0))
+      .map { case (tpe, rows) =>
+        val sks = rows.map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        tpe -> sks.reduce((a, b) => { a.mergeInPlace(b); a })
+      }
+    // candidates: exact per-type top-k (ties broken by user_id)
+    val w = Window.partitionBy("event_type").orderBy(desc("exact_n"), asc("user_id"))
+    val candidates = events
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("exact_n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("event_type", "user_id", "exact_n")
+      .as[(String, Long, Long)].collect()
+    candidates.toSeq
+      .map { case (tpe, user, exact) => (tpe, user, exact, merged(tpe).estimateCount(user)) }
+      .toDF("event_type", "user_id", "exact_n", "est_n")
+      .orderBy("event_type", "user_id")
+  }
+
   /** q68: FULL OUTER join — customers×suppliers per nation, keeping
     * nations that have only one side. Null-safe coalesced counts; one
     * shuffle per side on the join key. */

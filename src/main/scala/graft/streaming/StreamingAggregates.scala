@@ -20,4 +20,23 @@ object StreamingAggregates {
         col("event_type"),
         col("n_events"),
         col("sum_value"))
+
+  /** Hopping (sliding) windows on a stream — the streaming dual of
+    * [[graft.operators.EventAnalytics.hoppingWindow]]. Each event feeds
+    * window/slide open windows; state is still O(open windows × types)
+    * because the watermark retires slid-past windows. */
+  def hoppingCounts(
+      stream: DataFrame,
+      windowDur: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
 }

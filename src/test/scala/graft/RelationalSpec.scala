@@ -218,6 +218,25 @@ class RelationalSpec extends SparkSpec {
     assert(sim.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-6), "self-cosine != 1")
   }
 
+  test("q82 heavy hitters: merged CMS estimates dominate exact counts within the eps bound") {
+    import spark.implicits._
+    val eps = 0.001
+    val rows = Relational.cmsHeavyHitters(t.events, topK = 3, eps = eps)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 3 * 5, s"unexpected row count ${rows.length}")
+    val perType = t.events.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (tpe, user, exact, est) =>
+      assert(est >= exact, s"CMS underestimated $tpe/$user: $est < $exact")
+      assert(est <= exact + math.ceil(eps * perType(tpe)).toLong + 1,
+        s"CMS overshoot beyond eps bound for $tpe/$user: est $est exact $exact n=${perType(tpe)}")
+    }
+    // determinism: fixed seed → identical output across runs
+    val again = Relational.cmsHeavyHitters(t.events, topK = 3, eps = eps)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq, "CMS result not deterministic")
+  }
+
   test("q79 histogram: bins partition the orders exactly") {
     val bins = Relational.histogram(t.orders)
       .select("n_orders").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()

@@ -511,4 +511,48 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("hourly_test").agg(sum("n_events")).first().getLong(0)
     assert(streamed == events.count())
   }
+
+  test("streaming hopping windows match the batch hopping rollup") {
+    val in = tmp(); val events = t.events
+    events.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(events.schema).parquet(in)
+    val agg = StreamingAggregates.hoppingCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("hopping_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hopping_test")
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.operators.EventAnalytics.hoppingWindow(t.events)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"streaming hopping diverged: ${streamed.size} vs ${batch.size} rows")
+  }
+
+  test("done-scanner cursor delivers each sealed hour once, re-delivers on re-seal") {
+    import graft.streaming.DoneScanner
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    def batch(rows: Seq[(Long, String)]) =
+      rows.toDF("event_id", "ts_s").select(col("event_id"), to_timestamp(col("ts_s")).as("ts"))
+    val far = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    sink.writeBatch(batch(Seq((1L, "2026-01-01T00:10:00Z"), (2L, "2026-01-01T01:10:00Z"))), 0)
+    sink.sealClosed(far)
+    val s1 = DoneScanner.newlySealed(spark, sink)
+    assert(s1.newParts == Seq(("20260101", "00"), ("20260101", "01")))
+    // nothing new: cursor suppresses re-delivery
+    assert(DoneScanner.newlySealed(spark, sink, s1.cursor).newParts.isEmpty)
+    // a later hour seals; only it is delivered
+    Thread.sleep(5) // marker mtime must advance past the cursor (ms resolution)
+    sink.writeBatch(batch(Seq((3L, "2026-01-01T02:10:00Z"))), 1)
+    sink.sealClosed(far)
+    val s2 = DoneScanner.newlySealed(spark, sink, s1.cursor)
+    assert(s2.newParts == Seq(("20260101", "02")), s"got ${s2.newParts}")
+    // re-sealing (compaction/backfill) stamps a fresh marker → re-delivered
+    Thread.sleep(5)
+    sink.writeBatch(batch(Seq((1L, "2026-01-01T00:10:00Z"))), 2) // re-stage the hour
+    graft.streaming.Compaction.sealPartition(spark, sink, "20260101", "00")
+    val s3 = DoneScanner.newlySealed(spark, sink, s2.cursor)
+    assert(s3.newParts == Seq(("20260101", "00")), s"got ${s3.newParts}")
+  }
 }
