@@ -138,11 +138,16 @@ object TextAnalysis {
     * map-side — the filter rides the scan, no shuffle before the final
     * tiny groupBy. Unlike `rand()`-based sampling, re-running over
     * re-partitioned 100 TB inputs selects the identical document set. */
+  /** The raw hash-sampled rows: md5-first-nibble systematic sample,
+    * reproducible across runs/engines/layouts and composable (subset
+    * nibbles ⇒ subset rows). q55 aggregates this. */
+  def hashSample(documents: DataFrame, hexChars: Seq[String]): DataFrame =
+    documents.filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin(hexChars: _*))
+
   def deterministicSample(
       documents: DataFrame,
       hexChars: Seq[String] = Seq("0", "1", "2")): DataFrame =
-    documents
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin(hexChars: _*))
+    hashSample(documents, hexChars)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

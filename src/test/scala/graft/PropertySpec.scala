@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.{EventAnalytics, Relational, TextAnalysis}
+
+/** Property-based invariants over randomly generated inputs — the
+  * algebraic laws each operator must satisfy on ANY data, not just the
+  * fixtures. Small driver-generated frames keep each property's Spark
+  * round-trip cheap; scalacheck shrinks failures to minimal
+  * counterexamples. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run a scalacheck property inside a funsuite test (the
+    * scalatest↔scalacheck bridge artifact isn't in the offline cache). */
+  private def checkProp(prop: Prop, trials: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(trials)
+        .withWorkers(1)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2")
+  private val docGen = for {
+    n    <- Gen.choose(1, 120)
+    toks <- Gen.listOfN(n, wordGen)
+  } yield toks.mkString(" ")
+
+  test("chunking conserves tokens and tiles every document") {
+    checkProp(Prop.forAll(Gen.listOfN(5, docGen), Gen.choose(4, 32), Gen.choose(2, 32)) {
+      (texts: List[String], window: Int, stride0: Int) =>
+        val stride = math.min(stride0, window) // overlap, never gaps
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        val chunks = TextAnalysis.chunkDocuments(docs, window, stride)
+          .groupBy("doc_id")
+          .agg(max("chunk_id").as("last"), count(lit(1)).as("n_chunks"),
+            sum("chunk_len").as("covered"), min("chunk_len").as("min_len"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          val n = t.split(" ").length
+          val (last, nChunks, covered, minLen) = chunks(i.toLong)
+          val expChunks = (n + stride - 1) / stride // starts at 0, stride, … < n
+          nChunks == expChunks && last == expChunks - 1 &&
+            covered >= n && // overlap ⇒ every token covered at least once
+            minLen >= 1
+        }
+    }, trials = 8)
+  }
+
+  test("funnel stages are monotonically non-increasing on any event set") {
+    val evGen = for {
+      user <- Gen.choose(1L, 6L)
+      tpe  <- Gen.oneOf("view", "click", "purchase", "error")
+      min  <- Gen.choose(0, 59)
+    } yield (user, tpe, min)
+    checkProp(Prop.forAll(Gen.listOfN(40, evGen)) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, tpe, m), i) =>
+          (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00"), u, tpe, 1.0, "{}")
+        }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val r = EventAnalytics.funnel(df).as[(Long, Long, Long)].head()
+      r._1 >= r._2 && r._2 >= r._3
+    }, trials = 8)
+  }
+
+  test("histogram bins always partition the input exactly, bounds inside bins") {
+    checkProp(Prop.forAll(Gen.listOfN(60, Gen.choose(0.0, 500000.0))) { prices =>
+      val df = prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("o_orderkey", "o_totalprice")
+      val bins = Relational.histogram(df)
+        .as[(Long, Long, Double, Double)].collect()
+      bins.map(_._2).sum == prices.length &&
+        bins.forall { case (bin, _, lo, hi) =>
+          lo >= bin * 50000.0 && hi < (bin + 1) * 50000.0 && lo <= hi
+        }
+    })
+  }
+
+  test("redaction is idempotent and leaves no digits behind") {
+    val junkGen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaStr.map(_.take(6)), Gen.choose(0, 99999).map(_.toString),
+      Gen.const("a@b.co"), Gen.const("10.0.0.1"))).map(_.mkString(" "))
+    checkProp(Prop.forAll(junkGen) { text =>
+      val once = Seq(text).toDF("t")
+        .select(TextAnalysis.redact(col("t"), TextAnalysis.defaultPiiPatterns).as("r"))
+        .as[String].head()
+      val twice = Seq(once).toDF("t")
+        .select(TextAnalysis.redact(col("t"), TextAnalysis.defaultPiiPatterns).as("r"))
+        .as[String].head()
+      once == twice && !once.exists(_.isDigit)
+    })
+  }
+
+  test("deterministic hash sample composes: subset nibbles give subset rows") {
+    val idsGen = Gen.listOfN(80, Gen.choose(0L, 10000L)).map(_.distinct)
+    checkProp(Prop.forAll(idsGen) { ids =>
+      val docs = ids.map(i => (i, s"text $i", "en", "s0", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def sample(nibbles: Seq[String]) =
+        TextAnalysis.hashSample(docs, nibbles).select("doc_id").as[Long].collect().toSet
+      val small = sample(Seq("0", "1"))
+      val big   = sample(Seq("0", "1", "2", "3"))
+      small.subsetOf(big)
+    }, trials = 8)
+  }
+}
