@@ -51,6 +51,17 @@ final class IncrementalRollup(
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** The full consumer loop: discover newly sealed hours from the
+    * `_DONE` markers ([[DoneScanner]]) and fold them in. Persist the
+    * returned cursor (one long) and the rollup stays exactly-once across
+    * restarts, with re-sealed hours (backfill/compaction) re-delivered
+    * and overwritten idempotently. */
+  def syncFromMarkers(sinceCursor: Long = 0L): DoneScanner.Scan = {
+    val scan = DoneScanner.newlySealed(spark, sink, sinceCursor)
+    update(scan.newParts)
+    scan
+  }
+
   /** Full recompute over every sealed partition (the equivalence oracle
     * for the incremental path, and the bootstrap for a new rollup). */
   def fullRecompute(): Long = {

@@ -30,8 +30,17 @@ object TableMaintenance {
 
   /** Delete rows matching `predicate` (SQL DELETE semantics: a NULL
     * predicate keeps the row). Partitions left empty are removed
-    * entirely; rewritten partitions keep their `_DONE` marker. */
-  def deleteWhere(spark: SparkSession, sink: HiveBatchSink, predicate: Column): MaintenanceStats = {
+    * entirely; rewritten partitions keep their `_DONE` marker.
+    *
+    * With `changeLog`, the removed rows are captured as a CDC feed
+    * BEFORE the rewrite (op='delete', partitioned by change batch) —
+    * downstream mirrors replay the feed instead of re-diffing the
+    * table. Costs one extra scan of the affected slices only. */
+  def deleteWhere(
+      spark: SparkSession,
+      sink: HiveBatchSink,
+      predicate: Column,
+      changeLog: Option[(String, Long)] = None): MaintenanceStats = {
     val table = readForRewrite(spark, sink)
     // discovery: matched + total rows per partition in one pruned scan —
     // output is O(affected partitions); total tells apart "rewrite" from
@@ -48,6 +57,11 @@ object TableMaintenance {
     // NB: Map.collect returning a tuple would rebuild a Map keyed by dt
     // and silently collapse hours of the same day — filter + keySet
     val emptied: Set[(String, String)] = counts.filter { case (_, (m, tot)) => m == tot }.keySet
+    // CDC capture must happen BEFORE the rewrite destroys the rows
+    changeLog.foreach { case (path, changeId) =>
+      recordChanges(path, changeId,
+        partitionSlice(spark, sink, affected).filter(coalesce(predicate, lit(false))), "delete")
+    }
     // build the survivor slice only when some partition keeps rows — a
     // zero-path read throws at construction
     val kept =
@@ -66,7 +80,12 @@ object TableMaintenance {
     * rewritten; keys are matched WITHIN a row's (dt, hr) partition — an
     * update that moves a row across hours inserts into the new hour and
     * must be paired with a [[deleteWhere]] of the old one. */
-  def upsert(spark: SparkSession, sink: HiveBatchSink, updates: DataFrame, keyCols: Seq[String]): MaintenanceStats = {
+  def upsert(
+      spark: SparkSession,
+      sink: HiveBatchSink,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      changeLog: Option[(String, Long)] = None): MaintenanceStats = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val keyed = updates
       .filter(col("ts").isNotNull)
@@ -83,6 +102,15 @@ object TableMaintenance {
       else Some(partitionSlice(spark, sink, existingAffected))
     val replaced = current.fold(0L)(
       _.join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi").count())
+    // CDC: replaced old-versions as deletes, every update row as insert,
+    // captured before the rewrite
+    changeLog.foreach { case (path, changeId) =>
+      current.foreach(c =>
+        recordChanges(path, changeId,
+          c.join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi"),
+          "delete"))
+      recordChanges(path, changeId, keyed, "insert")
+    }
     // survivors (anti-join on key) + every update row = the new content
     val merged = current.fold(keyed)(c =>
       c.join(broadcast(keyed.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
@@ -90,6 +118,20 @@ object TableMaintenance {
     val written = rewrite(spark, sink, merged, affected)
     MaintenanceStats(affected, replaced, written)
   }
+
+  /** Append one op-slice of the CDC feed: rows widened with `op`,
+    * partitioned by (change_id, op) — a re-run of the same changeId
+    * dynamically overwrites its own feed slice (idempotent like every
+    * other write in the sink). */
+  private def recordChanges(path: String, changeId: Long, rows: DataFrame, op: String): Unit =
+    rows
+      .withColumn("change_id", lit(changeId))
+      .withColumn("op", lit(op))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("change_id", "op")
+      .parquet(path)
 
   /** The sealed table with zero-padded STRING dt/hr re-derived from `ts`
     * (partition-dir inference reads `hr=09` back as int 9). */

@@ -529,6 +529,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streaming hopping diverged: ${streamed.size} vs ${batch.size} rows")
   }
 
+  test("change feed: maintenance ops emit a CDC log that replays to the post-state") {
+    import graft.streaming.TableMaintenance
+    val root = tmp(); val cl = tmp() + "/changes"
+    val sink = new HiveBatchSink(spark, root)
+    def toDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"), col("user_id"), col("value"))
+    sink.writeBatch(toDf(Seq(
+      (1L, "2026-01-01T00:10:00Z", 7L, 1.0), (2L, "2026-01-01T00:20:00Z", 8L, 2.0),
+      (3L, "2026-01-01T01:10:00Z", 9L, 3.0))), batchId = 0)
+    sink.sealClosed(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    def state() = sink.readTable().select("event_id", "value").as[(Long, Double)].collect().toMap
+    val pre = state()
+
+    TableMaintenance.deleteWhere(spark, sink, col("user_id") === 7L, changeLog = Some((cl, 1L)))
+    TableMaintenance.upsert(spark, sink, toDf(Seq(
+      (2L, "2026-01-01T00:20:00Z", 8L, 20.0), (4L, "2026-01-01T02:10:00Z", 5L, 40.0))),
+      Seq("event_id"), changeLog = Some((cl, 2L)))
+    val post = state()
+
+    // replay the feed in change order onto the pre-state
+    val feed = spark.read.parquet(cl)
+      .select(col("change_id").cast("long"), col("op").cast("string"), col("event_id"), col("value"))
+      .as[(Long, String, Long, Double)].collect()
+    val replayed = feed.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(pre) { case (st, (_, changes)) =>
+      val deletes = changes.filter(_._2 == "delete").map(_._3).toSet
+      val inserts = changes.filter(_._2 == "insert").map(c => c._3 -> c._4).toMap
+      (st -- deletes) ++ inserts
+    }
+    assert(replayed == post, s"replayed $replayed vs post $post")
+  }
+
+  test("incremental rollup syncs itself from _DONE markers, exactly once per cursor") {
+    import graft.streaming.IncrementalRollup
+    val root = tmp()
+    val sink = new HiveBatchSink(spark, root)
+    val rollup = new IncrementalRollup(spark, sink, s"$root/rollup",
+      df => df.groupBy("dt", "hr").agg(count(lit(1)).as("n")))
+    sink.writeBatch(
+      Seq((1L, "2026-01-01T00:10:00Z"), (2L, "2026-01-01T01:10:00Z"))
+        .toDF("event_id", "ts_s").select(col("event_id"), to_timestamp(col("ts_s")).as("ts")),
+      batchId = 0)
+    sink.sealClosed(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    val s1 = rollup.syncFromMarkers()
+    assert(s1.newParts.size == 2 && rollup.read().count() == 2)
+    // second sync: nothing new, rollup untouched
+    val s2 = rollup.syncFromMarkers(s1.cursor)
+    assert(s2.newParts.isEmpty && s2.cursor == s1.cursor && rollup.read().count() == 2)
+  }
+
   test("done-scanner cursor delivers each sealed hour once, re-delivers on re-seal") {
     import graft.streaming.DoneScanner
     val root = tmp()
