@@ -99,6 +99,8 @@ object SparkEntry {
     "q80_pii_redact" -> ((s, d) => TextAnalysis.redactAudit(Tables(s, d).events)),
     "q81_hopping" -> ((s, d) => EventAnalytics.hoppingWindow(Tables(s, d).events)),
     "q82_heavy_hitters" -> ((s, d) => Relational.cmsHeavyHitters(Tables(s, d).events)),
+    "q83_unpivot" -> ((s, d) => Relational.unpivotMeasures(Tables(s, d).lineitem)),
+    "q84_gapfill" -> ((s, d) => EventAnalytics.gapFill(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -527,6 +529,36 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  floor(sum(value)*10000 + 0.5)/10000 AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q83_unpivot" ->
+      """WITH u AS (
+        |  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME measure VALUE v)
+        |SELECT measure, count(*) AS n,
+        |  floor(sum(v)*10000 + 0.5)/10000 AS total,
+        |  floor(avg(v)*10000 + 0.5)/10000 AS avg_v
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+    "q84_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    floor(sum(value)*10000 + 0.5)/10000 AS hour_sum
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b),
+        |filled AS (
+        |  SELECT s.event_type, s.hour, h.hour_sum
+        |  FROM spine s ASOF LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hour >= h.hour)
+        |SELECT f.event_type,
+        |  CAST(floor(epoch(f.hour)) AS BIGINT) AS hour_ts,
+        |  floor(coalesce(f.hour_sum, 0)*10000 + 0.5)/10000 AS filled_sum,
+        |  CAST(CASE WHEN a.hour IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_actual
+        |FROM filled f LEFT JOIN hourly a
+        |  ON f.event_type = a.event_type AND f.hour = a.hour
+        |ORDER BY f.event_type, hour_ts""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

@@ -95,6 +95,36 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** q84: time-series gap fill with forward fill — resample each type's
+    * hourly aggregate onto a dense hour spine, carrying the most recent
+    * actual value across gaps. Composed from verified pieces: the spine
+    * is `sequence()` over broadcast global bounds (map-side explode), the
+    * forward fill IS the one-shuffle [[AsOfJoin]], and the is_actual flag
+    * a broadcast-able join back to the sparse hourly table. Oracle:
+    * DuckDB's native ASOF LEFT JOIN over a generate_series spine. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum("value"), 4).as("hour_sum"))
+    val bounds = events.agg(
+      date_trunc("hour", min("ts")).as("lo"),
+      date_trunc("hour", max("ts")).as("hi"))
+    val spine = events.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val filled = AsOfJoin.asofJoin(spine, hourly, "event_type", "hour", "hour_sum", "filled_sum")
+    filled
+      .join(hourly.withColumn("is_actual", lit(1L)).drop("hour_sum"), Seq("event_type", "hour"), "left")
+      .select(
+        col("event_type"),
+        unix_timestamp(col("hour")).as("hour_ts"),
+        round(coalesce(col("filled_sum"), lit(0.0)), 4).as("filled_sum"),
+        coalesce(col("is_actual"), lit(0L)).as("is_actual"))
+      .orderBy("event_type", "hour_ts")
+  }
+
   /** q81: hopping (sliding) window aggregation — 1-hour windows every 15
     * minutes. Spark's native `window()` expression expands each event
     * into its window/slide ratio (4) windows inside codegen, then a

@@ -428,6 +428,24 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q83: unpivot/melt — the inverse of q28's pivot: measure columns
+    * fanned into (measure, value) rows. Spark's native `unpivot` expands
+    * inside the scan projection (an Expand, no UDF, no shuffle); the
+    * groupBy after it shuffles #measures rows. */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure",
+        "v")
+      .groupBy("measure")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("v"), 4).as("total"),
+        round(avg("v"), 4).as("avg_v"))
+      .orderBy("measure")
+
   /** q82: count-min heavy hitters — the third sketch-table member beside
     * t-digest (q39) and HLL (q54). CMS binaries are aggregated per (dt,
     * type) partition group exactly like a stored sketch table, merged

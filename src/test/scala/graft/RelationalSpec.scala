@@ -237,6 +237,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "CMS result not deterministic")
   }
 
+  test("q84 gap fill: dense spine, forward-filled values across gaps, zeros before first actual") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 01:30:00"), 1L, "view", 10.0, "{}"),
+      // hours 02-03 are a gap, then a new actual at 04
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 04:30:00"), 1L, "view", 7.0, "{}"),
+      // a second type starting later: its hour-1..2 spine rows pre-date any actual
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 03:30:00"), 2L, "click", 5.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 01:10:00"), 3L, "click", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.gapFill(events)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => (r._1, (r._2 % 86400) / 3600, r._3, r._4)).toSeq
+    val expected = Seq(
+      ("click", 1L, 2.0, 1L), ("click", 2L, 2.0, 0L), ("click", 3L, 5.0, 1L), ("click", 4L, 5.0, 0L),
+      ("view", 1L, 10.0, 1L), ("view", 2L, 10.0, 0L), ("view", 3L, 10.0, 0L), ("view", 4L, 7.0, 1L))
+    assert(got == expected, s"got $got")
+  }
+
   test("q79 histogram: bins partition the orders exactly") {
     val bins = Relational.histogram(t.orders)
       .select("n_orders").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
