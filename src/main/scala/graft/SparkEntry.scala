@@ -101,6 +101,13 @@ object SparkEntry {
     "q82_heavy_hitters" -> ((s, d) => Relational.cmsHeavyHitters(Tables(s, d).events)),
     "q83_unpivot" -> ((s, d) => Relational.unpivotMeasures(Tables(s, d).lineitem)),
     "q84_gapfill" -> ((s, d) => EventAnalytics.gapFill(Tables(s, d).events)),
+    "q85_transitions" -> ((s, d) => EventAnalytics.transitionMatrix(Tables(s, d).events)),
+    "q86_session_paths" -> ((s, d) => EventAnalytics.topPaths(Tables(s, d).events)),
+    "q87_anomaly" -> ((s, d) => EventAnalytics.seasonalAnomaly(Tables(s, d).events)),
+    "q88_centroid_assign" -> ((s, d) => Similarity.centroidAssign(Tables(s, d).embeddings)),
+    "q89_mom_change" -> ((s, d) => Relational.monthOverMonth(Tables(s, d).orders)),
+    "q90_robust_outliers" -> ((s, d) => Relational.robustOutliers(Tables(s, d).events)),
+    "q91_leakage_split" -> ((s, d) => EventAnalytics.leakageSplit(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -559,6 +566,77 @@ object SparkEntry {
         |FROM filled f LEFT JOIN hourly a
         |  ON f.event_type = a.event_type AND f.hour = a.hour
         |ORDER BY f.event_type, hour_ts""".stripMargin,
+    "q85_transitions" ->
+      """SELECT prev_type, next_type, count(*) AS n_transitions FROM (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+    "q86_session_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |paths AS (
+        |  SELECT user_id, d, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM ranked WHERE rn <= 5 GROUP BY user_id, d)
+        |SELECT path, count(*) AS n_user_days FROM paths
+        |GROUP BY path ORDER BY n_user_days DESC, path LIMIT 20""".stripMargin,
+    "q87_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT strftime(ts, '%Y%m%d') AS dt, strftime(ts, '%H') AS hr, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT hr, avg(n_events) AS mu, stddev_samp(n_events) AS sigma
+        |  FROM hourly GROUP BY hr)
+        |SELECT h.dt, h.hr, h.n_events,
+        |  floor(((h.n_events - b.mu) / b.sigma)*10000 + 0.5)/10000 AS z
+        |FROM hourly h JOIN base b ON h.hr = b.hr
+        |ORDER BY h.dt, h.hr""".stripMargin,
+    "q88_centroid_assign" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_inner_product(e.embedding::DOUBLE[], c.ce) AS dp,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_inner_product(e.embedding::DOUBLE[], c.ce) DESC, c.cid) AS rk
+        |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id >= 8)
+        |SELECT cid AS cluster_id, count(*) AS n_vecs,
+        |  floor((avg(dp))*10000 + 0.5)/10000 AS avg_cos
+        |FROM scored WHERE rk = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    "q89_mom_change" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, floor(rev*10000 + 0.5)/10000 AS revenue,
+        |  floor(coalesce(
+        |    (rev - lag(rev) OVER (ORDER BY month)) / lag(rev) OVER (ORDER BY month) * 100,
+        |    0)*10000 + 0.5)/10000 AS pct_change
+        |FROM m ORDER BY month""".stripMargin,
+    "q90_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS madv, max(med) AS med
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type,
+        |  count(CASE WHEN floor(d.absdev*10000 + 0.5)/10000 > floor(3*1.4826*m.madv*10000 + 0.5)/10000 THEN 1 END) AS n_outliers,
+        |  count(*) AS n_events,
+        |  floor(m.med*10000 + 0.5)/10000 AS median_value,
+        |  floor(m.madv*10000 + 0.5)/10000 AS mad_value
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type, m.med, m.madv
+        |ORDER BY d.event_type""".stripMargin,
+    "q91_leakage_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        |       THEN 'val' ELSE 'train' END AS split,
+        |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY split, event_type ORDER BY split, event_type""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

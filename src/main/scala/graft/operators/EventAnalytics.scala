@@ -177,6 +177,83 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  /** q85: event-type transition matrix — the Markov-chain view of user
+    * behavior. One lag window per user (same shuffle as sessionize), then
+    * a (prev, next) groupBy whose key space is #types², so map-side
+    * combine collapses the second shuffle to ~nothing at any scale.
+    * Deterministic tie-break on event_id makes the total order (and so
+    * the lag) engine-portable. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q86: top daily user paths — the first `pathLen` event types of each
+    * (user, day), joined into a path string, counted corpus-wide. The
+    * per-user-day truncation bounds both the window state and the path
+    * string; the path groupBy key space is ≤ #types^pathLen. Ordered
+    * assembly is a sort_array over (ts, event_id, type) structs — tiny
+    * arrays (≤ pathLen), so the interpreted HOF cost is irrelevant. */
+  def topPaths(events: DataFrame, pathLen: Int = 5, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), to_date(col("ts"))).orderBy("ts", "event_id")
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x("event_type")),
+          ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy(desc("n_user_days"), asc("path"))
+      .limit(topN)
+  }
+
+  /** q87: seasonal anomaly detection — each (day, hour) bucket's event
+    * count scored against that hour-of-day's cross-day baseline
+    * (avg ± stddev). Two aggregates over a bucket-cardinality frame
+    * (#days × 24 rows after the first groupBy — trivial at any scale)
+    * and a broadcast join back on the 24-row baseline. Emits every
+    * bucket with its z-score so the oracle compares the full surface,
+    * not a boundary-sensitive flag set. */
+  def seasonalAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(
+        date_format(col("ts"), "yyyyMMdd").as("dt"),
+        date_format(col("ts"), "HH").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val baseline = hourly.groupBy("hr")
+      .agg(avg("n_events").as("mu"), stddev_samp("n_events").as("sigma"))
+    hourly.join(broadcast(baseline), "hr")
+      .select(
+        col("dt"), col("hr"), col("n_events"),
+        round((col("n_events") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy("dt", "hr")
+  }
+
+  /** q91: leakage-free train/validation split — every USER (not event)
+    * lands in exactly one split, decided by a deterministic content hash
+    * of the user id, so re-runs, engines, and cluster layouts all agree
+    * and no user's history straddles the boundary (the leak that inflates
+    * eval numbers). Pure map-side: the split is a hash expression, no
+    * shuffle until the audit aggregate. */
+  def leakageSplit(events: DataFrame, valChars: Seq[String] = Seq("0", "1", "2")): DataFrame =
+    events
+      .withColumn(
+        "split",
+        when(substring(md5(col("user_id").cast("string")), 1, 1).isin(valChars: _*),
+          lit("val")).otherwise(lit("train")))
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("split", "event_type")
+
   /** q78: cohort retention — users grouped by first-activity day, counted
     * per day-offset of later activity. The cohort map is one per-user
     * aggregate (user-cardinality, broadcast at any realistic scale);

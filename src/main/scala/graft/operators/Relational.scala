@@ -575,4 +575,51 @@ object Relational {
         round(min("o_totalprice"), 4).as("bin_min"),
         round(max("o_totalprice"), 4).as("bin_max"))
       .orderBy("bin")
+
+  /** q89: month-over-month revenue change. The lag window is global but
+    * its INPUT is the already-aggregated month table — bounded by the
+    * calendar, not the data — so the single-partition window that made
+    * q25's original plan a scale bug is harmless here (and unavoidable:
+    * consecutive months must meet). First month reports 0 change. */
+  def monthOverMonth(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(
+        col("month"),
+        round(col("rev"), 4).as("revenue"),
+        round(coalesce((col("rev") - col("prev")) / col("prev") * 100, lit(0.0)), 4)
+          .as("pct_change"))
+      .orderBy("month")
+  }
+
+  /** q90: robust outlier detection — per-group median/MAD scoring, the
+    * heavy-tail-safe alternative to mean±σ. Two exact-percentile
+    * aggregates over the fact table (mergeable sketch-free percentiles;
+    * at 100 TB swap `percentile` for the t-digest aggregate q38 already
+    * provides) joined back via a broadcast of the #groups-row stats
+    * table. The boundary test compares pre-rounded scores so both
+    * engines flag the identical row set. */
+  def robustOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val stats = events
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = events.join(broadcast(stats), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = withDev
+      .groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("madv"), max("med").as("med"))
+    withDev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(when(round(col("absdev"), 4) > round(lit(k * 1.4826) * col("madv"), 4), lit(1)))
+          .as("n_outliers"),
+        count(lit(1)).as("n_events"),
+        round(max(col("med")), 4).as("median_value"),
+        round(max(col("madv")), 4).as("mad_value"))
+      .orderBy("event_type")
+  }
 }

@@ -371,6 +371,41 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q88: nearest-centroid assignment — the clustering/labeling pass a
+    * curation pipeline runs after picking centroids (here: a fixed,
+    * deterministic centroid set so the assignment is oracle-checkable;
+    * [[trainCentroids]] is the trained-quantizer variant q53 uses).
+    * The centroid table is collected once and closed over by a JIT
+    * argmax kernel — the whole assignment is ONE map pass over the
+    * corpus with no join, no explode, no shuffle until the final
+    * #centroids-row aggregate. Unit-norm embeddings make dot ≡ cosine. */
+  def centroidAssign(embeddings: DataFrame, numCentroids: Int = 8): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < numCentroids)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assign = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      var bestId = -1L; var bestD = Double.MinValue
+      cents.foreach { case (id, ct) =>
+        var d = 0.0; var i = 0
+        val n = math.min(ct.length, a.length)
+        while (i < n) { d += ct(i).toDouble * a(i).toDouble; i += 1 }
+        // ties break to the smaller centroid id (cents is id-ordered)
+        if (d > bestD) { bestD = d; bestId = id }
+      }
+      (bestId, bestD)
+    }
+    embeddings.filter(col("vec_id") >= numCentroids)
+      .withColumn("best", assign(col("embedding")))
+      .groupBy(col("best._1").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("best._2")), 4).as("avg_cos"))
+      .orderBy("cluster_id")
+  }
+
   def annLsh(
       embeddings: DataFrame,
       numQueries: Int = 3,

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated partition rewrites — compaction under CONCURRENT
+  * readers.
+  *
+  * The in-place seal path ([[Compaction]]) dynamic-overwrites a partition
+  * dir, deleting the old files at commit — correct for the stage→seal
+  * handoff (nothing reads staging), but a reader that listed a *served*
+  * partition moments before a rewrite fails mid-scan with
+  * FileNotFoundException. Table formats (Iceberg, Delta) solve this with
+  * immutable versioned file sets behind an atomically-swapped pointer;
+  * this is the same idea at per-partition granularity with no table-format
+  * dependency:
+  *
+  * {{{
+  *   <partDir>/snap-000001/part-*.parquet   immutable snapshot file sets
+  *   <partDir>/snap-000002/part-*.parquet
+  *   <partDir>/_CURRENT                     one line: "snap-000002"
+  * }}}
+  *
+  * A rewriter lays the NEW snapshot dir beside the live one (readers
+  * never list the parent, so the extra dir is invisible), then swaps the
+  * pointer with an atomic rename — readers resolve `_CURRENT` once at
+  * plan time and from then on scan files that are immutable for the
+  * snapshot's whole lifetime. Nothing is ever deleted by a rewrite:
+  * superseded snapshots are reclaimed only by an explicit [[vacuum]],
+  * whose call cadence IS the retention window for in-flight scans. A
+  * crash between snapshot write and pointer swap leaves an orphan dir
+  * that vacuum also reclaims — the pointer either moved or it didn't,
+  * so readers are consistent through any failure.
+  *
+  * At 100 TB: the pointer file is one atomic rename per partition
+  * rewrite (no lock service), snapshots parallelize per-partition, and
+  * the rewrite itself is the same one-shuffle job as [[Compaction]].
+  */
+object SnapshotStore {
+
+  private val Current = "_CURRENT"
+  private val Prefix  = "snap-"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live snapshot name, if the partition has been initialized. */
+  def current(spark: SparkSession, partDir: String): Option[String] = {
+    val f   = fs(spark, partDir)
+    val ptr = new Path(partDir, Current)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Absolute path of the live snapshot dir (plan-time resolution). */
+  def resolve(spark: SparkSession, partDir: String): Option[String] =
+    current(spark, partDir).map(s => s"$partDir/$s")
+
+  /** Read the partition through the pointer: the returned frame scans an
+    * immutable file set, unaffected by any later rewrite until vacuum. */
+  def read(spark: SparkSession, partDir: String): DataFrame =
+    resolve(spark, partDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None      => throw new IllegalStateException(s"no _CURRENT snapshot under $partDir")
+    }
+
+  /** Atomic pointer swap: write `_CURRENT.tmp`, rename over `_CURRENT`
+    * (FileContext rename with OVERWRITE — atomic on HDFS and POSIX). */
+  private def swapPointer(spark: SparkSession, partDir: String, snapName: String): Unit = {
+    val f   = fs(spark, partDir)
+    val tmp = new Path(partDir, s"$Current.tmp")
+    val out = f.create(tmp, true)
+    try out.write(snapName.getBytes("UTF-8"))
+    finally out.close()
+    val fc = FileContext.getFileContext(
+      new Path(partDir).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(partDir, Current), Options.Rename.OVERWRITE)
+  }
+
+  /** Write `df` as the partition's next snapshot and swap the pointer.
+    * Returns the new snapshot name. The write lands fully before the
+    * swap, so a failure anywhere leaves the previous snapshot live. */
+  def writeSnapshot(spark: SparkSession, partDir: String, df: DataFrame, targetFiles: Int = 1): String = {
+    val f    = fs(spark, partDir)
+    val base = new Path(partDir)
+    val nums =
+      if (!f.exists(base)) Array.empty[Int]
+      else
+        f.listStatus(base)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith(Prefix) => n.stripPrefix(Prefix).toInt }
+    val name = f"$Prefix${(if (nums.isEmpty) 0 else nums.max) + 1}%06d"
+    df.repartition(targetFiles).write.mode("error").parquet(s"$partDir/$name")
+    swapPointer(spark, partDir, name)
+    name
+  }
+
+  /** Rewrite the live snapshot as `targetFiles` files (the size-based
+    * rolling of [[Compaction.targetFileCount]] applies the same way) and
+    * swap. Concurrent readers of the old snapshot are untouched. */
+  def compact(spark: SparkSession, partDir: String, targetFiles: Int = 1): String =
+    writeSnapshot(spark, partDir, read(spark, partDir), targetFiles)
+
+  /** Reclaim every snapshot dir except the live one (superseded AND
+    * orphaned-by-crash alike). Call on the cadence that bounds your
+    * longest in-flight scan. Returns the number of dirs removed. */
+  def vacuum(spark: SparkSession, partDir: String): Int = {
+    val live = current(spark, partDir)
+      .getOrElse(throw new IllegalStateException(s"no _CURRENT snapshot under $partDir"))
+    val f = fs(spark, partDir)
+    val stale = f.listStatus(new Path(partDir))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(Prefix) && p.getName != live)
+    stale.foreach(p => f.delete(p, true))
+    stale.length
+  }
+}

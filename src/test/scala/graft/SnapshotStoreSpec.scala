@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.SnapshotStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Snapshot-isolation guarantees: a compaction rewrite never disturbs a
+  * concurrent reader of the previous snapshot; reclaim is explicit. */
+class SnapshotStoreSpec extends SparkSpec {
+  lazy val t = Tables(spark, sfDir)
+
+  private def tmp(): String = Files.createTempDirectory("graft-snap").toString
+
+  private def dirs(root: String): Set[String] =
+    new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("snap-")).toSet
+
+  private def nFiles(dir: String): Int =
+    new java.io.File(dir).listFiles().count(f => f.getName.endsWith(".parquet"))
+
+  test("write → compact → vacuum lifecycle with reader isolation") {
+    val part = tmp()
+    val src  = t.events.filter(col("event_type") === "click")
+    val n    = src.count()
+
+    // initial load: fragmented (8 files), pointer at snap-000001
+    val s1 = SnapshotStore.writeSnapshot(spark, part, src, targetFiles = 8)
+    assert(s1 == "snap-000001")
+    assert(SnapshotStore.current(spark, part).contains(s1))
+    assert(nFiles(s"$part/$s1") == 8)
+    assert(SnapshotStore.read(spark, part).count() == n)
+
+    // a reader plans against the CURRENT snapshot before the rewrite…
+    val oldResolved = SnapshotStore.resolve(spark, part).get
+    val oldReader   = spark.read.parquet(oldResolved)
+
+    // …compaction rewrites to 1 file and swaps the pointer…
+    val s2 = SnapshotStore.compact(spark, part, targetFiles = 1)
+    assert(s2 == "snap-000002")
+    assert(SnapshotStore.current(spark, part).contains(s2))
+    assert(nFiles(s"$part/$s2") == 1)
+
+    // …and the old reader still scans its immutable file set untouched
+    assert(dirs(part) == Set(s1, s2))
+    assert(oldReader.count() == n)
+
+    // new reads resolve the compacted snapshot with identical content
+    val before = src.agg(round(sum("value"), 4)).first().getDouble(0)
+    val after  = SnapshotStore.read(spark, part).agg(round(sum("value"), 4)).first().getDouble(0)
+    assert(before == after)
+    assert(SnapshotStore.read(spark, part).count() == n)
+
+    // vacuum reclaims exactly the superseded snapshot
+    assert(SnapshotStore.vacuum(spark, part) == 1)
+    assert(dirs(part) == Set(s2))
+    assert(SnapshotStore.read(spark, part).count() == n)
+  }
+
+  test("a crash between snapshot write and pointer swap leaves the previous snapshot live; vacuum reclaims the orphan") {
+    val part = tmp()
+    val src  = t.events.limit(100)
+    val s1   = SnapshotStore.writeSnapshot(spark, part, src)
+
+    // simulate the crash: the next snapshot dir lands fully, but the
+    // pointer never moves (write the files exactly as compact would)
+    src.repartition(1).write.parquet(s"$part/snap-000002")
+    assert(SnapshotStore.current(spark, part).contains(s1))
+    assert(SnapshotStore.read(spark, part).count() == 100)
+
+    // vacuum removes the orphan; the live snapshot survives
+    assert(SnapshotStore.vacuum(spark, part) == 1)
+    assert(dirs(part) == Set(s1))
+    assert(SnapshotStore.read(spark, part).count() == 100)
+
+    // and the next writer does not collide with the reclaimed name space
+    val s3 = SnapshotStore.writeSnapshot(spark, part, src)
+    assert(s3 == "snap-000002")
+    assert(SnapshotStore.read(spark, part).count() == 100)
+  }
+}
