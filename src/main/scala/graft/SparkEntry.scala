@@ -108,6 +108,9 @@ object SparkEntry {
     "q89_mom_change" -> ((s, d) => Relational.monthOverMonth(Tables(s, d).orders)),
     "q90_robust_outliers" -> ((s, d) => Relational.robustOutliers(Tables(s, d).events)),
     "q91_leakage_split" -> ((s, d) => EventAnalytics.leakageSplit(Tables(s, d).events)),
+    "q92_copurchase" -> ((s, d) => Relational.coPurchase(Tables(s, d).lineitem)),
+    "q93_profile" -> ((s, d) => Relational.profileColumns(
+      Tables(s, d).orders, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -637,6 +640,31 @@ object SparkEntry {
         |       THEN 'val' ELSE 'train' END AS split,
         |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY split, event_type ORDER BY split, event_type""".stripMargin,
+    "q92_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        |FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q93_profile" ->
+      """SELECT 'o_orderkey' AS column_name,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        |UNION ALL SELECT 'o_custkey',
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |ORDER BY column_name""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

@@ -596,6 +596,48 @@ object Relational {
       .orderBy("month")
   }
 
+  /** q92: co-purchase affinity (market-basket pair counts). The pair
+    * self-join is keyed on the ORDER, so expansion is Θ(Σ basket²) —
+    * bounded by the largest single basket (~7 lines in this schema),
+    * never by table size; at 100 TB this stays a linear-cost shuffled
+    * equi-join. distinct() first so duplicate part lines inside one
+    * order don't inflate pair counts; the top-N is a TakeOrdered merge. */
+  def coPurchase(lineitem: DataFrame, topN: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
+    val a = items.select(col("okey"), col("pk").as("part_a"))
+    val b = items.select(col("okey"), col("pk").as("part_b"))
+    a.join(b, "okey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
+      .limit(topN)
+  }
+
+  /** q93: one-pass table profiling — null counts, exact distinct counts,
+    * min/max per column, pivoted to one row per column via `stack` (no
+    * second scan, no per-column jobs: ONE aggregate over the table
+    * computes every column's stats; multiple exact distincts share the
+    * scan through Spark's Expand). min/max surface as strings so one
+    * schema covers heterogeneous column types; the oracle profiles the
+    * string-stable types (integral + varchar — float/timestamp rendering
+    * differs across engines, their stats belong in typed queries). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy("column_name")
+  }
+
   /** q90: robust outlier detection — per-group median/MAD scoring, the
     * heavy-tail-safe alternative to mean±σ. Two exact-percentile
     * aggregates over the fact table (mergeable sketch-free percentiles;

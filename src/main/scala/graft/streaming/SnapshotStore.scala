@@ -105,6 +105,26 @@ object SnapshotStore {
   def compact(spark: SparkSession, partDir: String, targetFiles: Int = 1): String =
     writeSnapshot(spark, partDir, read(spark, partDir), targetFiles)
 
+  /** All snapshot names under the partition, oldest first — the
+    * partition's retained history. */
+  def snapshots(spark: SparkSession, partDir: String): Seq[String] = {
+    val f    = fs(spark, partDir)
+    val base = new Path(partDir)
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).map(_.getPath.getName).filter(_.startsWith(Prefix)).sorted.toSeq
+  }
+
+  /** Time travel: read a specific retained snapshot (audit a pre-rewrite
+    * state, diff two versions, reproduce a historical run). Valid until
+    * vacuum reclaims it. */
+  def readAt(spark: SparkSession, partDir: String, snapName: String): DataFrame = {
+    val f = fs(spark, partDir)
+    require(
+      f.exists(new Path(s"$partDir/$snapName")),
+      s"snapshot $snapName not retained under $partDir (vacuumed?)")
+    spark.read.parquet(s"$partDir/$snapName")
+  }
+
   /** Reclaim every snapshot dir except the live one (superseded AND
     * orphaned-by-crash alike). Call on the cadence that bounds your
     * longest in-flight scan. Returns the number of dirs removed. */

@@ -50,10 +50,18 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(before == after)
     assert(SnapshotStore.read(spark, part).count() == n)
 
+    // time travel: both retained versions readable by name, same content
+    assert(SnapshotStore.snapshots(spark, part) == Seq(s1, s2))
+    assert(SnapshotStore.readAt(spark, part, s1).count() == n)
+    assert(SnapshotStore.readAt(spark, part, s2).count() == n)
+
     // vacuum reclaims exactly the superseded snapshot
     assert(SnapshotStore.vacuum(spark, part) == 1)
     assert(dirs(part) == Set(s2))
     assert(SnapshotStore.read(spark, part).count() == n)
+
+    // the vacuumed version is gone for time travel, with a clear error
+    assertThrows[IllegalArgumentException](SnapshotStore.readAt(spark, part, s1))
   }
 
   test("a crash between snapshot write and pointer swap leaves the previous snapshot live; vacuum reclaims the orphan") {
