@@ -175,4 +175,32 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==")(0)).length
     assert(scans <= 1, s"shared scan reads the input $scans times:\n$p")
   }
+
+  test("q88: centroid assignment is one map pass — no join, no explode, single agg shuffle") {
+    val p = plan("q88_centroid_assign")
+    assert(!p.contains("Join"), s"centroid assignment should close over broadcast centroids, not join:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected only the final-agg exchange(s), got $exchanges:\n$p")
+  }
+
+  test("q92: basket pair expansion is a shuffled equi-join, never a cartesian") {
+    val p = plan("q92_copurchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degraded to a cartesian shape:\n$p")
+  }
+
+  test("q93: profiling N columns scans the table once") {
+    val p = plan("q93_profile")
+    val scans = "Scan parquet".r.findAllIn(p.split("== Initial Plan ==")(0)).length
+    assert(scans <= 1, s"profile reads the input $scans times:\n$p")
+  }
+
+  test("q91: the split is a map-side expression — no shuffle before the audit aggregate") {
+    val p = plan("q91_leakage_split")
+    // exactly the two-phase agg exchange + the final orderBy range exchange
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"split assignment should not shuffle the fact table:\n$p")
+    assert(!p.contains("Join"), s"no join expected in hash split:\n$p")
+  }
 }
