@@ -109,6 +109,39 @@ object SparkEntry {
     "q90_robust_outliers" -> ((s, d) => Relational.robustOutliers(Tables(s, d).events)),
     "q91_leakage_split" -> ((s, d) => EventAnalytics.leakageSplit(Tables(s, d).events)),
     "q92_copurchase" -> ((s, d) => Relational.coPurchase(Tables(s, d).lineitem)),
+    "q94_mv_rollup" -> ((s, d) => {
+      // build a rollup MV, route a subset-key aggregate through it via
+      // the Catalyst rewrite, and materialize WHILE routing is enabled —
+      // the driver's oracle then proves MV answers ≡ raw-table answers.
+      // The rule is session-global, so it is disabled again before
+      // returning (localCheckpoint forces execution under the rule).
+      import org.apache.spark.sql.functions._
+      import graft.plans.MaterializedRollup
+      val mvDir = java.nio.file.Files.createTempDirectory("graft-q94").toString + "/lineitem_mv"
+      val v = MaterializedRollup.View(
+        s"$d/lineitem.parquet", Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), mvDir)
+      MaterializedRollup.build(s, v)
+      MaterializedRollup.enable(s, v)
+      try {
+        val agg = s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sq"),
+            avg("l_quantity").as("aq"),
+            max("l_quantity").as("mx"))
+        val routed = agg.localCheckpoint(true)
+        assert(
+          agg.queryExecution.executedPlan.toString.contains("lineitem_mv"),
+          "q94 must execute through the MV scan")
+        routed.select(
+            col("l_returnflag"), col("n_rows"),
+            graft.functions.PortableRound.round(col("sq"), 4).as("sum_qty"),
+            graft.functions.PortableRound.round(col("aq"), 4).as("avg_qty"),
+            graft.functions.PortableRound.round(col("mx"), 4).as("max_qty"))
+          .orderBy("l_returnflag")
+      } finally MaterializedRollup.disable(s, Some(mvDir))
+    }),
     "q93_profile" -> ((s, d) => Relational.profileColumns(
       Tables(s, d).orders, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
@@ -646,6 +679,12 @@ object SparkEntry {
         |FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
         |GROUP BY a.pk, b.pk
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q94_mv_rollup" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
+        | floor((avg(l_quantity))*10000 + 0.5)/10000 AS avg_qty,
+        | floor((max(l_quantity))*10000 + 0.5)/10000 AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q93_profile" ->
       """SELECT 'o_orderkey' AS column_name,
         |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
