@@ -105,6 +105,60 @@ object SnapshotStore {
   def compact(spark: SparkSession, partDir: String, targetFiles: Int = 1): String =
     writeSnapshot(spark, partDir, read(spark, partDir), targetFiles)
 
+  /** Bulk compaction: rewrite MANY partitions' live snapshots in ONE
+    * Spark job (the O(1)-jobs discipline of `Compaction.sealPartitions`
+    * — at cluster scale, per-partition job launches are the bottleneck,
+    * not the data). The union of the live snapshots shuffles once on
+    * (dt, hr) into a temp partitioned layout; the driver then promotes
+    * each written dir to the partition's next `snap-` name with a
+    * metadata-only rename and swaps its pointer. Isolation is identical
+    * to [[compact]]: a failure before a partition's swap leaves its old
+    * snapshot live (orphans reclaimed by vacuum), and concurrent readers
+    * of pre-swap snapshots are untouched throughout. */
+  def compactPartitions(
+      spark: SparkSession,
+      tableRoot: String,
+      parts: Seq[(String, String)],
+      targetFiles: Int = 1): Seq[String] = {
+    if (parts.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions.{col, lit}
+    val union = parts
+      .map { case (dt, hr) =>
+        read(spark, s"$tableRoot/dt=$dt/hr=$hr")
+          .withColumn("dt", lit(dt))
+          .withColumn("hr", lit(hr))
+      }
+      .reduce(_.unionByName(_))
+    val tmpRoot = s"$tableRoot/_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    // hash layout gives one file per (dt, hr) dir; targetFiles > 1 adds a
+    // stable row-hash salt so each dir splits across that many tasks
+    val keys =
+      if (targetFiles <= 1) Seq(col("dt"), col("hr"))
+      else
+        Seq(col("dt"), col("hr"),
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(union.columns.map(col): _*),
+            lit(targetFiles)))
+    union
+      .repartition(keys: _*)
+      .write
+      .partitionBy("dt", "hr")
+      .parquet(tmpRoot)
+    val f = fs(spark, tableRoot)
+    val promoted = parts.map { case (dt, hr) =>
+      val partDir = s"$tableRoot/dt=$dt/hr=$hr"
+      val nums = f.listStatus(new Path(partDir))
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(Prefix) => n.stripPrefix(Prefix).toInt }
+      val name = f"$Prefix${(if (nums.isEmpty) 0 else nums.max) + 1}%06d"
+      f.rename(new Path(s"$tmpRoot/dt=$dt/hr=$hr"), new Path(s"$partDir/$name"))
+      swapPointer(spark, partDir, name)
+      name
+    }
+    f.delete(new Path(tmpRoot), true)
+    promoted
+  }
+
   /** All snapshot names under the partition, oldest first — the
     * partition's retained history. */
   def snapshots(spark: SparkSession, partDir: String): Seq[String] = {

@@ -64,6 +64,37 @@ class SnapshotStoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](SnapshotStore.readAt(spark, part, s1))
   }
 
+  test("bulk compaction rewrites many partitions in one job with per-partition isolation") {
+    val root = tmp()
+    val ev = graft.operators.EventAnalytics.withPartitionKeys(t.events)
+    // initialize three partitions, fragmented
+    val parts = ev.select("dt", "hr").distinct().orderBy("dt", "hr").limit(3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val counts = parts.map { case (dt, hr) =>
+      val slice = ev.filter(col("dt") === dt && col("hr") === hr).drop("dt", "hr")
+      SnapshotStore.writeSnapshot(spark, s"$root/dt=$dt/hr=$hr", slice, targetFiles = 4)
+      (dt, hr) -> slice.count()
+    }.toMap
+
+    // readers planned against the pre-compaction snapshots
+    val oldReaders = parts.map { case (dt, hr) =>
+      (dt, hr) -> spark.read.parquet(SnapshotStore.resolve(spark, s"$root/dt=$dt/hr=$hr").get)
+    }
+
+    val promoted = SnapshotStore.compactPartitions(spark, root, parts)
+    assert(promoted == Seq.fill(3)("snap-000002"))
+    parts.foreach { case (dt, hr) =>
+      val partDir = s"$root/dt=$dt/hr=$hr"
+      assert(SnapshotStore.current(spark, partDir).contains("snap-000002"))
+      assert(nFiles(s"$partDir/snap-000002") == 1, "bulk compaction should produce one file per partition")
+      assert(SnapshotStore.read(spark, partDir).count() == counts((dt, hr)))
+      assert(dirs(partDir) == Set("snap-000001", "snap-000002"), "old snapshot must survive the rewrite")
+    }
+    oldReaders.foreach { case ((dt, hr), r) => assert(r.count() == counts((dt, hr))) }
+    // temp staging is gone
+    assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("_compact_tmp")))
+  }
+
   test("a crash between snapshot write and pointer swap leaves the previous snapshot live; vacuum reclaims the orphan") {
     val part = tmp()
     val src  = t.events.limit(100)
