@@ -144,6 +144,26 @@ object SparkEntry {
     }),
     "q93_profile" -> ((s, d) => Relational.profileColumns(
       Tables(s, d).orders, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "q95_session_window" -> ((s, d) => EventAnalytics.sessionWindowNative(Tables(s, d).events)),
+    "q96_constraint_audit" -> ((s, d) => {
+      val t = Tables(s, d)
+      Audit.constraintAudit(t.orders, t.lineitem, t.customer, t.events)
+    }),
+    "q97_source_caps" -> ((s, d) => TextAnalysis.sourceCaps(Tables(s, d).documents)),
+    "q98_pagerank" -> ((s, d) => Graph.coPurchasePageRank(Tables(s, d).lineitem)),
+    "q99_substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(Tables(s, d).documents)),
+    "q100_cross_dedup" -> ((s, d) => {
+      // fuzzy decontamination: odd-id docs checked for near-dups among even-id docs
+      val docs = Tables(s, d).documents
+      Dedup.crossCorpusNearDups(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+    }),
+    "q101_join_estimate" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey")
+    }),
+    "q102_skyline" -> ((s, d) => Skyline.skyline(Tables(s, d).part)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -704,6 +724,99 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q102_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q95_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |g AS (SELECT user_id, sid, count(*) AS n, max(us) - min(us) AS span_us
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+        |  floor(CAST(sum(span_us) AS DOUBLE)/1000000.0*10000 + 0.5)/10000 AS total_span_s,
+        |  floor(CAST(max(span_us) AS DOUBLE)/1000000.0*10000 + 0.5)/10000 AS max_span_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q96_constraint_audit" ->
+      """WITH checks AS (
+        |  SELECT 'notnull_o_custkey' AS check_name, 'orders' AS table_name,
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations, count(*) AS n_rows FROM orders
+        |  UNION ALL SELECT 'unique_o_orderkey', 'orders',
+        |    count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+        |  UNION ALL SELECT 'range_o_totalprice', 'orders',
+        |    count(CASE WHEN o_totalprice <= 0 THEN 1 END), count(*) FROM orders
+        |  UNION ALL SELECT 'range_l_quantity', 'lineitem',
+        |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END), count(*) FROM lineitem
+        |  UNION ALL SELECT 'range_l_discount', 'lineitem',
+        |    count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END), count(*) FROM lineitem
+        |  UNION ALL SELECT 'notnull_l_shipdate', 'lineitem',
+        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END), count(*) FROM lineitem
+        |  UNION ALL SELECT 'notnull_event_ts', 'events',
+        |    count(CASE WHEN ts IS NULL THEN 1 END), count(*) FROM events
+        |  UNION ALL SELECT 'unique_event_id', 'events',
+        |    count(*) - count(DISTINCT event_id), count(*) FROM events
+        |  UNION ALL SELECT 'fk_orders_custkey', 'orders',
+        |    count(CASE WHEN c.c_custkey IS NULL AND o.o_custkey IS NOT NULL THEN 1 END), count(*)
+        |    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |      ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT 'fk_lineitem_orderkey', 'lineitem',
+        |    count(CASE WHEN p.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL THEN 1 END), count(*)
+        |    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+        |      ON l.l_orderkey = p.o_orderkey)
+        |SELECT check_name, table_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_rows AS BIGINT) AS n_rows, n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+    "q97_source_caps" ->
+      """WITH r AS (
+        |  SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |k AS (SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |      FROM r WHERE rk <= 50 GROUP BY source),
+        |t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+        |SELECT t.source, t.n_total, k.n_kept, k.chars_kept,
+        |  floor(CAST(k.n_kept AS DOUBLE)/t.n_total*10000 + 0.5)/10000 AS keep_ratio
+        |FROM t JOIN k USING (source) ORDER BY source""".stripMargin,
+    "q98_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM items a JOIN items b ON a.okey = b.okey AND a.pk <> b.pk),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0/(SELECT n FROM nn) AS pr FROM deg),
+        |r1 AS (SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85*sum(r.pr/g.d) AS pr
+        |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85*sum(r.pr/g.d) AS pr
+        |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, 0.15/(SELECT n FROM nn) + 0.85*sum(r.pr/g.d) AS pr
+        |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg g ON g.src = e.src GROUP BY e.dst)
+        |SELECT node AS part, floor(pr*(SELECT n FROM nn)*10000 + 0.5)/10000 AS pr_x_n
+        |FROM r3 ORDER BY pr_x_n DESC, part LIMIT 20""".stripMargin,
+    "q99_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i) WHERE len(toks) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |w AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY doc_id),
+        |h AS (SELECT doc_id, count(*) AS n_dup FROM g
+        |      WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  floor(coalesce(CAST(h.n_dup AS DOUBLE)/w.n_windows, 0)*10000 + 0.5)/10000 AS dup_fraction,
+        |  coalesce(CAST(h.n_dup AS DOUBLE)/w.n_windows, 0) > 0.5 AS flagged
+        |FROM documents d LEFT JOIN w USING (doc_id) LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q67_winnowing" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |sh AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** q96: declarative data-quality constraint audit (the Deequ-style
+  * verification suite a warehouse runs after each load — the reference's
+  * "partition done" contract extended to "partition done AND valid").
+  *
+  * Checks are grouped so each TABLE is scanned once for all of its
+  * row-level constraints (null / range / uniqueness collapse into ONE
+  * conditional aggregate, fanned back out to a row per check with
+  * `stack`), and each referential check is a single left join counting
+  * unmatched children — never two passes (`count(*)` and the violation
+  * count ride the same join). Every branch reduces to a handful of rows
+  * before the final union, so the audit's cost at 100 TB is exactly one
+  * scan per audited table plus one join per foreign key — the minimum
+  * any audit can do.
+  */
+object Audit {
+
+  private def rowChecks(df: DataFrame, tableName: String, checks: Seq[(String, Column)]): DataFrame = {
+    val aggCols = count(lit(1)).as("n_rows") +: checks.map { case (n, c) => c.as(n) }
+    val stackArgs = checks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr(
+        s"stack(${checks.size}, $stackArgs) AS (check_name, n_violations)",
+        s"'$tableName' AS table_name",
+        "n_rows")
+  }
+
+  /** One pass over the child table: left-join the parent's (distinct)
+    * key column and count both rows and unmatched rows in the same
+    * aggregate. The parent side is keys-only, so it broadcasts when the
+    * parent is a dim and shuffles data-proportionally when it is not. */
+  private def fkCheck(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      checkName: String, tableName: String): DataFrame =
+    child
+      .join(parent.select(col(parentKey).as("__pk")).distinct(), col(childKey) === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("__pk").isNull && col(childKey).isNotNull, 1)).as("n_violations"))
+      .select(lit(checkName).as("check_name"), lit(tableName).as("table_name"),
+        col("n_violations"), col("n_rows"))
+
+  def constraintAudit(
+      orders: DataFrame, lineitem: DataFrame, customer: DataFrame, events: DataFrame): DataFrame = {
+    val ordersChecks = rowChecks(orders, "orders", Seq(
+      "notnull_o_custkey" -> count(when(col("o_custkey").isNull, 1)),
+      "unique_o_orderkey" -> (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "range_o_totalprice" -> count(when(col("o_totalprice") <= 0, 1))))
+    val lineitemChecks = rowChecks(lineitem, "lineitem", Seq(
+      "range_l_quantity" -> count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)),
+      "range_l_discount" -> count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)),
+      "notnull_l_shipdate" -> count(when(col("l_shipdate").isNull, 1))))
+    val eventsChecks = rowChecks(events, "events", Seq(
+      "notnull_event_ts" -> count(when(col("ts").isNull, 1)),
+      "unique_event_id" -> (count(lit(1)) - countDistinct(col("event_id")))))
+    val fkOrders = fkCheck(orders, "o_custkey", customer, "c_custkey",
+      "fk_orders_custkey", "orders")
+    val fkLineitem = fkCheck(lineitem, "l_orderkey", orders, "o_orderkey",
+      "fk_lineitem_orderkey", "lineitem")
+
+    ordersChecks
+      .unionByName(lineitemChecks)
+      .unionByName(eventsChecks)
+      .unionByName(fkOrders)
+      .unionByName(fkLineitem)
+      .withColumn("passed", col("n_violations") === 0L)
+      .select("check_name", "table_name", "n_violations", "n_rows", "passed")
+      .orderBy("check_name")
+  }
+}

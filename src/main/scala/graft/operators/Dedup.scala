@@ -456,4 +456,50 @@ object Dedup {
           4).as("jaccard"))
       .orderBy("doc_a")
   }
+
+  /** q100: cross-corpus near-dup join — FUZZY decontamination. q66 flags
+    * exact shingle overlap against a benchmark; this finds candidate
+    * docs that are NEAR-duplicates of any reference doc (a paraphrased
+    * eval question, a re-crawled page) without ever comparing
+    * reference×reference or candidate×candidate.
+    *
+    * Same LSH machinery as q40, but the band join is a two-SIDED join
+    * (reference bands ⋈ candidate bands on (band, bucket)), so pair
+    * expansion is |A∩B-bucket| products only — dedup-B-against-A at
+    * 100 TB never pays for A's or B's internal near-dup structure.
+    * Per-side bucket caps bound degenerate buckets before expansion.
+    * Each flagged candidate reports its best-matching reference doc
+    * (max exact jaccard, ties to the smallest ref id). */
+  def crossCorpusNearDups(
+      reference: DataFrame,
+      candidates: DataFrame,
+      shingleK: Int = 3,
+      verifyThreshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    val sr = signatures(reference, shingleK).cache()
+    val sc = signatures(candidates, shingleK).cache()
+    def capped(sigs: DataFrame, idAs: String): DataFrame =
+      bands(sigs)
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .filter(col("bsz") <= maxBucket)
+        .select(col("band"), col("bucket"), col("doc_id").as(idAs))
+    val cand = capped(sr, "ref_doc")
+      .join(capped(sc, "cand_doc"), Seq("band", "bucket"))
+      .select("cand_doc", "ref_doc")
+      .distinct()
+    val shr = sr.select(col("doc_id").as("ref_doc"), col("shingles").as("sh_r"))
+    val shc = sc.select(col("doc_id").as("cand_doc"), col("shingles").as("sh_c"))
+    cand
+      .join(shc, "cand_doc")
+      .join(shr, "ref_doc")
+      .withColumn("jaccard", round(jaccardUdf(col("sh_c"), col("sh_r")), 4))
+      .filter(col("jaccard") >= verifyThreshold)
+      .groupBy(col("cand_doc"))
+      .agg(max(struct(col("jaccard"), (-col("ref_doc")).as("neg_ref"))).as("best"))
+      .select(
+        col("cand_doc"),
+        (-col("best.neg_ref")).as("matched_ref"),
+        col("best.jaccard").as("jaccard"))
+      .orderBy("cand_doc")
+  }
 }

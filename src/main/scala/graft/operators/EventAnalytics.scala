@@ -269,4 +269,35 @@ object EventAnalytics {
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort", "day_offset")
   }
+
+  /** q95: gap sessionization via Spark's NATIVE `session_window` — the
+    * declarative dual of q22's lag-window formulation and of the
+    * streaming sessionizer. One groupBy (user × session-window) does the
+    * merge inside the aggregation operator (no per-user window sort
+    * feeding a second groupBy, and the same construct runs unchanged
+    * under `readStream` with watermark-driven state eviction — asserted
+    * in StreamingSessionizeSpec). Session span excludes the trailing gap
+    * that session_window's `end` carries (end = last event + gap), so
+    * the numbers line up with the lag/cumsum definition exactly. */
+  def sessionWindowNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val sessions = events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        col("n"),
+        // exact integer µs per session; divide AFTER the sum so both
+        // engines round the identical double (float sums associate
+        // differently and flip the 4th decimal at the boundary)
+        (unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - gapUs).as("span_us"))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n").as("n_events"),
+        round(sum("span_us") / lit(1e6), 4).as("total_span_s"),
+        round(max("span_us") / lit(1e6), 4).as("max_span_s"))
+      .orderBy("user_id")
+  }
 }

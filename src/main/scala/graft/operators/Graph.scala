@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
+
+/** q98: fixed-iteration PageRank over the co-purchase graph — the
+  * link-graph importance signal corpus-curation pipelines compute over
+  * web-crawl hosts (Common Crawl ranks hosts exactly this way) applied
+  * to the warehouse's own part graph.
+  *
+  * Scale shape: the edge list is built once from the order-keyed
+  * self-join (pair expansion Θ(Σ basket²), bounded by basket size like
+  * q92, never table size), degree is attached to the edges up front, and
+  * the edge set is hash-partitioned by `src` and cached — so each of the
+  * k iterations is one join against the (node-cardinality) rank table
+  * plus one data-proportional groupBy on `dst`. Nothing driver-side
+  * except the node count (one scalar). The co-purchase graph is
+  * symmetric, so every node has out-degree ≥ 1 — no dangling-mass term.
+  * Ranks are reported scaled by n (1.0 = uniform) and portably rounded;
+  * the top-k order uses the ROUNDED value so both engines sort the same
+  * keys.
+  */
+object Graph {
+
+  /** Degree-annotated distinct co-purchase edges (src, dst, d) — exposed
+    * so PlanSpec can assert the build is equi-join-only (the returned
+    * query result is an eager checkpoint, whose plan says nothing). */
+  private[graft] def edgesWithDegree(lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    edges.join(deg, "src").repartition(col("src"))
+  }
+
+  def coPurchasePageRank(
+      lineitem: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      topN: Int = 20): DataFrame = {
+    val edgesWithDeg = edgesWithDegree(lineitem).cache()
+    val n = edgesWithDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
+
+    var ranks = edgesWithDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      ranks = edgesWithDeg
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("d")).as("mass"))
+        .select(
+          col("dst").as("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("pr"))
+    }
+    // materialize the (topN-row) result eagerly, then release the edge cache
+    val result = ranks
+      .select(col("node").as("part"), round(col("pr") * n, 4).as("pr_x_n"))
+      .orderBy(desc("pr_x_n"), asc("part"))
+      .limit(topN)
+      .localCheckpoint(eager = true)
+    edgesWithDeg.unpersist(blocking = false)
+    result
+  }
+}

@@ -428,6 +428,32 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q101: join-size planning from sketches — estimate the distinct-key
+    * overlap of a prospective join WITHOUT running it:
+    * |A∩B| ≈ |A| + |B| − |A∪B| by inclusion–exclusion over HLL
+    * sketches. One sketch aggregate per side (map-side partials, a
+    * ~KB-sized sketch crosses the wire), one binary `hll_union` on the
+    * driver-sized 1-row frames — at 100 TB this is how you decide
+    * broadcast vs shuffle vs bloom *before* paying for the join. The
+    * same stored sketches from q54's sketch table answer this for any
+    * partition subset with no rescan. */
+  def hllJoinEstimate(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      lgConfigK: Int = 14): DataFrame = {
+    val l = left.agg(hll_sketch_agg(col(leftKey), lit(lgConfigK)).as("sk_l"))
+    val r = right.agg(hll_sketch_agg(col(rightKey), lit(lgConfigK)).as("sk_r"))
+    l.crossJoin(r) // 1 row × 1 row — the scalar-combine idiom
+      .select(
+        hll_sketch_estimate(col("sk_l")).as("est_left_keys"),
+        hll_sketch_estimate(col("sk_r")).as("est_right_keys"),
+        hll_sketch_estimate(hll_union(col("sk_l"), col("sk_r"), allowDifferentLgConfigK = false))
+          .as("est_union_keys"))
+      .withColumn(
+        "est_matching_keys",
+        greatest(col("est_left_keys") + col("est_right_keys") - col("est_union_keys"), lit(0L)))
+  }
+
   /** q83: unpivot/melt — the inverse of q28's pivot: measure columns
     * fanned into (measure, value) rows. Spark's native `unpivot` expands
     * inside the scan projection (an Expand, no UDF, no shuffle); the

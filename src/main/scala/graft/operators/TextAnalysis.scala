@@ -464,4 +464,70 @@ object TextAnalysis {
         sum("digit_chars").as("digits_redacted"),
         min("redacted").as("sample_redacted"))
       .orderBy("event_type")
+
+  /** q97: per-source document caps (the RefinedWeb/Dolma "no domain may
+    * dominate the mixture" rule) — keep at most `cap` docs per source,
+    * chosen by deterministic content-free hash rank so the kept subset
+    * is reproducible across runs, engines, and file layouts. The rank
+    * is the `row_number <= k` idiom, which Spark 3.5+ executes as
+    * Partial+Final WindowGroupLimit (bounded per-partition heaps before
+    * the shuffle — plan-asserted), so no source's full document list is
+    * ever sorted in one task. Output is the per-source audit: total vs
+    * kept counts and the kept char mass. */
+  def sourceCaps(documents: DataFrame, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val kept = documents
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"))
+      .select(
+        col("source"), col("n_total"), col("n_kept"), col("chars_kept"),
+        round(col("n_kept").cast("double") / col("n_total"), 4).as("keep_ratio"))
+      .orderBy("source")
+  }
+
+  /** q99: corpus-internal duplicated-passage detection (the practical
+    * Spark form of suffix-array substring dedup, Lee et al. 2022): hash
+    * every `windowTokens`-token window of every document, find windows
+    * occurring in MORE THAN ONE document, and score each document by the
+    * fraction of its windows that are corpus-duplicated. xxhash64 stands
+    * in for the window strings end to end, so the duplicate-window
+    * groupBy and the match-back join shuffle 8-byte keys, never text.
+    * Both shuffles are data-proportional (Θ(total tokens)) — the honest
+    * cost of corpus-internal substring search; there is no broadcast
+    * side because the duplicate set scales with the corpus. Within-doc
+    * repetition alone does NOT flag (count distinct doc > 1), keeping
+    * this orthogonal to q57's repetition score. */
+  def substringDedup(documents: DataFrame, windowTokens: Int = 8, flagAt: Double = 0.5): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), explode(transform(shingles(tokens(lower(col("text"))), windowTokens),
+        s => xxhash64(s))).as("g"))
+    val dupGrams = grams
+      .groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("g")
+    val perDoc = grams
+      .join(dupGrams, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val windows = grams.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    documents.select("doc_id")
+      .join(windows, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows").cast("double") / col("n_windows"), lit(0.0)), 4)
+          .as("dup_fraction"),
+        (coalesce(col("n_dup_windows").cast("double") / col("n_windows"), lit(0.0)) > flagAt)
+          .as("flagged"))
+      .orderBy("doc_id")
+  }
 }

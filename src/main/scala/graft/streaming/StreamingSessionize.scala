@@ -67,4 +67,26 @@ object StreamingSessionize {
           }
       }
   }
+
+  /** The same sessionization via Spark's NATIVE `session_window` — no
+    * user state-management code at all: the state store holds one
+    * merging window per open (user, session) and the watermark emits a
+    * session once its gap has passed (append mode). Batch dual:
+    * [[graft.operators.EventAnalytics.sessionWindowNative]] (q95); the
+    * emitted summaries match [[sessionize]] exactly (duration excludes
+    * the trailing gap baked into session_window's `end`). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("start_ts"),
+        col("n_events"),
+        ((unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - gapUs) / lit(1e6))
+          .as("duration_s"))
+  }
 }

@@ -1,0 +1,192 @@
+package graft
+
+import graft.operators.{Audit, EventAnalytics, Graph, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic ground truth for the q95–q99 family: native session windows,
+  * constraint audit, per-source caps, PageRank, substring dedup. */
+class AuditGraphSpec extends SparkSpec {
+  import spark.implicits._
+  lazy val t = Tables(spark, sfDir)
+
+  test("q95: native session_window agrees with the lag/cumsum sessionizer (q22)") {
+    val native = EventAnalytics.sessionWindowNative(t.events)
+      .select("user_id", "n_sessions", "n_events")
+    val lagged = EventAnalytics.sessionize(t.events)
+      .select("user_id", "n_sessions", "n_events")
+    assert(native.exceptAll(lagged).isEmpty && lagged.exceptAll(native).isEmpty,
+      "session_window and lag-window sessionization disagree")
+  }
+
+  test("q95: session spans are non-negative and bounded by the user's event span") {
+    val spans = EventAnalytics.sessionWindowNative(t.events)
+    val bad = spans.filter(col("total_span_s") < 0 || col("max_span_s") > col("total_span_s") + 0.001)
+    assert(bad.isEmpty, "negative or inconsistent session spans")
+  }
+
+  test("q96: clean generated data passes every check") {
+    val out = Audit.constraintAudit(t.orders, t.lineitem, t.customer, t.events).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("passed"), s"${r.getString(0)}: ${r.getAs[Long]("n_violations")} violations")
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+  }
+
+  test("q96: planted violations are counted exactly") {
+    val orders = Seq[(Long, java.lang.Long, String, Double)](
+      (1L, 10L, "O", 100.0), (2L, 10L, "O", -5.0), (2L, 99L, "F", 50.0), (3L, null, "F", 20.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq((1L, 10.0, 0.05, "2024-01-01"), (7L, 99.0, -0.1, "2024-01-02"))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val events = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 01:00:00"))
+      .toDF("event_id", "tss").withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+    val got = Audit.constraintAudit(orders, lineitem, customer, events)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(got("notnull_o_custkey") == 1)   // order 3
+    assert(got("unique_o_orderkey") == 1)   // order 2 twice
+    assert(got("range_o_totalprice") == 1)  // -5.0
+    assert(got("range_l_quantity") == 1)    // 99.0
+    assert(got("range_l_discount") == 1)    // -0.1
+    assert(got("fk_orders_custkey") == 1)   // custkey 99 (null custkey NOT an fk violation)
+    assert(got("fk_lineitem_orderkey") == 1) // orderkey 7
+    assert(got("unique_event_id") == 1)     // event 1 twice
+  }
+
+  test("q97: no source exceeds the cap, ratios are consistent, and the choice is layout-stable") {
+    val cap = 5
+    val out = TextAnalysis.sourceCaps(t.documents, cap).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= cap)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Double]("keep_ratio") <= 1.0)
+    }
+    val shuffled = TextAnalysis.sourceCaps(t.documents.repartition(7), cap)
+    val base     = TextAnalysis.sourceCaps(t.documents, cap)
+    assert(base.exceptAll(shuffled).isEmpty, "cap selection depends on data layout")
+  }
+
+  test("q98: star graph ranks the hub first and rank mass is conserved") {
+    // baskets {A,B} {A,C} {A,D}: A co-purchased with everyone
+    val li = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 300L), (3L, 100L), (3L, 400L))
+      .toDF("l_orderkey", "l_partkey")
+    val pr = Graph.coPurchasePageRank(li, iterations = 3, topN = 10).collect()
+    assert(pr.head.getAs[Long]("part") == 100L, "hub is not ranked first")
+    // symmetric graph, no dangling nodes: scaled ranks sum to n (=1.0 each on average)
+    val total = pr.map(_.getAs[Double]("pr_x_n")).sum
+    assert(math.abs(total - 4.0) < 0.01, s"rank mass $total != 4.0")
+    // spokes are symmetric — identical ranks
+    val spokes = pr.filter(_.getAs[Long]("part") != 100L).map(_.getAs[Double]("pr_x_n")).distinct
+    assert(spokes.length == 1, "symmetric spokes got different ranks")
+  }
+
+  test("q99: planted shared passage flags both docs; within-doc repetition alone does not flag") {
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma"),
+      (2L, s"$passage delta epsilon zeta"),
+      (3L, "entirely unique words that never repeat anywhere else at all here now"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8") // self-repeat only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, windowTokens = 8, flagAt = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 share the 12-token passage → 5 shared 8-windows each
+    assert(out(1L).getAs[Long]("n_dup_windows") == 5)
+    assert(out(2L).getAs[Long]("n_dup_windows") == 5)
+    assert(out(1L).getAs[Boolean]("flagged") && out(2L).getAs[Boolean]("flagged"))
+    assert(out(3L).getAs[Long]("n_dup_windows") == 0 && !out(3L).getAs[Boolean]("flagged"))
+    assert(out(4L).getAs[Long]("n_dup_windows") == 0, "within-doc repetition must not count as corpus dup")
+  }
+
+  test("q99: window counts are exact (n - k + 1 per doc)") {
+    val docs = Seq((1L, (1 to 20).map("w" + _).mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs).collect().map(r => r.getLong(0) -> r.getAs[Long]("n_windows")).toMap
+    assert(out(1L) == 13 && out(2L) == 0)
+  }
+
+  test("q100: cross-corpus near-dup finds the planted paraphrase, ignores unique docs and within-side dups") {
+    import graft.operators.Dedup
+    def words(seed: Int, n: Int) = (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+    val reference = Seq(
+      (10L, words(1, 40)),
+      (11L, words(2, 40)),
+      (12L, words(3, 40))).toDF("doc_id", "text")
+    // c1 ≈ ref 11 (drop last 3 words), c2 unique, c3+c4 near-dups of EACH
+    // OTHER but of nothing in the reference — must not surface
+    val candidates = Seq(
+      (20L, words(2, 37)),
+      (21L, words(9, 40)),
+      (22L, words(7, 40)),
+      (23L, words(7, 39))).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(reference, candidates, verifyThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1, s"expected exactly the planted match, got ${out.toSeq}")
+    val (cand, ref, j) = out.head
+    assert(cand == 20L && ref == 11L && j >= 0.7, s"wrong match: $cand -> $ref @ $j")
+  }
+
+  test("q100: an exact copy across corpora scores jaccard 1.0") {
+    import graft.operators.Dedup
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val ref  = Seq((1L, text)).toDF("doc_id", "text")
+    val cand = Seq((2L, text)).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(ref, cand).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("q102: skyline equals the brute-force pareto set and is layout-stable") {
+    import graft.operators.Skyline
+    val p = t.part.select("p_partkey", "p_retailprice", "p_size")
+    val a = p.as("a"); val b = p.as("b")
+    val dominated = a.join(b,
+      col("b.p_retailprice") <= col("a.p_retailprice") && col("b.p_size") >= col("a.p_size") &&
+        (col("b.p_retailprice") < col("a.p_retailprice") || col("b.p_size") > col("a.p_size")),
+      "left_semi")
+    val brute = p.exceptAll(dominated).select("p_partkey").collect().map(_.getLong(0)).toSet
+    val sky = Skyline.skyline(t.part).select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(sky == brute, s"skyline ${sky.size} vs brute ${brute.size}")
+    val shuffled = Skyline.skyline(t.part.repartition(13)).select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(shuffled == brute, "skyline depends on partition layout")
+    // frontier sanity: strictly increasing size as price increases
+    val rows = Skyline.skyline(t.part).orderBy("p_retailprice").collect()
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getDouble(1) <= y.getDouble(1))
+        if (x.getDouble(1) < y.getDouble(1)) assert(x.getInt(2) < y.getInt(2))
+      case _ =>
+    }
+  }
+
+  test("plan lint flags the three 100TB-killer shapes and passes clean plans") {
+    import graft.plans.PlanLint
+    import org.apache.spark.sql.expressions.Window
+    val cross = t.customer.crossJoin(t.orders)
+    assert(PlanLint.lint(cross).exists(v => v.rule == "cartesian-product" || v.rule == "broadcast-nested-loop-join"))
+    val globalWin = t.orders.withColumn("rn",
+      row_number().over(Window.orderBy(desc("o_totalprice"))))
+    assert(PlanLint.lint(globalWin).exists(_.rule == "unpartitioned-window"))
+    assert(PlanLint.lint(SparkEntry.queries("q01_pricing_summary")(spark, sfDir)).isEmpty)
+    assert(PlanLint.lint(SparkEntry.queries("q05_multi_join_agg")(spark, sfDir)).isEmpty)
+    assert(PlanLint.lint(SparkEntry.queries("q25_ntile_buckets")(spark, sfDir)).isEmpty,
+      "the rebuilt scale-safe ntile must lint clean")
+    intercept[IllegalArgumentException](PlanLint.check(cross))
+  }
+
+  test("q101: HLL join estimate lands within 5% of the exact key overlap") {
+    import graft.operators.Relational
+    val r = Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey").head()
+    val estLeft  = r.getAs[Long]("est_left_keys")
+    val estInter = r.getAs[Long]("est_matching_keys")
+    val exactLeft = t.orders.select("o_custkey").distinct().count()
+    val exactInter = t.orders.select(col("o_custkey").as("k")).distinct()
+      .join(t.customer.select(col("c_custkey").as("k")).distinct(), "k").count()
+    assert(math.abs(estLeft - exactLeft) <= math.max(1, 0.05 * exactLeft), s"$estLeft vs $exactLeft")
+    assert(math.abs(estInter - exactInter) <= math.max(1, 0.05 * exactInter), s"$estInter vs $exactInter")
+  }
+}

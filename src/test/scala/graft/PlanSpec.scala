@@ -203,4 +203,61 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"split assignment should not shuffle the fact table:\n$p")
     assert(!p.contains("Join"), s"no join expected in hash split:\n$p")
   }
+
+  test("q97: per-source cap plans Partial+Final WindowGroupLimit (no full per-source sort feeds the shuffle)") {
+    val p = plan("q97_source_caps")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"row_number<=k idiom did not plan bounded pre-shuffle selection:\n$p")
+  }
+
+  test("q96: audit scans each table once per role — no cartesian, no repeated passes") {
+    val p = plan("q96_constraint_audit").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audit joins must be equi-joins:\n$p")
+    // lineitem appears exactly twice: its row-check aggregate and the fk child pass
+    val lineitemScans = "Scan parquet [^\\n]*lineitem".r.findAllIn(p).length
+    assert(lineitemScans == 2, s"lineitem scanned $lineitemScans times (want 2):\n$p")
+  }
+
+  test("every query plan lints clean of scale-killer shapes (documented idioms excepted)") {
+    // deliberate idioms, each justified at its definition site:
+    //  - broadcast-nested-loop-join on a 1-row aggregate (scalar-combine:
+    //    q14/q56/q74/q76/q84/q101) or a bounded broadcast query side
+    //    (exact-ANN baseline / re-rank / handoff: q51/q59/q63)
+    //  - unpartitioned window over an input bounded by CONSTRUCTION:
+    //    q72 solves over ≤ #sources rows, q89 lags a calendar-bounded
+    //    month table — the window input can never grow with the corpus
+    val bnl = Set("broadcast-nested-loop-join")
+    val deliberate: Map[String, Set[String]] = Map(
+      "q14_scalar_subquery" -> bnl,
+      "q51_ann_bruteforce"  -> bnl,
+      "q56_line_dedup"      -> bnl,
+      "q59_ann_quantized"   -> bnl,
+      "q63_feature_similarity" -> bnl,
+      "q74_tfidf"           -> bnl,
+      "q76_funnel"          -> bnl,
+      "q84_gapfill"         -> bnl,
+      "q101_join_estimate"  -> bnl,
+      "q72_mixture_solver"  -> Set("unpartitioned-window"),
+      "q89_mom_change"      -> Set("unpartitioned-window"))
+    // q70 starts a streaming query; q94 returns an eager checkpoint —
+    // their plans are guarded by their own specs
+    val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip.contains(n) }
+      .flatMap { case (name, fn) =>
+        val rules = graft.plans.PlanLint.lint(fn(spark, sfDir)).map(_.rule).toSet
+        val unexpected = rules -- deliberate.getOrElse(name, Set.empty)
+        if (unexpected.nonEmpty) Some(s"$name: ${unexpected.mkString(",")}") else None
+      }
+    assert(bad.isEmpty, s"scale-killer shapes planned:\n${bad.mkString("\n")}")
+  }
+
+  test("q98: edge build is an order-keyed equi-join, never a cartesian") {
+    val edges = graft.operators.Graph.edgesWithDegree(
+      graft.sources.Tables(spark, sfDir).lineitem)
+    val p = edges.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank edge build planned a cartesian:\n$p")
+  }
 }

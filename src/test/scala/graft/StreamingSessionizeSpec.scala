@@ -98,4 +98,29 @@ class StreamingSessionizeSpec extends SparkSpec {
       case (n, d) => assert(n >= 1 && d >= 0)
     }
   }
+
+  test("native session_window stream (q95 dual) emits the same closed sessions as the stateful sessionizer") {
+    val rows = Seq(
+      ev(1, 0, 1), ev(2, 5, 1), ev(3, 10, 1),
+      ev(4, 60, 1), ev(5, 62, 1),
+      ev(6, 0, 2),
+      ev(99, 1000, 999))
+    val in = tmp()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = graft.streaming.StreamingSessionize.sessionizeNative(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sess_native")
+      .select("user_id", "n_events", "duration_s")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 3L, 600.0)), s"missing session A in $out")
+    assert(out.contains((1L, 2L, 120.0)), s"missing session B in $out")
+    assert(out.contains((2L, 1L, 0.0)), s"missing singleton in $out")
+  }
 }
