@@ -164,6 +164,7 @@ object SparkEntry {
       Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey")
     }),
     "q102_skyline" -> ((s, d) => Skyline.skyline(Tables(s, d).part)),
+    "q103_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -724,6 +725,19 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q103_conversion_latency" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS fc FROM events
+        |            WHERE event_type = 'click' GROUP BY user_id),
+        |fp AS (SELECT e.user_id, min(fc.fc) AS fc, min(e.ts) AS fp
+        |       FROM events e JOIN fc ON e.user_id = fc.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+        |       GROUP BY e.user_id),
+        |lat AS (SELECT strftime(fc, '%Y-%m-%d') AS day,
+        |          epoch_us(fp) - epoch_us(fc) AS lat_us FROM fp)
+        |SELECT day, count(*) AS n_conversions,
+        |  floor(quantile_cont(lat_us, 0.5)/1000000.0*10000 + 0.5)/10000 AS median_latency_s,
+        |  floor(quantile_cont(lat_us, 0.9)/1000000.0*10000 + 0.5)/10000 AS p90_latency_s
+        |FROM lat GROUP BY day ORDER BY day""".stripMargin,
     "q102_skyline" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part q

@@ -270,6 +270,33 @@ object EventAnalytics {
       .orderBy("cohort", "day_offset")
   }
 
+  /** q103: conversion latency — the funnel's time dimension: for every
+    * user whose first click later converts, the delay from first click
+    * to first subsequent purchase, summarized per first-click day
+    * (conversion count + exact median/p90 latency). Both stage tables
+    * are user-cardinality min-aggregates (map-side combined), the join
+    * is user-keyed, and the percentile input is exact integer
+    * microseconds divided only AFTER the percentile — the same
+    * float-association discipline as q95. At 100 TB swap `percentile`
+    * for the q38 t-digest aggregate; the shape is otherwise unchanged. */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val firstClick = events.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("fc"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("ts") >= col("fc"))
+      .groupBy(col("user_id"), col("fc"))
+      .agg(min("ts").as("fp"))
+    firstPurchase
+      .withColumn("lat_us", unix_micros(col("fp")) - unix_micros(col("fc")))
+      .groupBy(date_format(col("fc"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(expr("percentile(lat_us, 0.5)") / lit(1e6), 4).as("median_latency_s"),
+        round(expr("percentile(lat_us, 0.9)") / lit(1e6), 4).as("p90_latency_s"))
+      .orderBy("day")
+  }
+
   /** q95: gap sessionization via Spark's NATIVE `session_window` — the
     * declarative dual of q22's lag-window formulation and of the
     * streaming sessionizer. One groupBy (user × session-window) does the

@@ -179,6 +179,22 @@ object SnapshotStore {
     spark.read.parquet(s"$partDir/$snapName")
   }
 
+  /** Snapshot diff — the row-level change feed between two retained
+    * versions (what Iceberg/Delta call an incremental read, without the
+    * table format): rows only in `toSnap` surface as op=`insert`, rows
+    * only in `fromSnap` as op=`delete`; an in-place update appears as
+    * its delete+insert pair. Multiset semantics (`exceptAll`) so
+    * duplicate-row cardinality changes are reported exactly. Cost: one
+    * anti-semi pass each way over the two snapshots — data-proportional
+    * to the SNAPSHOTS, which are partition-sized, never table-sized. */
+  def diff(spark: SparkSession, partDir: String, fromSnap: String, toSnap: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = readAt(spark, partDir, fromSnap)
+    val to   = readAt(spark, partDir, toSnap)
+    to.exceptAll(from).withColumn("op", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("op", lit("delete")))
+  }
+
   /** Reclaim every snapshot dir except the live one (superseded AND
     * orphaned-by-crash alike). Call on the cadence that bounds your
     * longest in-flight scan. Returns the number of dirs removed. */

@@ -178,6 +178,20 @@ class AuditGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](PlanLint.check(cross))
   }
 
+  test("q103: conversion latency — non-negative, median ≤ p90, conversions bounded by converting users") {
+    val rows = EventAnalytics.conversionLatency(t.events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("median_latency_s")
+      val p90 = r.getAs[Double]("p90_latency_s")
+      assert(med >= 0 && p90 >= med, s"${r.getString(0)}: median $med p90 $p90")
+    }
+    val totalConv = rows.map(_.getAs[Long]("n_conversions")).sum
+    val clickUsers = t.events.filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(totalConv <= clickUsers)
+  }
+
   test("q101: HLL join estimate lands within 5% of the exact key overlap") {
     import graft.operators.Relational
     val r = Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey").head()

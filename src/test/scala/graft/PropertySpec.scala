@@ -110,4 +110,42 @@ class PropertySpec extends SparkSpec {
       small.subsetOf(big)
     }, trials = 8)
   }
+
+  test("skyline equals brute-force domination on any point set (ties, duplicates, collinear)") {
+    val ptGen = for {
+      price <- Gen.choose(1, 8).map(_ * 10.0) // coarse grid forces price/size ties
+      size  <- Gen.choose(1, 8)
+    } yield (price, size)
+    checkProp(Prop.forAll(Gen.listOfN(40, ptGen)) { pts =>
+      val df = pts.zipWithIndex.map { case ((p, s), i) => (i.toLong, p, s) }
+        .toDF("p_partkey", "p_retailprice", "p_size")
+      val got = graft.operators.Skyline.skyline(df)
+        .select("p_partkey").as[Long].collect().toSet
+      val exp = pts.zipWithIndex.collect {
+        case ((p, s), i) if !pts.exists { case (q, u) =>
+          q <= p && u >= s && (q < p || u > s)
+        } => i.toLong
+      }.toSet
+      got == exp
+    }, trials = 12)
+  }
+
+  test("native session_window sessionization equals the lag/cumsum form on any event times") {
+    val evGen = for {
+      user <- Gen.choose(1L, 4L)
+      min  <- Gen.choose(0, 600)
+    } yield (user, min)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(evGen)) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, m), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + m * 60000L), u, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val native = EventAnalytics.sessionWindowNative(df)
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      val lagged = EventAnalytics.sessionize(df)
+        .select("user_id", "n_sessions", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      native == lagged
+    }, trials = 10)
+  }
 }
