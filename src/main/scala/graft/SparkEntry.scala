@@ -165,6 +165,11 @@ object SparkEntry {
     }),
     "q102_skyline" -> ((s, d) => Skyline.skyline(Tables(s, d).part)),
     "q103_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(Tables(s, d).events)),
+    "q104_bfs_reach" -> ((s, d) => Graph.bfsReach(Tables(s, d).lineitem)),
+    "q105_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(Tables(s, d).documents)),
+    "q106_itemsets" -> ((s, d) => Relational.frequentTriples(Tables(s, d).lineitem)),
+    "q107_fuzzy_join" -> ((s, d) => Dedup.fuzzyNameJoin(Tables(s, d).customer)),
+    "q108_scd2_build" -> ((s, d) => EventAnalytics.scd2Build(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -725,6 +730,50 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q108_scd2_build" ->
+      """SELECT user_id,
+        |  floor(value*10000 + 0.5)/10000 AS tier,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+    "q106_itemsets" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |t AS (SELECT a.pk AS pa, b.pk AS pb, c.pk AS pc
+        |      FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+        |      JOIN items c ON b.okey = c.okey AND b.pk < c.pk)
+        |SELECT pa AS part_a, pb AS part_b, pc AS part_c, count(*) AS n_orders
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 20""".stripMargin,
+    "q107_fuzzy_join" ->
+      """SELECT a.c_custkey AS ck_a, b.c_custkey AS ck_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 2000 AND b.c_custkey < 2000
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY ck_a, ck_b""".stripMargin,
+    "q104_bfs_reach" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM items a JOIN items b ON a.okey = b.okey AND a.pk <> b.pk),
+        |walk(node, hops) AS (
+        |  SELECT (SELECT min(src) FROM edges), 0
+        |  UNION ALL
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hops < 3)
+        |SELECT node AS part, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY node ORDER BY part""".stripMargin,
+    "q105_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT source, doc_id, n_chars,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0) / 4294967297.0 AS u
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY ln(u)/n_chars DESC, doc_id) AS rk
+        |      FROM u)
+        |SELECT source, doc_id, n_chars FROM r WHERE rk <= 20
+        |ORDER BY source, doc_id""".stripMargin,
     "q103_conversion_latency" ->
       """WITH fc AS (SELECT user_id, min(ts) AS fc FROM events
         |            WHERE event_type = 'click' GROUP BY user_id),

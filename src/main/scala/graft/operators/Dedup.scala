@@ -502,4 +502,45 @@ object Dedup {
         col("best.jaccard").as("jaccard"))
       .orderBy("cand_doc")
   }
+
+  /** All edit-distance-≤1 neighbors of a string: itself plus every
+    * one-character deletion (FastSS). Two strings are within distance 1
+    * iff their variant sets intersect — deletion covers substitution
+    * (both drop the differing position) and insertion (the longer drops
+    * the inserted char), so the candidate set is COMPLETE; the
+    * levenshtein verify then removes the false positives the shared
+    * variants admit (e.g. transposed neighbors). */
+  private def deletionVariants(c: org.apache.spark.sql.Column) =
+    array_union(
+      array(c),
+      transform(
+        sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), lit(10000)))))
+
+  /** q107: string-similarity self-join (entity resolution — the "same
+    * customer, one typo" match): pairs within edit distance 1 via the
+    * deletion-neighborhood join. The naive form is the O(n²) levenshtein
+    * cross join (that stays in the oracle); this plans an EQUI-join on
+    * variant strings — each row explodes to |s|+1 variants map-side, the
+    * join is data-proportional, and levenshtein runs only on candidates.
+    * `maxKey` bounds the demo subset so the quadratic ORACLE stays
+    * tractable; the operator itself has no such need. */
+  def fuzzyNameJoin(customer: DataFrame, maxKey: Long = 2000): DataFrame = {
+    val subset = customer
+      .filter(col("c_custkey") < maxKey)
+      .select(col("c_custkey").as("ck"), col("c_name").as("name"))
+    val variants = subset.select(
+      col("ck"), col("name"), explode(deletionVariants(col("name"))).as("v"))
+    val l = variants.select(col("v"), col("ck").as("ck_a"), col("name").as("name_a"))
+    val r = variants.select(col("v"), col("ck").as("ck_b"), col("name").as("name_b"))
+    l.join(r, Seq("v"))
+      .filter(col("ck_a") < col("ck_b"))
+      .select("ck_a", "ck_b", "name_a", "name_b")
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(
+        col("ck_a"), col("ck_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("ck_a", "ck_b")
+  }
 }

@@ -297,6 +297,29 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** q108: SCD Type-2 dimension build — turn a change-event stream into
+    * a slowly-changing dimension with validity intervals: each purchase
+    * sets the user's current tier (its value), valid from its own
+    * timestamp until the NEXT change (open-ended for the latest). One
+    * lead window per user (the q22 shuffle), pure map-side otherwise;
+    * the result is exactly what the one-shuffle as-of join (q44)
+    * consumes for point-in-time lookups. Validity bounds surface as
+    * integer epoch-µs (engine-portable; no timestamp rendering). */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .filter(col("event_type") === "purchase")
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(
+        col("user_id"),
+        round(col("value"), 4).as("tier"),
+        col("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
   /** q95: gap sessionization via Spark's NATIVE `session_window` — the
     * declarative dual of q22's lag-window formulation and of the
     * streaming sessionizer. One groupBy (user × session-window) does the

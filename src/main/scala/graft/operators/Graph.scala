@@ -66,4 +66,39 @@ object Graph {
     edgesWithDeg.unpersist(blocking = false)
     result
   }
+
+  /** q104: BFS reachability — min-hop distance from a seed node over the
+    * co-purchase graph ("products within k recommendation hops"; on a
+    * crawl host graph, the link-distance-from-trusted-seeds quality
+    * signal). Classic frontier BFS: each round joins the (shrinking)
+    * frontier against the cached src-partitioned edge set, anti-joins
+    * the visited set, and checkpoints — k rounds = k data-proportional
+    * joins, no path enumeration (the DuckDB recursive-CTE oracle walks
+    * every path and min-aggregates; the operator never materializes
+    * paths at all, which is what survives a dense 100 TB graph). The
+    * seed defaults to the smallest node id so both engines agree on it
+    * deterministically. */
+  def bfsReach(lineitem: DataFrame, maxHops: Int = 3): DataFrame = {
+    val edges = edgesWithDegree(lineitem).select("src", "dst").cache()
+    val seed  = edges.agg(min(col("src"))).head().getLong(0)
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    var visited  = Seq((seed, 0L)).toDF("part", "hops").localCheckpoint(eager = true)
+    var frontier = visited.select(col("part"))
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = edges
+        .join(frontier, col("src") === col("part"))
+        .select(col("dst").as("part"))
+        .distinct()
+        .join(visited, Seq("part"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next.select(col("part"))
+      h += 1
+    }
+    edges.unpersist(blocking = false)
+    visited.orderBy("part")
+  }
 }

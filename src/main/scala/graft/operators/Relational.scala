@@ -640,6 +640,38 @@ object Relational {
       .limit(topN)
   }
 
+  /** q106: frequent triple itemsets (the a-priori step past q92's
+    * pairs). Triple enumeration is the order-keyed 3-way self-join —
+    * Θ(Σ basket³/6), bounded by BASKET size like q92, never table
+    * size. With `minSupport > 1` the a-priori prune applies before the
+    * cubic expansion: a frequent triple's (a,b) sub-pair must be
+    * frequent, so baskets semi-join the frequent-pair set first (small
+    * by definition at any meaningful support — that's what "frequent"
+    * means), and the prune provably never changes the answer. */
+  def frequentTriples(lineitem: DataFrame, minSupport: Long = 1, topN: Int = 20): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = items.select(col("okey"), col("pk").as("pa"))
+    val b = items.select(col("okey"), col("pk").as("pb"))
+    val c = items.select(col("okey"), col("pk").as("pc"))
+    val ab = a.join(b, Seq("okey")).filter(col("pa") < col("pb"))
+    val abPruned =
+      if (minSupport <= 1) ab
+      else {
+        val freqPairs = ab.groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= minSupport).select("pa", "pb")
+        ab.join(broadcast(freqPairs), Seq("pa", "pb"), "left_semi")
+      }
+    abPruned
+      .join(c, Seq("okey")).filter(col("pb") < col("pc"))
+      .groupBy(col("pa").as("part_a"), col("pb").as("part_b"), col("pc").as("part_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+      .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"), asc("part_c"))
+      .limit(topN)
+  }
+
   /** q93: one-pass table profiling — null counts, exact distinct counts,
     * min/max per column, pivoted to one row per column via `stack` (no
     * second scan, no per-column jobs: ONE aggregate over the table

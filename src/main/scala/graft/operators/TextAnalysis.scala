@@ -491,6 +491,29 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q105: deterministic WEIGHTED sampling per source (Efraimidis–
+    * Spirakis A-ES): each doc gets key = ln(u)/w where u ∈ (0,1) is
+    * derived from its content-free md5 hash (NOT a random draw — so
+    * runs, engines, and layouts all select the identical sample) and
+    * w = n_chars; the top-k keys per source are a weighted-without-
+    * replacement sample (P ∝ length — the "sample tokens, not docs"
+    * correction for training mixtures; q55/q97 are the unweighted
+    * duals). Key computation is map-side; selection is the
+    * `row_number<=k` WindowGroupLimit idiom — bounded pre-shuffle
+    * heaps, no per-source sort. */
+  def weightedSample(documents: DataFrame, k: Int = 20): DataFrame = {
+    // first 8 md5 hex nibbles → integer in [0, 2^32) → u in (0, 1)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967297.0)
+    val w = Window.partitionBy("source").orderBy(desc("key"), asc("doc_id"))
+    documents
+      .withColumn("key", log(u) / col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("source", "doc_id", "n_chars")
+      .orderBy("source", "doc_id")
+  }
+
   /** q99: corpus-internal duplicated-passage detection (the practical
     * Spark form of suffix-array substring dedup, Lee et al. 2022): hash
     * every `windowTokens`-token window of every document, find windows

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** Incrementally maintained count-min sketch table — the streaming dual
+  * of q82's batch sketch table: every micro-batch persists one CMS per
+  * (dt, event_type) for ITS OWN slice, partitioned by `ingest_batch`, so
+  * a replayed batch dynamically overwrites exactly its own sketches
+  * (the sink's idempotency rule — CMS merge is additive, so merge-on-
+  * write would double-count under retry; merge-on-READ over the
+  * KB-sized sketch rows is free and exactly-once by construction).
+  *
+  * Query side: `estimate` merges the stored sketches loss-free (CMS of
+  * a union IS the cell-wise sum of the parts) and probes candidate
+  * keys — no raw-event rescan, O(batches × days × types) KBs read.
+  */
+object SketchMaintenance {
+
+  /** Write this micro-batch's (dt, type) sketches under `ingest_batch=N`. */
+  def updateSketchTable(
+      batch: DataFrame,
+      tablePath: String,
+      batchId: Long,
+      eps: Double = 0.001,
+      conf: Double = 0.99): Unit =
+    batch
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"), col("event_type"))
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, ${conf}d, 42)").as("cms"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("ingest_batch")
+      .parquet(tablePath)
+
+  /** Merged per-type estimates for `keys`, read purely from the sketch
+    * table (all batches, all days). */
+  def estimate(spark: SparkSession, tablePath: String, keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val merged = spark.read.parquet(tablePath)
+      .select("event_type", "cms")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (tpe, rows) =>
+        val sks = rows.map(r =>
+          CountMinSketch.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        tpe -> sks.reduce { (a, b) => a.mergeInPlace(b); a }
+      }
+    merged.toSeq
+      .flatMap { case (tpe, sk) => keys.map(k => (tpe, k, sk.estimateCount(k))) }
+      .toDF("event_type", "user_id", "est_n")
+      .orderBy("event_type", "user_id")
+  }
+
+  /** Serialize helper for specs comparing against a directly-built CMS. */
+  private[graft] def toBytes(sk: CountMinSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    sk.writeTo(bos)
+    bos.toByteArray
+  }
+}

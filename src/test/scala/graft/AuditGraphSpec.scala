@@ -192,6 +192,106 @@ class AuditGraphSpec extends SparkSpec {
     assert(totalConv <= clickUsers)
   }
 
+  test("q104: BFS hop counts are exact on a hand-built chain-of-stars graph") {
+    import graft.operators.Graph
+    // baskets: {100,200} {100,300} {200,400} → seed=100: 100@0, 200@1, 300@1, 400@2
+    val li = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 300L), (3L, 200L), (3L, 400L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.bfsReach(li, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 0L, 200L -> 1L, 300L -> 1L, 400L -> 2L), s"got $got")
+    // a tighter hop budget truncates reach, never relabels
+    val h1 = Graph.bfsReach(li, maxHops = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == Map(100L -> 0L, 200L -> 1L, 300L -> 1L), s"got $h1")
+  }
+
+  test("q105: weighted sampling picks the overwhelming-weight doc and is layout-stable") {
+    import graft.operators.TextAnalysis
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"doc $i", "en", "s0", if (i == 17) 1000000000L else 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val one = TextAnalysis.weightedSample(docs, k = 1).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("doc_id") == 17L,
+      s"P∝weight violated: picked ${one.toSeq}")
+    val a = TextAnalysis.weightedSample(t.documents, k = 5).collect().toSeq
+    val b = TextAnalysis.weightedSample(t.documents.repartition(7), k = 5).collect().toSeq
+    assert(a == b, "weighted sample depends on layout")
+    assert(a.groupBy(_.getString(0)).forall(_._2.size <= 5))
+  }
+
+  test("q106: triple support counts are exact and the a-priori prune never changes the answer") {
+    import graft.operators.Relational
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L)).toDF("l_orderkey", "l_partkey")
+    val top = Relational.frequentTriples(li, minSupport = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.head == ((1L, 2L, 3L, 2L)), s"got ${top.toSeq}")
+    assert(top.toSet == Set((1L, 2L, 3L, 2L), (1L, 2L, 4L, 1L)))
+    val pruned = Relational.frequentTriples(li, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pruned.toSeq == Seq((1L, 2L, 3L, 2L)), s"got ${pruned.toSeq}")
+  }
+
+  test("q107: deletion-neighborhood join finds exactly the levenshtein<=1 pairs") {
+    import graft.operators.Dedup
+    val fixture = Seq(
+      (1L, "abc"), (2L, "abd"),   // substitution -> dist 1
+      (3L, "abcd"),               // insertion vs 1 -> dist 1
+      (4L, "ba"), (5L, "ab"),     // transposition -> dist 2, must NOT pair
+      (6L, "abc")                 // duplicate of 1 -> dist 0
+    ).toDF("c_custkey", "c_name")
+    val got = Dedup.fuzzyNameJoin(fixture, maxKey = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 1L), (1L, 6L, 0L),
+      (2L, 3L, 1L), (2L, 5L, 1L), (2L, 6L, 1L),
+      (3L, 6L, 1L), (5L, 6L, 1L)), s"got $got")
+    // candidate completeness vs brute force on real names
+    val cust = t.customer.filter(col("c_custkey") < 300)
+    val brute = cust.as("a").join(cust.as("b"), col("a.c_custkey") < col("b.c_custkey"))
+      .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey"), col("b.c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.fuzzyNameJoin(t.customer, maxKey = 300).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute, s"fast ${fast.size} vs brute ${brute.size}")
+  }
+
+  test("q108: SCD2 intervals chain exactly — each valid_to is the next valid_from, one open row per user") {
+    val dim = EventAnalytics.scd2Build(t.events).collect()
+    assert(dim.nonEmpty)
+    val byUser = dim.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u: interval gap/overlap")
+        case _ =>
+      }
+      assert(rows.count(_.getAs[Boolean]("is_current")) == 1, s"user $u: open-row count != 1")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")))
+    }
+    val nPurchases = t.events.filter(col("event_type") === "purchase").count()
+    assert(dim.length == nPurchases, "one dimension row per change event")
+  }
+
+  test("storage audit reads column sizes from footers only and finds the dominant column") {
+    import graft.sources.ParquetStats
+    val stats = ParquetStats.columnSizes(spark, s"$sfDir/documents.parquet").collect()
+    val cols = stats.map(_.getString(0)).toSet
+    assert(cols == Set("doc_id", "text", "lang", "source", "n_chars"), s"got $cols")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("compressed_bytes") > 0 && r.getAs[Long]("n_values") > 0)
+    }
+    // text dominates a documents table; footer ordering surfaces it first
+    assert(stats.head.getString(0) == "text", s"dominant column ${stats.head.getString(0)}")
+    val nDocs = t.documents.count()
+    assert(stats.map(_.getAs[Long]("n_values")).max == nDocs)
+  }
+
   test("q101: HLL join estimate lands within 5% of the exact key overlap") {
     import graft.operators.Relational
     val r = Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey").head()

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.SketchMaintenance
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import java.nio.file.Files
+
+/** Incrementally maintained CMS sketch table: per-batch slices merge at
+  * read time to EXACTLY the single-shot sketch (CMS addition is
+  * loss-free), and a replayed batch cannot double-count. */
+class SketchMaintenanceSpec extends SparkSpec {
+  lazy val t = Tables(spark, sfDir)
+
+  test("incremental batches merge to the single-shot sketch; replay is idempotent") {
+    val table = Files.createTempDirectory("graft-cms").toString
+    val ev = t.events
+    (0 until 3).foreach { b =>
+      SketchMaintenance.updateSketchTable(ev.filter(col("event_id") % 3 === b), table, batchId = b)
+    }
+    // replay batch 1 (simulated retry) — overwrites its own slice only
+    SketchMaintenance.updateSketchTable(ev.filter(col("event_id") % 3 === 1), table, batchId = 1)
+
+    val keys = ev.groupBy("user_id").count().orderBy(desc("count"), asc("user_id"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    val got = SketchMaintenance.estimate(spark, table, keys)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // single-shot reference sketch per type over ALL events, same seed
+    val direct = ev.groupBy("event_type")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+      .collect()
+      .map(r => r.getString(0) -> CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+
+    val exact = ev.groupBy("event_type", "user_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((tpe, k), est) =>
+      assert(est == direct(tpe).estimateCount(k),
+        s"merged estimate diverges from single-shot sketch for ($tpe, $k)")
+      assert(est >= exact.getOrElse((tpe, k), 0L), "CMS must dominate the exact count")
+    }
+    assert(got.nonEmpty)
+  }
+}
