@@ -253,6 +253,26 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"scale-killer shapes planned:\n${bad.mkString("\n")}")
   }
 
+  test("q98: a rank iteration never reshuffles the cached edge set") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.operators.Graph.edgesWithDegree(
+      graft.sources.Tables(spark, sfDir).lineitem).cache()
+    try {
+      val ranks = edges.select(col("src").as("node")).distinct().withColumn("pr", lit(1.0))
+      val iter = edges.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("d")).as("mass"))
+      iter.collect() // let AQE finalize the join strategy
+      val p = iter.queryExecution.executedPlan.toString
+      // InMemoryRelation prints its (already-paid) build lineage inline;
+      // only exchanges ABOVE the cache marker run per iteration. The
+      // good plan has exactly the groupBy(dst) exchange there — an
+      // edges-side reshuffle before the join would add a second
+      val perIteration = p.split("InMemoryRelation")(0)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(perIteration).length
+      assert(shuffles <= 1, s"edge set reshuffled in a rank iteration ($shuffles exchanges):\n$p")
+    } finally edges.unpersist(blocking = false)
+  }
+
   test("q98: edge build is an order-keyed equi-join, never a cartesian") {
     val edges = graft.operators.Graph.edgesWithDegree(
       graft.sources.Tables(spark, sfDir).lineitem)
