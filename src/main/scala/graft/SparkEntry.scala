@@ -170,6 +170,19 @@ object SparkEntry {
     "q106_itemsets" -> ((s, d) => Relational.frequentTriples(Tables(s, d).lineitem)),
     "q107_fuzzy_join" -> ((s, d) => Dedup.fuzzyNameJoin(Tables(s, d).customer)),
     "q108_scd2_build" -> ((s, d) => EventAnalytics.scd2Build(Tables(s, d).events)),
+    "q109_grouped_topk" -> ((s, d) => {
+      // the explicit pre-shuffle-heap operator, oracle-checked against
+      // the row_number form (TopK.topKPerKey is provably identical)
+      import org.apache.spark.sql.functions._
+      TopK.topKPerKey(
+        Tables(s, d).orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keyCol = "o_custkey", orderCol = "o_totalprice", tieCol = "o_orderkey", k = 3)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          graft.functions.PortableRound.round(col("o_totalprice"), 4).as("price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q110_null_semantics" -> ((s, d) => Relational.nullSemantics(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -730,6 +743,22 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q109_grouped_topk" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  floor(o_totalprice*10000 + 0.5)/10000 AS price, rn
+        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q110_null_semantics" ->
+      """WITH t AS (SELECT CASE WHEN value < 10 THEN NULL ELSE event_type END AS k, user_id
+        |           FROM events),
+        |a AS (SELECT k, count(*) AS n_rows, count(k) AS n_nonnull_key,
+        |        count(DISTINCT user_id) AS n_users FROM t GROUP BY k)
+        |SELECT a.k, a.n_rows, a.n_nonnull_key, a.n_users, b.n_rows AS nullsafe_join_n
+        |FROM a JOIN a b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
     "q108_scd2_build" ->
       """SELECT user_id,
         |  floor(value*10000 + 0.5)/10000 AS tier,

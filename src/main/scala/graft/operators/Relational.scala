@@ -640,6 +640,28 @@ object Relational {
       .limit(topN)
   }
 
+  /** q110: ANSI null semantics, surfaced end-to-end on a derived
+    * nullable key — the behaviors every engine must agree on exactly:
+    * NULLs collapse into ONE group under groupBy, `count(col)` excludes
+    * them while `count(*)` doesn't, and the null-safe equality operator
+    * (`<=>` / IS NOT DISTINCT FROM) lets the NULL group join itself
+    * where `=` would drop it. One aggregate + a #groups-row self-join. */
+  def nullSemantics(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn(
+      "k",
+      when(col("value") < 10, lit(null).cast("string")).otherwise(col("event_type")))
+    val agg = keyed.groupBy("k").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("k")).as("n_nonnull_key"),
+      countDistinct(col("user_id")).as("n_users"))
+    val self = agg.select(col("k").as("k2"), col("n_rows").as("n2"))
+    agg.join(self, col("k") <=> col("k2"))
+      .select(
+        col("k"), col("n_rows"), col("n_nonnull_key"), col("n_users"),
+        col("n2").as("nullsafe_join_n"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** q106: frequent triple itemsets (the a-priori step past q92's
     * pairs). Triple enumeration is the order-keyed 3-way self-join —
     * Θ(Σ basket³/6), bounded by BASKET size like q92, never table

@@ -526,10 +526,35 @@ object TextAnalysis {
     * side because the duplicate set scales with the corpus. Within-doc
     * repetition alone does NOT flag (count distinct doc > 1), keeping
     * this orthogonal to q57's repetition score. */
+  /** Per-position window hashes (first 8 md5 bytes), shingling INSIDE
+    * the kernel — the declarative `transform(shingles(...), xxhash64)`
+    * form runs interpreted per position (the measured 5× HOF trap the
+    * winnowing kernel avoids the same way). Position multiplicity is
+    * preserved: n_windows counts positions, not distinct grams. The
+    * spec pins kernel ≡ HOF dup structure. */
+  private def windowHashUdf(k: Int) = udf { (toks: Seq[String]) =>
+    val n = toks.length - k + 1
+    if (n <= 0) Array.empty[Long]
+    else {
+      val arr = toks.toArray
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val sb  = new java.lang.StringBuilder
+      Array.tabulate(n) { i =>
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(arr(i + j)); j += 1 }
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h
+      }
+    }
+  }
+
   def substringDedup(documents: DataFrame, windowTokens: Int = 8, flagAt: Double = 0.5): DataFrame = {
     val grams = documents
-      .select(col("doc_id"), explode(transform(shingles(tokens(lower(col("text"))), windowTokens),
-        s => xxhash64(s))).as("g"))
+      .select(col("doc_id"), explode(windowHashUdf(windowTokens)(tokens(lower(col("text"))))).as("g"))
     val dupGrams = grams
       .groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -103,6 +103,20 @@ class AuditGraphSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_dup_windows") == 0, "within-doc repetition must not count as corpus dup")
   }
 
+  test("q99: the md5 kernel reproduces the declarative HOF form's dup structure exactly") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    // reference semantics: grams via the interpreted HOF column form
+    val hofGrams = t.documents.select(col("doc_id"),
+      explode(transform(shingles(tokens(lower(col("text"))), 8), s => xxhash64(s))).as("g"))
+    val dup = hofGrams.groupBy("g").agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("g")
+    val hof = hofGrams.join(dup, Seq("g")).groupBy("doc_id").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = TextAnalysis.substringDedup(t.documents)
+      .filter(col("n_dup_windows") > 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_dup_windows")).toMap
+    assert(kernel == hof, s"kernel dup structure diverges (${kernel.size} vs ${hof.size} docs)")
+  }
+
   test("q99: window counts are exact (n - k + 1 per doc)") {
     val docs = Seq((1L, (1 to 20).map("w" + _).mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
     val out = TextAnalysis.substringDedup(docs).collect().map(r => r.getLong(0) -> r.getAs[Long]("n_windows")).toMap
@@ -290,6 +304,19 @@ class AuditGraphSpec extends SparkSpec {
     assert(stats.head.getString(0) == "text", s"dominant column ${stats.head.getString(0)}")
     val nDocs = t.documents.count()
     assert(stats.map(_.getAs[Long]("n_values")).max == nDocs)
+  }
+
+  test("q110: the NULL group exists, excludes itself from count(col), and survives the null-safe join") {
+    import graft.operators.Relational
+    val rows = Relational.nullSemantics(t.events).collect()
+    val nullGroup = rows.filter(_.isNullAt(0))
+    assert(nullGroup.length == 1, "NULLs must collapse into exactly one group")
+    assert(nullGroup.head.getAs[Long]("n_rows") > 0)
+    assert(nullGroup.head.getAs[Long]("n_nonnull_key") == 0, "count(col) must exclude NULL keys")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nullsafe_join_n") == r.getAs[Long]("n_rows"),
+        "null-safe self-join must match every group to itself")
+    }
   }
 
   test("q101: HLL join estimate lands within 5% of the exact key overlap") {
