@@ -183,6 +183,10 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
     "q110_null_semantics" -> ((s, d) => Relational.nullSemantics(Tables(s, d).events)),
+    "q111_skyline_nd" -> ((s, d) => Skyline.skylineGeneral(
+      Tables(s, d).lineitem,
+      Seq(("l_quantity", true), ("l_discount", false), ("l_tax", false)))),
+    "q112_pit_join" -> ((s, d) => EventAnalytics.pointInTimeJoin(Tables(s, d).events)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -743,6 +747,23 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q111_skyline_nd" ->
+      """WITH tup AS (SELECT DISTINCT l_quantity, l_discount, l_tax FROM lineitem)
+        |SELECT p.l_quantity, p.l_discount, p.l_tax FROM tup p
+        |WHERE NOT EXISTS (SELECT 1 FROM tup q
+        |  WHERE q.l_quantity >= p.l_quantity AND q.l_discount <= p.l_discount
+        |    AND q.l_tax <= p.l_tax
+        |    AND (q.l_quantity > p.l_quantity OR q.l_discount < p.l_discount
+        |         OR q.l_tax < p.l_tax))
+        |ORDER BY l_quantity, l_discount, l_tax""".stripMargin,
+    "q112_pit_join" ->
+      """WITH dim AS (SELECT user_id, epoch_us(ts) AS t_us,
+        |         floor(value*10000 + 0.5)/10000 AS tier
+        |       FROM events WHERE event_type = 'purchase'),
+        |ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events)
+        |SELECT e.event_type, coalesce(d.tier, -1.0) AS tier_bucket, count(*) AS n_events
+        |FROM ev e ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.t_us >= d.t_us
+        |GROUP BY 1, 2 ORDER BY event_type, tier_bucket""".stripMargin,
     "q109_grouped_topk" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey

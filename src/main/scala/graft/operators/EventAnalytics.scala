@@ -320,6 +320,27 @@ object EventAnalytics {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** q112: point-in-time join — every event labeled with the user's
+    * tier AS OF its own timestamp (the lookup an SCD2 dimension
+    * exists for, and the leakage-free feature-join every training
+    * pipeline needs: an event must never see a FUTURE attribute).
+    * Composes two verified pieces: the q108 dimension (rounded tier at
+    * each purchase) probed through the one-shuffle [[AsOfJoin]];
+    * events before a user's first purchase fall out as tier −1.
+    * Integer-µs event time; tier rounded at the SOURCE so both engines
+    * group identical keys. */
+  def pointInTimeJoin(events: DataFrame): DataFrame = {
+    val probe = events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t_us"))
+    val dim = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), round(col("value"), 4).as("tier"))
+    AsOfJoin.asofJoin(probe, dim, "user_id", "t_us", "tier", "tier_at_event")
+      .groupBy(col("event_type"), coalesce(col("tier_at_event"), lit(-1.0)).as("tier_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "tier_bucket")
+  }
+
   /** q95: gap sessionization via Spark's NATIVE `session_window` — the
     * declarative dual of q22's lag-window formulation and of the
     * streaming sessionizer. One groupBy (user × session-window) does the

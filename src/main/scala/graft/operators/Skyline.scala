@@ -47,6 +47,49 @@ object Skyline {
     out.result().iterator
   }
 
+  /** q111: d-dimensional skyline over value tuples (the general form of
+    * [[skyline]]; at d > 2 no sort order linearizes dominance, so the
+    * sweep keeps a frontier set and filters each point against it —
+    * O(n·|frontier|) per partition, and skyline frontiers are small by
+    * nature). Same partial+final decomposition, same exactness
+    * argument: a global survivor survives its own partition. Runs on
+    * DISTINCT tuples (dominance is tuple-level), so the expensive scan
+    * collapses to the value-combination cardinality first. */
+  def skylineGeneral(df: DataFrame, dims: Seq[(String, Boolean)]): DataFrame = {
+    val proj   = df.select(dims.map(d => col(d._1)): _*).distinct()
+    val schema = proj.schema
+    val maximize = dims.map(_._2).toArray
+
+    def dominates(a: Row, b: Row): Boolean = { // a beats-or-ties b everywhere, beats somewhere
+      var strict = false
+      var i = 0
+      while (i < maximize.length) {
+        val av = a.getAs[Number](i).doubleValue()
+        val bv = b.getAs[Number](i).doubleValue()
+        val edge = if (maximize(i)) av - bv else bv - av
+        if (edge < 0) return false
+        if (edge > 0) strict = true
+        i += 1
+      }
+      strict
+    }
+    def sweep(it: Iterator[Row]): Iterator[Row] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.foreach { p =>
+        if (!kept.exists(q => dominates(q, p))) {
+          kept.filterInPlace(q => !dominates(p, q))
+          kept += p
+        }
+      }
+      kept.iterator
+    }
+    val enc = Encoders.row(schema)
+    proj.mapPartitions(sweep _)(enc)
+      .repartition(1) // frontier-sized survivors — the same final merge as 2-D
+      .mapPartitions(sweep _)(enc)
+      .orderBy(dims.map(d => col(d._1)): _*)
+  }
+
   def skyline(part: DataFrame): DataFrame = {
     val proj = part.select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     val schema = proj.schema

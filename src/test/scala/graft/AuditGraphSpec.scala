@@ -319,6 +319,53 @@ class AuditGraphSpec extends SparkSpec {
     }
   }
 
+  test("q111: general skyline equals brute force at d=3 and is layout-stable") {
+    import graft.operators.Skyline
+    val dims = Seq(("l_quantity", true), ("l_discount", false), ("l_tax", false))
+    val tup = t.lineitem.select("l_quantity", "l_discount", "l_tax").distinct()
+    val a = tup.as("a"); val b = tup.as("b")
+    val dominated = a.join(b,
+      col("b.l_quantity") >= col("a.l_quantity") && col("b.l_discount") <= col("a.l_discount") &&
+        col("b.l_tax") <= col("a.l_tax") &&
+        (col("b.l_quantity") > col("a.l_quantity") || col("b.l_discount") < col("a.l_discount") ||
+          col("b.l_tax") < col("a.l_tax")),
+      "left_semi")
+    val brute = tup.exceptAll(dominated).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    val sky = Skyline.skylineGeneral(t.lineitem, dims).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(sky == brute, s"skyline ${sky.size} vs brute ${brute.size}")
+    val shuffled = Skyline.skylineGeneral(t.lineitem.repartition(11), dims).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(shuffled == brute, "general skyline depends on layout")
+  }
+
+  test("q112: point-in-time join never leaks a future tier") {
+    val probe = t.events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t_us"))
+    val dim = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        graft.functions.PortableRound.round(col("value"), 4).as("tier"))
+    val joined = graft.operators.AsOfJoin
+      .asofJoin(probe, dim, "user_id", "t_us", "tier", "tier_at_event")
+    // every labeled event must have a purchase at or before its time with that tier
+    val labeled = joined.filter(col("tier_at_event").isNotNull)
+    val witness = labeled.join(
+      dim.select(col("user_id"), col("t_us").as("p_us"), col("tier").as("tier_at_event")),
+      Seq("user_id", "tier_at_event"))
+      .filter(col("p_us") <= col("t_us"))
+      .select("event_id").distinct()
+    assert(labeled.select("event_id").distinct().count() == witness.count(),
+      "an event carries a tier with no past purchase witness")
+    // pre-first-purchase events are unlabeled
+    val firstPurchase = dim.groupBy("user_id").agg(min("t_us").as("fp_us"))
+    val early = joined.join(firstPurchase, Seq("user_id"), "left")
+      .filter(col("fp_us").isNull || col("t_us") < col("fp_us"))
+    assert(early.filter(col("tier_at_event").isNotNull).count() == 0,
+      "an event before the first purchase got a tier (future leak)")
+  }
+
   test("q101: HLL join estimate lands within 5% of the exact key overlap") {
     import graft.operators.Relational
     val r = Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey").head()
