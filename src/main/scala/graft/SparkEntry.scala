@@ -187,6 +187,7 @@ object SparkEntry {
       Tables(s, d).lineitem,
       Seq(("l_quantity", true), ("l_discount", false), ("l_tax", false)))),
     "q112_pit_join" -> ((s, d) => EventAnalytics.pointInTimeJoin(Tables(s, d).events)),
+    "q113_vector_pool" -> ((s, d) => Similarity.meanEmbedding(Tables(s, d).embeddings)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -747,6 +748,12 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q113_vector_pool" ->
+      """SELECT label, i AS dim,
+        |  floor(avg(embedding[i])*10000 + 0.5)/10000 AS avg_val,
+        |  count(*) AS n_vecs
+        |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "q111_skyline_nd" ->
       """WITH tup AS (SELECT DISTINCT l_quantity, l_discount, l_tax FROM lineitem)
         |SELECT p.l_quantity, p.l_discount, p.l_tax FROM tup p

@@ -42,6 +42,22 @@ object Similarity {
         round(max("nrm"), 4).as("max_norm"))
       .orderBy("label")
 
+  /** q113: per-label mean embedding (centroid pooling — the k-means
+    * M-step, and the chunk→document embedding pool) in LONG format
+    * (label, dim, avg_val): posexplode fans each vector to (dim, val)
+    * rows map-side, and the (label, dim) groupBy partial-aggregates
+    * BEFORE its shuffle — the wire carries #labels × d partial sums,
+    * not n × d values. Long format keeps the result hash-comparable
+    * per element (no array-of-float equality) and feeds both the
+    * centroid table (q88 consumes exactly this shape, pivoted) and any
+    * re-normalization step. */
+  def meanEmbedding(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("v")), 4).as("avg_val"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
   /** q51: brute-force cosine top-k. Queries are broadcast; ranking is a
     * per-query window. Embeddings here are unit-norm so cosine ≡ dot. */
   def annBruteForce(embeddings: DataFrame, numQueries: Int = 3, k: Int = 5): DataFrame = {

@@ -366,6 +366,21 @@ class AuditGraphSpec extends SparkSpec {
       "an event before the first purchase got a tier (future leak)")
   }
 
+  test("q113: mean embedding of an identical-vector cluster is that vector; dims complete") {
+    import graft.operators.Similarity
+    val vec = Array(0.5f, -0.25f, 1.0f)
+    val fixture = (1 to 4).map(i => (i.toLong, vec, 7))
+      .toDF("vec_id", "embedding", "label")
+    val pooled = Similarity.meanEmbedding(fixture).collect()
+    assert(pooled.length == 3)
+    assert(pooled.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 0.5), (2L, -0.25), (3L, 1.0)))
+    assert(pooled.forall(_.getAs[Long]("n_vecs") == 4L))
+    val dims = Similarity.meanEmbedding(t.embeddings)
+      .groupBy("label").count().collect().map(_.getLong(1)).distinct
+    assert(dims.length == 1, "every label must pool the same dimensionality")
+  }
+
   test("q101: HLL join estimate lands within 5% of the exact key overlap") {
     import graft.operators.Relational
     val r = Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey").head()
