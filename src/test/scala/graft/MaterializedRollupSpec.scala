@@ -95,4 +95,70 @@ class MaterializedRollupSpec extends SparkSpec {
     val q = src.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     assert(!scansMv(q))
   }
+
+  /** Round the float sums (association differs between incremental
+    * merge and full rebuild); cnt/min/max compare exactly. */
+  private def canon(df: DataFrame): Seq[String] = {
+    val rounded = df.columns.foldLeft(df) { (d, c) =>
+      if (c.startsWith("sum_")) d.withColumn(c, round(col(c), 4)) else d
+    }
+    sortedRows(rounded)
+  }
+
+  test("incremental maintenance from an insert-only delta equals a full rebuild") {
+    val dir = Files.createTempDirectory("graft-ivm").toString
+    val base = src.filter(col("l_orderkey") % 7 =!= 0)
+    base.write.parquet(s"$dir/source")
+    val v = View(s"$dir/source", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"), s"$dir/mv")
+    MaterializedRollup.build(spark, v)
+
+    // new rows arrive: append to source, then sync the view from the feed
+    val inserts = src.filter(col("l_orderkey") % 7 === 0)
+    inserts.write.mode("append").parquet(s"$dir/source")
+    MaterializedRollup.maintainIncremental(spark, v, inserts.withColumn("op", lit("insert")))
+
+    val rebuilt = View(s"$dir/source", v.groupCols, v.measureCols, s"$dir/mv_full")
+    MaterializedRollup.build(spark, rebuilt)
+    assert(canon(spark.read.parquet(v.path)) == canon(spark.read.parquet(rebuilt.path)))
+  }
+
+  test("incremental maintenance with deletes recomputes only touched groups, equals a full rebuild") {
+    val dir = Files.createTempDirectory("graft-ivm2").toString
+    src.write.parquet(s"$dir/source")
+    val v = View(s"$dir/source", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"), s"$dir/mv")
+    MaterializedRollup.build(spark, v)
+
+    // delete one slice (includes per-group extremal rows with certainty:
+    // the filter removes the global quantity maximum rows)
+    val doomed = src.filter(col("l_quantity") >= 49)
+    assert(doomed.count() > 0)
+    val kept = src.filter(col("l_quantity") < 49)
+    kept.write.mode("overwrite").parquet(s"$dir/source2")
+    val v2 = View(s"$dir/source2", v.groupCols, v.measureCols, v.path)
+    MaterializedRollup.maintainIncremental(spark, v2, doomed.withColumn("op", lit("delete")))
+
+    val rebuilt = View(s"$dir/source2", v.groupCols, v.measureCols, s"$dir/mv_full")
+    MaterializedRollup.build(spark, rebuilt)
+    assert(canon(spark.read.parquet(v.path)) == canon(spark.read.parquet(rebuilt.path)))
+  }
+
+  test("incremental maintenance drops a group whose count reaches zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ivm3").toString
+    val rows = Seq(("A", "x", 1.0, 10.0), ("A", "x", 2.0, 20.0), ("B", "y", 3.0, 30.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    rows.write.parquet(s"$dir/source")
+    val v = View(s"$dir/source", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"), s"$dir/mv")
+    MaterializedRollup.build(spark, v)
+
+    rows.filter(col("l_returnflag") === "A").write.mode("overwrite").parquet(s"$dir/source2")
+    val v2 = View(s"$dir/source2", v.groupCols, v.measureCols, v.path)
+    MaterializedRollup.maintainIncremental(
+      spark, v2, rows.filter(col("l_returnflag") === "B").withColumn("op", lit("delete")))
+    val left = spark.read.parquet(v.path)
+    assert(left.count() == 1 && left.first().getString(0) == "A")
+  }
 }
