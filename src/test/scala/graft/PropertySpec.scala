@@ -130,6 +130,30 @@ class PropertySpec extends SparkSpec {
     }, trials = 12)
   }
 
+  test("SCD2 intervals chain exactly on any change-event set") {
+    val chGen = for {
+      user <- Gen.choose(1L, 3L)
+      min  <- Gen.choose(0, 500)
+      v    <- Gen.choose(1, 9)
+    } yield (user, min, v.toDouble)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(chGen)) { evs =>
+      val distinctTimes = evs.distinctBy(e => (e._1, e._2)) // one change per (user, instant)
+      val df = distinctTimes.zipWithIndex.map { case ((u, m, v), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + m * 60000L), u, "purchase", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dim = EventAnalytics.scd2Build(df).collect()
+      val ok = dim.groupBy(_.getLong(0)).forall { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+        val chains = sorted.sliding(2).forall {
+          case Array(a, b) => a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us")
+          case _           => true
+        }
+        chains && rows.count(_.getAs[Boolean]("is_current")) == 1
+      }
+      ok && dim.length == distinctTimes.length
+    }, trials = 10)
+  }
+
   test("native session_window sessionization equals the lag/cumsum form on any event times") {
     val evGen = for {
       user <- Gen.choose(1L, 4L)
