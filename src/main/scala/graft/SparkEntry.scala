@@ -188,6 +188,10 @@ object SparkEntry {
       Seq(("l_quantity", true), ("l_discount", false), ("l_tax", false)))),
     "q112_pit_join" -> ((s, d) => EventAnalytics.pointInTimeJoin(Tables(s, d).events)),
     "q113_vector_pool" -> ((s, d) => Similarity.meanEmbedding(Tables(s, d).embeddings)),
+    "q114_revenue_share" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.revenueShare(t.orders, t.customer, t.nation)
+    }),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -748,6 +752,14 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority),
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
+    "q114_revenue_share" ->
+      """WITH pn AS (SELECT n.n_name AS nation, sum(o.o_totalprice) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot FROM pn)
+        |SELECT nation, floor(rev*10000 + 0.5)/10000 AS revenue,
+        |  floor(rev/(SELECT tot FROM t)*100*10000 + 0.5)/10000 AS pct_share
+        |FROM pn ORDER BY pct_share DESC, nation""".stripMargin,
     "q113_vector_pool" ->
       """SELECT label, i AS dim,
         |  floor(avg(embedding[i])*10000 + 0.5)/10000 AS avg_val,

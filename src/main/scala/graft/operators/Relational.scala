@@ -640,6 +640,30 @@ object Relational {
       .limit(topN)
   }
 
+  /** q114: percent-of-total report — each nation's share of global
+    * revenue. The share denominator is the 1-row grand total combined
+    * via `crossJoin(broadcast(...))` (the q14 scalar-subquery idiom),
+    * NOT an unpartitioned `sum over ()` window — same answer, and the
+    * only window-free formulation that survives the PlanLint sweep at
+    * any scale. Joins: fact ⋈ broadcast dims, one groupBy at nation
+    * grain. */
+  def revenueShare(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val perNation = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val total = perNation.agg(sum(col("rev")).as("tot"))
+    perNation
+      .crossJoin(broadcast(total))
+      .select(
+        col("nation"),
+        round(col("rev"), 4).as("revenue"),
+        round(col("rev") / col("tot") * 100, 4).as("pct_share"))
+      .orderBy(desc("pct_share"), asc("nation"))
+  }
+
   /** q110: ANSI null semantics, surfaced end-to-end on a derived
     * nullable key — the behaviors every engine must agree on exactly:
     * NULLs collapse into ONE group under groupBy, `count(col)` excludes

@@ -381,6 +381,15 @@ class AuditGraphSpec extends SparkSpec {
     assert(dims.length == 1, "every label must pool the same dimensionality")
   }
 
+  test("q114: revenue shares are positive and sum to 100") {
+    import graft.operators.Relational
+    val rows = Relational.revenueShare(t.orders, t.customer, t.nation).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("pct_share") > 0))
+    val total = rows.map(_.getAs[Double]("pct_share")).sum
+    assert(math.abs(total - 100.0) < 0.01, s"shares sum to $total")
+  }
+
   test("q101: HLL join estimate lands within 5% of the exact key overlap") {
     import graft.operators.Relational
     val r = Relational.hllJoinEstimate(t.orders, "o_custkey", t.customer, "c_custkey").head()

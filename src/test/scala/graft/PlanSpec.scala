@@ -238,6 +238,7 @@ class PlanSpec extends SparkSpec {
       "q76_funnel"          -> bnl,
       "q84_gapfill"         -> bnl,
       "q101_join_estimate"  -> bnl,
+      "q114_revenue_share"  -> bnl,
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
       "q89_mom_change"      -> Set("unpartitioned-window"))
     // q70 starts a streaming query; q94 returns an eager checkpoint —
