@@ -192,6 +192,12 @@ object SparkEntry {
       val t = Tables(s, d)
       Relational.revenueShare(t.orders, t.customer, t.nation)
     }),
+    "q115_feature_scale" -> ((s, d) => Similarity.featureScale(Tables(s, d).embeddings)),
+    "q116_vocab_oov" -> ((s, d) => TextAnalysis.vocabOov(Tables(s, d).documents)),
+    "q117_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(Tables(s, d).documents)),
+    "q118_peak_concurrency" -> ((s, d) => EventAnalytics.peakConcurrency(Tables(s, d).events)),
+    "q119_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
+    "q120_prefix_join" -> ((s, d) => Dedup.prefixFilterJoin(Tables(s, d).documents)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -760,6 +766,67 @@ object SparkEntry {
         |SELECT nation, floor(rev*10000 + 0.5)/10000 AS revenue,
         |  floor(rev/(SELECT tot FROM t)*100*10000 + 0.5)/10000 AS pct_share
         |FROM pn ORDER BY pct_share DESC, nation""".stripMargin,
+    "q118_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+        |s AS (SELECT user_id, us,
+        |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM l),
+        |s2 AS (SELECT user_id, us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sess AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+        |         FROM s2 GROUP BY user_id, sid),
+        |d AS (SELECT strftime(make_timestamp(start_us), '%Y-%m-%d') AS day, start_us AS t, 1 AS dd FROM sess
+        |      UNION ALL
+        |      SELECT strftime(make_timestamp(start_us), '%Y-%m-%d'), end_us + 1, -1 FROM sess),
+        |net AS (SELECT day, t, sum(dd) AS delta FROM d GROUP BY day, t),
+        |run AS (SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t
+        |                                     ROWS UNBOUNDED PRECEDING) AS run FROM net),
+        |pk AS (SELECT day, max(run) AS peak FROM run GROUP BY day),
+        |ns AS (SELECT strftime(make_timestamp(start_us), '%Y-%m-%d') AS day,
+        |         count(*) AS n_sessions FROM sess GROUP BY 1)
+        |SELECT ns.day, ns.n_sessions, CAST(pk.peak AS BIGINT) AS peak_concurrency
+        |FROM ns JOIN pk ON ns.day = pk.day ORDER BY ns.day""".stripMargin,
+    "q115_feature_scale" ->
+      """WITH long AS (
+        |  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |stats AS (
+        |  SELECT dim, avg(v) AS mu, stddev_samp(v) AS sigma FROM long GROUP BY dim)
+        |SELECT l.vec_id, l.dim,
+        |  floor((l.v - s.mu)/s.sigma*10000 + 0.5)/10000 AS z
+        |FROM long l JOIN stats s ON l.dim = s.dim
+        |ORDER BY l.vec_id, l.dim""".stripMargin,
+    "q116_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 500))
+        |SELECT t.source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  floor(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)/count(*)*10000 + 0.5)/10000 AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    "q117_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, count(*) AS n FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok),
+        |r AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+        |  FROM tf)
+        |SELECT lang,
+        |  floor(regr_slope(ln(n), ln(rk))*10000 + 0.5)/10000 AS zipf_slope,
+        |  floor(regr_r2(ln(n), ln(rk))*10000 + 0.5)/10000 AS zipf_r2,
+        |  count(*) AS n_ranks
+        |FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""".stripMargin,
     "q113_vector_pool" ->
       """SELECT label, i AS dim,
         |  floor(avg(embedding[i])*10000 + 0.5)/10000 AS avg_val,

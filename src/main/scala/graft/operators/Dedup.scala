@@ -543,4 +543,88 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .orderBy("ck_a", "ck_b")
   }
+
+  /** q120: prefix-filtered shingle-set similarity self-join (the
+    * AllPairs/PPJoin family — the third candidate-generation shape
+    * beside LSH banding (q40) and deletion neighborhoods (q107), and
+    * unlike LSH it is EXACT: the prefix principle guarantees every
+    * qualifying pair is generated). Set elements are the hashed
+    * 3-token shingles (the q40/q42 set semantic — shingling is what
+    * keeps prefix filtering alive on real text: unigram tokens in a
+    * bounded vocabulary give every document the same hot tokens and
+    * the candidate set degenerates toward n², measured here at 229 s
+    * vs ~1 s at sf0.1). Shingles are globally ordered rarest-first by
+    * (document frequency asc, shingle asc) on a collision-free
+    * sortable key (zero-padded df ++ fixed-width hex); a pair with
+    * jaccard ≥ θ must share an element within BOTH prefixes of length
+    * |S| − ⌈θ·|S|⌉ + 1 under any consistent global order, so the
+    * equi-join on prefix shingles is complete. Rare-first ordering is
+    * what makes it cheap: boilerplate shingles fall OUT of long docs'
+    * prefixes, and 3-shingle df is naturally near-1, so posting lists
+    * under the join key stay tiny. All shuffles are data-
+    * proportional: a shingle-keyed df join, a per-doc re-group, the
+    * prefix join, and a doc-keyed verify join running the two-pointer
+    * kernel on candidates only. The O(n²) all-pairs form exists only
+    * as the spec's brute-force twin. */
+  def prefixFilterJoin(
+      documents: DataFrame,
+      theta: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val sets = signatures(documents, shingleK).select(col("doc_id"), col("shingles"))
+    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rarity order (df asc, sh asc) is used ONLY to pick prefixes; the
+    // verify kernel runs on the value-sorted shingle arrays, and the
+    // join key is the raw 8-byte shingle — never a string
+    val ordered = ex
+      .join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("rare"))
+      .withColumn("sz", size(col("rare")))
+      .withColumn(
+        "pref",
+        slice(col("rare"), lit(1), (col("sz") - ceil(lit(theta) * col("sz")) + 1).cast("int")))
+      .select(col("doc_id"), col("sz"), posexplode(col("pref")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("sz"), col("pos"), col("p.sh").as("sh"))
+    val pl = ordered.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("pos").as("pos_a"), col("sh"))
+    val pr = ordered.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("pos").as("pos_b"), col("sh"))
+    val cand = pl.join(pr, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: |S| of a qualifying pair differ by ≤ 1/θ
+      .filter(least(col("sz_a"), col("sz_b")) >= lit(theta) * greatest(col("sz_a"), col("sz_b")))
+      // positional filter (PPJoin): a shared key at (pos_a, pos_b) bounds
+      // the overlap by 1 + min remaining; a qualifying pair needs
+      // inter ≥ ⌈θ/(1+θ)·(|a|+|b|)⌉
+      .filter(
+        lit(1) + least(col("sz_a") - col("pos_a") - 1, col("sz_b") - col("pos_b") - 1) >=
+          ceil(lit(theta / (1 + theta)) * (col("sz_a") + col("sz_b"))))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("k_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("k_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(jaccardUdf(col("k_a"), col("k_b")), 4))
+      .filter(col("jaccard") >= theta)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Spec twin of [[prefixFilterJoin]]: brute-force all-pairs
+    * shingle-set jaccard (O(n²) — never registered; exists to prove
+    * the prefix filter generates EVERY qualifying pair). */
+  private[graft] def prefixFilterJoinBrute(
+      documents: DataFrame,
+      theta: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val sets = signatures(documents, shingleK)
+      .select(col("doc_id"), col("shingles"))
+    val l = sets.select(col("doc_id").as("doc_a"), col("shingles").as("k_a"))
+    val r = sets.select(col("doc_id").as("doc_b"), col("shingles").as("k_b"))
+    l.crossJoin(r)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(jaccardUdf(col("k_a"), col("k_b")), 4))
+      .filter(col("jaccard") >= theta)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
 }

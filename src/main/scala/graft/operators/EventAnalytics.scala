@@ -320,6 +320,41 @@ object EventAnalytics {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** scd2_merge: INCREMENTAL SCD2 maintenance — apply a new batch of
+    * change events to an existing dimension without rebuilding
+    * untouched users. Affected users (distinct in the batch — batch-
+    * cardinality, so the semi/anti joins broadcast) have their
+    * existing rows read back as change events and re-windowed together
+    * with the batch; every other user's rows pass through byte-
+    * identical via an anti join. Late/out-of-order changes are handled
+    * by construction (the affected user's history is re-derived from
+    * the union, not appended to). Cost: Θ(batch + affected users'
+    * history) — never a full-dimension rebuild; the spec pins
+    * merge ≡ [[scd2Build]] on the unioned event set. Assumes
+    * (user_id, ts) unique within the change stream (the purchase
+    * stream's contract; q108's event_id tie-break exists for raw
+    * event ingest, where duplicates are possible). */
+  def scd2Merge(dim: DataFrame, newEvents: DataFrame): DataFrame = {
+    val changes = newEvents
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), round(col("value"), 4).as("tier"),
+        unix_micros(col("ts")).as("valid_from_us"))
+    val touched   = changes.select("user_id").distinct()
+    val untouched = dim.join(touched, Seq("user_id"), "left_anti")
+    val oldChanges = dim
+      .join(touched, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("tier"), col("valid_from_us"))
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    val rebuilt = oldChanges
+      .unionByName(changes)
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(
+        col("user_id"), col("tier"), col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+    untouched.unionByName(rebuilt).orderBy("user_id", "valid_from_us")
+  }
+
   /** q112: point-in-time join — every event labeled with the user's
     * tier AS OF its own timestamp (the lookup an SCD2 dimension
     * exists for, and the leakage-free feature-join every training
@@ -370,5 +405,90 @@ object EventAnalytics {
         round(sum("span_us") / lit(1e6), 4).as("total_span_s"),
         round(max("span_us") / lit(1e6), 4).as("max_span_s"))
       .orderBy("user_id")
+  }
+
+  /** Session intervals (user, start_us, end_us) from the q22 gap rule —
+    * shared by [[peakConcurrency]] and its naive-form spec twin. */
+  private def sessionIntervals(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(Window.partitionBy("user_id").orderBy("us")))
+      .withColumn(
+        "ns",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs).cast("long"))
+      .withColumn("sid", sum(col("ns")).over(byUser))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+  }
+
+  /** Net concurrency deltas per (day, instant): each session emits +1 at
+    * its start and −1 one µs after its (inclusive) end; both deltas carry
+    * the session's START day (day-scoped semantics: "peak concurrent
+    * sessions among sessions started that day"). Grouping to net deltas
+    * per instant makes tie handling atomic — no start-before-end
+    * ordering convention is ever needed. */
+  private def concurrencyDeltas(sess: DataFrame): DataFrame = {
+    val day = date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd").as("day")
+    sess.select(day, col("start_us").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select(day, (col("end_us") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy("day", "t")
+      .agg(sum("d").as("delta"))
+  }
+
+  /** q118: peak session concurrency per day (capacity-planning view of
+    * the sessionized stream): the classic +1/−1 interval sweep, but
+    * decomposed PARTIAL+FINAL like the skyline — a per-(day, hour)
+    * local sweep (running sum + local max over that hour's boundary
+    * instants) followed by a per-day combine over 24 hourly summaries
+    * (carry-in = exclusive prefix of hourly delta sums; peak = max of
+    * carry-in + local max). No day-wide single-task sort ever happens:
+    * the widest window is one hour of boundary instants, and the final
+    * window is 24 rows per day. The naive day-wide-window form is the
+    * spec twin ([[peakConcurrencyNaive]]), asserted identical. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionIntervals(events, gapMinutes)
+    val net  = concurrencyDeltas(sess)
+      .withColumn("hour", floor(col("t") / (3600L * 1000000L)))
+    val wLocal = Window.partitionBy("day", "hour").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = net
+      .withColumn("run", sum("delta").over(wLocal))
+      .groupBy("day", "hour")
+      .agg(sum("delta").as("hsum"), max("run").as("hmax"))
+    val wDay = Window.partitionBy("day").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = hourly
+      .withColumn("carry", sum("hsum").over(wDay) - col("hsum"))
+      .groupBy("day")
+      .agg(max(col("carry") + col("hmax")).as("peak_concurrency"))
+    val counts = sess
+      .groupBy(date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"))
+    counts
+      .join(peaks, Seq("day"))
+      .select(col("day"), col("n_sessions"), col("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  /** Spec twin of [[peakConcurrency]]: the textbook day-wide running-sum
+    * window (one task per day at scale — kept OUT of the registered
+    * surface; exists to prove the decomposition exact). */
+  private[graft] def peakConcurrencyNaive(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionIntervals(events, gapMinutes)
+    val wDay = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = concurrencyDeltas(sess)
+      .withColumn("run", sum("delta").over(wDay))
+      .groupBy("day")
+      .agg(max("run").as("peak_concurrency"))
+    sess
+      .groupBy(date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .join(peaks, Seq("day"))
+      .select(col("day"), col("n_sessions"), col("peak_concurrency"))
+      .orderBy("day")
   }
 }

@@ -422,6 +422,140 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** q119: distributed spherical k-means — full-corpus Lloyd iterations
+    * (the batch dual of [[trainCentroids]], which trains on a bounded
+    * driver-side sample for IVF). Per iteration the corpus is touched
+    * exactly ONCE: a JIT argmax kernel closed over the k×d centroid
+    * array (tiny, rides the closure) assigns map-side, and a single
+    * (cluster, dim) aggregate — partial-aggregated before its shuffle,
+    * so the wire carries k×d moment rows, never n×d values — yields
+    * BOTH the new centroids and the iteration's inertia (Σ 1−cos,
+    * read off the dim-0 rows). Centroids are unit-normalized on the
+    * driver (k×d doubles). Inertia is non-increasing under spherical
+    * Lloyd — asserted per iteration in the spec, with planted-cluster
+    * recovery. At 100 TB: iters linear scans, k×d-row shuffles, no
+    * cache, no driver data motion beyond k×d. */
+  private[graft] def kmeansDetail(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 4): (Array[Double], DataFrame) = {
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
+    }
+    def maxDotUdf(cs: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      var best = Double.MinValue; var c = 0
+      while (c < cs.length) {
+        val ct = cs(c)
+        var d = 0.0; var i = 0
+        val n = math.min(ct.length, a.length)
+        while (i < n) { d += ct(i).toDouble * a(i).toDouble; i += 1 }
+        if (d > best) best = d
+        c += 1
+      }
+      best
+    }
+    // deterministic farthest-first seeding: start at the hash-minimal
+    // vector (layout/run-stable), then k−1 times take the point LEAST
+    // similar to its nearest chosen seed — each pick is one scan ending
+    // in a TakeOrdered top-1, and well-separated clusters are
+    // guaranteed one seed each (the kmeans++ property Lloyd can't
+    // recover from losing).
+    var cents: Array[Array[Float]] = Array(
+      embeddings
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray)
+    while (cents.length < k) {
+      val next = embeddings
+        .withColumn("nd", maxDotUdf(cents)(col("embedding")))
+        .orderBy(asc("nd"), asc("vec_id"))
+        .limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray
+      cents = cents :+ next
+    }
+    def assignUdf = {
+      val cs = cents
+      udf { (v: Seq[Float]) =>
+        val a = v.toArray
+        var best = 0; var bestD = Double.MinValue; var c = 0
+        while (c < cs.length) {
+          val ct = cs(c)
+          var d = 0.0; var i = 0
+          val n = math.min(ct.length, a.length)
+          while (i < n) { d += ct(i).toDouble * a(i).toDouble; i += 1 }
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, bestD)
+      }
+    }
+    val inertia = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val moments = embeddings
+        .withColumn("best", assignUdf(col("embedding")))
+        .select(col("best._1").as("cl"), col("best._2").as("bd"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos")
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"), sum("bd").as("sbd"))
+        .collect()
+      val sums   = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](k)
+      var n = 0L; var sumBd = 0.0
+      moments.foreach { r =>
+        val cl = r.getInt(0); val pos = r.getInt(1)
+        sums(cl)(pos) = r.getDouble(2)
+        if (pos == 0) {
+          counts(cl) = r.getLong(3); n += r.getLong(3); sumBd += r.getDouble(4)
+        }
+      }
+      inertia(it) = n - sumBd
+      cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c) else unit(sums(c)))
+      it += 1
+    }
+    val assigned = embeddings
+      .withColumn("best", assignUdf(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        col("best._1").cast("long").as("cluster_id"), col("best._2").as("cos"))
+    (inertia, assigned)
+  }
+
+  /** q119 query surface: final cluster summary after [[kmeansDetail]]'s
+    * Lloyd loop (rows-only — float-sum association across partitions
+    * makes exact cross-engine hashes unreliable; the spec pins planted
+    * recovery + monotone inertia instead). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 4): DataFrame = {
+    val (_, assigned) = kmeansDetail(embeddings, k, iters)
+    assigned
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("cos"), 4).as("avg_cos"))
+      .orderBy("cluster_id")
+  }
+
+  /** q115: per-dimension z-score feature normalization (the feature-
+    * scaling pass before training or distance work). One long-format
+    * pass computes every dimension's mean and sample stddev — the
+    * (dim) groupBy partial-aggregates before its shuffle, so the wire
+    * carries d partial-moment rows per task, never n×d values. The
+    * d-row stats table is BROADCAST back and the z-value is a pure
+    * map-side expression: total cost at 100 TB is two linear scans
+    * (one for stats, one to normalize) and a d-row shuffle. Long
+    * output (vec_id, dim, z) keeps the result element-wise
+    * hash-comparable (no float-array equality). */
+  def featureScale(embeddings: DataFrame): DataFrame = {
+    val long = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val stats = long
+      .groupBy("pos")
+      .agg(avg("v").as("mu"), stddev_samp("v").as("sigma"))
+    long
+      .join(broadcast(stats), Seq("pos"))
+      .select(
+        col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round((col("v") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy("vec_id", "dim")
+  }
+
   def annLsh(
       embeddings: DataFrame,
       numQueries: Int = 3,

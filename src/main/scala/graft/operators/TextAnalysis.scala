@@ -578,4 +578,58 @@ object TextAnalysis {
           .as("flagged"))
       .orderBy("doc_id")
   }
+
+  /** q116: vocabulary build + out-of-vocabulary coverage (the
+    * tokenizer-prep audit a pretraining pipeline runs before fixing a
+    * vocab): corpus term frequencies → top-V vocabulary with a
+    * deterministic tie-break (freq desc, token asc) → per-source OOV
+    * token rate. The vocabulary is top-V of a term-frequency table —
+    * `orderBy.limit` plans `TakeOrderedAndProject` (per-partition
+    * heaps, no full sort) and the V-row result is BROADCAST back, so
+    * the corpus-side coverage pass is one map-side left join + one
+    * #sources-row aggregate. At 100 TB the TF table is vocab-sized
+    * (sublinear in corpus), never corpus-sized. */
+  def vocabOov(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val toks = documents.select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+    val vocab = toks
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(
+        col("source"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  /** q117: Zipf rank–frequency slope per language — the corpus-health
+    * diagnostic (natural text has log-freq ≈ a − s·log-rank with
+    * s ≈ 1; machine-generated or degenerate corpora drift): per-lang
+    * term frequencies, rank by (freq desc, token asc), and a
+    * least-squares fit of ln(freq) on ln(rank) over the top ranks via
+    * the NATIVE regression aggregates (`regr_slope`/`regr_r2` — no
+    * UDF, no collect). The rank window is partitioned per lang over
+    * the vocab-sized TF table and `rk <= topRanks` plans the
+    * Partial+Final WindowGroupLimit (bounded pre-shuffle heaps). */
+  def zipfSlope(documents: DataFrame, topRanks: Int = 100): DataFrame = {
+    val tf = documents
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+    tf
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topRanks)
+      .groupBy("lang")
+      .agg(
+        round(regr_slope(log(col("n")), log(col("rk"))), 4).as("zipf_slope"),
+        round(regr_r2(log(col("n")), log(col("rk"))), 4).as("zipf_r2"),
+        count(lit(1)).as("n_ranks"))
+      .orderBy("lang")
+  }
 }

@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{EventAnalytics, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic ground truth for the round-3 family: feature scaling (q115),
+  * vocab/OOV coverage (q116), Zipf slope (q117), peak session
+  * concurrency (q118), distributed Lloyd k-means (q119). */
+class AnalyticsR3Spec extends SparkSpec {
+  import spark.implicits._
+  lazy val t = Tables(spark, sfDir)
+
+  test("q115: z-scored dimensions have mean ~0 and stddev ~1") {
+    val z = Similarity.featureScale(t.embeddings)
+    val stats = z.groupBy("dim")
+      .agg(avg("z").as("mu"), stddev_samp("z").as("sigma"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-3, s"dim ${r.getLong(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"dim ${r.getLong(0)} std ${r.getDouble(2)}")
+    }
+  }
+
+  test("q116: OOV counts are exact on a hand-built corpus") {
+    val docs = Seq(
+      ("a", "common common common rare1"),
+      ("a", "common common rare2"),
+      ("b", "common zzz1 zzz2 zzz3")).toDF("source", "text")
+    // vocabSize=1 → vocab = {common}; everything else is OOV
+    val out = TextAnalysis.vocabOov(docs, vocabSize = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a") == ((7L, 2L)))
+    assert(out("b") == ((4L, 3L)))
+  }
+
+  test("q116: token conservation and rate bounds on real data") {
+    val out = TextAnalysis.vocabOov(t.documents).collect()
+    val totalTok = t.documents
+      .select(sum(size(split(lower(col("text")), "\\s+"))).cast("long")).as[Long].head()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totalTok)
+    out.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("oov_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("q117: natural-ish corpora fit a negative Zipf slope") {
+    val out = TextAnalysis.zipfSlope(t.documents).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0.0, s"lang ${r.getString(0)} slope not negative")
+      val r2 = r.getAs[Double]("zipf_r2")
+      assert(r2 > 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("n_ranks") <= 100)
+    }
+  }
+
+  test("q117: exact slope on a constructed rank-frequency corpus") {
+    // one doc with freqs 8,4,2,1 → ranks 1..4; slope of ln f on ln r
+    val text = ("w1 " * 8 + "w2 " * 4 + "w3 " * 2 + "w4").trim
+    val docs = Seq(("en", text)).toDF("lang", "text")
+    val got = TextAnalysis.zipfSlope(docs).collect()(0)
+    val xs = Array(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Array(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(got.getAs[Double]("zipf_slope") - math.floor(slope * 10000 + 0.5) / 10000) < 1e-9)
+    assert(got.getAs[Long]("n_ranks") == 4)
+  }
+
+  test("q118: partial+final decomposition equals the day-wide-window form") {
+    val fast  = EventAnalytics.peakConcurrency(t.events)
+    val naive = EventAnalytics.peakConcurrencyNaive(t.events)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "decomposed peak-concurrency sweep diverges from the naive window form")
+  }
+
+  test("q118: exact peak on hand-built overlapping sessions") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    // A: events 10:00,10:10 → one session [10:00,10:10]
+    // B: event  10:05       → point session at 10:05 (inside A's span)
+    // C: event  11:30       → far from both (gap>30m from A/B but same day)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)),
+      (2L, ts(5)),
+      (3L, java.sql.Timestamp.valueOf("2024-03-01 11:30:00"))).toDF("user_id", "ts")
+    val out = EventAnalytics.peakConcurrency(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "2024-03-01")
+    assert(out(0).getAs[Long]("n_sessions") == 3L)
+    assert(out(0).getAs[Long]("peak_concurrency") == 2L)
+  }
+
+  test("q119: planted clusters are recovered with monotone inertia") {
+    val d = 16
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 3 orthogonal centers + small deterministic perturbation
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(d)(j => if (j == c * 5) 1.0 else 0.0)
+      val noise = Array.tabulate(d)(j => 0.05 * math.sin(i * 31 + j * 7))
+      (i.toLong, unit(base.zip(noise).map { case (a, b) => a + b }).toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val (inertia, assigned) = Similarity.kmeansDetail(emb, k = 3, iters = 4)
+    inertia.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"inertia increased: ${inertia.mkString(",")}")
+    }
+    // purity: every cluster maps to exactly one planted label and vice versa
+    val purity = assigned.groupBy("cluster_id")
+      .agg(countDistinct("label").as("nl"), count(lit(1)).as("n")).collect()
+    assert(purity.length == 3)
+    purity.foreach { r =>
+      assert(r.getAs[Long]("nl") == 1L, "cluster mixes planted labels")
+      assert(r.getAs[Long]("n") == 20L)
+    }
+  }
+
+  test("q120: prefix filter generates every brute-force pair (completeness)") {
+    val fast  = graft.operators.Dedup.prefixFilterJoin(t.documents).collect().toSet
+    val brute = graft.operators.Dedup.prefixFilterJoinBrute(t.documents).collect().toSet
+    assert(fast == brute, s"prefix join ${fast.size} pairs vs brute ${brute.size}")
+  }
+
+  test("q120: planted near-identical pair is found with the right jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.prefixFilterJoin(docs, theta = 0.5).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    // 3-shingles: docs 1/2 share {alpha-beta-gamma, beta-gamma-delta} of 4 distinct
+    assert(math.abs(out(0).getAs[Double]("jaccard") - 0.5) < 1e-9)
+  }
+
+  test("scd2_merge: incremental merge equals the full rebuild") {
+    val batch = t.events.filter(
+      col("event_type") === "purchase" && pmod(col("user_id"), lit(7)) === 3
+        && pmod(col("event_id"), lit(3)) === 0)
+    val base = t.events.exceptAll(batch)
+    val dim0   = EventAnalytics.scd2Build(base)
+    val merged = EventAnalytics.scd2Merge(dim0, batch)
+    val full   = EventAnalytics.scd2Build(t.events)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental SCD2 merge diverges from full rebuild")
+    assert(batch.count() > 0, "fixture split selected no batch rows")
+  }
+
+  test("scd2_merge: untouched users pass through unchanged") {
+    val batch = t.events.filter(
+      col("event_type") === "purchase" && pmod(col("user_id"), lit(7)) === 3
+        && pmod(col("event_id"), lit(3)) === 0)
+    val base = t.events.exceptAll(batch)
+    val dim0   = EventAnalytics.scd2Build(base)
+    val merged = EventAnalytics.scd2Merge(dim0, batch)
+    val touched = batch.select("user_id").distinct()
+    val before = dim0.join(touched, Seq("user_id"), "left_anti")
+    val after  = merged.join(touched, Seq("user_id"), "left_anti")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
+  test("q119: query surface is deterministic across runs") {
+    val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
+    val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
+    assert(a == b)
+  }
+}
