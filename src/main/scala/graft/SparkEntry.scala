@@ -198,6 +198,11 @@ object SparkEntry {
     "q118_peak_concurrency" -> ((s, d) => EventAnalytics.peakConcurrency(Tables(s, d).events)),
     "q119_kmeans" -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
     "q120_prefix_join" -> ((s, d) => Dedup.prefixFilterJoin(Tables(s, d).documents)),
+    "q121_dau_wau" -> ((s, d) => EventAnalytics.dauWau(Tables(s, d).events)),
+    "q122_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables(s, d).embeddings)),
+    "q123_winsorize" -> ((s, d) => Relational.winsorize(Tables(s, d).events)),
+    "q124_covariance" -> ((s, d) => Similarity.covarianceMatrix(Tables(s, d).embeddings)),
+    "q125_ann_rp" -> ((s, d) => Similarity.annRpReduce(Tables(s, d).embeddings)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
       Tables(s, d).documents,
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))),
@@ -766,6 +771,45 @@ object SparkEntry {
         |SELECT nation, floor(rev*10000 + 0.5)/10000 AS revenue,
         |  floor(rev/(SELECT tot FROM t)*100*10000 + 0.5)/10000 AS pct_share
         |FROM pn ORDER BY pct_share DESC, nation""".stripMargin,
+    "q123_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.05)*10000 + 0.5)/10000 AS lo,
+        |    floor(quantile_cont(value, 0.95)*10000 + 0.5)/10000 AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  floor(avg(least(greatest(e.value, b.lo), b.hi))*10000 + 0.5)/10000 AS wins_mean,
+        |  floor(min(least(greatest(e.value, b.lo), b.hi))*10000 + 0.5)/10000 AS wins_min,
+        |  floor(max(least(greatest(e.value, b.lo), b.hi))*10000 + 0.5)/10000 AS wins_max
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q124_covariance" ->
+      """WITH l AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, 17)) AS t(i))
+        |SELECT a.i AS dim_i, b.i AS dim_j,
+        |  floor(covar_pop(a.v, b.v)*10000 + 0.5)/10000 AS cov
+        |FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY dim_i, dim_j""".stripMargin,
+    "q121_dau_wau" ->
+      """WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM activity),
+        |contrib AS (SELECT DISTINCT a.user_id, d.day AS wday
+        |  FROM activity a JOIN days d ON d.day BETWEEN a.day AND a.day + 6),
+        |wau AS (SELECT wday, count(*) AS wau FROM contrib GROUP BY wday),
+        |dau AS (SELECT day, count(*) AS dau FROM activity GROUP BY day)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+        |  floor(CAST(dau.dau AS DOUBLE)/wau.wau*10000 + 0.5)/10000 AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.wday ORDER BY day""".stripMargin,
+    "q122_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel
+        |       FROM embeddings WHERE vec_id >= 3),
+        | s AS (SELECT qid, cid,
+        |   list_sum(list_transform(list_zip(qe,ce), z -> CAST(z[1] AS DOUBLE)*z[2])) AS cos
+        |   FROM q JOIN c ON c.clabel <> q.qlabel),
+        | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
+        |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q118_peak_concurrency" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, us,

@@ -320,6 +320,32 @@ object EventAnalytics {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** q121: DAU / trailing-7-day WAU ("stickiness") — the engagement
+    * rollup every growth dashboard runs, shaped for scale: raw events
+    * collapse FIRST to distinct (user, day) activity (users × days,
+    * orders of magnitude under event count); each activity row then
+    * fans out to the ≤7 window days it contributes to (a bounded
+    * explode, map-side) and the per-window-day distinct-user count
+    * runs on that — the event table is never scanned per window. Days
+    * beyond the observed range are dropped (a trailing window with no
+    * anchor day reports nothing). */
+  def dauWau(events: DataFrame): DataFrame = {
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = activity.select("day").distinct()
+    val contrib = activity
+      .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+    val wau = contrib.distinct().groupBy("wday").agg(count(lit(1)).as("wau"))
+    val dau = activity.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau
+      .join(wau, dau("day") === wau("wday"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** scd2_merge: INCREMENTAL SCD2 maintenance — apply a new batch of
     * change events to an existing dimension without rebuilding
     * untouched users. Affected users (distinct in the batch — batch-

@@ -223,6 +223,33 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** q123: winsorized statistics per group — the outlier-robust
+    * cleaning pass (clip to [p05, p95], then aggregate) a metrics
+    * pipeline runs over heavy-tailed measures. Per-group bounds are an
+    * exact-percentile aggregate (group-cardinality rows), BROADCAST
+    * back, and the clip is a pure map-side expression feeding one more
+    * aggregate — two linear scans, no row-level shuffle. Bounds are
+    * rounded to 4 decimals on BOTH engines before clipping so a value
+    * landing within an ulp of a bound clips identically (the q90
+    * pre-rounded-boundary discipline). */
+  def winsorize(events: DataFrame): DataFrame = {
+    val bounds = events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.05)"), 4).as("lo"),
+        round(expr("percentile(value, 0.95)"), 4).as("hi"))
+    events
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg("wv"), 4).as("wins_mean"),
+        round(min("wv"), 4).as("wins_min"),
+        round(max("wv"), 4).as("wins_max"))
+      .orderBy("event_type")
+  }
+
   /** q17: argmax/argmin per group via max_by/min_by — one aggregate pass,
     * no self-join-on-max anti-pattern. */
   def firstLast(events: DataFrame): DataFrame =

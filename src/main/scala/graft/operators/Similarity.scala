@@ -387,6 +387,98 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q124: covariance matrix of the first `nDims` embedding dimensions
+    * — the moment-matrix pass feeding whitening/PCA and the
+    * redundancy diagnostic for learned representations. ONE corpus
+    * scan: a JIT kernel emits the upper-triangle products per row
+    * (d(d+1)/2 values), the (i,j) groupBy partial-aggregates before
+    * its shuffle — the wire carries d² moment rows per task, never
+    * n·d² values — and the d-row mean table broadcasts back to close
+    * E[xy]−E[x]E[y]. Population covariance matches DuckDB covar_pop
+    * exactly. */
+  def covarianceMatrix(embeddings: DataFrame, nDims: Int = 16): DataFrame = {
+    val pairUdf = udf { (v: Seq[Float]) =>
+      val n = math.min(nDims, v.length)
+      val out = new Array[(Int, Int, Double)](n * (n + 1) / 2)
+      var k = 0; var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n) { out(k) = (i + 1, j + 1, v(i).toDouble * v(j).toDouble); k += 1; j += 1 }
+        i += 1
+      }
+      out
+    }
+    val prods = embeddings
+      .select(explode(pairUdf(col("embedding"))).as("p"))
+      .select(col("p._1").as("i"), col("p._2").as("j"), col("p._3").as("xy"))
+      .groupBy("i", "j")
+      .agg(sum("xy").as("sxy"), count(lit(1)).as("n"))
+    val means = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < nDims)
+      .groupBy((col("pos") + 1).as("d"))
+      .agg(avg(col("v").cast("double")).as("mu"))
+    prods
+      .join(broadcast(means.select(col("d").as("i"), col("mu").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("d").as("j"), col("mu").as("mj"))), Seq("j"))
+      .select(
+        col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        round(col("sxy") / col("n") - col("mi") * col("mj"), 4).as("cov"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  /** q125: random-projection ANN (Johnson–Lindenstrauss): vectors are
+    * compressed to `rDim` signed sums through deterministic Rademacher
+    * planes (JIT kernel, one map pass — the planes ride the closure,
+    * derived from a seeded hash so every executor agrees). Stage 1
+    * ranks by projected dot over the 4×-smaller corpus — the bytes the
+    * scan/shuffle is actually bound by at scale — and stage 2 re-ranks
+    * the top `rerank` survivors with exact float cosine (q59's
+    * compress-then-rerank contract; the spec pins ≡ exact top-k). JL
+    * distortion only reorders neighbors whose projected dots are close,
+    * so a modest rerank margin recovers the exact answer. */
+  def annRpReduce(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5,
+      rDim: Int = 16,
+      dim: Int = 64,
+      rerank: Int = 60): DataFrame = {
+    val planes = rademacherPlanes(rDim, dim).map(_.toArray).toArray
+    val projectUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      Array.tabulate(rDim) { j =>
+        val p = planes(j)
+        var s = 0.0; var i = 0
+        val n = math.min(p.length, a.length)
+        while (i < n) { s += p(i) * a(i); i += 1 }
+        s
+      }
+    }
+    val rdotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val packed = embeddings.withColumn("rv", projectUdf(col("embedding")))
+    val q = packed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("rv").as("rq"), col("embedding").as("qe"))
+    val c = packed.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("rv").as("rc"), col("embedding").as("ce"))
+    val wq = Window.partitionBy("qid").orderBy(desc("rscore"), asc("cid"))
+    val wf = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    c.crossJoin(broadcast(q))
+      .withColumn("rscore", rdotUdf(col("rc"), col("rq")))
+      .withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= rerank)
+      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
   /** q88: nearest-centroid assignment — the clustering/labeling pass a
     * curation pipeline runs after picking centroids (here: a fixed,
     * deterministic centroid set so the assignment is oracle-checkable;
@@ -420,6 +512,29 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         round(avg(col("best._2")), 4).as("avg_cos"))
       .orderBy("cluster_id")
+  }
+
+  /** q122: hard-negative mining — for each query vector, the top-k most
+    * similar candidates with a DIFFERENT label (the contrastive-training
+    * pair miner: near-duplicates of the anchor that the model must
+    * learn to tell apart). Same broadcast-query / window-top-k shape as
+    * the exact ANN baseline (q51) with the label guard pushed into the
+    * join condition, so excluded same-label rows never reach the
+    * ranking window. At scale the guard composes with any candidate
+    * generator (LSH/IVF); the exact form here is the oracle-checkable
+    * contract. */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 3, k: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val c = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").as("clabel"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    c.join(broadcast(q), col("clabel") =!= col("qlabel"))
+      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rk")
   }
 
   /** q119: distributed spherical k-means — full-corpus Lloyd iterations

@@ -41,4 +41,15 @@ object StreamingJoins {
         joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("c_ts"), col("p_ts"))
   }
+
+  /** Stream-STATIC enrichment: each micro-batch joined against a
+    * bounded dimension table (the classic "attach user/account
+    * attributes at ingest"). The static side is a plain DataFrame —
+    * Spark re-plans it per micro-batch, broadcasts it when under the
+    * autoBroadcast threshold, and needs NO join state at all (nothing
+    * is buffered; the dim is available in full every batch). Left
+    * join so events with no dimension row survive with nulls — at
+    * ingest you enrich what you can and never drop data. */
+  def enrichmentJoin(stream: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming weighted sampling — the streaming dual of q105's
+  * Efraimidis–Spirakis A-ES sampler. Keeping the top-k A-ES keys per
+  * source IS a weighted reservoir: state is exactly k (key, doc) pairs
+  * per source — O(sources × k), independent of stream length — and
+  * merging a new batch is "union, keep k largest", which is associative,
+  * so any micro-batch slicing of the corpus yields the IDENTICAL sample
+  * as the batch pass (same hash-derived u, same doubles, same
+  * tie-break). Each update emits the group's current sample stamped
+  * with a per-source version; consumers read the max-version rows
+  * (the spec proves final state ≡ the batch sampler). */
+object StreamingSample {
+
+  case class DocIn(source: String, doc_id: Long, n_chars: Long, key: Double)
+  case class SampleOut(source: String, ver: Long, rank: Int, doc_id: Long, n_chars: Long)
+  case class SampleState(ver: Long, items: List[(Double, Long, Long)])
+
+  /** The q105 A-ES key as a column: ln(u)/w with u derived from the
+    * content-free md5 of doc_id — bit-identical to the batch sampler. */
+  private def aesKey = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967297.0)
+    log(u) / col("n_chars")
+  }
+
+  def weightedSample(spark: SparkSession, docs: DataFrame, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    def update(source: String, rows: Iterator[DocIn], state: GroupState[SampleState]): Iterator[SampleOut] = {
+      val prev = state.getOption.getOrElse(SampleState(0L, Nil))
+      val merged = (prev.items ++ rows.map(r => (r.key, r.doc_id, r.n_chars)))
+        .sortBy { case (key, doc, _) => (-key, doc) }
+        .take(k)
+      val next = SampleState(prev.ver + 1, merged)
+      state.update(next)
+      merged.iterator.zipWithIndex.map { case ((_, doc, nc), i) =>
+        SampleOut(source, next.ver, i + 1, doc, nc)
+      }
+    }
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"), aesKey.as("key"))
+      .as[DocIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+      .toDF()
+  }
+}

@@ -168,6 +168,94 @@ class AnalyticsR3Spec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("q121: DAU/WAU agrees with a per-day brute-force recount") {
+    val out = EventAnalytics.dauWau(t.events).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("dau"), r.getAs[Long]("wau")))).toMap
+    val activity = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = activity.map(_._2).distinct
+    days.foreach { d =>
+      val dau = activity.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = activity
+        .filter(a => !a._2.isAfter(d) && !a._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length.toLong
+      assert(out(d.toString) == ((dau, wau)), s"day $d: got ${out(d.toString)}, want ($dau,$wau)")
+    }
+  }
+
+  test("q122: hard negatives never share the query's label and rank by cosine") {
+    val labels = t.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(t.embeddings).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      rows.foreach { r =>
+        assert(labels(r.getLong(1)) != labels(qid), s"same-label candidate for query $qid")
+      }
+      val cosines = rows.sortBy(_.getLong(2)).map(_.getAs[Double]("cosine"))
+      assert(cosines.sliding(2).forall { case Array(a, b) => a >= b }, "ranks not cosine-ordered")
+    }
+  }
+
+  test("q123: winsorized stats are clipped to the rounded percentile bounds") {
+    val raw = t.events.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.05)").as("lo"), expr("percentile(value, 0.95)").as("hi"),
+        min("value").as("rmin"), max("value").as("rmax"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    graft.operators.Relational.winsorize(t.events).collect().foreach { r =>
+      val b = raw(r.getString(0))
+      val lo = math.floor(b.getAs[Double]("lo") * 10000 + 0.5) / 10000
+      val hi = math.floor(b.getAs[Double]("hi") * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("wins_min") >= math.floor(lo * 10000 + 0.5) / 10000 - 1e-9)
+      assert(r.getAs[Double]("wins_max") <= hi + 1e-9)
+      val m = r.getAs[Double]("wins_mean")
+      assert(m >= r.getAs[Double]("wins_min") - 1e-9 && m <= r.getAs[Double]("wins_max") + 1e-9)
+    }
+  }
+
+  test("q124: diagonal equals per-dimension population variance; triangle complete") {
+    val cov = Similarity.covarianceMatrix(t.embeddings).collect()
+    assert(cov.length == 16 * 17 / 2)
+    val diag = cov.filter(r => r.getLong(0) == r.getLong(1))
+      .map(r => r.getLong(0) -> r.getAs[Double]("cov")).toMap
+    val vars = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 16)
+      .groupBy((col("pos") + 1).as("d"))
+      .agg(var_pop(col("v").cast("double")).as("vp"))
+      .collect().map(r => r.getInt(0).toLong -> r.getDouble(1)).toMap
+    diag.foreach { case (d, c) =>
+      assert(math.abs(c - math.floor(vars(d) * 10000 + 0.5) / 10000) <= 1e-4,
+        s"dim $d: cov-diag $c vs var ${vars(d)}")
+    }
+  }
+
+  test("q125: RP compress-then-rerank equals brute force on planted clusters") {
+    // JL distortion (~1/sqrt(rDim)) cannot flip within-cluster cosine
+    // (~0.99) against cross-cluster (~0.05), so with rerank = cluster size the
+    // final top-k must match the exact baseline — the high-similarity
+    // regime a compressed first stage exists for (on uniformly random
+    // vectors no 4x-compressed scan can guarantee the exact top-k).
+    val d = 64
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 63).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(d)(j => if (j == c * 20) 1.0 else 0.0)
+      val noise = Array.tabulate(d)(j => 0.05 * math.cos(i * 17 + j * 3))
+      (i.toLong, unit(base.zip(noise).map { case (a, b) => a + b }).toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = Similarity.annBruteForce(emb).collect().toSeq
+    val rp    = Similarity.annRpReduce(emb, rerank = 20).collect().toSeq
+    assert(rp == exact, "JL-projected rerank diverges from the exact top-k on planted clusters")
+  }
+
   test("q119: query surface is deterministic across runs") {
     val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
     val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq

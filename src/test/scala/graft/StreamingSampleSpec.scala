@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+import graft.streaming.{StreamingJoins, StreamingSample}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming duals added in round 3: the A-ES weighted reservoir
+  * (stream_weighted_sample ≡ batch q105) and stream-static enrichment. */
+class StreamingSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft-sample").toString
+
+  /** Max-version rows per source from an update-mode memory sink. */
+  def latestReservoir(table: String): Set[(String, Long, Long)] = {
+    val rows = spark.table(table)
+      .select("source", "ver", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastVer = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    rows.filter { case (s, v, _, _) => v == lastVer(s) }
+      .map { case (s, _, d, n) => (s, d, n) }.toSet
+  }
+
+  test("stream_weighted_sample: final reservoir equals the batch q105 sample") {
+    val docs = Tables(spark, sfDir).documents
+    val in = tmp()
+    // three micro-batches of the same corpus
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamingSample.weightedSample(spark, stream, k = 20)
+      .writeStream.format("memory").queryName("wsample")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = latestReservoir("wsample")
+    val want = TextAnalysis.weightedSample(docs, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"streaming reservoir diverges from batch sample: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("stream_weighted_sample: reservoir is identical under a different batch slicing") {
+    val docs = Tables(spark, sfDir).documents
+    def runWith(parts: Int): Set[(String, Long, Long)] = {
+      val in = tmp()
+      docs.repartition(parts).write.mode("overwrite").parquet(in)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val name = s"wsample_p$parts"
+      val q = StreamingSample.weightedSample(spark, stream, k = 20)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      latestReservoir(name)
+    }
+    assert(runWith(1) == runWith(5), "sample depends on micro-batch slicing")
+  }
+
+  test("stream_static enrichment: streamed join equals the batch left join") {
+    val events = Tables(spark, sfDir).events
+    val dim = events.select("user_id").distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3)).cast("int"))
+    val in = tmp()
+    events.repartition(2).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamingJoins.enrichmentJoin(stream, dim)
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = events.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+}
