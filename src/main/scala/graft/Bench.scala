@@ -52,11 +52,13 @@ object Bench {
     t.lineitem.groupBy("l_returnflag").count().count()
 
     // steady-state timing: min of two runs (the first pays per-query
-    // codegen compilation); queries over 10s — or queries that fail —
-    // run once to bound wall time
+    // codegen compilation); queries over 25s — or queries that fail —
+    // run once to bound wall time (the iterative graph/dedup queries
+    // pay ~15s of one-time codegen on their first run and ~5s warm —
+    // a 10s threshold was reporting cold numbers for exactly them)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (first, err1) = timeQuery(spark, sfDir, fn)
-      if (err1.isDefined || first > 10.0) (name, first, err1)
+      if (err1.isDefined || first > 25.0) (name, first, err1)
       else {
         val (second, err2) = timeQuery(spark, sfDir, fn)
         (name, math.min(first, second), err2)
