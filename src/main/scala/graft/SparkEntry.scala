@@ -201,6 +201,9 @@ object SparkEntry {
     "q121_dau_wau" -> ((s, d) => EventAnalytics.dauWau(Tables(s, d).events)),
     "q122_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables(s, d).embeddings)),
     "q123_winsorize" -> ((s, d) => Relational.winsorize(Tables(s, d).events)),
+    "q126_chisq" -> ((s, d) => Relational.chiSquare(Tables(s, d).documents)),
+    "q127_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables(s, d).documents)),
+    "q128_correlated_avg" -> ((s, d) => Relational.correlatedAvg(Tables(s, d).lineitem)),
     "q124_covariance" -> ((s, d) => Similarity.covarianceMatrix(Tables(s, d).embeddings)),
     "q125_ann_rp" -> ((s, d) => Similarity.annRpReduce(Tables(s, d).embeddings)),
     "q72_mixture_solver" -> ((s, d) => TextAnalysis.mixtureRates(
@@ -771,6 +774,46 @@ object SparkEntry {
         |SELECT nation, floor(rev*10000 + 0.5)/10000 AS revenue,
         |  floor(rev/(SELECT tot FROM t)*100*10000 + 0.5)/10000 AS pct_share
         |FROM pn ORDER BY pct_share DESC, nation""".stripMargin,
+    "q126_chisq" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY lang),
+        |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY source),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+        |          count(DISTINCT source) AS ns FROM cells),
+        |grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct,
+        |           coalesce(c.o, 0) AS o
+        |         FROM rt CROSS JOIN ct
+        |         LEFT JOIN cells c ON c.lang = rt.lang AND c.source = ct.source)
+        |SELECT floor(sum(pow(g.o - (g.rt*g.ct/CAST(tot.n AS DOUBLE)), 2)
+        |        / (g.rt*g.ct/CAST(tot.n AS DOUBLE)))*10000 + 0.5)/10000 AS chi2,
+        |  CAST((max(tot.nl)-1)*(max(tot.ns)-1) AS BIGINT) AS dof,
+        |  CAST(max(tot.n) AS BIGINT) AS n_docs
+        |FROM grid g CROSS JOIN tot""".stripMargin,
+    "q127_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok),
+        |tot AS (SELECT source, sum(c) AS n, count(*) AS vocab FROM tf GROUP BY source)
+        |SELECT tf.source, CAST(max(tot.n) AS BIGINT) AS n_tokens,
+        |  CAST(max(tot.vocab) AS BIGINT) AS vocab,
+        |  floor(-sum((tf.c/CAST(tot.n AS DOUBLE))*ln(tf.c/CAST(tot.n AS DOUBLE)))*10000 + 0.5)/10000 AS entropy,
+        |  CASE WHEN max(tot.vocab) > 1 THEN
+        |    floor(-sum((tf.c/CAST(tot.n AS DOUBLE))*ln(tf.c/CAST(tot.n AS DOUBLE)))
+        |          / ln(CAST(max(tot.vocab) AS DOUBLE))*10000 + 0.5)/10000
+        |  ELSE 0.0 END AS norm_entropy
+        |FROM tf JOIN tot USING (source)
+        |GROUP BY tf.source ORDER BY tf.source""".stripMargin,
+    "q128_correlated_avg" ->
+      """WITH pa AS (SELECT l_partkey, floor(avg(l_quantity)*10000 + 0.5)/10000 AS pa
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT l.l_returnflag, count(*) AS n_below,
+        |  floor(sum(l.l_quantity)*10000 + 0.5)/10000 AS qty_below,
+        |  floor(avg(l.l_extendedprice)*10000 + 0.5)/10000 AS avg_price
+        |FROM lineitem l JOIN pa USING (l_partkey)
+        |WHERE l.l_quantity < 0.5*pa.pa
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "q123_winsorize" ->
       """WITH b AS (SELECT event_type,
         |    floor(quantile_cont(value, 0.05)*10000 + 0.5)/10000 AS lo,

@@ -250,6 +250,54 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q126: chi-square independence test over a contingency table
+    * (lang × source — "is corpus language mix independent of source?",
+    * the drift/balance check a curation pipeline monitors). The
+    * contingency table is ONE groupBy (cells = |langs|×|sources|,
+    * tiny); marginals and the grand total derive from the CELLS, not
+    * the corpus, and every join from there is broadcast at
+    * table-of-cells size. One corpus scan total. */
+  def chiSquare(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("lang").agg(sum("o").as("rt"))
+    val colT = cells.groupBy("source").agg(sum("o").as("ct"))
+    val tot  = cells.agg(sum("o").as("n"), countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+    // densify: a (lang, source) combination with NO observed rows still
+    // contributes (0−e)²/e — the grid is the marginals' product
+    // (|langs|×|sources|, tiny), never the corpus
+    rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+        ((first("nl") - 1) * (first("ns") - 1)).as("dof"),
+        first("n").as("n_docs"))
+  }
+
+  /** q128: correlated-subquery decorrelation (the TPC-H Q17 shape:
+    * "lineitems under half their part's average quantity"): the
+    * per-row correlated scalar subquery becomes ONE per-part average
+    * aggregate joined back on partkey — a data-proportional equi-join
+    * (the per-part table is |parts|-sized; CBO/AQE broadcasts it when
+    * it fits, shuffles otherwise — at 100 TB it shuffles, and that is
+    * the right plan). The threshold is pre-rounded on both engines so
+    * a quantity at exactly half-average compares identically (q90
+    * boundary discipline). */
+  def correlatedAvg(lineitem: DataFrame): DataFrame = {
+    val pa = lineitem.groupBy("l_partkey").agg(round(avg("l_quantity"), 4).as("pa"))
+    lineitem
+      .join(pa, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("pa"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_below"),
+        round(sum("l_quantity"), 4).as("qty_below"),
+        round(avg("l_extendedprice"), 4).as("avg_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** q17: argmax/argmin per group via max_by/min_by — one aggregate pass,
     * no self-join-on-max anti-pattern. */
   def firstLast(events: DataFrame): DataFrame =

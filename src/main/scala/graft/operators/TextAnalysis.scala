@@ -608,6 +608,34 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q127: token-distribution entropy per source — the corpus-diversity
+    * measure (low entropy = templated/repetitive source; the normalized
+    * form is comparable across vocabulary sizes). One explode pass to
+    * (source, token) frequencies — vocab-per-source-sized, sublinear in
+    * the corpus — then per-source totals broadcast back and the entropy
+    * collapses in one aggregate. −Σ p·ln p with p from exact counts. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy("source").agg(sum("c").as("n"), count(lit(1)).as("vocab"))
+    tf
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy("source")
+      .agg(
+        first("n").as("n_tokens"),
+        first("vocab").as("vocab"),
+        round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+        // a single-token source has no diversity to normalize (ln 1 = 0)
+        round(
+          when(first("vocab") > 1,
+            -sum(col("p") * log(col("p"))) / log(first("vocab").cast("double")))
+            .otherwise(lit(0.0)),
+          4).as("norm_entropy"))
+      .orderBy("source")
+  }
+
   /** q117: Zipf rank–frequency slope per language — the corpus-health
     * diagnostic (natural text has log-freq ≈ a − s·log-rank with
     * s ≈ 1; machine-generated or degenerate corpora drift): per-lang

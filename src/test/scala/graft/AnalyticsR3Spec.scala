@@ -256,6 +256,41 @@ class AnalyticsR3Spec extends SparkSpec {
     assert(rp == exact, "JL-projected rerank diverges from the exact top-k on planted clusters")
   }
 
+  test("q126: chi2 is 0 for an independent table and n for a perfectly dependent one") {
+    val indep = Seq.fill(10)(("en", "s0")) ++ Seq.fill(10)(("en", "s1")) ++
+      Seq.fill(10)(("de", "s0")) ++ Seq.fill(10)(("de", "s1"))
+    val r1 = graft.operators.Relational.chiSquare(indep.toDF("lang", "source")).collect()(0)
+    assert(math.abs(r1.getAs[Double]("chi2")) < 1e-9)
+    assert(r1.getAs[Long]("dof") == 1L && r1.getAs[Long]("n_docs") == 40L)
+    val dep = Seq.fill(10)(("en", "s0")) ++ Seq.fill(10)(("de", "s1"))
+    val r2 = graft.operators.Relational.chiSquare(dep.toDF("lang", "source")).collect()(0)
+    assert(math.abs(r2.getAs[Double]("chi2") - 20.0) < 1e-9, s"got ${r2.getAs[Double]("chi2")}")
+  }
+
+  test("q127: uniform token distribution has entropy ln(vocab), norm 1") {
+    val docs = Seq(("s0", "a b c d"), ("s1", "x x x x")).toDF("source", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("s0").getAs[Double]("entropy") -
+      math.floor(math.log(4) * 10000 + 0.5) / 10000) < 1e-9)
+    assert(math.abs(out("s0").getAs[Double]("norm_entropy") - 1.0) < 1e-9)
+    assert(math.abs(out("s1").getAs[Double]("entropy")) < 1e-9) // single token: no diversity
+  }
+
+  test("q128: decorrelated filter matches a driver-side recount") {
+    val out = graft.operators.Relational.correlatedAvg(t.lineitem).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_below")).toMap
+    val rows = t.lineitem.select("l_partkey", "l_quantity", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val avgByPart = rows.groupBy(_._1).view.mapValues { v =>
+      math.floor(v.map(_._2).sum / v.size * 10000 + 0.5) / 10000
+    }.toMap
+    val want = rows.filter { case (pk, q, _) => q < 0.5 * avgByPart(pk) }
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(out == want, s"got $out want $want")
+    assert(out.values.sum > 0, "fixture selected no rows — weak test")
+  }
+
   test("q119: query surface is deterministic across runs") {
     val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
     val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
