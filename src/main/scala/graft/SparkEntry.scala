@@ -225,6 +225,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q45_range_join" -> ((s, d) => EventAnalytics.attributionRangeJoin(Tables(s, d).events)),
+    "q129_wau_sketch" -> ((s, d) => EventAnalytics.wauSketch(Tables(s, d).events)),
+    "q130_asof_forward" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asofJoinForward(ev, purchases, "user_id", "ts", "value", "next_purchase_value")
+        .select("event_id", "user_id", "next_purchase_value")
+        .orderBy("event_id")
+    }),
+    "q131_dedup_keep_best" -> ((s, d) => TextAnalysis.dedupKeepBest(Tables(s, d).documents)),
     "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
     "q53_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -1181,6 +1191,30 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q130_asof_forward" ->
+      """SELECT e.event_id, e.user_id, p.value AS next_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q131_dedup_keep_best" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    len(regexp_extract_all(text,'\S+')) AS n_tok,
+        |    len(list_filter(regexp_extract_all(text,'\S+'),
+        |        x -> x IN ('the','a','and','of','to'))) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id, fp,
+        |    floor((1.0 - CAST(n_stop AS DOUBLE)/n_tok)
+        |          * least(1.0, CAST(n_tok AS DOUBLE)/50.0)*10000 + 0.5)/10000 AS quality
+        |  FROM scored WHERE n_tok > 0),
+        |r AS (SELECT fp, doc_id, quality,
+        |        row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY fp) AS group_size
+        |      FROM q)
+        |SELECT fp, group_size, doc_id AS keep_doc, quality AS keep_quality
+        |FROM r WHERE rk = 1 ORDER BY fp""".stripMargin,
     "q44_asof_join" ->
       """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
         |FROM events e

@@ -51,4 +51,38 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) :+ col(as): _*)
   }
+
+  /** q130: FORWARD as-of join — for every left row, the EARLIEST right
+    * row with `right.ts >= left.ts` on the same key ("next maintenance
+    * after the failure", "next price quote at or after the order").
+    * Mirror image of [[asofJoin]]: same tagged union, same ONE shuffle,
+    * with the running window reversed (ts desc) so `last(ignoreNulls)`
+    * carries the nearest FUTURE payload backward. Equal-time right rows
+    * still match (they sort before the left row in the reversed order,
+    * matching DuckDB `ASOF JOIN ... ON l.ts <= r.ts`). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      as: String): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left
+      .withColumn("_asof_v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("_side", lit(1))
+      .unionByName(
+        right
+          .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
+          .withColumn("_side", lit(0)),
+        allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(as, last(col("_asof_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) :+ col(as): _*)
+  }
 }

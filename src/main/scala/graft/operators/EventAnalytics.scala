@@ -346,6 +346,27 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** q129: sketch-table WAU — the 100 TB path under q121: per-day HLL
+    * user sketches (a few KB each) are built ONCE from one event scan;
+    * every trailing-7-day distinct count is then a loss-free union of
+    * ≤7 stored sketches — no raw re-scan, no exact distinct over a
+    * week of events, and the same stored sketches answer any other
+    * window length. Estimates carry HLL error (spec pins ≤5% of the
+    * exact q121 WAU); q121 remains the exact oracle-checked form. */
+  def wauSketch(events: DataFrame, lgConfigK: Int = 12): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    val days = daily.select(col("day").as("wday"))
+    daily
+      .select(col("sk"), explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(days, Seq("wday"), "left_semi")
+      .groupBy("wday")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).cast("long").as("wau_approx"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("wau_approx"))
+      .orderBy("day")
+  }
+
   /** scd2_merge: INCREMENTAL SCD2 maintenance — apply a new batch of
     * change events to an existing dimension without rebuilding
     * untouched users. Affected users (distinct in the batch — batch-

@@ -47,6 +47,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q131: dedup with KEEP-BEST election — one representative per
+    * exact-duplicate group chosen by QUALITY (max q31 score, doc_id as
+    * the deterministic tie-break), not by minimal id: when a crawl
+    * carries the same text with different truncation/boilerplate, you
+    * keep the best-scoring copy. Same one-shuffle shape as q33
+    * (fingerprint groupBy) with `max_by` over a struct — no per-group
+    * sort, no self-join-on-max. */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(
+        col("doc_id"), col("source"), fingerprint(col("text")).as("fp"),
+        size(toks).cast("long").as("n_tok"),
+        stopCount(toks).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn(
+        "quality",
+        round(
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) *
+            least(lit(1.0), col("n_tok").cast("double") / 50.0),
+          4))
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("group_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(
+        col("fp"),
+        col("group_size"),
+        (-col("best.neg_id")).cast("long").as("keep_doc"),
+        col("best.quality").as("keep_quality"))
+      .orderBy("fp")
+  }
+
   /** q32: fingerprint dup-groups — md5 of whitespace-normalized text. */
   def fingerprintGroups(documents: DataFrame): DataFrame =
     documents

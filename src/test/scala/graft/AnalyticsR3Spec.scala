@@ -291,6 +291,64 @@ class AnalyticsR3Spec extends SparkSpec {
     assert(out.values.sum > 0, "fixture selected no rows — weak test")
   }
 
+  test("q129: sketch WAU tracks the exact q121 WAU within 5%") {
+    val exact = EventAnalytics.dauWau(t.events).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("wau")).toMap
+    val approx = EventAnalytics.wauSketch(t.events).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("wau_approx")).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (day, a) =>
+      val e = exact(day)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"day $day: approx $a vs exact $e")
+    }
+  }
+
+  test("q130: forward as-of picks the earliest at-or-after right row") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val left = Seq((1L, 10L, ts(5)), (2L, 10L, ts(20)), (3L, 11L, ts(0)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(5), 1.0), (10L, ts(15), 2.0), (10L, ts(30), 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.AsOfJoin
+      .asofJoinForward(left, right, "user_id", "ts", "value", "nv")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("nv"))).toMap
+    assert(out(1L).contains(1.0)) // equal-time match included
+    assert(out(2L).contains(3.0)) // next at-or-after 10:20 is 10:30
+    assert(out(3L).isEmpty)       // user 11 has no right rows
+  }
+
+  test("q131: the better-quality duplicate wins the election") {
+    // doc 1 and doc 2 share normalized text? No — exact-dup fingerprints
+    // need IDENTICAL normalized text; quality then ties and min id wins.
+    // So give the GROUP two identical texts (tie → min doc_id) and a
+    // separate group where richer text beats a short one is impossible
+    // within one fp group — instead check: tie-break on id, group sizes,
+    // and that every keeper has its group's max quality on real data.
+    val docs = Seq(
+      (7L, "aaa  bbb ccc ddd eee"),  // same normalized text as doc 3
+      (3L, "aaa bbb ccc ddd eee"),
+      (9L, "unique text here zzz")).toDF("doc_id", "text").withColumn("source", lit("s0"))
+    val out = graft.operators.TextAnalysis.dedupKeepBest(docs)
+      .collect().map(r => (r.getAs[Long]("group_size"), r.getAs[Long]("keep_doc")))
+    assert(out.toSet.map((p: (Long, Long)) => p._1) == Set(2L, 1L))
+    assert(out.find(_._1 == 2L).get._2 == 3L, "tie must break to the smaller doc_id")
+  }
+
+  test("q131: keeper carries the maximum quality of its group (real corpus)") {
+    val scored = graft.operators.TextAnalysis.qualityScore(t.documents)
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fp = t.documents.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byGroup = scored.keys.groupBy(fp)
+    graft.operators.TextAnalysis.dedupKeepBest(t.documents).collect().foreach { r =>
+      val grp = byGroup(r.getString(0))
+      val best = grp.map(scored).max
+      assert(math.abs(r.getAs[Double]("keep_quality") - best) < 1e-9)
+      assert(grp.size.toLong == r.getAs[Long]("group_size"))
+    }
+  }
+
   test("q119: query surface is deterministic across runs") {
     val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
     val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq

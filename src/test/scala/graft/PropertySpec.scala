@@ -172,4 +172,37 @@ class PropertySpec extends SparkSpec {
       native == lagged
     }, trials = 10)
   }
+
+  test("peak-concurrency decomposition equals the naive day-window sweep on any event times") {
+    val evGen = for {
+      user <- Gen.choose(1L, 5L)
+      min  <- Gen.choose(0, 3000) // spans ~2 days, crosses hour boundaries
+    } yield (user, min)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(evGen)) { evs =>
+      val df = evs.distinct.zipWithIndex.map { case ((u, m), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + m * 60000L), u)
+      }.toDF("event_id", "ts", "user_id")
+      val fast = EventAnalytics.peakConcurrency(df)
+        .as[(String, Long, Long)].collect().toSet
+      val naive = EventAnalytics.peakConcurrencyNaive(df)
+        .as[(String, Long, Long)].collect().toSet
+      fast == naive
+    }, trials = 10)
+  }
+
+  test("prefix-filter join finds exactly the brute-force pairs on any corpus") {
+    val docGen2 = for {
+      n    <- Gen.choose(3, 25)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    } yield toks.mkString(" ")
+    checkProp(Prop.forAll(Gen.listOfN(8, docGen2), Gen.oneOf(0.4, 0.6, 0.8)) {
+      (texts: List[String], theta: Double) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val fast = graft.operators.Dedup.prefixFilterJoin(docs, theta)
+          .as[(Long, Long, Double)].collect().toSet
+        val brute = graft.operators.Dedup.prefixFilterJoinBrute(docs, theta)
+          .as[(Long, Long, Double)].collect().toSet
+        fast == brute
+    }, trials = 10)
+  }
 }
