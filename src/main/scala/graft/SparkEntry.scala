@@ -235,6 +235,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q131_dedup_keep_best" -> ((s, d) => TextAnalysis.dedupKeepBest(Tables(s, d).documents)),
+    "q135_linear_attribution" -> ((s, d) => EventAnalytics.linearAttribution(Tables(s, d).events)),
+    "q132_order_count_dist" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.orderCountDistribution(t.customer, t.orders)
+    }),
+    "q133_rich_inactive" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.richInactive(t.customer, t.orders)
+    }),
+    "q134_min_cost_supplier" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.minCostSupplier(t.lineitem, t.supplier)
+    }),
     "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
     "q53_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -1191,6 +1204,53 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q135_linear_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.user_id, c.c_us, p.purchase_id, p.p_us, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND p.p_us >= c.c_us AND p.p_us < c.c_us + 3600000000),
+        |wpairs AS (
+        |  SELECT c_us, purchase_id, value,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n_clicks
+        |  FROM pairs)
+        |SELECT strftime(make_timestamp(c_us), '%Y-%m-%d') AS click_day,
+        |  count(*) AS n_touches,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  floor(sum(value/n_clicks)*10000 + 0.5)/10000 AS attributed_revenue
+        |FROM wpairs GROUP BY 1 ORDER BY click_day""".stripMargin,
+    "q132_order_count_dist" ->
+      """WITH cc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS n_customers
+        |FROM cc GROUP BY c_count
+        |ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+    "q133_rich_inactive" ->
+      """WITH ab AS (SELECT floor(avg(c_acctbal)*10000 + 0.5)/10000 AS ab
+        |            FROM customer WHERE c_acctbal > 0),
+        |cut AS (SELECT floor(2.0*avg(o_totalprice)*10000 + 0.5)/10000 AS cut FROM orders),
+        |big AS (SELECT DISTINCT o.o_custkey FROM orders o, cut WHERE o.o_totalprice > cut.cut)
+        |SELECT c.c_nationkey, count(*) AS n_customers,
+        |  floor(sum(c.c_acctbal)*10000 + 0.5)/10000 AS total_bal
+        |FROM customer c CROSS JOIN ab
+        |WHERE c.c_acctbal > ab.ab
+        |  AND NOT EXISTS (SELECT 1 FROM big WHERE big.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+    "q134_min_cost_supplier" ->
+      """WITH mn AS (SELECT l_partkey, min(l_extendedprice) AS bp
+        |            FROM lineitem GROUP BY l_partkey),
+        |w AS (SELECT l.l_partkey, min(l.l_suppkey) AS s_suppkey, min(mn.bp) AS bp
+        |      FROM lineitem l JOIN mn
+        |        ON l.l_partkey = mn.l_partkey AND l.l_extendedprice = mn.bp
+        |      GROUP BY l.l_partkey)
+        |SELECT w.l_partkey, w.s_suppkey, s.s_name,
+        |  floor(w.bp*10000 + 0.5)/10000 AS best_price
+        |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        |ORDER BY w.l_partkey""".stripMargin,
     "q130_asof_forward" ->
       """SELECT e.event_id, e.user_id, p.value AS next_purchase_value
         |FROM events e

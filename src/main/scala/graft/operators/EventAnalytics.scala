@@ -76,6 +76,44 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** q135: LINEAR multi-touch attribution — each purchase's value is
+    * split equally across ALL of the user's clicks in the preceding
+    * window (q45 gives the pair existence; first/last-touch give one
+    * winner; linear is the ad-tech revenue-sharing model). Pairs come
+    * from the same banded range equi-join as q45 (never a per-key
+    * quadratic post-filter); the per-purchase click count is a window
+    * partitioned by purchase (bounded by clicks-per-window, never
+    * table-wide); credit aggregates per click day. Conservation law
+    * (spec): attributed revenue ≡ Σ value of attributed purchases. */
+  def linearAttribution(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val buys = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"), col("value"))
+    val clickBins = clicks.withColumn(
+      "bin",
+      explode(array(floor(col("c_us") / winUs), floor(col("c_us") / winUs) + 1)))
+    val buyBins = buys.withColumn("bin", floor(col("p_us") / winUs))
+    val pairs = clickBins
+      .join(buyBins, Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") < col("c_us") + winUs)
+    val perPurchase = Window.partitionBy("purchase_id")
+    pairs
+      .withColumn("n_clicks", count(lit(1)).over(perPurchase))
+      .withColumn("credit", col("value") / col("n_clicks"))
+      .groupBy(date_format(timestamp_micros(col("c_us")), "yyyy-MM-dd").as("click_day"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(sum("credit"), 4).as("attributed_revenue"))
+      .orderBy("click_day")
+  }
+
   /** q22: gap-based sessionization (30-min inactivity) via window lag +
     * running sum. Integer microsecond math (`unix_micros`) keeps the gap
     * test exact and engine-portable. One shuffle on user_id; at scale the

@@ -298,6 +298,69 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q132: customer order-count distribution (TPC-H Q13): LEFT join so
+    * zero-order customers keep their 0 bucket, per-customer counts,
+    * then the count-of-counts histogram. Two aggregates: the first
+    * shuffles on custkey (fact-proportional — the honest cost), the
+    * second is #distinct-counts-sized. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(customer("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(desc("n_customers"), desc("c_count"))
+
+  /** q133: above-average-balance customers with NO high-value orders
+    * (TPC-H Q22's NOT-EXISTS shape — "wealthy accounts we never closed
+    * a big deal with"): two 1-row broadcast scalars (average balance,
+    * 2× average order value), then an anti join against the distinct
+    * set of high-value-order customers — data-proportional shuffle,
+    * never a per-row NOT IN rescan — rolled up per nation. Thresholds
+    * pre-rounded on both engines (q90 boundary discipline). */
+  def richInactive(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer
+      .filter(col("c_acctbal") > 0)
+      .agg(round(avg("c_acctbal"), 4).as("ab"))
+    val bigCut = orders.agg(round(lit(2.0) * avg("o_totalprice"), 4).as("cut"))
+    val bigBuyers = orders
+      .crossJoin(broadcast(bigCut))
+      .filter(col("o_totalprice") > col("cut"))
+      .select(col("o_custkey").as("c_custkey"))
+      .distinct()
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(bigBuyers, Seq("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 4).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q134: min-cost supplier per part (the TPC-H Q2 argmin-JOIN — the
+    * whole winning ROW is needed, so `max_by`/`min_by` scalars (q17)
+    * don't suffice): per-part minimum price is one aggregate, joined
+    * back on (partkey, price) equality — raw stored doubles, no
+    * arithmetic, so the equality is exact — then ties collapse to the
+    * smallest suppkey and the supplier dim attaches by broadcast. Two
+    * partkey-keyed shuffles + one broadcast, never a per-part sort. */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val mn = lineitem.groupBy("l_partkey").agg(min("l_extendedprice").as("best_price"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice").as("best_price"))
+      .join(mn, Seq("l_partkey", "best_price"))
+      .groupBy("l_partkey")
+      .agg(min("l_suppkey").as("s_suppkey"), first("best_price").as("bp"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")), Seq("s_suppkey"))
+      .select(
+        col("l_partkey"), col("s_suppkey"), col("s_name"),
+        round(col("bp"), 4).as("best_price"))
+      .orderBy("l_partkey")
+  }
+
   /** q17: argmax/argmin per group via max_by/min_by — one aggregate pass,
     * no self-join-on-max anti-pattern. */
   def firstLast(events: DataFrame): DataFrame =

@@ -39,4 +39,21 @@ object StreamingAggregates {
         col("event_type"),
         col("n_events"),
         col("sum_value"))
+
+  /** Streaming DAU (stream_dau) — the streaming dual of q121's daily
+    * distinct-user count, with SKETCH state: `approx_count_distinct`
+    * keeps one HLL++ sketch per open day window (KBs) instead of exact
+    * distinct's per-user state (unbounded as users grow). Register
+    * insertion is order-insensitive, so the streamed result is
+    * IDENTICAL to running the same approximation in batch — asserted
+    * in the spec, alongside a ≤5% bound vs the exact count. */
+  def dailyActiveUsers(
+      stream: DataFrame,
+      watermark: String = "25 hours",
+      rsd: Double = 0.02): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("dau_approx"))
+      .select(col("window.start").as("day_start"), col("dau_approx"))
 }

@@ -349,6 +349,61 @@ class AnalyticsR3Spec extends SparkSpec {
     }
   }
 
+  test("q132: histogram buckets partition the customer set exactly") {
+    val out = graft.operators.Relational.orderCountDistribution(t.customer, t.orders).collect()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == t.customer.count())
+    val zeroBucket = out.find(_.getAs[Long]("c_count") == 0L)
+    val inactive = t.customer.join(
+      t.orders.select(col("o_custkey").as("c_custkey")).distinct(),
+      Seq("c_custkey"), "left_anti").count()
+    assert(zeroBucket.map(_.getAs[Long]("n_customers")).getOrElse(0L) == inactive)
+  }
+
+  test("q133: selected customers are above average and have no high-value orders") {
+    val picked = graft.operators.Relational.richInactive(t.customer, t.orders).collect()
+    val total = picked.map(_.getAs[Long]("n_customers")).sum
+    val ab = t.customer.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal")).as[Double].head()
+    val abR = math.floor(ab * 10000 + 0.5) / 10000
+    val cut = t.orders.agg(avg("o_totalprice")).as[Double].head() * 2.0
+    val cutR = math.floor(cut * 10000 + 0.5) / 10000
+    val want = t.customer.filter(col("c_acctbal") > abR)
+      .join(
+        t.orders.filter(col("o_totalprice") > cutR)
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_anti")
+      .count()
+    assert(total == want, s"picked $total, recount $want")
+    assert(total > 0, "fixture selected no rows — weak test")
+  }
+
+  test("q134: every reported supplier really offers the part's minimum price") {
+    val out = graft.operators.Relational.minCostSupplier(t.lineitem, t.supplier).collect()
+    val mins = t.lineitem.groupBy("l_partkey").agg(min("l_extendedprice").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.length == mins.size)
+    out.foreach { r =>
+      val pk = r.getLong(0)
+      assert(math.abs(r.getAs[Double]("best_price") -
+        math.floor(mins(pk) * 10000 + 0.5) / 10000) < 1e-9)
+    }
+  }
+
+  test("q135: linear attribution conserves attributed purchase value") {
+    val out = EventAnalytics.linearAttribution(t.events).collect()
+    val attributed = out.map(_.getAs[Double]("attributed_revenue")).sum
+    // ground truth: sum of value over purchases with >=1 click in window
+    val winUs = 60L * 60L * 1000000L
+    val evs = t.events.select("user_id", "event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000L, r.getLong(3), r.getDouble(4)))
+    val clicksByUser = evs.filter(_._2 == "click").groupBy(_._1)
+    val want = evs.filter(_._2 == "purchase").filter { case (u, _, pus, _, _) =>
+      clicksByUser.getOrElse(u, Array.empty[(Long, String, Long, Long, Double)])
+        .exists { case (_, _, cus, _, _) => pus >= cus && pus < cus + winUs }
+    }.map(_._5).sum
+    assert(math.abs(attributed - want) < 0.01, s"attributed $attributed vs purchase mass $want")
+  }
+
   test("q119: query surface is deterministic across runs") {
     val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
     val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq

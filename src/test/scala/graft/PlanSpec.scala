@@ -11,6 +11,24 @@ class PlanSpec extends SparkSpec {
     qe.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("round-3 family: broadcast/TakeOrdered shapes as designed") {
+    // q115: the d-row stats table joins broadcast (never reshuffles n×d rows)
+    val p115 = plan("q115_feature_scale")
+    assert(p115.contains("BroadcastHashJoin") && !p115.contains("SortMergeJoin"),
+      s"q115 stats join not broadcast:\n$p115")
+    // q116: top-V vocab is a TakeOrdered, and the coverage join broadcasts it
+    val p116 = plan("q116_vocab_oov")
+    assert(p116.contains("TakeOrderedAndProject"), "q116 vocab not TakeOrdered")
+    assert(p116.contains("BroadcastHashJoin"), "q116 vocab join not broadcast")
+    // q123: percentile bounds broadcast back — the fact side never reshuffles
+    val p123 = plan("q123_winsorize")
+    assert(p123.contains("BroadcastHashJoin") && !p123.contains("SortMergeJoin"),
+      s"q123 bounds join not broadcast:\n$p123")
+    // q134: supplier dim attaches by broadcast; no per-part sort anywhere
+    val p134 = plan("q134_min_cost_supplier")
+    assert(p134.contains("BroadcastHashJoin"), "q134 supplier join not broadcast")
+  }
+
   test("q02: filters and column pruning reach the parquet scan") {
     val p = formatted("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), "filter pushdown missing")
@@ -242,6 +260,7 @@ class PlanSpec extends SparkSpec {
       "q122_hard_negatives" -> bnl, // label-guard non-equi over the BOUNDED broadcast query side (q51 idiom)
       "q125_ann_rp"         -> bnl, // broadcast query side (q51/q59 idiom)
       "q126_chisq"          -> bnl, // 1-row broadcast grand-total (q14/q114 idiom)
+      "q133_rich_inactive"  -> bnl, // 1-row broadcast average-balance scalar (q14 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
       "q89_mom_change"      -> Set("unpartitioned-window"))
     // q70 starts a streaming query; q94 returns an eager checkpoint —

@@ -64,6 +64,39 @@ class StreamingSampleSpec extends SparkSpec {
     assert(runWith(1) == runWith(5), "sample depends on micro-batch slicing")
   }
 
+  test("stream_dau: streamed sketch DAU equals the batch approximation, within 5% of exact") {
+    val events = Tables(spark, sfDir).events
+    val in = tmp()
+    events.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    // the corpus spans a month and file slicing is NOT time-ordered, so
+    // a production-sized watermark would (correctly) drop whole late
+    // days — use one wider than the data span to test the aggregation
+    val q = graft.streaming.StreamingAggregates.dailyActiveUsers(stream, watermark = "45 days")
+      .writeStream.format("memory").queryName("sdau")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // HLL estimates are monotone as batches accumulate, so the final
+    // update per day window is its maximum
+    val rows = spark.table("sdau").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1))
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = events.groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == batch, "streamed sketch diverges from batch approximation")
+    val exact = events.groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0) -> r.getLong(1)).toMap
+    got.foreach { case (day, a) =>
+      val e = exact(day)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"day $day: approx $a exact $e")
+    }
+  }
+
   test("stream_static enrichment: streamed join equals the batch left join") {
     val events = Tables(spark, sfDir).events
     val dim = events.select("user_id").distinct()
