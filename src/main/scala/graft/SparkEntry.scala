@@ -236,6 +236,10 @@ object SparkEntry {
     }),
     "q131_dedup_keep_best" -> ((s, d) => TextAnalysis.dedupKeepBest(Tables(s, d).documents)),
     "q135_linear_attribution" -> ((s, d) => EventAnalytics.linearAttribution(Tables(s, d).events)),
+    "q136_moving_avg" -> ((s, d) => EventAnalytics.movingAvgRevenue(Tables(s, d).events)),
+    "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
+    "q137_topk_ties" -> ((s, d) => Relational.topKWithTies(Tables(s, d).orders)),
+    "q138_bounce_rate" -> ((s, d) => EventAnalytics.bounceRate(Tables(s, d).events)),
     "q132_order_count_dist" -> ((s, d) => {
       val t = Tables(s, d)
       Relational.orderCountDistribution(t.customer, t.orders)
@@ -1204,6 +1208,39 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q136_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, sum(value) AS revenue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day, floor(revenue*10000 + 0.5)/10000 AS revenue,
+        |  floor(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |        *10000 + 0.5)/10000 AS ma_7d,
+        |  count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_in_frame
+        |FROM daily ORDER BY day""".stripMargin,
+    "q137_topk_ties" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+        |  floor(o_totalprice*10000 + 0.5)/10000 AS price
+        |FROM orders
+        |QUALIFY rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q138_bounce_rate" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+        |s AS (SELECT user_id, us,
+        |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM l),
+        |s2 AS (SELECT user_id, us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |sess AS (SELECT user_id, sid, min(us) AS start_us, count(*) AS n_events
+        |         FROM s2 GROUP BY user_id, sid)
+        |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d') AS day,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  floor(sum(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END)/count(*)*10000 + 0.5)/10000 AS bounce_rate
+        |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
     "q135_linear_attribution" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id, value

@@ -114,6 +114,60 @@ object EventAnalytics {
       .orderBy("click_day")
   }
 
+  /** q136: trailing 7-day moving average of daily revenue — the
+    * smoothed dashboard series. Events collapse FIRST to one row per
+    * day (the aggregate output is calendar-bounded); the trailing
+    * frame then runs over that tiny table — the unpartitioned window
+    * is over #days rows by construction (the q89 bounded-aggregate
+    * idiom), never over events. Also emits the day count actually in
+    * frame so edges (first 6 days) are honest. */
+  def movingAvgRevenue(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum("value").as("revenue"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), Window.currentRow)
+    daily
+      .withColumn("ma", avg("revenue").over(w))
+      .withColumn("days_in_frame", count(lit(1)).over(w))
+      .select(
+        col("day"),
+        round(col("revenue"), 4).as("revenue"),
+        round(col("ma"), 4).as(s"ma_${windowDays}d"),
+        col("days_in_frame"))
+      .orderBy("day")
+  }
+
+  /** q138: session bounce rate per day — fraction of sessions with a
+    * single event (the engagement-quality metric beside q118's
+    * concurrency). Reuses the q22 session intervals; a session bounces
+    * iff its span is a point AND it has one event, so count via the
+    * (user, sid) aggregate directly. Day-cardinality output. */
+  def bounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val sess = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "ns",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs).cast("long"))
+      .withColumn(
+        "sid",
+        sum(col("ns")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("us").as("start_us"), count(lit(1)).as("n_events"))
+    sess
+      .groupBy(date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(
+        col("day"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 4).as("bounce_rate"))
+      .orderBy("day")
+  }
+
   /** q22: gap-based sessionization (30-min inactivity) via window lag +
     * running sum. Integer microsecond math (`unix_micros`) keeps the gap
     * test exact and engine-portable. One shuffle on user_id; at scale the

@@ -298,6 +298,39 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q139: WEIGHTED percentiles per group — each row counts `weight`
+    * times (quantity-weighted price: "the median dollar", not the
+    * median line). Spark's native `percentile(col, p, freq)` computes
+    * the exact expanded-multiset percentile in ONE aggregate pass
+    * without materializing the expansion. Rows-only: no portable ANSI
+    * weighted quantile exists; the spec recounts by explicit
+    * expansion at sf0.001. */
+  def weightedPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5, CAST(l_quantity AS INT))"), 4).as("wp50"),
+        round(expr("percentile(l_extendedprice, 0.9, CAST(l_quantity AS INT))"), 4).as("wp90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_unweighted"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** q137: top-k WITH TIES per group — `rank() <= k` (every row tied at
+    * the boundary survives; q07's row_number form cuts arbitrarily).
+    * RANK also plans the native Partial+Final WindowGroupLimit (the
+    * bounded pre-shuffle heap carries boundary peers), so the
+    * tie-preserving semantic costs the same as the cutting one. */
+  def topKWithTies(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    orders
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("rnk"),
+        round(col("o_totalprice"), 4).as("price"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   /** q132: customer order-count distribution (TPC-H Q13): LEFT join so
     * zero-order customers keep their 0 bucket, per-customer counts,
     * then the count-of-counts histogram. Two aggregates: the first

@@ -404,6 +404,68 @@ class AnalyticsR3Spec extends SparkSpec {
     assert(math.abs(attributed - want) < 0.01, s"attributed $attributed vs purchase mass $want")
   }
 
+  test("q136: moving average matches a driver-side recount over the day series") {
+    val daily = t.events.filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum("value").as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    val out = EventAnalytics.movingAvgRevenue(t.events).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("ma_7d"), r.getAs[Long]("days_in_frame")))).toMap
+    daily.indices.foreach { i =>
+      val frame = daily.slice(math.max(0, i - 6), i + 1)
+      val ma = math.floor(frame.map(_._2).sum / frame.size * 10000 + 0.5) / 10000
+      val (gotMa, gotN) = out(daily(i)._1)
+      assert(gotN == frame.size.toLong)
+      assert(math.abs(gotMa - ma) < 1e-6, s"day ${daily(i)._1}: $gotMa vs $ma")
+    }
+  }
+
+  test("q137: boundary ties all survive; row_number form would cut them") {
+    val orders = Seq(
+      (1L, 100L, 50.0), (1L, 101L, 40.0), (1L, 102L, 40.0), (1L, 103L, 40.0), (1L, 104L, 10.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val out = graft.operators.Relational.topKWithTies(orders, k = 3).collect()
+    // ranks: 50→1, three 40s→2, 10→5; rank<=3 keeps the 4 top rows
+    assert(out.length == 4)
+    assert(out.count(_.getAs[Long]("rnk") == 2L) == 3)
+    assert(!out.exists(_.getAs[Double]("price") == 10.0))
+  }
+
+  test("q138: bounce counts are exact on hand-built sessions") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)),   // 2-event session: not a bounce
+      (2L, ts(0)),                // bounce
+      (3L, ts(0)), (3L, ts(50))   // two single-event sessions: 2 bounces
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.bounceRate(events).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_sessions") == 4L)
+    assert(out(0).getAs[Long]("n_bounces") == 3L)
+    assert(math.abs(out(0).getAs[Double]("bounce_rate") - 0.75) < 1e-9)
+  }
+
+  test("q139: weighted percentile equals the explicit multiset expansion") {
+    val out = graft.operators.Relational.weightedPercentiles(t.lineitem).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("wp50"), r.getAs[Double]("wp90")))).toMap
+    val rows = t.lineitem.select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toInt))
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt
+      val frac = idx - lo
+      if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac else sorted(lo)
+    }
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val expanded = grp.flatMap { case (_, v, w) => Array.fill(w)(v) }.map(x => x).sorted
+      val (w50, w90) = out(flag)
+      assert(math.abs(w50 - math.floor(pct(expanded, 0.5) * 10000 + 0.5) / 10000) < 1e-9,
+        s"$flag wp50")
+      assert(math.abs(w90 - math.floor(pct(expanded, 0.9) * 10000 + 0.5) / 10000) < 1e-9,
+        s"$flag wp90")
+    }
+  }
+
   test("q119: query surface is deterministic across runs") {
     val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
     val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq

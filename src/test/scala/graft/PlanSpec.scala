@@ -262,7 +262,8 @@ class PlanSpec extends SparkSpec {
       "q126_chisq"          -> bnl, // 1-row broadcast grand-total (q14/q114 idiom)
       "q133_rich_inactive"  -> bnl, // 1-row broadcast average-balance scalar (q14 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
-      "q89_mom_change"      -> Set("unpartitioned-window"))
+      "q89_mom_change"      -> Set("unpartitioned-window"),
+      "q136_moving_avg"     -> Set("unpartitioned-window")) // window over the #days aggregate (q89 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
