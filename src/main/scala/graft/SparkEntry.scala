@@ -238,6 +238,7 @@ object SparkEntry {
     "q135_linear_attribution" -> ((s, d) => EventAnalytics.linearAttribution(Tables(s, d).events)),
     "q136_moving_avg" -> ((s, d) => EventAnalytics.movingAvgRevenue(Tables(s, d).events)),
     "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
+    "q141_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(Tables(s, d).documents)),
     "q137_topk_ties" -> ((s, d) => Relational.topKWithTies(Tables(s, d).orders)),
     "q138_bounce_rate" -> ((s, d) => EventAnalytics.bounceRate(Tables(s, d).events)),
     "q132_order_count_dist" -> ((s, d) => {
@@ -1208,6 +1209,18 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q141_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),'\S+')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM words, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q136_moving_avg" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, sum(value) AS revenue

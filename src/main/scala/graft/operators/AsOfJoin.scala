@@ -26,6 +26,16 @@ object AsOfJoin {
     * @param tsCol     event-time column present on both sides
     * @param valueCol  right-side payload to carry forward
     * @param as        output column name for the carried payload */
+  /** Right side reduced to ONE row per (key, ts): duplicate-instant
+    * payloads collapse to their max, so the window pick below is a
+    * total (deterministic) order — otherwise `last(ignoreNulls)` over
+    * tied rows is layout-dependent. */
+  private def dedupRight(right: DataFrame, keyCol: String, tsCol: String, valueCol: String) =
+    right
+      .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
+      .groupBy(keyCol, tsCol)
+      .agg(max(col("_asof_v")).as("_asof_v"))
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -38,9 +48,7 @@ object AsOfJoin {
       .withColumn("_asof_v", lit(null).cast(right.schema(valueCol).dataType))
       .withColumn("_side", lit(1))
       .unionByName(
-        right
-          .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
-          .withColumn("_side", lit(0)),
+        dedupRight(right, keyCol, tsCol, valueCol).withColumn("_side", lit(0)),
         allowMissingColumns = true)
     val w = Window
       .partitionBy(keyCol)
@@ -72,9 +80,7 @@ object AsOfJoin {
       .withColumn("_asof_v", lit(null).cast(right.schema(valueCol).dataType))
       .withColumn("_side", lit(1))
       .unionByName(
-        right
-          .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
-          .withColumn("_side", lit(0)),
+        dedupRight(right, keyCol, tsCol, valueCol).withColumn("_side", lit(0)),
         allowMissingColumns = true)
     val w = Window
       .partitionBy(keyCol)

@@ -144,19 +144,7 @@ object EventAnalytics {
     * iff its span is a point AND it has one event, so count via the
     * (user, sid) aggregate directly. Day-cardinality output. */
   def bounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("us")
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val sess = events
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
-      .withColumn(
-        "ns",
-        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs).cast("long"))
-      .withColumn(
-        "sid",
-        sum(col("ns")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min("us").as("start_us"), count(lit(1)).as("n_events"))
+    val sess = sessionIntervals(events, gapMinutes)
     sess
       .groupBy(date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd").as("day"))
       .agg(
@@ -481,8 +469,13 @@ object EventAnalytics {
         unix_micros(col("ts")).as("valid_from_us"))
     val touched   = changes.select("user_id").distinct()
     val untouched = dim.join(touched, Seq("user_id"), "left_anti")
+    // a batch change at the SAME (user, instant) as an existing dim row
+    // is a correction: the batch row wins (deterministically), instead
+    // of leaving two equal-timestamp rows whose window order is
+    // unspecified
     val oldChanges = dim
       .join(touched, Seq("user_id"), "left_semi")
+      .join(changes.select("user_id", "valid_from_us"), Seq("user_id", "valid_from_us"), "left_anti")
       .select(col("user_id"), col("tier"), col("valid_from_us"))
     val w = Window.partitionBy("user_id").orderBy("valid_from_us")
     val rebuilt = oldChanges
@@ -560,7 +553,7 @@ object EventAnalytics {
         (col("prev_us").isNull || col("us") - col("prev_us") > gapUs).cast("long"))
       .withColumn("sid", sum(col("ns")).over(byUser))
       .groupBy(col("user_id"), col("sid"))
-      .agg(min("us").as("start_us"), max("us").as("end_us"))
+      .agg(min("us").as("start_us"), max("us").as("end_us"), count(lit(1)).as("n_events"))
   }
 
   /** Net concurrency deltas per (day, instant): each session emits +1 at

@@ -535,12 +535,9 @@ object TextAnalysis {
     * `row_number<=k` WindowGroupLimit idiom — bounded pre-shuffle
     * heaps, no per-source sort. */
   def weightedSample(documents: DataFrame, k: Int = 20): DataFrame = {
-    // first 8 md5 hex nibbles → integer in [0, 2^32) → u in (0, 1)
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double") + 1.0) /
-      lit(4294967297.0)
     val w = Window.partitionBy("source").orderBy(desc("key"), asc("doc_id"))
     documents
-      .withColumn("key", log(u) / col("n_chars"))
+      .withColumn("key", aesKey(col("doc_id"), col("n_chars")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("source", "doc_id", "n_chars")
@@ -667,6 +664,30 @@ object TextAnalysis {
             .otherwise(lit(0.0)),
           4).as("norm_entropy"))
       .orderBy("source")
+  }
+
+  /** q141: BPE merge-step statistics — the inner loop of byte-pair
+    * encoding vocabulary induction: adjacent character-pair counts
+    * across the corpus. The corpus collapses to the WORD-FREQUENCY
+    * table first (vocab-sized, sublinear in corpus bytes); pair
+    * explosion then runs over the vocab only, each word contributing
+    * its pairs once with weight = its corpus frequency — the classic
+    * BPE implementation trick, and exactly why this scales: 100 TB of
+    * text becomes a few-million-row weighted word table before any
+    * per-character work happens. Top pairs by weighted count with a
+    * deterministic tie-break (the pair a BPE trainer would merge
+    * next). */
+  def bpePairStats(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val words = documents
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"), col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("freq"), expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(topK)
   }
 
   /** q117: Zipf rank–frequency slope per language — the corpus-health

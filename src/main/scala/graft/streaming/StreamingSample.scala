@@ -20,14 +20,6 @@ object StreamingSample {
   case class SampleOut(source: String, ver: Long, rank: Int, doc_id: Long, n_chars: Long)
   case class SampleState(ver: Long, items: List[(Double, Long, Long)])
 
-  /** The q105 A-ES key as a column: ln(u)/w with u derived from the
-    * content-free md5 of doc_id — bit-identical to the batch sampler. */
-  private def aesKey = {
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double") + 1.0) /
-      lit(4294967297.0)
-    log(u) / col("n_chars")
-  }
-
   def weightedSample(spark: SparkSession, docs: DataFrame, k: Int = 20): DataFrame = {
     import spark.implicits._
     def update(source: String, rows: Iterator[DocIn], state: GroupState[SampleState]): Iterator[SampleOut] = {
@@ -42,7 +34,12 @@ object StreamingSample {
       }
     }
     docs
-      .select(col("source"), col("doc_id"), col("n_chars"), aesKey.as("key"))
+      // degenerate zero-weight docs are dropped (ln(u)/0 is undefined;
+      // a weighted sample cannot select a zero-weight item anyway)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.TextFunctions.aesKey(col("doc_id"), col("n_chars")).as("key"))
       .as[DocIn]
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)

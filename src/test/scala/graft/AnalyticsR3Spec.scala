@@ -38,7 +38,8 @@ class AnalyticsR3Spec extends SparkSpec {
   test("q116: token conservation and rate bounds on real data") {
     val out = TextAnalysis.vocabOov(t.documents).collect()
     val totalTok = t.documents
-      .select(sum(size(split(lower(col("text")), "\\s+"))).cast("long")).as[Long].head()
+      .select(sum(size(graft.functions.TextFunctions.tokens(lower(col("text"))))).cast("long"))
+      .as[Long].head()
     assert(out.map(_.getAs[Long]("n_tokens")).sum == totalTok)
     out.foreach { r =>
       val rate = r.getAs[Double]("oov_rate")
@@ -394,8 +395,11 @@ class AnalyticsR3Spec extends SparkSpec {
     val attributed = out.map(_.getAs[Double]("attributed_revenue")).sum
     // ground truth: sum of value over purchases with >=1 click in window
     val winUs = 60L * 60L * 1000000L
-    val evs = t.events.select("user_id", "event_type", "ts", "event_id", "value").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime * 1000L, r.getLong(3), r.getDouble(4)))
+    val evs = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     val clicksByUser = evs.filter(_._2 == "click").groupBy(_._1)
     val want = evs.filter(_._2 == "purchase").filter { case (u, _, pus, _, _) =>
       clicksByUser.getOrElse(u, Array.empty[(Long, String, Long, Long, Double)])
@@ -464,6 +468,47 @@ class AnalyticsR3Spec extends SparkSpec {
       assert(math.abs(w90 - math.floor(pct(expanded, 0.9) * 10000 + 0.5) / 10000) < 1e-9,
         s"$flag wp90")
     }
+  }
+
+  test("q141: BPE pair counts are exact and frequency-weighted") {
+    // "abab" x3 and "abc" x1: pairs ab(2 per abab)+ab(1 in abc) = 7,
+    // ba = 3, bc = 1
+    val docs = Seq(
+      (1L, "abab abab"), (2L, "abab abc")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpePairStats(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("ab") == 7L, s"got $out")
+    assert(out("ba") == 3L)
+    assert(out("bc") == 1L)
+    assert(out.size == 3)
+  }
+
+  test("scd2_merge: a batch change at an existing row's instant wins deterministically") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val base = Seq((1L, ts(0), 1L, "purchase", 10.0), (2L, ts(5), 1L, "purchase", 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim0 = EventAnalytics.scd2Build(base)
+    // correction at the SAME instant as the first row, different tier
+    val batch = Seq((9L, ts(0), 1L, "purchase", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val merged = EventAnalytics.scd2Merge(dim0, batch).collect()
+    assert(merged.length == 2, s"collision must not duplicate the interval: ${merged.toSeq}")
+    val first = merged.minBy(_.getAs[Long]("valid_from_us"))
+    assert(first.getAs[Double]("tier") == 99.0, "batch correction must win the collision")
+  }
+
+  test("as-of joins pick a deterministic payload among equal-instant right rows") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val left = Seq((1L, 10L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(5), 1.0), (10L, ts(5), 7.0)) // tied instants
+      .toDF("user_id", "ts", "value")
+    val back = graft.operators.AsOfJoin
+      .asofJoin(left, right, "user_id", "ts", "value", "v").collect()(0).getAs[Double]("v")
+    assert(back == 7.0, "tied right rows must collapse to the max payload")
+    val fwdLeft = Seq((1L, 10L, ts(0))).toDF("event_id", "user_id", "ts")
+    val fwd = graft.operators.AsOfJoin
+      .asofJoinForward(fwdLeft, right, "user_id", "ts", "value", "v").collect()(0).getAs[Double]("v")
+    assert(fwd == 7.0)
   }
 
   test("q119: query surface is deterministic across runs") {
