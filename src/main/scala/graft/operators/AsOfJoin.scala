@@ -26,15 +26,16 @@ object AsOfJoin {
     * @param tsCol     event-time column present on both sides
     * @param valueCol  right-side payload to carry forward
     * @param as        output column name for the carried payload */
-  /** Right side reduced to ONE row per (key, ts): duplicate-instant
-    * payloads collapse to their max, so the window pick below is a
-    * total (deterministic) order — otherwise `last(ignoreNulls)` over
-    * tied rows is layout-dependent. */
-  private def dedupRight(right: DataFrame, keyCol: String, tsCol: String, valueCol: String) =
+  /** Right side projected to the tagged-union shape. Duplicate-instant
+    * right rows are made deterministic by ORDERING, not aggregation:
+    * `_asof_v` participates in the window sort (asc), so among tied
+    * (key, ts) right rows `last(ignoreNulls)` always picks the MAX
+    * payload — a total order with zero extra shuffle (a pre-groupBy
+    * dedup would exchange the right side on (key, ts) first). */
+  private def taggedRight(right: DataFrame, keyCol: String, tsCol: String, valueCol: String) =
     right
       .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
-      .groupBy(keyCol, tsCol)
-      .agg(max(col("_asof_v")).as("_asof_v"))
+      .withColumn("_side", lit(0))
 
   def asofJoin(
       left: DataFrame,
@@ -48,11 +49,11 @@ object AsOfJoin {
       .withColumn("_asof_v", lit(null).cast(right.schema(valueCol).dataType))
       .withColumn("_side", lit(1))
       .unionByName(
-        dedupRight(right, keyCol, tsCol, valueCol).withColumn("_side", lit(0)),
+        taggedRight(right, keyCol, tsCol, valueCol),
         allowMissingColumns = true)
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_asof_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn(as, last(col("_asof_v"), ignoreNulls = true).over(w))
@@ -80,11 +81,11 @@ object AsOfJoin {
       .withColumn("_asof_v", lit(null).cast(right.schema(valueCol).dataType))
       .withColumn("_side", lit(1))
       .unionByName(
-        dedupRight(right, keyCol, tsCol, valueCol).withColumn("_side", lit(0)),
+        taggedRight(right, keyCol, tsCol, valueCol),
         allowMissingColumns = true)
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(tsCol).desc, col("_side").asc)
+      .orderBy(col(tsCol).desc, col("_side").asc, col("_asof_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn(as, last(col("_asof_v"), ignoreNulls = true).over(w))
