@@ -239,6 +239,10 @@ object SparkEntry {
     "q136_moving_avg" -> ((s, d) => EventAnalytics.movingAvgRevenue(Tables(s, d).events)),
     "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
     "q141_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(Tables(s, d).documents)),
+    "q142_concentration" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.marketConcentration(t.orders, t.customer)
+    }),
     "q137_topk_ties" -> ((s, d) => Relational.topKWithTies(Tables(s, d).orders)),
     "q138_bounce_rate" -> ((s, d) => EventAnalytics.bounceRate(Tables(s, d).events)),
     "q132_order_count_dist" -> ((s, d) => {
@@ -1209,6 +1213,17 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q142_concentration" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey, c.c_custkey),
+        |tot AS (SELECT c_nationkey, sum(rev) AS tot FROM rev GROUP BY c_nationkey)
+        |SELECT r.c_nationkey, count(*) AS n_customers,
+        |  floor(sum((r.rev/t.tot)*(r.rev/t.tot))*10000 + 0.5)/10000 AS hhi,
+        |  floor(max(r.rev/t.tot)*10000 + 0.5)/10000 AS top_share
+        |FROM rev r JOIN tot t USING (c_nationkey)
+        |GROUP BY r.c_nationkey ORDER BY r.c_nationkey""".stripMargin,
     "q141_bpe_pairs" ->
       """WITH words AS (
         |  SELECT w, count(*) AS freq FROM (

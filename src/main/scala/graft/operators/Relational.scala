@@ -315,6 +315,30 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** q142: market concentration per nation — Herfindahl–Hirschman index
+    * (Σ shareᵢ²) and top-contributor share of customer revenue: the
+    * concentration/diversity report (the revenue dual of q97's
+    * source-cap audit). Per-customer revenue is the only
+    * fact-proportional aggregate; nation totals join back BROADCAST at
+    * nation cardinality and shares collapse in one more
+    * group-cardinality pass. */
+  def marketConcentration(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(sum("o_totalprice").as("rev"))
+    val tot = rev.groupBy("c_nationkey").agg(sum("rev").as("tot"))
+    rev
+      .join(broadcast(tot), Seq("c_nationkey"))
+      .withColumn("share", col("rev") / col("tot"))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("share") * col("share")), 4).as("hhi"),
+        round(max("share"), 4).as("top_share"))
+      .orderBy("c_nationkey")
+  }
+
   /** q137: top-k WITH TIES per group — `rank() <= k` (every row tied at
     * the boundary survives; q07's row_number form cuts arbitrarily).
     * RANK also plans the native Partial+Final WindowGroupLimit (the

@@ -511,6 +511,19 @@ class AnalyticsR3Spec extends SparkSpec {
     assert(fwd == 7.0)
   }
 
+  test("q142: HHI is 1 for a monopoly and 1/n for perfect equality") {
+    val customer = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (10L, 1L, 100.0),                        // nation 0: customer 1 only
+      (11L, 3L, 50.0), (12L, 4L, 50.0))        // nation 1: two equal customers
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = graft.operators.Relational.marketConcentration(orders, customer)
+      .collect().map(r => r.getInt(0) -> ((r.getAs[Double]("hhi"), r.getAs[Double]("top_share")))).toMap
+    assert(out(0) == ((1.0, 1.0)))
+    assert(out(1) == ((0.5, 0.5)))
+  }
+
   test("q119: query surface is deterministic across runs") {
     val a = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
     val b = Similarity.kmeans(t.embeddings, k = 4, iters = 2).collect().toSeq
