@@ -69,7 +69,13 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // durability: stdout capture has truncated this line before (it holds
+    // 141+ timings); persist the same JSON to a file the driver can read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (json + "\n").getBytes("UTF-8"))
     if (results.exists(_._3.isDefined)) System.err.println(s"bench: ${results.count(_._3.isDefined)} queries FAILED")
     spark.stop()
   }

@@ -84,7 +84,7 @@ object SparkEntry {
     "q58_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(Tables(s, d).documents)),
     "q59_ann_quantized" -> ((s, d) => Similarity.annQuantized(Tables(s, d).embeddings)),
     "q64_training_pipeline" -> ((s, d) => TextAnalysis.trainingPipeline(Tables(s, d).documents)),
-    "q65_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d).embeddings)),
+    "q65_semantic_dedup" -> ((s, d) => Similarity.semanticDedupStats(Tables(s, d).embeddings)),
     "q67_winnowing" -> ((s, d) => Dedup.winnowingOverlap(Tables(s, d).documents)),
     "q68_full_outer" -> ((s, d) => { val t = Tables(s, d); Relational.fullOuterAgg(t.customer, t.supplier) }),
     "q69_set_ops" -> ((s, d) => Relational.setOps(Tables(s, d).orders)),

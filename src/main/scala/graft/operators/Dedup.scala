@@ -225,9 +225,21 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 100): DataFrame = {
     val fps = winnowingFingerprints(documents, k, w)
+    // df-cap via partial-aggregated groupBy + broadcast anti-join (the
+    // q56 boilerplate idiom) — NOT a count-over-Window, which shuffles
+    // and SORTS every (doc_id, fp) row just to attach a count. The
+    // hot-fp set is bounded by construction (each survivor recurs in
+    // > maxDf docs, so there are < |fps| / maxDf of them) and
+    // broadcasts; the fps relation is computed twice (once for the df
+    // agg, once for the anti-join) — two scans of map-side kernel
+    // output beat one sort-based window exchange of the same rows.
+    val hotFps = fps
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
     val capped = fps
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= maxDf)
+      .join(broadcast(hotFps), Seq("fp"), "left_anti")
       .select("doc_id", "fp")
     val l = capped.select(col("doc_id").as("doc_a"), col("fp"))
     val r = capped.select(col("doc_id").as("doc_b"), col("fp"))

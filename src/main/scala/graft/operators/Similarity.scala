@@ -191,6 +191,38 @@ object Similarity {
       .withColumnRenamed("node_id", "vec_id")
       .orderBy("cluster_id", "vec_id")
 
+  /** q65 driver entry: semantic-dedup cluster-size histogram — one row
+    * per distinct cluster size with the number of clusters at that size,
+    * singletons (vectors in no near-dup cluster) counted as size-1
+    * clusters. [[semanticDedup]] itself returns only clustered members,
+    * which is EMPTY on a corpus with no pairs over the threshold (true
+    * of the synthetic embeddings at small SF — max candidate cosine
+    * ~0.49); a histogram over ALL vectors is never empty, its row count
+    * is data-dependent, and it is what a curation run reports anyway
+    * (dedup rate = 1 − Σn_clusters/Σ(size·n_clusters)). Scale shape:
+    * the clustered side is the q47 component output (data-proportional);
+    * the singleton count is one corpus count minus one cluster-member
+    * count — no extra scan of the embedding arrays, ids only. */
+  def semanticDedupStats(
+      embeddings: DataFrame,
+      cosThreshold: Double = 0.9,
+      maxRounds: Int = 5): DataFrame = {
+    val members = semanticDedup(embeddings, cosThreshold, maxRounds)
+    val perCluster = members.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val clusteredHist = perCluster.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val nTotal = embeddings.agg(count(lit(1)).as("n_total"))
+    val nMembers = members.agg(count(lit(1)).as("n_members"))
+    val singletons = nTotal
+      .crossJoin(nMembers) // 1×1 broadcast scalars, not fact data
+      .select(lit(1L).as("cluster_size"), (col("n_total") - col("n_members")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    clusteredHist
+      .unionByName(singletons)
+      .groupBy("cluster_size")
+      .agg(sum("n_clusters").as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** q52: banded SRP-LSH ANN — the 100 TB scale path beside q51.
     *
     * The tiny query side is banded and broadcast; the candidate side is

@@ -252,6 +252,7 @@ class PlanSpec extends SparkSpec {
       "q56_line_dedup"      -> bnl,
       "q59_ann_quantized"   -> bnl,
       "q63_feature_similarity" -> bnl,
+      "q65_semantic_dedup"  -> bnl, // 1-row broadcast n_total/n_members scalars (q14 idiom)
       "q74_tfidf"           -> bnl,
       "q76_funnel"          -> bnl,
       "q84_gapfill"         -> bnl,

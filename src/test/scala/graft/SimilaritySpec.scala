@@ -139,6 +139,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(_._2._2) == 1 && out(0L)._2, "exactly the canonical min id is kept")
   }
 
+  test("q65 stats histogram: planted cluster + singletons, never empty") {
+    val vecs = fixtureVecs.unionAll(
+      Seq((20L, Array(0.995f, 0.05f, 0.05f, 0f, 0f, 0f, 0f, 0f), 2))
+        .toDF("vec_id", "embedding", "label"))
+    // 7 vectors: {0,10,20} cluster at size 3; 1,2,11,12 are singletons
+    val hist = Similarity.semanticDedupStats(vecs, cosThreshold = 0.9)
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(hist == Map(1L -> 4L, 3L -> 1L), s"histogram $hist")
+    // a corpus with NO pairs over the threshold still reports all its
+    // vectors as singletons — the driver-facing entry can't go vacuous
+    val lonely = Similarity.semanticDedupStats(fixtureVecs.filter(col("vec_id") < 3), cosThreshold = 0.9)
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(lonely == Map(1L -> 3L), s"singleton-only histogram $lonely")
+  }
+
   test("q59 quantized ANN reproduces the exact brute-force top-k") {
     val emb = graft.sources.Tables(spark, sfDir).embeddings
     val exact = graft.operators.Similarity.annBruteForce(emb).collect()
