@@ -1319,7 +1319,9 @@ object SparkEntry {
     "q130_asof_forward" ->
       """SELECT e.event_id, e.user_id, p.value AS next_purchase_value
         |FROM events e
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin,
     "q131_dedup_keep_best" ->
@@ -1343,7 +1345,9 @@ object SparkEntry {
     "q44_asof_join" ->
       """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
         |FROM events e
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
     "q45_range_join" ->

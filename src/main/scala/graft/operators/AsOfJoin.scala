@@ -20,23 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left      probe side (kept in full)
-    * @param right     reference side: (keyCol, tsCol, valueCol) only
-    * @param keyCol    equi-join key present on both sides
-    * @param tsCol     event-time column present on both sides
-    * @param valueCol  right-side payload to carry forward
-    * @param as        output column name for the carried payload */
-  /** Right side projected to the tagged-union shape. Duplicate-instant
-    * right rows are made deterministic by ORDERING, not aggregation:
-    * `_asof_v` participates in the window sort (asc), so among tied
-    * (key, ts) right rows `last(ignoreNulls)` always picks the MAX
-    * payload — a total order with zero extra shuffle (a pre-groupBy
-    * dedup would exchange the right side on (key, ts) first). */
+  /** Right side projected to the tagged-union shape. */
   private def taggedRight(right: DataFrame, keyCol: String, tsCol: String, valueCol: String) =
     right
       .select(col(keyCol), col(tsCol), col(valueCol).as("_asof_v"))
       .withColumn("_side", lit(0))
 
+  /** Duplicate-instant right rows are made deterministic by ORDERING,
+    * not aggregation: `_asof_v` participates in the window sort (asc),
+    * so among tied (key, ts) right rows `last(ignoreNulls)` always picks
+    * the MAX payload — a total order with zero extra shuffle (a
+    * pre-groupBy dedup would exchange the right side on (key, ts)
+    * first). Engines whose ASOF JOIN picks an ARBITRARY equal-instant
+    * right row (e.g. DuckDB) must dedup the right side to max(value)
+    * per (key, ts) to match this pin — the q44/q130 oracle SQL does.
+    *
+    * @param left      probe side (kept in full)
+    * @param right     reference side: (keyCol, tsCol, valueCol) only
+    * @param keyCol    equi-join key present on both sides
+    * @param tsCol     event-time column present on both sides
+    * @param valueCol  right-side payload to carry forward
+    * @param as        output column name for the carried payload */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

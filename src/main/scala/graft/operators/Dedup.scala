@@ -566,8 +566,9 @@ object Dedup {
     * bounded vocabulary give every document the same hot tokens and
     * the candidate set degenerates toward n², measured here at 229 s
     * vs ~1 s at sf0.1). Shingles are globally ordered rarest-first by
-    * (document frequency asc, shingle asc) on a collision-free
-    * sortable key (zero-padded df ++ fixed-width hex); a pair with
+    * sorting (df, shingle) structs — `sort_array` over
+    * `struct(df, sh)` gives the (document frequency asc, shingle asc)
+    * total order without materializing a string key; a pair with
     * jaccard ≥ θ must share an element within BOTH prefixes of length
     * |S| − ⌈θ·|S|⌉ + 1 under any consistent global order, so the
     * equi-join on prefix shingles is complete. Rare-first ordering is
