@@ -38,14 +38,19 @@ object Graph {
     edges.join(deg, "src").repartition(col("src"))
   }
 
-  def coPurchasePageRank(
-      lineitem: DataFrame,
-      iterations: Int = 3,
-      damping: Double = 0.85,
-      topN: Int = 20): DataFrame = {
-    val edgesWithDeg = edgesWithDegree(lineitem).cache()
-    val n = edgesWithDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
-
+  /** The rank fixpoint loop, exposed so PlanSpec can assert the plan
+    * stays O(1)-deep in the iteration count. Each iteration ends in
+    * `localCheckpoint(eager = true)`: the rank table (node cardinality,
+    * orders of magnitude smaller than the edge set) is materialized and
+    * its lineage truncated, so iteration k+1 plans one join + one
+    * aggregate over a checkpoint scan rather than a k-join tower —
+    * arbitrary iteration counts stay plannable and re-optimizable (AQE
+    * sees fresh sizes each round) instead of overwhelming Catalyst. */
+  private[graft] def iterateRanks(
+      edgesWithDeg: DataFrame,
+      n: Double,
+      iterations: Int,
+      damping: Double): DataFrame = {
     var ranks = edgesWithDeg.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
@@ -56,9 +61,21 @@ object Graph {
         .select(
           col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("pr"))
+        .localCheckpoint(eager = true)
     }
+    ranks
+  }
+
+  def coPurchasePageRank(
+      lineitem: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      topN: Int = 20): DataFrame = {
+    val edgesWithDeg = edgesWithDegree(lineitem).cache()
+    val n = edgesWithDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
+
     // materialize the (topN-row) result eagerly, then release the edge cache
-    val result = ranks
+    val result = iterateRanks(edgesWithDeg, n, iterations, damping)
       .select(col("node").as("part"), round(col("pr") * n, 4).as("pr_x_n"))
       .orderBy(desc("pr_x_n"), asc("part"))
       .limit(topN)

@@ -580,8 +580,11 @@ object Similarity {
     * read off the dim-0 rows). Centroids are unit-normalized on the
     * driver (k×d doubles). Inertia is non-increasing under spherical
     * Lloyd — asserted per iteration in the spec, with planted-cluster
-    * recovery. At 100 TB: iters linear scans, k×d-row shuffles, no
-    * cache, no driver data motion beyond k×d. */
+    * recovery. Seeding costs ONE additional corpus scan (a hash-keyed
+    * top-m over-sample; farthest-first then runs driver-side on the
+    * m points) — previously k sequential scans. At 100 TB: 1 + iters
+    * linear scans, k×d-row shuffles, no cache, no driver data motion
+    * beyond m×d + k×d. */
   private[graft] def kmeansDetail(
       embeddings: DataFrame,
       k: Int = 8,
@@ -590,35 +593,41 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
     }
-    def maxDotUdf(cs: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
-      val a = v.toArray
-      var best = Double.MinValue; var c = 0
-      while (c < cs.length) {
-        val ct = cs(c)
-        var d = 0.0; var i = 0
-        val n = math.min(ct.length, a.length)
-        while (i < n) { d += ct(i).toDouble * a(i).toDouble; i += 1 }
-        if (d > best) best = d
-        c += 1
-      }
-      best
-    }
-    // deterministic farthest-first seeding: start at the hash-minimal
-    // vector (layout/run-stable), then k−1 times take the point LEAST
-    // similar to its nearest chosen seed — each pick is one scan ending
-    // in a TakeOrdered top-1, and well-separated clusters are
-    // guaranteed one seed each (the kmeans++ property Lloyd can't
-    // recover from losing).
-    var cents: Array[Array[Float]] = Array(
-      embeddings
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray)
+    // One-scan k-means‖-style seeding: a single TakeOrdered collects
+    // the m = max(64, 16k) hash-minimal vectors (the same A-ES hash-key
+    // order the weighted samplers use — layout/run-stable; planned as a
+    // map-side top-m + driver merge, never a shuffle of vectors), then
+    // farthest-first runs DRIVER-SIDE over that m-point over-sample:
+    // seed 1 is the hash-minimal point (identical to the previous
+    // scheme), each next seed the sample point least similar to its
+    // nearest chosen seed, ties broken by sample (= hash) order.
+    // O(m·k·d) driver flops replace the k sequential full-corpus scans
+    // the previous scheme paid; a cluster with ≥ a handful of corpus
+    // points lands ≥1 sample point w.h.p., preserving the
+    // one-seed-per-cluster property Lloyd can't recover from losing.
+    val sample: Array[Array[Float]] = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(math.max(64, 16 * k))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    var cents: Array[Array[Float]] = Array(sample(0))
     while (cents.length < k) {
-      val next = embeddings
-        .withColumn("nd", maxDotUdf(cents)(col("embedding")))
-        .orderBy(asc("nd"), asc("vec_id"))
-        .limit(1).select("embedding").collect()(0).getSeq[Float](0).toArray
-      cents = cents :+ next
+      var worstIdx = 0; var worstSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var best = Double.MinValue; var c = 0
+        while (c < cents.length) {
+          val ct = cents(c)
+          var d = 0.0; var j = 0
+          val n = math.min(ct.length, v.length)
+          while (j < n) { d += ct(j).toDouble * v(j).toDouble; j += 1 }
+          if (d > best) best = d
+          c += 1
+        }
+        if (best < worstSim) { worstSim = best; worstIdx = i }
+        i += 1
+      }
+      cents = cents :+ sample(worstIdx)
     }
     def assignUdf = {
       val cs = cents

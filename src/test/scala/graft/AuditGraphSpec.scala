@@ -85,6 +85,20 @@ class AuditGraphSpec extends SparkSpec {
     assert(spokes.length == 1, "symmetric spokes got different ranks")
   }
 
+  test("q98: plan depth is constant in the iteration count (per-iteration checkpoint)") {
+    val li = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 300L), (3L, 100L), (3L, 400L))
+      .toDF("l_orderkey", "l_partkey")
+    val edges = Graph.edgesWithDegree(li).cache()
+    try {
+      def planNodes(k: Int): Int =
+        Graph.iterateRanks(edges, 4.0, k, 0.85)
+          .queryExecution.optimizedPlan.collect { case p => p }.size
+      val at2 = planNodes(2)
+      val at6 = planNodes(6)
+      assert(at2 == at6, s"rank plan grows with iterations ($at2 nodes at k=2, $at6 at k=6)")
+    } finally edges.unpersist(blocking = false)
+  }
+
   test("q99: planted shared passage flags both docs; within-doc repetition alone does not flag") {
     val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
