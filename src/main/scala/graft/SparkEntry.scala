@@ -239,6 +239,8 @@ object SparkEntry {
     "q136_moving_avg" -> ((s, d) => EventAnalytics.movingAvgRevenue(Tables(s, d).events)),
     "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
     "q141_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(Tables(s, d).documents)),
+    "q143_calendar_rollup" -> ((s, d) => EventAnalytics.calendarRollup(Tables(s, d).events)),
+    "q145_latency_sketch" -> ((s, d) => EventAnalytics.conversionLatencySketch(Tables(s, d).events)),
     "q142_concentration" -> ((s, d) => {
       val t = Tables(s, d)
       Relational.marketConcentration(t.orders, t.customer)
@@ -1224,6 +1226,20 @@ object SparkEntry {
         |  floor(max(r.rev/t.tot)*10000 + 0.5)/10000 AS top_share
         |FROM rev r JOIN tot t USING (c_nationkey)
         |GROUP BY r.c_nationkey ORDER BY r.c_nationkey""".stripMargin,
+    "q143_calendar_rollup" ->
+      """WITH e AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h,
+        |         strftime(ts, '%Y-%m-%d') AS d,
+        |         strftime(ts, '%Y-%m') AS m,
+        |         value
+        |  FROM events)
+        |SELECT CAST(GROUPING(h, d, m) AS BIGINT) AS gid,
+        |       h AS hour, d AS day, m AS month,
+        |       count(*) AS n_events,
+        |       floor((sum(value))*10000 + 0.5)/10000 AS revenue
+        |FROM e
+        |GROUP BY GROUPING SETS ((h), (d), (m))
+        |ORDER BY gid, hour, day, month""".stripMargin,
     "q141_bpe_pairs" ->
       """WITH words AS (
         |  SELECT w, count(*) AS freq FROM (

@@ -35,6 +35,33 @@ object EventAnalytics {
         round(avg("value"), 4).as("avg_value"))
       .orderBy("hour", "event_type")
 
+  /** q143: calendar-grain GROUPING SETS rollup — hour, day, and month
+    * revenue rollups maintained by ONE scan. GROUPING SETS plans a
+    * single Expand over the source (each row emitted once per grain),
+    * so all three grains partial-aggregate map-side and share the scan
+    * — the batch build of the calendar MV family
+    * ([[graft.plans.CalendarRollup]] then ROUTES single-grain queries
+    * to the persisted hourly rollup, whose hour string prefixes
+    * re-merge loss-free into day and month). `gid` is `grouping_id()`
+    * (bit per key, 1 = aggregated-away), identical bit order in both
+    * engines; within a gid bucket only that grain's key is non-null,
+    * so the ORDER BY never compares NULLs across engines. */
+  def calendarRollup(events: DataFrame): DataFrame = {
+    val e = events.select(
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"),
+      date_format(col("ts"), "yyyy-MM-dd").as("d"),
+      date_format(col("ts"), "yyyy-MM").as("m"),
+      col("value"))
+    e.groupingSets(Seq(Seq(col("h")), Seq(col("d")), Seq(col("m"))), col("h"), col("d"), col("m"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("revenue"))
+      .select(col("gid"), col("h").as("hour"), col("d").as("day"), col("m").as("month"),
+        col("n_events"), col("revenue"))
+      .orderBy("gid", "hour", "day", "month")
+  }
+
   /** q21: the sink's partition layout — row counts per (dt, hr). */
   def partitionLayout(events: DataFrame): DataFrame =
     withPartitionKeys(events)
@@ -359,21 +386,48 @@ object EventAnalytics {
     * microseconds divided only AFTER the percentile — the same
     * float-association discipline as q95. At 100 TB swap `percentile`
     * for the q38 t-digest aggregate; the shape is otherwise unchanged. */
-  def conversionLatency(events: DataFrame): DataFrame = {
-    val firstClick = events.filter(col("event_type") === "click")
-      .groupBy("user_id").agg(min("ts").as("fc"))
-    val firstPurchase = events.filter(col("event_type") === "purchase")
-      .join(firstClick, "user_id")
-      .filter(col("ts") >= col("fc"))
-      .groupBy(col("user_id"), col("fc"))
-      .agg(min("ts").as("fp"))
-    firstPurchase
-      .withColumn("lat_us", unix_micros(col("fp")) - unix_micros(col("fc")))
-      .groupBy(date_format(col("fc"), "yyyy-MM-dd").as("day"))
+  def conversionLatency(events: DataFrame): DataFrame =
+    conversionPairs(events)
+      .groupBy("day")
       .agg(
         count(lit(1)).as("n_conversions"),
         round(expr("percentile(lat_us, 0.5)") / lit(1e6), 4).as("median_latency_s"),
         round(expr("percentile(lat_us, 0.9)") / lit(1e6), 4).as("p90_latency_s"))
+      .orderBy("day")
+
+  /** Shared stage tables for q103/q145: (user, first-click day, exact
+    * integer-µs latency) per converting user. */
+  private[graft] def conversionPairs(events: DataFrame): DataFrame = {
+    val firstClick = events.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("fc"))
+    events.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("ts") >= col("fc"))
+      .groupBy(col("user_id"), col("fc"))
+      .agg(min("ts").as("fp"))
+      .withColumn("lat_us", unix_micros(col("fp")) - unix_micros(col("fc")))
+      .withColumn("day", date_format(col("fc"), "yyyy-MM-dd"))
+  }
+
+  /** q145: q103's documented 100 TB path made concrete — the same
+    * conversion-pair stage tables, but per-day latency percentiles
+    * answered by the q38 t-digest aggregate instead of exact
+    * `percentile`. Exact `percentile` buffers every group member before
+    * sorting (per-day × conversions rows held on one reducer); the
+    * digest is a few KB per day, partial-aggregates map-side, and
+    * merges associatively — constant memory at any conversion volume.
+    * Rows-only (sketch answers are approximate); the spec bounds every
+    * day's digest percentile within 2% of exact q103. */
+  def conversionLatencySketch(events: DataFrame, compression: Double = 200.0): DataFrame = {
+    import graft.functions.SketchFunctions.tdigestQuantile
+    conversionPairs(events)
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(tdigestQuantile(col("lat_us").cast("double"), 0.5, compression) / lit(1e6), 4)
+          .as("median_latency_s"),
+        round(tdigestQuantile(col("lat_us").cast("double"), 0.9, compression) / lit(1e6), 4)
+          .as("p90_latency_s"))
       .orderBy("day")
   }
 
