@@ -1,11 +1,33 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.util.LongAccumulator
 import java.sql.Timestamp
+
+object HiveBatchSink {
+
+  /** A row-level ingest constraint: rows for which `valid` is not
+    * provably true (false OR null — a null predicate means the
+    * constraint can't be shown to hold, which quarantines, the same
+    * null discipline as the q96 audit's violation counts) are
+    * quarantined under `id` instead of staged. This is q96's audit
+    * family enforced AT ingest: a violation never reaches the
+    * warehouse table, instead of being counted after it already has. */
+  final case class IngestRule(id: String, valid: Column)
+
+  /** The event-stream row rules of the q96 audit as ingest predicates.
+    * Null `ts` is the sink's built-in corrupt rule and id-uniqueness is
+    * cross-row (it stays post-load in `Audit.constraintAudit`); the
+    * per-row domain rules enforce here. */
+  def eventIngestRules: Seq[IngestRule] = Seq(
+    IngestRule("notnull_user_id", col("user_id").isNotNull),
+    IngestRule("range_event_value", col("value") >= 0),
+    IngestRule("known_event_type",
+      col("event_type").isin("click", "view", "purchase", "signup", "error")))
+}
 
 /** Spark-first re-expression of the reference's Hive batch sink.
   *
@@ -40,13 +62,17 @@ import java.sql.Timestamp
   * @param maxRecordsPerFile staging file roll threshold (0 = no limit)
   * @param sealFormat        sealed-table format: parquet | orc | text
   *                          (text = the reference's delimited event lines)
+  * @param rules             row-level ingest constraints; violating rows
+  *                          are quarantined with their rule ids instead
+  *                          of staged (empty = today's ts-only check)
   */
 final class HiveBatchSink(
     spark: SparkSession,
     rootPath: String,
     allowedLatenessMinutes: Int = 60,
     maxRecordsPerFile: Long = 0L,
-    val sealFormat: String = "parquet") {
+    val sealFormat: String = "parquet",
+    rules: Seq[HiveBatchSink.IngestRule] = Nil) {
   require(Seq("parquet", "orc", "text").contains(sealFormat), s"unsupported seal format $sealFormat")
 
   val stagingPath: String    = s"$rootPath/staging"
@@ -59,7 +85,28 @@ final class HiveBatchSink(
 
   private def fs = new Path(rootPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  final case class BatchStats(received: Long, corrupt: Long, maxEventTime: Option[Timestamp])
+  final case class BatchStats(
+      received: Long,
+      corrupt: Long,
+      maxEventTime: Option[Timestamp],
+      violations: Map[String, Long] = Map.empty)
+
+  /** A row stages iff its ts is present AND every ingest rule holds. */
+  private def cleanRow: Column =
+    rules.map(r => coalesce(r.valid, lit(false))).foldLeft(col("ts").isNotNull)(_ && _)
+
+  private def violates(r: HiveBatchSink.IngestRule): Column =
+    col("ts").isNotNull && !coalesce(r.valid, lit(false))
+
+  /** Rejected rows annotated with every rule they broke (plus the
+    * built-in `corrupt_ts`); no column added on a rule-less sink, so
+    * its quarantine schema is exactly the historical one. */
+  private def withViolations(df: DataFrame): DataFrame =
+    if (rules.isEmpty) df
+    else df.withColumn("violated_rules",
+      concat_ws(",", array_compact(array(
+        (when(col("ts").isNull, lit("corrupt_ts")) +:
+          rules.map(r => when(violates(r), lit(r.id)))): _*))))
 
   /** One micro-batch: partition, count, stage idempotently. Rows with a
     * null `ts` are counted corrupt and dropped (the reference's failed
@@ -86,14 +133,18 @@ final class HiveBatchSink(
     val coalesceKey  = "spark.sql.adaptive.coalescePartitions.enabled"
     val coalescePrev = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "false")
+    // per-rule violation counts and the distinct rejected-row count
+    // ride the same single observe pass as the base stats
+    val metrics = Seq(
+      count(lit(1)).as("received"),
+      count(when(col("ts").isNull, lit(1))).as("corrupt"),
+      max(col("ts")).as("max_ts")) ++
+      rules.map(r => count(when(violates(r), lit(1))).as(s"viol_${r.id}")) ++
+      (if (rules.isEmpty) Nil else Seq(count(when(!cleanRow, lit(1))).as("rejected")))
     try {
       events
-        .observe(
-          obs,
-          count(lit(1)).as("received"),
-          count(when(col("ts").isNull, lit(1))).as("corrupt"),
-          max(col("ts")).as("max_ts"))
-        .filter(col("ts").isNotNull)
+        .observe(obs, metrics.head, metrics.tail: _*)
+        .filter(cleanRow)
         .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
         .withColumn("hr", date_format(col("ts"), "HH"))
         .withColumn("ingest_batch", lit(batchId))
@@ -105,20 +156,33 @@ final class HiveBatchSink(
         .partitionBy("dt", "hr", "ingest_batch")
         .parquet(stagingPath)
     } finally coalescePrev.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
-    val m   = obs.get
-    val n   = m("received").asInstanceOf[Long]
-    val bad = m("corrupt").asInstanceOf[Long]
+    // a dynamic-overwrite write that stages ZERO rows (every row
+    // rejected) skips the observed execution entirely and the
+    // Observation resolves to an empty map — recompute the stats with
+    // one aggregate; only a fully-rejected batch pays this second scan
+    val m: Map[String, Any] = {
+      val observed = obs.get
+      if (observed.nonEmpty) observed
+      else {
+        val row = events.agg(metrics.head, metrics.tail: _*).head()
+        metrics.indices.map(i => row.schema(i).name -> row.get(i)).toMap
+      }
+    }
+    val n        = m("received").asInstanceOf[Long]
+    val bad      = m("corrupt").asInstanceOf[Long]
+    val violMap  = rules.map(r => r.id -> m(s"viol_${r.id}").asInstanceOf[Long]).toMap
+    val rejected = if (rules.isEmpty) bad else m("rejected").asInstanceOf[Long]
     received.add(n)
     corrupt.add(bad)
-    written.add(n - bad)
+    written.add(n - rejected)
     // the reference keeps failed events for retry instead of losing them:
-    // corrupt rows (null ts) land in a per-batch quarantine partition.
-    // This second, corrupt-only scan runs ONLY when the observe metrics
-    // say the batch actually had corrupt rows — the clean-batch hot path
-    // stays single-pass.
-    if (bad > 0) {
-      events
-        .filter(col("ts").isNull)
+    // corrupt rows (null ts) and rule violations land in a per-batch
+    // quarantine partition, each row tagged with the rules it broke.
+    // This second, rejected-only scan runs ONLY when the observe metrics
+    // say the batch actually had rejected rows — the clean-batch hot
+    // path stays single-pass.
+    if (rejected > 0) {
+      withViolations(events.filter(!cleanRow))
         .withColumn("ingest_batch", lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
@@ -126,7 +190,7 @@ final class HiveBatchSink(
         .partitionBy("ingest_batch")
         .parquet(quarantinePath)
     }
-    BatchStats(n, bad, Option(m("max_ts")).map(_.asInstanceOf[Timestamp]))
+    BatchStats(n, bad, Option(m("max_ts")).map(_.asInstanceOf[Timestamp]), violMap)
   }
 
   /** Quarantined (corrupt) events, with their ingest batch. */
@@ -136,21 +200,22 @@ final class HiveBatchSink(
 
   /** Re-ingest quarantined events after `repair` fixes them (the
     * reference's failed-event retry, as an explicit operator): repaired
-    * rows with a valid `ts` go back through [[writeBatch]] under
-    * `replayBatchId` (idempotent — a re-run overwrites its own files);
-    * rows the repair still can't fix stay quarantined. Returns the
-    * number of rows restored. */
+    * rows with a valid `ts` that now pass every ingest rule go back
+    * through [[writeBatch]] under `replayBatchId` (idempotent — a
+    * re-run overwrites its own files); rows the repair still can't fix
+    * stay quarantined, re-tagged with the rules they still break.
+    * Returns the number of rows restored. */
   def replayQuarantine(repair: DataFrame => DataFrame, replayBatchId: Long): Long = {
     if (!fs.exists(new Path(quarantinePath))) return 0L
-    val repaired = repair(readQuarantine().drop("ingest_batch")).cache()
+    val repaired = repair(readQuarantine().drop("ingest_batch", "violated_rules")).cache()
     try {
-      val fixed = repaired.filter(col("ts").isNotNull)
+      val fixed = repaired.filter(cleanRow)
       val nFixed = fixed.count()
       if (nFixed > 0) {
         writeBatch(fixed, replayBatchId)
         // quarantine now holds only what's still broken; materialize the
         // remainder BEFORE deleting the files it was computed from
-        val still = repaired.filter(col("ts").isNull).localCheckpoint(true)
+        val still = withViolations(repaired.filter(!cleanRow)).localCheckpoint(true)
         fs.delete(new Path(quarantinePath), true)
         if (!still.isEmpty) {
           still
