@@ -240,6 +240,8 @@ object SparkEntry {
     "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
     "q141_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(Tables(s, d).documents)),
     "q143_calendar_rollup" -> ((s, d) => EventAnalytics.calendarRollup(Tables(s, d).events)),
+    "q144_pca_spectrum" -> ((s, d) => Similarity.pcaVariance(Tables(s, d).embeddings)),
+    "q146_ann_pca" -> ((s, d) => Similarity.annPcaReduce(Tables(s, d).embeddings)),
     "q145_latency_sketch" -> ((s, d) => EventAnalytics.conversionLatencySketch(Tables(s, d).events)),
     "q142_concentration" -> ((s, d) => {
       val t = Tables(s, d)

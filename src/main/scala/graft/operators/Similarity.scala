@@ -428,7 +428,17 @@ object Similarity {
     * n·d² values — and the d-row mean table broadcasts back to close
     * E[xy]−E[x]E[y]. Population covariance matches DuckDB covar_pop
     * exactly. */
-  def covarianceMatrix(embeddings: DataFrame, nDims: Int = 16): DataFrame = {
+  def covarianceMatrix(embeddings: DataFrame, nDims: Int = 16): DataFrame =
+    covarianceTriangle(embeddings, nDims)
+      .select(
+        col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        round(col("cov"), 4).as("cov"))
+      .orderBy("dim_i", "dim_j")
+
+  /** Upper-triangle covariance entries (i, j 1-based, cov UNROUNDED) —
+    * shared by the q124 query surface (which rounds for the oracle)
+    * and the q144 PCA fit (which must not round before eigensolving). */
+  private def covarianceTriangle(embeddings: DataFrame, nDims: Int): DataFrame = {
     val pairUdf = udf { (v: Seq[Float]) =>
       val n = math.min(nDims, v.length)
       val out = new Array[(Int, Int, Double)](n * (n + 1) / 2)
@@ -445,19 +455,20 @@ object Similarity {
       .select(col("p._1").as("i"), col("p._2").as("j"), col("p._3").as("xy"))
       .groupBy("i", "j")
       .agg(sum("xy").as("sxy"), count(lit(1)).as("n"))
-    val means = embeddings
+    val means = dimensionMeans(embeddings, nDims)
+    prods
+      .join(broadcast(means.select(col("d").as("i"), col("mu").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("d").as("j"), col("mu").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"), (col("sxy") / col("n") - col("mi") * col("mj")).as("cov"))
+  }
+
+  /** Per-dimension means (d 1-based) of the first `nDims` dimensions. */
+  private def dimensionMeans(embeddings: DataFrame, nDims: Int): DataFrame =
+    embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .filter(col("pos") < nDims)
       .groupBy((col("pos") + 1).as("d"))
       .agg(avg(col("v").cast("double")).as("mu"))
-    prods
-      .join(broadcast(means.select(col("d").as("i"), col("mu").as("mi"))), Seq("i"))
-      .join(broadcast(means.select(col("d").as("j"), col("mu").as("mj"))), Seq("j"))
-      .select(
-        col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
-        round(col("sxy") / col("n") - col("mi") * col("mj"), 4).as("cov"))
-      .orderBy("dim_i", "dim_j")
-  }
 
   /** q125: random-projection ANN (Johnson–Lindenstrauss): vectors are
     * compressed to `rDim` signed sums through deterministic Rademacher
@@ -494,6 +505,180 @@ object Similarity {
       s
     }
     val packed = embeddings.withColumn("rv", projectUdf(col("embedding")))
+    val q = packed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("rv").as("rq"), col("embedding").as("qe"))
+    val c = packed.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("rv").as("rc"), col("embedding").as("ce"))
+    val wq = Window.partitionBy("qid").orderBy(desc("rscore"), asc("cid"))
+    val wf = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    c.crossJoin(broadcast(q))
+      .withColumn("rscore", rdotUdf(col("rc"), col("rq")))
+      .withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= rerank)
+      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Fitted PCA: per-dimension means, the FULL eigenvalue spectrum
+    * (descending), and the top-k eigenvectors (row per component,
+    * sign-canonicalized so the largest-magnitude coordinate is
+    * positive — Jacobi's rotation signs are otherwise arbitrary). */
+  final case class PcaModel(
+      means: Array[Double],
+      eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (classic public
+    * algorithm — Golub & Van Loan, Matrix Computations §8.5). Strictly
+    * driver-side: the input is the d×d covariance (d = 16–64 here), so
+    * this is microseconds of work against a corpus-scan-sized fit.
+    * Returns (eigenvalues descending, row-major eigenvectors aligned
+    * to them). */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offDiag() > 1e-18) {
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < d) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
+  }
+
+  /** q144 fit: covariance via the q124 one-scan moment pass (collected
+    * UNROUNDED — d(d+1)/2 doubles), eigensolved driver-side with
+    * Jacobi. Total distributed cost is the q124 scan plus the d-row
+    * means aggregate; nothing but d² numbers ever reaches the driver. */
+  private[graft] def pcaFit(embeddings: DataFrame, nDims: Int = 16, k: Int = 8): PcaModel = {
+    val means = new Array[Double](nDims)
+    dimensionMeans(embeddings, nDims).collect()
+      .foreach(r => means(r.getInt(0) - 1) = r.getDouble(1))
+    val cov = Array.fill(nDims)(new Array[Double](nDims))
+    covarianceTriangle(embeddings, nDims).collect().foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1; val c = r.getDouble(2)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    def canonical(w: Array[Double]): Array[Double] = {
+      var best = 0; var i = 1
+      while (i < w.length) { if (math.abs(w(i)) > math.abs(w(best))) best = i; i += 1 }
+      if (w(best) < 0) w.map(-_) else w
+    }
+    PcaModel(means, eigVals, eigVecs.take(k).map(canonical))
+  }
+
+  /** Map-side PCA projection kernel: y_c = Σ_i W_ci (x_i − μ_i),
+    * optionally whitened (÷ √λ_c). The k×d model rides the closure —
+    * projection at 100 TB is one scan, no join, no shuffle. */
+  def pcaProjectUdf(model: PcaModel, whiten: Boolean = false) = udf { (x: Seq[Float]) =>
+    val k = model.components.length
+    Array.tabulate(k) { c =>
+      val w = model.components(c)
+      var s = 0.0; var i = 0
+      val n = math.min(w.length, x.length)
+      while (i < n) { s += w(i) * (x(i).toDouble - model.means(i)); i += 1 }
+      if (whiten && model.eigenvalues(c) > 1e-12) s / math.sqrt(model.eigenvalues(c)) else s
+    }
+  }
+
+  /** q144: PCA spectrum diagnostic — the whitening path over q124's
+    * covariance. One row per retained component: the Jacobi eigenvalue,
+    * its explained-variance fraction, and the POPULATION variance of
+    * the corpus actually projected onto that component — which must
+    * reproduce the eigenvalue (λ_c = Var(w_cᵀx) by definition), making
+    * the output self-certifying. Rows-only: the eigensolve is float-
+    * associative (cross-engine hashes unreliable); the spec pins
+    * projected_var ≈ eigenvalue, the descending spectrum, and the
+    * reconstruction-error bound instead. */
+  def pcaVariance(embeddings: DataFrame, nDims: Int = 16, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val model = pcaFit(embeddings, nDims, k)
+    val total = model.eigenvalues.sum
+    val spectrum = model.eigenvalues.take(k).zipWithIndex
+      .map { case (ev, c) => (c.toLong, ev, ev / total) }
+      .toSeq.toDF("component", "eigenvalue", "explained_frac")
+    val projected = embeddings
+      .select(posexplode(pcaProjectUdf(model)(col("embedding"))).as(Seq("component", "y")))
+      .groupBy(col("component").cast("long").as("component"))
+      .agg(var_pop("y").as("projected_var"))
+    spectrum.join(projected, "component")
+      .select(col("component"),
+        round(col("eigenvalue"), 4).as("eigenvalue"),
+        round(col("projected_var"), 4).as("projected_var"),
+        round(col("explained_frac"), 4).as("explained_frac"))
+      .orderBy("component")
+  }
+
+  /** q146: PCA-compressed ANN — q125's compress-then-rerank contract
+    * with the LEARNED projection instead of random planes: stage 1
+    * ranks by dot product in the top-`pcaDims` component space (the
+    * 4×-smaller bytes the scan is bound by at scale, and a tighter
+    * compressor than JL where the corpus actually has low-rank
+    * structure), stage 2 re-ranks the survivors with exact float
+    * cosine. Fit cost is one q124 moment scan, amortized across every
+    * query batch that reuses the model. */
+  def annPcaReduce(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5,
+      pcaDims: Int = 16,
+      dim: Int = 64,
+      rerank: Int = 60): DataFrame = {
+    val model = pcaFit(embeddings, nDims = dim, k = pcaDims)
+    val proj = pcaProjectUdf(model)
+    val rdotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val packed = embeddings.withColumn("rv", proj(col("embedding")))
     val q = packed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("rv").as("rq"), col("embedding").as("qe"))
     val c = packed.filter(col("vec_id") >= numQueries)

@@ -260,6 +260,7 @@ class PlanSpec extends SparkSpec {
       "q114_revenue_share"  -> bnl,
       "q122_hard_negatives" -> bnl, // label-guard non-equi over the BOUNDED broadcast query side (q51 idiom)
       "q125_ann_rp"         -> bnl, // broadcast query side (q51/q59 idiom)
+      "q146_ann_pca"        -> bnl, // broadcast query side (q51/q59/q125 idiom)
       "q126_chisq"          -> bnl, // 1-row broadcast grand-total (q14/q114 idiom)
       "q133_rich_inactive"  -> bnl, // 1-row broadcast average-balance scalar (q14 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
