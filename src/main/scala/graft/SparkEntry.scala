@@ -76,6 +76,8 @@ object SparkEntry {
     "q46_lsh_fused" -> ((s, d) => Dedup.minhashLshPairsFused(Tables(s, d).documents)),
     "q47_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables(s, d).documents)),
     "q48_corpus_curation" -> ((s, d) => TextAnalysis.curateCorpus(Tables(s, d).documents)),
+    "q148_calibrated_curation" -> ((s, d) => TextAnalysis.calibratedCuration(Tables(s, d).documents)),
+    "q149_token_budget" -> ((s, d) => TextAnalysis.tokenBudgetSelect(Tables(s, d).documents)),
     "q49_window_suite" -> ((s, d) => Relational.windowSuite(Tables(s, d).orders)),
     "q54_hll_rollup" -> ((s, d) => Relational.hllSketchRollup(Tables(s, d).events)),
     "q55_hash_sample" -> ((s, d) => TextAnalysis.deterministicSample(Tables(s, d).documents)),
@@ -260,6 +262,10 @@ object SparkEntry {
     "q134_min_cost_supplier" -> ((s, d) => {
       val t = Tables(s, d)
       Relational.minCostSupplier(t.lineitem, t.supplier)
+    }),
+    "q147_waiting_supplier" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.waitingSupplier(t.lineitem, t.orders, t.supplier)
     }),
     "q50_embedding_stats" -> ((s, d) => Similarity.embeddingStats(Tables(s, d).embeddings)),
     "q53_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
@@ -1168,6 +1174,43 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
         |  h.doc_id IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q148_calibrated_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_tok,
+        |    floor(((1 - CAST(len(list_filter(regexp_extract_all(text,'\S+'),
+        |             x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+        |             / len(regexp_extract_all(text,'\S+')))
+        |           * least(1.0, len(regexp_extract_all(text,'\S+'))/50.0))*10000 + 0.5)/10000 AS quality
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text,'\S+')) > 0),
+        |cuts AS (
+        |  SELECT lang, source, quantile_cont(quality, 0.75) AS cut,
+        |         count(*) AS n_total
+        |  FROM scored GROUP BY lang, source)
+        |SELECT s.lang, s.source,
+        |  floor(c.cut*10000 + 0.5)/10000 AS cutoff,
+        |  c.n_total AS n_total,
+        |  count(*) AS n_kept,
+        |  floor((sum(CAST(s.n_tok AS DOUBLE)))*10000 + 0.5)/10000 AS kept_tokens,
+        |  floor((avg(s.quality))*10000 + 0.5)/10000 AS avg_quality_kept
+        |FROM scored s JOIN cuts c USING (lang, source)
+        |WHERE s.quality >= c.cut
+        |GROUP BY s.lang, s.source, c.cut, c.n_total
+        |ORDER BY s.lang, s.source""".stripMargin,
+    "q149_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS priority
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text,'\S+')) > 0),
+        |c AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY source
+        |    ORDER BY priority, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT source, doc_id, n_tok, priority
+        |FROM c WHERE cum <= 600 ORDER BY source, priority""".stripMargin,
     "q48_corpus_curation" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,
@@ -1334,6 +1377,22 @@ object SparkEntry {
         |  floor(w.bp*10000 + 0.5)/10000 AS best_price
         |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
         |ORDER BY w.l_partkey""".stripMargin,
+    "q147_waiting_supplier" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin,
     "q130_asof_forward" ->
       """SELECT e.event_id, e.user_id, p.value AS next_purchase_value
         |FROM events e

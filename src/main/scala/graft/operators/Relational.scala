@@ -418,6 +418,46 @@ object Relational {
       .orderBy("l_partkey")
   }
 
+  /** q147: sole-delayed supplier (the TPC-H Q21 double-correlated
+    * EXISTS / NOT-EXISTS shape — "which supplier alone held up
+    * multi-supplier orders"): a line is late when it shipped more than
+    * `lateDays` after the order date. The textbook form re-scans
+    * lineitem twice per line (EXISTS another supplier in the order,
+    * NOT EXISTS another LATE supplier); here both collapse into ONE
+    * orderkey-keyed aggregate over the order's lines — distinct
+    * suppliers, distinct late suppliers, the (unique-if-qualifying)
+    * late supplier, and its late-line count — so qualification is a
+    * filter on that aggregate, not a correlated rescan. One fact-sized
+    * join (lineitem ⋈ 'F' orders on orderkey), one orderkey shuffle
+    * (the two countDistincts share it via Expand), then a
+    * supplier-cardinality rollup + broadcast name attach. */
+  def waitingSupplier(
+      lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+      lateDays: Int = 60): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
+    lineitem
+      .join(
+        orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"),
+        count(when(late, lit(1))).as("late_lines"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy("late_supp")
+      .agg(sum("late_lines").as("numwait"))
+      .join(
+        broadcast(supplier.select(col("s_suppkey").as("late_supp"), col("s_name"))),
+        Seq("late_supp"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
   /** q17: argmax/argmin per group via max_by/min_by — one aggregate pass,
     * no self-join-on-max anti-pattern. */
   def firstLast(events: DataFrame): DataFrame =

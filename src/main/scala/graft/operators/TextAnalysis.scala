@@ -129,6 +129,102 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q148: calibrated per-stratum curation — quality thresholds computed
+    * WITHIN each (lang, source) stratum, not one global cutoff (q48):
+    * sources score on different scales, so "top quartile of THIS
+    * source" is the real-world selection rule. The cutoff table is one
+    * exact-`percentile` aggregate of stratum cardinality (a handful of
+    * rows — broadcast back), so no per-stratum window over the corpus
+    * is ever planned; the 100 TB swap is the q145 t-digest aggregate
+    * in the same position. Map-side score → tiny cutoff agg →
+    * broadcast-join filter → stratum-sized summary. */
+  def calibratedCuration(documents: DataFrame, keepFrac: Double = 0.25): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        stopCount(toks).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn(
+        "quality",
+        round(
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tok")) *
+            least(lit(1.0), col("n_tok").cast("double") / 50.0),
+          4))
+    val cuts = scored
+      .groupBy("lang", "source")
+      .agg(
+        expr(s"percentile(quality, ${1.0 - keepFrac})").as("cutoff"),
+        count(lit(1)).as("n_total"))
+    scored
+      .join(broadcast(cuts), Seq("lang", "source"))
+      .filter(col("quality") >= col("cutoff"))
+      .groupBy("lang", "source")
+      .agg(
+        round(first("cutoff"), 4).as("cutoff"),
+        first("n_total").as("n_total"),
+        count(lit(1)).as("n_kept"),
+        round(sum(col("n_tok").cast("double")), 4).as("kept_tokens"),
+        round(avg("quality"), 4).as("avg_quality_kept"))
+      .orderBy("lang", "source")
+  }
+
+  /** q149: token-budget corpus selection — keep documents per source in
+    * deterministic hash priority (md5 of doc_id) until a token budget
+    * is filled: the "give me B tokens of src X, stable across reruns"
+    * mixture-sampling primitive. The naive form is a per-source ORDER
+    * BY + running sum (one giant partition per source — dies at
+    * 100 TB); here the md5 hex PREFIX (2 chars → 256 buckets) is the
+    * coarse priority, so a 256×#sources bucket-total aggregate comes
+    * to the driver, a prefix scan over it classifies each bucket as
+    * keep-all / boundary / drop with its remaining budget, and the
+    * only running sum ever planned is WITHIN a (source, bucket)
+    * partition — corpus/256-sized, uniform, shuffle-light. Prefix
+    * order aligns with full-string order, so the result is exactly
+    * the naive cumulative-sum answer. */
+  def tokenBudgetSelect(documents: DataFrame, budgetPerSource: Long = 600L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val scored = documents
+      .select(
+        col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("priority"))
+      .filter(col("n_tok") > 0) // a token budget never selects empty docs
+      .withColumn("bucket", substring(col("priority"), 1, 2))
+    val bucketTotals = scored
+      .groupBy("source", "bucket")
+      .agg(sum("n_tok").as("btok"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // driver prefix scan over ≤256 buckets per source: cumulative token
+    // count is monotone, so exactly one bucket straddles the budget
+    val decisions = bucketTotals
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (source, rows) =>
+        var before = 0L
+        rows.sortBy(_._2).flatMap { case (_, bucket, btok) =>
+          val d =
+            if (before + btok <= budgetPerSource) Some((source, bucket, Long.MaxValue))
+            else if (before < budgetPerSource) Some((source, bucket, budgetPerSource - before))
+            else None
+          before += btok
+          d
+        }
+      }
+    val w = Window.partitionBy("source", "bucket")
+      .orderBy("priority", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(decisions.toDF("source", "bucket", "rem")), Seq("source", "bucket"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") <= col("rem"))
+      .select("source", "doc_id", "n_tok", "priority")
+      .orderBy("source", "priority")
+  }
+
   /** q34: BPE-ish regex token counts per source. */
   def tokenRegexStats(documents: DataFrame): DataFrame =
     documents

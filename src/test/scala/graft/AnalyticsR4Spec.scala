@@ -118,4 +118,90 @@ class AnalyticsR4Spec extends SparkSpec {
       assert(math.abs(sp - ep) <= math.max(0.02 * ep, 1e-3), s"$day p90: sketch $sp vs exact $ep")
     }
   }
+
+  test("q148: per-stratum cutoffs and kept counts match a driver-side exact recount") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFunctions.{tokens, stopCount}
+    import graft.functions.PortableRound.round
+    val keepFrac = 0.25
+    val got = TextAnalysis.calibratedCuration(t.documents, keepFrac).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("cutoff"), r.getAs[Long]("n_total"), r.getAs[Long]("n_kept")))
+      .toMap
+    // ground truth: collect every (stratum, quality) and redo the exact
+    // continuous-percentile + >= filter in plain Scala
+    val toks = tokens(col("text"))
+    val scored = t.documents
+      .select(
+        col("lang"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        stopCount(toks).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn("q",
+        round((lit(1.0) - col("n_stop").cast("double") / col("n_tok")) *
+          least(lit(1.0), col("n_tok").cast("double") / 50.0), 4))
+      .select("lang", "source", "q").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Double]("q")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(scored.keySet == got.keySet, "stratum sets differ")
+    scored.foreach { case (k, qs) =>
+      val pos = (1.0 - keepFrac) * (qs.length - 1)
+      val (lo, hi) = (qs(pos.toInt), qs(math.ceil(pos).toInt))
+      val cut = lo + (pos - pos.toInt) * (hi - lo)
+      val (gotCut, nTotal, nKept) = got(k)
+      assert(nTotal == qs.length.toLong, s"$k total ${qs.length} vs $nTotal")
+      assert(math.abs(gotCut - cut) <= 1e-4 + 1e-9, s"$k cutoff $cut vs $gotCut")
+      val expectKept = qs.count(_ >= cut)
+      assert(nKept == expectKept.toLong, s"$k kept $expectKept vs $nKept")
+      assert(nKept >= 1 && nKept <= nTotal)
+    }
+  }
+
+  test("q149: bucket-decomposed budget selection ≡ the naive per-source running sum") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    val budget = 600L
+    val got = TextAnalysis.tokenBudgetSelect(t.documents, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("source").orderBy("priority", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = t.documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("priority"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum("n_tok").over(w))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == naive, s"bucket path diverges: only-got ${got -- naive}, only-naive ${naive -- got}")
+  }
+
+  test("q149: every source fills its budget maximally — no unkept doc could still fit") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFunctions.tokens
+    val budget = 600L
+    val kept = TextAnalysis.tokenBudgetSelect(t.documents, budget).collect()
+    val keptTok = kept.groupBy(_.getString(0)).map { case (s, rs) =>
+      s -> rs.map(_.getAs[Long]("n_tok")).sum
+    }
+    keptTok.foreach { case (s, tot) => assert(tot <= budget, s"$s over budget: $tot") }
+    // maximality: the FIRST unkept doc in priority order must overflow
+    val keptIds = kept.map(r => (r.getString(0), r.getLong(1))).toSet
+    val all = t.documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("priority"))
+      .filter(col("n_tok") > 0)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getString(3)))
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      docs.sortBy(d => (d._4, d._2))
+        .find(d => !keptIds.contains((src, d._2)))
+        .foreach { firstOut =>
+          assert(keptTok.getOrElse(src, 0L) + firstOut._3 > budget,
+            s"$src: doc ${firstOut._2} (${firstOut._3} tok) still fits")
+        }
+    }
+  }
 }

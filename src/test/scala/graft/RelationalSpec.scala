@@ -270,4 +270,58 @@ class RelationalSpec extends SparkSpec {
       assert(lo >= bin * 50000.0 && hi < (bin + 1) * 50000.0, s"bin $bin bounds [$lo,$hi] leak")
     }
   }
+
+  test("q147 waiting supplier: exact counts on a hand-built order book") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // order 1: supp 1 late twice, supp 2 on time  -> supp 1 credited 2
+    // order 2: both supps late                     -> nobody credited
+    // order 3: single-supplier order, late         -> nobody (no co-supplier)
+    // order 4: supp 3 late once beside on-time 2   -> supp 3 credited 1
+    // order 5: open order ('O'), supp 1 late       -> excluded by status
+    val lineitem = Seq(
+      (1L, 1L, ts("2025-06-01")), (1L, 1L, ts("2025-07-01")), (1L, 2L, ts("2025-01-10")),
+      (2L, 1L, ts("2025-06-01")), (2L, 2L, ts("2025-06-01")),
+      (3L, 1L, ts("2025-06-01")),
+      (4L, 2L, ts("2025-01-15")), (4L, 3L, ts("2025-09-01")),
+      (5L, 1L, ts("2025-06-01")), (5L, 2L, ts("2025-01-05"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq(
+      (1L, ts("2025-01-01"), "F"), (2L, ts("2025-01-01"), "F"),
+      (3L, ts("2025-01-01"), "F"), (4L, ts("2025-01-01"), "F"),
+      (5L, ts("2025-01-01"), "O")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3")).toDF("s_suppkey", "s_name")
+    val got = Relational.waitingSupplier(lineitem, orders, supplier)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("S1", 2L), ("S3", 1L)), s"got $got")
+  }
+
+  test("q147 waiting supplier: decorrelated plan ≡ the textbook correlated EXISTS form") {
+    import spark.implicits._
+    t.lineitem.createOrReplaceTempView("q147_l")
+    t.orders.createOrReplaceTempView("q147_o")
+    t.supplier.createOrReplaceTempView("q147_s")
+    val textbook = spark.sql(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM q147_s s
+        |JOIN q147_l l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN q147_o o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        |  AND EXISTS (SELECT 1 FROM q147_l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q147_l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    val got = Relational.waitingSupplier(t.lineitem, t.orders, t.supplier)
+      .as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty, "degenerate fixture: no sole-delayed supplier at sf0.001")
+    assert(got == textbook, s"decorrelated $got != textbook $textbook")
+  }
 }
