@@ -29,6 +29,16 @@ import java.sql.Timestamp
   * their last funnel event; global stage counts are then an ordinary
   * aggregate of the emitted rows ([[funnelCounts]]), ≡ q76 on any
   * fully-finalized slice.
+  *
+  * The ≡-batch guarantee requires the horizon to dominate BOTH the
+  * arrival disorder (the standard watermark contract — an event later
+  * than the horizon is dropped) AND each user's within-slice
+  * inactivity gaps: a user silent for more than the horizon is
+  * finalized, and a subsequent burst opens a NEW funnel row for the
+  * same user — session semantics, deliberate for an unbounded stream,
+  * but a row-count divergence from the one-row-per-user batch query.
+  * Size `horizonMinutes` to the finalization SLA, not the session gap,
+  * when batch equality is the goal.
   */
 object StreamingFunnel extends Serializable {
 

@@ -57,15 +57,35 @@ class StreamingFunnelSpec extends SparkSpec {
   test("streamed funnel counts equal batch q76 on the events slice") {
     val t  = graft.sources.Tables(spark, sfDir)
     val in = tmp()
+    // Batch equality holds exactly when the watermark horizon dominates
+    // both arrival disorder and per-user inactivity gaps (see the
+    // StreamingFunnel scaladoc). The slice spans ~30 days and arrives in
+    // arbitrary cross-batch order (round-robin files), so the horizon
+    // must cover the whole slice; the sentinel sits 2x the horizon past
+    // the max so the final watermark clears every user's timeout.
+    val horizonMin = 90 * 24 * 60
     val maxTs = t.events.agg(max("ts")).first().getTimestamp(0)
-    val sentinel = Seq((new Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000), -1L, "view"))
-      .toDF("ts", "user_id", "event_type")
-    t.events.select("ts", "user_id", "event_type").unionByName(sentinel)
+    t.events.select("ts", "user_id", "event_type")
       .repartition(4) // several files -> several micro-batches, cross-batch state
       .write.mode("overwrite").parquet(in)
+    // The sentinel advances the watermark past every horizon, so its file
+    // must be the LAST micro-batch: were it processed first, every real
+    // event would arrive behind the watermark and be dropped as late.
+    // FileStreamSource orders files by modification time; an explicit
+    // later mtime pins the order (same-ms writes tie-break arbitrarily).
+    val dir = new java.io.File(in)
+    def parquets() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val realFiles = parquets().map(_.getName).toSet
+    Seq((new Timestamp(maxTs.getTime + 2L * horizonMin * 60000L + 1000L), -1L, "view"))
+      .toDF("ts", "user_id", "event_type")
+      .repartition(1).write.mode("append").parquet(in)
+    val latest = parquets().map(_.lastModified).max
+    parquets().filterNot(f => realFiles(f.getName))
+      .foreach(f => assert(f.setLastModified(latest + 60000L)))
 
     val streamed = StreamingFunnel.funnelCounts(
-      runStream(in, name = "funnel_real").as[StreamingFunnel.UserFunnel])
+      runStream(in, horizonMinutes = horizonMin, name = "funnel_real")
+        .as[StreamingFunnel.UserFunnel])
       .first()
     val batch = graft.operators.EventAnalytics.funnel(t.events).first()
     assert(streamed.getLong(0) == batch.getLong(0),
