@@ -45,11 +45,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: touch every table (page cache + footer reads) and exercise
-    // shuffle/codegen/UDF machinery once
+    // shuffle/codegen/UDF machinery once. Each table individually guarded:
+    // a single unreadable table must cost its queries, never the whole
+    // bench artifact (round 4 lost ALL timings to one uncaught analysis
+    // error here when the events schema changed under us).
     val t = sources.Tables(spark, sfDir)
-    Seq(t.lineitem, t.orders, t.customer, t.part, t.supplier, t.nation, t.region, t.events, t.documents, t.embeddings)
-      .foreach(_.count())
-    t.lineitem.groupBy("l_returnflag").count().count()
+    Seq[(String, () => DataFrame)](
+      "lineitem" -> (() => t.lineitem), "orders" -> (() => t.orders),
+      "customer" -> (() => t.customer), "part" -> (() => t.part),
+      "supplier" -> (() => t.supplier), "nation" -> (() => t.nation),
+      "region" -> (() => t.region), "events" -> (() => t.events),
+      "documents" -> (() => t.documents), "embeddings" -> (() => t.embeddings)
+    ).foreach { case (name, load) =>
+      try load().count()
+      catch { case e: Throwable => System.err.println(s"bench: warmup $name failed: ${e.getMessage}") }
+    }
+    try t.lineitem.groupBy("l_returnflag").count().count()
+    catch { case e: Throwable => System.err.println(s"bench: warmup shuffle failed: ${e.getMessage}") }
 
     // steady-state timing: min of two runs (the first pays per-query
     // codegen compilation); queries over 25s — or queries that fail —

@@ -19,12 +19,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long and floor-convert ns→µs (matching
-    * DuckDB's truncation) into a proper TimestampType column. */
+  /** `events.ts` normalization, adaptive to how the parquet was written.
+    * Generations of the test data have stored it as TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader only reads as a long via the legacy
+    * conf — floor-convert ns→µs to match DuckDB's truncation) or as plain
+    * TIMESTAMP_NTZ micros (cast to TimestampType; the session timezone is
+    * pinned to UTC everywhere, so the cast is value-preserving). Either
+    * way downstream operators see one stable TimestampType `ts`. */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
