@@ -64,13 +64,14 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"bench: warmup shuffle failed: ${e.getMessage}") }
 
     // steady-state timing: min of two runs (the first pays per-query
-    // codegen compilation); queries over 25s — or queries that fail —
-    // run once to bound wall time (the iterative graph/dedup queries
-    // pay ~15s of one-time codegen on their first run and ~5s warm —
-    // a 10s threshold was reporting cold numbers for exactly them)
+    // codegen compilation); queries over 60s — or queries that fail —
+    // run once to bound wall time. The threshold is deliberately high:
+    // every query here runs <8s warm, so any first run crossing it is
+    // cold-start/contention noise, and a lower cutoff (25s) once
+    // reported a 26.8s cold number for a query that runs 0.6s warm.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (first, err1) = timeQuery(spark, sfDir, fn)
-      if (err1.isDefined || first > 25.0) (name, first, err1)
+      if (err1.isDefined || first > 60.0) (name, first, err1)
       else {
         val (second, err2) = timeQuery(spark, sfDir, fn)
         (name, math.min(first, second), err2)

@@ -238,6 +238,22 @@ object SparkEntry {
     }),
     "q131_dedup_keep_best" -> ((s, d) => TextAnalysis.dedupKeepBest(Tables(s, d).documents)),
     "q135_linear_attribution" -> ((s, d) => EventAnalytics.linearAttribution(Tables(s, d).events)),
+    "q150_global_rownum" -> ((s, d) => GlobalOrder.orderSequence(Tables(s, d).orders)),
+    "q151_bloom_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      BloomJoin.urgentRevenue(t.lineitem, t.orders)
+    }),
+    "q152_decay_attribution" -> ((s, d) => EventAnalytics.timeDecayAttribution(Tables(s, d).events)),
+    "q153_rfm" -> ((s, d) => GlobalOrder.rfmSegmentation(Tables(s, d).orders)),
+    "q154_skew_audit" -> ((s, d) => Skew.skewAudit(Tables(s, d).events, "user_id")),
+    "q155_revenue_trend" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.revenueTrend(t.orders, t.customer)
+    }),
+    "q156_top_supplier" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.topSupplier(t.lineitem, t.supplier)
+    }),
     "q136_moving_avg" -> ((s, d) => EventAnalytics.movingAvgRevenue(Tables(s, d).events)),
     "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
     "q141_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(Tables(s, d).documents)),
@@ -1330,6 +1346,108 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
         |  floor(sum(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END)/count(*)*10000 + 0.5)/10000 AS bounce_rate
         |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
+    "q139_weighted_percentile" ->
+      """WITH ex AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    unnest(generate_series(1, CAST(l_quantity AS INT))) AS i
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_returnflag,
+        |    floor(quantile_cont(l_extendedprice, 0.5)*10000 + 0.5)/10000 AS wp50,
+        |    floor(quantile_cont(l_extendedprice, 0.9)*10000 + 0.5)/10000 AS wp90
+        |  FROM ex GROUP BY l_returnflag),
+        |u AS (
+        |  SELECT l_returnflag,
+        |    floor(quantile_cont(l_extendedprice, 0.5)*10000 + 0.5)/10000 AS p50_unweighted,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT w.l_returnflag, w.wp50, w.wp90, u.p50_unweighted, u.n_rows
+        |FROM w JOIN u USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "q150_global_rownum" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+        |  o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+        |FROM orders ORDER BY rn""".stripMargin,
+    "q151_bloom_join" ->
+      """SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+        |  count(*) AS n_lines,
+        |  floor(sum(l.l_extendedprice*(1-l.l_discount))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
+    "q152_decay_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.user_id, c.c_us, p.purchase_id, p.p_us, p.value,
+        |    power(0.5, (p.p_us - c.c_us) / 900000000.0) AS w
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND p.p_us >= c.c_us AND p.p_us < c.c_us + 3600000000),
+        |wp AS (
+        |  SELECT c_us, purchase_id, value, w,
+        |    sum(w) OVER (PARTITION BY purchase_id) AS sw
+        |  FROM pairs)
+        |SELECT strftime(make_timestamp(c_us), '%Y-%m-%d') AS click_day,
+        |  count(*) AS n_touches,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  floor(sum(value*w/sw)*10000 + 0.5)/10000 AS attributed_revenue
+        |FROM wp GROUP BY 1 ORDER BY click_day""".stripMargin,
+    "q153_rfm" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT d FROM mx)) AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    sum(o_totalprice) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY -recency_days, o_custkey) AS INTEGER) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_score
+        |  FROM rfm)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  floor(sum(monetary)*10000 + 0.5)/10000 AS segment_revenue,
+        |  floor(avg(recency_days)*10000 + 0.5)/10000 AS avg_recency_days
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
+    "q154_skew_audit" ->
+      """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS total_keys,
+        |             max(cnt) AS max_cnt FROM pk),
+        |h AS (
+        |  SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS bucket,
+        |    count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_count
+        |  FROM pk GROUP BY 1)
+        |SELECT h.bucket, h.n_keys, h.n_rows, h.max_count,
+        |  floor(h.n_rows / CAST(g.total_rows AS DOUBLE) * 100 * 10000 + 0.5)/10000 AS rows_pct,
+        |  floor(g.max_cnt / CAST(g.total_rows AS DOUBLE) * 100 * 10000 + 0.5)/10000 AS hot_key_pct,
+        |  CAST(ceil(g.max_cnt / 4000000.0) AS BIGINT) AS rec_salt
+        |FROM h, g ORDER BY bucket""".stripMargin,
+    "q155_revenue_trend" ->
+      """WITH m AS (
+        |  SELECT c.c_nationkey,
+        |    CAST((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) AS DOUBLE) AS month_idx,
+        |    sum(o.o_totalprice) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey, count(*) AS n_months,
+        |  floor(regr_slope(rev, month_idx)*10000 + 0.5)/10000 AS slope,
+        |  floor(regr_intercept(rev, month_idx)*10000 + 0.5)/10000 AS intercept,
+        |  floor(regr_r2(rev, month_idx)*10000 + 0.5)/10000 AS r2
+        |FROM m GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q156_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    floor(sum(l_extendedprice*(1-l_discount))*10000 + 0.5)/10000 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_revenue) AS mr FROM r)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM r, m, supplier s
+        |WHERE r.total_revenue = m.mr AND r.l_suppkey = s.s_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q135_linear_attribution" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id, value

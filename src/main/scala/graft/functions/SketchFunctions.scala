@@ -40,4 +40,9 @@ object SketchFunctions {
     toColumn(
       graft.plans.BloomSketch(expression(c), Literal(expectedItems), Literal(fpp))
         .toAggregateExpression())
+
+  /** Codegen'd row-level probe of a [[bloomSketch]]-built filter — the
+    * runtime-filter predicate for [[graft.operators.BloomJoin]]. */
+  def bloomMightContain(filterBytes: Array[Byte], key: Column): Column =
+    toColumn(graft.plans.BloomMightContain(filterBytes, expression(key)))
 }

@@ -141,6 +141,50 @@ object EventAnalytics {
       .orderBy("click_day")
   }
 
+  /** q152: TIME-DECAY multi-touch attribution — each purchase's value
+    * splits across the user's preceding-window clicks proportionally to
+    * `0.5^(Δt / halfLife)`, so the click nearest the purchase earns the
+    * most credit (the standard decay model between q135's equal split
+    * and last-touch's winner-take-all). Same banded range equi-join as
+    * q45/q135 — pair expansion bounded per (user, window), never
+    * quadratic; the normalizing weight sum is a window partitioned by
+    * purchase (bounded by clicks-per-window). Weights use integer
+    * microsecond deltas over a double power — engine-portable, and the
+    * conservation law (Σ credit = Σ attributed purchase value) is
+    * spec-asserted. */
+  def timeDecayAttribution(
+      events: DataFrame,
+      windowMinutes: Int = 60,
+      halfLifeMinutes: Int = 15): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val halfLifeUs = halfLifeMinutes.toDouble * 60e6
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val buys = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"), col("value"))
+    val clickBins = clicks.withColumn(
+      "bin",
+      explode(array(floor(col("c_us") / winUs), floor(col("c_us") / winUs) + 1)))
+    val buyBins = buys.withColumn("bin", floor(col("p_us") / winUs))
+    val pairs = clickBins
+      .join(buyBins, Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") < col("c_us") + winUs)
+      .withColumn("w", pow(lit(0.5), (col("p_us") - col("c_us")) / lit(halfLifeUs)))
+    val perPurchase = Window.partitionBy("purchase_id")
+    pairs
+      .withColumn("credit", col("value") * col("w") / sum("w").over(perPurchase))
+      .groupBy(date_format(timestamp_micros(col("c_us")), "yyyy-MM-dd").as("click_day"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(sum("credit"), 4).as("attributed_revenue"))
+      .orderBy("click_day")
+  }
+
   /** q136: trailing 7-day moving average of daily revenue — the
     * smoothed dashboard series. Events collapse FIRST to one row per
     * day (the aggregate output is calendar-bounded); the trailing

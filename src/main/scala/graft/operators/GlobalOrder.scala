@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableRound.round
+
+/** Total-order operators — global `row_number` / `ntile` — that never
+  * plan a data-sized `Exchange SinglePartition`.
+  *
+  * A bare `row_number() OVER (ORDER BY …)` funnels every row through ONE
+  * reducer: fine at sf0.1, dead at 100 TB. This is the q25 range-bucket
+  * scheme generalized to arbitrary sort orders:
+  *
+  *   1. one `approx_percentile` pass over `bucketKey` — a numeric column
+  *      MONOTONE in the sort order — yields range bounds (a driver
+  *      literal bounded by the bucket count; the scan is column-pruned
+  *      to the key);
+  *   2. each row's bucket id = #bounds below its key: computed from the
+  *      DATA, so equal keys always share a bucket and bucket id is
+  *      non-decreasing along the sort order (rounding in a lossy
+  *      `bucketKey` cast is monotone, so ties merge buckets — never
+  *      reorder them);
+  *   3. per-bucket local ranks from a hash-partitioned window (the one
+  *      data-sized shuffle in the plan); global number = local rank +
+  *      per-bucket offset, where offsets are prefix sums over the
+  *      bucket-count frame (a window over ≤numBuckets rows — the same
+  *      bounded-aggregate idiom as q25) broadcast back on bucket id.
+  *
+  * Cost at any scale: two column-pruned scans (bounds, counts) + one
+  * full scan + one full shuffle, everything whole-stage codegen. Skew is
+  * governed by `bucketKey` granularity: a key that refines below the hot
+  * value (e.g. date⊕orderkey rather than date) splits heavy sort-key
+  * values across buckets instead of piling them into one task. */
+object GlobalOrder {
+
+  /** Append `rnCol` = 1-based global row number in `sortCols` order
+    * (include a unique tie-break column for a deterministic total
+    * order) and `totalCol` = total row count. `bucketKey` must be
+    * numeric and monotone non-decreasing in `sortCols` order. */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      bucketKey: Column,
+      sortCols: Seq[String],
+      rnCol: String = "rn",
+      totalCol: String = "__total",
+      numBuckets: Int = 32,
+      accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+    val keyed = df.withColumn("__bkey", bucketKey.cast("double"))
+    val boundsRow = keyed
+      .agg(expr(s"approx_percentile(__bkey, array(${probs.mkString(",")}), $accuracy)"))
+      .head()
+    val bounds: Seq[Double] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
+    val pid = bounds
+      .foldLeft(lit(0)) { (acc, b) => acc + when(col("__bkey") > lit(b), 1).otherwise(0) }
+    val withPid = keyed.withColumn("__pid", pid)
+    val tiny = Window.orderBy("__pid")
+    val offsets = withPid
+      .groupBy("__pid").count()
+      .select(
+        col("__pid"),
+        coalesce(
+          sum("count").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("__offset"),
+        sum("count").over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as(totalCol))
+    val localRank = row_number().over(
+      Window.partitionBy("__pid").orderBy(sortCols.map(col): _*))
+    withPid
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol, localRank.cast("long") + col("__offset"))
+      .drop("__pid", "__bkey", "__offset")
+  }
+
+  /** Append `outCol` = exact `ntile(buckets)` bucket of each row in
+    * `sortCols` order, reproducing SQL ntile's fill rule (the first
+    * `total % buckets` buckets take one extra row) from the global row
+    * number — bit-identical to the single-reducer window form. */
+  def withExactNtile(
+      df: DataFrame,
+      bucketKey: Column,
+      sortCols: Seq[String],
+      buckets: Int,
+      outCol: String,
+      numBuckets: Int = 32): DataFrame =
+    withGlobalRowNumber(df, bucketKey, sortCols, "__rn", "__tot", numBuckets)
+      .withColumn(outCol, expr(
+        s"""CAST(CASE WHEN __rn <= (__tot % $buckets) * ((__tot div $buckets) + 1)
+           |  THEN (__rn - 1) div ((__tot div $buckets) + 1)
+           |  ELSE (__tot % $buckets)
+           |    + (__rn - 1 - (__tot % $buckets) * ((__tot div $buckets) + 1))
+           |      div greatest(__tot div $buckets, 1L)
+           |END + 1 AS INT)""".stripMargin))
+      .drop("__rn", "__tot")
+
+  /** q150: global sequence numbering of orders by (date, key) — the
+    * surrogate-key / total-ordering primitive. The DuckDB oracle is the
+    * single-reducer `row_number()` window; this plan computes the same
+    * numbers with the range scheme and no data-sized SinglePartition
+    * exchange (plan-asserted in PlanSpec). The bucket key refines the
+    * date with the order key, so even a hot date spreads across
+    * buckets — there is no skew ceiling from the leading sort column. */
+  def orderSequence(orders: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val slim = orders.select(
+      col("o_orderkey"),
+      col("o_orderdate"),
+      col("o_totalprice"))
+    // monotone in (o_orderdate, o_orderkey): days-since-epoch dominates,
+    // orderkey refines within a day (keys ≪ 2^33)
+    val bkey = datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+      .cast("long") * lit(1L << 33) + col("o_orderkey")
+    withGlobalRowNumber(slim, bkey, Seq("o_orderdate", "o_orderkey"), "rn", "__tot", numBuckets)
+      .select(
+        col("rn"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"))
+      .orderBy("rn")
+  }
+
+  /** q153: RFM customer segmentation — recency / frequency / monetary
+    * quintiles, the classic CRM cut of the order history.
+    *
+    * Per-customer aggregates are one fact-table pass collapsing to
+    * customer cardinality; each quintile is an [[withExactNtile]] over
+    * that dimension-sized frame (three bucketed passes, no data-sized
+    * SinglePartition, ntile semantics exact so the DuckDB window oracle
+    * matches bit-for-bit). Ties break on customer key, so scores are
+    * deterministic on both engines. Score orientation: 5 = best
+    * (recent / frequent / high-spend); recency ranks via its negation
+    * so all three ntiles run ascending. Output is the segment-level
+    * report: customers and money per (r,f,m) cell. */
+  def rfmSegmentation(orders: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val asOf = orders
+      .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd")).head().getString(0)
+    // the customer-cardinality aggregate is read by three bounds passes
+    // + three ranking passes — cache it so the fact-table aggregation
+    // runs once (dimension-sized by construction; the same bounded
+    // persist pagerank/bfs make)
+    val rfm = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(to_date(lit(asOf)), to_date(max(col("o_orderdate")))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).as("monetary"))
+      .withColumn("neg_recency", -col("recency_days"))
+      .cache()
+    // three INDEPENDENT quintile passes over the cached frame, joined
+    // back on the key — chaining them instead (fold) would drag every
+    // earlier pass's window+join into each later bounds collection
+    val scored = Seq(
+      ("r_score", Seq("neg_recency", "o_custkey")),
+      ("f_score", Seq("frequency", "o_custkey")),
+      ("m_score", Seq("monetary", "o_custkey")))
+      .map { case (out, keys) =>
+        withExactNtile(
+          rfm.select("o_custkey", keys.head), col(keys.head), keys, 5, out, numBuckets)
+          .select("o_custkey", out)
+      }
+      .foldLeft(rfm)(_.join(_, Seq("o_custkey")))
+    scored
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("monetary"), 4).as("segment_revenue"),
+        round(avg("recency_days"), 4).as("avg_recency_days"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+}

@@ -339,6 +339,57 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** q155: per-nation revenue trend — least-squares slope/fit of monthly
+    * revenue over a month index, via the NATIVE `regr_slope`/`regr_r2`/
+    * `regr_intercept` aggregates (the q117 discipline: no UDF, no
+    * collect). The fact table collapses to (nation × month) cells in one
+    * data-proportional shuffle; the regression inputs are
+    * calendar-bounded per nation, and the regr aggregates partial-merge
+    * like any other co-moment. */
+  def revenueTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val monthly = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        orders("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_nationkey"),
+        // months since Jan 1995 (the corpus epoch) — a small abscissa
+        // keeps the intercept numerically tame: regr moments differ
+        // between engines at ~1e-15 relative, and an x offset of ~24000
+        // months amplifies that through slope·mean(x) past the 4-decimal
+        // comparison boundary
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")))
+          .cast("double").as("month_idx"))
+      .agg(sum("o_totalprice").as("rev"))
+    monthly
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_months"),
+        round(expr("regr_slope(rev, month_idx)"), 4).as("slope"),
+        round(expr("regr_intercept(rev, month_idx)"), 4).as("intercept"),
+        round(expr("regr_r2(rev, month_idx)"), 4).as("r2"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q156: top revenue supplier with ties (TPC-H Q15): quarter-filtered
+    * per-supplier revenue (filter pushed to the scan, one
+    * supplier-cardinality shuffle), the max attached via the 1-row
+    * broadcast scalar idiom — never an unpartitioned `rank()` window —
+    * and tie equality tested on identically-rounded revenue both
+    * engines (the q134 discipline). */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("max_revenue"))
+    rev
+      .join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** q137: top-k WITH TIES per group — `rank() <= k` (every row tied at
     * the boundary survives; q07's row_number form cuts arbitrarily).
     * RANK also plans the native Partial+Final WindowGroupLimit (the

@@ -29,4 +29,45 @@ object Skew {
       .withColumn("_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** q154: join-key skew audit — the pre-flight diagnostic that decides
+    * between a plain shuffle join, AQE skew splitting, and [[saltedJoin]]
+    * (and, fed a `saltBuckets`, sizes it).
+    *
+    * One map-side-combinable pass collapses the fact table to per-key
+    * counts (distinct-key cardinality, the same shuffle the audited join
+    * would pay); key counts then bucket by ⌊log₂(count)⌋ — computed as
+    * `length(bin(count))-1`, integer-exact on both engines, never a
+    * float log — into a ≤64-row histogram. Global figures (row total,
+    * the hottest key's share, the salt factor that caps a reducer at
+    * `targetRowsPerTask`) attach via the 1-row broadcast scalar idiom
+    * (q14/q114 — no unpartitioned window). Reading the result: hot-key
+    * share ≈ 1/parallelism in the top bucket means one straggler reducer
+    * per join — salt by `rec_salt`. */
+  def skewAudit(
+      fact: DataFrame,
+      key: String,
+      targetRowsPerTask: Long = 4000000L): DataFrame = {
+    val perKey = fact.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val global = perKey.agg(
+      sum("cnt").as("total_rows"),
+      count(lit(1)).as("total_keys"),
+      max("cnt").as("max_cnt"))
+    perKey
+      .withColumn("bucket", (length(bin(col("cnt"))) - 1).cast("int"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_count"))
+      .join(broadcast(global))
+      .select(
+        col("bucket"), col("n_keys"), col("n_rows"), col("max_count"),
+        graft.functions.PortableRound.round(
+          col("n_rows") / col("total_rows") * 100, 4).as("rows_pct"),
+        graft.functions.PortableRound.round(
+          col("max_cnt") / col("total_rows") * 100, 4).as("hot_key_pct"),
+        ceil(col("max_cnt") / lit(targetRowsPerTask)).cast("long").as("rec_salt"))
+      .orderBy("bucket")
+  }
 }

@@ -122,3 +122,51 @@ object BloomZone {
     case other          => throw new IllegalArgumentException(s"unsupported probe type: $other")
   }
 }
+
+/** Row-level probe of a [[BloomSketch]]-built filter — the runtime-filter
+  * companion to the driver-side [[BloomZone]] partition probe.
+  *
+  * `bloom_might_contain(filterBytes, key)` tests an integral key against
+  * a filter built over the SELECTIVE side of a join and broadcast into
+  * this expression as a reference object, so the probe compiles into the
+  * scan's whole-stage codegen: fact rows that cannot match are dropped
+  * at the scan, before the join's exchange ever sees them. No false
+  * negatives (the following exact join keeps correctness; the filter
+  * only sheds shuffle volume), fpp false positives ride through to the
+  * join. The filter deserializes once per executor — not per row, not
+  * per batch. */
+case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Predicate {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+
+  override def prettyName: String = "bloom_might_contain"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs an integral key, got $t")
+  }
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && bf.mightContainLong(v.asInstanceOf[Number].longValue())
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomFilter", bf, classOf[BloomFilter].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""boolean ${ev.value} = !${c.isNull} && $bfRef.mightContainLong((long) ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

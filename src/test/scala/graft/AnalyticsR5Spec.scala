@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Relational, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: skew audit (q154), per-group regression trend
+  * (q155), top-supplier-with-ties (q156). */
+class AnalyticsR5Spec extends SparkSpec {
+
+  private lazy val t = Tables(spark, sfDir)
+
+  test("q154: planted hot key lands in its log2 bucket with the right salt factor") {
+    import spark.implicits._
+    // one key with 1000 rows, 50 keys with 1 row
+    val rows = (1 to 1000).map(_ => "hot") ++ (1 to 50).map(i => s"k$i")
+    val df = rows.toDF("k")
+    val audit = Skew.skewAudit(df, "k", targetRowsPerTask = 100L).cache()
+    // 1000 → bin length 10 → bucket 9; singletons → bucket 0
+    val hot = audit.filter(col("bucket") === 9).head()
+    assert(hot.getAs[Long]("n_keys") === 1L)
+    assert(hot.getAs[Long]("max_count") === 1000L)
+    // ceil(1000/100) = 10-way salt recommendation, identical on every row
+    assert(audit.select("rec_salt").distinct().head().getLong(0) === 10L)
+    val singles = audit.filter(col("bucket") === 0).head()
+    assert(singles.getAs[Long]("n_keys") === 50L)
+    // histogram partitions all rows
+    assert(audit.agg(sum("n_rows")).head().getLong(0) === 1050L)
+  }
+
+  test("q154: audit over the real events stream is conservative and well-formed") {
+    val audit = Skew.skewAudit(t.events, "user_id").cache()
+    val totalRows = t.events.count()
+    assert(audit.agg(sum("n_rows")).head().getLong(0) === totalRows)
+    assert(audit.agg(sum("n_keys")).head().getLong(0) ===
+      t.events.select("user_id").distinct().count())
+  }
+
+  test("q155: exact linear revenue growth recovers slope/intercept/r2 = 1") {
+    import spark.implicits._
+    // customer 1 in nation 7: revenue 100·monthIdx, perfectly linear
+    val orders = (1 to 6).map { m =>
+      (1L, java.sql.Timestamp.valueOf(f"2020-$m%02d-15 00:00:00"), (2020 * 12 + m) * 100.0)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, 7)).toDF("c_custkey", "c_nationkey")
+    val fit = Relational.revenueTrend(orders, customer).head()
+    assert(fit.getAs[Int]("c_nationkey") === 7)
+    assert(fit.getAs[Long]("n_months") === 6L)
+    assert(math.abs(fit.getAs[Double]("slope") - 100.0) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("q156: revenue ties at the top keep every tied supplier") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    val lineitem = Seq(
+      (1L, ts, 1000.0, 0.0),  // supplier 1: 1000
+      (2L, ts, 500.0, 0.0),   // supplier 2: 1000 in two lines
+      (2L, ts, 500.0, 0.0),
+      (3L, ts, 999.0, 0.0)    // supplier 3: below
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3")).toDF("s_suppkey", "s_name")
+    val top = Relational.topSupplier(lineitem, supplier)
+    assert(top.select("s_name").collect().map(_.getString(0)).toSeq === Seq("s1", "s2"))
+  }
+
+  test("q156: real-table result is the argmax of the quarter revenue") {
+    val top = Relational.topSupplier(t.lineitem, t.supplier)
+    val best = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .agg(max("r")).head().getDouble(0)
+    val got = top.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => math.abs(r.getAs[Double]("total_revenue") - best) < 1e-3))
+  }
+}

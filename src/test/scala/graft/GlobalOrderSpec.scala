@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{BloomJoin, EventAnalytics, GlobalOrder}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GlobalOrder (q150/q153), BloomJoin (q151) and time-decay attribution
+  * (q152): value equality with the single-reducer / unfiltered forms,
+  * plan shape, and conservation laws. */
+class GlobalOrderSpec extends SparkSpec {
+
+  private lazy val t = Tables(spark, sfDir)
+
+  test("q150: range-scheme row numbers ≡ single-reducer row_number") {
+    val got = GlobalOrder.orderSequence(t.orders)
+    val want = t.orders.select(
+      row_number().over(Window.orderBy("o_orderdate", "o_orderkey")).cast("long").as("rn"),
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      col("o_totalprice"))
+    assert(got.count() === t.orders.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("q150: ranking window is bucket-partitioned; only the offset frame is single-partition") {
+    val plan = GlobalOrder.orderSequence(t.orders).queryExecution.optimizedPlan.toString
+    // the data-sized Window must carry a partition spec (__pid); the
+    // only unpartitioned window is the prefix sum over bucket counts
+    val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toList
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("windowspecdefinition(__pid"))
+    assert(unpartitioned.forall(w => w.contains("count(1)") || w.contains("sum(count")),
+      s"data-sized window lost its bucket partitioning:\n$plan")
+  }
+
+  test("exact ntile reproduces SQL ntile fill rule on skewed data, any total") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // heavy ties (only 17 distinct values over 501 rows) force the
+    // fill-rule and tie-break paths; 501 % 5 != 0 exercises the
+    // uneven-bucket branch
+    val df = (1 to 501).map(i => (i.toLong, (rng.nextInt(17) * 3).toDouble)).toDF("id", "v")
+    val got = GlobalOrder.withExactNtile(df, col("v"), Seq("v", "id"), 5, "bucket", numBuckets = 8)
+    val want = df.withColumn("bucket", ntile(5).over(Window.orderBy("v", "id")))
+    assert(got.select("id", "v", "bucket").except(want).isEmpty &&
+      want.except(got.select("id", "v", "bucket")).isEmpty)
+  }
+
+  test("q153: quintile scores partition all customers; segments conserve customers and revenue") {
+    val seg = GlobalOrder.rfmSegmentation(t.orders).cache()
+    val perCust = t.orders.groupBy("o_custkey").count()
+    assert(seg.agg(sum("n_customers")).head().getLong(0) === perCust.count())
+    val segRevenue = seg.agg(sum("segment_revenue")).head().getDouble(0)
+    val totRevenue = t.orders.agg(sum("o_totalprice")).head().getDouble(0)
+    assert(math.abs(segRevenue - totRevenue) / totRevenue < 1e-6)
+    val scores = seg.select("r_score", "f_score", "m_score").collect()
+    assert(scores.forall(r => (0 until 3).forall(i => r.getInt(i) >= 1 && r.getInt(i) <= 5)))
+  }
+
+  test("q151: bloom-pruned join ≡ plain join; the filter actually sheds fact rows") {
+    val got = BloomJoin.urgentRevenue(t.lineitem, t.orders)
+    val sel = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val want = t.lineitem
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("order_month"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        graft.functions.PortableRound.round(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // pruning: against the selective build side the probe keeps
+    // matches + fpp stragglers, far below the full fact table
+    val kept = BloomJoin.prunedFact(t.lineitem, "l_orderkey", sel, "o_orderkey").count()
+    val all = t.lineitem.count()
+    val matched = t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(kept >= matched, "bloom filter produced a false negative")
+    assert(kept < all / 2, s"bloom filter shed almost nothing: kept $kept of $all")
+  }
+
+  test("q151: no false negatives even on a disjoint probe set") {
+    import spark.implicits._
+    val build = (1L to 1000L).map(i => i * 2).toDF("k") // even keys
+    val probe = (1L to 4000L).toDF("pk")
+    val kept = BloomJoin.prunedFact(probe, "pk", build, "k")
+    // every even key ≤ 2000 must survive
+    assert(kept.filter(col("pk") % 2 === 0 && col("pk") <= 2000).count() === 1000)
+  }
+
+  test("q152: decay credit conserves attributed purchase value; pair set matches q135") {
+    val decay = EventAnalytics.timeDecayAttribution(t.events).cache()
+    val linear = EventAnalytics.linearAttribution(t.events).cache()
+    // the decay model reweights WITHIN a purchase — the (day, touches,
+    // purchases) structure is identical to the linear model's
+    assert(decay.select("click_day", "n_touches", "n_purchases")
+      .except(linear.select("click_day", "n_touches", "n_purchases")).isEmpty)
+    val creditSum = decay.agg(sum("attributed_revenue")).head().getDouble(0)
+    val linearSum = linear.agg(sum("attributed_revenue")).head().getDouble(0)
+    // both models fully distribute each attributed purchase's value
+    assert(math.abs(creditSum - linearSum) / linearSum < 1e-4,
+      s"decay $creditSum vs linear $linearSum")
+  }
+}

@@ -263,9 +263,15 @@ class PlanSpec extends SparkSpec {
       "q146_ann_pca"        -> bnl, // broadcast query side (q51/q59/q125 idiom)
       "q126_chisq"          -> bnl, // 1-row broadcast grand-total (q14/q114 idiom)
       "q133_rich_inactive"  -> bnl, // 1-row broadcast average-balance scalar (q14 idiom)
+      "q154_skew_audit"     -> bnl, // 1-row broadcast global-totals scalar (q14/q114 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
       "q89_mom_change"      -> Set("unpartitioned-window"),
-      "q136_moving_avg"     -> Set("unpartitioned-window")) // window over the #days aggregate (q89 idiom)
+      "q136_moving_avg"     -> Set("unpartitioned-window"), // window over the #days aggregate (q89 idiom)
+      // GlobalOrder offsets: prefix sum over the bucket-count frame,
+      // ≤ numBuckets rows by construction — the data-sized ranking
+      // window is partitioned by bucket (asserted in GlobalOrderSpec)
+      "q150_global_rownum"  -> Set("unpartitioned-window"),
+      "q153_rfm"            -> Set("unpartitioned-window"))
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
