@@ -254,6 +254,16 @@ object SparkEntry {
       val t = Tables(s, d)
       Relational.topSupplier(t.lineitem, t.supplier)
     }),
+    "q157_approx_groupby" -> ((s, d) => Relational.approxGroupBy(Tables(s, d).orders)),
+    "q158_null_aware_anti" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.notInNullable(t.customer, t.supplier)
+    }),
+    "q159_listagg" -> ((s, d) => Relational.topCustomerListagg(Tables(s, d).customer)),
+    "q160_pct_rank_ref" -> ((s, d) => {
+      val t = Tables(s, d)
+      GlobalOrder.percentRankAgainst(t.customer, "c_acctbal", t.supplier, "s_suppkey", "s_acctbal")
+    }),
     "q136_moving_avg" -> ((s, d) => EventAnalytics.movingAvgRevenue(Tables(s, d).events)),
     "q139_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(Tables(s, d).lineitem)),
     "q141_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairStats(Tables(s, d).documents)),
@@ -1448,6 +1458,42 @@ object SparkEntry {
         |FROM r, m, supplier s
         |WHERE r.total_revenue = m.mr AND r.l_suppkey = s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    "q157_approx_groupby" ->
+      """SELECT o_orderpriority, count(*) AS n_sampled,
+        |  floor(count(*) / 0.25 * 10000 + 0.5)/10000 AS est_count,
+        |  floor(sum(o_totalprice) / 0.25 * 10000 + 0.5)/10000 AS est_revenue,
+        |  floor(sqrt(sum(o_totalprice*o_totalprice) * 12.0) * 10000 + 0.5)/10000 AS stderr_revenue
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q158_null_aware_anti" ->
+      """WITH probe AS (SELECT nullif(s_nationkey, 3) AS k FROM supplier),
+        |a AS (SELECT count(*) AS n FROM customer
+        |      WHERE c_nationkey NOT IN (SELECT k FROM probe)),
+        |b AS (SELECT count(*) AS n FROM customer
+        |      WHERE c_nationkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        |SELECT 'ansi_not_in' AS variant, n AS n_customers FROM a
+        |UNION ALL SELECT 'null_stripped' AS variant, n AS n_customers FROM b
+        |ORDER BY variant""".stripMargin,
+    "q159_listagg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY rnk) AS top_names,
+        |  floor(sum(c_acctbal)*10000 + 0.5)/10000 AS top_balance
+        |FROM r WHERE rnk <= 3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q160_pct_rank_ref" ->
+      """WITH n AS (SELECT count(*) AS n_ref FROM customer)
+        |SELECT s.s_suppkey,
+        |  CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+        |  CAST((SELECT count(*) FROM customer c WHERE c.c_acctbal < s.s_acctbal) AS BIGINT)
+        |    AS n_ref_below,
+        |  floor((SELECT count(*) FROM customer c WHERE c.c_acctbal < s.s_acctbal)
+        |    / CAST(n.n_ref AS DOUBLE) * 10000 + 0.5)/10000 AS pct_rank
+        |FROM supplier s, n ORDER BY s.s_suppkey""".stripMargin,
     "q135_linear_attribution" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id, value

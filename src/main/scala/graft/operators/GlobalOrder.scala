@@ -121,6 +121,49 @@ object GlobalOrder {
       .orderBy("rn")
   }
 
+  /** q160: exact cross-distribution percent-rank ("score normalization
+    * against a reference population") — each query row's percentile
+    * within the REFERENCE distribution, exactly, with no per-row
+    * correlated rescan and no single-reducer sort.
+    *
+    * The correlated form (`count(ref < x) / |ref|` per query row) is a
+    * quadratic rescan; the scalable identity is rank algebra over ONE
+    * merged ordering: sort `ref ∪ query` by (value, side) with query
+    * rows FIRST among equals — then for a query row,
+    * `refs strictly below = rank_in_union − rank_among_queries`. Both
+    * ranks come from [[withGlobalRowNumber]] (same monotone bucket key),
+    * so the whole thing is two bucketed rankings + an equi-join on the
+    * query key: every stage data-proportional, codegen, skew governed by
+    * the value distribution like any range scheme. |ref| rides along as
+    * the union ranking's total. */
+  def percentRankAgainst(
+      ref: DataFrame,
+      refValue: String,
+      query: DataFrame,
+      queryKey: String,
+      queryValue: String,
+      numBuckets: Int = 32): DataFrame = {
+    val refSide = ref.select(
+      col(refValue).cast("double").as("v"), lit(1).as("side"),
+      lit(null).cast("long").as("qk"))
+    val querySide = query.select(
+      col(queryValue).cast("double").as("v"), lit(0).as("side"),
+      col(queryKey).cast("long").as("qk"))
+    val union = refSide.unionByName(querySide)
+    val ranked = withGlobalRowNumber(
+      union, col("v"), Seq("v", "side", "qk"), "rn_all", "__tot", numBuckets)
+    val queriesRanked = withGlobalRowNumber(
+      ranked.filter(col("side") === 0), col("v"), Seq("v", "side", "qk"), "rn_q", "__qtot", numBuckets)
+    queriesRanked
+      .select(
+        col("qk").as(queryKey),
+        col("v").as(queryValue),
+        (col("rn_all") - col("rn_q")).as("n_ref_below"),
+        round((col("rn_all") - col("rn_q")) / (col("__tot") - col("__qtot")), 4)
+          .as("pct_rank"))
+      .orderBy(queryKey)
+  }
+
   /** q153: RFM customer segmentation — recency / frequency / monetary
     * quintiles, the classic CRM cut of the order history.
     *

@@ -390,6 +390,86 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q157: approximate group-by with error bars (BlinkDB-style AQP):
+    * per-priority order counts/revenue estimated from a deterministic
+    * 25% md5 sample (the q55 portable-sampling idiom — hex-prefix of
+    * md5(key), identical row set on any engine), scaled by the
+    * Horvitz–Thompson inverse-probability estimator with its
+    * Bernoulli-sampling standard error (√[(1−p)/p² · Σx²] from sampled
+    * rows only). The filter evaluates at the scan, so the shuffle
+    * carries p of the table; persisted as a sample TABLE (the sink
+    * already maintains streaming samples) the SCAN is p of the table
+    * too — that is the 100 TB interactive-dashboard path. Estimator
+    * collapses to the exact answer at p = 1 (spec-asserted). */
+  def approxGroupBy(orders: DataFrame, hexChars: Seq[String] = Seq("0", "1", "2", "3")): DataFrame = {
+    val p = hexChars.size / 16.0
+    orders
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isInCollection(hexChars))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(count(lit(1)) / lit(p), 4).as("est_count"),
+        round(sum("o_totalprice") / lit(p), 4).as("est_revenue"),
+        round(
+          sqrt(sum(col("o_totalprice") * col("o_totalprice")) * lit((1 - p) / (p * p))),
+          4).as("stderr_revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q158: NOT IN vs a NULLABLE subquery — the ANSI null-semantics trap
+    * in its join form (q110 covered scalar/group null semantics).
+    * `x NOT IN (set)` is three-valued: one NULL in the set makes the
+    * predicate UNKNOWN for every non-member, so the raw form returns
+    * ZERO rows; stripping nulls restores the intended "not among the
+    * known values" query. Both variants run here and report side by
+    * side. Scale note, load-bearing: Spark plans null-aware anti joins
+    * ONLY as BroadcastNestedLoopJoin (the null check needs the whole
+    * build side everywhere), so at 100 TB the null-stripped rewrite —
+    * a plain shuffled LEFT ANTI equi-join — is not a style choice, it
+    * is the only shape that scales. This operator uses the rewrite for
+    * BOTH variants (null presence checked via a 1-row broadcast scalar),
+    * and the spec pins it ≡ Spark's own NOT IN planning. */
+  def notInNullable(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    // probe set: supplier nations, with nation 3 masked to NULL —
+    // a planted nullable member the oracle reproduces exactly
+    val probe = supplier.select(nullif(col("s_nationkey"), lit(3)).as("k"))
+    val hasNull = probe.agg(max(col("k").isNull).as("has_null"))
+    val stripped = probe.filter(col("k").isNotNull).distinct()
+    val notAmong = customer
+      .join(stripped, customer("c_nationkey") === stripped("k"), "left_anti")
+    val ansi = notAmong.join(broadcast(hasNull)).filter(!col("has_null"))
+    Seq(("ansi_not_in", ansi), ("null_stripped", notAmong))
+      .map { case (variant, df) =>
+        df.agg(count(lit(1)).as("n_customers")).select(lit(variant).as("variant"), col("n_customers"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy("variant")
+  }
+
+  /** q159: ordered string aggregation (LISTAGG / string_agg) — top-3
+    * customers by balance per nation, names joined in rank order. The
+    * rank filter plans the bounded Partial+Final WindowGroupLimit
+    * (q07/q97 idiom), so the sort feeding the shuffle is top-k-bounded;
+    * collect_list order is then made DETERMINISTIC by sorting (rank,
+    * name) structs inside the row — never relying on row arrival
+    * order, which no engine guarantees. */
+  def topCustomerListagg(customer: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), col("c_custkey"))
+    customer
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_top"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rnk"), col("c_name").as("name")))),
+            x => x.getField("name")),
+          ",").as("top_names"),
+        round(sum("c_acctbal"), 4).as("top_balance"))
+      .orderBy("c_nationkey")
+  }
+
   /** q137: top-k WITH TIES per group — `rank() <= k` (every row tied at
     * the boundary survives; q07's row_number form cuts arbitrarily).
     * RANK also plans the native Partial+Final WindowGroupLimit (the

@@ -64,6 +64,65 @@ class AnalyticsR5Spec extends SparkSpec {
     assert(top.select("s_name").collect().map(_.getString(0)).toSeq === Seq("s1", "s2"))
   }
 
+  test("q157: estimator collapses to the exact answer at p = 1") {
+    val all = "0123456789abcdef".map(_.toString)
+    val est = Relational.approxGroupBy(t.orders, all)
+    val exact = t.orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
+    val joined = est.join(exact, "o_orderpriority").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("est_count") === r.getAs[Long]("n").toDouble)
+      assert(math.abs(r.getAs[Double]("est_revenue") - r.getAs[Double]("rev")) < 1e-2)
+      assert(r.getAs[Double]("stderr_revenue") === 0.0) // (1-p) = 0
+    }
+  }
+
+  test("q157: 25% sample estimates land within 4 standard errors of truth") {
+    val est = Relational.approxGroupBy(t.orders)
+    val exact = t.orders.groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("rev"))
+    val joined = est.join(exact, "o_orderpriority").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val err = math.abs(r.getAs[Double]("est_revenue") - r.getAs[Double]("rev"))
+      val se = r.getAs[Double]("stderr_revenue")
+      assert(se > 0 && err < 4 * se, s"${r.getString(0)}: err $err vs stderr $se")
+    }
+  }
+
+  test("q158: planted NULL zeroes the ANSI variant; rewrite matches Spark's own NOT IN") {
+    val got = Relational.notInNullable(t.customer, t.supplier).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("ansi_not_in") === 0L)
+    // Spark's own planning of the raw three-valued predicate agrees
+    t.customer.createOrReplaceTempView("c_v")
+    t.supplier.createOrReplaceTempView("s_v")
+    val sparkAnsi = spark.sql(
+      "SELECT count(*) FROM c_v WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3) FROM s_v)")
+      .head().getLong(0)
+    val sparkStripped = spark.sql(
+      """SELECT count(*) FROM c_v WHERE c_nationkey NOT IN
+        |(SELECT nullif(s_nationkey, 3) FROM s_v WHERE nullif(s_nationkey, 3) IS NOT NULL)""".stripMargin)
+      .head().getLong(0)
+    assert(got("ansi_not_in") === sparkAnsi)
+    assert(got("null_stripped") === sparkStripped)
+    assert(got("null_stripped") > 0)
+  }
+
+  test("q159: listagg order is by rank, deterministic under ties") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, "alice", 7, 500.0), (2L, "bob", 7, 500.0), (3L, "carol", 7, 900.0),
+      (4L, "dave", 7, 100.0), (5L, "erin", 8, 50.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val got = Relational.topCustomerListagg(customer)
+      .collect().map(r => r.getAs[Int]("c_nationkey") -> r.getAs[String]("top_names")).toMap
+    // nation 7: carol (900), then the 500-tie broken by custkey: alice, bob
+    assert(got(7) === "carol,alice,bob")
+    assert(got(8) === "erin")
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem

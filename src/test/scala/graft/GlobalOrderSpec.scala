@@ -89,6 +89,35 @@ class GlobalOrderSpec extends SparkSpec {
     assert(kept.filter(col("pk") % 2 === 0 && col("pk") <= 2000).count() === 1000)
   }
 
+  test("q160: merged-ranking percent rank ≡ correlated count-below, hand fixture") {
+    import spark.implicits._
+    val ref = Seq(10.0, 20.0, 20.0, 30.0, 40.0).toDF("rv")
+    val query = Seq((1L, 5.0), (2L, 20.0), (3L, 25.0), (4L, 45.0)).toDF("qid", "qv")
+    val got = GlobalOrder.percentRankAgainst(ref, "rv", query, "qid", "qv")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // strictly-below counts: 5→0, 20→1 (only 10), 25→3, 45→5
+    assert(got(1L) === (0L, 0.0))
+    assert(got(2L) === (1L, 0.2))
+    assert(got(3L) === (3L, 0.6))
+    assert(got(4L) === (5L, 1.0))
+  }
+
+  test("q160: real-table ranks match the correlated recount") {
+    val got = GlobalOrder.percentRankAgainst(
+      t.customer, "c_acctbal", t.supplier, "s_suppkey", "s_acctbal")
+    val refCount = t.customer.count()
+    val recount = t.supplier.alias("s")
+      .join(t.customer.alias("c"), col("c.c_acctbal") < col("s.s_acctbal"), "left")
+      .groupBy(col("s.s_suppkey"))
+      .agg(count(col("c.c_custkey")).as("n_below"))
+    val joined = got.join(recount, "s_suppkey").collect()
+    assert(joined.nonEmpty && joined.length.toLong === t.supplier.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_ref_below") === r.getAs[Long]("n_below"))
+    }
+    assert(refCount > 0)
+  }
+
   test("q152: decay credit conserves attributed purchase value; pair set matches q135") {
     val decay = EventAnalytics.timeDecayAttribution(t.events).cache()
     val linear = EventAnalytics.linearAttribution(t.events).cache()

@@ -264,6 +264,7 @@ class PlanSpec extends SparkSpec {
       "q126_chisq"          -> bnl, // 1-row broadcast grand-total (q14/q114 idiom)
       "q133_rich_inactive"  -> bnl, // 1-row broadcast average-balance scalar (q14 idiom)
       "q154_skew_audit"     -> bnl, // 1-row broadcast global-totals scalar (q14/q114 idiom)
+      "q158_null_aware_anti" -> bnl, // 1-row broadcast has-null scalar (q14 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
       "q89_mom_change"      -> Set("unpartitioned-window"),
       "q136_moving_avg"     -> Set("unpartitioned-window"), // window over the #days aggregate (q89 idiom)
@@ -271,7 +272,8 @@ class PlanSpec extends SparkSpec {
       // ≤ numBuckets rows by construction — the data-sized ranking
       // window is partitioned by bucket (asserted in GlobalOrderSpec)
       "q150_global_rownum"  -> Set("unpartitioned-window"),
-      "q153_rfm"            -> Set("unpartitioned-window"))
+      "q153_rfm"            -> Set("unpartitioned-window"),
+      "q160_pct_rank_ref"   -> Set("unpartitioned-window"))
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
