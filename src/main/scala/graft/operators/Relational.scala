@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableRound.round
@@ -401,10 +401,23 @@ object Relational {
     * already maintains streaming samples) the SCAN is p of the table
     * too — that is the 100 TB interactive-dashboard path. Estimator
     * collapses to the exact answer at p = 1 (spec-asserted). */
-  def approxGroupBy(orders: DataFrame, hexChars: Seq[String] = Seq("0", "1", "2", "3")): DataFrame = {
-    val p = hexChars.size / 16.0
-    orders
-      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isInCollection(hexChars))
+  def approxGroupBy(orders: DataFrame, hexChars: Seq[String] = Seq("0", "1", "2", "3")): DataFrame =
+    approxFromSample(
+      orders.filter(hashSamplePredicate(col("o_orderkey"), hexChars)),
+      hexChars.size / 16.0)
+
+  /** Deterministic md5-prefix sample membership — the q55/q157 portable
+    * sampling predicate, shared with the sink's streaming sample-table
+    * maintenance ([[graft.streaming.StreamingSample.hashSampleStream]])
+    * so batch and streamed samples are the same row set by construction. */
+  def hashSamplePredicate(key: Column, hexChars: Seq[String]): Column =
+    substring(md5(key.cast("string")), 1, 1).isInCollection(hexChars)
+
+  /** q157's estimator half: Horvitz–Thompson estimates + standard error
+    * from an ALREADY-MATERIALIZED p-sample (e.g. the sink-maintained
+    * sample table — then the scan itself is p of the data). */
+  def approxFromSample(sample: DataFrame, p: Double): DataFrame = {
+    sample
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_sampled"),

@@ -20,6 +20,19 @@ object StreamingSample {
   case class SampleOut(source: String, ver: Long, rank: Int, doc_id: Long, n_chars: Long)
   case class SampleState(ver: Long, items: List[(Double, Long, Long)])
 
+  /** Sample-table maintenance for AQP (q157's sink-side half): keep the
+    * deterministic md5-prefix p-sample of the stream as its own table,
+    * written alongside the full data. The predicate is STATELESS and
+    * row-local, so it composes with any slicing, needs no state store,
+    * and the streamed sample is the same row set as the batch filter by
+    * construction (spec-asserted) — downstream approximate dashboards
+    * then SCAN p of the data, not just shuffle p of it. */
+  def hashSampleStream(
+      events: DataFrame,
+      keyCol: String,
+      hexChars: Seq[String] = Seq("0", "1", "2", "3")): DataFrame =
+    events.filter(graft.operators.Relational.hashSamplePredicate(col(keyCol), hexChars))
+
   def weightedSample(spark: SparkSession, docs: DataFrame, k: Int = 20): DataFrame = {
     import spark.implicits._
     def update(source: String, rows: Iterator[DocIn], state: GroupState[SampleState]): Iterator[SampleOut] = {

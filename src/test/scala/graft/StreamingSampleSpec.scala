@@ -24,6 +24,31 @@ class StreamingSampleSpec extends SparkSpec {
       .map { case (s, _, d, n) => (s, d, n) }.toSet
   }
 
+  test("stream_sample_table: streamed md5 sample ≡ batch filter, estimates ≡ q157") {
+    val orders = Tables(spark, sfDir).orders
+    val in = tmp()
+    orders.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = StreamingSample.hashSampleStream(stream, "o_orderkey")
+      .writeStream.format("memory").queryName("aqp_sample")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("aqp_sample")
+    val batchSample = orders.filter(
+      graft.operators.Relational.hashSamplePredicate(col("o_orderkey"), Seq("0", "1", "2", "3")))
+    assert(streamed.count() === batchSample.count())
+    assert(streamed.select("o_orderkey").except(batchSample.select("o_orderkey")).isEmpty)
+    // estimates computed FROM the streamed sample table match the batch
+    // q157 answer bit-for-bit
+    val fromStream = graft.operators.Relational.approxFromSample(streamed, 0.25)
+    val batch = graft.operators.Relational.approxGroupBy(orders)
+    assert(fromStream.except(batch).isEmpty && batch.except(fromStream).isEmpty)
+  }
+
   test("stream_weighted_sample: final reservoir equals the batch q105 sample") {
     val docs = Tables(spark, sfDir).documents
     val in = tmp()
