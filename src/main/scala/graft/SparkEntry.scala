@@ -260,6 +260,7 @@ object SparkEntry {
       Relational.notInNullable(t.customer, t.supplier)
     }),
     "q159_listagg" -> ((s, d) => Relational.topCustomerListagg(Tables(s, d).customer)),
+    "q161_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(Tables(s, d).documents)),
     "q160_pct_rank_ref" -> ((s, d) => {
       val t = Tables(s, d)
       GlobalOrder.percentRankAgainst(t.customer, "c_acctbal", t.supplier, "s_suppkey", "s_acctbal")
@@ -1485,6 +1486,31 @@ object SparkEntry {
         |  string_agg(c_name, ',' ORDER BY rnk) AS top_names,
         |  floor(sum(c_acctbal)*10000 + 0.5)/10000 AS top_balance
         |FROM r WHERE rnk <= 3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q161_length_drift" ->
+      """WITH cells AS (
+        |  SELECT source, CAST(least(floor(length(text) / 200), 9) AS INTEGER) AS bin,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ref AS (SELECT bin, sum(c) AS rc FROM cells GROUP BY bin),
+        |spine AS (
+        |  SELECT s.source, b.bin
+        |  FROM (SELECT DISTINCT source FROM cells) s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |dense AS (
+        |  SELECT sp.source, sp.bin,
+        |    COALESCE(c.c, 0) + 0.5 AS sc,
+        |    COALESCE(r.rc, 0) + 0.5 AS rc
+        |  FROM spine sp
+        |  LEFT JOIN cells c ON sp.source = c.source AND sp.bin = c.bin
+        |  LEFT JOIN ref r ON sp.bin = r.bin),
+        |t AS (SELECT source, sum(sc) AS sn, sum(rc) AS rn FROM dense GROUP BY source),
+        |pq AS (
+        |  SELECT d.source, d.sc/t.sn AS p, d.rc/t.rn AS q, d.sc - 0.5 AS c
+        |  FROM dense d JOIN t ON d.source = t.source)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  floor((sum(p * ln(p / ((p+q)/2))) + sum(q * ln(q / ((p+q)/2))))/2 * 10000 + 0.5)/10000
+        |    AS js_divergence
+        |FROM pq GROUP BY source ORDER BY source""".stripMargin,
     "q160_pct_rank_ref" ->
       """WITH n AS (SELECT count(*) AS n_ref FROM customer)
         |SELECT s.s_suppkey,

@@ -810,4 +810,55 @@ object TextAnalysis {
         count(lit(1)).as("n_ranks"))
       .orderBy("lang")
   }
+
+  /** q161: distribution-drift monitor — Jensen–Shannon divergence of each
+    * source's document-length histogram against the corpus reference: the
+    * per-ingest-window drift alarm a training-data pipeline runs before a
+    * new slice is allowed into the mix (the distributional cousin of
+    * q126's categorical chi-square).
+    *
+    * One map-side binning pass collapses the corpus to (source × bins)
+    * cells; the reference histogram is bins-sized; the cross grid is
+    * densified from distinct sources × a literal bin spine so
+    * zero-observation bins still contribute (q126 discipline), with
+    * +0.5 Laplace smoothing so no log ever sees zero. Everything past the
+    * cell groupBy is broadcast at (sources × bins) cardinality. JS is
+    * symmetric and bounded by ln 2 — thresholdable without tuning per
+    * source, which is why it beats raw KL for an alarm. */
+  def lengthDrift(documents: DataFrame, binWidth: Int = 200, nBins: Int = 10): DataFrame = {
+    val bin = least(floor(length(col("text")) / binWidth), lit(nBins - 1)).cast("int")
+    val cells = documents
+      .groupBy(col("source"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val refTotals = cells.groupBy("bin").agg(sum("c").as("rc"))
+    val spine = cells.select("source").distinct()
+      .crossJoin(broadcast(
+        documents.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))))
+    val dense = spine
+      .join(broadcast(cells), Seq("source", "bin"), "left")
+      .join(broadcast(refTotals), Seq("bin"), "left")
+      .select(
+        col("source"), col("bin"),
+        (coalesce(col("c"), lit(0L)).cast("double") + 0.5).as("sc"),
+        (coalesce(col("rc"), lit(0L)).cast("double") + 0.5).as("rc"))
+    val totals = dense.groupBy("source")
+      .agg(sum("sc").as("sn"), sum("rc").as("rn"))
+    dense
+      .join(broadcast(totals), Seq("source"))
+      .select(
+        col("source"),
+        (col("sc") / col("sn")).as("p"),
+        (col("rc") / col("rn")).as("q"),
+        (col("sc") - 0.5).as("c"))
+      .select(
+        col("source"), col("p"), col("q"), col("c"),
+        ((col("p") + col("q")) / 2).as("m"))
+      .groupBy("source")
+      .agg(
+        sum("c").cast("long").as("n_docs"),
+        round(
+          (sum(col("p") * log(col("p") / col("m"))) +
+            sum(col("q") * log(col("q") / col("m")))) / 2, 4).as("js_divergence"))
+      .orderBy("source")
+  }
 }

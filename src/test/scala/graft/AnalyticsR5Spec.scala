@@ -123,6 +123,31 @@ class AnalyticsR5Spec extends SparkSpec {
     assert(got(8) === "erin")
   }
 
+  test("q161: JS divergence is zero for a mirrored source, large for a shifted one, ≤ ln 2") {
+    import spark.implicits._
+    // source "same" mirrors the reference shape exactly (it IS most of
+    // the corpus); source "shifted" lives in the top bin only
+    val docs =
+      (1 to 400).map(i => (i.toLong, "x" * 100, "same")) ++
+        (1 to 400).map(i => (400L + i, "x" * 100, "same2")) ++
+        (1 to 20).map(i => (800L + i, "x" * 1900, "shifted"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.lengthDrift(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("same")._1 === 400L && out("shifted")._1 === 20L)
+    // identical-shape sources sit near zero; the shifted source is an
+    // order of magnitude farther from the reference; all within [0, ln2]
+    assert(out.values.forall { case (_, js) => js >= 0.0 && js <= math.log(2.0) + 1e-9 })
+    assert(out("shifted")._2 > 10 * math.max(out("same")._2, 1e-4))
+  }
+
+  test("q161: single-source corpus diverges from its own reference by exactly zero") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "y" * (i * 37 % 2000), "only")).toDF("doc_id", "text", "source")
+    val js = graft.operators.TextAnalysis.lengthDrift(df).head().getDouble(2)
+    assert(js === 0.0)
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem
