@@ -450,7 +450,12 @@ object Relational {
     val stripped = probe.filter(col("k").isNotNull).distinct()
     val notAmong = customer
       .join(stripped, customer("c_nationkey") === stripped("k"), "left_anti")
-    val ansi = notAmong.join(broadcast(hasNull)).filter(!col("has_null"))
+    // ANSI completeness: a NULL probe value is also UNKNOWN against a
+    // non-empty set (the probe here is never empty), so it can never
+    // satisfy NOT IN — the anti join alone would keep it
+    val ansi = notAmong
+      .filter(col("c_nationkey").isNotNull)
+      .join(broadcast(hasNull)).filter(!col("has_null"))
     Seq(("ansi_not_in", ansi), ("null_stripped", notAmong))
       .map { case (variant, df) =>
         df.agg(count(lit(1)).as("n_customers")).select(lit(variant).as("variant"), col("n_customers"))
