@@ -261,6 +261,8 @@ object SparkEntry {
     }),
     "q159_listagg" -> ((s, d) => Relational.topCustomerListagg(Tables(s, d).customer)),
     "q161_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(Tables(s, d).documents)),
+    "q162_audience_overlap" -> ((s, d) => Relational.audienceOverlap(Tables(s, d).events)),
+    "q163_rrf_fusion" -> ((s, d) => Similarity.annRrfFusion(Tables(s, d).embeddings)),
     "q160_pct_rank_ref" -> ((s, d) => {
       val t = Tables(s, d)
       GlobalOrder.percentRankAgainst(t.customer, "c_acctbal", t.supplier, "s_suppkey", "s_acctbal")
@@ -1486,6 +1488,20 @@ object SparkEntry {
         |  string_agg(c_name, ',' ORDER BY rnk) AS top_names,
         |  floor(sum(c_acctbal)*10000 + 0.5)/10000 AS top_balance
         |FROM r WHERE rnk <= 3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q162_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |pair AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b, p.n_both,
+        |  floor(p.n_both / CAST(ta.n + tb.n - p.n_both AS DOUBLE) * 10000 + 0.5)/10000
+        |    AS jaccard
+        |FROM pair p
+        |JOIN tot ta ON p.type_a = ta.event_type
+        |JOIN tot tb ON p.type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q161_length_drift" ->
       """WITH cells AS (
         |  SELECT source, CAST(least(floor(length(text) / 200), 9) AS INTEGER) AS bin,

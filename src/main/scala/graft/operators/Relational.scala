@@ -390,6 +390,34 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q162: audience overlap matrix — |A∩B|, per-audience sizes and
+    * Jaccard for every pair of event types ("users who did A and also
+    * B", the segment-overlap report behind every cross-sell dashboard).
+    * The q92 basket idiom on per-user type sets: one distinct pass
+    * collapses events to (user, type) — bounded at users × #types —
+    * the self-join expands ≤ C(#types,2) rows per user (type-count-
+    * bounded, never data²), audience totals ride back in at
+    * #types cardinality broadcast. Two data-proportional shuffles
+    * regardless of how many pairs are reported. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select("user_id", "event_type").distinct()
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    val pairs = a
+      .join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(
+        col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 4).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q157: approximate group-by with error bars (BlinkDB-style AQP):
     * per-priority order counts/revenue estimated from a deterministic
     * 25% md5 sample (the q55 portable-sampling idiom — hex-prefix of

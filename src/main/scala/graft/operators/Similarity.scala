@@ -74,6 +74,49 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q163: reciprocal-rank fusion (RRF) of two retrieval rankings — the
+    * hybrid-search primitive (full-precision ranking ⊕ a cheap
+    * first-stage, here the 8-dim truncated embedding standing in for the
+    * sparse/keyword leg). RRF scores `Σ 1/(k0 + rank)` over the union of
+    * the two top-m lists — scale-free, so no score calibration between
+    * legs is needed, which is exactly why engines fuse this way.
+    *
+    * ONE broadcast-scored pass computes both similarity legs; both ranks
+    * come from windows over the same (query-partitioned) shuffle; the
+    * fusion is a row-local expression — no second scan, no join between
+    * the legs. Rows-only (float ranking): spec recomputes RRF from the
+    * collected legs and pins the both-legs-top-1 dominance property. */
+  def annRrfFusion(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      m: Int = 10,
+      k: Int = 5,
+      k0: Int = 60,
+      cheapDims: Int = 8): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w1 = Window.partitionBy("qid").orderBy(desc("s_full"), asc("cid"))
+    val w2 = Window.partitionBy("qid").orderBy(desc("s_cheap"), asc("cid"))
+    val wf = Window.partitionBy("qid").orderBy(desc("rrf"), asc("cid"))
+    c.crossJoin(broadcast(q))
+      .withColumn("s_full", dot(col("qe"), col("ce")))
+      .withColumn("s_cheap", dot(slice(col("qe"), 1, cheapDims), slice(col("ce"), 1, cheapDims)))
+      .withColumn("rk_full", row_number().over(w1).cast("long"))
+      .withColumn("rk_cheap", row_number().over(w2).cast("long"))
+      .withColumn("rrf",
+        when(col("rk_full") <= m, lit(1.0) / (lit(k0) + col("rk_full"))).otherwise(lit(0.0)) +
+          when(col("rk_cheap") <= m, lit(1.0) / (lit(k0) + col("rk_cheap"))).otherwise(lit(0.0)))
+      .filter(col("rrf") > 0)
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+      .select(
+        col("qid"), col("rk"), col("cid"),
+        col("rk_full"), col("rk_cheap"), round(col("rrf"), 4).as("rrf_score"))
+      .orderBy("qid", "rk")
+  }
+
   /** JIT kernels for the no-oracle LSH path: higher-order column math is
     * interpreted (≈µs/element, boxed); these tight loops are the same
     * arithmetic at ns/element. q51 keeps the declarative dot so its

@@ -148,6 +148,57 @@ class AnalyticsR5Spec extends SparkSpec {
     assert(js === 0.0)
   }
 
+  test("q162: hand-built audiences produce exact intersections and jaccard") {
+    import spark.implicits._
+    // u1: {a,b}; u2: {a,b,c}; u3: {a}; u4: {c}
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (4L, "c")
+    ).toDF("user_id", "event_type")
+    val got = Relational.audienceOverlap(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got(("a", "b")) === ((3L, 2L, 2L, 0.6667)))
+    assert(got(("a", "c")) === ((3L, 2L, 1L, 0.25)))
+    assert(got(("b", "c")) === ((2L, 2L, 1L, 0.3333)))
+  }
+
+  test("q162: real-event overlaps are bounded by audience sizes") {
+    val rows = Relational.audienceOverlap(t.events).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (na, nb, both, j) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"), r.getAs[Double]("jaccard"))
+      assert(both <= math.min(na, nb) && j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q163: fused score recomputes from the legs; both-legs-top-1 dominates") {
+    import graft.operators.Similarity
+    val fused = Similarity.annRrfFusion(Tables(spark, sfDir).embeddings).collect()
+    assert(fused.nonEmpty)
+    // per query: rrf_score must equal the RRF formula over the reported ranks
+    fused.foreach { r =>
+      val expect =
+        (if (r.getAs[Long]("rk_full") <= 10) 1.0 / (60 + r.getAs[Long]("rk_full")) else 0.0) +
+          (if (r.getAs[Long]("rk_cheap") <= 10) 1.0 / (60 + r.getAs[Long]("rk_cheap")) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") - expect) < 1e-4)
+    }
+    // fused ranking is descending in score within each query
+    fused.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("rrf_score"))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y - 1e-9 })
+    }
+    // a candidate that tops BOTH legs must top the fusion
+    fused.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      rows.find(r => r.getAs[Long]("rk_full") == 1L && r.getAs[Long]("rk_cheap") == 1L)
+        .foreach(r => assert(r.getAs[Long]("rk") === 1L))
+    }
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem
