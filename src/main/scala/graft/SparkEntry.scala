@@ -262,6 +262,8 @@ object SparkEntry {
     "q159_listagg" -> ((s, d) => Relational.topCustomerListagg(Tables(s, d).customer)),
     "q161_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(Tables(s, d).documents)),
     "q162_audience_overlap" -> ((s, d) => Relational.audienceOverlap(Tables(s, d).events)),
+    "q164_reset_cumsum" -> ((s, d) => EventAnalytics.spendBetweenPurchases(Tables(s, d).events)),
+    "q165_daily_churn" -> ((s, d) => EventAnalytics.dailyChurn(Tables(s, d).events)),
     "q163_rrf_fusion" -> ((s, d) => Similarity.annRrfFusion(Tables(s, d).embeddings)),
     "q160_pct_rank_ref" -> ((s, d) => {
       val t = Tables(s, d)
@@ -1488,6 +1490,28 @@ object SparkEntry {
         |  string_agg(c_name, ',' ORDER BY rnk) AS top_names,
         |  floor(sum(c_acctbal)*10000 + 0.5)/10000 AS top_balance
         |FROM r WHERE rnk <= 3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q164_reset_cumsum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS epoch
+        |  FROM events)
+        |SELECT user_id, epoch,
+        |  count(*) AS n_events,
+        |  floor(sum(CASE WHEN event_type <> 'purchase' THEN value ELSE 0 END)*10000 + 0.5)/10000
+        |    AS browse_value,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS converted
+        |FROM e GROUP BY 1, 2 ORDER BY user_id, epoch""".stripMargin,
+    "q165_daily_churn" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |y AS (SELECT d + 1 AS d, user_id AS y_user FROM du)
+        |SELECT strftime(COALESCE(du.d, y.d), '%Y-%m-%d') AS day,
+        |  count(CASE WHEN du.user_id IS NOT NULL AND y.y_user IS NOT NULL THEN 1 END) AS retained,
+        |  count(CASE WHEN du.user_id IS NOT NULL AND y.y_user IS NULL THEN 1 END) AS gained,
+        |  count(CASE WHEN du.user_id IS NULL AND y.y_user IS NOT NULL THEN 1 END) AS lost
+        |FROM du FULL OUTER JOIN y ON du.d = y.d AND du.user_id = y.y_user
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q162_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),

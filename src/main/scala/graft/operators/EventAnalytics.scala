@@ -185,6 +185,58 @@ object EventAnalytics {
       .orderBy("click_day")
   }
 
+  /** q164: cumulative sum with CONDITIONAL RESETS — per-user spend
+    * accumulated between purchases ("how much browsing value preceded
+    * each conversion"). The reset-cumsum idiom: a running count of
+    * reset events (purchases) partitions each user's timeline into
+    * epochs, and the inner cumulative sum is per (user, epoch) — two
+    * stacked user-partitioned windows, both data-proportional, no
+    * cross-user state. Output collapses to epoch grain: events per
+    * epoch, value accumulated, whether the epoch closed with a
+    * purchase. */
+  def spendBetweenPurchases(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val epoch = sum(when(col("event_type") === "purchase", 1).otherwise(0))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .withColumn("epoch", coalesce(epoch, lit(0L)))
+      .groupBy("user_id", "epoch")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(when(col("event_type") =!= "purchase", col("value")).otherwise(0.0)), 4)
+          .as("browse_value"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).cast("int").as("converted"))
+      .orderBy("user_id", "epoch")
+  }
+
+  /** q165: day-over-day audience churn — users gained, lost and
+    * retained between consecutive ACTIVE days (the daily dual of q78's
+    * weekly cohorts). One distinct pass to (day, user) cells, then the
+    * same cells joined to themselves shifted by one calendar day —
+    * a (day,user)-keyed equi-join, never a set-diff over collected
+    * sets — and a day-grain rollup. Day spine comes from the data;
+    * days with no yesterday row count everything as gained. */
+  def dailyChurn(events: DataFrame): DataFrame = {
+    val du = events.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      to_date(col("ts")).as("d"),
+      col("user_id")).distinct()
+    val today = du.select(col("day"), col("d"), col("user_id"))
+    val yday = du.select(date_add(col("d"), 1).as("yd"), col("user_id").as("y_user"))
+    val joined = today.join(
+      yday,
+      today("d") === yday("yd") && today("user_id") === yday("y_user"),
+      "full_outer")
+    joined
+      .withColumn("day_key", coalesce(col("day"), date_format(col("yd"), "yyyy-MM-dd")))
+      .groupBy(col("day_key").as("day"))
+      .agg(
+        count(when(col("user_id").isNotNull && col("y_user").isNotNull, 1)).as("retained"),
+        count(when(col("user_id").isNotNull && col("y_user").isNull, 1)).as("gained"),
+        count(when(col("user_id").isNull && col("y_user").isNotNull, 1)).as("lost"))
+      .orderBy("day")
+  }
+
   /** q136: trailing 7-day moving average of daily revenue — the
     * smoothed dashboard series. Events collapse FIRST to one row per
     * day (the aggregate output is calendar-bounded); the trailing

@@ -199,6 +199,47 @@ class AnalyticsR5Spec extends SparkSpec {
     }
   }
 
+  test("q164: purchases close epochs; browse value accumulates between resets") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      (1L, ts(1), 7L, "view", 5.0), (2L, ts(2), 7L, "click", 3.0),
+      (3L, ts(3), 7L, "purchase", 10.0), (4L, ts(4), 7L, "view", 2.0),
+      (5L, ts(5), 7L, "purchase", 1.0), (6L, ts(6), 7L, "view", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.EventAnalytics.spendBetweenPurchases(events)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got(0L) === ((3L, 8.0, 1)))  // view+click+closing purchase
+    assert(got(1L) === ((2L, 2.0, 1)))  // view, closing purchase
+    assert(got(2L) === ((1L, 4.0, 0)))  // trailing open epoch
+  }
+
+  test("q165: churn fixture — gained/retained/lost per consecutive day") {
+    import spark.implicits._
+    val ts = (d: Int, u: Long) => java.sql.Timestamp.valueOf(f"2024-02-0$d%d 10:00:00")
+    val events = Seq(
+      (1L, ts(1, 1), 1L, "view", 0.0), (2L, ts(1, 2), 2L, "view", 0.0),
+      (3L, ts(2, 2), 2L, "view", 0.0), (4L, ts(2, 3), 3L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.EventAnalytics.dailyChurn(events)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-02-01") === ((0L, 2L, 0L)))  // retained, gained, lost
+    assert(got("2024-02-02") === ((1L, 1L, 1L)))
+    assert(got("2024-02-03") === ((0L, 0L, 2L)))  // day after the window
+  }
+
+  test("q165: per-day conservation — retained + gained equals that day's active users") {
+    val churn = graft.operators.EventAnalytics.dailyChurn(t.events)
+    val active = t.events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("n_active"))
+    val joined = churn.join(active, Seq("day"), "inner").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("retained") + r.getAs[Long]("gained") === r.getAs[Long]("n_active"))
+    }
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem
