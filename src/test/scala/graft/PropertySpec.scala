@@ -205,4 +205,35 @@ class PropertySpec extends SparkSpec {
         fast == brute
     }, trials = 10)
   }
+
+  test("range-scheme global row numbers equal the single-reducer window on any data") {
+    import org.apache.spark.sql.expressions.Window
+    checkProp(Prop.forAll(
+      Gen.listOf(Gen.choose(-50, 50)), Gen.choose(2, 40)) { (vals: List[Int], parts: Int) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }.toDF("id", "v")
+      val got = graft.operators.GlobalOrder
+        .withGlobalRowNumber(df, col("v"), Seq("v", "id"), "rn", "__t", parts)
+        .select("id", "rn").as[(Long, Long)].collect().toSet
+      val want = df
+        .withColumn("rn", row_number().over(Window.orderBy("v", "id")).cast("long"))
+        .select("id", "rn").as[(Long, Long)].collect().toSet
+      got == want
+    }, trials = 12)
+  }
+
+  test("exact ntile equals SQL ntile on any data, bucket count and partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    checkProp(Prop.forAll(
+      Gen.listOf(Gen.choose(0, 8)), Gen.choose(1, 9), Gen.choose(2, 17)) {
+      (vals: List[Int], buckets: Int, parts: Int) =>
+        val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }.toDF("id", "v")
+        val got = graft.operators.GlobalOrder
+          .withExactNtile(df, col("v"), Seq("v", "id"), buckets, "b", parts)
+          .select("id", "b").as[(Long, Int)].collect().toSet
+        val want = df
+          .withColumn("b", ntile(buckets).over(Window.orderBy("v", "id")))
+          .select("id", "b").as[(Long, Int)].collect().toSet
+        got == want
+    }, trials = 12)
+  }
 }
