@@ -264,6 +264,11 @@ object SparkEntry {
     "q162_audience_overlap" -> ((s, d) => Relational.audienceOverlap(Tables(s, d).events)),
     "q164_reset_cumsum" -> ((s, d) => EventAnalytics.spendBetweenPurchases(Tables(s, d).events)),
     "q165_daily_churn" -> ((s, d) => EventAnalytics.dailyChurn(Tables(s, d).events)),
+    "q166_neyman_sample" -> ((s, d) => TextAnalysis.neymanSample(Tables(s, d).documents)),
+    "q169_contribution" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.revenueContribution(t.orders, t.customer, t.nation, t.region)
+    }),
     "q163_rrf_fusion" -> ((s, d) => Similarity.annRrfFusion(Tables(s, d).embeddings)),
     "q160_pct_rank_ref" -> ((s, d) => {
       val t = Tables(s, d)
@@ -1490,6 +1495,48 @@ object SparkEntry {
         |  string_agg(c_name, ',' ORDER BY rnk) AS top_names,
         |  floor(sum(c_acctbal)*10000 + 0.5)/10000 AS top_balance
         |FROM r WHERE rnk <= 3 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q166_neyman_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS x,
+        |    md5(CAST(doc_id AS VARCHAR)) AS priority
+        |  FROM documents),
+        |st AS (SELECT source, count(*) AS n_pop, stddev_pop(x) AS sigma FROM s GROUP BY source),
+        |tw AS (SELECT sum(n_pop * sigma) AS tw FROM st),
+        |al AS (
+        |  SELECT source, n_pop, sigma,
+        |    least(n_pop, CAST(floor(
+        |      100 * (floor(n_pop * sigma / tw.tw * 10000 + 0.5)/10000) + 0.5) AS BIGINT))
+        |      AS n_alloc
+        |  FROM st, tw),
+        |r AS (
+        |  SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rk
+        |  FROM s)
+        |SELECT r.source AS source, al.n_pop,
+        |  floor(al.sigma*10000 + 0.5)/10000 AS sigma,
+        |  al.n_alloc, count(*) AS n_selected,
+        |  floor(avg(r.x)*10000 + 0.5)/10000 AS avg_chars_selected
+        |FROM r JOIN al ON r.source = al.source
+        |WHERE r.rk <= al.n_alloc
+        |GROUP BY r.source, al.n_pop, al.sigma, al.n_alloc
+        |ORDER BY r.source""".stripMargin,
+    "q169_contribution" ->
+      """WITH nr AS (
+        |  SELECT c.c_nationkey,
+        |    floor(sum(o.o_totalprice)*10000 + 0.5)/10000 AS revenue
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey),
+        |nn AS (
+        |  SELECT n.n_name, n.n_regionkey, nr.revenue
+        |  FROM nr JOIN nation n ON nr.c_nationkey = n.n_nationkey),
+        |rr AS (SELECT n_regionkey, sum(revenue) AS region_revenue FROM nn GROUP BY 1),
+        |g AS (SELECT sum(revenue) AS global_revenue FROM nn)
+        |SELECT re.r_name, nn.n_name, nn.revenue,
+        |  floor(nn.revenue / rr.region_revenue * 100 * 10000 + 0.5)/10000 AS pct_of_region,
+        |  floor(nn.revenue / g.global_revenue * 100 * 10000 + 0.5)/10000 AS pct_of_global
+        |FROM nn JOIN rr ON nn.n_regionkey = rr.n_regionkey
+        |CROSS JOIN g JOIN region re ON nn.n_regionkey = re.r_regionkey
+        |ORDER BY re.r_name, nn.n_name""".stripMargin,
     "q164_reset_cumsum" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value,

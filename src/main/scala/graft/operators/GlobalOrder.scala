@@ -121,6 +121,39 @@ object GlobalOrder {
       .orderBy("rn")
   }
 
+  /** Grouped variant: per-`groupCols` row numbers in `sortCols` order
+    * WITHOUT sorting whole groups in one task. `bucketCol` must be a
+    * small-cardinality column monotone in the sort order within each
+    * group (e.g. the 2-hex md5 prefix for md5-ordered ranks, the q149
+    * trick): local ranks come from (group, bucket)-partitioned windows
+    * — each ≈ group/buckets rows — and per-(group,bucket) counts
+    * prefix-sum into offsets with a window PARTITIONED BY GROUP over
+    * ≤buckets rows per group. Nothing unpartitioned, nothing
+    * group-sized in one sort. */
+  def withGroupedRowNumber(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bucketCol: Column,
+      sortCols: Seq[String],
+      rnCol: String = "rn"): DataFrame = {
+    val keyed = df.withColumn("__gbkt", bucketCol)
+    val gcols = groupCols.map(col)
+    val tiny = Window.partitionBy(gcols: _*).orderBy("__gbkt")
+    val offsets = keyed
+      .groupBy(gcols :+ col("__gbkt"): _*).count()
+      .select(
+        gcols :+ col("__gbkt") :+
+          coalesce(
+            sum("count").over(tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("__offset"): _*)
+    val localRank = row_number().over(
+      Window.partitionBy(gcols :+ col("__gbkt"): _*).orderBy(sortCols.map(col): _*))
+    keyed
+      .join(broadcast(offsets), groupCols :+ "__gbkt")
+      .withColumn(rnCol, localRank.cast("long") + col("__offset"))
+      .drop("__gbkt", "__offset")
+  }
+
   /** q160: exact cross-distribution percent-rank ("score normalization
     * against a reference population") — each query row's percentile
     * within the REFERENCE distribution, exactly, with no per-row

@@ -390,6 +390,41 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q169: percent-of-parent contribution report (nation→region→global
+    * hierarchy): each nation's revenue with its share of its region and
+    * of the world — the drill-down share view q114 flattens to one
+    * level. One fact-proportional aggregate to nation grain; region
+    * totals re-aggregate FROM the nation table (never a second fact
+    * pass) and ride back broadcast at region cardinality; the global
+    * total uses the 1-row broadcast scalar idiom. Shares divide
+    * pre-rounded revenue both engines (q90 discipline). */
+  def revenueContribution(
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val natRev = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        orders("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(round(sum("o_totalprice"), 4).as("revenue"))
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name"), col("n_regionkey"))),
+        Seq("c_nationkey"))
+    val regRev = natRev.groupBy("n_regionkey").agg(sum("revenue").as("region_revenue"))
+    val total = natRev.agg(sum("revenue").as("global_revenue"))
+    natRev
+      .join(broadcast(regRev), Seq("n_regionkey"))
+      .join(broadcast(total))
+      .join(broadcast(region.select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+        Seq("n_regionkey"))
+      .select(
+        col("r_name"), col("n_name"), col("revenue"),
+        round(col("revenue") / col("region_revenue") * 100, 4).as("pct_of_region"),
+        round(col("revenue") / col("global_revenue") * 100, 4).as("pct_of_global"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** q162: audience overlap matrix — |A∩B|, per-audience sizes and
     * Jaccard for every pair of event types ("users who did A and also
     * B", the segment-overlap report behind every cross-sell dashboard).

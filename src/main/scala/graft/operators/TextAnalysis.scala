@@ -811,6 +811,50 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q166: Neyman-allocation stratified sampling — the survey-statistics
+    * answer to "given a total budget B, how many docs should each
+    * stratum contribute?": n_h ∝ N_h·σ_h, so big AND internally-varied
+    * strata get more rows, low-variance strata fewer — minimum-variance
+    * estimates for a fixed budget vs q55's uniform rates.
+    *
+    * One stats pass (stratum-cardinality N_h/σ_h), allocation arithmetic
+    * on the tiny stats table with weights pre-rounded to 4 decimals
+    * (cross-engine float discipline before any floor), then the n_h
+    * selection in deterministic md5 priority — ranked by
+    * [[GlobalOrder.withGroupedRowNumber]] over the 2-hex md5-prefix
+    * buckets (the q149 trick), so no stratum is ever sorted in one
+    * task. Output is the per-stratum reconciliation: population,
+    * allocation, selection, and the selected-set mean. */
+  def neymanSample(documents: DataFrame, budget: Int = 100): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"), col("source"),
+      length(col("text")).cast("double").as("x"),
+      md5(col("doc_id").cast("string")).as("priority"))
+    val stats = scored.groupBy("source").agg(
+      count(lit(1)).as("n_pop"),
+      stddev_pop(col("x")).as("sigma"))
+    val totalW = stats.agg(sum(col("n_pop") * col("sigma")).as("tw"))
+    val alloc = stats
+      .join(broadcast(totalW))
+      .withColumn("w", round(col("n_pop") * col("sigma") / col("tw"), 4))
+      .withColumn("n_alloc",
+        least(col("n_pop"), floor(lit(budget) * col("w") + 0.5).cast("long")))
+      .select("source", "n_pop", "sigma", "n_alloc")
+    val ranked = GlobalOrder.withGroupedRowNumber(
+      scored, Seq("source"), substring(col("priority"), 1, 2), Seq("priority", "doc_id"), "rk")
+    ranked
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("rk") <= col("n_alloc"))
+      .groupBy("source")
+      .agg(
+        first("n_pop").as("n_pop"),
+        round(first("sigma"), 4).as("sigma"),
+        first("n_alloc").as("n_alloc"),
+        count(lit(1)).as("n_selected"),
+        round(avg("x"), 4).as("avg_chars_selected"))
+      .orderBy("source")
+  }
+
   /** q161: distribution-drift monitor — Jensen–Shannon divergence of each
     * source's document-length histogram against the corpus reference: the
     * per-ingest-window drift alarm a training-data pipeline runs before a

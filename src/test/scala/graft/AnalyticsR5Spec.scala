@@ -240,6 +240,47 @@ class AnalyticsR5Spec extends SparkSpec {
     }
   }
 
+  test("q166: Neyman allocation favors big varied strata; selection is the md5 top-n") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // "wild": 300 docs, lengths 10..1000 (high σ); "flat": 300 docs, all length 100
+    val docs = ((1 to 300).map(i => (i.toLong, "x" * (10 + rng.nextInt(990)), "wild")) ++
+      (1 to 300).map(i => (300L + i, "x" * 100, "flat"))).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.neymanSample(docs, budget = 60)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (wildPop, wildAlloc, wildSel, _) = out("wild")
+    assert(wildPop === 300L && wildAlloc === wildSel)
+    // zero-variance stratum gets nothing under Neyman (so it vanishes
+    // from the post-selection report); the varied one takes ~everything
+    assert(!out.contains("flat") || out("flat")._2 === 0L)
+    assert(wildAlloc >= 55L && wildAlloc <= 60L)
+    // selection = the n_alloc smallest md5 priorities of the stratum
+    val expectAvg = docs.filter(col("source") === "wild")
+      .select(col("doc_id"), length(col("text")).cast("double").as("x"),
+        md5(col("doc_id").cast("string")).as("p"))
+      .orderBy("p", "doc_id").limit(wildAlloc.toInt)
+      .agg(avg("x")).head().getDouble(0)
+    assert(math.abs(out("wild")._4 - expectAvg) < 1e-2)
+  }
+
+  test("q166: real-table selection never exceeds allocation and fills it when possible") {
+    val rows = graft.operators.TextAnalysis.neymanSample(t.documents).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pop, alloc, sel) = (r.getAs[Long]("n_pop"), r.getAs[Long]("n_alloc"), r.getAs[Long]("n_selected"))
+      assert(sel === math.min(alloc, pop))
+    }
+  }
+
+  test("q169: nation shares sum to 100 within each region and globally") {
+    val out = Relational.revenueContribution(t.orders, t.customer, t.nation, t.region).cache()
+    val regionSums = out.groupBy("r_name").agg(sum("pct_of_region").as("s")).collect()
+    regionSums.foreach(r => assert(math.abs(r.getAs[Double]("s") - 100.0) < 0.01))
+    val globalSum = out.agg(sum("pct_of_global")).head().getDouble(0)
+    assert(math.abs(globalSum - 100.0) < 0.01)
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem

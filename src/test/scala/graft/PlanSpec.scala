@@ -267,6 +267,8 @@ class PlanSpec extends SparkSpec {
       "q158_null_aware_anti" -> bnl, // 1-row broadcast has-null scalar (q14 idiom)
       "q161_length_drift"   -> bnl, // sources × bins grid densification (q126 idiom, bounded)
       "q163_rrf_fusion"     -> bnl, // bounded broadcast query side (q51/q59 idiom)
+      "q166_neyman_sample"  -> bnl, // 1-row broadcast Σ(N_h·σ_h) scalar (q14 idiom)
+      "q169_contribution"   -> bnl, // 1-row broadcast global-total scalar (q14/q114 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
       "q89_mom_change"      -> Set("unpartitioned-window"),
       "q136_moving_avg"     -> Set("unpartitioned-window"), // window over the #days aggregate (q89 idiom)
