@@ -265,6 +265,8 @@ object SparkEntry {
     "q164_reset_cumsum" -> ((s, d) => EventAnalytics.spendBetweenPurchases(Tables(s, d).events)),
     "q165_daily_churn" -> ((s, d) => EventAnalytics.dailyChurn(Tables(s, d).events)),
     "q166_neyman_sample" -> ((s, d) => TextAnalysis.neymanSample(Tables(s, d).documents)),
+    "q167_interpolate" -> ((s, d) => EventAnalytics.interpolatePurchaseValue(Tables(s, d).events)),
+    "q168_markov_matrix" -> ((s, d) => EventAnalytics.markovMatrix(Tables(s, d).events)),
     "q169_contribution" -> ((s, d) => {
       val t = Tables(s, d)
       Relational.revenueContribution(t.orders, t.customer, t.nation, t.region)
@@ -1520,6 +1522,58 @@ object SparkEntry {
         |WHERE r.rk <= al.n_alloc
         |GROUP BY r.source, al.n_pop, al.sigma, al.n_alloc
         |ORDER BY r.source""".stripMargin,
+    "q167_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |nb AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM e),
+        |it AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN event_type <> 'purchase' THEN
+        |      CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |        THEN prev_v + (next_v - prev_v) *
+        |          ((us - prev_us) / CAST(next_us - prev_us AS DOUBLE))
+        |        ELSE COALESCE(prev_v, next_v) END
+        |    END AS interp
+        |  FROM nb)
+        |SELECT user_id,
+        |  count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_knots,
+        |  count(interp) AS n_interpolated,
+        |  floor(avg(interp)*10000 + 0.5)/10000 AS avg_interp
+        |FROM it GROUP BY user_id
+        |HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        |ORDER BY user_id""".stripMargin,
+    "q168_markov_matrix" ->
+      """WITH tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |tc AS (SELECT src, dst, count(*) AS c FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT a.event_type AS src, b.event_type AS dst FROM ty a CROSS JOIN ty b),
+        |dense AS (
+        |  SELECT g.src, g.dst, CAST(COALESCE(tc.c, 0) AS BIGINT) AS n
+        |  FROM grid g LEFT JOIN tc ON g.src = tc.src AND g.dst = tc.dst),
+        |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM dense GROUP BY src),
+        |k AS (SELECT count(*) AS k FROM ty)
+        |SELECT d.src, d.dst, d.n,
+        |  floor((d.n + 1.0) / (t.tot + 1.0 * k.k) * 10000 + 0.5)/10000 AS p
+        |FROM dense d JOIN tot t ON d.src = t.src CROSS JOIN k
+        |ORDER BY d.src, d.dst""".stripMargin,
     "q169_contribution" ->
       """WITH nr AS (
         |  SELECT c.c_nationkey,

@@ -209,6 +209,76 @@ object EventAnalytics {
       .orderBy("user_id", "epoch")
   }
 
+  /** q167: group-wise LINEAR INTERPOLATION over a sparse series — every
+    * event gets the purchase-value linearly blended between the user's
+    * surrounding purchase knots (q84 forward-fills; interpolation needs
+    * BOTH neighbors). The neighbor scan is two ignore-nulls window
+    * passes per user (last-before / first-after), so cost is two sorts
+    * of each user partition — data-proportional, no self-join, no
+    * as-of machinery; edges degrade to the one existing neighbor.
+    * Integer-µs time deltas keep the blend engine-portable. Output
+    * collapses to user grain: knots, interpolated rows, mean
+    * interpolated value. */
+  def interpolatePurchaseValue(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val knotV = when(col("event_type") === "purchase", col("value"))
+    val knotUs = when(col("event_type") === "purchase", col("us"))
+    val withNbrs = events
+      .select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_v", last(knotV, ignoreNulls = true).over(before))
+      .withColumn("prev_us", last(knotUs, ignoreNulls = true).over(before))
+      .withColumn("next_v", first(knotV, ignoreNulls = true).over(after))
+      .withColumn("next_us", first(knotUs, ignoreNulls = true).over(after))
+    val interp = when(col("prev_v").isNotNull && col("next_v").isNotNull,
+      col("prev_v") + (col("next_v") - col("prev_v")) *
+        ((col("us") - col("prev_us")) / (col("next_us") - col("prev_us"))))
+      .otherwise(coalesce(col("prev_v"), col("next_v")))
+    withNbrs
+      .withColumn("interp", when(col("event_type") =!= "purchase", interp))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_knots"),
+        count(col("interp")).as("n_interpolated"),
+        round(avg(col("interp")), 4).as("avg_interp"))
+      .filter(col("n_knots") > 0)
+      .orderBy("user_id")
+  }
+
+  /** q168: smoothed Markov next-event matrix — q85 counts ADJACENT
+    * transitions; this is the dense conditional-probability view with
+    * add-one smoothing over the full K×K grid, so unseen transitions
+    * get mass and every row is a proper distribution (Σ_dst p = 1,
+    * spec law). Transition counts are one lag pass + a K²-bounded
+    * aggregate; densification crosses the two K-sized type lists
+    * (bounded broadcast grid, q126 idiom). */
+  def markovMatrix(events: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = events
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+    val types = events.select(col("event_type")).distinct()
+    val k = types.count()
+    val grid = types.select(col("event_type").as("src"))
+      .crossJoin(broadcast(types.select(col("event_type").as("dst"))))
+    val dense = grid
+      .join(trans, Seq("src", "dst"), "left")
+      .withColumn("n", coalesce(col("c"), lit(0L)))
+    val srcTotals = dense.groupBy("src").agg(sum("n").as("tot"))
+    dense
+      .join(broadcast(srcTotals), Seq("src"))
+      .select(
+        col("src"), col("dst"), col("n"),
+        round((col("n") + lit(alpha)) / (col("tot") + lit(alpha) * k), 4).as("p"))
+      .orderBy("src", "dst")
+  }
+
   /** q165: day-over-day audience churn — users gained, lost and
     * retained between consecutive ACTIVE days (the daily dual of q78's
     * weekly cohorts). One distinct pass to (day, user) cells, then the

@@ -281,6 +281,37 @@ class AnalyticsR5Spec extends SparkSpec {
     assert(math.abs(globalSum - 100.0) < 0.01)
   }
 
+  test("q167: interpolation blends linearly between knots; edges take the lone neighbor") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      (0L, ts(0), 7L, "view", 99.0),      // before first knot → next_v = 10
+      (1L, ts(1), 7L, "purchase", 10.0),
+      (2L, ts(2), 7L, "view", 0.0),       // 1/3 of the way → 20
+      (3L, ts(3), 7L, "click", 0.0),      // 2/3 → 30
+      (4L, ts(4), 7L, "purchase", 40.0),
+      (5L, ts(5), 7L, "view", 0.0)        // after last knot → prev_v = 40
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.EventAnalytics.interpolatePurchaseValue(events).head()
+    assert(r.getAs[Long]("n_events") === 6L)
+    assert(r.getAs[Long]("n_knots") === 2L)
+    assert(r.getAs[Long]("n_interpolated") === 4L)
+    // (10 + 20 + 30 + 40) / 4
+    assert(math.abs(r.getAs[Double]("avg_interp") - 25.0) < 1e-9)
+  }
+
+  test("q168: every source row of the smoothed matrix sums to 1; counts match q85-style lags") {
+    val m = graft.operators.EventAnalytics.markovMatrix(t.events).cache()
+    val k = t.events.select("event_type").distinct().count()
+    assert(m.count() === k * k)
+    val rowSums = m.groupBy("src").agg(sum("p").as("s")).collect()
+    rowSums.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 0.002))
+    // unsmoothed counts must equal the raw lag-pair count
+    val total = m.agg(sum("n")).head().getLong(0)
+    val expected = t.events.count() - t.events.select("user_id").distinct().count()
+    assert(total === expected)
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem
