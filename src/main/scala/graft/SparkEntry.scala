@@ -267,6 +267,7 @@ object SparkEntry {
     "q166_neyman_sample" -> ((s, d) => TextAnalysis.neymanSample(Tables(s, d).documents)),
     "q167_interpolate" -> ((s, d) => EventAnalytics.interpolatePurchaseValue(Tables(s, d).events)),
     "q168_markov_matrix" -> ((s, d) => EventAnalytics.markovMatrix(Tables(s, d).events)),
+    "q170_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(Tables(s, d).documents)),
     "q169_contribution" -> ((s, d) => {
       val t = Tables(s, d)
       Relational.revenueContribution(t.orders, t.customer, t.nation, t.region)
@@ -1574,6 +1575,26 @@ object SparkEntry {
         |  floor((d.n + 1.0) / (t.tot + 1.0 * k.k) * 10000 + 0.5)/10000 AS p
         |FROM dense d JOIN tot t ON d.src = t.src CROSS JOIN k
         |ORDER BY d.src, d.dst""".stripMargin,
+    "q170_quantile_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS x FROM documents),
+        |g AS (SELECT x AS gx, row_number() OVER (ORDER BY x, doc_id) AS gr FROM s),
+        |n AS (SELECT count(*) AS nn FROM s),
+        |h AS (SELECT source, count(*) AS nh FROM s GROUP BY source),
+        |r AS (
+        |  SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rk
+        |  FROM s),
+        |m AS (
+        |  SELECT r.source, r.x,
+        |    least(n.nn, greatest(1,
+        |      CAST(floor((r.rk - 0.5) / h.nh * n.nn) AS BIGINT) + 1)) AS tr
+        |  FROM r JOIN h ON r.source = h.source CROSS JOIN n)
+        |SELECT m.source, count(*) AS n_docs,
+        |  floor(avg(m.x)*10000 + 0.5)/10000 AS avg_raw,
+        |  floor(avg(g.gx)*10000 + 0.5)/10000 AS avg_normalized
+        |FROM m JOIN g ON m.tr = g.gr
+        |GROUP BY m.source ORDER BY m.source""".stripMargin,
     "q169_contribution" ->
       """WITH nr AS (
         |  SELECT c.c_nationkey,

@@ -855,6 +855,43 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q170: quantile normalization across sources — re-express every
+    * source's length distribution ON the global distribution (the
+    * batch-effect-removal preprocessing step: after it, all strata share
+    * one distribution shape, only their internal ORDER remains). Each
+    * row's within-source quantile position maps to the global value at
+    * the same position: within-source ranks come from
+    * [[GlobalOrder.withGroupedRowNumber]] (fixed-width length buckets —
+    * monotone in the sort, no stratum sorted in one task), the global
+    * value-at-rank table from [[GlobalOrder.withGlobalRowNumber]], and
+    * the lookup is a data-proportional equi-join on the mapped rank.
+    * Output at source grain: raw vs normalized means (the law: every
+    * source's normalized mean approaches the global mean). */
+  def quantileNormalize(documents: DataFrame): DataFrame = {
+    val s = documents.select(
+      col("doc_id"), col("source"), length(col("text")).cast("double").as("x"))
+    val globalRanked = GlobalOrder.withGlobalRowNumber(
+      s, col("x"), Seq("x", "doc_id"), "gr", "__n")
+    val lookup = globalRanked.select(col("x").as("gx"), col("gr"))
+    val total = globalRanked.select(col("__n")).limit(1)
+    val nh = s.groupBy("source").agg(count(lit(1)).as("nh"))
+    val ranked = GlobalOrder.withGroupedRowNumber(
+      s, Seq("source"), least(floor(col("x") / 250), lit(19)), Seq("x", "doc_id"), "rk")
+    ranked
+      .join(broadcast(nh), Seq("source"))
+      .join(broadcast(total))
+      .withColumn("tr",
+        least(col("__n"), greatest(lit(1L),
+          floor((col("rk") - 0.5) / col("nh") * col("__n")).cast("long") + 1)))
+      .join(lookup, col("tr") === col("gr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("x"), 4).as("avg_raw"),
+        round(avg("gx"), 4).as("avg_normalized"))
+      .orderBy("source")
+  }
+
   /** q161: distribution-drift monitor — Jensen–Shannon divergence of each
     * source's document-length histogram against the corpus reference: the
     * per-ingest-window drift alarm a training-data pipeline runs before a

@@ -312,6 +312,33 @@ class AnalyticsR5Spec extends SparkSpec {
     assert(total === expected)
   }
 
+  test("q170: equal-size sources normalize onto identical global order statistics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 100, "a"), (2L, "x" * 200, "a"), (3L, "x" * 300, "a"),
+      (4L, "x" * 10, "b"), (5L, "x" * 20, "b"), (6L, "x" * 30, "b")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.quantileNormalize(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // both strata map rank {1,2,3} of 3 onto global ranks {2,4,6} =
+    // values {20,100,300} → the SAME normalized mean, by construction
+    assert(out("a")._1 === 3L && out("b")._1 === 3L)
+    assert(out("a")._3 === out("b")._3)
+    assert(math.abs(out("a")._3 - (20.0 + 100.0 + 300.0) / 3) < 1e-6)
+    // raw means differ wildly; normalization erased the batch effect
+    assert(math.abs(out("a")._2 - 200.0) < 1e-9 && math.abs(out("b")._2 - 20.0) < 1e-9)
+  }
+
+  test("q170: real-corpus normalized means concentrate around the global mean") {
+    val out = graft.operators.TextAnalysis.quantileNormalize(t.documents).cache()
+    val globalMean = t.documents.agg(avg(length(col("text")))).head().getDouble(0)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val rawSpread = rows.map(r => math.abs(r.getAs[Double]("avg_raw") - globalMean)).max
+    val normSpread = rows.map(r => math.abs(r.getAs[Double]("avg_normalized") - globalMean)).max
+    assert(normSpread <= rawSpread, s"normalization widened spread: $normSpread > $rawSpread")
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem
