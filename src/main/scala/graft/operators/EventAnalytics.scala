@@ -263,10 +263,15 @@ object EventAnalytics {
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("c"))
-    val types = events.select(col("event_type")).distinct()
-    val k = types.count()
-    val grid = types.select(col("event_type").as("src"))
-      .crossJoin(broadcast(types.select(col("event_type").as("dst"))))
+    // the type alphabet is bounded (it keys every downstream grid), so
+    // ONE distinct scan collects it — the grid is then a literal frame,
+    // not two more fact-table scans
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typeList = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val k = typeList.length.toLong
+    val grid = typeList.flatMap(a => typeList.map(b => (a, b))).toDF("src", "dst")
     val dense = grid
       .join(trans, Seq("src", "dst"), "left")
       .withColumn("n", coalesce(col("c"), lit(0L)))

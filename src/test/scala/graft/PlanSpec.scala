@@ -268,7 +268,6 @@ class PlanSpec extends SparkSpec {
       "q161_length_drift"   -> bnl, // sources × bins grid densification (q126 idiom, bounded)
       "q163_rrf_fusion"     -> bnl, // bounded broadcast query side (q51/q59 idiom)
       "q166_neyman_sample"  -> bnl, // 1-row broadcast Σ(N_h·σ_h) scalar (q14 idiom)
-      "q168_markov_matrix"  -> bnl, // K×K type-grid densification (q126/q161 idiom, bounded)
       "q170_quantile_normalize" -> (bnl + "unpartitioned-window"), // 1-row total scalar + GlobalOrder offset frame
       "q169_contribution"   -> bnl, // 1-row broadcast global-total scalar (q14/q114 idiom)
       "q72_mixture_solver"  -> Set("unpartitioned-window"),
