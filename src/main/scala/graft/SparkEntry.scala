@@ -268,6 +268,11 @@ object SparkEntry {
     "q167_interpolate" -> ((s, d) => EventAnalytics.interpolatePurchaseValue(Tables(s, d).events)),
     "q168_markov_matrix" -> ((s, d) => EventAnalytics.markovMatrix(Tables(s, d).events)),
     "q170_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(Tables(s, d).documents)),
+    "q171_ab_welch" -> ((s, d) => Relational.abTestWelch(Tables(s, d).events)),
+    "q172_sla_compliance" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.slaCompliance(t.lineitem, t.orders)
+    }),
     "q169_contribution" -> ((s, d) => {
       val t = Tables(s, d)
       Relational.revenueContribution(t.orders, t.customer, t.nation, t.region)
@@ -1575,6 +1580,42 @@ object SparkEntry {
         |  floor((d.n + 1.0) / (t.tot + 1.0 * k.k) * 10000 + 0.5)/10000 AS p
         |FROM dense d JOIN tot t ON d.src = t.src CROSS JOIN k
         |ORDER BY d.src, d.dst""".stripMargin,
+    "q171_ab_welch" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ag AS (
+        |  SELECT
+        |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN arm = 'A' THEN rev END) AS ma,
+        |    avg(CASE WHEN arm = 'B' THEN rev END) AS mb,
+        |    var_samp(CASE WHEN arm = 'A' THEN rev END) AS va,
+        |    var_samp(CASE WHEN arm = 'B' THEN rev END) AS vb
+        |  FROM pu)
+        |SELECT n_a, n_b,
+        |  floor(ma*10000 + 0.5)/10000 AS mean_a,
+        |  floor(mb*10000 + 0.5)/10000 AS mean_b,
+        |  floor((ma - mb) / sqrt(va / n_a + vb / n_b) * 10000 + 0.5)/10000 AS t_stat,
+        |  floor(power(va / n_a + vb / n_b, 2)
+        |    / (power(va / n_a, 2) / (n_a - 1) + power(vb / n_b, 2) / (n_b - 1))
+        |    * 10000 + 0.5)/10000 AS welch_df
+        |FROM ag""".stripMargin,
+    "q172_sla_compliance" ->
+      """SELECT o.o_orderpriority,
+        |  count(*) AS n_lines,
+        |  floor(quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)), 0.5)*10000 + 0.5)/10000 AS p50_delay,
+        |  floor(quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)), 0.9)*10000 + 0.5)/10000 AS p90_delay,
+        |  floor(avg(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) <= 30 THEN 1.0 ELSE 0.0 END) * 100 * 10000 + 0.5)/10000
+        |    AS pct_within_sla
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q170_quantile_normalize" ->
       """WITH s AS (
         |  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS x FROM documents),

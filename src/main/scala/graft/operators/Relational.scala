@@ -390,6 +390,61 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** q171: hash-split A/B comparison with Welch's t — the
+    * experimentation primitive: users deterministically bucketed by the
+    * portable md5 parity (q55 idiom — the SAME users land in the same
+    * arm on any engine or rerun), per-user revenue as the unit of
+    * analysis (user-level aggregation first, so within-user correlation
+    * never inflates n), then Welch's unequal-variance t statistic and
+    * Satterthwaite degrees of freedom from ONE conditional aggregate
+    * over the user table. Everything after the per-user rollup is a
+    * single scalar row. */
+  def abTestWelch(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")), "A").otherwise("B"))
+    val a = when(col("arm") === "A", col("rev"))
+    val b = when(col("arm") === "B", col("rev"))
+    perUser
+      .agg(
+        count(a).as("n_a"), count(b).as("n_b"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"))
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("ma"), 4).as("mean_a"),
+        round(col("mb"), 4).as("mean_b"),
+        round(
+          (col("ma") - col("mb")) /
+            sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 4).as("t_stat"),
+        round(
+          pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
+            (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
+              pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("welch_df"))
+  }
+
+  /** q172: shipping-SLA compliance by priority — delay distribution
+    * (exact p50/p90) and the % of lines shipped within the SLA window,
+    * per order priority. One fact join on orderkey (data-proportional),
+    * priority-cardinality aggregate; the SLA test is a map-side integer
+    * day comparison, so compliance aggregates with plain avg. */
+  def slaCompliance(lineitem: DataFrame, orders: DataFrame, slaDays: Int = 30): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        lineitem("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(expr("percentile(delay_days, 0.5)"), 4).as("p50_delay"),
+        round(expr("percentile(delay_days, 0.9)"), 4).as("p90_delay"),
+        round(avg(when(col("delay_days") <= slaDays, 1.0).otherwise(0.0)) * 100, 4)
+          .as("pct_within_sla"))
+      .orderBy("o_orderpriority")
+
   /** q169: percent-of-parent contribution report (nation→region→global
     * hierarchy): each nation's revenue with its share of its region and
     * of the world — the drill-down share view q114 flattens to one

@@ -339,6 +339,54 @@ class AnalyticsR5Spec extends SparkSpec {
     assert(normSpread <= rawSpread, s"normalization widened spread: $normSpread > $rawSpread")
   }
 
+  test("q171: arms partition users; Welch stats recompute from an independent rollup") {
+    val row = Relational.abTestWelch(t.events).head()
+    val nUsers = t.events.select("user_id").distinct().count()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") === nUsers)
+    // independent recount through a different plan shape
+    val perUser = t.events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")), "A").otherwise("B"))
+    val stats = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), avg("rev").as("m"), var_samp("rev").as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (na, ma, va) = stats("A"); val (nb, mb, vb) = stats("B")
+    val t0 = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val df0 = math.pow(va / na + vb / nb, 2) /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(math.abs(row.getAs[Double]("t_stat") - t0) < 1e-3)
+    assert(math.abs(row.getAs[Double]("welch_df") - df0) < df0 * 1e-3)
+    assert(df0 >= math.min(na, nb) - 1 && df0 <= na + nb - 2) // Welch df bounds
+  }
+
+  test("q172: SLA fixture — exact percentiles and compliance share") {
+    import spark.implicits._
+    val od = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val ship = (d: Int) => java.sql.Timestamp.valueOf(f"1996-01-${1 + d}%02d 00:00:00")
+    val orders = Seq((1L, "1-URGENT", od)).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lineitem = Seq(
+      (1L, ship(10)), (1L, ship(20)), (1L, ship(28)), (1L, ship(29))
+    ).toDF("l_orderkey", "l_shipdate")
+    val r = Relational.slaCompliance(lineitem, orders, slaDays = 25).head()
+    assert(r.getAs[Long]("n_lines") === 4L)
+    // delays {10,20,28,29}: p50 = 24 (midpoint), p90 = 28.7, 2 of 4 within 25
+    assert(math.abs(r.getAs[Double]("p50_delay") - 24.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p90_delay") - 28.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pct_within_sla") - 50.0) < 1e-9)
+  }
+
+  test("q172: real-table compliance is a valid distribution summary") {
+    val rows = Relational.slaCompliance(t.lineitem, t.orders).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_delay") <= r.getAs[Double]("p90_delay"))
+      val pct = r.getAs[Double]("pct_within_sla")
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
   test("q156: real-table result is the argmax of the quarter revenue") {
     val top = Relational.topSupplier(t.lineitem, t.supplier)
     val best = t.lineitem
