@@ -346,9 +346,356 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
         .orderBy("dt")
     }),
+    "q173_nation_trade" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.nationTrade(t.lineitem, t.orders, t.customer, t.supplier, t.nation)
+    }),
+    "q174_market_share" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.marketShare(t.lineitem, t.orders, t.customer, t.supplier, t.part, t.nation, t.region)
+    }),
+    "q175_returned_customers" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.returnedCustomers(t.lineitem, t.orders, t.customer, t.nation)
+    }),
+    "q176_late_shipment_mix" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.lateShipmentMix(t.lineitem, t.orders)
+    }),
+    "q177_disjunctive_brackets" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.disjunctiveBrackets(t.lineitem, t.part)
+    }),
+    "q178_promo_share" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.promoShare(t.lineitem, t.part)
+    }),
+    "q179_big_orders" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.bigOrders(t.lineitem, t.orders, t.customer)
+    }),
+    "q180_part_concentration" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.nationPartConcentration(t.lineitem, t.supplier, t.nation)
+    }),
+    "q181_acf" -> ((s, d) => StatTests.autocorrelation(Tables(s, d).orders)),
+    "q182_benford" -> ((s, d) => StatTests.benfordAudit(Tables(s, d).orders)),
+    "q183_gini" -> ((s, d) => StatTests.giniRevenue(Tables(s, d).orders)),
+    "q184_ks_test" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.ksTest(t.orders, t.customer)
+    }),
+    "q185_mann_whitney" -> ((s, d) => StatTests.mannWhitney(Tables(s, d).orders)),
+    "q186_dow_seasonality" -> ((s, d) => StatTests.dowSeasonality(Tables(s, d).orders)),
+    "q187_ewma" -> ((s, d) => StatTests.ewmaDaily(Tables(s, d).orders)),
+    "q188_heaps_law" -> ((s, d) => TextAnalysis.heapsLaw(Tables(s, d).documents)),
+    "q189_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables(s, d).documents)),
+    "q190_ann_pq" -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
+    "q191_mmr" -> ((s, d) => Similarity.mmrDiversify(Tables(s, d).embeddings)),
+    "q192_triangles" -> ((s, d) => Graph.triangleCensus(Tables(s, d).lineitem)),
+    "q193_shingle_novelty" -> ((s, d) => TextAnalysis.shingleNovelty(Tables(s, d).documents)),
+    "q194_stl_decompose" -> ((s, d) => StatTests.stlDecompose(Tables(s, d).orders)),
+    "q195_priority_exists" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.priorityExists(t.lineitem, t.orders)
+    }),
+    "q196_bootstrap_ci" -> ((s, d) => StatTests.bootstrapCi(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q193_shingle_novelty" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, source, w, unnest(range(1, len(w) - 6)) AS i
+        |  FROM d WHERE len(w) >= 8),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    md5(array_to_string(w[i:i+7], ' ')) AS shingle
+        |  FROM idx),
+        |own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1),
+        |pd AS (
+        |  SELECT s.doc_id, s.source, count(*) AS ns,
+        |    count(CASE WHEN s.doc_id = o.owner THEN 1 END) AS nn
+        |  FROM sh s JOIN own o ON s.shingle = o.shingle
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  floor(avg(nn/CAST(ns AS DOUBLE))*10000 + 0.5)/10000 AS avg_novelty,
+        |  floor(sum(nn)/CAST(sum(ns) AS DOUBLE)*10000 + 0.5)/10000 AS pooled_novelty
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "q194_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT d, rev,
+        |    avg(rev) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS trend,
+        |    CAST(date_part('dow', d) AS INT) AS dow
+        |  FROM daily),
+        |s AS (SELECT *, avg(rev - trend) OVER (PARTITION BY dow) AS seasonal FROM t)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, dow,
+        |  floor(rev*10000 + 0.5)/10000 AS rev,
+        |  floor(trend*10000 + 0.5)/10000 AS trend,
+        |  floor(seasonal*10000 + 0.5)/10000 AS seasonal,
+        |  floor((rev - trend - seasonal)*10000 + 0.5)/10000 AS residual
+        |FROM s ORDER BY day""".stripMargin,
+    "q195_priority_exists" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 90)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q188_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT source, t.tok FROM documents,
+        |    LATERAL unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |g AS (
+        |  SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+        |  FROM toks GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  floor(ln(n_types)/ln(n_tokens)*10000 + 0.5)/10000 AS heaps_beta,
+        |  floor(n_types/CAST(n_tokens AS DOUBLE)*10000 + 0.5)/10000 AS ttr
+        |FROM g ORDER BY source""".stripMargin,
+    "q189_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, length(text) AS nc,
+        |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS nt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  floor(sum(nc)/CAST(sum(nt) AS DOUBLE)*10000 + 0.5)/10000 AS chars_per_token,
+        |  floor(avg(nt)*10000 + 0.5)/10000 AS avg_tokens_per_doc
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q192_triangles" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT pa, pb FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS n FROM edges e1
+        |  JOIN edges e2 ON e1.pb = e2.pa
+        |  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |w AS (SELECT CAST(sum(d*(d-1)/2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT (SELECT count(*) FROM edges) AS n_edges,
+        |  w.n_wedges,
+        |  (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
+        |  floor((CASE WHEN w.n_wedges > 0
+        |    THEN 3.0*(SELECT n FROM tri)/w.n_wedges ELSE 0.0 END)*10000 + 0.5)/10000
+        |    AS global_cc
+        |FROM w""".stripMargin,
+    "q173_nation_trade" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT sn.supp_nation, cn.cust_nation,
+        |  CAST(date_part('year', l.l_shipdate) AS INT) AS ship_year,
+        |  count(*) AS n_lines,
+        |  floor(sum(l.l_extendedprice * (1.0 - l.l_discount))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem l
+        |JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN cn ON o.o_custkey = cn.c_custkey
+        |WHERE sn.supp_nation <> cn.cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q174_market_share" ->
+      """WITH rc AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |l AS (
+        |  SELECT l_orderkey, l_suppkey, l_extendedprice*(1.0 - l_discount) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'PROMO')
+        |SELECT CAST(date_part('year', o.o_orderdate) AS INT) AS order_year,
+        |  floor(sum(vol)*10000 + 0.5)/10000 AS total_volume,
+        |  floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END)*10000 + 0.5)/10000
+        |    AS nation_volume,
+        |  floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END)/sum(vol)*100
+        |    *10000 + 0.5)/10000 AS mkt_share_pct
+        |FROM l
+        |JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN rc ON o.o_custkey = rc.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_returned_customers" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  count(*) AS n_return_lines,
+        |  floor(sum(l.l_extendedprice * (1.0 - l.l_discount))*10000 + 0.5)/10000 AS lost_revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q176_late_shipment_mix" ->
+      """SELECT CAST(date_part('year', l.l_shipdate) AS INT) AS ship_year,
+        |  count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS high_line_count,
+        |  count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |    AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q177_disjunctive_brackets" ->
+      """SELECT count(*) AS n_lines,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q178_promo_share" ->
+      """WITH t AS (
+        |  SELECT l_shipdate, p_type, l_extendedprice*(1.0 - l_discount) AS v
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        |  floor(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0.0 END)*10000 + 0.5)/10000
+        |    AS promo_revenue,
+        |  floor(sum(v)*10000 + 0.5)/10000 AS total_revenue,
+        |  floor(sum(CASE WHEN p_type = 'PROMO' THEN v ELSE 0.0 END)/sum(v)*100*10000 + 0.5)/10000
+        |    AS promo_share_pct
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q179_big_orders" ->
+      """WITH tq AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 200)
+        |SELECT o.o_orderkey, c.c_name,
+        |  strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+        |  floor(o.o_totalprice*10000 + 0.5)/10000 AS o_totalprice,
+        |  tq.total_qty
+        |FROM tq
+        |JOIN orders o ON tq.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY tq.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    "q180_part_concentration" ->
+      """WITH np AS (
+        |  SELECT n.n_name, l.l_partkey, sum(l.l_extendedprice) AS value
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  sum(value) OVER (PARTITION BY n_name) AS nation_total,
+        |  count(*) OVER (PARTITION BY n_name) AS n_parts
+        |FROM np)
+        |SELECT n_name, l_partkey,
+        |  floor(value*10000 + 0.5)/10000 AS value,
+        |  floor(value/nation_total*100*10000 + 0.5)/10000 AS share_pct
+        |FROM t WHERE value * n_parts > nation_total * 2.0
+        |ORDER BY n_name, 3 DESC, l_partkey""".stripMargin,
+    "q181_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |di AS (SELECT date_diff('day', DATE '1970-01-01', d) AS di, rev FROM daily),
+        |l AS (SELECT unnest([1, 2, 3, 7]) AS lag)
+        |SELECT l.lag, count(*) AS n_pairs,
+        |  floor(corr(a.rev, b.rev)*10000 + 0.5)/10000 AS acf
+        |FROM di a CROSS JOIN l JOIN di b ON a.di + l.lag = b.di
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q182_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+        |    AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_orders) OVER () AS DOUBLE) AS total FROM g)
+        |SELECT digit, n_orders,
+        |  floor(n_orders/total*100*10000 + 0.5)/10000 AS pct_obs,
+        |  floor(log10(1.0 + 1.0/digit)*100*10000 + 0.5)/10000 AS pct_benford,
+        |  floor(power(n_orders - total*log10(1.0 + 1.0/digit), 2)
+        |    /(total*log10(1.0 + 1.0/digit))*10000 + 0.5)/10000 AS chi_term
+        |FROM t ORDER BY digit""".stripMargin,
+    "q183_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rn FROM pc)
+        |SELECT count(*) AS n_customers,
+        |  floor(sum(rev)*10000 + 0.5)/10000 AS total_revenue,
+        |  floor((2.0*sum(rn*rev)/(count(*)*sum(rev)) - (count(*) + 1.0)/count(*))*10000 + 0.5)/10000
+        |    AS gini
+        |FROM r""".stripMargin,
+    "q184_ks_test" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS side
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |v AS (
+        |  SELECT o.o_orderkey AS k, o.o_totalprice AS v, seg.side
+        |  FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey),
+        |r AS (
+        |  SELECT side,
+        |    row_number() OVER (ORDER BY v, side, k) AS rn_all,
+        |    row_number() OVER (PARTITION BY side ORDER BY v, side, k) AS rn_s,
+        |    count(*) OVER (PARTITION BY side) AS ns,
+        |    count(*) OVER () AS nt
+        |  FROM v)
+        |SELECT max(CASE WHEN side = 0 THEN ns END) AS n_a,
+        |  max(CASE WHEN side = 1 THEN ns END) AS n_b,
+        |  floor(max(abs(CAST(rn_s AS DOUBLE)/ns
+        |    - CAST(rn_all - rn_s AS DOUBLE)/(nt - ns)))*10000 + 0.5)/10000 AS ks_stat
+        |FROM r""".stripMargin,
+    "q185_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS side
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |r AS (SELECT *, row_number() OVER (ORDER BY v, side, k) AS rn FROM v),
+        |m AS (SELECT side, avg(rn) OVER (PARTITION BY v) AS mid FROM r),
+        |a AS (
+        |  SELECT count(CASE WHEN side = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN side = 1 THEN 1 END) AS n_b,
+        |    sum(CASE WHEN side = 0 THEN mid ELSE 0.0 END) AS r1
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |  floor((r1 - n_a*(n_a + 1.0)/2)*10000 + 0.5)/10000 AS u_stat,
+        |  floor(((r1 - n_a*(n_a + 1.0)/2) - CAST(n_a AS DOUBLE)*n_b/2.0)
+        |    /sqrt(CAST(n_a AS DOUBLE)*n_b*(n_a + n_b + 1.0)/12.0)*10000 + 0.5)/10000 AS z_stat
+        |FROM a""".stripMargin,
+    "q186_dow_seasonality" ->
+      """WITH g AS (
+        |  SELECT CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS INT) AS dow,
+        |    count(*) AS n_orders, sum(o_totalprice) AS revenue
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT *, sum(revenue) OVER () / CAST(sum(n_orders) OVER () AS DOUBLE) AS overall
+        |  FROM g)
+        |SELECT dow, n_orders,
+        |  floor(revenue*10000 + 0.5)/10000 AS revenue,
+        |  floor(revenue/n_orders/overall*100*10000 + 0.5)/10000 AS seasonality_idx
+        |FROM t ORDER BY dow""".stripMargin,
+    "q187_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT d, rev, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |p AS (
+        |  SELECT a.d, a.rev, a.rn, o.o, a.rn - o.o AS jk
+        |  FROM r a, (SELECT unnest(range(0, 81)) AS o) o
+        |  WHERE o.o <= a.rn - 1),
+        |j AS (
+        |  SELECT p.d, p.rev,
+        |    CASE WHEN p.jk = 1 THEN power(0.9, p.o) ELSE 0.1*power(0.9, p.o) END * b.rev AS term
+        |  FROM p JOIN r b ON p.jk = b.rn)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, rev,
+        |  floor(sum(term)*10000 + 0.5)/10000 AS ewma
+        |FROM j GROUP BY d, rev ORDER BY day""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,

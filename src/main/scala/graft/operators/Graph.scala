@@ -118,4 +118,48 @@ object Graph {
     edges.unpersist(blocking = false)
     visited.orderBy("part")
   }
+
+  /** q192: triangle census + global clustering coefficient of the
+    * co-purchase graph, over edges with support ≥ `minSupport` (pairs
+    * co-bought at least that often — the same support filter q92/q106
+    * use, which also bounds the enumeration).
+    *
+    * Edges are canonically oriented (pa < pb), so each triangle is
+    * enumerated exactly once as the path x→y→z (x<y<z) closed by the
+    * x→z edge: two equi-joins over the edge table, both on edge keys.
+    * The wedge count Σ d(v)·(d(v)−1)/2 comes from one degree aggregate;
+    * the global coefficient is 3·triangles / wedges. The filtered edge
+    * set is cached — it is read three times (path join ×2, degrees) and
+    * is orders of magnitude smaller than the pair expansion that builds
+    * it. At 100 TB the support filter is the scale lever: raising it
+    * prunes the heavy tail that drives the join fan-out. */
+  def triangleCensus(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = lineitem.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("pb"))
+    val edges = a
+      .join(b, col("ok") === col("ok_b") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("pa", "pb")
+      .cache()
+    val wedgePaths = edges.select(col("pa").as("x"), col("pb").as("y"))
+      .join(edges.select(col("pa").as("y2"), col("pb").as("z")), col("y") === col("y2"))
+    val triangles = wedgePaths
+      .join(edges.select(col("pa").as("x3"), col("pb").as("z3")),
+        col("x") === col("x3") && col("z") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    val wedgeCount = edges
+      .select(col("pa").as("node")).unionAll(edges.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .agg(sum((col("d") * (col("d") - 1) / 2).cast("long")).as("n_wedges"))
+    edgeCount
+      .crossJoin(wedgeCount)
+      .crossJoin(triangles)
+      .select(
+        col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(
+          when(col("n_wedges") > 0, lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .otherwise(lit(0.0)), 4).as("global_cc"))
+  }
 }

@@ -963,4 +963,193 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("cosine"))
       .orderBy("qid", "rk")
   }
+
+  /** Driver-side plain (L2) Lloyd over a bounded sample — PQ codebook
+    * training. Unlike [[trainCentroids]] this does NOT unit-normalize:
+    * PQ quantizes raw subvectors, whose norms carry signal. Seeding is
+    * the first `k` sample points (sample order is the deterministic
+    * hash-minimal order, so codebooks are run-stable). */
+  private def lloydL2(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    var cents = sample.take(k)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val d = d2(cents(c), v); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** q190: product-quantized ANN (PQ + asymmetric distance, the
+    * FAISS-style memory-scale path beside int8 (q59) and PCA (q146)
+    * compression): the vector splits into `m` subspaces, each quantized
+    * to one of `ksub` codebook entries — 16 dims × 4 bytes become m
+    * one-byte codes (16× smaller at m=4), and at 100 TB the candidate
+    * scan reads CODES ONLY.
+    *
+    * Codebooks train driver-side on the deterministic hash-minimal
+    * sample (bounded, the q53 discipline) with plain L2 Lloyd per
+    * subspace. Scoring is ADC: dot(q, x) ≈ Σₛ dot(q_s, C_s[code_s]) —
+    * each query precomputes its m×ksub lookup table once (driver math),
+    * and scoring a candidate is m array lookups inside one JIT UDF over
+    * the broadcast-joined query/candidate pairs. The ADC top-`rerank`
+    * pool re-ranks EXACTLY against the full vectors, so reported
+    * cosines are true cosines (the q59 re-rank discipline); recall is
+    * spec-pinned against q51. Rows-only: float ranking. */
+  def annPq(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5,
+      m: Int = 8,
+      ksub: Int = 32,
+      rerank: Int = 50,
+      iters: Int = 12): DataFrame = {
+    val sample: Array[Array[Float]] = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(math.max(256, 16 * ksub))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    val sub = dim / m
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      lloydL2(sample.map(_.slice(s * sub, (s + 1) * sub)), ksub, iters)
+    }
+    val encodeUdf = {
+      val bs = books
+      udf { (v: Seq[Float]) =>
+        val a = v.toArray
+        Array.tabulate(m) { s =>
+          val x = a.slice(s * sub, (s + 1) * sub)
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < bs(s).length) {
+            val ct = bs(s)(c)
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = ct(i).toDouble - x(i).toDouble; d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+    }
+    // ADC: the query's m×ksub dot-product table, flattened so the
+    // kernel is two int ops + a lookup per subspace
+    val adcUdf = {
+      val bs = books
+      udf { (q: Seq[Float], codes: Seq[Int]) =>
+        val qa = q.toArray
+        var s = 0; var acc = 0.0
+        while (s < m) {
+          val ct = bs(s)(codes(s))
+          var i = 0
+          while (i < sub) { acc += qa(s * sub + i).toDouble * ct(i).toDouble; i += 1 }
+          s += 1
+        }
+        acc
+      }
+    }
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("codes", encodeUdf(col("ce")))
+    val wAdc = Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))
+    val wCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    c.crossJoin(broadcast(q))
+      .withColumn("adc", adcUdf(col("qe"), col("codes")))
+      .withColumn("rk_adc", row_number().over(wAdc).cast("long"))
+      .filter(col("rk_adc") <= rerank)
+      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wCos).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"),
+        round(col("adc"), 4).as("adc_score"), round(col("cos"), 4).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  /** q191: maximal-marginal-relevance diversified top-k — the retrieval
+    * surface RAG/training-mix pipelines actually want: relevant to the
+    * query but not redundant with what's already selected.
+    * MMR(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s), greedily.
+    *
+    * Stage 1 (distributed): the exact top-`poolSize` relevance pool per
+    * query — the q51 broadcast-scored window. Stage 2 (driver): the
+    * greedy argmax loop over that pool — inherently sequential, but
+    * bounded at poolSize×d floats per query (the q53/q119 bounded-
+    * driver-math discipline); ties break on candidate id. Rows-only:
+    * the spec pins top-1 = relevance top-1, selection size, and that
+    * selected-set redundancy (max pairwise cosine) does not exceed the
+    * plain top-k's. */
+  def mmrDiversify(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      poolSize: Int = 50,
+      k: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(desc("rel"), asc("cid"))
+    val pool = c.crossJoin(broadcast(q))
+      .withColumn("rel", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= poolSize)
+      .select(col("qid"), col("cid"), col("rel"), col("ce"))
+      .collect()
+      .groupBy(_.getLong(0))
+    def dotDD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rows = pool.toSeq.sortBy(_._1).flatMap { case (qid, rws) =>
+      val cand = rws.map { r =>
+        (r.getLong(1), r.getDouble(2), r.getSeq[Float](3).map(_.toDouble).toArray)
+      }.sortBy(x => (-x._2, x._1)).toBuffer
+      val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+      while (selected.length < k && cand.nonEmpty) {
+        // argmax of λ·rel − (1−λ)·max-sim-to-selected, ties by cid
+        var bestI = 0; var bestScore = Double.MinValue
+        cand.indices.foreach { i =>
+          val (cid, rel, v) = cand(i)
+          val red = if (selectedVecs.isEmpty) 0.0 else selectedVecs.map(dotDD(v, _)).max
+          val score = lambda * rel - (1 - lambda) * red
+          if (score > bestScore || (score == bestScore && cid < cand(bestI)._1)) {
+            bestScore = score; bestI = i
+          }
+        }
+        val (cid, rel, v) = cand.remove(bestI)
+        selectedVecs += v
+        selected += ((qid, cid, rel, bestScore))
+      }
+      selected.zipWithIndex.map { case ((qd, cid, rel, score), i) =>
+        (qd, i + 1L, cid, math.floor(rel * 10000 + 0.5) / 10000,
+          math.floor(score * 10000 + 0.5) / 10000)
+      }
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    rows.toDF("qid", "rk", "cid", "relevance", "mmr_score").orderBy("qid", "rk")
+  }
 }

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
+
+/** Statistical-inference and time-series diagnostics over warehouse
+  * tables — the "is this distribution what I think it is" toolkit that
+  * sits next to the A/B harness (q171) in any experimentation or
+  * data-quality stack:
+  *
+  *  - rank statistics (Gini, Kolmogorov–Smirnov, Mann–Whitney) ride the
+  *    [[GlobalOrder]] range-bucket ranking, so the global sort every
+  *    textbook formula assumes never plans a data-sized single reducer;
+  *  - time-series diagnostics (ACF, EWMA, day-of-week seasonality)
+  *    operate on the DAILY aggregate — a calendar-bounded frame (≤ a few
+  *    thousand rows regardless of corpus size), where single-partition
+  *    windows are the documented bounded idiom (q89/q136) and carry
+  *    PlanSpec allowlist entries citing the bound;
+  *  - Benford first-digit audit: a 9-row aggregate + expected-frequency
+  *    comparison, the classic fraud/corruption screen.
+  *
+  * Every query has a DuckDB oracle; ranks order on raw stored doubles
+  * (bit-identical across engines) or pre-rounded aggregates, with key
+  * tie-breaks, so rankings are engine-stable.
+  */
+object StatTests {
+
+  // "over the whole frame" — the literal partition key FOLDS AWAY in
+  // Catalyst, so this plans as an unpartitioned window: only legal here
+  // because every input is bounded by construction (9 digits, 7
+  // weekdays, #calendar-days rows), never data-sized
+  private val one = Window.partitionBy(lit(1))
+
+  /** q181: autocorrelation of daily revenue at the given day lags. The
+    * lag pairing is an equi-join of the daily aggregate with itself on
+    * `day_index + lag` (day index from a fixed epoch, so calendar gaps
+    * pair correctly) — no window, no cross join; `corr` is the one-pass
+    * Pearson aggregate in both engines. */
+  def autocorrelation(orders: DataFrame, lags: Seq[Int] = Seq(1, 2, 3, 7)): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val lagged = daily
+      .select(col("di"), col("rev").as("x"))
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("jk", col("di") + col("lag"))
+    lagged
+      .join(daily.select(col("di").as("di_b"), col("rev").as("y")),
+        col("jk") === col("di_b"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), round(corr(col("x"), col("y")), 4).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** q182: Benford first-significant-digit audit of order totals — the
+    * observed digit frequencies against log10(1+1/d), with the χ²
+    * contribution per digit. One 9-row aggregate; the grand total rides
+    * a constant-partitioned window over those 9 rows. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit"))
+    orders
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over(one))
+      .select(
+        col("digit"), col("n_orders"),
+        round(col("n_orders") / col("total") * 100, 4).as("pct_obs"),
+        round(expected * 100, 4).as("pct_benford"),
+        round(pow(col("n_orders") - col("total") * expected, 2)
+          / (col("total") * expected), 4).as("chi_term"))
+      .orderBy("digit")
+  }
+
+  /** q183: Gini coefficient of per-customer revenue — inequality of the
+    * customer book. Needs every customer's global rank by revenue; that
+    * rank comes from the [[GlobalOrder]] range-bucket scheme (no
+    * single-reducer sort), then one scalar aggregate applies
+    * G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n. Ranks order on the pre-rounded
+    * revenue with key tie-break, so both engines rank identically. */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    GlobalOrder
+      .withGlobalRowNumber(perCust, col("rev"), Seq("rev", "o_custkey"), "rn", "__tot")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("rev")), 4).as("total_revenue"),
+        round(lit(2.0) * sum(col("rn") * col("rev")) / (count(lit(1)) * sum(col("rev")))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+  }
+
+  /** q184: two-sample Kolmogorov–Smirnov statistic between the order
+    * totals of two customer segments. D = max |F̂₁−F̂₂| evaluated at
+    * every sample point via rank algebra over ONE merged ordering (the
+    * q160 identity): rank the union, rank each side, then
+    * "#other ≤ row" = rn_all − rn_side — three bucketed rankings and a
+    * scalar max, no per-row correlated rescan. Values are raw stored
+    * doubles, so the orderings agree bit-for-bit across engines. */
+  def ksTest(
+      orders: DataFrame,
+      customer: DataFrame,
+      segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val seg = customer
+      .filter(col("c_mktsegment").isInCollection(Seq(segA, segB)))
+      .select(col("c_custkey"), when(col("c_mktsegment") === segA, 0).otherwise(1).as("side"))
+    val vals = orders
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
+    val all = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "side", "k"), "rn_all", "__tot")
+    val bySide = Seq(0, 1).map { s =>
+      GlobalOrder.withGlobalRowNumber(
+        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
+    }
+    bySide.head.unionByName(bySide(1))
+      .select(col("side"), col("__ns"), col("__tot"),
+        abs(col("rn_s") / col("__ns")
+          - (col("rn_all") - col("rn_s")) / (col("__tot") - col("__ns"))).as("gap"))
+      .agg(
+        max(when(col("side") === 0, col("__ns"))).as("n_a"),
+        max(when(col("side") === 1, col("__ns"))).as("n_b"),
+        round(max(col("gap")), 4).as("ks_stat"))
+  }
+
+  /** q185: Mann–Whitney U (rank-sum) test between two order
+    * priorities. Mid-ranks come from the union's global row numbers
+    * averaged within each exact value (a window PARTITIONED by value —
+    * tie groups only), then U and its normal-approximation z are one
+    * scalar aggregate. */
+  def mannWhitney(
+      orders: DataFrame,
+      prioA: String = "1-URGENT",
+      prioB: String = "5-LOW"): DataFrame = {
+    val vals = orders
+      .filter(col("o_orderpriority").isInCollection(Seq(prioA, prioB)))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+        when(col("o_orderpriority") === prioA, 0).otherwise(1).as("side"))
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "side", "k"), "rn", "__tot")
+    val n1 = sum(when(col("side") === 0, 1L).otherwise(0L))
+    val n2 = sum(when(col("side") === 1, 1L).otherwise(0L))
+    val r1 = sum(when(col("side") === 0, col("mid")).otherwise(0.0))
+    val u = r1 - n1 * (n1 + lit(1.0)) / 2
+    ranked
+      .withColumn("mid", avg(col("rn")).over(Window.partitionBy("v")))
+      .agg(
+        n1.as("n_a"), n2.as("n_b"),
+        round(u, 4).as("u_stat"),
+        round((u - n1 * n2 / lit(2.0))
+          / sqrt(n1 * n2 * (n1 + n2 + lit(1.0)) / lit(12.0)), 4).as("z_stat"))
+  }
+
+  /** q186: day-of-week seasonality index — average order value per
+    * weekday against the overall average (×100). Dow is emitted on the
+    * DuckDB convention (0 = Sunday) so both engines bucket identically;
+    * the overall average rides the constant-partitioned window over the
+    * 7-row aggregate. */
+  def dowSeasonality(orders: DataFrame): DataFrame =
+    orders
+      .groupBy((dayofweek(to_date(col("o_orderdate"))) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+      .withColumn("overall",
+        sum(col("revenue")).over(one) / sum(col("n_orders")).over(one))
+      .select(
+        col("dow"), col("n_orders"),
+        round(col("revenue"), 4).as("revenue"),
+        round(col("revenue") / col("n_orders") / col("overall") * 100, 4)
+          .as("seasonality_idx"))
+      .orderBy("dow")
+
+  /** q194: additive seasonal decomposition of daily revenue (the
+    * classical-decomposition core of STL): trend = centered 29-day
+    * moving average over the calendar-bounded daily frame (edge days
+    * average their partial frame — identical convention in the oracle),
+    * seasonal = per-weekday mean of the detrended series, residual =
+    * observed − trend − seasonal. The trend window is the bounded
+    * q89/q136 idiom; the seasonal window partitions by weekday. The
+    * residual is the de-noised anomaly signal q87 thresholds. */
+  def stlDecompose(orders: DataFrame, halfWindow: Int = 14): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val trendW = Window.orderBy("d").rowsBetween(-halfWindow, halfWindow)
+    val dowW = Window.partitionBy("dow")
+    daily
+      .withColumn("trend", avg(col("rev")).over(trendW))
+      .withColumn("dow", dayofweek(col("d")) - 1)
+      .withColumn("seasonal", avg(col("rev") - col("trend")).over(dowW))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dow"),
+        round(col("rev"), 4).as("rev"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("rev") - col("trend") - col("seasonal"), 4).as("residual"))
+      .orderBy("day")
+  }
+
+  /** q196: Poisson-bootstrap confidence interval for the mean order
+    * total — THE scalable bootstrap: independent Poisson(1) resample
+    * weights replace the multinomial draw (which needs global
+    * coordination), so every replicate is a weighted mean computable in
+    * the SAME map-side pass. Weights come from a deterministic
+    * per-(row, replicate) hash uniform pushed through the Poisson(1)
+    * inverse CDF (a literal CASE ladder — P(k>7) < 1e-5 truncates), so
+    * reruns and engines agree bit-for-bit. The replicate fan-out is
+    * map-side (explode → partial agg); the shuffle carries `b`
+    * moment rows, never b× the data. Rows-only: the spec pins the
+    * bootstrap SE against the analytic SE and CI coverage of the
+    * sample mean. */
+  def bootstrapCi(orders: DataFrame, b: Int = 200): DataFrame = {
+    // Poisson(1) inverse CDF thresholds: cumulative e^{-1}·Σ 1/k!
+    val cum = {
+      val e = math.exp(-1.0)
+      var acc = 0.0; var fact = 1.0
+      (0 to 7).map { k =>
+        if (k > 0) fact *= k
+        acc += e / fact
+        acc
+      }
+    }
+    val u = (pmod(xxhash64(col("o_orderkey"), col("r")), lit(1000000L)).cast("double")
+      + 0.5) / 1000000.0
+    // CASE ladder must test the SMALLEST threshold first → fold the
+    // thresholds largest-first so k=0's test ends up outermost
+    val weight = cum.zipWithIndex.reverse.foldLeft(lit(8)) { case (acc, (c, k)) =>
+      when(u < c, k).otherwise(acc)
+    }
+    val replicates = orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("r", explode(sequence(lit(1), lit(b))))
+      .withColumn("w", weight.cast("double"))
+      .groupBy("r")
+      .agg((sum(col("w") * col("o_totalprice")) / sum(col("w"))).as("boot_mean"))
+    val base = orders.agg(
+      count(lit(1)).as("n"),
+      avg(col("o_totalprice")).as("mean"),
+      (stddev_samp(col("o_totalprice")) / sqrt(count(lit(1)))).as("se_analytic"))
+    replicates
+      .agg(
+        count(lit(1)).as("n_replicates"),
+        stddev_samp(col("boot_mean")).as("se_boot"),
+        expr("percentile(boot_mean, 0.025)").as("ci_lo"),
+        expr("percentile(boot_mean, 0.975)").as("ci_hi"))
+      .crossJoin(base)
+      .select(
+        col("n"), col("n_replicates"),
+        round(col("mean"), 4).as("mean"),
+        round(col("se_analytic"), 4).as("se_analytic"),
+        round(col("se_boot"), 4).as("se_boot"),
+        round(col("ci_lo"), 4).as("ci_lo"),
+        round(col("ci_hi"), 4).as("ci_hi"))
+  }
+
+  /** q187: exponentially weighted moving average of daily revenue
+    * (α = 0.1), the smoothing dual of q136's flat moving average. The
+    * recurrence sₜ = αxₜ + (1−α)sₜ₋₁ unrolls to a closed-form weighted
+    * sum over a bounded `horizon` of prior days (weights beyond 80 days
+    * are < 2·10⁻⁴ of a term and are truncated IDENTICALLY in the
+    * oracle); the pairing is an equi-join of the calendar-bounded daily
+    * frame with itself on `day_rank − offset`, offsets exploded — no
+    * non-equi join, no quadratic window. */
+  def ewmaDaily(orders: DataFrame, alpha: Double = 0.1, horizon: Int = 80): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .withColumn("rn", row_number().over(one.orderBy("d")))
+    val decay = pow(lit(1.0 - alpha), col("o"))
+    val weight = when(col("jk") === 1, decay).otherwise(lit(alpha) * decay)
+    daily
+      .withColumn("o", explode(sequence(lit(0), least(lit(horizon), col("rn") - 1))))
+      .withColumn("jk", col("rn") - col("o"))
+      .join(daily.select(col("rn").as("rn_b"), col("rev").as("x")),
+        col("jk") === col("rn_b"))
+      .withColumn("term", weight * col("x"))
+      .groupBy(col("d"), col("rev"))
+      .agg(round(sum(col("term")), 4).as("ewma"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"), col("ewma"))
+      .orderBy("day")
+  }
+}

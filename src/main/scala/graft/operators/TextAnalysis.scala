@@ -942,4 +942,85 @@ object TextAnalysis {
             sum(col("q") * log(col("q") / col("m")))) / 2, 4).as("js_divergence"))
       .orderBy("source")
   }
+
+  /** q188: Heaps'-law vocabulary growth per source — total tokens N,
+    * vocabulary size V, the Heaps exponent estimate β = ln V / ln N
+    * (V = K·N^β with K = 1), and the type-token ratio. The tokenize →
+    * count is one explode pass with map-side partial counts to source
+    * grain; the exact per-source distinct rides the same shuffle as any
+    * COUNT DISTINCT (the q54 HLL table is the approximate path when
+    * exactness can be traded). A source whose β drifts from its history
+    * signals template/boilerplate flooding (V stalls) or encoding junk
+    * (V explodes) — a corpus-health alarm next to q161's length drift. */
+  def heapsLaw(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+      .select(
+        col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_types")) / log(col("n_tokens")), 4).as("heaps_beta"),
+        round(col("n_types") / col("n_tokens"), 4).as("ttr"))
+      .orderBy("source")
+
+  /** q193: n-gram novelty attribution per source — for each document,
+    * the fraction of its distinct 8-token shingles whose FIRST corpus
+    * occurrence (min doc_id over all docs containing the shingle) is
+    * this document; per source, the average novelty. This is the
+    * "how much genuinely new content does each source add" report that
+    * complements removal-oriented dedup (q99 flags copies; this
+    * attributes originals). Shingles are md5-keyed (portable to the
+    * oracle); ownership is ONE shingle-keyed min aggregate; the join
+    * back to docs is shingle-keyed and data-proportional. Distinct
+    * shingle sets per doc are computed BEFORE ownership, so repeated
+    * boilerplate inside one doc counts once. At 100 TB the shingle key
+    * would drop to an 8-byte hash (q99's trick) — md5 strings here keep
+    * the oracle byte-identical. */
+  def shingleNovelty(documents: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val w = split(col("text"), " ")
+    val shingles = documents
+      .filter(size(w) >= windowTokens)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(1), size(w) - lit(windowTokens - 1)),
+          i => md5(array_join(slice(w, i, lit(windowTokens)), " ")))).as("shingle"))
+      .distinct()
+    val owner = shingles
+      .groupBy("shingle")
+      .agg(min(col("doc_id")).as("owner"))
+    val perDoc = shingles
+      .join(owner, "shingle")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L)).as("n_novel"))
+    perDoc
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_novel") / col("n_shingles")), 4).as("avg_novelty"),
+        round(sum(col("n_novel")) / sum(col("n_shingles")), 4).as("pooled_novelty"))
+      .orderBy("source")
+  }
+
+  /** q189: tokenizer fertility by language — characters per whitespace
+    * token and tokens per document, the capacity-planning numbers behind
+    * any token-budgeted pipeline (q149/q58): a language whose
+    * chars-per-token runs high (e.g. unsegmented scripts) blows a byte
+    * budget long before its token budget. Token counts are a row-local
+    * array expression (no explode — the per-doc count never leaves the
+    * map side), so the aggregate is one language-cardinality shuffle. */
+  def tokenizerFertility(documents: DataFrame): DataFrame = {
+    val nTok = size(filter(split(col("text"), " "), t => length(t) > 0))
+    documents
+      .select(col("lang"), length(col("text")).as("nc"), nTok.as("nt"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        round(sum(col("nc")) / sum(col("nt")), 4).as("chars_per_token"),
+        round(avg(col("nt")), 4).as("avg_tokens_per_doc"))
+      .orderBy("lang")
+  }
 }

@@ -278,7 +278,17 @@ class PlanSpec extends SparkSpec {
       // window is partitioned by bucket (asserted in GlobalOrderSpec)
       "q150_global_rownum"  -> Set("unpartitioned-window"),
       "q153_rfm"            -> Set("unpartitioned-window"),
-      "q160_pct_rank_ref"   -> Set("unpartitioned-window"))
+      "q160_pct_rank_ref"   -> Set("unpartitioned-window"),
+      "q183_gini"           -> Set("unpartitioned-window"), // GlobalOrder offset frame (q150 idiom)
+      "q184_ks_test"        -> Set("unpartitioned-window"), // GlobalOrder offset frame ×3 rankings
+      "q185_mann_whitney"   -> Set("unpartitioned-window"), // GlobalOrder offset frame
+      "q182_benford"        -> Set("unpartitioned-window"), // 9-digit frame total (bounded)
+      "q186_dow_seasonality" -> Set("unpartitioned-window"), // 7-weekday frame (bounded)
+      "q187_ewma"           -> Set("unpartitioned-window"), // calendar-days frame (q89/q136 idiom)
+      "q194_stl_decompose"  -> Set("unpartitioned-window"), // trend MA over the calendar-days frame
+      "q196_bootstrap_ci"   -> bnl, // two 1-row moment frames crossed (q14 idiom)
+      "q190_ann_pq"         -> bnl, // bounded broadcast query side (q51/q59 idiom)
+      "q192_triangles"      -> bnl) // 1-row census scalars crossed (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
