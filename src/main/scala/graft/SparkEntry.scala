@@ -400,9 +400,44 @@ object SparkEntry {
       TpchShapes.priorityExists(t.lineitem, t.orders)
     }),
     "q196_bootstrap_ci" -> ((s, d) => StatTests.bootstrapCi(Tables(s, d).orders)),
+    "q197_window_funnel" -> ((s, d) => EventAnalytics.windowFunnel(Tables(s, d).events)),
+    "q198_user_ewma" -> ((s, d) => EventAnalytics.userEwma(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q198_user_ewma" ->
+      """WITH p AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  floor(sum(CASE WHEN rn = 1 THEN power(0.7, n - rn)
+        |    ELSE 0.3*power(0.7, n - rn) END * value)*10000 + 0.5)/10000 AS ewma_value,
+        |  count(*) AS n_obs
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q197_window_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts AS t1, ts + INTERVAL 1 DAY AS deadline
+        |  FROM events WHERE event_type = 'view'),
+        |c2 AS (
+        |  SELECT v.user_id, v.event_id, v.t1, v.deadline, min(c.ts) AS t2
+        |  FROM v LEFT JOIN events c
+        |    ON c.user_id = v.user_id AND c.event_type = 'click'
+        |    AND c.ts > v.t1 AND c.ts <= v.deadline
+        |  GROUP BY 1, 2, 3, 4),
+        |c3 AS (
+        |  SELECT c2.user_id, c2.event_id, c2.t2, min(p.ts) AS t3
+        |  FROM c2 LEFT JOIN events p
+        |    ON p.user_id = c2.user_id AND p.event_type = 'purchase'
+        |    AND c2.t2 IS NOT NULL AND p.ts > c2.t2 AND p.ts <= c2.deadline
+        |  GROUP BY 1, 2, 3),
+        |lv AS (
+        |  SELECT user_id, max(1
+        |    + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS level
+        |  FROM c3 GROUP BY 1)
+        |SELECT level, count(*) AS n_users FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
     "q193_shingle_novelty" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |idx AS (

@@ -848,4 +848,77 @@ object EventAnalytics {
       .select(col("day"), col("n_sessions"), col("peak_concurrency"))
       .orderBy("day")
   }
+
+  /** q198: per-user EWMA of purchase value — the recency-weighted
+    * "customer value" feature (batch dual of
+    * [[graft.streaming.StreamingEwma.userEwma]]). The recurrence
+    * s ← α·v + (1−α)·s unrolls per user to the closed-form weighted
+    * sum over that user's ordered purchases: weights come from the
+    * per-user rank/count windows (both PARTITIONED by user — bounded by
+    * per-user activity, lint-clean at any scale), then one aggregate
+    * back to user grain. No truncation: per-user purchase counts are
+    * activity-bounded, and exactness is what lets the streaming dual
+    * assert slice-invariance against this form. */
+  def userEwma(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val ordered = byUser.orderBy("ts", "event_id")
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("wgt",
+        when(col("rn") === 1, pow(lit(1 - alpha), col("n") - col("rn")))
+          .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("rn"))))
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("wgt") * col("value")), 4).as("ewma_value"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("user_id")
+  }
+
+  /** q197: time-bounded window funnel (the ClickHouse `windowFunnel`
+    * semantic, the timed refinement of q76's ordered funnel): per user,
+    * the deepest view→click→purchase chain where the WHOLE chain fits
+    * inside `windowExpr` of its starting view. Every view opens a
+    * candidate window; step 2 is the EARLIEST later click inside it,
+    * step 3 the earliest purchase after that click still inside it
+    * (earliest-next-step is the standard greedy semantic — and taking
+    * the min cannot forfeit a reachable step 3 that some later click
+    * would allow only if the purchase precedes that click, which the
+    * ordering forbids). Each step is a user-keyed equi-join with the
+    * range as residual predicate — never a time-cross-join — and
+    * per-user fan-out is (views × clicks-in-window), bounded by
+    * per-user activity density, not table size. Funnel levels collapse
+    * to a 3-row report. */
+  def windowFunnel(events: DataFrame, windowExpr: String = "INTERVAL 1 DAY"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("eid"), col("ts").as("t1"))
+      .withColumn("deadline", col("t1") + expr(windowExpr))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("tc"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("tp"))
+    val step2 = views
+      .join(clicks,
+        col("cu") === col("user_id") && col("tc") > col("t1") && col("tc") <= col("deadline"),
+        "left")
+      .groupBy(col("user_id"), col("eid"), col("t1"), col("deadline"))
+      .agg(min(col("tc")).as("t2"))
+    val step3 = step2
+      .join(purchases,
+        col("pu") === col("user_id") && col("t2").isNotNull &&
+          col("tp") > col("t2") && col("tp") <= col("deadline"),
+        "left")
+      .groupBy(col("user_id"), col("eid"), col("t2"))
+      .agg(min(col("tp")).as("t3"))
+    step3
+      .groupBy(col("user_id"))
+      .agg(max(
+        lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("level"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Similarity, StatTests, TextAnalysis, TpchShapes}
+import graft.operators.{EventAnalytics, Graph, Similarity, StatTests, TextAnalysis, TpchShapes}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -271,6 +271,23 @@ class AnalyticsR6Spec extends SparkSpec {
     assert(r.getAs[Double]("ci_lo") < mean && mean < r.getAs[Double]("ci_hi"))
     val ratio = r.getAs[Double]("se_boot") / r.getAs[Double]("se_analytic")
     assert(ratio > 0.6 && ratio < 1.6, s"se ratio $ratio")
+  }
+
+  test("q197: a chain inside the window reaches level 3, a straddling one does not") {
+    import spark.implicits._
+    def e(id: Long, minute: Long, uid: Long, typ: String) =
+      (id, new java.sql.Timestamp(1700000000000L + minute * 60000L), uid, typ, 1.0, "{}")
+    val events = Seq(
+      // user 1: view→click→purchase all within a day → level 3
+      e(1, 0, 1, "view"), e(2, 10, 1, "click"), e(3, 20, 1, "purchase"),
+      // user 2: click lands beyond the 1-day window → level 1
+      e(4, 0, 2, "view"), e(5, 2000, 2, "click"),
+      // user 3: purchase BEFORE the click never counts → level 2
+      e(6, 0, 3, "view"), e(7, 5, 3, "purchase"), e(8, 10, 3, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.windowFunnel(events).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((1, 1L), (2, 1L), (3, 1L)))
   }
 
   test("q192: a planted triangle plus a pendant edge is counted correctly") {
