@@ -402,9 +402,34 @@ object SparkEntry {
     "q196_bootstrap_ci" -> ((s, d) => StatTests.bootstrapCi(Tables(s, d).orders)),
     "q197_window_funnel" -> ((s, d) => EventAnalytics.windowFunnel(Tables(s, d).events)),
     "q198_user_ewma" -> ((s, d) => EventAnalytics.userEwma(Tables(s, d).events)),
+    "q199_median_modes" -> ((s, d) => Relational.medianModes(Tables(s, d).lineitem)),
+    "q200_exact_money" -> ((s, d) => Relational.exactMoney(Tables(s, d).orders)),
+    "q201_containment" -> ((s, d) => Dedup.containmentJoin(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q199_median_modes" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n_lines,
+        |    floor(quantile_cont(l_quantity, 0.5)*10000 + 0.5)/10000 AS median_cont,
+        |    floor(quantile_disc(l_quantity, 0.5)*10000 + 0.5)/10000 AS median_disc
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS mode_count,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rk
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT g.l_returnflag, g.n_lines, g.median_cont, g.median_disc,
+        |  m.mode_qty, m.mode_count
+        |FROM g JOIN m ON g.l_returnflag = m.l_returnflag AND m.rk = 1
+        |ORDER BY g.l_returnflag""".stripMargin,
+    "q200_exact_money" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_exact,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_exact,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_exact,
+        |  floor(sum(o_totalprice)*10000 + 0.5)/10000 AS sum_double
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q198_user_ewma" ->
       """WITH p AS (
         |  SELECT user_id, value,

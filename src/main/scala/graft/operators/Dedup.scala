@@ -640,4 +640,50 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** q201: containment (near-superset) join — pairs where
+    * C(A→B) = |A∩B| / |A| ≥ `theta`. Jaccard (q42/q120) misses the
+    * asymmetric case a training pipeline cares about: a short document
+    * wholly CONTAINED in a longer one (quote farms, concatenated
+    * crawls) scores low Jaccard but containment ≈ 1 — the
+    * keep-the-superset dedup decision.
+    *
+    * Shape: per-doc DISTINCT hashed `shingleK`-gram shingles (long
+    * keys); common shingles with document frequency > `maxDf` are
+    * dropped BEFORE pair expansion (the maxBucket discipline — a
+    * boilerplate shingle shared by d docs would expand d² pairs;
+    * recall loss is only for pairs whose ENTIRE overlap is
+    * boilerplate, disclosed); candidate pairs come from a
+    * shingle-keyed self-join (equi, data-proportional), intersection
+    * sizes from one (a,b) groupBy, and containment divides by the
+    * smaller side's size. Both directions are reported in one row
+    * (a < b canonical, c_ab / c_ba columns). */
+  def containmentJoin(
+      documents: DataFrame,
+      theta: Double = 0.8,
+      shingleK: Int = 3,
+      maxDf: Int = 200): DataFrame = {
+    val sets = signatures(documents, shingleK)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sets
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "sh")
+    val inter = rare.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("c_ab", col("common") / col("sz_a"))
+      .withColumn("c_ba", col("common") / col("sz_b"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= theta)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("common"),
+        round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

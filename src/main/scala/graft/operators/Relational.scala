@@ -1270,4 +1270,50 @@ object Relational {
         round(max(col("madv")), 4).as("mad_value"))
       .orderBy("event_type")
   }
+
+  /** q199: ANSI ordered-set aggregates — `percentile_cont` /
+    * `percentile_disc` (WITHIN GROUP) side by side, plus the mode. The
+    * mode is computed DETERMINISTICALLY (count desc, value asc rank
+    * over value-count cells — a bounded per-group window over distinct
+    * values) rather than the built-in `mode`, whose tie choice no
+    * engine pins down. Disc-vs-cont on the same column is the
+    * interpolation-semantics check every SQL migration trips over. */
+  def medianModes(lineitem: DataFrame): DataFrame = {
+    val stats = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+          .as("median_cont"),
+        round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+          .as("median_disc"))
+    val w = Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity").asc)
+    val modes = lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_count"))
+    stats.join(modes, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  /** q200: exact DECIMAL money aggregation — the accounting-grade path
+    * beside the double sums every other query rounds: order totals cast
+    * to DECIMAL(18,2) sum WITHOUT float drift (Spark's decimal
+    * aggregate widens precision, never loses cents), emitted as
+    * canonical strings so the oracle compare is representation-exact;
+    * the double sum rides along to document the contrast. */
+  def exactMoney(orders: DataFrame): DataFrame = {
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec).cast("string").as("sum_exact"),
+        min(dec).cast("string").as("min_exact"),
+        max(dec).cast("string").as("max_exact"),
+        round(sum(col("o_totalprice")), 4).as("sum_double"))
+      .orderBy("o_orderpriority")
+  }
 }

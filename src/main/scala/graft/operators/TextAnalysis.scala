@@ -986,6 +986,9 @@ object TextAnalysis {
           sequence(lit(1), size(w) - lit(windowTokens - 1)),
           i => md5(array_join(slice(w, i, lit(windowTokens)), " ")))).as("shingle"))
       .distinct()
+      // read twice (ownership aggregate + join back) — persist the
+      // deduped shingle set so the explode+md5 scan runs once
+      .cache()
     val owner = shingles
       .groupBy("shingle")
       .agg(min(col("doc_id")).as("owner"))

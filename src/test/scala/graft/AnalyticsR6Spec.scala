@@ -290,6 +290,47 @@ class AnalyticsR6Spec extends SparkSpec {
     assert(got === Seq((1, 1L), (2, 1L), (3, 1L)))
   }
 
+  test("q199: cont interpolates, disc picks a member, mode ties break low") {
+    import spark.implicits._
+    // flag A: [1,2,3,4] → cont 2.5, disc 2; counts all 1 → mode tie → 1
+    val lineitem = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0))
+      .toDF("l_returnflag", "l_quantity")
+    val r = operators.Relational.medianModes(lineitem).head()
+    assert(r.getAs[Double]("median_cont") === 2.5)
+    assert(r.getAs[Double]("median_disc") === 2.0)
+    assert(r.getAs[Double]("mode_qty") === 1.0)
+    assert(r.getAs[Long]("mode_count") === 1L)
+  }
+
+  test("q200: decimal sum keeps the cents the double path drifts on") {
+    import spark.implicits._
+    val orders = Seq(("P", 0.1), ("P", 0.2)).toDF("o_orderpriority", "o_totalprice")
+    val r = operators.Relational.exactMoney(orders).head()
+    assert(r.getAs[String]("sum_exact") === "0.30")
+    assert(r.getAs[String]("min_exact") === "0.10")
+    assert(r.getAs[String]("max_exact") === "0.20")
+    // the raw double sum is 0.30000000000000004 — the decimal path is
+    // what makes the money exact
+    assert(0.1 + 0.2 !== 0.3)
+  }
+
+  test("q201: a contained quote scores containment 1 toward its superset") {
+    import spark.implicits._
+    val small = (1 to 10).map("t" + _).mkString(" ")
+    val big = small + " " + (11 to 40).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, small, "en", "quotes"),
+      (2L, big, "en", "web"),
+      (3L, (100 to 140).map("z" + _).mkString(" "), "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = operators.Dedup.containmentJoin(docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Double]("c_ab") === 1.0)   // small fully inside big
+    assert(r.getAs[Double]("c_ba") < 0.5)     // big is NOT inside small
+  }
+
   test("q192: a planted triangle plus a pendant edge is counted correctly") {
     import spark.implicits._
     // orders 1 and 2 both contain parts {1,2,3} → all three edges reach

@@ -29,6 +29,25 @@ class PlanSpec extends SparkSpec {
     assert(p134.contains("BroadcastHashJoin"), "q134 supplier join not broadcast")
   }
 
+  test("round-6 family: TPC-H shapes plan broadcast dims / TakeOrdered / semi join") {
+    // q175/q179: the global top-k after aggregation is a TakeOrdered,
+    // never a full sort of the survivor set
+    assert(plan("q175_returned_customers").contains("TakeOrderedAndProject"),
+      "q175 top-20 not TakeOrdered")
+    assert(plan("q179_big_orders").contains("TakeOrderedAndProject"),
+      "q179 top-k not TakeOrdered")
+    // q177: the OR-of-ANDs brackets must NOT force a nested-loop — the
+    // partkey equi-join stays a broadcast hash join
+    val p177 = plan("q177_disjunctive_brackets")
+    assert(p177.contains("BroadcastHashJoin"), "q177 part join not broadcast hash")
+    assert(!p177.contains("BroadcastNestedLoop"), "q177 fell back to BNL")
+    // q195: EXISTS plans as a semi join (orders never duplicate per line)
+    assert(plan("q195_priority_exists").contains("LeftSemi"), "q195 not a semi join")
+    // q173: both nation-pair legs broadcast; only lineitem⋈orders is data-sized
+    val p173 = plan("q173_nation_trade")
+    assert(p173.contains("BroadcastHashJoin"), "q173 dim legs not broadcast")
+  }
+
   test("q02: filters and column pruning reach the parquet scan") {
     val p = formatted("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), "filter pushdown missing")
