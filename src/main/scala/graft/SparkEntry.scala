@@ -405,9 +405,78 @@ object SparkEntry {
     "q199_median_modes" -> ((s, d) => Relational.medianModes(Tables(s, d).lineitem)),
     "q200_exact_money" -> ((s, d) => Relational.exactMoney(Tables(s, d).orders)),
     "q201_containment" -> ((s, d) => Dedup.containmentJoin(Tables(s, d).documents)),
+    "q202_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables(s, d).documents)),
+    "q203_bm25" -> ((s, d) => TextAnalysis.bm25(Tables(s, d).documents)),
+    "q204_stl_anomaly" -> ((s, d) => StatTests.stlAnomalies(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q202_pmi_bigrams" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT w[i] AS a, w[i+1] AS b
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d)),
+        |uni AS (
+        |  SELECT t.tok FROM documents,
+        |    LATERAL unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |n1 AS (SELECT count(*) AS n1 FROM uni),
+        |n2 AS (SELECT count(*) AS n2 FROM bg),
+        |p AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.a, p.b, p.c_ab,
+        |  floor(ln((c_ab/CAST(n2.n2 AS DOUBLE))
+        |    /((ca.c/CAST(n1.n1 AS DOUBLE))*(cb.c/CAST(n1.n1 AS DOUBLE))))*10000 + 0.5)/10000
+        |    AS pmi
+        |FROM p
+        |JOIN uc ca ON p.a = ca.tok
+        |JOIN uc cb ON p.b = cb.tok
+        |CROSS JOIN n1 CROSS JOIN n2
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+    "q203_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |    LATERAL unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'table', 'query') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln((st.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.2
+        |      / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl)) AS score
+        |  FROM tf
+        |  JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st)
+        |SELECT doc_id, floor(sum(score)*10000 + 0.5)/10000 AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q204_stl_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT d, rev,
+        |    avg(rev) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS trend,
+        |    CAST(date_part('dow', d) AS INT) AS dow
+        |  FROM daily),
+        |s AS (SELECT *, avg(rev - trend) OVER (PARTITION BY dow) AS seasonal FROM t),
+        |r AS (
+        |  SELECT strftime(d, '%Y-%m-%d') AS day,
+        |    floor(rev*10000 + 0.5)/10000 AS rev,
+        |    floor((rev - trend - seasonal)*10000 + 0.5)/10000 AS residual
+        |  FROM s),
+        |m AS (SELECT avg(residual) AS mu, stddev_samp(residual) AS sigma FROM r)
+        |SELECT day, rev, residual,
+        |  floor((residual - mu)/sigma*10000 + 0.5)/10000 AS z
+        |FROM r CROSS JOIN m
+        |WHERE abs((residual - mu)/sigma) > 3.0 ORDER BY day""".stripMargin,
     "q199_median_modes" ->
       """WITH g AS (
         |  SELECT l_returnflag, count(*) AS n_lines,

@@ -203,6 +203,24 @@ object StatTests {
       .orderBy("day")
   }
 
+  /** q204: STL-residual anomaly days — the de-noised dual of q87's raw
+    * z-score: after q194's decomposition removes trend and weekday
+    * seasonality, a day is anomalous when its residual sits more than
+    * `zThresh`σ from the residual mean. Trend/seasonality that would
+    * mask (or fake) anomalies in the raw series are already gone, which
+    * is the whole point of testing the residual. The residual moments
+    * ride the bounded-frame window over the calendar-days table. */
+  def stlAnomalies(orders: DataFrame, zThresh: Double = 3.0, halfWindow: Int = 14): DataFrame = {
+    val decomposed = stlDecompose(orders, halfWindow)
+    decomposed
+      .withColumn("mu", avg(col("residual")).over(one))
+      .withColumn("sigma", stddev_samp(col("residual")).over(one))
+      .withColumn("z", (col("residual") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > zThresh)
+      .select(col("day"), col("rev"), col("residual"), round(col("z"), 4).as("z"))
+      .orderBy("day")
+  }
+
   /** q196: Poisson-bootstrap confidence interval for the mean order
     * total — THE scalable bootstrap: independent Poisson(1) resample
     * weights replace the multinomial draw (which needs global

@@ -1007,6 +1007,81 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q202: bigram collocations by pointwise mutual information — the
+    * corpus-linguistics "which word pairs travel together" report (the
+    * statistical core of phrase mining / tokenizer-merge scoring beside
+    * q141's BPE counts). PMI = ln[(c_ab/N₂) / ((c_a/N₁)(c_b/N₁))] over
+    * adjacent bigrams; a minimum pair count filters the unstable
+    * low-frequency tail. Bigrams are a row-local zip of the token array
+    * with its own shift (no self-join); unigram/bigram tables are
+    * vocab-sized; the two corpus totals ride the 1-row broadcast scalar
+    * idiom. */
+  def pmiBigrams(documents: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = documents
+      .filter(size(w) >= 2)
+      .select(explode(arrays_zip(
+        slice(w, lit(1), size(w) - 1).as("a"),
+        slice(w, lit(2), size(w) - 1).as("b"))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val unigrams = documents
+      .select(explode(w).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val uniCounts = unigrams.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n1 = unigrams.agg(count(lit(1)).as("n1"))
+    val n2 = bigrams.agg(count(lit(1)).as("n2"))
+    bigrams
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(broadcast(uniCounts.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uniCounts.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .withColumn("pmi",
+        log((col("c_ab") / col("n2")) / ((col("c_a") / col("n1")) * (col("c_b") / col("n1")))))
+      .select(col("a"), col("b"), col("c_ab"), round(col("pmi"), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** q203: BM25 ranked retrieval for a fixed term set — the lexical
+    * leg of the hybrid stack (q74 builds tf-idf features; this SCORES
+    * AND RANKS with the retrieval-standard saturation formula; q163
+    * fuses a lexical leg with ANN). Per-term tf and doc length come
+    * from one explode pass; document frequency is term-cardinality;
+    * N and avgdl ride the 1-row broadcast scalar idiom; the top-k is a
+    * TakeOrdered on (rounded score, doc_id). */
+  def bm25(
+      documents: DataFrame,
+      terms: Seq[String] = Seq("spark", "table", "query"),
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("score")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** q189: tokenizer fertility by language — characters per whitespace
     * token and tokens per document, the capacity-planning numbers behind
     * any token-budgeted pipeline (q149/q58): a language whose

@@ -331,6 +331,46 @@ class AnalyticsR6Spec extends SparkSpec {
     assert(r.getAs[Double]("c_ba") < 0.5)     // big is NOT inside small
   }
 
+  test("q202: a glued pair tops PMI; an independent frequent pair scores lower") {
+    import spark.implicits._
+    // "alpha beta" always adjacent (5×); "noise" is frequent but pairs randomly
+    val glued = (1 to 5).map(i => (i.toLong, "alpha beta", "en", "web"))
+    val indep = (6 to 15).map(i => (i.toLong, "noise filler noise filler noise", "en", "web"))
+    val docs = (glued ++ indep).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.pmiBigrams(docs, minCount = 5).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getString(0), top.getString(1)) === ("alpha", "beta"))
+    val pmiMap = rows.map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    pmiMap.get(("noise", "filler")).foreach(p => assert(p < pmiMap(("alpha", "beta"))))
+  }
+
+  test("q203: term-dense docs outrank sparse ones; term-free docs never appear") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark query table", "en", "web"),
+      (2L, "spark filler filler filler filler filler filler", "en", "web"),
+      (3L, "nothing relevant here at all", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.bm25(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.head.getAs[Long]("n_terms_hit") === 3L)
+  }
+
+  test("q204: a planted revenue spike is the only flagged day") {
+    import spark.implicits._
+    val orders = (0 until 60).map { i =>
+      val rev = if (i == 30) 100000.0 else 100.0 + (i % 7)
+      (i.toLong,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(1996, 1, 1).plusDays(i).atStartOfDay()),
+        rev)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rows = StatTests.stlAnomalies(orders).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("1996-01-31"))
+    assert(rows.head.getAs[Double]("z") > 3.0)
+  }
+
   test("q192: a planted triangle plus a pendant edge is counted correctly") {
     import spark.implicits._
     // orders 1 and 2 both contain parts {1,2,3} → all three edges reach

@@ -306,6 +306,9 @@ class PlanSpec extends SparkSpec {
       "q187_ewma"           -> Set("unpartitioned-window"), // calendar-days frame (q89/q136 idiom)
       "q194_stl_decompose"  -> Set("unpartitioned-window"), // trend MA over the calendar-days frame
       "q196_bootstrap_ci"   -> bnl, // two 1-row moment frames crossed (q14 idiom)
+      "q202_pmi_bigrams"    -> bnl, // 1-row N1/N2 corpus totals (q14 idiom)
+      "q203_bm25"           -> bnl, // 1-row N/avgdl scalar (q14 idiom)
+      "q204_stl_anomaly"    -> Set("unpartitioned-window"), // q194 trend + residual moments (calendar frame)
       "q190_ann_pq"         -> bnl, // bounded broadcast query side (q51/q59 idiom)
       "q192_triangles"      -> bnl) // 1-row census scalars crossed (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
