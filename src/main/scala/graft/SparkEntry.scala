@@ -408,9 +408,42 @@ object SparkEntry {
     "q202_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(Tables(s, d).documents)),
     "q203_bm25" -> ((s, d) => TextAnalysis.bm25(Tables(s, d).documents)),
     "q204_stl_anomaly" -> ((s, d) => StatTests.stlAnomalies(Tables(s, d).orders)),
+    "q205_mg_heavy_hitters" -> ((s, d) => TextAnalysis.mgHeavyHitters(Tables(s, d).documents)),
+    "q206_grouping_id" -> ((s, d) => Relational.rollupGroupingId(Tables(s, d).lineitem)),
+    "q207_range_frame" -> ((s, d) => Relational.trailingRangeRevenue(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q206_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS revenue,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q207_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+        |  floor(o_totalprice*10000 + 0.5)/10000 AS o_totalprice,
+        |  floor(sum(o_totalprice) OVER w *10000 + 0.5)/10000 AS trailing_rev,
+        |  count(*) OVER w AS n_in_window
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q205_mg_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT t.tok FROM documents,
+        |    LATERAL unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |n AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, count(*) AS n_occurrences,
+        |  floor(count(*)/CAST(n.n AS DOUBLE)*100*10000 + 0.5)/10000 AS pct
+        |FROM toks CROSS JOIN n GROUP BY tok, n.n
+        |HAVING count(*) > n.n/30.0
+        |ORDER BY n_occurrences DESC, tok""".stripMargin,
     "q202_pmi_bigrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS w FROM documents

@@ -45,4 +45,9 @@ object SketchFunctions {
     * runtime-filter predicate for [[graft.operators.BloomJoin]]. */
   def bloomMightContain(filterBytes: Array[Byte], key: Column): Column =
     toColumn(graft.plans.BloomMightContain(filterBytes, expression(key)))
+
+  /** Misra–Gries frequent-items summary → struct(n, items) (also in SQL
+    * as `mg_topk` via the registry/extensions). */
+  def mgTopK(c: Column, k: Int): Column =
+    toColumn(graft.plans.MisraGriesTopK(expression(c), Literal(k)).toAggregateExpression())
 }

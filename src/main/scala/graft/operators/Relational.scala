@@ -1298,6 +1298,45 @@ object Relational {
     stats.join(modes, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** q206: ROLLUP with GROUPING() provenance flags — the metadata that
+    * disambiguates "NULL because subtotal" from "NULL because the data
+    * was NULL" (the q110 three-valued-logic discipline applied to
+    * grouping sets). `grouping()` per dim plus the composite
+    * `grouping_id` let a report consumer route each row to its grain
+    * without nullable-key heuristics. Same one-Expand plan as q09. */
+  def rollupGroupingId(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("revenue"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** q207: value-RANGE window frame — trailing 30-day revenue per
+    * customer computed with a RANGE frame over the epoch-day key (not a
+    * ROWS frame: multiple orders on one day and calendar gaps are
+    * handled by VALUE distance, the semantics a ROWS frame silently
+    * gets wrong). Partitioned by customer — bounded by per-customer
+    * history, lint-clean at any scale. */
+  def trailingRangeRevenue(orders: DataFrame, days: Int = 30): DataFrame = {
+    val epochDay = datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("day_idx")
+      .rangeBetween(-days, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), epochDay.as("day_idx"))
+      .withColumn("trailing_rev", round(sum(col("o_totalprice")).over(w), 4))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        col("trailing_rev"), col("n_in_window"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
   /** q200: exact DECIMAL money aggregation — the accounting-grade path
     * beside the double sums every other query rounds: order totals cast
     * to DECIMAL(18,2) sum WITHOUT float drift (Spark's decimal

@@ -1007,6 +1007,37 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q205: Misra–Gries heavy hitters with exact recount — the
+    * guarantee-backed sketch-then-verify pattern: the O(k)
+    * [[graft.plans.MisraGriesTopK]] summary finds every token that
+    * COULD exceed n/k (guaranteed — MG's undercount is < n/k), one
+    * candidate-restricted recount attaches exact counts, and the final
+    * `count > n/k` filter makes the answer EXACTLY the true
+    * heavy-hitter set, deterministic despite the summary's
+    * merge-order-dependent internals. At 100 TB: the sketch pass is one
+    * O(k)-state aggregate, the recount scans once more but counts only
+    * candidate keys (≤ k−1 of them, broadcast) — never a full-vocab
+    * groupBy. */
+  def mgHeavyHitters(documents: DataFrame, k: Int = 30): DataFrame = {
+    val toks = documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val summary = toks
+      .agg(graft.functions.SketchFunctions.mgTopK(col("tok"), k).as("s"))
+      .select(col("s.n").as("n"), explode(col("s.items.item")).as("tok"))
+      .cache() // ≤ k−1 rows, read twice (candidate semi-join + n attach)
+    val exact = toks
+      .join(broadcast(summary.select("tok")), Seq("tok"), "left_semi")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occurrences"))
+    exact
+      .join(broadcast(summary), Seq("tok"))
+      .filter(col("n_occurrences") > col("n") / k)
+      .select(col("tok"), col("n_occurrences"),
+        round(col("n_occurrences") / col("n") * 100, 4).as("pct"))
+      .orderBy(desc("n_occurrences"), col("tok"))
+  }
+
   /** q202: bigram collocations by pointwise mutual information — the
     * corpus-linguistics "which word pairs travel together" report (the
     * statistical core of phrase mining / tokenizer-merge scoring beside

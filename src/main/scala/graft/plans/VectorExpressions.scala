@@ -191,6 +191,7 @@ object VectorFunctionRegistry {
     "tdigest_sketch" -> (args =>
       TDigestSketch(args(0), if (args.length >= 2) args(1) else Literal(100.0))),
     "tdigest_merge_quantile" -> (args => TDigestMergeQuantile(args(0), args(1))),
+    "mg_topk" -> (args => MisraGriesTopK(args(0), args(1))),
     "bloom_sketch" -> (args =>
       BloomSketch(
         args(0),

@@ -61,4 +61,52 @@ object SketchMaintenance {
     sk.writeTo(bos)
     bos.toByteArray
   }
+
+  /** stream_tdigest: incrementally maintained t-digest table — the
+    * quantile analog of the CMS table above, and the streaming feed for
+    * q145's sketch-served latency percentiles. Each micro-batch writes
+    * one digest per (dt, event_type) for ITS slice under
+    * `ingest_batch=N` (dynamic overwrite ⇒ replays are idempotent —
+    * the same rule as CMS: digests merge additively, so merge-on-write
+    * would double-count under retry; merge-on-READ over KB rows is
+    * free and exactly-once by construction). */
+  def updateDigestTable(
+      batch: DataFrame,
+      tablePath: String,
+      batchId: Long,
+      compression: Double = 200.0): Unit =
+    batch
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"), col("event_type"))
+      .agg(graft.functions.SketchFunctions.tdigestSketch(col("value"), compression).as("td"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("ingest_batch")
+      .parquet(tablePath)
+
+  /** Merged per-type percentile estimates read purely from the digest
+    * table — k₁-merge is loss-bounded, so answers stay within t-digest
+    * accuracy of the exact percentile over the union with NO raw
+    * rescan. */
+  def quantileEstimate(
+      spark: SparkSession,
+      tablePath: String,
+      ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    import spark.implicits._
+    val merged = spark.read.parquet(tablePath)
+      .select("event_type", "td")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (tpe, rows) =>
+        val ds = rows.map(r => graft.plans.TDigest.deserialize(r.getAs[Array[Byte]](1)))
+        tpe -> ds.reduce { (a, b) => a.merge(b); a }
+      }
+    merged.toSeq
+      .flatMap { case (tpe, d) =>
+        ps.map(p => (tpe, p, math.floor(d.quantile(p) * 10000 + 0.5) / 10000))
+      }
+      .toDF("event_type", "p", "quantile")
+      .orderBy("event_type", "p")
+  }
 }

@@ -371,6 +371,43 @@ class AnalyticsR6Spec extends SparkSpec {
     assert(rows.head.getAs[Double]("z") > 3.0)
   }
 
+  test("q205: MG sketch + recount returns exactly the true heavy-hitter set, any layout") {
+    import spark.implicits._
+    // "hot" is 40% of tokens; 60 distinct rare tokens fill the rest —
+    // far more distinct items than the k−1 = 9 counters
+    val hot = (1 to 40).map(_ => "hot")
+    val rare = (1 to 60).map(i => s"rare$i")
+    val toks = new scala.util.Random(7).shuffle(hot ++ rare)
+    val docs = toks.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), "en", "web") }
+      .toSeq.toDF("doc_id", "text", "lang", "source")
+    val expected = Set(("hot", 40L)) // only token with freq > 100/10
+    Seq(docs, docs.repartition(8), docs.repartition(1)).foreach { layout =>
+      val got = operators.TextAnalysis.mgHeavyHitters(layout, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === expected, s"layout-dependent MG answer: $got")
+    }
+  }
+
+  test("q205 summary internals: lower bounds never exceed truth, error within n/k") {
+    import spark.implicits._
+    val toks = ((1 to 50).map(_ => "a") ++ (1 to 30).map(_ => "b") ++
+      (1 to 40).map(i => s"x$i")).toDF("tok")
+    val row = toks.agg(expr("mg_topk(tok, 8)").as("s")).select("s.n", "s.items").head()
+    val n = row.getLong(0)
+    assert(n === 120L)
+    val items = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("a" -> 50L, "b" -> 30L)
+    // every guaranteed-heavy item (freq > n/k = 15) survives
+    assert(items.contains("a") && items.contains("b"))
+    items.foreach { case (item, lb) =>
+      val t = truth.getOrElse(item, 1L)
+      assert(lb <= t, s"$item lower bound $lb above truth $t")
+      assert(t - lb <= n / 8, s"$item error ${t - lb} above n/k")
+    }
+  }
+
   test("q192: a planted triangle plus a pendant edge is counted correctly") {
     import spark.implicits._
     // orders 1 and 2 both contain parts {1,2,3} → all three edges reach

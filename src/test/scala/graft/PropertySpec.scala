@@ -236,4 +236,83 @@ class PropertySpec extends SparkSpec {
         got == want
     }, trials = 12)
   }
+
+  test("containment join equals brute-force set containment on any corpus") {
+    // mirror Dedup.signatures' shingling exactly: \S+ tokens, murmur3 of
+    // the space-joined k-gram, masked positive, distinct
+    def shingleSet(text: String, k: Int): Set[Long] = {
+      val toks = "\\S+".r.findAllIn(text).toArray
+      (0 to toks.length - k).map { i =>
+        (scala.util.hashing.MurmurHash3
+          .bytesHash(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8"), 42)
+          & 0x7FFFFFFF).toLong
+      }.toSet
+    }
+    checkProp(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = graft.operators.Dedup.containmentJoin(docs, theta = 0.8, maxDf = 10000)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t, 3) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa intersect sb).size.toDouble
+        if inter / sa.size >= 0.8 || inter / sb.size >= 0.8
+      } yield (a, b)).toSet
+      got == want
+    }, trials = 10)
+  }
+
+  test("window-funnel levels never shrink as the window widens") {
+    val evGen = for {
+      uid <- Gen.choose(1L, 4L)
+      typ <- Gen.oneOf("view", "click", "purchase", "error")
+      min <- Gen.choose(0L, 5000L)
+    } yield (uid, typ, min)
+    checkProp(Prop.forAll(Gen.listOfN(50, evGen)) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, m), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + m * 60000L), u, t, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      def levels(w: String): Map[Long, Int] = {
+        val narrow = EventAnalytics.windowFunnel(df, w)
+        // keyed per-user levels, not the histogram: recompute per user
+        val vUsers = df.filter(col("event_type") === "view")
+          .select("user_id").as[Long].collect().toSet
+        val hist = narrow.as[(Int, Long)].collect()
+        // histogram totals must cover exactly the users with ≥1 view
+        assert(hist.map(_._2).sum === vUsers.size.toLong)
+        hist.toMap.map { case (l, n) => (l.toLong, n.toInt) }
+      }
+      val n = levels("INTERVAL 1 HOUR")
+      val w = levels("INTERVAL 10 DAY")
+      // total users constant; cumulative count at-or-above each level
+      // can only grow with a wider window
+      val totalN = n.values.sum
+      val totalW = w.values.sum
+      def atLeast(m: Map[Long, Int], l: Long) =
+        m.collect { case (k, v) if k >= l => v }.sum
+      totalN == totalW &&
+        (1L to 3L).forall(l => atLeast(w, l) >= atLeast(n, l))
+    }, trials = 8)
+  }
+
+  test("global row numbers equal the single-reducer window on any keyed data") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      id <- Gen.choose(1L, 10000L)
+      v  <- Gen.oneOf(1.0, 2.0, 2.0, 3.5, 7.0, 9.9) // deliberate heavy ties
+    } yield (id, v)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val df = rows.distinct.toDF("id", "v")
+      val got = graft.operators.GlobalOrder
+        .withGlobalRowNumber(df, col("v"), Seq("v", "id"), "rn", "__t", numBuckets = 4)
+        .select("id", "rn").as[(Long, Long)].collect().toSet
+      val want = df
+        .withColumn("rn", row_number().over(Window.orderBy("v", "id")).cast("long"))
+        .select("id", "rn").as[(Long, Long)].collect().toSet
+      got == want
+    }, trials = 12)
+  }
 }

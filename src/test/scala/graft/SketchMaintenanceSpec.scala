@@ -42,4 +42,32 @@ class SketchMaintenanceSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("t-digest table: sliced batches + a replay answer percentiles within 2.5% of exact") {
+    val table = Files.createTempDirectory("graft-td").toString
+    val ev = t.events
+    (0 until 3).foreach { b =>
+      SketchMaintenance.updateDigestTable(ev.filter(col("event_id") % 3 === b), table, batchId = b)
+    }
+    // replayed batch overwrites its own ingest_batch partition only
+    SketchMaintenance.updateDigestTable(ev.filter(col("event_id") % 3 === 1), table, batchId = 1)
+
+    val got = SketchMaintenance.quantileEstimate(spark, table)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().flatMap(r =>
+        Seq((r.getString(0), 0.5) -> r.getDouble(1), (r.getString(0), 0.9) -> r.getDouble(2)))
+      .toMap
+    assert(got.nonEmpty && got.keySet === exact.keySet)
+    got.foreach { case (k, est) =>
+      val ex = exact(k)
+      // merged digests trade some accuracy for mergeability: ~1.2%
+      // observed at p90/compression=200; 2.5% is the honest envelope
+      val tol = math.max(0.025 * math.abs(ex), 1e-6)
+      assert(math.abs(est - ex) <= tol, s"$k: sketch $est vs exact $ex")
+    }
+  }
 }
