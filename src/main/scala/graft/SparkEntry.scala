@@ -411,9 +411,40 @@ object SparkEntry {
     "q205_mg_heavy_hitters" -> ((s, d) => TextAnalysis.mgHeavyHitters(Tables(s, d).documents)),
     "q206_grouping_id" -> ((s, d) => Relational.rollupGroupingId(Tables(s, d).lineitem)),
     "q207_range_frame" -> ((s, d) => Relational.trailingRangeRevenue(Tables(s, d).orders)),
+    "q208_growth_accounting" -> ((s, d) => EventAnalytics.growthAccounting(Tables(s, d).events)),
+    "q209_purchase_gaps" -> ((s, d) => EventAnalytics.purchaseGaps(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q208_growth_accounting" ->
+      """WITH a AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT d, count(*) AS new_users FROM (
+        |    SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT strftime(a.d, '%Y-%m-%d') AS day, a.dau,
+        |  COALESCE(f.new_users, 0) AS new_users,
+        |  a.dau - COALESCE(f.new_users, 0) AS returning,
+        |  CAST(sum(COALESCE(f.new_users, 0))
+        |    OVER (ORDER BY a.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM a LEFT JOIN f ON a.d = f.d
+        |ORDER BY day""".stripMargin,
+    "q209_purchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT date_diff('second', prev_ts, ts)/3600.0 AS gap_hours
+        |  FROM p WHERE prev_ts IS NOT NULL)
+        |SELECT count(*) AS n_gaps,
+        |  floor(avg(gap_hours)*10000 + 0.5)/10000 AS mean_gap_hours,
+        |  floor(quantile_cont(gap_hours, 0.5)*10000 + 0.5)/10000 AS p50_gap_hours,
+        |  floor(quantile_cont(gap_hours, 0.9)*10000 + 0.5)/10000 AS p90_gap_hours,
+        |  floor(max(gap_hours)*10000 + 0.5)/10000 AS max_gap_hours
+        |FROM g""".stripMargin,
     "q206_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
         |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS revenue,

@@ -849,6 +849,57 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** q208: growth accounting — per day: active users, NEW users (first
+    * ever seen that day), returning = active − new, and the cumulative
+    * user base. First-seen day is ONE user-grain aggregate; daily
+    * actives and daily firsts are day-grain; the cumulative sum runs
+    * over the calendar-bounded day frame (q89/q136 idiom). This is the
+    * product-growth report (new/retained split) that q121's DAU/WAU
+    * counts don't decompose. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val day = to_date(col("ts"))
+    val active = events
+      .select(day.as("d"), col("user_id"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("dau"))
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(min(day).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(lit(1)).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active
+      .join(firsts, Seq("d"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_users"), col("returning"), col("cumulative_users"))
+      .orderBy("day")
+  }
+
+  /** q209: inter-purchase gap distribution — days between consecutive
+    * purchases per user (the lag window partitions by USER — bounded by
+    * per-user history), then the corpus-level gap distribution: count,
+    * mean, exact p50/p90, the inputs to any churn-definition or
+    * next-purchase model. */
+  def purchaseGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_hours",
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) / lit(3600.0))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_hours")), 4).as("mean_gap_hours"),
+        round(expr("percentile(gap_hours, 0.5)"), 4).as("p50_gap_hours"),
+        round(expr("percentile(gap_hours, 0.9)"), 4).as("p90_gap_hours"),
+        round(max(col("gap_hours")), 4).as("max_gap_hours"))
+  }
+
   /** q198: per-user EWMA of purchase value — the recency-weighted
     * "customer value" feature (batch dual of
     * [[graft.streaming.StreamingEwma.userEwma]]). The recurrence

@@ -309,6 +309,7 @@ class PlanSpec extends SparkSpec {
       "q202_pmi_bigrams"    -> bnl, // 1-row N1/N2 corpus totals (q14 idiom)
       "q203_bm25"           -> bnl, // 1-row N/avgdl scalar (q14 idiom)
       "q204_stl_anomaly"    -> Set("unpartitioned-window"), // q194 trend + residual moments (calendar frame)
+      "q208_growth_accounting" -> Set("unpartitioned-window"), // cumulative sum over the calendar-days frame
       "q190_ann_pq"         -> bnl, // bounded broadcast query side (q51/q59 idiom)
       "q192_triangles"      -> bnl) // 1-row census scalars crossed (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —

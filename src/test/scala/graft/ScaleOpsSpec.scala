@@ -173,6 +173,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r6 >= r1, s"6-band recall $r6 < 1-band recall $r1")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val t = graft.sources.Tables(spark, sfDir)
+    // dt-partitioned fact (the sink's layout) — a dim filter on dt must
+    // reach the fact scan as a runtime partition filter, not a full scan
+    t.events
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .write.partitionBy("dt").mode("overwrite").parquet(root)
+    val fact = spark.read.parquet(root)
+    val nDts = fact.select("dt").distinct().count()
+    val dim = fact.select("dt").distinct()
+      .withColumn("is_probe", col("dt") <= lit(20240103)) // dt inferred as int
+    val joined = fact
+      .join(dim.filter(col("is_probe")), Seq("dt"))
+      .groupBy("dt").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    // and the answer matches the statically-pruned form
+    val got = joined.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = fact.filter(col("dt") <= 20240103)
+      .groupBy("dt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === want && got.size < nDts)
+  }
+
   test("bucketed tables join without an Exchange in the plan") {
     // a stale warehouse dir from a previous JVM blocks saveAsTable
     Seq("b_orders", "b_customer").foreach { tb =>
