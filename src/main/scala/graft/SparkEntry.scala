@@ -413,9 +413,130 @@ object SparkEntry {
     "q207_range_frame" -> ((s, d) => Relational.trailingRangeRevenue(Tables(s, d).orders)),
     "q208_growth_accounting" -> ((s, d) => EventAnalytics.growthAccounting(Tables(s, d).events)),
     "q209_purchase_gaps" -> ((s, d) => EventAnalytics.purchaseGaps(Tables(s, d).events)),
+    "q210_drawdown" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.revenueDrawdown(t.customer, t.orders)
+    }),
+    "q211_pythagorean_means" -> ((s, d) => Relational.pythagoreanMeans(Tables(s, d).orders)),
+    "q212_leave_one_out" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.leaveOneOut(t.customer, t.orders)
+    }),
+    "q213_streaks" -> ((s, d) => EventAnalytics.activityStreaks(Tables(s, d).events)),
+    "q214_debounce" -> ((s, d) => EventAnalytics.debounce(Tables(s, d).events)),
+    "q215_nearest_event" -> ((s, d) => AsOfJoin.nearestEvent(Tables(s, d).events)),
+    "q216_twap" -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables(s, d).events)),
+    "q217_sequence_match" -> ((s, d) => EventAnalytics.sequenceMatch(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q210_drawdown" ->
+      """WITH m AS (
+        |  SELECT c_nationkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |p AS (
+        |  SELECT c_nationkey, rev,
+        |    max(rev) OVER (PARTITION BY c_nationkey ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM m)
+        |SELECT c_nationkey, count(*) AS n_months,
+        |  floor(max(peak)*10000 + 0.5)/10000 AS peak_rev,
+        |  floor(max((peak - rev)/peak)*10000 + 0.5)/10000 AS max_drawdown
+        |FROM p GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q211_pythagorean_means" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  floor(avg(o_totalprice)*10000 + 0.5)/10000 AS arith_mean,
+        |  floor(exp(avg(ln(o_totalprice)))*10000 + 0.5)/10000 AS geo_mean,
+        |  floor((count(*) / sum(1.0/o_totalprice))*10000 + 0.5)/10000 AS harm_mean
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q212_leave_one_out" ->
+      """WITH nr AS (
+        |  SELECT c_nationkey, sum(o_totalprice) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot_rev, count(*) AS n FROM nr)
+        |SELECT c_nationkey,
+        |  floor(rev*10000 + 0.5)/10000 AS revenue,
+        |  floor(((tot_rev - rev)/(n - 1))*10000 + 0.5)/10000 AS peer_avg,
+        |  floor((rev/((tot_rev - rev)/(n - 1)))*10000 + 0.5)/10000 AS vs_peers
+        |FROM nr, t ORDER BY c_nationkey""".stripMargin,
+    "q213_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM a),
+        |s AS (
+        |  SELECT user_id, day - CAST(rn AS INTEGER) AS island, count(*) AS len
+        |  FROM r GROUP BY 1, 2),
+        |l AS (SELECT user_id, max(len) AS longest_streak FROM s GROUP BY 1)
+        |SELECT longest_streak, count(*) AS n_users
+        |FROM l GROUP BY 1 ORDER BY longest_streak""".stripMargin,
+    "q214_debounce" ->
+      """WITH x AS (
+        |  SELECT event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 300 THEN 1 ELSE 0 END AS opens
+        |  FROM x)
+        |SELECT event_type, count(*) AS n_events, sum(opens) AS n_kept,
+        |  floor((sum(opens)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 AS keep_ratio
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q215_nearest_event" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS e_id, ts AS e_ts
+        |  FROM events WHERE event_type = 'error'),
+        |j AS (
+        |  SELECT p_id,
+        |    CAST(abs(date_diff('second', p_ts, e_ts)) AS DOUBLE) AS gap_s,
+        |    e_ts, e_id
+        |  FROM p JOIN e USING (user_id)
+        |  WHERE abs(date_diff('second', p_ts, e_ts)) <= 3600),
+        |b AS (
+        |  SELECT p_id, gap_s, row_number() OVER (
+        |    PARTITION BY p_id ORDER BY gap_s, e_ts, e_id) AS rn
+        |  FROM j)
+        |SELECT count(*) AS n_matched,
+        |  floor(avg(gap_s)*10000 + 0.5)/10000 AS mean_gap_s,
+        |  floor(quantile_cont(gap_s, 0.5)*10000 + 0.5)/10000 AS p50_gap_s,
+        |  floor(max(gap_s)*10000 + 0.5)/10000 AS max_gap_s
+        |FROM b WHERE rn = 1""".stripMargin,
+    "q216_twap" ->
+      """WITH x AS (
+        |  SELECT user_id, value,
+        |    CAST(date_diff('second', ts,
+        |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      AS DOUBLE) AS wt
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_intervals, sum(wt) AS total_wt,
+        |    floor(avg(value)*10000 + 0.5)/10000 AS plain_avg,
+        |    floor((sum(value*wt)/sum(wt))*10000 + 0.5)/10000 AS twap
+        |  FROM x WHERE wt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals,
+        |  floor(total_wt*10000 + 0.5)/10000 AS total_wt, plain_avg, twap
+        |FROM g WHERE total_wt > 0 ORDER BY user_id""".stripMargin,
+    "q217_sequence_match" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts,
+        |    max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        |  FROM events)
+        |SELECT count(*) AS n_clean_purchases, count(DISTINCT user_id) AS n_users
+        |FROM x
+        |WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+        |  AND (last_error_ts IS NULL OR last_error_ts < last_view_ts)""".stripMargin,
     "q208_growth_accounting" ->
       """WITH a AS (
         |  SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau

@@ -96,4 +96,33 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) :+ col(as): _*)
   }
+
+  /** q215: nearest-match join (pandas `merge_asof(direction='nearest')`)
+    * — each purchase paired with the closest error of the SAME user
+    * within ±`windowSeconds`, whichever side of it. Candidates come
+    * from one user-keyed equi-join (per-user pair counts are
+    * basket-bounded, the q92 argument — never a time-unbounded cross
+    * product), the winner per purchase is a single `min(struct(gap,
+    * ts, id))` aggregate (deterministic: smallest gap, then earliest,
+    * then smallest id — no per-purchase sort), and the result rolls up
+    * to match-rate/latency stats. */
+  def nearestEvent(events: DataFrame, windowSeconds: Int = 3600): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"), col("ts").as("e_ts"))
+    val gap = abs(unix_timestamp(col("e_ts")) - unix_timestamp(col("p_ts"))).cast("double")
+    purchases
+      .join(errors, "user_id")
+      .withColumn("gap_s", gap)
+      .filter(col("gap_s") <= windowSeconds)
+      .groupBy("p_id")
+      .agg(min(struct(col("gap_s"), col("e_ts"), col("e_id"))).as("best"))
+      .select(col("p_id"), col("best.gap_s").as("gap_s"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        round(avg("gap_s"), 4).as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap_s"),
+        round(max("gap_s"), 4).as("max_gap_s"))
+  }
 }

@@ -972,4 +972,98 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("level")
   }
+
+  /** q213: longest consecutive-active-day streak per user (the
+    * gaps-and-islands idiom): distinct (user, day) activity, island key
+    * = day − row_number (consecutive runs share it — pure per-partition
+    * window arithmetic, no self-join), island lengths, per-user max,
+    * then the user-count distribution. Every window/aggregate is
+    * partitioned by user over their distinct DAYS (calendar-bounded),
+    * so no stage exceeds activity cardinality. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    activity
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", expr("date_sub(day, rn)"))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"))
+      .groupBy("longest_streak")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("longest_streak")
+  }
+
+  /** q214: debounce audit — how much of each event type is rapid-fire
+    * repetition: a row opens a new burst when it is the first of its
+    * (user, type) or arrives more than `gapSeconds` after its
+    * predecessor (the q22 session-boundary rule applied per type);
+    * kept/total per type is the dedup headroom a debouncing ingest
+    * would win. One lag window partitioned by (user, type), then a
+    * map-side-combining rollup — no burst table is materialized. */
+  def debounce(events: DataFrame, gapSeconds: Int = 300): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("opens_burst",
+        (col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds).cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("opens_burst").as("n_kept"),
+        round(sum("opens_burst") / count(lit(1)).cast("double"), 4).as("keep_ratio"))
+      .orderBy("event_type")
+  }
+
+  /** q216: time-weighted average value per user (the TWAP/telemetry
+    * aggregate — each reading counts for as long as it was current, so
+    * bursts don't dominate the mean the way they do a plain avg): lead
+    * window per user gives each event its holding time, weighted mean =
+    * Σ v·w / Σ w over intervals. The last event of a user has no
+    * successor and is dropped (open interval). Users whose events all
+    * share one second carry zero total weight and are excluded rather
+    * than divided by zero. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("wt",
+        (unix_timestamp(col("next_ts")) - unix_timestamp(col("ts"))).cast("double"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum("wt").as("total_wt"),
+        round(avg("value"), 4).as("plain_avg"),
+        round(sum(col("value") * col("wt")) / sum(col("wt")), 4).as("twap"))
+      .filter(col("total_wt") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        round(col("total_wt"), 4).as("total_wt"), col("plain_avg"), col("twap"))
+      .orderBy("user_id")
+  }
+
+  /** q217: ordered sequence match with an exclusion (the ClickHouse
+    * `sequenceMatch('(?1)(?2)')`-with-negation shape): purchases that
+    * complete a view → purchase pair with NO error in between. The
+    * naive form is a per-purchase correlated EXISTS/NOT-EXISTS rescan;
+    * here ONE running window per user (rows preceding, ordered by
+    * ts + event_id) carries the latest prior view and error timestamps
+    * past every row, and the pattern is a pure filter: a view exists,
+    * and the latest error (if any) predates it. Same decorrelation
+    * family as q147 — the event stream is scanned once. */
+  def sequenceMatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_view_ts", max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("last_error_ts", max(when(col("event_type") === "error", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view_ts").isNotNull &&
+        (col("last_error_ts").isNull || col("last_error_ts") < col("last_view_ts")))
+      .agg(
+        count(lit(1)).as("n_clean_purchases"),
+        countDistinct("user_id").as("n_users"))
+  }
 }

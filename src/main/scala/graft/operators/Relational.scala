@@ -1355,4 +1355,72 @@ object Relational {
         round(sum(col("o_totalprice")), 4).as("sum_double"))
       .orderBy("o_orderpriority")
   }
+
+  /** q210: running-peak drawdown per nation — the finance-style "how far
+    * below the best month so far" metric: monthly revenue (one
+    * fact-proportional shuffle to the calendar-bounded month table),
+    * running MAX window per nation over months (the extreme-value
+    * sibling of q24's running sum; input is the aggregate, never the
+    * fact table), drawdown = (peak − rev)/peak, then the per-nation
+    * worst case. Every window partition is #months-sized. */
+  def revenueDrawdown(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        orders("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.partitionBy("c_nationkey").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("peak", max("rev").over(w))
+      .withColumn("dd", (col("peak") - col("rev")) / col("peak"))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_months"),
+        round(max("peak"), 4).as("peak_rev"),
+        round(max("dd"), 4).as("max_drawdown"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q211: Pythagorean means per group — arithmetic, geometric
+    * (exp∘avg∘ln, so the product never overflows and the aggregate
+    * stays a partial-merging avg) and harmonic (n / Σ 1/x) means of the
+    * order totals. One map-side-combining aggregate; the log/reciprocal
+    * transforms are per-row projections inside codegen. Geometric and
+    * harmonic means are the right central tendency for ratio-like and
+    * rate-like quantities where the arithmetic mean overstates. */
+  def pythagoreanMeans(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 4).as("arith_mean"),
+        round(exp(avg(log(col("o_totalprice")))), 4).as("geo_mean"),
+        round(count(lit(1)) / sum(lit(1.0) / col("o_totalprice")), 4).as("harm_mean"))
+      .orderBy("o_orderpriority")
+
+  /** q212: leave-one-out peer benchmark per nation — each nation's
+    * revenue against the average of the OTHER nations, computed without
+    * any per-group rescan: the naive form is a correlated "average over
+    * everyone but me" subquery (O(n) rescans); here the grand total and
+    * group count attach via the 1-row broadcast scalar idiom and the
+    * peer average is pure algebra, (total − mine)/(n − 1). The same
+    * decorrelation family as q128/q160. */
+  def leaveOneOut(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val nationRev = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        orders("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(sum("o_totalprice").as("rev"))
+    val tot = nationRev.agg(sum("rev").as("tot_rev"), count(lit(1)).as("n_nations"))
+    val peerAvg = (col("tot_rev") - col("rev")) / (col("n_nations") - lit(1))
+    nationRev
+      .crossJoin(broadcast(tot))
+      .select(
+        col("c_nationkey"),
+        round(col("rev"), 4).as("revenue"),
+        round(peerAvg, 4).as("peer_avg"),
+        round(col("rev") / peerAvg, 4).as("vs_peers"))
+      .orderBy("c_nationkey")
+  }
 }
