@@ -427,6 +427,7 @@ object SparkEntry {
     "q215_nearest_event" -> ((s, d) => AsOfJoin.nearestEvent(Tables(s, d).events)),
     "q216_twap" -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables(s, d).events)),
     "q217_sequence_match" -> ((s, d) => EventAnalytics.sequenceMatch(Tables(s, d).events)),
+    "q218_mv_advisor" -> ((s, d) => plans.MvAdvisor.adviseRegistered(s, d, queries - "q218_mv_advisor")),
   )
 
   def oracleSql: Map[String, String] = Map(
