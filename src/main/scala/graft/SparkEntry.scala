@@ -428,6 +428,8 @@ object SparkEntry {
     "q216_twap" -> ((s, d) => EventAnalytics.timeWeightedAvg(Tables(s, d).events)),
     "q217_sequence_match" -> ((s, d) => EventAnalytics.sequenceMatch(Tables(s, d).events)),
     "q218_mv_advisor" -> ((s, d) => plans.MvAdvisor.adviseRegistered(s, d, queries - "q218_mv_advisor")),
+    "q219_markov_attribution" -> ((s, d) => EventAnalytics.markovAttribution(Tables(s, d).events)),
+    "q220_overlap_sketch" -> ((s, d) => Relational.sketchOverlap(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1066,4 +1066,104 @@ object EventAnalytics {
         count(lit(1)).as("n_clean_purchases"),
         countDistinct("user_id").as("n_users"))
   }
+
+  /** q219: Markov removal-effect attribution (the data-driven
+    * alternative to q135's positional and q152's decay heuristics):
+    * each user's pre-conversion touch sequence becomes a chain
+    * START → touches → CONV/NULL; a channel's credit is its REMOVAL
+    * EFFECT — how much total conversion probability disappears when
+    * every path through it is cut — normalized to shares.
+    *
+    * Distributed part: touch extraction (one per-user window over
+    * events), transition counts (one groupBy over the bounded
+    * (types+2)² grid) — both data-proportional. Driver part: the
+    * absorbing-chain solve, (I−Q)x = b by Gaussian elimination over
+    * ≤(#types+1) unknowns — the SAME bounded-alphabet argument as
+    * q168's collected type list; at any corpus scale this matrix is
+    * a few doubles. One solve per channel for the removal runs. */
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val conv = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fc"))
+      .select(col("user_id"), col("fc.ts").as("conv_ts"), col("fc.event_id").as("conv_id"))
+    val touches = events.filter(col("event_type") =!= "purchase")
+      .join(conv, Seq("user_id"), "left")
+      .filter(col("conv_ts").isNull ||
+        struct(col("ts"), col("event_id")) < struct(col("conv_ts"), col("conv_id")))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("conv_ts").isNotNull.as("converts"))
+    val wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = touches
+      .withColumn("prev", lag("event_type", 1).over(wt))
+      .withColumn("next", lead("event_type", 1).over(wt))
+    val chain = steps.select(
+      coalesce(col("prev"), lit("START")).as("src"), col("event_type").as("dst"))
+    val terminal = steps.filter(col("next").isNull).select(
+      col("event_type").as("src"),
+      when(col("converts"), lit("CONV")).otherwise(lit("NULL")).as("dst"))
+    // converters with zero prior touches jump START → CONV directly
+    val directConv = conv.join(
+      touches.select("user_id").distinct(), Seq("user_id"), "left_anti").count()
+    val counts = chain.unionByName(terminal)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = (if (directConv > 0)
+      counts.updated(("START", "CONV"), counts.getOrElse(("START", "CONV"), 0L) + directConv)
+    else counts)
+
+    val channels = full.keysIterator.flatMap { case (s, d) => Seq(s, d) }
+      .filterNot(Set("START", "CONV", "NULL")).toSeq.distinct.sorted
+    // absorbing-chain conversion probability with `removed` channels
+    // treated as NULL (their inbound mass is lost, their rows dropped)
+    def pConv(removed: Set[String]): Double = {
+      val transient = "START" +: channels.filterNot(removed)
+      val idx = transient.zipWithIndex.toMap
+      val k = transient.length
+      val a = Array.tabulate(k, k + 1) { (_, _) => 0.0 }
+      transient.zipWithIndex.foreach { case (s, i) =>
+        val out = full.collect { case ((`s`, d), n) => d -> n }
+        val tot = out.map(_._2).sum.toDouble
+        a(i)(i) = 1.0
+        if (tot > 0) out.foreach { case (d, n) =>
+          val p = n / tot
+          if (d == "CONV") a(i)(k) += p
+          else idx.get(d).foreach(j => a(i)(j) -= p)
+        }
+      }
+      // Gaussian elimination with partial pivoting on the k×k system
+      (0 until k).foreach { c =>
+        val piv = (c until k).maxBy(r => math.abs(a(r)(c)))
+        val t = a(c); a(c) = a(piv); a(piv) = t
+        if (math.abs(a(c)(c)) > 1e-12) {
+          ((c + 1) until k).foreach { r =>
+            val f = a(r)(c) / a(c)(c)
+            (c to k).foreach(j => a(r)(j) -= f * a(c)(j))
+          }
+        }
+      }
+      val x = new Array[Double](k)
+      ((k - 1) to 0 by -1).foreach { r =>
+        val s = a(r)(k) - ((r + 1) until k).map(j => a(r)(j) * x(j)).sum
+        x(r) = if (math.abs(a(r)(r)) > 1e-12) s / a(r)(r) else 0.0
+      }
+      x(idx("START"))
+    }
+
+    val pFull = pConv(Set.empty)
+    val effects = channels.map(c => c -> math.max(0.0, 1.0 - {
+      if (pFull > 0) pConv(Set(c)) / pFull else 0.0
+    }))
+    val totalEffect = effects.map(_._2).sum
+    effects.map { case (c, re) =>
+      (c, re, if (totalEffect > 0) re / totalEffect else 0.0, pFull)
+    }
+      .toDF("channel", "removal_effect", "share", "p_conv_full")
+      .select(col("channel"),
+        round(col("removal_effect"), 4).as("removal_effect"),
+        round(col("share"), 4).as("share"),
+        round(col("p_conv_full"), 4).as("p_conv_full"))
+      .orderBy("channel")
+  }
 }

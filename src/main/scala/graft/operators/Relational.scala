@@ -1356,6 +1356,34 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q220: sketch-estimated audience overlap — the 100 TB path under
+    * q162's exact matrix: the exact form shuffles every distinct
+    * (user, type) pair and self-joins on user; here ONE pass builds a
+    * KB-sized HLL user sketch per type (partial-merging aggregate),
+    * and every pair statistic is algebra over sketches —
+    * |A∩B| ≈ |A|+|B|−|A∪B| by inclusion–exclusion, Jaccard from the
+    * same three estimates. The pair frame is #types² rows of KB
+    * sketches crossed on the driver-broadcast side (q101's scalar-
+    * combine idiom, bounded by the type alphabet, never by users).
+    * Accuracy vs the exact q162 matrix is spec-asserted (≤5%). */
+  def sketchOverlap(events: DataFrame, lgConfigK: Int = 14): DataFrame = {
+    val sk = events.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .select(
+        col("type_a"), col("type_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(
+          hll_union(col("sk_a"), col("sk_b"), allowDifferentLgConfigK = false)).as("est_union"))
+      .withColumn("est_both", greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("jaccard_est", round(col("est_both") / col("est_union"), 4))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q210: running-peak drawdown per nation — the finance-style "how far
     * below the best month so far" metric: monthly revenue (one
     * fact-proportional shuffle to the calendar-bounded month table),
