@@ -430,9 +430,39 @@ object SparkEntry {
     "q218_mv_advisor" -> ((s, d) => plans.MvAdvisor.adviseRegistered(s, d, queries - "q218_mv_advisor")),
     "q219_markov_attribution" -> ((s, d) => EventAnalytics.markovAttribution(Tables(s, d).events)),
     "q220_overlap_sketch" -> ((s, d) => Relational.sketchOverlap(Tables(s, d).events)),
+    "q221_survival" -> ((s, d) => StatTests.kaplanMeier(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q221_survival" ->
+      """WITH u AS (
+        |  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT max(o_orderdate) AS endd FROM orders),
+        |lf AS (
+        |  SELECT CAST(floor(date_diff('day', f, l)/30.0) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', l, endd) > 365 THEN 1 ELSE 0 END AS churned
+        |  FROM u, e),
+        |bt AS (
+        |  SELECT t, count(*) AS n_t, CAST(sum(churned) AS BIGINT) AS d
+        |  FROM lf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_users FROM bt),
+        |rk AS (
+        |  SELECT t, n_t, d,
+        |    n_users - CAST(coalesce(sum(n_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+        |  FROM bt, tot),
+        |f AS (
+        |  SELECT t, n_t, d, at_risk,
+        |    1.0 - CAST(d AS DOUBLE)/at_risk AS factor FROM rk)
+        |SELECT t AS lifetime_months, at_risk, d AS n_churned,
+        |  n_t - d AS n_censored,
+        |  CASE WHEN min(factor) OVER w = 0 THEN 0.0
+        |    ELSE floor(exp(sum(ln(factor)) OVER w)*10000 + 0.5)/10000
+        |  END AS survival
+        |FROM f
+        |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY lifetime_months""".stripMargin,
     "q210_drawdown" ->
       """WITH m AS (
         |  SELECT c_nationkey, strftime(o_orderdate, '%Y-%m') AS month,

@@ -303,4 +303,45 @@ object StatTests {
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"), col("ewma"))
       .orderBy("day")
   }
+
+  /** q221: Kaplan–Meier survival curve over customer lifetimes — the
+    * censoring-aware answer to "how long do customers stay" that a
+    * plain lifetime histogram gets wrong (customers still active at the
+    * corpus edge haven't finished their lifetime; treating them as
+    * complete biases the curve down). Lifetime = first→last order in
+    * 30-day months; death = churn (last order more than `churnDays`
+    * before the corpus end), still-recent customers are CENSORED at
+    * their observed lifetime.  S(t) = Π_{u≤t} (1 − d_u/n_u), computed
+    * as exp∘Σ∘ln over the cumulative frame with an explicit zero-factor
+    * guard (ln(0) diverges between engines).
+    *
+    * Scale shape: one customer-grain aggregate (fact-proportional),
+    * 1-row broadcast corpus-end and total scalars, then every window
+    * runs over the ≤#months frame — calendar-bounded, the q89/q183
+    * idiom. */
+  def kaplanMeier(orders: DataFrame, churnDays: Int = 365): DataFrame = {
+    val u = orders.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("f"), max("o_orderdate").as("l"))
+    val endd = orders.agg(max("o_orderdate").as("endd"))
+    val life = u.crossJoin(broadcast(endd))
+      .select(
+        floor(datediff(col("l"), col("f")) / lit(30.0)).cast("long").as("t"),
+        (datediff(col("endd"), col("l")) > churnDays).cast("int").as("churned"))
+    val byT = life.groupBy("t").agg(count(lit(1)).as("n_t"), sum("churned").as("d"))
+    val total = byT.agg(sum("n_t").as("n_users"))
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .crossJoin(broadcast(total))
+      .withColumn("at_risk", col("n_users") - coalesce(sum("n_t").over(wPrev), lit(0L)))
+      .withColumn("factor", lit(1.0) - col("d") / col("at_risk"))
+      .withColumn("survival",
+        when(min("factor").over(wCum) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("factor"))).over(wCum)), 4)))
+      .select(
+        col("t").as("lifetime_months"), col("at_risk"),
+        col("d").as("n_churned"), (col("n_t") - col("d")).as("n_censored"),
+        col("survival"))
+      .orderBy("lifetime_months")
+  }
 }

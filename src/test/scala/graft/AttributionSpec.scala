@@ -54,6 +54,42 @@ class AttributionSpec extends SparkSpec {
     assert(r.getAs[Double]("p_conv_full") === 0.5)
   }
 
+  test("q221: hand curve — churn drops survival, censoring only shrinks the risk set") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    val orders = Seq(
+      (1L, day(0)), (1L, day(60)),   // churned at 2 months
+      (2L, day(0)),                  // churned at 0 months
+      (3L, day(0)), (3L, day(900)),  // censored (active 100 d before end)
+      (4L, day(500)), (4L, day(1000)) // censored, defines corpus end
+    ).toDF("o_custkey", "o_orderdate")
+    val got = graft.operators.StatTests.kaplanMeier(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0L, 4L, 1L, 0.75),  // 1 − 1/4
+      (2L, 3L, 1L, 0.5),   // 0.75 · (1 − 1/3)
+      (16L, 2L, 0L, 0.5),  // censoring: S unchanged
+      (30L, 1L, 0L, 0.5)))
+  }
+
+  test("q221: everyone-at-risk dying zeroes S without ln(0) blowing up") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    val orders = Seq(
+      (1L, day(0)), (2L, day(0)), // both churn at lifetime 0
+      (3L, day(2000))             // defines the corpus end, censored
+    ).toDF("o_custkey", "o_orderdate")
+    val got = graft.operators.StatTests.kaplanMeier(orders)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    // single-order customers all land at t=0: at_risk 3, d=2 → S = 1/3
+    assert(got.toSeq === Seq((0L, 0.3333)))
+    val all = graft.operators.StatTests.kaplanMeier(orders, churnDays = -1)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    // churnDays = -1 ⇒ every customer churns; the whole risk set dies at
+    // t=0 → factor 0 → survival exactly 0 through the guard, not ln(0)
+    assert(all.toSeq === Seq((0L, 0.0)))
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()

@@ -313,7 +313,8 @@ class PlanSpec extends SparkSpec {
       "q190_ann_pq"         -> bnl, // bounded broadcast query side (q51/q59 idiom)
       "q192_triangles"      -> bnl, // 1-row census scalars crossed (q14 idiom)
       "q212_leave_one_out"  -> bnl, // 1-row broadcast total/count scalar (q14/q114 idiom)
-      "q220_overlap_sketch" -> bnl) // #types-row KB-sketch frames crossed (q101 scalar-combine idiom)
+      "q220_overlap_sketch" -> bnl, // #types-row KB-sketch frames crossed (q101 scalar-combine idiom)
+      "q221_survival"       -> (bnl + "unpartitioned-window")) // 1-row scalars + ≤#months cumulative frame (q183 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
