@@ -431,9 +431,90 @@ object SparkEntry {
     "q219_markov_attribution" -> ((s, d) => EventAnalytics.markovAttribution(Tables(s, d).events)),
     "q220_overlap_sketch" -> ((s, d) => Relational.sketchOverlap(Tables(s, d).events)),
     "q221_survival" -> ((s, d) => StatTests.kaplanMeier(Tables(s, d).orders)),
+    "q222_cusum" -> ((s, d) => StatTests.cusumDrift(Tables(s, d).orders)),
+    "q223_cuped" -> ((s, d) => Relational.cupedAb(Tables(s, d).events)),
+    "q224_ab_power" -> ((s, d) => Relational.abPower(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q222_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT avg(x) AS mu, stddev_samp(x) AS sigma FROM d),
+        |cc AS (
+        |  SELECT day, x, sigma,
+        |    sum(x - mu - sigma/2) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM d, st),
+        |s AS (
+        |  SELECT day, sigma,
+        |    c - least(0, min(c) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM cc)
+        |SELECT strftime(day, '%Y-%m') AS month, count(*) AS n_days,
+        |  floor(max(s/sigma)*10000 + 0.5)/10000 AS max_excursion_sigmas,
+        |  CAST(max(CASE WHEN s > sigma*4 THEN 1 ELSE 0 END) AS INTEGER) AS alarm
+        |FROM s GROUP BY 1 ORDER BY month""".stripMargin,
+    "q223_cuped" ->
+      """WITH st AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      AND date_diff('day', d0, CAST(ts AS DATE)) < 15
+        |      THEN value ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      AND NOT (date_diff('day', d0, CAST(ts AS DATE)) < 15)
+        |      THEN value ELSE 0 END) AS y
+        |  FROM events, st GROUP BY 1),
+        |pa AS (
+        |  SELECT x, y,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM pu),
+        |mo AS (SELECT covar_samp(x, y) AS cxy, var_samp(x) AS vx, avg(x) AS mx FROM pa),
+        |ad AS (
+        |  SELECT arm, y,
+        |    CASE WHEN vx > 0 THEN cxy/vx ELSE 0 END AS theta,
+        |    y - (CASE WHEN vx > 0 THEN cxy/vx ELSE 0 END) * (x - mx) AS y_adj
+        |  FROM pa, mo)
+        |SELECT floor(max(theta)*10000 + 0.5)/10000 AS theta,
+        |  floor(var_samp(y)*10000 + 0.5)/10000 AS var_raw,
+        |  floor(var_samp(y_adj)*10000 + 0.5)/10000 AS var_cuped,
+        |  floor((1.0 - var_samp(y_adj)/var_samp(y))*100*10000 + 0.5)/10000
+        |    AS var_reduction_pct,
+        |  count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |  count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |  floor(avg(CASE WHEN arm = 'A' THEN y_adj END)*10000 + 0.5)/10000 AS mean_adj_a,
+        |  floor(avg(CASE WHEN arm = 'B' THEN y_adj END)*10000 + 0.5)/10000 AS mean_adj_b
+        |FROM ad""".stripMargin,
+    "q224_ab_power" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+        |  FROM events GROUP BY 1),
+        |pa AS (
+        |  SELECT rev,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM pu),
+        |g AS (
+        |  SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN arm = 'A' THEN rev END) AS ma,
+        |    avg(CASE WHEN arm = 'B' THEN rev END) AS mb,
+        |    var_samp(CASE WHEN arm = 'A' THEN rev END) AS va,
+        |    var_samp(CASE WHEN arm = 'B' THEN rev END) AS vb
+        |  FROM pa)
+        |SELECT n_a, n_b,
+        |  floor(abs(ma - mb)*10000 + 0.5)/10000 AS observed_lift,
+        |  floor((1.959963984540054 + 0.8416212335729143)
+        |    * sqrt(va/n_a + vb/n_b)*10000 + 0.5)/10000 AS mde_at_current_n,
+        |  CASE WHEN abs(ma - mb) > 0 THEN
+        |    ceil(pow(1.959963984540054 + 0.8416212335729143, 2) * (va + vb)
+        |      / pow(ma - mb, 2))
+        |  END AS n_per_arm_for_observed_lift
+        |FROM g""".stripMargin,
     "q221_survival" ->
       """WITH u AS (
         |  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l

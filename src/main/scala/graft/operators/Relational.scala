@@ -399,13 +399,18 @@ object Relational {
     * Satterthwaite degrees of freedom from ONE conditional aggregate
     * over the user table. Everything after the per-user rollup is a
     * single scalar row. */
+  /** Deterministic md5-parity arm assignment shared by the whole
+    * experimentation suite (q171/q223/q224) — one copy so every harness
+    * buckets the SAME users identically on any engine or rerun. */
+  private[operators] def hashArm(user: Column): Column =
+    when(substring(md5(user.cast("string")), 1, 1)
+      .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")), "A").otherwise("B")
+
   def abTestWelch(events: DataFrame): DataFrame = {
     val perUser = events
       .groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
-      .withColumn("arm",
-        when(substring(md5(col("user_id").cast("string")), 1, 1)
-          .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")), "A").otherwise("B"))
+      .withColumn("arm", hashArm(col("user_id")))
     val a = when(col("arm") === "A", col("rev"))
     val b = when(col("arm") === "B", col("rev"))
     perUser
@@ -424,6 +429,89 @@ object Relational {
           pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
             (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
               pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("welch_df"))
+  }
+
+  /** q223: CUPED variance reduction for the q171 A/B harness — the
+    * modern experimentation workhorse: each user's PRE-period revenue is
+    * a covariate correlated with their post-period metric but
+    * independent of assignment, so Y′ = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) keeps every arm mean unbiased while shrinking
+    * variance by the squared correlation. Period split at the data
+    * midpoint (1-row broadcast scalar — engine/rerun-stable), one
+    * user-grain aggregate, then everything is a single scalar row of
+    * co-moment aggregates. Zero-variance covariate degrades to θ = 0
+    * (plain Welch), never a divide-by-null. */
+  def cupedAb(events: DataFrame, preDays: Int = 15): DataFrame = {
+    val start = events.agg(min(to_date(col("ts"))).as("d0"))
+    val perUser = events
+      .crossJoin(broadcast(start))
+      .withColumn("is_pre", datediff(to_date(col("ts")), col("d0")) < preDays)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("is_pre"), col("value"))
+          .otherwise(0.0)).as("x"),
+        sum(when(col("event_type") === "purchase" && !col("is_pre"), col("value"))
+          .otherwise(0.0)).as("y"))
+      .withColumn("arm", hashArm(col("user_id")))
+    val moments = perUser.agg(
+      covar_samp(col("x"), col("y")).as("cxy"),
+      var_samp(col("x")).as("vx"),
+      avg("x").as("mx"))
+    val adj = perUser
+      .crossJoin(broadcast(moments))
+      // not when(vx>0, cxy/vx): ANSI codegen can hoist the division out
+      // of the lazy branch and throw DIVIDE_BY_ZERO on the guarded path
+      .withColumn("theta", coalesce(expr("try_divide(cxy, vx)"), lit(0.0)))
+      .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("mx")))
+    val a = when(col("arm") === "A", col("y_adj"))
+    val b = when(col("arm") === "B", col("y_adj"))
+    adj.agg(
+        max("theta").as("th"),
+        var_samp(col("y")).as("var_raw"),
+        var_samp(col("y_adj")).as("var_cuped"),
+        count(a).as("n_a"), count(b).as("n_b"),
+        avg(a).as("ma"), avg(b).as("mb"))
+      .select(
+        round(col("th"), 4).as("theta"),
+        round(col("var_raw"), 4).as("var_raw"),
+        round(col("var_cuped"), 4).as("var_cuped"),
+        round((lit(1.0) - expr("try_divide(var_cuped, var_raw)")) * 100, 4)
+          .as("var_reduction_pct"),
+        col("n_a"), col("n_b"),
+        round(col("ma"), 4).as("mean_adj_a"),
+        round(col("mb"), 4).as("mean_adj_b"))
+  }
+
+  /** q224: power analysis for the q171 harness — the pre-registration
+    * numbers every experiment needs: from the observed per-arm
+    * variances, the minimum detectable effect at α=0.05 / power 0.8
+    * (two-sided z approximation) and the per-arm sample size required
+    * to detect the currently-observed lift. Pure closed-form algebra
+    * over the same one-row conditional aggregate as q171 — the z
+    * quantiles are literals, so the whole report is engine-exact. */
+  def abPower(events: DataFrame): DataFrame = {
+    val zA = 1.959963984540054 // z_{0.975}
+    val zB = 0.8416212335729143 // z_{0.80}
+    val perUser = events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
+      .withColumn("arm", hashArm(col("user_id")))
+    val a = when(col("arm") === "A", col("rev"))
+    val b = when(col("arm") === "B", col("rev"))
+    perUser
+      .agg(
+        count(a).as("n_a"), count(b).as("n_b"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"))
+      .select(
+        col("n_a"), col("n_b"),
+        round(abs(col("ma") - col("mb")), 4).as("observed_lift"),
+        round(lit(zA + zB) * sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 4)
+          .as("mde_at_current_n"),
+        when(abs(col("ma") - col("mb")) > 0,
+          ceil(pow(lit(zA + zB), 2) * (col("va") + col("vb")) /
+            pow(col("ma") - col("mb"), 2)).cast("double"))
+          .otherwise(lit(null).cast("double")).as("n_per_arm_for_observed_lift"))
   }
 
   /** q172: shipping-SLA compliance by priority — delay distribution

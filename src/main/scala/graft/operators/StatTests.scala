@@ -344,4 +344,33 @@ object StatTests {
         col("survival"))
       .orderBy("lifetime_months")
   }
+
+  /** q222: CUSUM mean-shift monitor on daily revenue (the
+    * control-chart sibling of q87's z-scores and q204's STL residuals —
+    * CUSUM accumulates small persistent drifts a per-day threshold
+    * never sees). The textbook recursion S_t = max(0, S_{t-1} + x_t −
+    * μ − k) is sequential, but it has the closed form
+    * S_t = C_t − min(0, min_{u≤t} C_u) with C the plain cumulative sum
+    * of (x − μ − k) — two running windows over the calendar-day frame,
+    * fully parallel. Slack k = σ/2 and alarm h = 4σ are the standard
+    * tuning. Reported per month (max excursion + alarm flag) so the
+    * output is a bounded, never-empty monitor table. */
+  def cusumDrift(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+    val stats = daily.agg(
+      avg("x").as("mu"), stddev_samp(col("x")).as("sigma"))
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .crossJoin(broadcast(stats))
+      .withColumn("c", sum(col("x") - col("mu") - col("sigma") / 2).over(wCum))
+      .withColumn("s", col("c") - least(lit(0.0), min("c").over(wCum)))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(max(col("s") / col("sigma")), 4).as("max_excursion_sigmas"),
+        max((col("s") > col("sigma") * 4).cast("int")).as("alarm"))
+      .orderBy("month")
+  }
 }

@@ -90,6 +90,73 @@ class AttributionSpec extends SparkSpec {
     assert(all.toSeq === Seq((0L, 0.0)))
   }
 
+  test("q222: windowed closed form equals the sequential CUSUM recursion") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    // one order per day → daily x is the order value itself
+    val xs = Seq(100.0, 100.0, 100.0, 100.0, 300.0, 300.0, 300.0, 100.0, 100.0, 100.0)
+    val orders = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, day(i), x) }
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.operators.StatTests.cusumDrift(orders).head()
+    // sequential reference: S_t = max(0, S_{t-1} + x - mu - sigma/2)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1))
+    val sRef = xs.scanLeft(0.0)((s, x) => math.max(0.0, s + x - mu - sigma / 2)).tail
+    val expected = math.floor(sRef.max / sigma * 10000 + 0.5) / 10000
+    assert(got.getAs[Double]("max_excursion_sigmas") === expected)
+    assert(got.getAs[Long]("n_days") === xs.length.toLong)
+  }
+
+  test("q223: a planted pre/post correlation shrinks variance; arms keep their users") {
+    // users with strongly correlated pre (x) and post (y) spend: y ≈ 2x + arm lift
+    val rows = (1L to 200L).flatMap { u =>
+      val base = (u % 10).toDouble * 10
+      Seq(
+        (u * 10 + 1, new Timestamp(1700000000000L + 86400000L * 2), u, "purchase", base, "{}"),
+        (u * 10 + 2, new Timestamp(1700000000000L + 86400000L * 20), u, "purchase", 2 * base + (u % 2), "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Relational.cupedAb(df).head()
+    assert(r.getAs[Double]("var_reduction_pct") > 90.0, "correlated covariate must slash variance")
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 200L)
+  }
+
+  test("q223: zero-variance covariate degrades to theta 0, never a null division") {
+    val rows = (1L to 50L).map { u =>
+      (u, new Timestamp(1700000000000L + 86400000L * 20), u, "purchase", u.toDouble, "{}")
+    } :+ ((0L, new Timestamp(1700000000000L), 1L, "view", 0.0, "{}")) // anchors d0 → all purchases are post-period
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Relational.cupedAb(df).head()
+    assert(r.getAs[Double]("theta") === 0.0)
+    assert(r.getAs[Double]("var_cuped") === r.getAs[Double]("var_raw"))
+  }
+
+  test("q224: the MDE and required-n follow the two-sample z formulas") {
+    val ev = Tables(spark, sfDir).events
+    val r = graft.operators.Relational.abPower(ev).head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 0 && nb > 0)
+    // recompute from the per-user frame with plain Scala
+    val perUser = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
+      .withColumn("arm", substring(md5(col("user_id").cast("string")), 1, 1)
+        .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")))
+      .collect().map(x => (x.getBoolean(2), x.getDouble(1)))
+    def stats(v: Array[Double]) = {
+      val m = v.sum / v.length
+      (v.length, m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (naR, ma, va) = stats(perUser.filter(_._1).map(_._2))
+    val (nbR, mb, vb) = stats(perUser.filterNot(_._1).map(_._2))
+    assert(na === naR.toLong && nb === nbR.toLong)
+    val z = 1.959963984540054 + 0.8416212335729143
+    val mde = math.floor(z * math.sqrt(va / naR + vb / nbR) * 10000 + 0.5) / 10000
+    assert(r.getAs[Double]("mde_at_current_n") === mde)
+    val nReq = math.ceil(z * z * (va + vb) / math.pow(ma - mb, 2))
+    assert(r.getAs[Double]("n_per_arm_for_observed_lift") === nReq)
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
