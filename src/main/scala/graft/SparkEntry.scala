@@ -434,9 +434,53 @@ object SparkEntry {
     "q222_cusum" -> ((s, d) => StatTests.cusumDrift(Tables(s, d).orders)),
     "q223_cuped" -> ((s, d) => Relational.cupedAb(Tables(s, d).events)),
     "q224_ab_power" -> ((s, d) => Relational.abPower(Tables(s, d).events)),
+    "q225_interval_union" -> ((s, d) => EventAnalytics.intervalUnion(Tables(s, d).events)),
+    "q226_weekday_anova" -> ((s, d) => StatTests.weekdayAnova(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q225_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) - 150 AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 150 AS e
+        |  FROM events),
+        |op AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS opens,
+        |    event_id
+        |  FROM iv),
+        |il AS (
+        |  SELECT user_id, s, e,
+        |    CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM op),
+        |gi AS (
+        |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+        |    count(*) AS n_ev
+        |  FROM il GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_s
+        |FROM gi GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q226_weekday_anova" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |dw AS (SELECT dayofweek(day) AS wd, x FROM d),
+        |gr AS (SELECT avg(x) AS gm, count(*) AS n FROM dw),
+        |g AS (
+        |  SELECT wd, count(*) AS ng, avg(x) AS mg, var_samp(x) AS vg
+        |  FROM dw GROUP BY 1)
+        |SELECT max(n) AS n_days, count(*) AS k,
+        |  floor((sum(ng*pow(mg - gm, 2)) /
+        |    (sum(ng*pow(mg - gm, 2)) + sum((ng - 1)*vg)))*10000 + 0.5)/10000 AS eta_sq,
+        |  floor(((sum(ng*pow(mg - gm, 2))/(count(*) - 1)) /
+        |    (sum((ng - 1)*vg)/(max(n) - count(*))))*10000 + 0.5)/10000 AS f_stat
+        |FROM g, gr""".stripMargin,
     "q222_cusum" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x

@@ -1067,6 +1067,35 @@ object EventAnalytics {
         countDistinct("user_id").as("n_users"))
   }
 
+  /** q225: interval union / coverage (the "how much wall-clock was the
+    * user actually active" measure — summing padded event durations
+    * OVERCOUNTS wherever bursts overlap): each event padded to
+    * ±`padSeconds`, overlapping intervals merged by the running-max
+    * sweep (an interval opens an island when its start clears every
+    * earlier end — one per-user window, no self-join), then island
+    * spans sum to exact covered seconds. The q213 islands idiom lifted
+    * from days to real intervals; per-user windows keep every stage
+    * activity-bounded. */
+  def intervalUnion(events: DataFrame, padSeconds: Int = 150): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        (unix_timestamp(col("ts")) - padSeconds).as("s"),
+        (unix_timestamp(col("ts")) + padSeconds).as("e"))
+      .withColumn("opens", (col("s") > coalesce(max("e").over(wPrev), lit(Long.MinValue))).cast("int"))
+      .withColumn("island", sum("opens").over(wCum))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("i_start"), max("e").as("i_end"), count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(
+        sum("n_ev").as("n_events"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("i_end") - col("i_start")).as("covered_s"))
+      .orderBy("user_id")
+  }
+
   /** q219: Markov removal-effect attribution (the data-driven
     * alternative to q135's positional and q152's decay heuristics):
     * each user's pre-conversion touch sequence becomes a chain

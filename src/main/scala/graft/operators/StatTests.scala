@@ -373,4 +373,36 @@ object StatTests {
         max((col("s") > col("sigma") * 4).cast("int")).as("alarm"))
       .orderBy("month")
   }
+
+  /** q226: one-way ANOVA variance decomposition — how much of the daily
+    * revenue variance the weekday explains (η² = SSB/SST) with the F
+    * statistic, the quantitative follow-up to q186's per-weekday means
+    * ("weekday matters" becomes a number). Day-grain aggregate first,
+    * then the sums of squares combine from 7 per-group moment rows and
+    * a 1-row broadcast grand mean — textbook SSW = Σ(nᵍ−1)·varᵍ,
+    * SSB = Σ nᵍ(meanᵍ−x̄)², never a second pass over days. Weekday
+    * numbering differs across engines but any 1:1 labeling partitions
+    * the days identically, so the decomposition is engine-exact. */
+  def weekdayAnova(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+      .withColumn("wd", dayofweek(col("day")))
+    val grand = daily.agg(avg("x").as("gm"), count(lit(1)).as("n"))
+    daily
+      .groupBy("wd")
+      .agg(count(lit(1)).as("ng"), avg("x").as("mg"), var_samp(col("x")).as("vg"))
+      .crossJoin(broadcast(grand))
+      .agg(
+        max("n").as("n_days"),
+        count(lit(1)).as("k"),
+        sum((col("ng") - 1) * col("vg")).as("ssw"),
+        sum(col("ng") * pow(col("mg") - col("gm"), 2)).as("ssb"))
+      .select(
+        col("n_days"), col("k"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 4).as("eta_sq"),
+        // try_divide: an exact-constant weekday (SSW = 0) must degrade
+        // to null, not an ANSI divide-by-zero abort
+        round(expr("try_divide(ssb/(k-1), ssw/(n_days-k))"), 4).as("f_stat"))
+  }
 }

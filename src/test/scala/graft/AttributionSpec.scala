@@ -157,6 +157,37 @@ class AttributionSpec extends SparkSpec {
     assert(r.getAs[Double]("n_per_arm_for_observed_lift") === nReq)
   }
 
+  test("q225: overlapping and touching intervals merge; separated ones don't") {
+    import java.sql.Timestamp
+    def sec(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      (1L, sec(0), 1L),    // [-150, 150]
+      (2L, sec(100), 1L),  // [-50, 250] overlaps → merged
+      (3L, sec(300), 1L),  // [150, 450] touches 250? no — starts at 150 < 250 → merged
+      (4L, sec(1000), 1L), // [850, 1150] separate
+      (5L, sec(0), 2L))    // own user
+      .map { case (id, ts, u) => (id, ts, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.EventAnalytics.intervalUnion(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // user 1: [-150,450] (600 s) + [850,1150] (300 s); user 2: 300 s
+    assert(got.toSeq === Seq((1L, 4L, 2L, 900L), (2L, 1L, 1L, 300L)))
+  }
+
+  test("q226: a planted weekday effect dominates the variance decomposition") {
+    import java.sql.Timestamp
+    // 4 weeks of daily orders: weekday base value + tiny within-noise
+    val orders = (0 until 28).map { d =>
+      val wd = d % 7
+      (d.toLong, new Timestamp(1700000000000L + d.toLong * 86400000L),
+        1000.0 + wd * 500.0 + (d % 2))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.operators.StatTests.weekdayAnova(orders).head()
+    assert(r.getAs[Long]("n_days") === 28L && r.getAs[Long]("k") === 7L)
+    assert(r.getAs[Double]("eta_sq") > 0.99)
+    assert(r.getAs[Double]("f_stat") > 100.0)
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
