@@ -436,6 +436,7 @@ object SparkEntry {
     "q224_ab_power" -> ((s, d) => Relational.abPower(Tables(s, d).events)),
     "q225_interval_union" -> ((s, d) => EventAnalytics.intervalUnion(Tables(s, d).events)),
     "q226_weekday_anova" -> ((s, d) => StatTests.weekdayAnova(Tables(s, d).orders)),
+    "q227_column_lineage" -> ((s, d) => plans.ColumnLineage.report(s, d, queries - "q227_column_lineage")),
   )
 
   def oracleSql: Map[String, String] = Map(
