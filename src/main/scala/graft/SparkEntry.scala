@@ -437,6 +437,7 @@ object SparkEntry {
     "q225_interval_union" -> ((s, d) => EventAnalytics.intervalUnion(Tables(s, d).events)),
     "q226_weekday_anova" -> ((s, d) => StatTests.weekdayAnova(Tables(s, d).orders)),
     "q227_column_lineage" -> ((s, d) => plans.ColumnLineage.report(s, d, queries - "q227_column_lineage")),
+    "q228_ann_recall" -> ((s, d) => Similarity.annRecallReport(Tables(s, d).embeddings)),
   )
 
   def oracleSql: Map[String, String] = Map(

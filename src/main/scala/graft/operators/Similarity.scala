@@ -1152,4 +1152,42 @@ object Similarity {
     import spark.implicits._
     rows.toDF("qid", "rk", "cid", "relevance", "mmr_score").orderBy("qid", "rk")
   }
+
+  /** q228: ANN index quality report — recall@k of every approximate
+    * index (SRP-LSH q52, IVF q53, int8 re-rank q59) against the exact
+    * top-k (q51), per query and summarized per method. This is the
+    * "did my index actually work" dashboard an embedding pipeline runs
+    * after every (re)build: recall = |approx ∩ exact| / k via one
+    * LEFT SEMI join per method on the k·#queries result frames —
+    * evaluation cost is result-sized, not corpus-sized; queries whose
+    * approximate list misses entirely still appear (left join from the
+    * exact query set, zero-filled). On the uniform-random driver
+    * embeddings recall is inherently low (top-5 sits at cosine ≈ 0.4,
+    * where no sublinear index can match exact search — the q52 spec's
+    * documented regime); the report's value is exactly that it SHOWS
+    * this, and shows high recall where cluster structure exists
+    * (planted-cluster spec). */
+  def annRecallReport(embeddings: DataFrame, numQueries: Int = 3, k: Int = 5): DataFrame = {
+    val exact = annBruteForce(embeddings, numQueries, k)
+      .select(col("qid"), col("cid")).cache()
+    val qids = exact.select("qid").distinct()
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx.select(col("qid"), col("cid"))
+        .join(exact, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      qids
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), (coalesce(col("hits"), lit(0L)) / k.toDouble).as("recall"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(avg("recall"), 4).as("avg_recall"),
+          round(min("recall"), 4).as("min_recall"))
+        .select(lit(method).as("method"), col("n_queries"), col("avg_recall"), col("min_recall"))
+    }
+    recallOf("exact_self", annBruteForce(embeddings, numQueries, k))
+      .unionByName(recallOf("lsh", annLsh(embeddings, numQueries, k)))
+      .unionByName(recallOf("ivf", annIvf(embeddings, numQueries, k)))
+      .unionByName(recallOf("int8_rerank", annQuantized(embeddings, numQueries, k)))
+      .orderBy("method")
+  }
 }

@@ -227,4 +227,23 @@ class SimilaritySpec extends SparkSpec {
     val again = Multimodal.frameExtract(spark, docs, frameBytes = 16).collect().map(f => f.doc_id -> f).toMap
     assert(again(0L).first_frame_checksum == out(0L).first_frame_checksum)
   }
+
+  test("q228: recall report — exact is its own ceiling, approximates stay in [0,1]") {
+    val rep = Similarity.annRecallReport(Tables(spark, sfDir).embeddings)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rep.keySet === Set("exact_self", "lsh", "ivf", "int8_rerank"))
+    assert(rep("exact_self") === ((1.0, 1.0)))
+    rep.values.foreach { case (avg, mn) =>
+      assert(avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg + 1e-9)
+    }
+  }
+
+  test("q228: planted cluster structure lifts LSH recall off the floor") {
+    val vecs = plantedVecs(nBase = 300, nQueries = 10, dim = 64)
+    val rep = Similarity.annRecallReport(vecs, numQueries = 10, k = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // every exact top-5 contains the planted cosine-0.95 neighbor, and
+    // LSH recovers ≥9/10 of them (the q52 contract) → avg ≥ 0.18
+    assert(rep("lsh") >= 0.18, s"planted LSH recall ${rep("lsh")}")
+  }
 }
