@@ -438,9 +438,43 @@ object SparkEntry {
     "q226_weekday_anova" -> ((s, d) => StatTests.weekdayAnova(Tables(s, d).orders)),
     "q227_column_lineage" -> ((s, d) => plans.ColumnLineage.report(s, d, queries - "q227_column_lineage")),
     "q228_ann_recall" -> ((s, d) => Similarity.annRecallReport(Tables(s, d).embeddings)),
+    "q229_loo_zscore" -> ((s, d) => Relational.looPeerZscore(Tables(s, d).orders)),
+    "q230_universe_sample" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.universeJoinSample(t.orders, t.customer)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q229_loo_zscore" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    count(*) OVER cw AS n,
+        |    sum(o_totalprice) OVER cw AS s1,
+        |    sum(o_totalprice*o_totalprice) OVER cw AS s2
+        |  FROM orders
+        |  WINDOW cw AS (PARTITION BY o_custkey)),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    (s1 - o_totalprice)/(n - 1) AS loo_mean,
+        |    ((s2 - o_totalprice*o_totalprice)
+        |      - (n - 1)*pow((s1 - o_totalprice)/(n - 1), 2))/(n - 2) AS loo_var
+        |  FROM w WHERE n >= 3)
+        |SELECT o_orderkey, o_custkey,
+        |  floor(o_totalprice*10000 + 0.5)/10000 AS o_totalprice,
+        |  floor(loo_mean*10000 + 0.5)/10000 AS peer_mean,
+        |  floor(((o_totalprice - loo_mean)/sqrt(loo_var))*10000 + 0.5)/10000 AS z
+        |FROM m WHERE loo_var > 0
+        |ORDER BY abs((o_totalprice - loo_mean)/sqrt(loo_var)) DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q230_universe_sample" ->
+      """SELECT c_nationkey, count(*) AS n_sampled,
+        |  floor((count(*)/0.25)*10000 + 0.5)/10000 AS est_orders,
+        |  floor((sum(o_totalprice)/0.25)*10000 + 0.5)/10000 AS est_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |  AND substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     "q225_interval_union" ->
       """WITH iv AS (
         |  SELECT user_id, event_id,

@@ -1472,6 +1472,66 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  /** q229: leave-one-out peer z-score per order — ANSI's
+    * `EXCLUDE CURRENT ROW` window frame, which Spark does not implement,
+    * bridged by moment algebra: from per-customer windowed Σy and Σy²
+    * the current row's own contribution subtracts out exactly —
+    * μ₋ᵢ = (Σ−x)/(n−1), peers' sample variance from (Σy²−x²) minus
+    * (n−1)μ₋ᵢ². "Is this order out of line FOR THIS CUSTOMER, judged
+    * only by their other orders" — the self-inclusion bias of a plain
+    * per-customer z-score (q90's family) removed. One partitioned
+    * window, then a global TakeOrdered top-20; DuckDB's native EXCLUDE
+    * CURRENT ROW frame validates the semantics, the oracle ships the
+    * same algebra for bit parity. */
+  def looPeerZscore(orders: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    val x = col("o_totalprice")
+    orders
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(x).over(w))
+      .withColumn("s2", sum(x * x).over(w))
+      .filter(col("n") >= 3)
+      .withColumn("loo_mean", (col("s1") - x) / (col("n") - 1))
+      .withColumn("loo_var",
+        ((col("s2") - x * x) - (col("n") - 1) * col("loo_mean") * col("loo_mean"))
+          / (col("n") - 2))
+      .filter(col("loo_var") > 0)
+      .withColumn("z", (x - col("loo_mean")) / sqrt(col("loo_var")))
+      .select(
+        col("o_orderkey"), col("o_custkey"), round(x, 4).as("o_totalprice"),
+        round(col("loo_mean"), 4).as("peer_mean"), round(col("z"), 4).as("z"))
+      .orderBy(abs(col("z")).desc, col("o_orderkey"))
+      .limit(topK)
+  }
+
+  /** q230: universe-sampled join estimate (VerdictDB-style join AQP —
+    * the q157 single-table estimator's join-safe big sibling):
+    * independent row samples of two join sides meet with probability
+    * p² and the estimate collapses; sampling the KEY UNIVERSE instead —
+    * the same deterministic md5 predicate (q55/q157 idiom) on the JOIN
+    * KEY of BOTH sides — keeps every join partner of a sampled key, so
+    * the join is complete within the universe and one 1/p scaling is
+    * unbiased. Both scans carry p of their table; the join and
+    * aggregate shapes are unchanged. Collapses to the exact answer at
+    * p = 1 (spec-asserted). */
+  def universeJoinSample(
+      orders: DataFrame,
+      customer: DataFrame,
+      hexChars: Seq[String] = Seq("0", "1", "2", "3")): DataFrame = {
+    val p = hexChars.size / 16.0
+    orders.filter(hashSamplePredicate(col("o_custkey"), hexChars))
+      .join(
+        customer.filter(hashSamplePredicate(col("c_custkey"), hexChars))
+          .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(count(lit(1)) / p, 4).as("est_orders"),
+        round(sum("o_totalprice") / p, 4).as("est_revenue"))
+      .orderBy("c_nationkey")
+  }
+
   /** q210: running-peak drawdown per nation — the finance-style "how far
     * below the best month so far" metric: monthly revenue (one
     * fact-proportional shuffle to the calendar-bounded month table),

@@ -188,6 +188,45 @@ class AttributionSpec extends SparkSpec {
     assert(r.getAs[Double]("f_stat") > 100.0)
   }
 
+  test("q229: the LOO z-score judges a row by its peers only") {
+    import java.sql.Timestamp
+    val d = new Timestamp(1700000000000L)
+    // customer 1: peers 10,10,10 + outlier 100. LOO for the outlier:
+    // mean 10, var 0 → filtered (var>0); LOO for a 10: peers (10,10,100)
+    // mean 40, var 2700, z = (10-40)/√2700
+    val orders = Seq(
+      (1L, 1L, d, 10.0), (2L, 1L, d, 10.0), (3L, 1L, d, 10.0), (4L, 1L, d, 100.0),
+      (5L, 2L, d, 50.0), (6L, 2L, d, 50.0)) // n<3 → excluded
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.looPeerZscore(orders)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    val zOf10 = math.floor((10.0 - 40.0) / math.sqrt(2700.0) * 10000 + 0.5) / 10000
+    assert(got.toSeq === Seq((1L, zOf10), (2L, zOf10), (3L, zOf10)))
+  }
+
+  test("q230: universe sampling is exact at p = 1 and key-complete at p < 1") {
+    val t = Tables(spark, sfDir)
+    val allHex = "0123456789abcdef".map(_.toString)
+    val full = Relational.universeJoinSample(t.orders, t.customer, allHex)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val exact = t.orders.join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(full.keySet === exact.keySet)
+    exact.foreach { case (k, (n, rev)) =>
+      assert(full(k)._1 === n)
+      assert(math.abs(full(k)._2 - rev) < 1.0)
+    }
+    // p = 0.25: every sampled key's orders ALL survive (universe property)
+    val sampled = Relational.universeJoinSample(t.orders, t.customer)
+    val perKey = t.orders
+      .filter(Relational.hashSamplePredicate(col("o_custkey"), Seq("0", "1", "2", "3")))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n")).agg(sum("n")).head().getLong(0)
+    assert(sampled.agg(sum("n_sampled")).head().getLong(0) === perKey)
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
