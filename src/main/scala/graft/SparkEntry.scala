@@ -443,9 +443,59 @@ object SparkEntry {
       val t = Tables(s, d)
       Relational.universeJoinSample(t.orders, t.customer)
     }),
+    "q231_proportion_test" -> ((s, d) => Relational.abProportionTest(Tables(s, d).events)),
+    "q232_rolling_corr" -> ((s, d) => StatTests.rollingCorrelation(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q231_proportion_test" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(cnt, 0.5) AS med FROM c),
+        |pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN cnt > med THEN 1 ELSE 0 END AS converted
+        |  FROM c, m),
+        |pa AS (
+        |  SELECT converted,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM pu),
+        |g AS (
+        |  SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN converted END) AS DOUBLE) AS c_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN converted END) AS DOUBLE) AS c_b
+        |  FROM pa),
+        |r AS (
+        |  SELECT n_a, n_b, c_a/n_a AS p_a, c_b/n_b AS p_b,
+        |    (c_a + c_b)/(n_a + n_b) AS p_pool FROM g)
+        |SELECT n_a, n_b,
+        |  floor(p_a*10000 + 0.5)/10000 AS rate_a,
+        |  floor(p_b*10000 + 0.5)/10000 AS rate_b,
+        |  floor(((p_a - p_b)/sqrt(p_pool*(1 - p_pool)*(1.0/n_a + 1.0/n_b)))*10000 + 0.5)/10000 AS z
+        |FROM r""".stripMargin,
+    "q232_rolling_corr" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, p, e,
+        |    count(*) OVER tw AS n_in_window,
+        |    stddev_samp(p) OVER tw AS sd_p,
+        |    stddev_samp(e) OVER tw AS sd_e,
+        |    corr(p, e) OVER tw AS c
+        |  FROM d
+        |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, p AS purchases, e AS errors,
+        |  floor(c*10000 + 0.5)/10000 AS corr_7d
+        |FROM w
+        |WHERE n_in_window = 7 AND sd_p > 0 AND sd_e > 0
+        |ORDER BY day""".stripMargin,
     "q229_loo_zscore" ->
       """WITH w AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice,

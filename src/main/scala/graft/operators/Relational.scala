@@ -514,6 +514,43 @@ object Relational {
           .otherwise(lit(null).cast("double")).as("n_per_arm_for_observed_lift"))
   }
 
+  /** q231: two-proportion z-test on conversion — the binary-outcome
+    * sibling of q171's Welch test (revenue is continuous, "did they
+    * convert at all" is a proportion; testing a proportion with a
+    * t-test on 0/1s misstates the variance): per-arm converted-user
+    * counts from one user-grain aggregate, pooled-variance z =
+    * (p̂_A−p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B)) as a scalar row. */
+  def abProportionTest(events: DataFrame): DataFrame = {
+    // outcome: heavy purchaser (above the corpus median purchase count)
+    // — "did they purchase at all" saturates to 1.0 on any active corpus
+    // and the z degenerates to 0/0; an in-query median threshold keeps
+    // the proportion interior at every scale factor
+    val counts = events
+      .groupBy("user_id")
+      .agg(sum((col("event_type") === "purchase").cast("int")).as("cnt"))
+    val med = counts.agg(expr("percentile(cnt, 0.5)").as("med"))
+    val perUser = counts
+      .crossJoin(broadcast(med))
+      .select(col("user_id"), (col("cnt") > col("med")).cast("int").as("converted"))
+      .withColumn("arm", hashArm(col("user_id")))
+    val a = when(col("arm") === "A", col("converted"))
+    val b = when(col("arm") === "B", col("converted"))
+    perUser
+      .agg(
+        count(a).as("n_a"), count(b).as("n_b"),
+        sum(a).as("c_a"), sum(b).as("c_b"))
+      .withColumn("p_a", col("c_a") / col("n_a"))
+      .withColumn("p_b", col("c_b") / col("n_b"))
+      .withColumn("p_pool", (col("c_a") + col("c_b")) / (col("n_a") + col("n_b")))
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("p_a"), 4).as("rate_a"),
+        round(col("p_b"), 4).as("rate_b"),
+        round(
+          expr("try_divide(p_a - p_b, sqrt(p_pool*(1-p_pool)*(1.0/n_a + 1.0/n_b)))"),
+          4).as("z"))
+  }
+
   /** q172: shipping-SLA compliance by priority — delay distribution
     * (exact p50/p90) and the % of lines shipped within the SLA window,
     * per order priority. One fact join on orderkey (data-proportional),

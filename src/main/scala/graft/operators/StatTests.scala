@@ -405,4 +405,33 @@ object StatTests {
         // to null, not an ANSI divide-by-zero abort
         round(expr("try_divide(ssb/(k-1), ssw/(n_days-k))"), 4).as("f_stat"))
   }
+
+  /** q232: rolling correlation between two event streams — trailing
+    * 7-day Pearson correlation of daily purchase vs error activity (the
+    * co-movement monitor: a correlation regime change flags incidents
+    * that per-stream monitors miss). Day-grain conditional counts
+    * first, then `corr` as a WINDOW aggregate over the trailing frame —
+    * the calendar-bounded q89/q136 idiom, never a window over events.
+    * Partial leading windows and zero-variance weeks (corr undefined —
+    * engines disagree on NULL vs NaN) are filtered on BOTH engines by
+    * the same full-window + positive-stddev predicate. */
+  def rollingCorrelation(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum((col("event_type") === "purchase").cast("int")).as("p"),
+        sum((col("event_type") === "error").cast("int")).as("e"))
+    val w = Window.orderBy("day").rowsBetween(-(windowDays - 1), Window.currentRow)
+    daily
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("sd_p", stddev_samp(col("p")).over(w))
+      .withColumn("sd_e", stddev_samp(col("e")).over(w))
+      .withColumn("c", corr(col("p"), col("e")).over(w))
+      .filter(col("n_in_window") === windowDays && col("sd_p") > 0 && col("sd_e") > 0)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("p").as("purchases"), col("e").as("errors"),
+        round(col("c"), 4).as("corr_7d"))
+      .orderBy("day")
+  }
 }

@@ -227,6 +227,46 @@ class AttributionSpec extends SparkSpec {
     assert(sampled.agg(sum("n_sampled")).head().getLong(0) === perKey)
   }
 
+  test("q231: the proportion z matches a hand-computed pooled test on real arms") {
+    val ev = Tables(spark, sfDir).events
+    val r = graft.operators.Relational.abProportionTest(ev).head()
+    val cnts = ev.groupBy("user_id")
+      .agg(sum((col("event_type") === "purchase").cast("int")).as("cnt"))
+      .withColumn("isA", substring(md5(col("user_id").cast("string")), 1, 1)
+        .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")))
+      .collect().map(x => (x.getBoolean(2), x.getLong(1)))
+    val sorted = cnts.map(_._2.toDouble).sorted
+    val med =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+    val perUser = cnts.map { case (isA, c) => (isA, if (c > med) 1 else 0) }
+    val (as, bs) = perUser.partition(_._1)
+    val (na, nb) = (as.length.toDouble, bs.length.toDouble)
+    val (ca, cb) = (as.map(_._2).sum.toDouble, bs.map(_._2).sum.toDouble)
+    val (pa, pb) = (ca / na, cb / nb)
+    val pool = (ca + cb) / (na + nb)
+    val z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    assert(r.getAs[Long]("n_a") === as.length.toLong)
+    assert(r.getAs[Double]("z") === math.floor(z * 10000 + 0.5) / 10000)
+  }
+
+  test("q232: co-moving streams read +1, opposed streams read -1") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    // 10 days; purchases ramp 1..10; errors ramp with them (perfect +)
+    val rows = (0 until 10).flatMap { d =>
+      (0 to d).flatMap { i =>
+        Seq((d * 100L + i * 2, day(d), 1L, "purchase", 1.0, "{}"),
+          (d * 100L + i * 2 + 1, day(d), 1L, "error", 1.0, "{}"))
+      }
+    }
+    val got = graft.operators.StatTests.rollingCorrelation(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(_.getAs[Double]("corr_7d"))
+    assert(got.length === 4) // days 7..10 have full windows
+    got.foreach(c => assert(c === 1.0))
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()

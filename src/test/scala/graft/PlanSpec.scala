@@ -318,7 +318,9 @@ class PlanSpec extends SparkSpec {
       "q222_cusum"          -> (bnl + "unpartitioned-window"), // 1-row μ/σ scalar + calendar-day running frames (q89 idiom)
       "q223_cuped"          -> bnl, // 1-row d0 + co-moment scalars (q14 idiom)
       "q226_weekday_anova"  -> bnl, // 1-row grand-mean scalar over 7 group rows (q14 idiom)
-      "q228_ann_recall"     -> bnl) // bounded broadcast query side ×4 methods (q51/q59 idiom)
+      "q228_ann_recall"     -> bnl, // bounded broadcast query side ×4 methods (q51/q59 idiom)
+      "q231_proportion_test" -> bnl, // 1-row broadcast median threshold (q14 idiom)
+      "q232_rolling_corr"   -> Set("unpartitioned-window")) // trailing frame over the calendar-day table (q89 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
