@@ -445,9 +445,38 @@ object SparkEntry {
     }),
     "q231_proportion_test" -> ((s, d) => Relational.abProportionTest(Tables(s, d).events)),
     "q232_rolling_corr" -> ((s, d) => StatTests.rollingCorrelation(Tables(s, d).events)),
+    "q233_k_anonymity" -> ((s, d) => Relational.kAnonymityAudit(Tables(s, d).customer)),
+    "q234_dp_counts" -> ((s, d) => Relational.dpCounts(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q233_k_anonymity" ->
+      """WITH cl AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(min(class_size) AS BIGINT) AS k_anonymity,
+        |  floor((CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+        |    AS DOUBLE) / sum(class_size) * 100)*10000 + 0.5)/10000 AS pct_rows_below_k
+        |FROM cl""".stripMargin,
+    "q234_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        |n AS (
+        |  SELECT event_type, n_true,
+        |    (('0x' || substr(md5(event_type || 'dp1'), 1, 8))::BIGINT + 1.0)
+        |      / 4294967297.0 AS u
+        |  FROM c),
+        |x AS (
+        |  SELECT event_type, n_true,
+        |    (-1.0/0.5) * sign(u - 0.5) * ln(1.0 - 2.0*abs(u - 0.5)) AS noise
+        |  FROM n)
+        |SELECT event_type, n_true,
+        |  floor(noise*10000 + 0.5)/10000 AS noise,
+        |  floor((n_true + noise)*10000 + 0.5)/10000 AS n_noisy,
+        |  floor((abs(noise)/n_true*100)*10000 + 0.5)/10000 AS pct_error
+        |FROM x ORDER BY event_type""".stripMargin,
     "q231_proportion_test" ->
       """WITH c AS (
         |  SELECT user_id,

@@ -551,6 +551,51 @@ object Relational {
           4).as("z"))
   }
 
+  /** q233: k-anonymity audit over a quasi-identifier set — the privacy
+    * pre-flight for any data release: every (nationkey, market
+    * segment) equivalence class is counted in ONE
+    * class-cardinality aggregate, and the report is the corpus
+    * k-anonymity (smallest class), class count, and the share of rows
+    * living in classes below the policy k — the rows a release would
+    * need to generalize or suppress. Class cardinality is bounded by
+    * the QI domain product, never by rows. */
+  def kAnonymityAudit(customer: DataFrame, k: Int = 10): DataFrame =
+    customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .agg(
+        sum("class_size").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("class_size").as("k_anonymity"),
+        round(
+          sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+            / sum("class_size").cast("double") * 100, 4).as("pct_rows_below_k"))
+
+  /** q234: differentially-private counts with DETERMINISTIC Laplace
+    * noise — the utility-audit harness for a DP release (true counts
+    * ride along precisely BECAUSE this is the calibration table, not
+    * the release): noise is Laplace(1/ε) via the inverse CDF
+    * X = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) with u derived from the
+    * content-free md5 of the group key (the q105 A-ES idiom) — so
+    * runs, engines and reruns draw the SAME noise and the whole table
+    * is oracle-checkable. Per-group work is one aggregate plus
+    * map-side noise arithmetic. */
+  def dpCounts(events: DataFrame, epsilon: Double = 0.5, seed: String = "dp1"): DataFrame = {
+    val u = (conv(substring(md5(concat(col("event_type"), lit(seed))), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967297.0
+    val noise = (lit(-1.0 / epsilon)) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise)
+      .select(
+        col("event_type"), col("n_true"),
+        round(col("noise"), 4).as("noise"),
+        round(col("n_true") + col("noise"), 4).as("n_noisy"),
+        round(abs(col("noise")) / col("n_true") * 100, 4).as("pct_error"))
+      .orderBy("event_type")
+  }
+
   /** q172: shipping-SLA compliance by priority — delay distribution
     * (exact p50/p90) and the % of lines shipped within the SLA window,
     * per order priority. One fact join on orderkey (data-proportional),

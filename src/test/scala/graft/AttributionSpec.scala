@@ -267,6 +267,39 @@ class AttributionSpec extends SparkSpec {
     got.foreach(c => assert(c === 1.0))
   }
 
+  test("q233: k-anonymity is the smallest class; below-k share counts rows, not classes") {
+    val customer = (
+      (1 to 2).map(i => (i.toLong, 0, "A")) ++   // class of 2 (below k)
+      (1 to 12).map(i => (100L + i, 1, "B")))    // class of 12
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val r = graft.operators.Relational.kAnonymityAudit(customer).head()
+    assert(r.getAs[Long]("n_rows") === 14L)
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("k_anonymity") === 2L)
+    assert(r.getAs[Double]("pct_rows_below_k") ===
+      math.floor(2.0 / 14.0 * 100 * 10000 + 0.5) / 10000)
+  }
+
+  test("q234: the Laplace noise is the exact inverse-CDF draw from the md5 u") {
+    val ev = Tables(spark, sfDir).events
+    val got = graft.operators.Relational.dpCounts(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def expectedNoise(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((key + "dp1").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967297.0
+      val c = u - 0.5
+      val noise = -2.0 * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      math.floor(noise * 10000 + 0.5) / 10000
+    }
+    got.keys.foreach { k => assert(got(k) === expectedNoise(k), s"noise for $k") }
+    // determinism: a second run draws identical noise
+    val again = graft.operators.Relational.dpCounts(ev)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again === got)
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
