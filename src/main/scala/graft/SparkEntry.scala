@@ -447,9 +447,32 @@ object SparkEntry {
     "q232_rolling_corr" -> ((s, d) => StatTests.rollingCorrelation(Tables(s, d).events)),
     "q233_k_anonymity" -> ((s, d) => Relational.kAnonymityAudit(Tables(s, d).customer)),
     "q234_dp_counts" -> ((s, d) => Relational.dpCounts(Tables(s, d).events)),
+    "q235_compression_filter" -> ((s, d) => TextAnalysis.compressionFilter(Tables(s, d).documents)),
+    "q236_key_gaps" -> ((s, d) => Relational.keyGapAudit(Tables(s, d).lineitem)),
+    "q237_l_diversity" -> ((s, d) => Relational.lDiversityAudit(Tables(s, d).customer)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q236_key_gaps" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |g AS (
+        |  SELECT lag(k) OVER (ORDER BY k) + 1 AS gap_start,
+        |    k - 1 AS gap_end
+        |  FROM k)
+        |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+        |FROM g
+        |WHERE gap_start IS NOT NULL AND gap_end >= gap_start
+        |ORDER BY gap_len DESC, gap_start LIMIT 20""".stripMargin,
+    "q237_l_diversity" ->
+      """WITH cl AS (
+        |  SELECT c_nationkey,
+        |    count(DISTINCT c_mktsegment) AS l_div, count(*) AS class_size
+        |  FROM customer GROUP BY 1)
+        |SELECT count(*) AS n_classes,
+        |  CAST(min(l_div) AS BIGINT) AS l_diversity,
+        |  CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows
+        |FROM cl""".stripMargin,
     "q233_k_anonymity" ->
       """WITH cl AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size

@@ -596,6 +596,60 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q236: key-sequence gap detection (the "did the upstream drop a
+    * range" data-quality audit — registered over lineitem's orderkeys,
+    * where orders without line items leave real holes): a global sort over all
+    * keys would be a data-sized single reducer, so gaps split into two
+    * disjoint families — IN-bucket gaps from a lag window partitioned
+    * by the arithmetic range bucket key ⌊key/bucketSpan⌋ (distributed,
+    * bounded partitions), and CROSS-bucket gaps from per-bucket
+    * min/max aggregated to #buckets rows and lagged over that bounded
+    * frame (empty buckets fall out naturally: the previous non-empty
+    * bucket's max meets the next one's min). Top-20 largest gaps via
+    * TakeOrdered. */
+  def keyGapAudit(
+      table: DataFrame,
+      keyCol: String = "l_orderkey",
+      bucketSpan: Long = 1000L,
+      topK: Int = 20): DataFrame = {
+    val keys = table.select(col(keyCol).as("k")).distinct()
+      .withColumn("b", (col("k") / bucketSpan).cast("long"))
+    val wIn = Window.partitionBy("b").orderBy("k")
+    val inBucket = keys
+      .withColumn("prev", lag("k", 1).over(wIn))
+      .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"))
+    val wB = Window.orderBy("b")
+    val crossBucket = keys
+      .groupBy("b")
+      .agg(min("k").as("mn"), max("k").as("mx"))
+      .withColumn("prev_mx", lag("mx", 1).over(wB))
+      .filter(col("prev_mx").isNotNull && col("mn") - col("prev_mx") > 1)
+      .select((col("prev_mx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+    inBucket.unionByName(crossBucket)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+      .orderBy(col("gap_len").desc, col("gap_start"))
+      .limit(topK)
+  }
+
+  /** q237: l-diversity audit — q233's sensitive-attribute companion:
+    * k-anonymity alone leaves a class where everyone shares one
+    * sensitive value fully disclosed; l-diversity counts DISTINCT
+    * sensitive values per quasi-identifier class. One two-level
+    * aggregate (class × sensitive distinct, then class rollup),
+    * reporting corpus l, class count, and how many classes sit below
+    * the policy l. */
+  def lDiversityAudit(customer: DataFrame, l: Int = 3): DataFrame =
+    customer
+      .groupBy("c_nationkey")
+      .agg(countDistinct("c_mktsegment").as("l_div"), count(lit(1)).as("class_size"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min("l_div").as("l_diversity"),
+        sum((col("l_div") < l).cast("int")).as("classes_below_l"),
+        sum("class_size").as("n_rows"))
+
   /** q172: shipping-SLA compliance by priority — delay distribution
     * (exact p50/p90) and the % of lines shipped within the SLA window,
     * per order priority. One fact join on orderkey (data-proportional),

@@ -1132,4 +1132,40 @@ object TextAnalysis {
         round(avg(col("nt")), 4).as("avg_tokens_per_doc"))
       .orderBy("lang")
   }
+
+  /** q235: compression-ratio quality filter (the Gopher-family
+    * repetition heuristic q57 approximates with n-gram counting, done
+    * exactly): deflate each document once (java.util.zip, level 6 —
+    * deterministic for a fixed level and input) and report
+    * compressed/raw byte ratios per source with the share of docs
+    * under a "too compressible = too repetitive" threshold. A UDF by
+    * necessity (no codec expression exists) — per-row cost is the
+    * codec itself, the aggregate shapes stay map-side; at 100 TB this
+    * is the same single-pass-over-text cost class as tokenization.
+    * Rows-only: no SQL engine exposes a portable deflate. */
+  def compressionFilter(documents: DataFrame, flagBelow: Double = 0.4): DataFrame = {
+    val ratioUdf = udf { (s: String) =>
+      val raw = s.getBytes("UTF-8")
+      if (raw.isEmpty) 1.0
+      else {
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        n.toDouble / raw.length
+      }
+    }
+    documents
+      .withColumn("ratio", ratioUdf(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("ratio"), 4).as("avg_ratio"),
+        round(min("ratio"), 4).as("min_ratio"),
+        round(avg((col("ratio") < flagBelow).cast("double")) * 100, 4)
+          .as("pct_flagged"))
+      .orderBy("source")
+  }
 }

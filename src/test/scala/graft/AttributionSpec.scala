@@ -300,6 +300,40 @@ class AttributionSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("q235: repetitive text compresses far below prose; empty text is ratio 1") {
+    val docs = Seq(
+      (1L, "ab" * 500, "en", "rep", 1000L),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 997}x${i}").mkString(" "), "en", "var", 2000L),
+      (3L, "", "en", "rep", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.compressionFilter(docs)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val (repMin, repFlagged) = got("rep")
+    val (varMin, _) = got("var")
+    assert(repMin < 0.1 && varMin > repMin, s"rep min $repMin vs varied min $varMin")
+    assert(repFlagged === 50.0) // the ab-run flags, the empty doc (ratio 1) doesn't
+  }
+
+  test("q236: in-bucket, cross-bucket and multi-empty-bucket gaps all surface") {
+    val keys = Seq(1L, 2L, 3L, 5L, 9L, 10L, 4000L)
+      .toDF("l_orderkey")
+    val got = graft.operators.Relational.keyGapAudit(keys, bucketSpan = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((11L, 3999L, 3989L), (6L, 8L, 3L), (4L, 4L, 1L)))
+  }
+
+  test("q237: a single-segment class drops corpus l-diversity to 1") {
+    val customer = (
+      (1 to 5).map(i => (i.toLong, 0, s"SEG${i % 3}")) ++ // 3 distinct segments
+      (1 to 4).map(i => (100L + i, 1, "ONLY")))           // 1 distinct
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val r = graft.operators.Relational.lDiversityAudit(customer).head()
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("l_diversity") === 1L)
+    assert(r.getAs[Long]("classes_below_l") === 1L)
+    assert(r.getAs[Long]("n_rows") === 9L)
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
