@@ -450,9 +450,33 @@ object SparkEntry {
     "q235_compression_filter" -> ((s, d) => TextAnalysis.compressionFilter(Tables(s, d).documents)),
     "q236_key_gaps" -> ((s, d) => Relational.keyGapAudit(Tables(s, d).lineitem)),
     "q237_l_diversity" -> ((s, d) => Relational.lDiversityAudit(Tables(s, d).customer)),
+    "q238_cohort_ltv" -> ((s, d) => EventAnalytics.cohortLtv(Tables(s, d).events)),
+    "q239_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q238_cohort_ltv" ->
+      """WITH st AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |wk AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(date_diff('day', d0, CAST(ts AS DATE))/7.0) AS BIGINT) AS wi
+        |  FROM events, st),
+        |co AS (SELECT user_id, min(wi) AS cw FROM wk GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS n_users FROM co GROUP BY 1),
+        |ce AS (
+        |  SELECT cw, wi - cw AS age_weeks, sum(value) AS rev
+        |  FROM wk JOIN co USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cw, age_weeks, rev,
+        |    sum(rev) OVER (PARTITION BY cw ORDER BY age_weeks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM ce)
+        |SELECT cw AS cohort_week, age_weeks, n_users,
+        |  floor(rev*10000 + 0.5)/10000 AS week_revenue,
+        |  floor((cum_rev/n_users)*10000 + 0.5)/10000 AS ltv_per_user
+        |FROM cum JOIN sz USING (cw)
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
     "q236_key_gaps" ->
       """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
         |g AS (

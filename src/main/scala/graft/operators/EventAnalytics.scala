@@ -1067,6 +1067,41 @@ object EventAnalytics {
         countDistinct("user_id").as("n_users"))
   }
 
+  /** q238: cohort LTV curve — cumulative revenue per user by cohort
+    * age (the revenue sibling of q78's retention counts; the curve
+    * every acquisition decision reads): cohort = first-activity week
+    * (weeks from the broadcast corpus-start scalar — engine/rerun
+    * stable), age = activity week − cohort week; purchase revenue
+    * rolls to (cohort, age) cells, cohort sizes attach broadcast, and
+    * the running LTV is a window over the ≤#weeks frame per cohort.
+    * Every stage is cohort-grid-sized after the first user-grain
+    * aggregate. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val start = events.agg(min(to_date(col("ts"))).as("d0"))
+    val wk = events
+      .crossJoin(broadcast(start))
+      .select(
+        col("user_id"), col("event_type"), col("value"),
+        floor(datediff(to_date(col("ts")), col("d0")) / lit(7.0)).cast("long").as("wi"))
+    val cohorts = wk.groupBy("user_id").agg(min("wi").as("cw"))
+    val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val cells = wk
+      .filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cw"), (col("wi") - col("cw")).as("age_weeks"))
+      .agg(sum("value").as("rev"))
+    val w = Window.partitionBy("cw").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(sizes), Seq("cw"))
+      .withColumn("cum_rev", sum("rev").over(w))
+      .select(
+        col("cw").as("cohort_week"), col("age_weeks"), col("n_users"),
+        round(col("rev"), 4).as("week_revenue"),
+        round(col("cum_rev") / col("n_users"), 4).as("ltv_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   /** q225: interval union / coverage (the "how much wall-clock was the
     * user actually active" measure — summing padded event durations
     * OVERCOUNTS wherever bursts overlap): each event padded to

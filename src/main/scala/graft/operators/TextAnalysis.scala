@@ -1133,6 +1133,37 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q239: language-ID confusion matrix — the evaluation harness q35
+    * lacks: its per-doc predictions cross-tabulated against the corpus
+    * labels, dense over the label×prediction grid (absent cells kept
+    * at 0 — the q126 densification discipline) with per-label recall
+    * and the global accuracy attached via the 1-row broadcast scalar.
+    * One prediction pass, #langs² rollup — model evaluation never
+    * rescans the corpus. */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val preds = langId(documents)
+      .select(col("labeled_lang"), col("pred_lang"))
+    val cells = preds.groupBy("labeled_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val langs = preds.select(col("labeled_lang").as("l")).distinct()
+    val grid = langs.crossJoin(
+      langs.select(col("l").as("p")))
+      .select(col("l").as("labeled_lang"), col("p").as("pred_lang"))
+    val totals = cells.groupBy("labeled_lang").agg(sum("n").as("n_label"))
+    val acc = cells.agg(
+      round(sum(when(col("labeled_lang") === col("pred_lang"), col("n")).otherwise(0L))
+        / sum("n").cast("double"), 4).as("accuracy"))
+    grid
+      .join(cells, Seq("labeled_lang", "pred_lang"), "left")
+      .join(broadcast(totals), Seq("labeled_lang"))
+      .crossJoin(broadcast(acc))
+      .select(
+        col("labeled_lang"), col("pred_lang"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)) / col("n_label").cast("double"), 4).as("frac_of_label"),
+        col("accuracy"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
   /** q235: compression-ratio quality filter (the Gopher-family
     * repetition heuristic q57 approximates with n-gram counting, done
     * exactly): deflate each document once (java.util.zip, level 6 —

@@ -334,6 +334,35 @@ class AttributionSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") === 9L)
   }
 
+  test("q238: the LTV curve accumulates per cohort and divides by cohort size") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(1700000000000L + d * 86400000L)
+    val events = Seq(
+      (1L, day(0), 1L, "purchase", 10.0, "{}"),   // u1 cohort week 0
+      (2L, day(8), 1L, "purchase", 20.0, "{}"),   // age 1
+      (3L, day(0), 2L, "view", 0.0, "{}"),        // u2 cohort week 0, no revenue
+      (4L, day(7), 3L, "purchase", 5.0, "{}"))    // u3 cohort week 1, age 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.cohortLtv(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // cohort 0 has 2 users (u1 + u2): age 0 ltv 10/2, age 1 ltv 30/2
+    assert(got.toSeq === Seq((0L, 0L, 2L, 5.0), (0L, 1L, 2L, 15.0), (1L, 0L, 1L, 5.0)))
+  }
+
+  test("q239: the confusion matrix conserves label counts and its diagonal is the accuracy") {
+    val docs = Tables(spark, sfDir).documents
+    val rows = graft.operators.TextAnalysis.langConfusion(docs).collect()
+    val total = docs.count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    val acc = rows.head.getDouble(4)
+    val diag = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(acc === math.floor(diag.toDouble / total * 10000 + 0.5) / 10000)
+    // per-label fractions sum to 1 over each matrix row
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    }
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
