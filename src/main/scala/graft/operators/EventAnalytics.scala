@@ -1216,8 +1216,11 @@ object EventAnalytics {
     }
 
     val pFull = pConv(Set.empty)
+    // zero-conversion corpus: nothing to attribute — every removal
+    // effect is 0 (the ratio defaults to 1, never to 0, which would
+    // have credited every channel with full effect)
     val effects = channels.map(c => c -> math.max(0.0, 1.0 - {
-      if (pFull > 0) pConv(Set(c)) / pFull else 0.0
+      if (pFull > 0) pConv(Set(c)) / pFull else 1.0
     }))
     val totalEffect = effects.map(_._2).sum
     effects.map { case (c, re) =>

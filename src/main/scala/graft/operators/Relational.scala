@@ -406,11 +406,18 @@ object Relational {
     when(substring(md5(user.cast("string")), 1, 1)
       .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")), "A").otherwise("B")
 
-  def abTestWelch(events: DataFrame): DataFrame = {
-    val perUser = events
+  /** Shared unit-of-analysis frame for the experimentation suite: one
+    * row per user with their purchase revenue and md5-parity arm —
+    * q171 (Welch) and q224 (power) MUST read the identical frame or
+    * the test and its power analysis silently diverge. */
+  private def perUserRevenueArm(events: DataFrame): DataFrame =
+    events
       .groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
       .withColumn("arm", hashArm(col("user_id")))
+
+  def abTestWelch(events: DataFrame): DataFrame = {
+    val perUser = perUserRevenueArm(events)
     val a = when(col("arm") === "A", col("rev"))
     val b = when(col("arm") === "B", col("rev"))
     perUser
@@ -492,10 +499,7 @@ object Relational {
   def abPower(events: DataFrame): DataFrame = {
     val zA = 1.959963984540054 // z_{0.975}
     val zB = 0.8416212335729143 // z_{0.80}
-    val perUser = events
-      .groupBy("user_id")
-      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
-      .withColumn("arm", hashArm(col("user_id")))
+    val perUser = perUserRevenueArm(events)
     val a = when(col("arm") === "A", col("rev"))
     val b = when(col("arm") === "B", col("rev"))
     perUser

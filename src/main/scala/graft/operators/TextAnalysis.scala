@@ -1144,9 +1144,16 @@ object TextAnalysis {
     val preds = langId(documents)
       .select(col("labeled_lang"), col("pred_lang"))
     val cells = preds.groupBy("labeled_lang", "pred_lang").agg(count(lit(1)).as("n"))
-    val langs = preds.select(col("labeled_lang").as("l")).distinct()
-    val grid = langs.crossJoin(
-      langs.select(col("l").as("p")))
+    // prediction axis = labels ∪ predictions: the predictor's marker
+    // set can emit a language the corpus never labels, and a
+    // label-only grid would silently DROP those cells (breaking
+    // label-count conservation while accuracy still counted the docs)
+    val labels = preds.select(col("labeled_lang").as("l")).distinct()
+    val predDomain = labels
+      .unionByName(preds.select(col("pred_lang").as("l")))
+      .distinct()
+    val grid = labels.crossJoin(
+      predDomain.select(col("l").as("p")))
       .select(col("l").as("labeled_lang"), col("p").as("pred_lang"))
     val totals = cells.groupBy("labeled_lang").agg(sum("n").as("n_label"))
     val acc = cells.agg(
@@ -1176,14 +1183,19 @@ object TextAnalysis {
     * Rows-only: no SQL engine exposes a portable deflate. */
   def compressionFilter(documents: DataFrame, flagBelow: Double = 0.4): DataFrame = {
     val ratioUdf = udf { (s: String) =>
-      val raw = s.getBytes("UTF-8")
+      // null-safe (NULL text → ratio 1, no NPE) and chunk-drained: a
+      // fixed output buffer sized raw+64 would deadlock the deflate
+      // loop on ~170 KB+ of incompressible input (zlib worst-case
+      // overhead outgrows the slack) — draining into a reused chunk
+      // only COUNTS bytes, so any output size terminates
+      val raw = if (s == null) Array.empty[Byte] else s.getBytes("UTF-8")
       if (raw.isEmpty) 1.0
       else {
         val d = new java.util.zip.Deflater(6)
         d.setInput(raw); d.finish()
-        val buf = new Array[Byte](raw.length + 64)
-        var n = 0
-        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        val chunk = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(chunk)
         d.end()
         n.toDouble / raw.length
       }

@@ -363,6 +363,41 @@ class AttributionSpec extends SparkSpec {
     }
   }
 
+  test("q219: a zero-conversion corpus attributes nothing (no phantom full credit)") {
+    val df = events(Seq((1L, 0L, 1L, "A"), (2L, 0L, 2L, "B")))
+    val got = EventAnalytics.markovAttribution(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("A", 0.0, 0.0), ("B", 0.0, 0.0)))
+  }
+
+  test("q235: null and huge-incompressible text terminate with sane ratios") {
+    val rnd = new scala.util.Random(11)
+    // ~200 KB of random base36 — deflate output EXCEEDS a raw+64 buffer
+    val big = Iterator.continually(rnd.nextInt(36)).take(200000)
+      .map(i => Integer.toString(i, 36)).mkString
+    val docs = Seq(
+      (1L, big, "en", "s", big.length.toLong),
+      (2L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextAnalysis.compressionFilter(docs).head()
+    assert(r.getAs[Long]("n_docs") === 2L)
+    // random text barely compresses; null reads as ratio 1.0
+    assert(r.getAs[Double]("min_ratio") > 0.5)
+  }
+
+  test("q239: a predicted-but-never-labeled language keeps its cells (conservation holds)") {
+    // only 'en' and 'de' labels, but the de doc's tokens are French
+    // markers → predicted 'fr' must not vanish from the matrix
+    val docs = Seq(
+      (1L, "the and of to in is", "en", "s", 10L),
+      (2L, "le les et des une est", "de", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.operators.TextAnalysis.langConfusion(docs).collect()
+    assert(rows.map(_.getLong(2)).sum === 2L)
+    val deRow = rows.filter(r => r.getString(0) == "de" && r.getLong(2) > 0)
+    assert(deRow.map(_.getString(1)).toSeq === Seq("fr"))
+  }
+
   test("q220: sketch overlap tracks the exact q162 matrix within 5%") {
     val ev = Tables(spark, sfDir).events
     val exact = Relational.audienceOverlap(ev).collect()
