@@ -10,7 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never silently recorded as a fast timing. */
 object Bench {
 
-  /** One timed run: (seconds, error message if the query threw). */
+  /** One timed run: (seconds, error message if the query threw). After
+    * the clock stops, any cache entries the query leaked are dropped —
+    * across a 238-query sweep the leaked blocks otherwise accumulate,
+    * evict each other under storage-memory pressure, and inflate LATER
+    * queries' timings by multiples (measured: the same query 2.7 s
+    * isolated vs 13.5 s late in a dirty sweep). The clear runs outside
+    * the timed span, so each query is measured against a clean session,
+    * the same state it would see in production. */
   def timeQuery(spark: SparkSession, sfDir: String, fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
     val t0 = System.nanoTime()
     val err =
@@ -19,7 +26,10 @@ object Bench {
         case e: Throwable =>
           Some(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(300))
       }
-    ((System.nanoTime() - t0) / 1e9, err)
+    val dt = (System.nanoTime() - t0) / 1e9
+    try spark.sharedState.cacheManager.clearCache()
+    catch { case _: Throwable => () }
+    (dt, err)
   }
 
   private def jsonEscape(s: String): String =
@@ -41,6 +51,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // drive ContextCleaner promptly: a 4-minute 238-query sweep
+      // accumulates shuffle files + broadcast blocks that the default
+      // 30-min periodic GC never reclaims mid-run
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -452,9 +452,150 @@ object SparkEntry {
     "q237_l_diversity" -> ((s, d) => Relational.lDiversityAudit(Tables(s, d).customer)),
     "q238_cohort_ltv" -> ((s, d) => EventAnalytics.cohortLtv(Tables(s, d).events)),
     "q239_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(Tables(s, d).documents)),
+    "q240_psi_drift" -> ((s, d) => StatTests.psiDrift(Tables(s, d).orders)),
+    "q241_t_closeness" -> ((s, d) => Relational.tClosenessAudit(Tables(s, d).customer)),
+    "q242_xcorr_lag" -> ((s, d) => StatTests.xcorrLag(Tables(s, d).events)),
+    "q243_seasonal_backtest" -> ((s, d) => StatTests.seasonalBacktest(Tables(s, d).orders)),
+    "q244_bom_rollup" -> ((s, d) => Graph.bomRollup(Tables(s, d).part)),
+    "q245_link_prediction" -> ((s, d) => Graph.linkPrediction(Tables(s, d).lineitem)),
+    "q246_theil_sen" -> ((s, d) => StatTests.theilSenTrend(Tables(s, d).orders)),
+    "q247_ols_multi" -> ((s, d) => StatTests.olsTwoFeature(Tables(s, d).lineitem)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q240_psi_drift" ->
+      """WITH lab AS (
+        |  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |      THEN 'baseline' ELSE 'current' END AS period,
+        |    CAST(CAST(floor(o_totalprice/50000) AS BIGINT) AS VARCHAR) AS pb,
+        |    o_orderpriority AS pri, o_orderstatus AS st
+        |  FROM orders),
+        |lng AS (
+        |  SELECT period, 'price_bucket' AS feature, pb AS v FROM lab
+        |  UNION ALL SELECT period, 'priority', pri FROM lab
+        |  UNION ALL SELECT period, 'status', st FROM lab),
+        |cells AS (
+        |  SELECT feature, v,
+        |    CAST(sum(CASE WHEN period='baseline' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN period='current' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM lng GROUP BY 1,2),
+        |tot AS (
+        |  SELECT feature, CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc,
+        |    count(*) AS k_buckets
+        |  FROM cells GROUP BY 1)
+        |SELECT feature, k_buckets, tb AS n_baseline, tc AS n_current,
+        |  floor(sum(((CAST(nc AS DOUBLE)+0.5)/(CAST(tc AS DOUBLE)+0.5*k_buckets)
+        |        - (CAST(nb AS DOUBLE)+0.5)/(CAST(tb AS DOUBLE)+0.5*k_buckets))
+        |      * ln(((CAST(nc AS DOUBLE)+0.5)/(CAST(tc AS DOUBLE)+0.5*k_buckets))
+        |          / ((CAST(nb AS DOUBLE)+0.5)/(CAST(tb AS DOUBLE)+0.5*k_buckets))))
+        |    *10000 + 0.5)/10000 AS psi
+        |FROM cells JOIN tot USING (feature)
+        |GROUP BY 1,2,3,4 ORDER BY feature""".stripMargin,
+    "q241_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1,2),
+        |cl AS (SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS class_size FROM cells GROUP BY 1),
+        |g AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS gn FROM cells GROUP BY 1),
+        |gt AS (SELECT CAST(sum(gn) AS BIGINT) AS g_total FROM g),
+        |grid AS (
+        |  SELECT cl.c_nationkey, cl.class_size, COALESCE(cells.n, 0) AS n, g.gn, gt.g_total
+        |  FROM cl CROSS JOIN g CROSS JOIN gt
+        |  LEFT JOIN cells ON cells.c_nationkey = cl.c_nationkey
+        |    AND cells.c_mktsegment = g.c_mktsegment),
+        |tv AS (
+        |  SELECT c_nationkey, max(class_size) AS class_size,
+        |    sum(abs(CAST(n AS DOUBLE)/class_size - CAST(gn AS DOUBLE)/g_total))/2 AS tvd
+        |  FROM grid GROUP BY 1)
+        |SELECT count(*) AS n_classes,
+        |  floor(max(tvd)*10000 + 0.5)/10000 AS t_closeness,
+        |  floor(avg(tvd)*10000 + 0.5)/10000 AS avg_tvd,
+        |  CAST(sum(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_above_t
+        |FROM tv""".stripMargin,
+    "q242_xcorr_lag" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |    sum(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END) AS rev
+        |  FROM events GROUP BY 1),
+        |di AS (SELECT date_diff('day', DATE '1970-01-01', d) AS di, views, rev FROM daily),
+        |lg AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+        |j AS (
+        |  SELECT lg.lag, a.views, b.rev
+        |  FROM lg CROSS JOIN di a JOIN di b ON a.di + lg.lag = b.di),
+        |s AS (
+        |  SELECT lag, count(*) AS n_days, stddev_samp(views) AS sv,
+        |    stddev_samp(rev) AS sr, corr(views, rev) AS c
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days, floor(c*10000 + 0.5)/10000 AS xcorr
+        |FROM s WHERE sv > 0 AND sr > 0 ORDER BY lag""".stripMargin,
+    "q243_seasonal_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |di AS (SELECT date_diff('day', DATE '1970-01-01', d) AS di, rev FROM daily)
+        |SELECT count(*) AS n_days,
+        |  floor(avg(abs(a.rev - s.rev))*10000 + 0.5)/10000 AS mae,
+        |  floor(avg(2*abs(a.rev - s.rev)/(abs(a.rev)+abs(s.rev)))*10000 + 0.5)/10000 AS smape,
+        |  floor((avg(abs(a.rev - s.rev))/avg(abs(a.rev - n1.rev)))*10000 + 0.5)/10000 AS mase
+        |FROM di a JOIN di s ON a.di - 7 = s.di JOIN di n1 ON a.di - 1 = n1.di""".stripMargin,
+    "q244_bom_rollup" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT p_partkey + 1 AS node, p_partkey + 1 AS anc, p_retailprice AS cost FROM part
+        |  UNION ALL
+        |  SELECT node, anc >> 1, cost FROM r WHERE anc > 1)
+        |SELECT anc AS node, count(*) AS n_parts,
+        |  floor(sum(cost)*100 + 0.5)/100 AS subtree_cost
+        |FROM r WHERE anc < 32 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q245_link_prediction" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1,2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+        |deg AS (SELECT pa AS node, count(*) AS d FROM adj GROUP BY 1),
+        |w AS (
+        |  SELECT a1.pb AS x, a2.pb AS z, count(*) AS cn
+        |  FROM adj a1 JOIN adj a2 ON a1.pa = a2.pa AND a1.pb < a2.pb
+        |  GROUP BY 1,2),
+        |p AS (
+        |  SELECT w.x, w.z, w.cn FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.x AND e.pb = w.z))
+        |SELECT p.x AS part_a, p.z AS part_b, CAST(p.cn AS BIGINT) AS common_neighbors,
+        |  floor(CAST(p.cn AS DOUBLE)/(dx.d + dz.d - p.cn)*10000 + 0.5)/10000 AS jaccard
+        |FROM p JOIN deg dx ON dx.node = p.x JOIN deg dz ON dz.node = p.z
+        |ORDER BY common_neighbors DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q246_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt FROM orders GROUP BY 1),
+        |di AS (SELECT date_diff('day', DATE '1970-01-01', d) AS di, cnt FROM daily),
+        |s AS (
+        |  SELECT CAST(b.cnt - a.cnt AS DOUBLE)/(b.di - a.di) AS slope
+        |  FROM di a JOIN di b ON a.di < b.di),
+        |t AS (
+        |  SELECT count(*) AS n_pairs,
+        |    floor(quantile_cont(slope, 0.5)*10000 + 0.5)/10000 AS theil_sen FROM s),
+        |o AS (
+        |  SELECT floor(covar_samp(CAST(di AS DOUBLE), CAST(cnt AS DOUBLE))
+        |    / var_samp(CAST(di AS DOUBLE))*10000 + 0.5)/10000 AS ols_slope FROM di)
+        |SELECT n_pairs, theil_sen, ols_slope FROM t CROSS JOIN o""".stripMargin,
+    "q247_ols_multi" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    var_samp(l_quantity) AS s11, covar_samp(l_quantity, l_discount) AS s12,
+        |    var_samp(l_discount) AS s22, covar_samp(l_quantity, l_extendedprice) AS s1y,
+        |    covar_samp(l_discount, l_extendedprice) AS s2y,
+        |    var_samp(l_extendedprice) AS syy,
+        |    avg(l_quantity) AS m1, avg(l_discount) AS m2, avg(l_extendedprice) AS my
+        |  FROM lineitem),
+        |b AS (SELECT *, s11*s22 - s12*s12 AS det FROM a),
+        |c AS (SELECT *, (s22*s1y - s12*s2y)/det AS b1, (s11*s2y - s12*s1y)/det AS b2 FROM b)
+        |SELECT n,
+        |  floor((my - b1*m1 - b2*m2)*10000 + 0.5)/10000 AS beta0,
+        |  floor(b1*10000 + 0.5)/10000 AS beta_quantity,
+        |  floor(b2*10000 + 0.5)/10000 AS beta_discount,
+        |  floor((b1*s1y + b2*s2y)/syy*10000 + 0.5)/10000 AS r2
+        |FROM c""".stripMargin,
     "q238_cohort_ltv" ->
       """WITH st AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
         |wk AS (

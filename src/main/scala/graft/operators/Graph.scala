@@ -12,9 +12,9 @@ import graft.functions.PortableRound.round
   * Scale shape: the edge list is built once from the order-keyed
   * self-join (pair expansion Θ(Σ basket²), bounded by basket size like
   * q92, never table size), degree is attached to the edges up front, and
-  * the edge set is hash-partitioned by `src` and cached — so each of the
-  * k iterations is one join against the (node-cardinality) rank table
-  * plus one data-proportional groupBy on `dst`. Nothing driver-side
+  * the edge set is cached — so each of the k iterations is one broadcast
+  * join against the (node-cardinality) rank table, shuffle-free on the
+  * edge side, plus one data-proportional groupBy on `dst`. Nothing driver-side
   * except the node count (one scalar). The co-purchase graph is
   * symmetric, so every node has out-degree ≥ 1 — no dangling-mass term.
   * Ranks are reported scaled by n (1.0 = uniform) and portably rounded;
@@ -23,19 +23,29 @@ import graft.functions.PortableRound.round
   */
 object Graph {
 
-  /** Degree-annotated distinct co-purchase edges (src, dst, d) — exposed
-    * so PlanSpec can assert the build is equi-join-only (the returned
-    * query result is an eager checkpoint, whose plan says nothing). */
-  private[graft] def edgesWithDegree(lineitem: DataFrame): DataFrame = {
+  /** Distinct co-purchase edges (src, dst) — exposed so PlanSpec can
+    * assert the build is equi-join-only (the returned query result is an
+    * eager checkpoint, whose plan says nothing). No repartition: every
+    * consumer joins this against a node-cardinality table that Spark
+    * broadcasts, so a hash exchange here would be a pure extra shuffle
+    * of the (much larger) edge set — measured at sf0.1 it added ~2 s for
+    * zero downstream benefit. */
+  private[graft] def distinctEdges(lineitem: DataFrame): DataFrame = {
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = items.as("a")
+    items.as("a")
       .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
+  }
+
+  /** Degree-annotated distinct co-purchase edges (src, dst, d) for the
+    * rank iteration, which divides mass by out-degree. */
+  private[graft] def edgesWithDegree(lineitem: DataFrame): DataFrame = {
+    val edges = distinctEdges(lineitem)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    edges.join(deg, "src").repartition(col("src"))
+    edges.join(deg, "src")
   }
 
   /** The rank fixpoint loop, exposed so PlanSpec can assert the plan
@@ -94,9 +104,12 @@ object Graph {
     * every path and min-aggregates; the operator never materializes
     * paths at all, which is what survives a dense 100 TB graph). The
     * seed defaults to the smallest node id so both engines agree on it
-    * deterministically. */
+    * deterministically. The frontier never needs degrees, so the edge
+    * set here skips the degree aggregate+join q98 pays (a 2.4M-row
+    * groupBy and join, measured ~3 s at sf0.1, spent on a column BFS
+    * immediately dropped). */
   def bfsReach(lineitem: DataFrame, maxHops: Int = 3): DataFrame = {
-    val edges = edgesWithDegree(lineitem).select("src", "dst").cache()
+    val edges = distinctEdges(lineitem).cache()
     val seed  = edges.agg(min(col("src"))).head().getLong(0)
     val spark = lineitem.sparkSession
     import spark.implicits._
@@ -133,6 +146,76 @@ object Graph {
     * is orders of magnitude smaller than the pair expansion that builds
     * it. At 100 TB the support filter is the scale lever: raising it
     * prunes the heavy tail that drives the join fan-out. */
+  /** q244: hierarchy rollup ("BOM explosion") — subtree totals over a
+    * deterministic part hierarchy (parent(k) = k >> 1, the implicit
+    * binary heap tree over part keys; a real BOM swaps in its parent
+    * edge). Spark has no recursive CTE, and the Spark-first answer is
+    * not an iterative loop at all: the ancestor CHAIN of a node is
+    * computable in closed form per row, so one `transform`+`filter`+
+    * `explode` over a constant-length shift sequence materializes every
+    * (part, ancestor) pair in a single codegen'd pass — depth many rows
+    * per part, one shuffle to the groupBy, no iteration, no driver.
+    * The DuckDB oracle IS the recursive CTE, proving equivalence. For
+    * non-arithmetic parent edges the same shape holds with a
+    * closed-over parent map or an iterated self-join (log-depth rounds,
+    * the q104 frontier pattern). Reported for the top `levels` of the
+    * tree; `maxDepth` bounds the chain (40 covers any int64 key). */
+  def bomRollup(part: DataFrame, levels: Int = 5, maxDepth: Int = 40): DataFrame =
+    part
+      // hierarchy key is p_partkey + 1: part keys are 0-based, and node 0
+      // would be its own parent (0 >> 1 = 0) — shifting to 1-based makes
+      // node 1 the unique root
+      .select((col("p_partkey") + 1).as("hk"), col("p_retailprice"))
+      .withColumn("node",
+        explode(expr(s"filter(transform(sequence(0, $maxDepth), i -> shiftright(hk, i)), a -> a >= 1)")))
+      .filter(col("node") < (1L << levels))
+      .groupBy("node")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("subtree_cost"))
+      .orderBy("node")
+
+  /** q245: common-neighbor link prediction over the frequent co-purchase
+    * graph — "which products are never bought together but share many
+    * co-purchase partners" (the classic missing-link recommender
+    * signal). The support filter bounds the graph exactly as in q192;
+    * wedges x–y–z enumerate by one self-join of the symmetrized
+    * adjacency on the shared endpoint, predicted pairs are wedge
+    * endpoints with NO closing edge (left_anti against the edge set),
+    * scored by common-neighbor count and Jaccard over neighbor sets
+    * (cn / (deg x + deg z − cn) — degrees join in from a one-pass
+    * aggregate). Ties break on integer keys so top-k is engine-stable. */
+  def linkPrediction(lineitem: DataFrame, minSupport: Long = 2, topN: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("pa", "pb")
+      .cache()
+    val adj = edges.unionAll(edges.select(col("pb").as("pa"), col("pa").as("pb")))
+    val deg = adj.groupBy(col("pa").as("node")).agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("pa").as("y"), col("pb").as("x"))
+      .join(adj.select(col("pa").as("y2"), col("pb").as("z")), col("y") === col("y2"))
+      .filter(col("x") < col("z"))
+      .groupBy("x", "z")
+      .agg(count(lit(1)).as("cn"))
+    val predicted = wedges
+      .join(edges.withColumnRenamed("pa", "x").withColumnRenamed("pb", "z"),
+        Seq("x", "z"), "left_anti")
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("node").as("z"), col("d").as("dz")), "z")
+      .select(
+        col("x").as("part_a"), col("z").as("part_b"), col("cn").as("common_neighbors"),
+        round(col("cn").cast("double") / (col("dx") + col("dz") - col("cn")), 4).as("jaccard"))
+      .orderBy(desc("common_neighbors"), asc("part_a"), asc("part_b"))
+      .limit(topN)
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    predicted
+  }
+
   def triangleCensus(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
     val b = lineitem.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("pb"))

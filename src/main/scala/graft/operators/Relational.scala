@@ -654,6 +654,37 @@ object Relational {
         sum((col("l_div") < l).cast("int")).as("classes_below_l"),
         sum("class_size").as("n_rows"))
 
+  /** q241: t-closeness audit — the third leg of the k-anonymity (q233) /
+    * l-diversity (q237) privacy triad: per quasi-identifier class, the
+    * total-variation distance between that class's sensitive-attribute
+    * distribution and the GLOBAL one (l-diversity counts distinct values;
+    * t-closeness catches a class that has them all but badly skewed).
+    * Absent (class, value) combos contribute their full global share, so
+    * the class×value grid is completed by a cross join of the CLASS list
+    * with the VALUE list — both aggregate outputs, cardinality
+    * #classes × #values, never data-sized — before the counts left-join
+    * in. One scan, three tiny aggregates. */
+  def tClosenessAudit(customer: DataFrame, t: Double = 0.2): DataFrame = {
+    val cells = customer.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+    val classes = cells.groupBy("c_nationkey").agg(sum("n").as("class_size"))
+    val global = cells.groupBy("c_mktsegment").agg(sum("n").as("gn"))
+      .withColumn("g_total", sum(col("gn")).over(Window.partitionBy(lit(1))))
+    val grid = classes.crossJoin(global)
+      .join(cells, Seq("c_nationkey", "c_mktsegment"), "left")
+      .withColumn("p_class", coalesce(col("n"), lit(0L)).cast("double") / col("class_size"))
+      .withColumn("p_global", col("gn").cast("double") / col("g_total"))
+    grid
+      .groupBy("c_nationkey")
+      .agg(
+        first("class_size").as("class_size"),
+        (sum(abs(col("p_class") - col("p_global"))) / 2).as("tvd"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        round(max("tvd"), 4).as("t_closeness"),
+        round(avg("tvd"), 4).as("avg_tvd"),
+        sum((col("tvd") > t).cast("int")).as("classes_above_t"))
+  }
+
   /** q172: shipping-SLA compliance by priority — delay distribution
     * (exact p50/p90) and the % of lines shipped within the SLA window,
     * per order priority. One fact join on orderkey (data-proportional),

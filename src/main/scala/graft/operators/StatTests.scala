@@ -434,4 +434,161 @@ object StatTests {
         round(col("c"), 4).as("corr_7d"))
       .orderBy("day")
   }
+
+  /** q240: Population Stability Index — the standard model-monitoring
+    * drift score — between a baseline period and the current period, for
+    * three featurized columns of the order stream (price decile-bucket,
+    * priority, status). One scan builds the long (feature, value, period)
+    * frame via `stack`; counts aggregate map-side to ≤ (Σ feature
+    * cardinalities) rows, so the whole comparison is feature-bounded, not
+    * data-bounded — the 100 TB shape. Proportions are Laplace-smoothed
+    * (+0.5 per cell) so buckets empty on one side stay finite; PSI =
+    * Σ (p_cur − p_base)·ln(p_cur/p_base). Buckets are pure integer
+    * arithmetic (`floor(price/50000)`), never data-derived quantiles, so
+    * both engines bin identically. */
+  def psiDrift(orders: DataFrame, cutDate: String = "1998-01-01"): DataFrame = {
+    val long = orders
+      .select(
+        when(to_date(col("o_orderdate")) < to_date(lit(cutDate)), lit("baseline"))
+          .otherwise(lit("current")).as("period"),
+        floor(col("o_totalprice") / 50000).cast("string").as("pb"),
+        col("o_orderpriority").as("pri"),
+        col("o_orderstatus").as("st"))
+      .select(col("period"),
+        expr("stack(3, 'price_bucket', pb, 'priority', pri, 'status', st) AS (feature, value)"))
+    val cells = long
+      .groupBy("feature", "value")
+      .agg(
+        sum((col("period") === "baseline").cast("long")).as("nb"),
+        sum((col("period") === "current").cast("long")).as("nc"))
+    val totals = cells.groupBy("feature")
+      .agg(sum("nb").as("tb"), sum("nc").as("tc"), count(lit(1)).as("k_buckets"))
+    cells.join(totals, "feature")
+      .withColumn("p_b", (col("nb") + 0.5) / (col("tb") + col("k_buckets") * 0.5))
+      .withColumn("p_c", (col("nc") + 0.5) / (col("tc") + col("k_buckets") * 0.5))
+      .groupBy(col("feature"))
+      .agg(
+        first("k_buckets").as("k_buckets"),
+        first("tb").as("n_baseline"),
+        first("tc").as("n_current"),
+        round(sum((col("p_c") - col("p_b")) * log(col("p_c") / col("p_b"))), 4).as("psi"))
+      .orderBy("feature")
+  }
+
+  /** q242: lead/lag cross-correlation between two daily event series
+    * (views vs purchase revenue) across a window of lags — "does traffic
+    * lead revenue, and by how many days". Same join-on-day-index idiom
+    * as q181's ACF (no window, no cross join over data): the daily frame
+    * is calendar-bounded, each lag is one equi-join probe of it, and
+    * `corr` is the one-pass Pearson aggregate in both engines. Lags with
+    * a degenerate overlap (constant series → corr undefined, engines
+    * disagree on NULL/NaN) are excluded by a stddev predicate computed
+    * identically on both sides. */
+  def xcorrLag(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        sum((col("event_type") === "view").cast("long")).as("views"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("rev"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val lags = (-maxLag to maxLag).map(i => lit(i))
+    daily
+      .select(col("di"), col("views"))
+      .withColumn("lag", explode(array(lags: _*)))
+      .join(daily.select(col("di").as("di_b"), col("rev")),
+        col("di") + col("lag") === col("di_b"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_days"),
+        stddev_samp(col("views")).as("sv"),
+        stddev_samp(col("rev")).as("sr"),
+        corr(col("views"), col("rev")).as("c"))
+      .filter(col("sv") > 0 && col("sr") > 0)
+      .select(col("lag").cast("long").as("lag"), col("n_days"), round(col("c"), 4).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** q243: seasonal-naive forecast backtest of daily revenue — forecast
+    * each day with the value one season (7 days) earlier, and score MAE,
+    * sMAPE, and MASE (MAE over the MAE of the lag-1 naive, the standard
+    * scale-free benchmark any real forecaster must beat). Both the
+    * seasonal and the naive reference pair by day-index equi-join (the
+    * q181 idiom — calendar gaps pair correctly, no unpartitioned window
+    * over data), and the whole backtest reduces to one single-row
+    * aggregate over the calendar-bounded daily frame. */
+  def seasonalBacktest(orders: DataFrame, season: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    daily
+      .join(daily.select((col("di")).as("di_s"), col("rev").as("rev_s")),
+        col("di") - season === col("di_s"))
+      .join(daily.select((col("di")).as("di_1"), col("rev").as("rev_1")),
+        col("di") - 1 === col("di_1"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(avg(abs(col("rev") - col("rev_s"))), 4).as("mae"),
+        round(avg(lit(2.0) * abs(col("rev") - col("rev_s"))
+          / (abs(col("rev")) + abs(col("rev_s")))), 4).as("smape"),
+        round(avg(abs(col("rev") - col("rev_s"))) / avg(abs(col("rev") - col("rev_1"))), 4)
+          .as("mase"))
+  }
+
+  /** q246: Theil–Sen robust trend — the median of all pairwise slopes of
+    * the daily ORDER-COUNT series (counts, not sums: slopes are exact
+    * rationals, so both engines compute bit-identical inputs to the
+    * median). The pair set is days², calendar-bounded (≈ 2900² at a
+    * decade of history — a few million rows regardless of corpus size),
+    * built by one self-equi-… inequality join of the tiny daily frame;
+    * the exact `percentile_cont` over it is the documented
+    * bounded-aggregate idiom. OLS slope rides the same frame for
+    * comparison — the robust/classical gap is the outlier signal. */
+  def theilSenTrend(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val a = daily.select(col("di").as("ia"), col("cnt").as("ca"))
+    val b = daily.select(col("di").as("ib"), col("cnt").as("cb"))
+    val slopes = a.join(b, col("ia") < col("ib"))
+      .select(((col("cb") - col("ca")).cast("double") / (col("ib") - col("ia"))).as("slope"))
+    val ts = slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)"), 4).as("theil_sen"))
+    val ols = daily.agg(
+      round(covar_samp(col("di").cast("double"), col("cnt").cast("double"))
+        / var_samp(col("di").cast("double")), 4).as("ols_slope"))
+    ts.crossJoin(ols)
+  }
+
+  /** q247: two-feature OLS (extended price on quantity and discount) via
+    * the covariance normal equations — `var_samp`/`covar_samp` are
+    * numerically-stable one-pass aggregates in BOTH engines, so the 2×2
+    * solve is six shared-scan aggregates plus closed-form arithmetic
+    * (Cramer's rule), no iteration, no driver-side data. Centering via
+    * covariances (rather than raw Σx², Σxy sums) keeps the system
+    * well-conditioned: raw power sums of 10⁵-scale prices lose the
+    * significant digits the betas live in. The same recipe extends to k
+    * features as a k×k driver-side solve over a k²-cell aggregate. */
+  def olsTwoFeature(lineitem: DataFrame): DataFrame = {
+    val x1 = col("l_quantity").cast("double")
+    val x2 = col("l_discount").cast("double")
+    val y = col("l_extendedprice").cast("double")
+    lineitem
+      .agg(
+        count(lit(1)).as("n"),
+        var_samp(x1).as("s11"), covar_samp(x1, x2).as("s12"), var_samp(x2).as("s22"),
+        covar_samp(x1, y).as("s1y"), covar_samp(x2, y).as("s2y"), var_samp(y).as("syy"),
+        avg(x1).as("m1"), avg(x2).as("m2"), avg(y).as("my"))
+      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+      .withColumn("b1", (col("s22") * col("s1y") - col("s12") * col("s2y")) / col("det"))
+      .withColumn("b2", (col("s11") * col("s2y") - col("s12") * col("s1y")) / col("det"))
+      .select(
+        col("n"),
+        round(col("my") - col("b1") * col("m1") - col("b2") * col("m2"), 4).as("beta0"),
+        round(col("b1"), 4).as("beta_quantity"),
+        round(col("b2"), 4).as("beta_discount"),
+        round((col("b1") * col("s1y") + col("b2") * col("s2y")) / col("syy"), 4).as("r2"))
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Graph, Relational, StatTests}
+
+/** Round-8 additions: PSI drift (q240), t-closeness (q241), lead/lag
+  * cross-correlation (q242), seasonal-naive backtest (q243), BOM
+  * hierarchy rollup (q244), link prediction (q245), Theil–Sen trend
+  * (q246), two-feature OLS (q247). Hand-built fixtures with answers
+  * verifiable by eye; the DuckDB oracle covers the real tables. */
+class AnalyticsR8Spec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("q240: identical baseline/current distributions score PSI 0; a shift scores > 0") {
+    import spark.implicits._
+    // same shape both periods → every feature's PSI is exactly 0
+    val stable = Seq(
+      (ts("1997-01-01"), 10000.0, "1-URGENT", "O"), (ts("1997-01-02"), 90000.0, "5-LOW", "F"),
+      (ts("1999-01-01"), 10000.0, "1-URGENT", "O"), (ts("1999-01-02"), 90000.0, "5-LOW", "F")
+    ).toDF("o_orderdate", "o_totalprice", "o_orderpriority", "o_orderstatus")
+    val r0 = StatTests.psiDrift(stable).collect()
+    assert(r0.length === 3)
+    assert(r0.forall(_.getAs[Double]("psi") === 0.0))
+    // priority flips entirely between periods → priority PSI > 0
+    val drifted = Seq(
+      (ts("1997-01-01"), 10000.0, "1-URGENT", "O"),
+      (ts("1999-01-01"), 10000.0, "5-LOW", "O")
+    ).toDF("o_orderdate", "o_totalprice", "o_orderpriority", "o_orderstatus")
+    val pr = StatTests.psiDrift(drifted).collect()
+      .find(_.getAs[String]("feature") == "priority").get
+    assert(pr.getAs[Double]("psi") > 0.0)
+    assert(pr.getAs[Long]("n_baseline") === 1L && pr.getAs[Long]("n_current") === 1L)
+  }
+
+  test("q241: hand-computed TVD — {A,A,B,B} and {A,A,A,A} vs global 3/4 A") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, 1, "AUTO"), (2L, 1, "AUTO"), (3L, 1, "BUILD"), (4L, 1, "BUILD"),
+      (5L, 2, "AUTO"), (6L, 2, "AUTO"), (7L, 2, "AUTO"), (8L, 2, "AUTO")
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val r = Relational.tClosenessAudit(customer).head()
+    // global: A 6/8, B 2/8; class1: A 1/2 → tvd .25; class2: A 1 → tvd .25
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Double]("t_closeness") === 0.25)
+    assert(r.getAs[Double]("avg_tvd") === 0.25)
+    assert(r.getAs[Long]("classes_above_t") === 2L)
+  }
+
+  test("q242: a series that leads revenue by exactly 2 days peaks at lag +2") {
+    import spark.implicits._
+    // views on day d: d+1 (varying); purchases on day d worth 10×views[d-2]
+    val events = (1 to 12).flatMap { d =>
+      val day = f"2024-01-$d%02d"
+      val views = Seq.fill(d)(("view", java.sql.Timestamp.valueOf(s"$day 01:00:00"), 0.0))
+      val rev =
+        if (d >= 3) Seq(("purchase", java.sql.Timestamp.valueOf(s"$day 02:00:00"), (d - 2) * 10.0))
+        else Seq.empty
+      views ++ rev
+    }.toDF("event_type", "ts", "value")
+    val rows = StatTests.xcorrLag(events).collect()
+    val at2 = rows.find(_.getAs[Long]("lag") == 2L).get
+    assert(at2.getAs[Double]("xcorr") === 1.0)
+  }
+
+  test("q243: an exactly 7-periodic series backtests to zero error") {
+    import spark.implicits._
+    val orders = (0 until 21).map { i =>
+      (ts(f"1995-01-${i + 1}%02d"), (i % 7 + 1) * 10.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = StatTests.seasonalBacktest(orders).head()
+    assert(r.getAs[Long]("n_days") === 14L) // days 8..21 have both lag-7 and lag-1
+    assert(r.getAs[Double]("mae") === 0.0)
+    assert(r.getAs[Double]("smape") === 0.0)
+    assert(r.getAs[Double]("mase") === 0.0)
+  }
+
+  test("q244: 7-part binary tree — root sees all, each child its half") {
+    import spark.implicits._
+    // p_partkey 0..6 → hierarchy keys 1..7: node 2 covers {2,4,5}, node 3 {3,6,7}
+    val part = (0 to 6).map(k => (k.toLong, 1.0)).toDF("p_partkey", "p_retailprice")
+    val got = Graph.bomRollup(part, levels = 2)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_parts"), r.getAs[Double]("subtree_cost")))
+    assert(got.toSeq === Seq((1L, 7L, 7.0), (2L, 3L, 3.0), (3L, 3L, 3.0)))
+  }
+
+  test("q245: wedge 2–1–3 with no closing edge predicts exactly (2,3)") {
+    import spark.implicits._
+    // pairs (1,2) and (1,3) each co-bought twice; (2,3) never
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.linkPrediction(lineitem).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("part_a") === 2L && r.getAs[Long]("part_b") === 3L)
+    assert(r.getAs[Long]("common_neighbors") === 1L)
+    assert(r.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("q246: a perfectly linear daily count series has slope 1 both ways") {
+    import spark.implicits._
+    val orders = (1 to 5).flatMap { d =>
+      Seq.fill(d)((ts(f"1995-01-$d%02d"), 0L))
+    }.toDF("o_orderdate", "o_orderkey")
+    val r = StatTests.theilSenTrend(orders).head()
+    assert(r.getAs[Long]("n_pairs") === 10L)
+    assert(r.getAs[Double]("theil_sen") === 1.0)
+    assert(r.getAs[Double]("ols_slope") === 1.0)
+  }
+
+  test("q247: exact linear data recovers beta0=2, b_qty=3, b_disc=5, r2=1") {
+    import spark.implicits._
+    val rows = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0), (5.0, 1.0))
+    val lineitem = rows
+      .map { case (q, dc) => (q, dc, 2.0 + 3.0 * q + 5.0 * dc) }
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = StatTests.olsTwoFeature(lineitem).head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("beta0") === 2.0)
+    assert(r.getAs[Double]("beta_quantity") === 3.0)
+    assert(r.getAs[Double]("beta_discount") === 5.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+}

@@ -323,7 +323,9 @@ class PlanSpec extends SparkSpec {
       "q232_rolling_corr"   -> Set("unpartitioned-window"), // trailing frame over the calendar-day table (q89 idiom)
       "q236_key_gaps"       -> Set("unpartitioned-window"), // lag over the #buckets min/max frame (bounded; data-sized lag is bucket-partitioned)
       "q238_cohort_ltv"     -> bnl, // 1-row corpus-start scalar (q14/q223 idiom)
-      "q239_lang_confusion" -> bnl) // #langs² grid + 1-row accuracy scalar (q126 idiom)
+      "q239_lang_confusion" -> bnl, // #langs² grid + 1-row accuracy scalar (q126 idiom)
+      "q241_t_closeness"    -> (bnl + "unpartitioned-window"), // #classes × #values grid densification (q126/q161 idiom) + total over the #values frame
+      "q246_theil_sen"      -> bnl) // days² pair expansion of the calendar-bounded daily frame + 1-row stat frames crossed (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
