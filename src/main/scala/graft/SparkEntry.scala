@@ -460,9 +460,92 @@ object SparkEntry {
     "q245_link_prediction" -> ((s, d) => Graph.linkPrediction(Tables(s, d).lineitem)),
     "q246_theil_sen" -> ((s, d) => StatTests.theilSenTrend(Tables(s, d).orders)),
     "q247_ols_multi" -> ((s, d) => StatTests.olsTwoFeature(Tables(s, d).lineitem)),
+    "q248_changepoint" -> ((s, d) => StatTests.changepoint(Tables(s, d).orders)),
+    "q249_assortativity" -> ((s, d) => Graph.degreeAssortativity(Tables(s, d).lineitem)),
+    "q250_basket_lift" -> ((s, d) => Relational.basketLift(Tables(s, d).lineitem)),
+    "q251_price_elasticity" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.priceElasticity(t.lineitem, t.part)
+    }),
+    "q252_abc_analysis" -> ((s, d) => Relational.abcAnalysis(Tables(s, d).lineitem)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q248_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT d, x,
+        |    row_number() OVER (ORDER BY d) AS i,
+        |    sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    sum(x*x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss,
+        |    count(*) OVER () AS n, sum(x) OVER () AS st, sum(x*x) OVER () AS sst
+        |  FROM daily),
+        |c AS (
+        |  SELECT d, i, n, s, st,
+        |    ss - s*s/i + (sst - ss) - (st - s)*(st - s)/(n - i) AS sse,
+        |    sst - st*st/n AS tss
+        |  FROM p WHERE i < n)
+        |SELECT strftime(d, '%Y-%m-%d') AS split_day,
+        |  CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+        |  floor((s/i)*10000 + 0.5)/10000 AS mean_left,
+        |  floor(((st - s)/(n - i))*10000 + 0.5)/10000 AS mean_right,
+        |  floor((tss - sse)*10000 + 0.5)/10000 AS sse_reduction
+        |FROM c ORDER BY sse, d LIMIT 1""".stripMargin,
+    "q249_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1,2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+        |deg AS (SELECT pa AS node, count(*) AS d FROM adj GROUP BY 1)
+        |SELECT CAST(count(*)/2 AS BIGINT) AS n_edges,
+        |  floor(corr(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE))*10000 + 0.5)/10000
+        |    AS assortativity
+        |FROM adj JOIN deg da ON da.node = adj.pa JOIN deg db ON db.node = adj.pb""".stripMargin,
+    "q250_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS ant, b.pk AS cons, count(*) AS c_ab
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.pk <> b.pk
+        |  GROUP BY 1,2 HAVING count(*) >= 2),
+        |s AS (SELECT pk, count(*) AS c FROM items GROUP BY 1),
+        |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items)
+        |SELECT pairs.ant AS part_a, pairs.cons AS part_b, CAST(c_ab AS BIGINT) AS n_together,
+        |  floor(CAST(c_ab AS DOUBLE)/sa.c*10000 + 0.5)/10000 AS confidence,
+        |  floor(n.n_orders*CAST(c_ab AS DOUBLE)/(sa.c*sb.c)*10000 + 0.5)/10000 AS lift
+        |FROM pairs JOIN s sa ON sa.pk = pairs.ant JOIN s sb ON sb.pk = pairs.cons CROSS JOIN n
+        |ORDER BY lift DESC, n_together DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q251_price_elasticity" ->
+      """SELECT p_brand,
+        |  count(*) AS n_lines,
+        |  floor(avg(l_extendedprice/l_quantity)*10000 + 0.5)/10000 AS avg_unit_price,
+        |  floor((covar_samp(ln(l_quantity), ln(l_extendedprice/l_quantity))
+        |    / var_samp(ln(l_extendedprice/l_quantity)))*10000 + 0.5)/10000 AS elasticity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 HAVING var_samp(ln(l_extendedprice/l_quantity)) > 0
+        |ORDER BY p_brand""".stripMargin,
+    "q252_abc_analysis" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER () AS grand
+        |  FROM pp),
+        |k AS (
+        |  SELECT CASE WHEN cum/grand <= 0.80 THEN 'A'
+        |              WHEN cum/grand <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+        |    rev, grand
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  floor(sum(rev)*100 + 0.5)/100 AS class_revenue,
+        |  floor(sum(rev)/max(grand)*10000 + 0.5)/10000 AS revenue_share
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q240_psi_drift" ->
       """WITH lab AS (
         |  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'

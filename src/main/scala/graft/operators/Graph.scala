@@ -41,12 +41,18 @@ object Graph {
   }
 
   /** Degree-annotated distinct co-purchase edges (src, dst, d) for the
-    * rank iteration, which divides mass by out-degree. */
+    * rank iteration, which divides mass by out-degree. Used by the plan
+    * specs; the production rank loop keeps edges and the (node-sized)
+    * degree table separate so the edge set is cached ONCE, raw. */
   private[graft] def edgesWithDegree(lineitem: DataFrame): DataFrame = {
     val edges = distinctEdges(lineitem)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     edges.join(deg, "src")
   }
+
+  /** Out-degree per node of a (src, dst) edge set. */
+  private[graft] def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy("src").agg(count(lit(1)).as("d"))
 
   /** The rank fixpoint loop, exposed so PlanSpec can assert the plan
     * stays O(1)-deep in the iteration count. Each iteration ends in
@@ -57,17 +63,24 @@ object Graph {
     * arbitrary iteration counts stay plannable and re-optimizable (AQE
     * sees fresh sizes each round) instead of overwhelming Catalyst. */
   private[graft] def iterateRanks(
-      edgesWithDeg: DataFrame,
+      edges: DataFrame,
+      deg: DataFrame,
       n: Double,
       iterations: Int,
       damping: Double): DataFrame = {
-    var ranks = edgesWithDeg.select(col("src").as("node")).distinct()
+    var ranks = deg.select(col("src").as("node"))
       .withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      ranks = edgesWithDeg
-        .join(ranks, col("src") === col("node"))
+      // per-source share first: a node-cardinality ⋈ node-cardinality
+      // broadcast join, so the per-edge work is one broadcast probe —
+      // the edge set itself is never re-joined with its own degrees
+      val share = ranks
+        .join(deg, col("node") === col("src"))
+        .select(col("node").as("snode"), (col("pr") / col("d")).as("share"))
+      ranks = edges
+        .join(share, col("src") === col("snode"))
         .groupBy(col("dst"))
-        .agg(sum(col("pr") / col("d")).as("mass"))
+        .agg(sum(col("share")).as("mass"))
         .select(
           col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("pr"))
@@ -81,16 +94,21 @@ object Graph {
       iterations: Int = 3,
       damping: Double = 0.85,
       topN: Int = 20): DataFrame = {
-    val edgesWithDeg = edgesWithDegree(lineitem).cache()
-    val n = edgesWithDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
+    // cache the raw edge set ONCE — the Θ(Σ basket²) pair expansion is
+    // the dominant cost; degrees are a node-cardinality aggregate over
+    // the cache, checkpointed so iterations read a 20k-row table, not a
+    // re-aggregation
+    val edges = distinctEdges(lineitem).cache()
+    val deg = outDegrees(edges).localCheckpoint(eager = true)
+    val n = deg.count().toDouble
 
     // materialize the (topN-row) result eagerly, then release the edge cache
-    val result = iterateRanks(edgesWithDeg, n, iterations, damping)
+    val result = iterateRanks(edges, deg, n, iterations, damping)
       .select(col("node").as("part"), round(col("pr") * n, 4).as("pr_x_n"))
       .orderBy(desc("pr_x_n"), asc("part"))
       .limit(topN)
       .localCheckpoint(eager = true)
-    edgesWithDeg.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     result
   }
 
@@ -214,6 +232,33 @@ object Graph {
       .localCheckpoint(eager = true)
     edges.unpersist(blocking = false)
     predicted
+  }
+
+  /** q249: degree assortativity of the frequent co-purchase graph — the
+    * Pearson correlation of endpoint degrees over edges ("do popular
+    * products co-sell with popular products"), the one-number summary of
+    * hub structure that separates social-style graphs (r>0) from
+    * hub-and-spoke retail graphs (r<0). Support-filtered edge set (q192
+    * idiom), degrees from one aggregate of the symmetrized adjacency,
+    * attached to both edge endpoints by two node-keyed joins, then one
+    * `corr` scalar — degree inputs are exact integers so both engines
+    * correlate identical values. */
+  def degreeAssortativity(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("pa", "pb")
+    val adj = edges.unionAll(edges.select(col("pb").as("pa"), col("pa").as("pb")))
+    val deg = adj.groupBy(col("pa").as("node")).agg(count(lit(1)).as("d"))
+    adj
+      .join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_edges"),
+        round(corr(col("da").cast("double"), col("db").cast("double")), 4).as("assortativity"))
   }
 
   def triangleCensus(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {

@@ -1383,6 +1383,90 @@ object Relational {
       .orderBy("month")
   }
 
+  /** q250: association rules over the q92 pair counts — confidence
+    * P(b|a) and lift P(ab)/(P(a)P(b)), the metrics that separate "sells
+    * together because both are popular" from genuine affinity. Item
+    * supports come from one item-cardinality aggregate of the distinct
+    * (order, part) set; the corpus order count is a 1-row broadcast
+    * scalar (q14 idiom). Both directions of each pair are emitted (the
+    * rule a→b is not b→a); every ratio is integer-over-integer in
+    * doubles, so engines compute bit-identical metrics, and top-k ties
+    * break on integer keys. */
+  def basketLift(lineitem: DataFrame, minSupport: Long = 2, topN: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("ant"), col("b.pk").as("cons"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val support = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+    pairs
+      .join(support.select(col("pk").as("ant"), col("c").as("c_a")), "ant")
+      .join(support.select(col("pk").as("cons"), col("c").as("c_b")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("ant").as("part_a"), col("cons").as("part_b"), col("c_ab").as("n_together"),
+        round(col("c_ab").cast("double") / col("c_a"), 4).as("confidence"),
+        round(col("n_orders") * col("c_ab").cast("double") / (col("c_a") * col("c_b")), 4)
+          .as("lift"))
+      .orderBy(desc("lift"), desc("n_together"), asc("part_a"), asc("part_b"))
+      .limit(topN)
+  }
+
+  /** q252: ABC inventory classification — parts bucketed A/B/C by
+    * cumulative revenue share (top ~80% / next 15% / tail 5%), the
+    * classic merchandising cut. Needs a GLOBAL revenue-ordered prefix
+    * sum over the per-part aggregate; that rides the [[GlobalOrder]]
+    * range-bucket scheme: in-bucket running sums are bucket-PARTITIONED
+    * windows, only the ≤numBuckets bucket-total offsets cross buckets
+    * (tiny unpartitioned frame). Ranking orders on the PRE-ROUNDED
+    * per-part revenue with key tie-break, so both engines accumulate in
+    * the identical order. */
+  def abcAnalysis(lineitem: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("rev"))
+    // range-bucket by revenue (descending processing order = ascending
+    // bucket of -rev), mirroring GlobalOrder.withGlobalRowNumber
+    val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+    val keyed = perPart.withColumn("__bkey", -col("rev"))
+    val boundsRow = keyed
+      .agg(expr(s"approx_percentile(__bkey, array(${probs.mkString(",")}), 10000)"))
+      .head()
+    val bounds: Seq[Double] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
+    val pid = bounds
+      .foldLeft(lit(0)) { (acc, b) => acc + when(col("__bkey") > lit(b), 1).otherwise(0) }
+    val withPid = keyed.withColumn("__pid", pid)
+    val tiny = Window.orderBy("__pid")
+    val offsets = withPid
+      .groupBy("__pid").agg(sum("rev").as("brev"))
+      .select(
+        col("__pid"),
+        coalesce(
+          sum("brev").over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+          .as("__offset"),
+        sum("brev").over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__grand"))
+    val inBucket = Window.partitionBy("__pid")
+      .orderBy(desc("rev"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .join(offsets, "__pid")
+      .withColumn("cum", col("__offset") + sum("rev").over(inBucket))
+      .withColumn("abc_class",
+        when(col("cum") / col("__grand") <= 0.80, "A")
+          .when(col("cum") / col("__grand") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(sum("rev"), 2).as("class_revenue"),
+        round(sum("rev") / first("__grand"), 4).as("revenue_share"))
+      .orderBy("abc_class")
+  }
+
   /** q92: co-purchase affinity (market-basket pair counts). The pair
     * self-join is keyed on the ORDER, so expansion is Θ(Σ basket²) —
     * bounded by the largest single basket (~7 lines in this schema),

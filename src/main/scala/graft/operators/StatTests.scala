@@ -447,20 +447,36 @@ object StatTests {
     * arithmetic (`floor(price/50000)`), never data-derived quantiles, so
     * both engines bin identically. */
   def psiDrift(orders: DataFrame, cutDate: String = "1998-01-01"): DataFrame = {
-    val long = orders
-      .select(
+    val long = featurizeOrders(orders)
+      .withColumn("period",
         when(to_date(col("o_orderdate")) < to_date(lit(cutDate)), lit("baseline"))
-          .otherwise(lit("current")).as("period"),
-        floor(col("o_totalprice") / 50000).cast("string").as("pb"),
-        col("o_orderpriority").as("pri"),
-        col("o_orderstatus").as("st"))
-      .select(col("period"),
-        expr("stack(3, 'price_bucket', pb, 'priority', pri, 'status', st) AS (feature, value)"))
+          .otherwise(lit("current")))
     val cells = long
       .groupBy("feature", "value")
       .agg(
         sum((col("period") === "baseline").cast("long")).as("nb"),
         sum((col("period") === "current").cast("long")).as("nc"))
+    psiFromCells(cells)
+  }
+
+  /** The q240 featurization: one row per (feature, value) per order, via
+    * `stack` — shared with the streaming drift monitor so the batch
+    * query and the ingest-time dual score the identical cells. Keeps
+    * `o_orderdate` so callers can attach period labels. */
+  private[graft] def featurizeOrders(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderdate"),
+        floor(col("o_totalprice") / 50000).cast("string").as("pb"),
+        col("o_orderpriority").as("pri"),
+        col("o_orderstatus").as("st"))
+      .select(col("o_orderdate"),
+        expr("stack(3, 'price_bucket', pb, 'priority', pri, 'status', st) AS (feature, value)"))
+
+  /** PSI per feature from (feature, value, nb, nc) count cells — the
+    * smoothing and Σ(p_c−p_b)·ln(p_c/p_b) shared by q240 and the
+    * streaming drift monitor. */
+  private[graft] def psiFromCells(cells: DataFrame): DataFrame = {
     val totals = cells.groupBy("feature")
       .agg(sum("nb").as("tb"), sum("nc").as("tc"), count(lit(1)).as("k_buckets"))
     cells.join(totals, "feature")
@@ -560,6 +576,72 @@ object StatTests {
       round(covar_samp(col("di").cast("double"), col("cnt").cast("double"))
         / var_samp(col("di").cast("double")), 4).as("ols_slope"))
     ts.crossJoin(ols)
+  }
+
+  /** q248: single best mean-shift changepoint in the daily order-count
+    * series (binary-segmentation step 1 — the offline complement of
+    * q222's CUSUM monitor): for every candidate split the pooled SSE of
+    * the two segments comes from PREFIX sums (Σx, Σx² running over the
+    * calendar-day frame — the q89 bounded-window idiom), so the whole
+    * scan of N−1 candidates is one window pass + one TakeOrdered(1),
+    * never N segment re-aggregations. Counts (exact integers) keep the
+    * prefix sums engine-exact, so the argmin is deterministic; ties
+    * break on the earlier day. */
+  def changepoint(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixed = daily
+      .withColumn("i", row_number().over(Window.orderBy("d")).cast("long"))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("ss", sum(col("x") * col("x")).over(w))
+      .withColumn("n", count(lit(1)).over(one))
+      .withColumn("st", sum(col("x")).over(one))
+      .withColumn("sst", sum(col("x") * col("x")).over(one))
+    prefixed
+      .filter(col("i") < col("n"))
+      .select(
+        col("d"), col("i"), col("n"), col("s"), col("st"),
+        (col("ss") - col("s") * col("s") / col("i")
+          + (col("sst") - col("ss"))
+          - (col("st") - col("s")) * (col("st") - col("s")) / (col("n") - col("i"))).as("sse"),
+        (col("sst") - col("st") * col("st") / col("n")).as("tss"))
+      .orderBy(asc("sse"), asc("d"))
+      .limit(1)
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("split_day"),
+        col("i").as("n_left"),
+        (col("n") - col("i")).as("n_right"),
+        round(col("s") / col("i"), 4).as("mean_left"),
+        round((col("st") - col("s")) / (col("n") - col("i")), 4).as("mean_right"),
+        round(col("tss") - col("sse"), 4).as("sse_reduction"))
+  }
+
+  /** q251: log-log price elasticity of demand per brand — the grouped
+    * regression ε = cov(ln q, ln p)/var(ln p) over unit price (the
+    * q247 covariance-normal-equation recipe, grouped): lineitem joins
+    * the part dim on its key (broadcast), then ONE brand-cardinality
+    * aggregate carries the co-moments; no per-group passes. Degenerate
+    * brands (zero price variance) are excluded by the same predicate
+    * both engines. */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val lnQ = log(col("l_quantity").cast("double"))
+    val lnP = log(col("l_extendedprice") / col("l_quantity"))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        var_samp(lnP).as("vp"),
+        covar_samp(lnQ, lnP).as("cqp"),
+        round(avg(col("l_extendedprice") / col("l_quantity")), 4).as("avg_unit_price"))
+      .filter(col("vp") > 0)
+      .select(
+        col("p_brand"), col("n_lines"), col("avg_unit_price"),
+        round(col("cqp") / col("vp"), 4).as("elasticity"))
+      .orderBy("p_brand")
   }
 
   /** q247: two-feature OLS (extended price on quantity and discount) via

@@ -109,6 +109,73 @@ class AnalyticsR8Spec extends SparkSpec {
     assert(r.getAs[Double]("ols_slope") === 1.0)
   }
 
+  test("q248: a planted mean shift is found exactly, with zero residual SSE") {
+    import spark.implicits._
+    // 5 days at 2 orders/day then 5 days at 10/day → split after day 5
+    val orders = (1 to 10).flatMap { d =>
+      Seq.fill(if (d <= 5) 2 else 10)((ts(f"1995-01-$d%02d"), 0L))
+    }.toDF("o_orderdate", "o_orderkey")
+    val r = StatTests.changepoint(orders).head()
+    assert(r.getAs[String]("split_day") === "1995-01-05")
+    assert(r.getAs[Long]("n_left") === 5L && r.getAs[Long]("n_right") === 5L)
+    assert(r.getAs[Double]("mean_left") === 2.0 && r.getAs[Double]("mean_right") === 10.0)
+    // TSS = 10·(mean−6)² = 160, residual 0 → full reduction
+    assert(r.getAs[Double]("sse_reduction") === 160.0)
+  }
+
+  test("q249: a star graph is perfectly disassortative (r = −1)") {
+    import spark.implicits._
+    // hub 1 co-bought twice with each spoke 2,3,4; spokes never together
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 3L),
+      (14L, 1L), (14L, 4L), (15L, 1L), (15L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = Graph.degreeAssortativity(lineitem).head()
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("q250: triangle of equally popular parts — confidence 1/2, lift 3/4") {
+    import spark.implicits._
+    // each pair co-bought twice; every part in 4 of 6 orders
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 2L), (5L, 3L), (6L, 2L), (6L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val rows = Relational.basketLift(lineitem).collect()
+    assert(rows.length === 6) // 3 pairs × both directions
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_together") === 2L)
+      assert(r.getAs[Double]("confidence") === 0.5)
+      assert(r.getAs[Double]("lift") === 0.75)
+    }
+  }
+
+  test("q251: exact log-linear demand recovers elasticity −2") {
+    import spark.implicits._
+    // unit prices 1.0 and 0.5 with q = p^(−2): (q=1, ext=1·1), (q=4, ext=4·0.5)
+    val lineitem = Seq((101L, 1.0, 1.0), (101L, 4.0, 2.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((101L, "BRAND#1")).toDF("p_partkey", "p_brand")
+    val r = StatTests.priceElasticity(lineitem, part).head()
+    assert(r.getAs[String]("p_brand") === "BRAND#1")
+    assert(r.getAs[Long]("n_lines") === 2L)
+    assert(r.getAs[Double]("elasticity") === -2.0)
+  }
+
+  test("q252: revenues 80/15/5 split exactly into A, B, C") {
+    import spark.implicits._
+    val lineitem = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = Relational.abcAnalysis(lineitem)
+      .collect()
+      .map(r => (r.getAs[String]("abc_class"), r.getAs[Long]("n_parts"),
+        r.getAs[Double]("class_revenue"), r.getAs[Double]("revenue_share")))
+    assert(got.toSeq === Seq(("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15), ("C", 1L, 5.0, 0.05)))
+  }
+
   test("q247: exact linear data recovers beta0=2, b_qty=3, b_disc=5, r2=1") {
     import spark.implicits._
     val rows = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0), (5.0, 1.0))

@@ -88,10 +88,11 @@ class AuditGraphSpec extends SparkSpec {
   test("q98: plan depth is constant in the iteration count (per-iteration checkpoint)") {
     val li = Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 300L), (3L, 100L), (3L, 400L))
       .toDF("l_orderkey", "l_partkey")
-    val edges = Graph.edgesWithDegree(li).cache()
+    val edges = Graph.distinctEdges(li).cache()
+    val deg = Graph.outDegrees(edges).localCheckpoint(true)
     try {
       def planNodes(k: Int): Int =
-        Graph.iterateRanks(edges, 4.0, k, 0.85)
+        Graph.iterateRanks(edges, deg, 4.0, k, 0.85)
           .queryExecution.optimizedPlan.collect { case p => p }.size
       val at2 = planNodes(2)
       val at6 = planNodes(6)

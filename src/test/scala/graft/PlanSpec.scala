@@ -325,7 +325,10 @@ class PlanSpec extends SparkSpec {
       "q238_cohort_ltv"     -> bnl, // 1-row corpus-start scalar (q14/q223 idiom)
       "q239_lang_confusion" -> bnl, // #langs² grid + 1-row accuracy scalar (q126 idiom)
       "q241_t_closeness"    -> (bnl + "unpartitioned-window"), // #classes × #values grid densification (q126/q161 idiom) + total over the #values frame
-      "q246_theil_sen"      -> bnl) // days² pair expansion of the calendar-bounded daily frame + 1-row stat frames crossed (q14 idiom)
+      "q246_theil_sen"      -> bnl, // days² pair expansion of the calendar-bounded daily frame + 1-row stat frames crossed (q14 idiom)
+      "q248_changepoint"    -> Set("unpartitioned-window"), // prefix sums over the calendar-day frame (q89/q136 idiom)
+      "q250_basket_lift"    -> bnl, // 1-row broadcast corpus order count (q14 idiom)
+      "q252_abc_analysis"   -> Set("unpartitioned-window")) // GlobalOrder offset frame: ≤numBuckets bucket totals (q150/q183 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
