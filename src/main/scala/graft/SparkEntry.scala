@@ -468,9 +468,73 @@ object SparkEntry {
       StatTests.priceElasticity(t.lineitem, t.part)
     }),
     "q252_abc_analysis" -> ((s, d) => Relational.abcAnalysis(Tables(s, d).lineitem)),
+    "q253_simpson_diversity" -> ((s, d) => TextAnalysis.simpsonDiversity(Tables(s, d).documents)),
+    "q254_burstiness" -> ((s, d) => EventAnalytics.burstiness(Tables(s, d).events)),
+    "q255_doc_surprisal" -> ((s, d) => TextAnalysis.docSurprisal(Tables(s, d).documents)),
+    "q256_seasonality_strength" -> ((s, d) => StatTests.seasonalityStrength(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q253_simpson_diversity" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab
+        |  FROM tf GROUP BY source)
+        |SELECT tf.source, max(tot.n) AS n_tokens, max(tot.vocab) AS vocab,
+        |  floor((1 - sum((CAST(c AS DOUBLE)/n)*(CAST(c AS DOUBLE)/n)))*10000 + 0.5)/10000
+        |    AS simpson,
+        |  floor((1/sum((CAST(c AS DOUBLE)/n)*(CAST(c AS DOUBLE)/n)))*10000 + 0.5)/10000
+        |    AS eff_vocab
+        |FROM tf JOIN tot USING (source)
+        |GROUP BY tf.source ORDER BY tf.source""".stripMargin,
+    "q254_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts))
+        |       OVER (PARTITION BY event_type ORDER BY ts, event_id))/1e6 AS gap_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  floor(avg(gap_s)*10000 + 0.5)/10000 AS mean_gap_s,
+        |  floor(stddev_samp(gap_s)/avg(gap_s)*10000 + 0.5)/10000 AS cv,
+        |  floor((stddev_samp(gap_s) - avg(gap_s))/(stddev_samp(gap_s) + avg(gap_s))
+        |    *10000 + 0.5)/10000 AS burstiness
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q255_doc_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_corpus FROM tf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(avg(-ln(CAST(c AS DOUBLE)/n_corpus))*10000 + 0.5)/10000 AS mean_surprisal
+        |FROM toks JOIN tf USING (tok) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY mean_surprisal DESC, doc_id LIMIT 20""".stripMargin,
+    "q256_seasonality_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT d, rev,
+        |    avg(rev) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS trend,
+        |    CAST(date_part('dow', d) AS INT) AS dow
+        |  FROM daily),
+        |s AS (SELECT *, avg(rev - trend) OVER (PARTITION BY dow) AS seasonal FROM t),
+        |dec AS (
+        |  SELECT floor(trend*10000 + 0.5)/10000 AS trend,
+        |    floor(seasonal*10000 + 0.5)/10000 AS seasonal,
+        |    floor((rev - trend - seasonal)*10000 + 0.5)/10000 AS residual
+        |  FROM s)
+        |SELECT count(*) AS n_days,
+        |  floor(greatest(0, 1 - var_samp(residual)/var_samp(seasonal + residual))
+        |    *10000 + 0.5)/10000 AS seasonal_strength,
+        |  floor(greatest(0, 1 - var_samp(residual)/var_samp(trend + residual))
+        |    *10000 + 0.5)/10000 AS trend_strength
+        |FROM dec""".stripMargin,
     "q248_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x

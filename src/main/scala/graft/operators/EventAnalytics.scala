@@ -900,6 +900,31 @@ object EventAnalytics {
         round(max(col("gap_hours")), 4).as("max_gap_hours"))
   }
 
+  /** q254: inter-arrival burstiness per event type — CV = σ/μ of the
+    * gap distribution and Goh–Barabási B = (σ−μ)/(σ+μ): B≈0 is a
+    * Poisson stream, B→1 heavy bursts, B<0 pacemaker-regular. The
+    * capacity-planning signal behind rate limits and autoscaling
+    * thresholds. Gaps come from a type-PARTITIONED lag window (ordered
+    * by ts with event_id tie-break, so both engines difference the same
+    * neighbors) at microsecond resolution; the moments are one
+    * type-cardinality aggregate. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    events
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", (unix_micros(col("ts")) - col("prev_us")) / lit(1e6))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_s")), 4).as("mean_gap_s"),
+        round(stddev_samp(col("gap_s")) / avg(col("gap_s")), 4).as("cv"),
+        round((stddev_samp(col("gap_s")) - avg(col("gap_s")))
+          / (stddev_samp(col("gap_s")) + avg(col("gap_s"))), 4).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** q198: per-user EWMA of purchase value — the recency-weighted
     * "customer value" feature (batch dual of
     * [[graft.streaming.StreamingEwma.userEwma]]). The recurrence

@@ -578,6 +578,26 @@ object StatTests {
     ts.crossJoin(ols)
   }
 
+  /** q256: trend / seasonal strength (Hyndman's F-measures) over q194's
+    * decomposition — the one-row summary that says whether the series is
+    * trend-driven, weekday-driven, or noise: F = max(0, 1 −
+    * Var(R)/Var(C+R)) for component C. Aggregates the PRE-ROUNDED q194
+    * columns, so both engines feed identical values into `var_samp` and
+    * the strengths match to the rounding grid; one extra scalar pass
+    * over the calendar-day frame. */
+  def seasonalityStrength(orders: DataFrame, halfWindow: Int = 14): DataFrame = {
+    val dec = stlDecompose(orders, halfWindow)
+    dec.agg(
+      count(lit(1)).as("n_days"),
+      var_samp(col("residual")).as("vr"),
+      var_samp(col("seasonal") + col("residual")).as("vsr"),
+      var_samp(col("trend") + col("residual")).as("vtr"))
+      .select(
+        col("n_days"),
+        round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vsr")), 4).as("seasonal_strength"),
+        round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vtr")), 4).as("trend_strength"))
+  }
+
   /** q248: single best mean-shift changepoint in the daily order-count
     * series (binary-segmentation step 1 — the offline complement of
     * q222's CUSUM monitor): for every candidate split the pooled SSE of

@@ -762,6 +762,58 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q253: Simpson lexical diversity per source — the collision-based
+    * complement of q127's entropy: D = Σp² is the probability two
+    * random tokens match, 1−D the Simpson index, 1/D the "effective
+    * vocabulary" (how many equally-likely tokens the source behaves
+    * as). Same vocab-sized tf aggregate as q127 — one scan, one
+    * token-keyed shuffle, source-cardinality output; the repetition
+    * signal corpus curation reads next to entropy (low effective vocab
+    * = TEMPLATED text even when the raw vocab is large). */
+  def simpsonDiversity(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy("source").agg(sum("c").as("n"), count(lit(1)).as("vocab"))
+    tf
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy("source")
+      .agg(
+        first("n").as("n_tokens"),
+        first("vocab").as("vocab"),
+        round(lit(1.0) - sum(col("p") * col("p")), 4).as("simpson"),
+        round(lit(1.0) / sum(col("p") * col("p")), 4).as("eff_vocab"))
+      .orderBy("source")
+  }
+
+  /** q255: per-document mean token surprisal — the average
+    * self-information −ln(c/N) of a doc's tokens under the corpus
+    * unigram distribution (a hapax count degenerates to zero on any
+    * templated corpus; surprisal is the smooth version of the same
+    * rare-token signal). High-surprisal docs carry OCR noise, mojibake,
+    * random-string spam, or genuinely novel text — the curation signal
+    * read next to q31's ratios and q71's LM score. One vocab-sized tf
+    * aggregate, one token-keyed join back to the exploded stream (no
+    * broadcast assumption — scales with the token stream), one doc-grain
+    * aggregate. Top-k orders on the PRE-ROUNDED score with doc_id
+    * tie-break, so both engines rank identically. */
+  def docSurprisal(documents: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = tf.agg(sum("c").as("n_corpus"))
+    toks
+      .join(tf, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("n_corpus"))), 4).as("mean_surprisal"))
+      .orderBy(desc("mean_surprisal"), asc("doc_id"))
+      .limit(topN)
+  }
+
   /** q141: BPE merge-step statistics — the inner loop of byte-pair
     * encoding vocabulary induction: adjacent character-pair counts
     * across the corpus. The corpus collapses to the WORD-FREQUENCY

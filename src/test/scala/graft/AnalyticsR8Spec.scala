@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Relational, StatTests}
+import graft.operators.{EventAnalytics, Graph, Relational, StatTests, TextAnalysis}
 
 /** Round-8 additions: PSI drift (q240), t-closeness (q241), lead/lag
   * cross-correlation (q242), seasonal-naive backtest (q243), BOM
@@ -174,6 +174,52 @@ class AnalyticsR8Spec extends SparkSpec {
       .map(r => (r.getAs[String]("abc_class"), r.getAs[Long]("n_parts"),
         r.getAs[Double]("class_revenue"), r.getAs[Double]("revenue_share")))
     assert(got.toSeq === Seq(("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15), ("C", 1L, 5.0, 0.05)))
+  }
+
+  test("q253: 50/50 tokens → simpson ½, effective vocab 2; constant source → 0 and 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b b", "s1"), (2L, "a a a a", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.simpsonDiversity(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("simpson"), r.getAs[Double]("eff_vocab"))).toMap
+    assert(got("s1") === ((0.5, 2.0)))
+    assert(got("s2") === ((0.0, 1.0)))
+  }
+
+  test("q254: a metronome stream has cv 0 and burstiness −1") {
+    import spark.implicits._
+    val events = (0 until 5).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${i * 10}"), "tick")
+    }.toDF("event_id", "ts", "event_type")
+    val r = EventAnalytics.burstiness(events).head()
+    assert(r.getAs[Long]("n_gaps") === 4L)
+    assert(r.getAs[Double]("mean_gap_s") === 10.0)
+    assert(r.getAs[Double]("cv") === 0.0)
+    assert(r.getAs[Double]("burstiness") === -1.0)
+  }
+
+  test("q255: the all-rare-token doc outranks the all-common-token doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "unique"), (2L, "the the the")).toDF("doc_id", "text")
+    val got = TextAnalysis.docSurprisal(docs).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    // corpus: 4 tokens; "unique" c=1 → ln4; "the" c=3 → ln(4/3)
+    assert(got(0).getAs[Double]("mean_surprisal") === 1.3863)
+    assert(got(1).getAs[Double]("mean_surprisal") === 0.2877)
+  }
+
+  test("q256: a strongly weekday-driven series scores high seasonal strength") {
+    import spark.implicits._
+    val df = (0 until 35).map { i =>
+      val day = java.time.LocalDate.of(1995, 1, 1).plusDays(i)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay()), (day.getDayOfWeek.getValue % 7 + 1) * 100.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = StatTests.seasonalityStrength(df).head()
+    assert(r.getAs[Long]("n_days") === 35L)
+    val s = r.getAs[Double]("seasonal_strength")
+    assert(s > 0.5 && s <= 1.0, s"seasonal strength $s not in (0.5, 1]")
   }
 
   test("q247: exact linear data recovers beta0=2, b_qty=3, b_disc=5, r2=1") {

@@ -328,7 +328,9 @@ class PlanSpec extends SparkSpec {
       "q246_theil_sen"      -> bnl, // days² pair expansion of the calendar-bounded daily frame + 1-row stat frames crossed (q14 idiom)
       "q248_changepoint"    -> Set("unpartitioned-window"), // prefix sums over the calendar-day frame (q89/q136 idiom)
       "q250_basket_lift"    -> bnl, // 1-row broadcast corpus order count (q14 idiom)
-      "q252_abc_analysis"   -> Set("unpartitioned-window")) // GlobalOrder offset frame: ≤numBuckets bucket totals (q150/q183 idiom)
+      "q252_abc_analysis"   -> Set("unpartitioned-window"), // GlobalOrder offset frame: ≤numBuckets bucket totals (q150/q183 idiom)
+      "q255_doc_surprisal"  -> bnl, // 1-row broadcast corpus token total (q14 idiom)
+      "q256_seasonality_strength" -> Set("unpartitioned-window")) // q194's trend MA over the calendar-days frame
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
