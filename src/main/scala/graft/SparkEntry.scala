@@ -472,9 +472,64 @@ object SparkEntry {
     "q254_burstiness" -> ((s, d) => EventAnalytics.burstiness(Tables(s, d).events)),
     "q255_doc_surprisal" -> ((s, d) => TextAnalysis.docSurprisal(Tables(s, d).documents)),
     "q256_seasonality_strength" -> ((s, d) => StatTests.seasonalityStrength(Tables(s, d).orders)),
+    "q257_shapley_attribution" -> ((s, d) => EventAnalytics.shapleyAttribution(Tables(s, d).events)),
+    "q258_lorenz_curve" -> ((s, d) => StatTests.lorenzCurve(Tables(s, d).orders)),
+    "q259_spc_chart" -> ((s, d) => StatTests.spcChart(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q257_shapley_attribution" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+        |       + max(CASE WHEN event_type='error' THEN 1 ELSE 0 END)*2
+        |       + max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)*4
+        |       + max(CASE WHEN event_type='view' THEN 1 ELSE 0 END)*8 AS INT) AS mask,
+        |    max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT mask, count(*) AS n_users, sum(conv) AS n_conv FROM users GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(g.range AS INT) AS mask,
+        |    COALESCE(CAST(o.n_conv AS DOUBLE)/o.n_users, 0.0) AS v
+        |  FROM range(0,16) g LEFT JOIN obs o ON o.mask = g.range),
+        |ch(channel, bit) AS (VALUES ('click',1),('error',2),('signup',4),('view',8)),
+        |pairs AS (
+        |  SELECT ch.channel,
+        |    (CASE bit_count(s.mask) WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12
+        |          WHEN 2 THEN 1.0/12 ELSE 0.25 END) * (t.v - s.v) AS phi
+        |  FROM ch, grid s, grid t
+        |  WHERE (s.mask & ch.bit) = 0 AND t.mask = (s.mask | ch.bit))
+        |SELECT channel, floor(sum(phi)*10000 + 0.5)/10000 AS shapley
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q258_lorenz_curve" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM pc),
+        |g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS drev FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT decile, n_customers,
+        |    sum(n_customers) OVER (ORDER BY decile) AS cum_n,
+        |    sum(drev) OVER (ORDER BY decile) AS cum_rev,
+        |    sum(n_customers) OVER () AS tot_n, sum(drev) OVER () AS tot_rev
+        |  FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        |  floor(CAST(cum_n AS DOUBLE)/tot_n*10000 + 0.5)/10000 AS cum_pop_share,
+        |  floor(cum_rev/tot_rev*10000 + 0.5)/10000 AS cum_rev_share
+        |FROM c ORDER BY decile""".stripMargin,
+    "q259_spc_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |mr AS (SELECT rev, abs(rev - lag(rev) OVER (ORDER BY d)) AS mr FROM daily),
+        |lim AS (SELECT count(*) AS n_days, avg(rev) AS cl, avg(mr) AS mrbar FROM mr)
+        |SELECT max(n_days) AS n_days,
+        |  floor(max(cl)*10000 + 0.5)/10000 AS center,
+        |  floor(max(cl + 2.66*mrbar)*10000 + 0.5)/10000 AS ucl,
+        |  floor(max(cl - 2.66*mrbar)*10000 + 0.5)/10000 AS lcl,
+        |  CAST(sum(CASE WHEN rev > cl + 2.66*mrbar OR rev < cl - 2.66*mrbar
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+        |FROM daily CROSS JOIN lim""".stripMargin,
     "q253_simpson_diversity" ->
       """WITH tf AS (
         |  SELECT source, tok, count(*) AS c FROM (

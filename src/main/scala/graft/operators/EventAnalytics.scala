@@ -900,21 +900,96 @@ object EventAnalytics {
         round(max(col("gap_hours")), 4).as("max_gap_hours"))
   }
 
+  /** q257: Shapley-value channel attribution — the game-theoretic
+    * attribution that neither first/last-touch (q135), decay (q152) nor
+    * Markov removal (q219) gives: each channel's average marginal
+    * contribution to the conversion rate over all orderings of the
+    * channel coalition. Tractable EXACTLY here because the game is over
+    * the CHANNEL SET, not users: one user-grain aggregate folds each
+    * user to a channel bitmask + converted flag, a mask-cardinality
+    * (2^n-row) coalition table carries v(S) = conversion rate of users
+    * holding exactly coalition S, and the Shapley sum is a self-join of
+    * that tiny table on S → S∪{i} with closed-form factorial weights
+    * s!(n−1−s)!/n!. Unobserved coalitions contribute v=0 on BOTH
+    * engines (grid densification, q126 idiom). n channels is fixed by
+    * the event taxonomy, so 2^n is a constant — at 100 TB the only
+    * data-sized pass is the user fold. */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val channels = Seq("click", "error", "signup", "view") // sorted, purchase excluded
+    val n = channels.size
+    val maskCol = channels.zipWithIndex
+      .map { case (c, i) =>
+        (max((col("event_type") === c).cast("int")) * (1 << i)).cast("int")
+      }
+      .reduce(_ + _)
+    val users = events
+      .groupBy("user_id")
+      .agg(
+        maskCol.as("mask"),
+        max((col("event_type") === "purchase").cast("int")).as("conv"))
+    val observed = users.groupBy("mask")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val grid = (0 until (1 << n)).toDF("mask")
+      .join(observed, Seq("mask"), "left")
+      .select(
+        col("mask"),
+        coalesce(col("n_conv").cast("double") / col("n_users"), lit(0.0)).as("v"))
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    val wBySize = (0 until n).map(s => fact(s) * fact(n - 1 - s) / fact(n))
+    val weight = (0 until n)
+      .foldLeft(lit(wBySize(0))) { (acc, s) =>
+        when(bit_count(col("s.mask")) === s, lit(wBySize(s))).otherwise(acc)
+      }
+    val contrib = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      grid.as("s")
+        .join(grid.as("t"),
+          (col("s.mask").bitwiseAND(bit) === 0) &&
+            (col("t.mask") === col("s.mask").bitwiseOR(bit)))
+        .select(lit(c).as("channel"), (weight * (col("t.v") - col("s.v"))).as("phi"))
+    }.reduce(_ unionByName _)
+    contrib
+      .groupBy("channel")
+      .agg(round(sum("phi"), 4).as("shapley"))
+      .orderBy("channel")
+  }
+
   /** q254: inter-arrival burstiness per event type — CV = σ/μ of the
     * gap distribution and Goh–Barabási B = (σ−μ)/(σ+μ): B≈0 is a
     * Poisson stream, B→1 heavy bursts, B<0 pacemaker-regular. The
     * capacity-planning signal behind rate limits and autoscaling
-    * thresholds. Gaps come from a type-PARTITIONED lag window (ordered
-    * by ts with event_id tie-break, so both engines difference the same
-    * neighbors) at microsecond resolution; the moments are one
-    * type-cardinality aggregate. */
+    * thresholds. Gaps are differenced at microsecond resolution with
+    * (ts, event_id) ordering so both engines pair the same neighbors;
+    * the lag is day-bucketed (see inline note) so no partition is ever
+    * data-sized, and the moments are one type-cardinality aggregate. */
   def burstiness(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    events
-      .select(col("event_type"), col("ts"), col("event_id"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+    // a lag window partitioned by event_type alone would put an entire
+    // type's stream in ONE partition — with a handful of types that is a
+    // data-sized reducer at 100 TB. The gap sequence decomposes exactly
+    // instead (the q236 bucketed-lag scheme, DAY as the bucket): in-day
+    // gaps from (type, day)-partitioned windows, plus one boundary gap
+    // per adjacent day pair from a lag over the per-(type, day)
+    // first/last frame — #types × #days rows, calendar-bounded. The
+    // union of the two gap sets IS the sequential gap list.
+    val e = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"))
+    val inDay = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    val within = e
+      .withColumn("prev_us", lag(col("us"), 1).over(inDay))
       .filter(col("prev_us").isNotNull)
-      .withColumn("gap_s", (unix_micros(col("ts")) - col("prev_us")) / lit(1e6))
+      .select(col("event_type"), ((col("us") - col("prev_us")) / lit(1e6)).as("gap_s"))
+    val perDay = e
+      .groupBy("event_type", "day")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val dayFrame = Window.partitionBy("event_type").orderBy("day")
+    val boundary = perDay
+      .withColumn("prev_last", lag(col("last_us"), 1).over(dayFrame))
+      .filter(col("prev_last").isNotNull)
+      .select(col("event_type"), ((col("first_us") - col("prev_last")) / lit(1e6)).as("gap_s"))
+    within.unionByName(boundary)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_gaps"),

@@ -578,6 +578,63 @@ object StatTests {
     ts.crossJoin(ols)
   }
 
+  /** q258: decile Lorenz curve of per-customer revenue — the curve
+    * behind q183's Gini number (which share of customers produces which
+    * share of revenue, the concentration picture an account team reads):
+    * exact global deciles via [[GlobalOrder.withExactNtile]] (range-
+    * bucketed, no data-sized single reducer; ordered on PRE-ROUNDED
+    * revenue with key tie-break), then cumulative shares over the
+    * 10-row decile frame. */
+  def lorenzCurve(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val byDecile = GlobalOrder
+      .withExactNtile(perCust, col("rev"), Seq("rev", "o_custkey"), 10, "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev").as("drev"))
+    val cumW = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_n", sum("n_customers").over(cumW))
+      .withColumn("cum_rev", sum("drev").over(cumW))
+      .withColumn("tot_n", sum("n_customers").over(one))
+      .withColumn("tot_rev", sum("drev").over(one))
+      .select(
+        col("decile").cast("long").as("decile"),
+        col("n_customers"),
+        round(col("cum_n").cast("double") / col("tot_n"), 4).as("cum_pop_share"),
+        round(col("cum_rev") / col("tot_rev"), 4).as("cum_rev_share"))
+      .orderBy("decile")
+  }
+
+  /** q259: Shewhart X–mR control chart over daily revenue — the classic
+    * SPC individuals chart (center line ± 2.66·mR̄, the moving-range
+    * estimate of short-term variation) complementing q222's CUSUM (slow
+    * drifts) and q204's STL residuals (seasonality-aware): limits from
+    * two scalar aggregates over the calendar-day frame, violations by a
+    * 1-row broadcast of the limits back over the days (q14 idiom). */
+  def spcChart(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val lagW = Window.orderBy("d")
+    val withMr = daily.withColumn("mr", abs(col("rev") - lag(col("rev"), 1).over(lagW)))
+    val limits = withMr.agg(
+      count(lit(1)).as("n_days"),
+      avg(col("rev")).as("cl"),
+      avg(col("mr")).as("mrbar"))
+    daily
+      .crossJoin(broadcast(limits))
+      .withColumn("ucl", col("cl") + lit(2.66) * col("mrbar"))
+      .withColumn("lcl", col("cl") - lit(2.66) * col("mrbar"))
+      .agg(
+        first("n_days").as("n_days"),
+        round(first("cl"), 4).as("center"),
+        round(first("ucl"), 4).as("ucl"),
+        round(first("lcl"), 4).as("lcl"),
+        sum((col("rev") > col("ucl") || col("rev") < col("lcl")).cast("int")).as("n_out_of_control"))
+  }
+
   /** q256: trend / seasonal strength (Hyndman's F-measures) over q194's
     * decomposition — the one-row summary that says whether the series is
     * trend-driven, weekday-driven, or noise: F = max(0, 1 −

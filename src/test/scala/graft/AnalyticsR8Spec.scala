@@ -222,6 +222,48 @@ class AnalyticsR8Spec extends SparkSpec {
     assert(s > 0.5 && s <= 1.0, s"seasonal strength $s not in (0.5, 1]")
   }
 
+  test("q257: hand-computed Shapley values; efficiency law holds") {
+    import spark.implicits._
+    // u1 clicks and converts; u2 only views and doesn't
+    val events = Seq(
+      (1L, "click"), (1L, "purchase"), (2L, "view")
+    ).map { case (u, t) => (u, t, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.shapleyAttribution(events)
+      .collect().map(r => r.getAs[String]("channel") -> r.getAs[Double]("shapley")).toMap
+    // v({click})=1, v({view})=0, all else unobserved → 0
+    assert(got("click") === 0.25)
+    assert(got("view") === -0.0833)
+    assert(got("error") === -0.0833 && got("signup") === -0.0833)
+    // efficiency: Σφ = v(full) − v(∅) = 0 − 0 (both unobserved)
+    assert(math.abs(got.values.sum) < 0.001)
+  }
+
+  test("q258: revenues 1..10 trace the exact Lorenz curve") {
+    import spark.implicits._
+    val orders = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("o_custkey", "o_totalprice")
+    val rows = StatTests.lorenzCurve(orders).collect()
+    assert(rows.length === 10)
+    assert(rows.head.getAs[Double]("cum_pop_share") === 0.1)
+    assert(rows.head.getAs[Double]("cum_rev_share") === 0.0182) // 1/55
+    assert(rows.last.getAs[Double]("cum_pop_share") === 1.0)
+    assert(rows.last.getAs[Double]("cum_rev_share") === 1.0)
+    assert(rows.forall(_.getAs[Long]("n_customers") == 1L))
+  }
+
+  test("q259: a single spike above the X-mR limits is flagged, flat days are not") {
+    import spark.implicits._
+    val orders = ((1 to 9).map(d => (ts(f"1995-01-$d%02d"), 100.0)) :+
+      (ts("1995-01-10"), 200.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val r = StatTests.spcChart(orders).head()
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Double]("center") === 110.0)
+    assert(r.getAs[Double]("ucl") === 139.5556) // 110 + 2.66·(100/9)
+    assert(r.getAs[Double]("lcl") === 80.4444)
+    assert(r.getAs[Long]("n_out_of_control") === 1L)
+  }
+
   test("q247: exact linear data recovers beta0=2, b_qty=3, b_disc=5, r2=1") {
     import spark.implicits._
     val rows = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0), (5.0, 1.0))

@@ -330,6 +330,8 @@ class PlanSpec extends SparkSpec {
       "q250_basket_lift"    -> bnl, // 1-row broadcast corpus order count (q14 idiom)
       "q252_abc_analysis"   -> Set("unpartitioned-window"), // GlobalOrder offset frame: ≤numBuckets bucket totals (q150/q183 idiom)
       "q255_doc_surprisal"  -> bnl, // 1-row broadcast corpus token total (q14 idiom)
+      "q258_lorenz_curve"   -> Set("unpartitioned-window"), // 10-row decile frame + GlobalOrder offsets (q150/q183 idiom)
+      "q259_spc_chart"      -> (bnl + "unpartitioned-window"), // 1-row limits broadcast (q14 idiom) + lag over the calendar-day frame (q89 idiom)
       "q256_seasonality_strength" -> Set("unpartitioned-window")) // q194's trend MA over the calendar-days frame
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
