@@ -557,7 +557,8 @@ object SparkEntry {
         |  floor(stddev_samp(gap_s)/avg(gap_s)*10000 + 0.5)/10000 AS cv,
         |  floor((stddev_samp(gap_s) - avg(gap_s))/(stddev_samp(gap_s) + avg(gap_s))
         |    *10000 + 0.5)/10000 AS burstiness
-        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        |HAVING count(*) > 1 ORDER BY 1""".stripMargin,
     "q255_doc_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
@@ -648,22 +649,23 @@ object SparkEntry {
         |ORDER BY p_brand""".stripMargin,
     "q252_abc_analysis" ->
       """WITH pp AS (
-        |  SELECT l_partkey, floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS rev
+        |  SELECT l_partkey,
+        |    CAST(floor(sum(l_extendedprice)*10000 + 0.5) AS BIGINT) AS revi
         |  FROM lineitem GROUP BY 1),
         |c AS (
-        |  SELECT l_partkey, rev,
-        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |  SELECT l_partkey, revi,
+        |    sum(revi) OVER (ORDER BY revi DESC, l_partkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(rev) OVER () AS grand
+        |    sum(revi) OVER () AS grand
         |  FROM pp),
         |k AS (
-        |  SELECT CASE WHEN cum/grand <= 0.80 THEN 'A'
-        |              WHEN cum/grand <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
-        |    rev, grand
+        |  SELECT CASE WHEN cum*100 <= grand*80 THEN 'A'
+        |              WHEN cum*100 <= grand*95 THEN 'B' ELSE 'C' END AS abc_class,
+        |    revi, grand
         |  FROM c)
         |SELECT abc_class, count(*) AS n_parts,
-        |  floor(sum(rev)*100 + 0.5)/100 AS class_revenue,
-        |  floor(sum(rev)/max(grand)*10000 + 0.5)/10000 AS revenue_share
+        |  floor((sum(revi)/10000.0)*100 + 0.5)/100 AS class_revenue,
+        |  floor((sum(revi)/10000.0)/(max(grand)/10000.0)*10000 + 0.5)/10000 AS revenue_share
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q240_psi_drift" ->
       """WITH lab AS (

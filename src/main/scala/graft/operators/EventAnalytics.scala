@@ -997,6 +997,9 @@ object EventAnalytics {
         round(stddev_samp(col("gap_s")) / avg(col("gap_s")), 4).as("cv"),
         round((stddev_samp(col("gap_s")) - avg(col("gap_s")))
           / (stddev_samp(col("gap_s")) + avg(col("gap_s"))), 4).as("burstiness"))
+      // moments need ≥2 gaps: Spark's single-sample stddev is NaN where
+      // DuckDB's is NULL — degenerate types drop on BOTH engines
+      .filter(col("n_gaps") > 1)
       .orderBy("event_type")
   }
 

@@ -115,8 +115,8 @@ object Graph {
   /** q104: BFS reachability — min-hop distance from a seed node over the
     * co-purchase graph ("products within k recommendation hops"; on a
     * crawl host graph, the link-distance-from-trusted-seeds quality
-    * signal). Classic frontier BFS: each round joins the (shrinking)
-    * frontier against the cached src-partitioned edge set, anti-joins
+    * signal). Classic frontier BFS: each round broadcast-joins the
+    * (shrinking) frontier against the cached edge set, anti-joins
     * the visited set, and checkpoints — k rounds = k data-proportional
     * joins, no path enumeration (the DuckDB recursive-CTE oracle walks
     * every path and min-aggregates; the operator never materializes
@@ -193,6 +193,21 @@ object Graph {
         round(sum(col("p_retailprice")), 2).as("subtree_cost"))
       .orderBy("node")
 
+  /** Canonically-oriented (pa < pb) co-purchase edges with support ≥
+    * `minSupport` — the shared build for q245/q249 (q192 keeps its own
+    * inline copy with identical semantics, asserted by its spec). The
+    * Θ(Σ basket²) pair expansion dominates every consumer, so callers
+    * cache the result and unpersist after materializing. */
+  private[graft] def frequentEdges(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select("pa", "pb")
+  }
+
   /** q245: common-neighbor link prediction over the frequent co-purchase
     * graph — "which products are never bought together but share many
     * co-purchase partners" (the classic missing-link recommender
@@ -204,14 +219,7 @@ object Graph {
     * (cn / (deg x + deg z − cn) — degrees join in from a one-pass
     * aggregate). Ties break on integer keys so top-k is engine-stable. */
   def linkPrediction(lineitem: DataFrame, minSupport: Long = 2, topN: Int = 20): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minSupport)
-      .select("pa", "pb")
-      .cache()
+    val edges = frequentEdges(lineitem, minSupport).cache()
     val adj = edges.unionAll(edges.select(col("pb").as("pa"), col("pa").as("pb")))
     val deg = adj.groupBy(col("pa").as("node")).agg(count(lit(1)).as("d"))
     val wedges = adj.select(col("pa").as("y"), col("pb").as("x"))
@@ -244,21 +252,20 @@ object Graph {
     * `corr` scalar — degree inputs are exact integers so both engines
     * correlate identical values. */
   def degreeAssortativity(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minSupport)
-      .select("pa", "pb")
+    // cached: the adjacency feeds the plan three times (probe side plus
+    // two degree joins) and the pair expansion behind it must run once
+    val edges = frequentEdges(lineitem, minSupport).cache()
     val adj = edges.unionAll(edges.select(col("pb").as("pa"), col("pa").as("pb")))
     val deg = adj.groupBy(col("pa").as("node")).agg(count(lit(1)).as("d"))
-    adj
+    val result = adj
       .join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
       .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
       .agg(
         (count(lit(1)) / 2).cast("long").as("n_edges"),
         round(corr(col("da").cast("double"), col("db").cast("double")), 4).as("assortativity"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    result
   }
 
   def triangleCensus(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {

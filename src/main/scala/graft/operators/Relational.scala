@@ -1422,11 +1422,17 @@ object Relational {
     * windows, only the ≤numBuckets bucket-total offsets cross buckets
     * (tiny unpartitioned frame). Ranking orders on the PRE-ROUNDED
     * per-part revenue with key tie-break, so both engines accumulate in
-    * the identical order. */
+    * the identical order — and the accumulation itself runs in LONGS
+    * (revenue scaled ×10⁴): the bucketed prefix sum associates
+    * additions differently from the oracle's sequential one, which on
+    * doubles could flip a part sitting ulps from the 80%/95% boundary;
+    * integer prefix sums make the classification exactly
+    * associativity-free on both engines. */
   def abcAnalysis(lineitem: DataFrame, numBuckets: Int = 32): DataFrame = {
     val perPart = lineitem
       .groupBy(col("l_partkey"))
-      .agg(round(sum(col("l_extendedprice")), 4).as("rev"))
+      .agg(floor(sum(col("l_extendedprice")) * 10000 + 0.5).cast("long").as("revi"))
+      .withColumn("rev", col("revi") / 10000.0)
     // range-bucket by revenue (descending processing order = ascending
     // bucket of -rev), mirroring GlobalOrder.withGlobalRowNumber
     val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
@@ -1441,29 +1447,30 @@ object Relational {
     val withPid = keyed.withColumn("__pid", pid)
     val tiny = Window.orderBy("__pid")
     val offsets = withPid
-      .groupBy("__pid").agg(sum("rev").as("brev"))
+      .groupBy("__pid").agg(sum("revi").as("brev"))
       .select(
         col("__pid"),
         coalesce(
-          sum("brev").over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+          sum("brev").over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
           .as("__offset"),
         sum("brev").over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
           .as("__grand"))
     val inBucket = Window.partitionBy("__pid")
-      .orderBy(desc("rev"), asc("l_partkey"))
+      .orderBy(desc("revi"), asc("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid
       .join(offsets, "__pid")
-      .withColumn("cum", col("__offset") + sum("rev").over(inBucket))
+      .withColumn("cum", col("__offset") + sum("revi").over(inBucket))
+      // integer comparisons: cum/grand ≤ 0.80 ⇔ cum·100 ≤ grand·80
       .withColumn("abc_class",
-        when(col("cum") / col("__grand") <= 0.80, "A")
-          .when(col("cum") / col("__grand") <= 0.95, "B")
+        when(col("cum") * 100 <= col("__grand") * 80, "A")
+          .when(col("cum") * 100 <= col("__grand") * 95, "B")
           .otherwise("C"))
       .groupBy("abc_class")
       .agg(
         count(lit(1)).as("n_parts"),
-        round(sum("rev"), 2).as("class_revenue"),
-        round(sum("rev") / first("__grand"), 4).as("revenue_share"))
+        round(sum("revi") / 10000.0, 2).as("class_revenue"),
+        round((sum("revi") / 10000.0) / (first("__grand") / 10000.0), 4).as("revenue_share"))
       .orderBy("abc_class")
   }
 

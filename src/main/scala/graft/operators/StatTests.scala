@@ -519,7 +519,10 @@ object StatTests {
         stddev_samp(col("views")).as("sv"),
         stddev_samp(col("rev")).as("sr"),
         corr(col("views"), col("rev")).as("c"))
-      .filter(col("sv") > 0 && col("sr") > 0)
+      // NaN guard matters: Spark's stddev_samp of a single row is NaN and
+      // NaN > 0 is TRUE in Spark's ordering, while DuckDB's NULL > 0
+      // filters — without it a one-day overlap emits a row only in Spark
+      .filter(col("sv") > 0 && col("sr") > 0 && !isnan(col("sv")) && !isnan(col("sr")))
       .select(col("lag").cast("long").as("lag"), col("n_days"), round(col("c"), 4).as("xcorr"))
       .orderBy("lag")
   }
@@ -632,7 +635,11 @@ object StatTests {
         round(first("cl"), 4).as("center"),
         round(first("ucl"), 4).as("ucl"),
         round(first("lcl"), 4).as("lcl"),
-        sum((col("rev") > col("ucl") || col("rev") < col("lcl")).cast("int")).as("n_out_of_control"))
+        // coalesce: a single-day series has NULL limits, and summing
+        // all-NULL comparisons yields NULL where the oracle's
+        // CASE...ELSE 0 yields 0
+        sum(coalesce((col("rev") > col("ucl") || col("rev") < col("lcl")).cast("int"), lit(0)))
+          .as("n_out_of_control"))
   }
 
   /** q256: trend / seasonal strength (Hyndman's F-measures) over q194's
@@ -714,7 +721,10 @@ object StatTests {
         var_samp(lnP).as("vp"),
         covar_samp(lnQ, lnP).as("cqp"),
         round(avg(col("l_extendedprice") / col("l_quantity")), 4).as("avg_unit_price"))
-      .filter(col("vp") > 0)
+      // !isnan: Spark's var_samp of a single row is NaN (NaN > 0 is
+      // true), DuckDB's is NULL (filtered) — a singleton brand must
+      // drop on BOTH engines
+      .filter(col("vp") > 0 && !isnan(col("vp")))
       .select(
         col("p_brand"), col("n_lines"), col("avg_unit_price"),
         round(col("cqp") / col("vp"), 4).as("elasticity"))

@@ -49,16 +49,22 @@ object DriftMonitor {
   /** PSI per feature: merged live counts vs the frozen baseline.
     * Full-outer on (feature, value) so a value seen on only one side
     * still contributes (the Laplace smoothing keeps it finite) —
-    * exactly the cell set q240 would build from the union. */
+    * exactly the cell set q240 would build from the union. The value
+    * join is NULL-SAFE (`<=>`): batch q240's groupBy merges NULL
+    * feature values into one cell, and a plain equi-join would split
+    * that cell in two here, silently inflating k_buckets and breaking
+    * the documented batch ≡ streamed equivalence. */
   def psiReport(spark: SparkSession, tablePath: String, baselinePath: String): DataFrame = {
     val live = spark.read.parquet(tablePath)
       .groupBy("feature", "value")
       .agg(sum("n").as("nc"))
+      .withColumnsRenamed(Map("feature" -> "lf", "value" -> "lv"))
     val base = spark.read.parquet(baselinePath)
     val cells = base
-      .join(live, Seq("feature", "value"), "full_outer")
+      .join(live, col("feature") <=> col("lf") && col("value") <=> col("lv"), "full_outer")
       .select(
-        col("feature"), col("value"),
+        coalesce(col("feature"), col("lf")).as("feature"),
+        coalesce(col("value"), col("lv")).as("value"),
         coalesce(col("nb"), lit(0L)).as("nb"),
         coalesce(col("nc"), lit(0L)).as("nc"))
     StatTests.psiFromCells(cells)

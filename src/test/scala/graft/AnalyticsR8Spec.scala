@@ -264,6 +264,51 @@ class AnalyticsR8Spec extends SparkSpec {
     assert(r.getAs[Long]("n_out_of_control") === 1L)
   }
 
+  test("q242 regression: a one-day overlap lag is dropped, not emitted as NaN") {
+    import spark.implicits._
+    // 8 days: lag ±7 pairs exactly one day → stddev NaN in Spark, NULL
+    // in DuckDB — both engines must drop it
+    val events = (1 to 8).flatMap { d =>
+      val day = f"2024-01-$d%02d"
+      Seq.fill(d)(("view", java.sql.Timestamp.valueOf(s"$day 01:00:00"), 0.0)) :+
+        (("purchase", java.sql.Timestamp.valueOf(s"$day 02:00:00"), d * 10.0))
+    }.toDF("event_type", "ts", "value")
+    val rows = StatTests.xcorrLag(events).collect()
+    assert(!rows.exists(r => math.abs(r.getAs[Long]("lag")) == 7L), "degenerate lag leaked")
+    assert(rows.forall(r => !r.getAs[Double]("xcorr").isNaN))
+  }
+
+  test("q251 regression: a singleton brand is dropped, not emitted as NaN") {
+    import spark.implicits._
+    val lineitem = Seq((101L, 1.0, 1.0), (101L, 4.0, 2.0), (102L, 2.0, 3.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((101L, "BRAND#1"), (102L, "BRAND#SOLO")).toDF("p_partkey", "p_brand")
+    val got = StatTests.priceElasticity(lineitem, part).collect()
+    assert(got.map(_.getAs[String]("p_brand")).toSeq === Seq("BRAND#1"))
+  }
+
+  test("q254 regression: a type with a single gap is dropped, not emitted as NaN") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "lone"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "lone"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "ok"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "ok"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "ok")
+    ).toDF("event_id", "ts", "event_type")
+    val got = EventAnalytics.burstiness(events).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSeq === Seq("ok"))
+  }
+
+  test("q259 regression: a single-day series reports zero violations, not NULL") {
+    import spark.implicits._
+    val orders = Seq((ts("1995-01-01"), 100.0)).toDF("o_orderdate", "o_totalprice")
+    val r = StatTests.spcChart(orders).head()
+    assert(r.getAs[Long]("n_days") === 1L)
+    assert(!r.isNullAt(r.fieldIndex("n_out_of_control")))
+    assert(r.getAs[Long]("n_out_of_control") === 0L)
+  }
+
   test("q247: exact linear data recovers beta0=2, b_qty=3, b_disc=5, r2=1") {
     import spark.implicits._
     val rows = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0), (5.0, 1.0))

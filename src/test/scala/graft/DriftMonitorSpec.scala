@@ -38,6 +38,24 @@ class DriftMonitorSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.keySet === Set("price_bucket", "priority", "status"))
   }
 
+  test("regression: a NULL feature value stays ONE cell (null-safe join), matching batch") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-psi3").toString
+    val baseline = Files.createTempDirectory("graft-psi3-base").toString
+    // identical single order with NULL priority on both sides → PSI 0;
+    // a null-unsafe join would split the NULL cell and score > 0
+    def orders() =
+      Seq((java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), 10000.0,
+        null.asInstanceOf[String], "O"))
+        .toDF("o_orderdate", "o_totalprice", "o_orderpriority", "o_orderstatus")
+    DriftMonitor.writeBaseline(orders(), baseline)
+    DriftMonitor.updateCountTable(orders(), table, batchId = 0)
+    val pr = DriftMonitor.psiReport(spark, table, baseline)
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Long]("k_buckets"), r.getAs[Double]("psi"))).toMap
+    assert(pr("priority") === ((1L, 0.0)), s"NULL cell split: ${pr("priority")}")
+  }
+
   test("a value unseen in the baseline still scores (smoothing keeps it finite)") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft-psi2").toString
