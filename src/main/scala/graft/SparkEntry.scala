@@ -475,9 +475,24 @@ object SparkEntry {
     "q257_shapley_attribution" -> ((s, d) => EventAnalytics.shapleyAttribution(Tables(s, d).events)),
     "q258_lorenz_curve" -> ((s, d) => StatTests.lorenzCurve(Tables(s, d).orders)),
     "q259_spc_chart" -> ((s, d) => StatTests.spcChart(Tables(s, d).orders)),
+    "q260_partition_completeness" -> ((s, d) => EventAnalytics.partitionCompleteness(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q260_partition_completeness" ->
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day, date_part('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1,2),
+        |d AS (
+        |  SELECT day, count(*) AS hours_present,
+        |    CAST(24 - count(*) AS BIGINT) AS missing_hours,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(min(n) AS BIGINT) AS min_hourly, CAST(max(n) AS BIGINT) AS max_hourly
+        |  FROM h GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, hours_present, missing_hours,
+        |  n_events, min_hourly, max_hourly,
+        |  (missing_hours > 0 OR min_hourly < CAST(n_events AS DOUBLE)/24.0*0.2) AS gap_risk
+        |FROM d ORDER BY day""".stripMargin,
     "q257_shapley_attribution" ->
       """WITH users AS (
         |  SELECT user_id,

@@ -69,6 +69,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("event_type")).as("n_types"))
       .orderBy("dt", "hr")
 
+  /** q260: partition completeness / freshness report — the per-day
+    * health check an on-call reads over the sink's dt/hr layout: hours
+    * present (vs 24), total and min/max hourly volume, and a gap-risk
+    * flag when any hour ran below `riskFraction` of the day's mean
+    * hourly rate (the signature of an upstream stall that did not quite
+    * zero an hour — a missing-hours count alone never fires on it).
+    * Two stacked calendar-bounded aggregates (hour grain → day grain),
+    * one scan, day-cardinality output. */
+  def partitionCompleteness(events: DataFrame, riskFraction: Double = 0.2): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("hours_present"),
+        (lit(24) - count(lit(1))).cast("long").as("missing_hours"),
+        sum("n").as("n_events"),
+        min("n").as("min_hourly"),
+        max("n").as("max_hourly"))
+      .withColumn("gap_risk",
+        col("missing_hours") > 0 ||
+          col("min_hourly") < col("n_events").cast("double") / 24.0 * riskFraction)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("hours_present"), col("missing_hours"), col("n_events"),
+        col("min_hourly"), col("max_hourly"), col("gap_risk"))
+      .orderBy("day")
+
   /** q45: windowed attribution range join — purchases within
     * `windowMinutes` after a click by the same user.
     *

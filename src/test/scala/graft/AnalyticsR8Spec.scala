@@ -309,6 +309,23 @@ class AnalyticsR8Spec extends SparkSpec {
     assert(r.getAs[Long]("n_out_of_control") === 0L)
   }
 
+  test("q260: a missing hour and a stalled hour both flag; a healthy day does not") {
+    import spark.implicits._
+    def hourRows(day: String, hr: Int, n: Int) =
+      (0 until n).map(i => java.sql.Timestamp.valueOf(f"$day $hr%02d:00:${i % 60}%02d"))
+    val events = (
+      (0 to 23).filter(_ != 5).flatMap(h => hourRows("2024-01-01", h, 10)) ++ // hour 5 missing
+        (0 to 23).flatMap(h => hourRows("2024-01-02", h, if (h == 7) 1 else 10)) ++ // hour 7 stalled
+        (0 to 23).flatMap(h => hourRows("2024-01-03", h, 10)) // healthy
+      ).toDF("ts")
+    val got = EventAnalytics.partitionCompleteness(events)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("missing_hours"), r.getAs[Boolean]("gap_risk"))).toMap
+    assert(got("2024-01-01") === ((1L, true)))
+    assert(got("2024-01-02") === ((0L, true))) // 1 < 0.2 · (231/24)
+    assert(got("2024-01-03") === ((0L, false)))
+  }
+
   test("q247: exact linear data recovers beta0=2, b_qty=3, b_disc=5, r2=1") {
     import spark.implicits._
     val rows = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0), (5.0, 1.0))
