@@ -476,6 +476,7 @@ object SparkEntry {
     "q258_lorenz_curve" -> ((s, d) => StatTests.lorenzCurve(Tables(s, d).orders)),
     "q259_spc_chart" -> ((s, d) => StatTests.spcChart(Tables(s, d).orders)),
     "q260_partition_completeness" -> ((s, d) => EventAnalytics.partitionCompleteness(Tables(s, d).events)),
+    "q261_lsh_quality" -> ((s, d) => Dedup.lshQualityReport(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(

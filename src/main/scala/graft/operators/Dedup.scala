@@ -130,32 +130,86 @@ object Dedup {
     * shingle-set jaccard ≥ verifyThreshold. `maxBucket` drops degenerate
     * buckets before the quadratic pair expansion.
     */
+  /** Banded candidate pairs (doc_a < doc_b) from a signature frame —
+    * the shared generation step of [[minhashLshPairs]] and the q261
+    * quality report. `maxBucket` drops degenerate buckets before the
+    * quadratic pair expansion. */
+  private[graft] def bandedCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val bkt = bands(sigs)
+    val bucketSized = bkt.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucket)
+    val l = bucketSized.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = bucketSized.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Candidates annotated with estimated (signature) and exact
+    * (shingle-set) jaccard — the verification join both consumers
+    * share. */
+  private[graft] def annotatedCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
+    bandedCandidates(sigs, maxBucket)
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("est_jaccard", round(estJaccardUdf(col("sig_a"), col("sig_b")), 4))
+      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
+  }
+
   def minhashLshPairs(
       documents: DataFrame,
       shingleK: Int = 3,
       verifyThreshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
     val sigs = signatures(documents, shingleK).cache()
-    val bkt  = bands(sigs)
-    val bucketSized = bkt.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucket)
-    val l = bucketSized.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val r = bucketSized.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val cand = l
-      .join(r, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
-    cand
-      .join(sa, "doc_a")
-      .join(sb, "doc_b")
-      .withColumn("est_jaccard", round(estJaccardUdf(col("sig_a"), col("sig_b")), 4))
-      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
+    annotatedCandidates(sigs, maxBucket)
       .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** q261: LSH candidate-quality report — the dedup sibling of q228's
+    * ANN recall report, auditing the banding stage against EXACT ground
+    * truth: the prefix-filtered set-similarity join ([[prefixFilterJoin]],
+    * provably complete at the threshold) supplies every true pair, the
+    * banded candidates are verified with exact jaccard, and one scalar
+    * row reports the funnel (candidates → verified), precision, recall,
+    * and the MinHash estimator's mean absolute error on true pairs —
+    * the numbers that justify (or re-tune, via `planBands`) the
+    * band/row split before a 100 TB run. All three inputs are
+    * bucket-capped or prefix-filtered; nothing is all-pairs. */
+  def lshQualityReport(
+      documents: DataFrame,
+      shingleK: Int = 3,
+      threshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    val sigs = signatures(documents, shingleK).cache()
+    val annotated = annotatedCandidates(sigs, maxBucket).cache()
+    val truth = prefixFilterJoin(documents, threshold, shingleK)
+      .select(col("doc_a"), col("doc_b"))
+    val verified = annotated.filter(col("jaccard") >= threshold)
+    val funnel = annotated.agg(
+      count(lit(1)).as("n_candidates"),
+      sum((col("jaccard") >= threshold).cast("long")).as("n_verified"),
+      avg(when(col("jaccard") >= threshold, abs(col("est_jaccard") - col("jaccard")))).as("mae"))
+    val hit = verified.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nTruth = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val result = funnel
+      .crossJoin(nTruth)
+      .crossJoin(hit)
+      .select(
+        col("n_true_pairs"), col("n_candidates"), col("n_verified"),
+        round(coalesce(col("n_verified") / col("n_candidates"), lit(0.0)), 4).as("precision"),
+        round(coalesce(col("n_hit") / col("n_true_pairs"), lit(0.0)), 4).as("recall"),
+        round(coalesce(col("mae"), lit(0.0)), 4).as("est_mae"))
+      .localCheckpoint(eager = true)
+    annotated.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    result
   }
 
   /** q46: MinHash LSH dedup through the FUSED custom operator

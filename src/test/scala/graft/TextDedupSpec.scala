@@ -160,6 +160,21 @@ class TextDedupSpec extends SparkSpec {
     assert(ids2.subsetOf(ids3) && ids2.size < ids3.size)
   }
 
+  test("q261 LSH quality report: recall 1 on the fixture, verified ⊆ truth, funnel consistent") {
+    val r = Dedup.lshQualityReport(fixtureDocs, threshold = 0.7).head()
+    val nTrue = r.getAs[Long]("n_true_pairs")
+    val nCand = r.getAs[Long]("n_candidates")
+    val nVer = r.getAs[Long]("n_verified")
+    assert(nTrue > 0, "fixture should contain planted near-dup pairs")
+    assert(nVer <= nCand, "verification can only shrink the candidate set")
+    // verification applies the SAME exact jaccard as the truth join, so
+    // every verified pair is true and recall is n_verified/n_true
+    assert(r.getAs[Double]("recall") === (nVer.toDouble / nTrue))
+    assert(r.getAs[Double]("recall") === 1.0, "banding missed a planted pair")
+    assert(r.getAs[Double]("precision") > 0.0 && r.getAs[Double]("precision") <= 1.0)
+    assert(r.getAs[Double]("est_mae") < 0.2, "MinHash estimate wildly off on true pairs")
+  }
+
   test("q56 line dedup removes planted boilerplate lines, keeps content in order") {
     val boiler = "subscribe to our newsletter"
     val docs = Seq(
