@@ -32,6 +32,26 @@ object Bench {
     (dt, err)
   }
 
+  /** One line of JVM-state telemetry (code cache, metaspace, GC time) —
+    * printed per query when SPARK_GRAFT_BENCH_DEBUG is set. Exists to
+    * attribute in-sweep timing inflation (a query slow in BOTH min-of-two
+    * runs late in a 260-query sweep but fast isolated) to the JVM
+    * resource that actually degrades, instead of guessing: a saturated
+    * JIT code cache de-optimizes everything, and metaspace/GC churn look
+    * identical from wall-clock alone. */
+  private[graft] def jvmStateLine(): String = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+    def used(name: String): Long =
+      pools.filter(_.getName.contains(name)).map(_.getUsage.getUsed).sum
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val codeKb = used("CodeHeap") / 1024
+    val metaKb = used("Metaspace") / 1024
+    val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    s"code=${codeKb}K meta=${metaKb}K heap=${heapMb}M gc=${gcMs}ms"
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -83,13 +103,17 @@ object Bench {
     // every query here runs <8s warm, so any first run crossing it is
     // cold-start/contention noise, and a lower cutoff (25s) once
     // reported a 26.8s cold number for a query that runs 0.6s warm.
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (first, err1) = timeQuery(spark, sfDir, fn)
-      if (err1.isDefined || first > 60.0) (name, first, err1)
-      else {
-        val (second, err2) = timeQuery(spark, sfDir, fn)
-        (name, math.min(first, second), err2)
-      }
+      val r =
+        if (err1.isDefined || first > 60.0) (name, first, err1)
+        else {
+          val (second, err2) = timeQuery(spark, sfDir, fn)
+          (name, math.min(first, second), err2)
+        }
+      if (debug) System.err.println(f"[benchdbg] $name%-28s ${r._2}%7.2f s  ${jvmStateLine()}")
+      r
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -334,6 +334,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q63_feature_similarity" -> ((s, d) => Multimodal.featureSimilarity(s, Tables(s, d).documents)),
+    "q262_image_decode" -> ((s, d) => {
+      // REAL codec path: PNG-encoded payloads decoded by JDK ImageIO,
+      // box-resized, histogram features. Rows-only (DuckDB can't decode
+      // PNG); the known-pixel fixture assertions live in SimilaritySpec.
+      import org.apache.spark.sql.functions._
+      Multimodal.imageDecodeFeatures(s, Tables(s, d).documents).toDF()
+        .select(
+          col("doc_id"), col("orig_w"), col("orig_h"),
+          col("width_px"), col("height_px"),
+          graft.functions.PortableRound.round(col("mean_luma"), 4).as("mean_luma"),
+          size(col("feature")).as("dims"),
+          graft.functions.PortableRound.round(
+            aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feature_l1"))
+        .orderBy("doc_id")
+    }),
     "q70_sink_ingest" -> ((s, d) => {
       // full micro-batch ingest of the events table, then the written
       // partition layout read back — oracle-checks the sink's dt
@@ -1164,7 +1179,7 @@ object SparkEntry {
         |    CASE WHEN prev_ts IS NULL
         |      OR date_diff('second', prev_ts, ts) > 300 THEN 1 ELSE 0 END AS opens
         |  FROM x)
-        |SELECT event_type, count(*) AS n_events, sum(opens) AS n_kept,
+        |SELECT event_type, count(*) AS n_events, CAST(sum(opens) AS BIGINT) AS n_kept,
         |  floor((sum(opens)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 AS keep_ratio
         |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q215_nearest_event" ->

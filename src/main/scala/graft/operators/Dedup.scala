@@ -148,15 +148,18 @@ object Dedup {
 
   /** Candidates annotated with estimated (signature) and exact
     * (shingle-set) jaccard — the verification join both consumers
-    * share. */
+    * share. Jaccards are UNROUNDED here: the verify predicate must use
+    * exactly the comparison the prefix-filter truth set is complete
+    * for (a pair at 0.69996 must NOT round up past a 0.7 threshold);
+    * consumers round only for display. */
   private[graft] def annotatedCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
     bandedCandidates(sigs, maxBucket)
       .join(sa, "doc_a")
       .join(sb, "doc_b")
-      .withColumn("est_jaccard", round(estJaccardUdf(col("sig_a"), col("sig_b")), 4))
-      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
+      .withColumn("est_jaccard", estJaccardUdf(col("sig_a"), col("sig_b")))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
   }
 
   def minhashLshPairs(
@@ -167,7 +170,9 @@ object Dedup {
     val sigs = signatures(documents, shingleK).cache()
     annotatedCandidates(sigs, maxBucket)
       .filter(col("jaccard") >= verifyThreshold)
-      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -203,8 +208,12 @@ object Dedup {
       .crossJoin(hit)
       .select(
         col("n_true_pairs"), col("n_candidates"), col("n_verified"),
-        round(coalesce(col("n_verified") / col("n_candidates"), lit(0.0)), 4).as("precision"),
-        round(coalesce(col("n_hit") / col("n_true_pairs"), lit(0.0)), 4).as("recall"),
+        // long/long division promotes to double, so 0/0 is NaN (non-null),
+        // not NULL — guard the empty sets explicitly, not via coalesce.
+        round(when(col("n_candidates") === 0, 0.0)
+          .otherwise(col("n_verified") / col("n_candidates")), 4).as("precision"),
+        round(when(col("n_true_pairs") === 0, 0.0)
+          .otherwise(col("n_hit") / col("n_true_pairs")), 4).as("recall"),
         round(coalesce(col("mae"), lit(0.0)), 4).as("est_mae"))
       .localCheckpoint(eager = true)
     annotated.unpersist(blocking = false)
@@ -232,10 +241,12 @@ object Dedup {
     cand
       .join(sa, "doc_a")
       .join(sb, "doc_b")
-      .withColumn("est_jaccard", round(estJaccardUdf(col("sig_a"), col("sig_b")), 4))
-      .withColumn("jaccard", round(jaccardUdf(col("sh_a"), col("sh_b")), 4))
+      .withColumn("est_jaccard", estJaccardUdf(col("sig_a"), col("sig_b")))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= verifyThreshold)
-      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -391,35 +402,30 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("node_id")).distinct()
+    val init = edges.select(col("src").as("node_id")).distinct()
       .withColumn("label", col("node_id"))
-      .cache()
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
+    // BoundedIteration checkpoints each round eagerly, so the
+    // convergence check (did any label change?) compares two
+    // materialized node tables — cheap, and wrong-if-truncated label
+    // propagation is guarded by requireConvergence
+    val labels = BoundedIteration.fixpoint(
+      init, maxRounds,
+      converged = (prev, next, _) =>
+        next.join(prev.withColumnRenamed("label", "old"), "node_id")
+          .filter(col("label") =!= col("old")).isEmpty,
+      requireConvergence = true) { (lbl, _) =>
       val neighborMin = edges
-        .join(labels.withColumnRenamed("node_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .join(lbl.withColumnRenamed("node_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("node_id"))
         .agg(min("dst_label").as("neighbor_label"))
-      val next = labels
+      lbl
         .join(neighborMin, "node_id")
         .select(col("node_id"), least(col("label"), col("neighbor_label")).as("label"))
-        .cache()
-      // the isEmpty action materializes `next`, so the superseded
-      // round's cache can be released immediately (no storage-memory
-      // leak across rounds or calls)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist(blocking = false)
-      labels = next
-      round += 1
     }
-    require(converged, s"label propagation did not converge in $maxRounds rounds")
     val result = labels
       .select(col("node_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("node_id") === col("cluster_id"))
       .localCheckpoint(eager = true)
-    labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     result
   }

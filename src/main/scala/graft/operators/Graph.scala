@@ -68,25 +68,29 @@ object Graph {
       n: Double,
       iterations: Int,
       damping: Double): DataFrame = {
-    var ranks = deg.select(col("src").as("node"))
+    val init = deg.select(col("src").as("node"))
       .withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    BoundedIteration.fixpoint(init, iterations) { (ranks, _) =>
       // per-source share first: a node-cardinality ⋈ node-cardinality
       // broadcast join, so the per-edge work is one broadcast probe —
-      // the edge set itself is never re-joined with its own degrees
+      // the edge set itself is never re-joined with its own degrees.
+      // broadcast() is EXPLICIT, not left to the autoBroadcastJoinThreshold:
+      // above the threshold Catalyst would silently fall back to a
+      // sort-merge join that re-shuffles the cached edge set every
+      // iteration, voiding the shuffle-free-edge-side contract. The
+      // share table is node-cardinality (16 B/row), broadcastable far
+      // past this graph's size.
       val share = ranks
-        .join(deg, col("node") === col("src"))
+        .join(broadcast(deg), col("node") === col("src"))
         .select(col("node").as("snode"), (col("pr") / col("d")).as("share"))
-      ranks = edges
-        .join(share, col("src") === col("snode"))
+      edges
+        .join(broadcast(share), col("src") === col("snode"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("mass"))
         .select(
           col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("pr"))
-        .localCheckpoint(eager = true)
     }
-    ranks
   }
 
   def coPurchasePageRank(
@@ -131,20 +135,25 @@ object Graph {
     val seed  = edges.agg(min(col("src"))).head().getLong(0)
     val spark = lineitem.sparkSession
     import spark.implicits._
-    var visited  = Seq((seed, 0L)).toDF("part", "hops").localCheckpoint(eager = true)
-    var frontier = visited.select(col("part"))
-    var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
-      val next = edges
-        .join(frontier, col("src") === col("part"))
-        .select(col("dst").as("part"))
-        .distinct()
-        .join(visited, Seq("part"), "left_anti")
-        .withColumn("hops", lit(h.toLong))
-        .localCheckpoint(eager = true)
-      visited = visited.unionByName(next).localCheckpoint(eager = true)
-      frontier = next.select(col("part"))
-      h += 1
+    // single-DataFrame loop state: visited (part, hops); the frontier is
+    // the rows at the current hop count, not a second piece of state
+    val init = Seq((seed, 0L)).toDF("part", "hops")
+    val visited = BoundedIteration.fixpoint(
+      init, maxHops,
+      // stop as soon as a round discovers nothing (frontier exhausted)
+      converged = (_, next, r) => next.filter(col("hops") === (r + 1).toLong).isEmpty) {
+      (vis, r) =>
+        val frontier = vis.filter(col("hops") === r.toLong).select(col("part"))
+        // explicit broadcast for the same reason as iterateRanks: the
+        // frontier (≤ node cardinality, usually far smaller) must probe
+        // the cached edges without re-shuffling them.
+        val next = edges
+          .join(broadcast(frontier), col("src") === col("part"))
+          .select(col("dst").as("part"))
+          .distinct()
+          .join(vis, Seq("part"), "left_anti")
+          .withColumn("hops", lit(r + 1L))
+        vis.unionByName(next)
     }
     edges.unpersist(blocking = false)
     visited.orderBy("part")

@@ -4,17 +4,103 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableRound.round
 
-/** Multimodal column plumbing (SURVEY.md §2 q60–q61).
+/** Multimodal column plumbing (SURVEY.md §2 q60–q63, q262).
   *
-  * Media are opaque `binary` payloads + a typed metadata struct. The
-  * decode step is where a real codec (image/audio lib) would run; those
-  * libs aren't in this container, so `fakeDecodeFrames` is a clearly
-  * marked deterministic stand-in — but the Spark-side shape is the real
-  * one: binary column in, `mapPartitions` batch iteration (amortizes
-  * per-partition codec init, the same batching contract a Pandas UDF
-  * would have), typed rows out.
+  * Media are opaque `binary` payloads + a typed metadata struct, decoded
+  * behind the [[ImageCodec]] interface. Two codecs ship:
+  * [[ImageIoCodec]] is REAL — JDK ImageIO (PNG/JPEG/BMP/GIF), in-JVM and
+  * offline, used by the q262 decode path over genuinely PNG-encoded
+  * payloads; [[ByteGrayStub]] is the deterministic test double the
+  * byte-histogram paths (q61/q62) keep for oracle stability. Audio/video
+  * codecs remain out of scope (no such lib in the JVM); their paths stay
+  * clearly-marked stubs with production-shaped plumbing: binary column
+  * in, `mapPartitions` batch iteration (amortizes per-partition codec
+  * init, the same batching contract a Pandas UDF would have), typed rows
+  * out.
   */
 object Multimodal {
+
+  /** Decoded raster: row-major grayscale luma in [0,255]. Grayscale is
+    * the handoff contract to the feature stage; a color-preserving
+    * variant would carry 3 planes but change nothing structural. */
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Float])
+
+  /** The codec seam: everything per-image and CPU-bound lives behind
+    * this, so swapping a real decoder in/out never touches the Spark
+    * plumbing (schema, partitioning, batch shape). Implementations must
+    * be Serializable — they ship to executors inside the mapPartitions
+    * closure and must be cheap to reference (objects, not per-row
+    * allocations). */
+  trait ImageCodec extends Serializable {
+    /** None = undecodable payload (corrupt / unsupported format);
+      * callers decide whether to drop or quarantine, never throw. */
+    def decode(bytes: Array[Byte]): Option[DecodedImage]
+  }
+
+  /** Deterministic test double: payload bytes ARE the 1×N "image". Keeps
+    * q61/q62's historical byte-histogram semantics bit-identical. */
+  object ByteGrayStub extends ImageCodec {
+    def decode(bytes: Array[Byte]): Option[DecodedImage] =
+      Some(DecodedImage(bytes.length, 1, bytes.map(b => (b & 0xFF).toFloat)))
+  }
+
+  /** REAL image decode via JDK ImageIO — PNG/JPEG/BMP/GIF, available
+    * offline in every JVM. Luma = ITU-R BT.601 weights. Corrupt or
+    * non-image payloads decode to None (ImageIO returns null or throws
+    * IIOException; both map to None so a bad row can never kill a 100 TB
+    * scan — the count of undecodables is the caller's quality metric). */
+  object ImageIoCodec extends ImageCodec {
+    def decode(bytes: Array[Byte]): Option[DecodedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            gray(y * w + x) = 0.299f * r + 0.587f * g + 0.114f * b
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(w, h, gray)
+      } catch { case _: Exception => None }
+  }
+
+  /** Deterministic box-filter resize (area average). Hand-rolled rather
+    * than Graphics2D so the math is explicit and exactly reproducible
+    * across JVMs — resize is part of the feature contract, not a
+    * rendering detail. */
+  private[operators] def resizeBox(img: DecodedImage, tw: Int, th: Int): DecodedImage = {
+    if (img.width == tw && img.height == th) return img
+    val out = new Array[Float](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * img.height / th
+      val y1 = math.max(y0 + 1, (ty + 1) * img.height / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * img.width / tw
+        val x1 = math.max(x0 + 1, (tx + 1) * img.width / tw)
+        var s = 0f
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += img.gray(y * img.width + x); x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = s / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    DecodedImage(tw, th, out)
+  }
 
   /** Attach a binary payload + metadata struct to each document. Payload
     * is the utf-8 bytes of the text (a deterministic stand-in for real
@@ -59,14 +145,99 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // model/codec handles would be initialized here, once per partition
+        // codec referenced once per partition; ByteGrayStub keeps the
+        // historical byte-histogram output bit-identical (oracle-stable)
+        val codec: ImageCodec = ByteGrayStub
         it.map { case (id, payload) =>
-          val hist = new Array[Float](dim)
-          payload.foreach(b => hist((b & 0xFF) % dim) += 1f)
-          val n = math.max(1, payload.length)
-          var i = 0
-          while (i < dim) { hist(i) /= n; i += 1 }
+          val img = codec.decode(payload).get // stub never fails
+          val hist = histogramFeature(img.gray, dim)
           MediaFeature(id, math.min(targetPx, 4096), math.min(targetPx, 4096), hist)
+        }
+      }
+  }
+
+  /** Normalized value-histogram over a gray plane — the shared feature
+    * kernel of the stub (q62) and real-decode (q262) paths. */
+  private[operators] def histogramFeature(gray: Array[Float], dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < gray.length) { hist(gray(i).toInt % dim) += 1f; i += 1 }
+    val n = math.max(1, gray.length)
+    i = 0
+    while (i < dim) { hist(i) /= n; i += 1 }
+    hist
+  }
+
+  final case class ImageFeature(
+      doc_id: Long, orig_w: Int, orig_h: Int, width_px: Int, height_px: Int,
+      mean_luma: Double, feature: Array[Float])
+
+  /** Render a deterministic per-doc RGB test card and PNG-encode it —
+    * the payload builder for the REAL decode path. Pixels derive from
+    * (doc_id, x, y) alone, and PNG is lossless, so decode recovers them
+    * exactly; image size varies with doc_id so the resize stage is
+    * exercised, not bypassed. This replaces "read real media files"
+    * (none ship in the container) with bytes that are genuinely PNG. */
+  def withImagePayload(spark: SparkSession, documents: DataFrame, maxPx: Int = 24): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // encoder state is per-partition: one scratch BufferedImage per
+        // distinct size, re-encoded per row (ImageIO.write is the cost)
+        it.map { case (id, src) =>
+          val px = 8 + (id % math.max(1, maxPx - 7)).toInt // 8..maxPx
+          val img = new java.awt.image.BufferedImage(
+            px, px, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < px) {
+            var x = 0
+            while (x < px) {
+              val r = ((x * 31 + id * 7) % 256).toInt
+              val g = ((y * 17 + id * 13) % 256).toInt
+              val b = ((x + y + id) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, src, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "source", "payload")
+  }
+
+  /** q262: the REAL decode → resize → feature pipeline. PNG payloads
+    * ([[withImagePayload]]) are decoded by [[ImageIoCodec]] (JDK
+    * ImageIO — genuine pixel decode, not a stand-in), box-resized to
+    * `targetPx`², and reduced to a luma histogram + mean — the same
+    * `array<float>` handoff q63 feeds into the similarity stack.
+    * Undecodable payloads are DROPPED here (flatMap), with the
+    * decodable count reported by the caller's row count; at 100 TB the
+    * work is embarrassingly parallel per-partition CPU with no shuffle
+    * until the (tiny) downstream aggregate. */
+  def imageDecodeFeatures(
+      spark: SparkSession,
+      documents: DataFrame,
+      dim: Int = 16,
+      targetPx: Int = 16): Dataset[ImageFeature] = {
+    import spark.implicits._
+    withImagePayload(spark, documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec: ImageCodec = ImageIoCodec
+        it.flatMap { case (id, payload) =>
+          codec.decode(payload).map { orig =>
+            val img = resizeBox(orig, targetPx, targetPx)
+            val hist = histogramFeature(img.gray, dim)
+            var s = 0.0
+            img.gray.foreach(s += _)
+            ImageFeature(id, orig.width, orig.height, img.width, img.height,
+              s / math.max(1, img.gray.length), hist)
+          }
         }
       }
   }

@@ -1461,10 +1461,16 @@ object Relational {
     withPid
       .join(offsets, "__pid")
       .withColumn("cum", col("__offset") + sum("revi").over(inBucket))
-      // integer comparisons: cum/grand ≤ 0.80 ⇔ cum·100 ≤ grand·80
+      // integer comparisons: cum/grand ≤ 0.80 ⇔ cum·100 ≤ grand·80.
+      // Compared in DECIMAL, not LONG: grand is x10^4-scaled revenue, so
+      // long grand·100 overflows Int64 once total revenue passes ~9.2e14
+      // (ANSI Spark aborts with ARITHMETIC_OVERFLOW) — decimal(21,0)·100
+      // = decimal(25,0) holds any Int64 input exactly at any corpus size.
       .withColumn("abc_class",
-        when(col("cum") * 100 <= col("__grand") * 80, "A")
-          .when(col("cum") * 100 <= col("__grand") * 95, "B")
+        when(col("cum").cast("decimal(21,0)") * 100 <=
+             col("__grand").cast("decimal(21,0)") * 80, "A")
+          .when(col("cum").cast("decimal(21,0)") * 100 <=
+                col("__grand").cast("decimal(21,0)") * 95, "B")
           .otherwise("C"))
       .groupBy("abc_class")
       .agg(

@@ -217,6 +217,54 @@ class SimilaritySpec extends SparkSpec {
     assert(f1.width_px == 64 && f1.height_px == 64)
   }
 
+  test("q262 ImageIoCodec decodes known pixels exactly (PNG round-trip)") {
+    // solid color (120,120,120): luma = 120*(0.299+0.587+0.114) = 120
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, (120 << 16) | (120 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dec = Multimodal.ImageIoCodec.decode(bos.toByteArray).get
+    assert(dec.width == 8 && dec.height == 6)
+    dec.gray.foreach(v => assert(math.abs(v - 120f) < 0.01f, s"luma $v"))
+    // corrupt payloads decode to None, never throw
+    assert(Multimodal.ImageIoCodec.decode("not a png".getBytes).isEmpty)
+    assert(Multimodal.ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("q262 image decode features: real ImageIO decode of generated PNGs") {
+    val docs = Seq(
+      (0L, "irrelevant", "en", "s", 1L),
+      (5L, "irrelevant", "en", "s", 1L),
+      (23L, "irrelevant", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.imageDecodeFeatures(spark, docs, dim = 8, targetPx = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(0L, 5L, 23L)) // every generated PNG decodes
+    out.values.foreach { f =>
+      // generator size formula: px = 8 + (doc_id % (maxPx-7)), maxPx=24
+      val px = 8 + (f.doc_id % 17).toInt
+      assert(f.orig_w == px && f.orig_h == px)
+      assert(f.width_px == 4 && f.height_px == 4)
+      assert(math.abs(f.feature.sum - 1.0) < 1e-5) // l1-normalized histogram
+      assert(f.mean_luma > 0.0 && f.mean_luma < 255.0)
+    }
+    // mean luma must equal the directly-computed value from the pixel
+    // formula for doc 0 (px=8): the decode is real, not a stand-in
+    val px = 8
+    var s = 0.0
+    for (y <- 0 until px; x <- 0 until px) {
+      val r = (x * 31) % 256; val g = (y * 17) % 256; val b = (x + y) % 256
+      s += 0.299f * r + 0.587f * g + 0.114f * b
+    }
+    val expected = s / (px * px)
+    // box-resize preserves total mass exactly when px is a multiple of
+    // targetPx (8 = 2*4), so the resized mean equals the original mean
+    assert(math.abs(out(0L).mean_luma - expected) < 0.01, s"${out(0L).mean_luma} vs $expected")
+    val again = Multimodal.imageDecodeFeatures(spark, docs, dim = 8, targetPx = 4)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(again(0L).feature.sameElements(out(0L).feature)) // deterministic
+  }
+
   test("q61 frame extract: frame count and checksum are deterministic") {
     val docs = Seq((0L, "abcdefghijklmnopqrstuvwxyz012345", "en", "s", 1L), (1L, "xy", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -52,8 +52,10 @@ def main():
         if bad_cols:
             print(f"FAIL {name}: {'; '.join(bad_cols[:3])}"); n_bad += 1
         elif dt:
-            print(f"WARN {name}: dtype diff ({'; '.join(dt)}) values match, rows={len(exp)}")
-            n_ok += 1
+            # The driver's value hash sees 5 (int64) != 5.0 (float64): a dtype
+            # diff IS a failure there, so it must be one here too.
+            print(f"FAIL {name}: dtype diff ({'; '.join(dt)}) values match, rows={len(exp)}")
+            n_bad += 1
         else:
             print(f"OK   {name}: rows={len(exp)}"); n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total")
