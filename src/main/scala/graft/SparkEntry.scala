@@ -334,6 +334,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q63_feature_similarity" -> ((s, d) => Multimodal.featureSimilarity(s, Tables(s, d).documents)),
+    "q263_ann_graph" -> ((s, d) => AnnGraph.nnDescentTopK(Tables(s, d).embeddings)),
+    "q264_ann_graph_recall" -> ((s, d) => AnnGraph.nnDescentRecall(Tables(s, d).embeddings)),
     "q262_image_decode" -> ((s, d) => {
       // REAL codec path: PNG-encoded payloads decoded by JDK ImageIO,
       // box-resized, histogram features. Rows-only (DuckDB can't decode
@@ -3032,6 +3034,75 @@ object SparkEntry {
         |  count(CASE WHEN du.user_id IS NULL AND y.y_user IS NOT NULL THEN 1 END) AS lost
         |FROM du FULL OUTER JOIN y ON du.d = y.d AND du.user_id = y.y_user
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q163_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+        |dims AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    sum(CASE WHEN d.i <= least(len(qe), len(ce))
+        |        THEN CAST(qe[d.i] AS DOUBLE) * CAST(ce[d.i] AS DOUBLE) ELSE 0 END) AS s_full,
+        |    sum(CASE WHEN d.i <= least(8, len(qe), len(ce))
+        |        THEN CAST(qe[d.i] AS DOUBLE) * CAST(ce[d.i] AS DOUBLE) ELSE 0 END) AS s_cheap
+        |  FROM q CROSS JOIN c CROSS JOIN dims d
+        |  GROUP BY qid, cid),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, cid) AS rk_full,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_cheap DESC, cid) AS rk_cheap
+        |  FROM scored),
+        |fused AS (
+        |  SELECT qid, cid, rk_full, rk_cheap,
+        |    (CASE WHEN rk_full <= 10 THEN CAST(1 AS DOUBLE)/(60 + rk_full) ELSE 0 END +
+        |     CASE WHEN rk_cheap <= 10 THEN CAST(1 AS DOUBLE)/(60 + rk_cheap) ELSE 0 END) AS rrf
+        |  FROM ranked),
+        |top AS (
+        |  SELECT qid, cid, rk_full, rk_cheap, rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rk
+        |  FROM fused WHERE rrf > 0)
+        |SELECT qid, rk, cid, rk_full, rk_cheap,
+        |  floor(rrf*10000 + 0.5)/10000 AS rrf_score
+        |FROM top WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q239_lang_confusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS labeled_lang, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, labeled_lang, s.lang AS cand,
+        |    CAST(len(list_filter(tk, t -> list_contains(s.markers, t))) AS DOUBLE)
+        |      / greatest(len(tk), 1) AS score
+        |  FROM toks CROSS JOIN (
+        |    SELECT * FROM (VALUES
+        |      ('en', ['the','and','of','to','in','is']),
+        |      ('de', ['der','die','und','das','ist','nicht']),
+        |      ('fr', ['le','les','et','des','une','est']),
+        |      ('es', ['el','los','y','las','una','es']),
+        |      ('zh', ['de5','shi4','bu4','le5','zai4','ren2'])) v(lang, markers)) s),
+        |preds AS (
+        |  SELECT labeled_lang, cand AS pred_lang
+        |  FROM (SELECT labeled_lang, cand,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |        FROM scores) WHERE rn = 1),
+        |cells AS (
+        |  SELECT labeled_lang, pred_lang, count(*) AS n FROM preds GROUP BY 1, 2),
+        |labels AS (SELECT DISTINCT labeled_lang AS l FROM preds),
+        |pdom AS (
+        |  SELECT l FROM labels UNION SELECT DISTINCT pred_lang FROM preds),
+        |grid AS (
+        |  SELECT labels.l AS labeled_lang, pdom.l AS pred_lang FROM labels CROSS JOIN pdom),
+        |totals AS (SELECT labeled_lang, sum(n) AS n_label FROM cells GROUP BY 1),
+        |acc AS (
+        |  SELECT floor(sum(CASE WHEN labeled_lang = pred_lang THEN n ELSE 0 END)
+        |    / CAST(sum(n) AS DOUBLE) * 10000 + 0.5)/10000 AS accuracy FROM cells)
+        |SELECT g.labeled_lang, g.pred_lang,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  floor(coalesce(c.n, 0) / CAST(t.n_label AS DOUBLE) * 10000 + 0.5)/10000 AS frac_of_label,
+        |  acc.accuracy
+        |FROM grid g
+        |LEFT JOIN cells c USING (labeled_lang, pred_lang)
+        |JOIN totals t USING (labeled_lang)
+        |CROSS JOIN acc
+        |ORDER BY labeled_lang, pred_lang""".stripMargin,
     "q162_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),

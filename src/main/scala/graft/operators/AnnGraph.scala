@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
+import graft.functions.VectorFunctions.cosine
+
+/** q263: graph-index ANN — a distributed k-NN GRAPH built by NN-descent
+  * (Dong, Moses & Li, WWW 2011), the batch-construction member of the
+  * graph-ANN family (HNSW/NSG are its sequential-insertion cousins and
+  * resist data-parallel expression; NN-descent is the standard
+  * cluster-scale way to get the same neighborhood graph).
+  *
+  * The algorithm rides the observation "a neighbor of a neighbor is
+  * likely a neighbor": start from a pseudo-random k-neighborhood, then
+  * repeatedly score neighbors-of-neighbors (forward AND reverse — the
+  * reverse edges are what make convergence fast) and keep the best k.
+  * Every stage is Spark-native relational:
+  *
+  *   - init: hash-bucket the ids, take the next `k` ids inside the
+  *     bucket by `lead()` — a deterministic stand-in for random init
+  *     with NO global index, no collect, one bucket-partitioned window;
+  *   - iterate ([[BoundedIteration.fixpoint]]): forward ∪ reverse edges
+  *     self-joined on the shared endpoint → candidate pairs; a
+  *     per-node deterministic hash-ranked cap bounds the candidate
+  *     explosion at `maxCandidates` (the paper's ρ-sampling, made
+  *     reproducible); exact cosine on surviving candidates only
+  *     (codegen'd [[graft.plans.VecCosine]]); union with current
+  *     edges → windowed top-k per node;
+  *   - every join is an equi-join on vector ids; per-iteration work is
+  *     Θ(n · maxCandidates) scored pairs — never all-pairs, so the
+  *     build survives 100 TB-scale corpora where LSH/IVF recall decays
+  *     (q228's honest report is what motivates this operator).
+  *
+  * Output: the converged graph (vec_id, rk, neighbor_id, cosine) —
+  * the index artifact a query-time beam search (or a downstream
+  * hard-negative miner, q122) consumes. Determinism: init, candidate
+  * sampling and all tie-breaks are pure functions of ids, so reruns
+  * are bit-identical — asserted in the spec, along with recall vs the
+  * brute-force graph and round-over-round improvement. */
+object AnnGraph {
+
+  /** Deterministic pseudo-random init: bucket by xxhash64(id), link each
+    * id to the next k ids in hash order within its bucket. Buckets are
+    * sized ≫ k by choosing numBuckets ≈ n / (8k) at the caller. */
+  private[operators] def initEdges(vecs: DataFrame, k: Int, numBuckets: Int): DataFrame = {
+    val w = Window.partitionBy("__bkt").orderBy("__h", "id")
+    val bucketed = vecs
+      .select(col("id"), col("vec"))
+      .withColumn("__h", xxhash64(col("id")))
+      .withColumn("__bkt", pmod(col("__h"), lit(numBuckets)))
+    val withLeads = (1 to k).foldLeft(bucketed) { (df, j) =>
+      df.withColumn(s"__nb$j", lead(col("id"), j).over(w))
+    }
+    withLeads
+      .select(col("id"), array((1 to k).map(j => col(s"__nb$j")): _*).as("nbs"))
+      .select(col("id"), explode(col("nbs")).as("nb"))
+      .filter(col("nb").isNotNull)
+  }
+
+  /** Attach exact cosine to (id, nb) pairs via two id-keyed equi-joins. */
+  private def scored(pairs: DataFrame, vecs: DataFrame): DataFrame = {
+    val va = vecs.select(col("id"), col("vec").as("__va"))
+    val vb = vecs.select(col("id").as("nb"), col("vec").as("__vb"))
+    pairs
+      .join(va, "id")
+      .join(vb, "nb")
+      .select(col("id"), col("nb"), cosine(col("__va"), col("__vb")).as("sim"))
+  }
+
+  /** Keep each node's best k neighbors (sim desc, id tie-break). */
+  private def topK(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
+    edges
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Build the k-NN graph. `embeddings` must have (vec_id, embedding).
+    * Returns (id, nb, sim) — k rows per node (fewer only for degenerate
+    * tiny buckets at init that the iterations then repair). */
+  def nnDescentGraph(
+      embeddings: DataFrame,
+      k: Int = 10,
+      iterations: Int = 3,
+      maxCandidates: Int = 30): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .cache()
+    val n = vecs.count()
+    val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
+    val init = topK(scored(initEdges(vecs, k, numBuckets), vecs), k)
+
+    val result = BoundedIteration.fixpoint(init, iterations) { (edges, iter) =>
+      // forward ∪ reverse neighborhoods share one shuffle key space
+      val fwd = edges.select(col("id"), col("nb"))
+      val undirected = fwd.unionAll(fwd.select(col("nb").as("id"), col("id").as("nb")))
+      // neighbors-of-neighbors through the shared endpoint
+      val cands = undirected.as("g1")
+        .join(undirected.as("g2"), col("g1.nb") === col("g2.id"))
+        .select(col("g1.id").as("id"), col("g2.nb").as("nb"))
+        .filter(col("id") =!= col("nb"))
+        .distinct()
+      // deterministic ρ-sampling: per-node hash-ranked candidate cap
+      val wc = Window.partitionBy("id").orderBy(xxhash64(col("id"), col("nb"), lit(iter)), col("nb"))
+      val capped = cands
+        .withColumn("__cr", row_number().over(wc))
+        .filter(col("__cr") <= maxCandidates)
+        .drop("__cr")
+      topK(scored(capped, vecs).unionByName(edges), k)
+    }
+    vecs.unpersist(blocking = false)
+    result
+  }
+
+  /** The registered q263 surface: the graph rows for the first
+    * `showNodes` ids (deterministic, small), ranked. Rows-only — the
+    * spec owns recall-vs-brute-force and determinism assertions. */
+  def nnDescentTopK(
+      embeddings: DataFrame,
+      k: Int = 10,
+      iterations: Int = 3,
+      showNodes: Int = 5): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
+    nnDescentGraph(embeddings, k, iterations)
+      .filter(col("id") < showNodes)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        col("id").as("vec_id"), col("rk"), col("nb").as("neighbor_id"),
+        round(col("sim"), 4).as("cosine"))
+      .orderBy("vec_id", "rk")
+  }
+
+  /** Recall of the NN-descent graph against the exact k-NN graph,
+    * restricted to `sampleNodes` probe nodes (the exact side is an
+    * all-pairs top-k, affordable only on a sample — same honesty
+    * discipline as q228). One row: probe count + avg/min recall. */
+  def nnDescentRecall(
+      embeddings: DataFrame,
+      k: Int = 10,
+      iterations: Int = 3,
+      sampleNodes: Int = 50): DataFrame = {
+    val graph = nnDescentGraph(embeddings, k, iterations)
+      .filter(col("id") < sampleNodes)
+    val vecs = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val probes = vecs.filter(col("id") < sampleNodes)
+      .select(col("id").as("pid"), col("vec").as("pv"))
+    val wexact = Window.partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    val exact = vecs.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("pid"))
+      .withColumn("sim", cosine(col("pv"), col("vec")))
+      .withColumn("rk", row_number().over(wexact))
+      .filter(col("rk") <= k)
+      .select(col("pid").as("id"), col("id").as("nb"))
+    val hits = graph.select("id", "nb").join(exact, Seq("id", "nb"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("h"))
+    exact.select("id").distinct()
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("h"), lit(0L)) / k.toDouble).as("recall"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        round(avg("recall"), 4).as("avg_recall"),
+        round(min("recall"), 4).as("min_recall"))
+  }
+}

@@ -84,8 +84,10 @@ object Similarity {
     * ONE broadcast-scored pass computes both similarity legs; both ranks
     * come from windows over the same (query-partitioned) shuffle; the
     * fusion is a row-local expression — no second scan, no join between
-    * the legs. Rows-only (float ranking): spec recomputes RRF from the
-    * collected legs and pins the both-legs-top-1 dominance property. */
+    * the legs. DuckDB-oracled (both engines accumulate the dot in double
+    * over float inputs, and rank ties break on cid); the spec
+    * additionally recomputes RRF from the collected legs and pins the
+    * both-legs-top-1 dominance property. */
   def annRrfFusion(
       embeddings: DataFrame,
       numQueries: Int = 3,

@@ -33,16 +33,99 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so readers are consistent through any failure.
   *
   * At 100 TB: the pointer file is one atomic rename per partition
-  * rewrite (no lock service), snapshots parallelize per-partition, and
-  * the rewrite itself is the same one-shuffle job as [[Compaction]].
+  * rewrite, snapshots parallelize per-partition, and the rewrite itself
+  * is the same one-shuffle job as [[Compaction]]. Writers (ingest,
+  * compaction, vacuum) are serialized per-partition by a `_WRITER_LOCK`
+  * file (atomic create-if-absent — no external lock service), so
+  * concurrent maintenance jobs fail fast instead of corrupting a
+  * snapshot dir or silently regressing the pointer; a crashed holder's
+  * lock is broken after a TTL sized far above any single rewrite.
   */
 object SnapshotStore {
 
   private val Current = "_CURRENT"
   private val Prefix  = "snap-"
+  private val Lock    = "_WRITER_LOCK"
+
+  /** A crashed holder's lock is considered stale and broken after this.
+    * MUST exceed the longest write+swap a writer can take — breaking a
+    * LIVE writer's lock reintroduces the same-name collision the lock
+    * exists to prevent. 15 min covers any single-partition rewrite by
+    * orders of magnitude (they are one-shuffle partition-sized jobs). */
+  private[graft] val LockTtlMs: Long = 15 * 60 * 1000L
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Acquire the partition's WRITER lock — mutual exclusion for the
+    * list-name → write → pointer-swap critical section. Without it, two
+    * concurrent rewriters can (a) pick the same `snap-N` name and
+    * interleave files in one dir (a corrupt snapshot) or (b) race the
+    * `_CURRENT` swap so a just-committed ingest's pointer is overwritten
+    * by a compaction of PRE-ingest data — silent row loss.
+    *
+    * Primitive: `FileSystem.create(path, overwrite = false)` — atomic
+    * create-if-absent on HDFS and object stores with conditional-put
+    * (documented caveat: RawLocalFileSystem's check-then-create is not
+    * truly atomic; the spec exercises the protocol, HDFS supplies the
+    * atomicity). Contention fails FAST with IllegalStateException — the
+    * caller owns retry cadence; a maintenance job backing off and
+    * retrying is correct, a writer silently queuing for minutes is not.
+    * Crash recovery: a lock older than [[LockTtlMs]] is broken and
+    * re-acquired (the one documented failure mode: a writer stalled
+    * longer than the TTL mid-write can lose its lock and a second
+    * writer may then race it — size the TTL so that cannot happen). */
+  /** Atomic create-if-absent. Hadoop's local FileSystem implements
+    * create(overwrite=false) as check-then-create (not atomic), so for
+    * file:// the O_EXCL `File.createNewFile` is used instead — both
+    * paths give a true either-I-created-it-or-I-didn't primitive. */
+  private def tryCreateAtomic(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    val body = s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}".getBytes("UTF-8")
+    if (f.getScheme == "file") {
+      val jf = new java.io.File(p.toUri.getPath)
+      Option(jf.getParentFile).foreach(_.mkdirs())
+      try {
+        if (!jf.createNewFile()) false
+        else {
+          val out = new java.io.FileOutputStream(jf)
+          try out.write(body) finally out.close()
+          true
+        }
+      } catch { case _: java.io.IOException => false }
+    } else
+      try {
+        val out = f.create(p, false)
+        try out.write(body) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
+  private def acquireLock(f: org.apache.hadoop.fs.FileSystem, partDir: String): Path = {
+    val p = new Path(partDir, Lock)
+    var attempts = 0
+    while (attempts < 3) {
+      if (tryCreateAtomic(f, p)) return p
+      val st =
+        try Some(f.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case Some(s) if System.currentTimeMillis() - s.getModificationTime > LockTtlMs =>
+          f.delete(p, false) // stale (crashed holder): break and retry
+        case Some(_) =>
+          throw new IllegalStateException(
+            s"concurrent writer holds $p — retry after it releases (or after ${LockTtlMs / 60000} min TTL)")
+        case None => () // released between create and stat — retry
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"could not acquire $p after $attempts attempts")
+  }
+
+  private def withLock[T](f: org.apache.hadoop.fs.FileSystem, partDir: String)(body: => T): T = {
+    val lock = acquireLock(f, partDir)
+    try body
+    finally f.delete(lock, false)
+  }
 
   /** The live snapshot name, if the partition has been initialized. */
   def current(spark: SparkSession, partDir: String): Option[String] = {
@@ -81,11 +164,14 @@ object SnapshotStore {
     fc.rename(tmp, new Path(partDir, Current), Options.Rename.OVERWRITE)
   }
 
-  /** Write `df` as the partition's next snapshot and swap the pointer.
-    * Returns the new snapshot name. The write lands fully before the
-    * swap, so a failure anywhere leaves the previous snapshot live. */
-  def writeSnapshot(spark: SparkSession, partDir: String, df: DataFrame, targetFiles: Int = 1): String = {
-    val f    = fs(spark, partDir)
+  /** The critical section: pick the next name, write, swap. Caller MUST
+    * hold the partition's writer lock. */
+  private def writeSnapshotLocked(
+      spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem,
+      partDir: String,
+      df: DataFrame,
+      targetFiles: Int): String = {
     val base = new Path(partDir)
     val nums =
       if (!f.exists(base)) Array.empty[Int]
@@ -99,11 +185,28 @@ object SnapshotStore {
     name
   }
 
+  /** Write `df` as the partition's next snapshot and swap the pointer.
+    * Returns the new snapshot name. The write lands fully before the
+    * swap, so a failure anywhere leaves the previous snapshot live.
+    * Serialized against other writers by the partition lock (see
+    * [[acquireLock]]); a second concurrent writer fails fast instead of
+    * corrupting a snapshot dir or regressing the pointer. */
+  def writeSnapshot(spark: SparkSession, partDir: String, df: DataFrame, targetFiles: Int = 1): String = {
+    val f = fs(spark, partDir)
+    withLock(f, partDir)(writeSnapshotLocked(spark, f, partDir, df, targetFiles))
+  }
+
   /** Rewrite the live snapshot as `targetFiles` files (the size-based
     * rolling of [[Compaction.targetFileCount]] applies the same way) and
-    * swap. Concurrent readers of the old snapshot are untouched. */
-  def compact(spark: SparkSession, partDir: String, targetFiles: Int = 1): String =
-    writeSnapshot(spark, partDir, read(spark, partDir), targetFiles)
+    * swap. Concurrent readers of the old snapshot are untouched. The
+    * LIVE pointer is resolved INSIDE the writer lock — so the
+    * read-compact-swap is atomic w.r.t. other writers and can never
+    * publish a rewrite of pre-ingest data over a just-landed ingest. */
+  def compact(spark: SparkSession, partDir: String, targetFiles: Int = 1): String = {
+    val f = fs(spark, partDir)
+    withLock(f, partDir)(
+      writeSnapshotLocked(spark, f, partDir, read(spark, partDir), targetFiles))
+  }
 
   /** Bulk compaction: rewrite MANY partitions' live snapshots in ONE
     * Spark job (the O(1)-jobs discipline of `Compaction.sealPartitions`
@@ -122,41 +225,50 @@ object SnapshotStore {
       targetFiles: Int = 1): Seq[String] = {
     if (parts.isEmpty) return Seq.empty
     import org.apache.spark.sql.functions.{col, lit}
-    val union = parts
-      .map { case (dt, hr) =>
-        read(spark, s"$tableRoot/dt=$dt/hr=$hr")
-          .withColumn("dt", lit(dt))
-          .withColumn("hr", lit(hr))
-      }
-      .reduce(_.unionByName(_))
-    val tmpRoot = s"$tableRoot/_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    // hash layout gives one file per (dt, hr) dir; targetFiles > 1 adds a
-    // stable row-hash salt so each dir splits across that many tasks
-    val keys =
-      if (targetFiles <= 1) Seq(col("dt"), col("hr"))
-      else
-        Seq(col("dt"), col("hr"),
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(union.columns.map(col): _*),
-            lit(targetFiles)))
-    union
-      .repartition(keys: _*)
-      .write
-      .partitionBy("dt", "hr")
-      .parquet(tmpRoot)
     val f = fs(spark, tableRoot)
-    val promoted = parts.map { case (dt, hr) =>
-      val partDir = s"$tableRoot/dt=$dt/hr=$hr"
-      val nums = f.listStatus(new Path(partDir))
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith(Prefix) => n.stripPrefix(Prefix).toInt }
-      val name = f"$Prefix${(if (nums.isEmpty) 0 else nums.max) + 1}%06d"
-      f.rename(new Path(s"$tmpRoot/dt=$dt/hr=$hr"), new Path(s"$partDir/$name"))
-      swapPointer(spark, partDir, name)
-      name
-    }
-    f.delete(new Path(tmpRoot), true)
-    promoted
+    // every partition's writer lock is taken BEFORE resolving any input
+    // pointer (in sorted order, so two bulk compactions over overlapping
+    // part sets can't deadlock) and held through promotion — the whole
+    // multi-partition read-compact-swap is atomic w.r.t. other writers
+    val lockDirs = parts.map { case (dt, hr) => s"$tableRoot/dt=$dt/hr=$hr" }.sorted
+    val held = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      lockDirs.foreach(d => held += acquireLock(f, d))
+      val union = parts
+        .map { case (dt, hr) =>
+          read(spark, s"$tableRoot/dt=$dt/hr=$hr")
+            .withColumn("dt", lit(dt))
+            .withColumn("hr", lit(hr))
+        }
+        .reduce(_.unionByName(_))
+      val tmpRoot = s"$tableRoot/_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      // hash layout gives one file per (dt, hr) dir; targetFiles > 1 adds a
+      // stable row-hash salt so each dir splits across that many tasks
+      val keys =
+        if (targetFiles <= 1) Seq(col("dt"), col("hr"))
+        else
+          Seq(col("dt"), col("hr"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(union.columns.map(col): _*),
+              lit(targetFiles)))
+      union
+        .repartition(keys: _*)
+        .write
+        .partitionBy("dt", "hr")
+        .parquet(tmpRoot)
+      val promoted = parts.map { case (dt, hr) =>
+        val partDir = s"$tableRoot/dt=$dt/hr=$hr"
+        val nums = f.listStatus(new Path(partDir))
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith(Prefix) => n.stripPrefix(Prefix).toInt }
+        val name = f"$Prefix${(if (nums.isEmpty) 0 else nums.max) + 1}%06d"
+        f.rename(new Path(s"$tmpRoot/dt=$dt/hr=$hr"), new Path(s"$partDir/$name"))
+        swapPointer(spark, partDir, name)
+        name
+      }
+      f.delete(new Path(tmpRoot), true)
+      promoted
+    } finally held.foreach(p => f.delete(p, false))
   }
 
   /** All snapshot names under the partition, oldest first — the
@@ -197,15 +309,20 @@ object SnapshotStore {
 
   /** Reclaim every snapshot dir except the live one (superseded AND
     * orphaned-by-crash alike). Call on the cadence that bounds your
-    * longest in-flight scan. Returns the number of dirs removed. */
+    * longest in-flight scan. Returns the number of dirs removed.
+    * Takes the writer lock: without it, vacuum could delete a concurrent
+    * writer's fully-written snapshot dir in the instant before its
+    * pointer swap. */
   def vacuum(spark: SparkSession, partDir: String): Int = {
-    val live = current(spark, partDir)
-      .getOrElse(throw new IllegalStateException(s"no _CURRENT snapshot under $partDir"))
     val f = fs(spark, partDir)
-    val stale = f.listStatus(new Path(partDir))
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith(Prefix) && p.getName != live)
-    stale.foreach(p => f.delete(p, true))
-    stale.length
+    withLock(f, partDir) {
+      val live = current(spark, partDir)
+        .getOrElse(throw new IllegalStateException(s"no _CURRENT snapshot under $partDir"))
+      val stale = f.listStatus(new Path(partDir))
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith(Prefix) && p.getName != live)
+      stale.foreach(p => f.delete(p, true))
+      stale.length
+    }
   }
 }

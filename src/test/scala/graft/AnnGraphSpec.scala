@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.AnnGraph
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class AnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 100 vectors in 10 tight clusters of 10: cluster c lives on axis c
+    * with small deterministic jitter on a second axis, so every vector's
+    * true top-9 neighbors are its 9 cluster-mates. */
+  def clustered = {
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 10
+    } yield {
+      val v = new Array[Float](16)
+      v(c) = 1f
+      v(10 + (c % 6)) = 0.05f * j // jitter distinguishes cluster-mates
+      ((c * 10 + j).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("q263 nn-descent graph: clustered data converges to in-cluster neighbors") {
+    val g = AnnGraph.nnDescentGraph(clustered, k = 9, iterations = 3, maxCandidates = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every node has at most k rows and sims are within [−1, 1]
+    val byNode = g.groupBy(_._1)
+    byNode.foreach { case (_, rows) => assert(rows.length <= 9) }
+    g.foreach { case (_, _, s) => assert(s >= -1.0001 && s <= 1.0001) }
+    // convergence quality: the overwhelming share of edges are in-cluster
+    val inCluster = g.count { case (a, b, _) => a / 10 == b / 10 }
+    assert(inCluster.toDouble / g.length > 0.9,
+      s"only $inCluster/${g.length} edges in-cluster after 3 rounds")
+  }
+
+  test("q263 output is deterministic and ranked") {
+    val r1 = AnnGraph.nnDescentTopK(clustered, k = 5, iterations = 2).collect()
+    val r2 = AnnGraph.nnDescentTopK(clustered, k = 5, iterations = 2).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    // per node: ranks contiguous from 1, cosine non-increasing
+    r1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
+  test("q264 recall report: iterations strictly improve on the pseudo-random init") {
+    val t = Tables(spark, sfDir)
+    def recall(iters: Int): Double =
+      AnnGraph.nnDescentRecall(t.embeddings, k = 10, iterations = iters, sampleNodes = 30)
+        .collect().head.getAs[Double]("avg_recall")
+    val r0 = recall(0)
+    val r3 = recall(3)
+    assert(r0 >= 0.0 && r0 <= 1.0 && r3 >= 0.0 && r3 <= 1.0)
+    assert(r3 > r0, s"3 rounds of descent ($r3) must beat init ($r0)")
+    // clustered data: descent reaches near-exact recall
+    val rc = AnnGraph.nnDescentRecall(clustered, k = 9, iterations = 3, sampleNodes = 20)
+      .collect().head
+    assert(rc.getAs[Long]("n_probes") == 20)
+    assert(rc.getAs[Double]("avg_recall") > 0.85, s"clustered recall ${rc}")
+  }
+}

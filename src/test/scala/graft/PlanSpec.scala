@@ -286,6 +286,7 @@ class PlanSpec extends SparkSpec {
       "q158_null_aware_anti" -> bnl, // 1-row broadcast has-null scalar (q14 idiom)
       "q161_length_drift"   -> bnl, // sources × bins grid densification (q126 idiom, bounded)
       "q163_rrf_fusion"     -> bnl, // bounded broadcast query side (q51/q59 idiom)
+      "q264_ann_graph_recall" -> bnl, // exact-side probe sample: bounded broadcast query side (q51/q228 idiom)
       "q166_neyman_sample"  -> bnl, // 1-row broadcast Σ(N_h·σ_h) scalar (q14 idiom)
       "q170_quantile_normalize" -> (bnl + "unpartitioned-window"), // 1-row total scalar + GlobalOrder offset frame
       "q169_contribution"   -> bnl, // 1-row broadcast global-total scalar (q14/q114 idiom)

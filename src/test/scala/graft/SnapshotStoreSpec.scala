@@ -95,6 +95,71 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("_compact_tmp")))
   }
 
+  test("two concurrent compactions: one wins cleanly, no snapshot is lost") {
+    val part = tmp()
+    val src  = t.events.limit(200)
+    val n    = src.count()
+    SnapshotStore.writeSnapshot(spark, part, src, targetFiles = 4)
+
+    // race two compactions from two threads. The writer lock serializes
+    // the read→write→swap critical sections: depending on timing either
+    // both run back-to-back (snap-2 then snap-3) or the loser fails fast
+    // with the concurrent-writer error — never a corrupt dir or lost rows.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool  = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val outcomes = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, String]] {
+        def call(): Either[Throwable, String] = {
+          start.await()
+          try Right(SnapshotStore.compact(spark, part, targetFiles = 1))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    }
+    start.countDown()
+    val results = outcomes.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+
+    val winners = results.collect { case Right(name) => name }
+    val losers  = results.collect { case Left(e) => e }
+    assert(winners.nonEmpty, s"at least one compaction must win; got $results")
+    losers.foreach(e =>
+      assert(e.getMessage != null && e.getMessage.contains("concurrent writer"),
+        s"loser must fail with the lock error, not $e"))
+    winners.foreach(w => assert(w == "snap-000002" || w == "snap-000003"))
+    assert(winners.distinct.size == winners.size, "two writers can never claim the same snapshot name")
+
+    // the pointer names a complete, readable snapshot with all rows
+    val live = SnapshotStore.current(spark, part).get
+    assert(winners.contains(live))
+    assert(SnapshotStore.read(spark, part).count() == n)
+    // every retained snapshot (initial + each winner) is intact
+    SnapshotStore.snapshots(spark, part).foreach(s =>
+      assert(SnapshotStore.readAt(spark, part, s).count() == n))
+    // the lock was released: a subsequent writer proceeds normally
+    val after = SnapshotStore.compact(spark, part, targetFiles = 1)
+    assert(SnapshotStore.current(spark, part).contains(after))
+  }
+
+  test("a stale writer lock (crashed holder) is broken after the TTL; a fresh one blocks") {
+    val part = tmp()
+    val src  = t.events.limit(50)
+    SnapshotStore.writeSnapshot(spark, part, src)
+
+    // fresh foreign lock → writers fail fast with a clear error
+    val lock = new java.io.File(part, "_WRITER_LOCK")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException](SnapshotStore.compact(spark, part))
+    assert(e.getMessage.contains("concurrent writer"))
+
+    // age the lock past the TTL → next writer breaks it and proceeds
+    assert(lock.setLastModified(System.currentTimeMillis() - SnapshotStore.LockTtlMs - 60000))
+    val s2 = SnapshotStore.compact(spark, part)
+    assert(SnapshotStore.current(spark, part).contains(s2))
+    assert(!lock.exists(), "the broken lock must not linger after release")
+  }
+
   test("a crash between snapshot write and pointer swap leaves the previous snapshot live; vacuum reclaims the orphan") {
     val part = tmp()
     val src  = t.events.limit(100)
