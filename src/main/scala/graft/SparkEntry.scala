@@ -3034,6 +3034,72 @@ object SparkEntry {
         |  count(CASE WHEN du.user_id IS NULL AND y.y_user IS NOT NULL THEN 1 END) AS lost
         |FROM du FULL OUTER JOIN y ON du.d = y.d AND du.user_id = y.y_user
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q35_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS labeled_lang, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, labeled_lang, s.lang AS cand,
+        |    CAST(len(list_filter(tk, t -> list_contains(s.markers, t))) AS DOUBLE)
+        |      / greatest(len(tk), 1) AS score
+        |  FROM toks CROSS JOIN (
+        |    SELECT * FROM (VALUES
+        |      ('en', ['the','and','of','to','in','is']),
+        |      ('de', ['der','die','und','das','ist','nicht']),
+        |      ('fr', ['le','les','et','des','une','est']),
+        |      ('es', ['el','los','y','las','una','es']),
+        |      ('zh', ['de5','shi4','bu4','le5','zai4','ren2'])) v(lang, markers)) s)
+        |SELECT doc_id, labeled_lang, cand AS pred_lang,
+        |  floor(score * 10000 + 0.5)/10000 AS best_score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |      FROM scores)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q120_prefix_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s.sh
+        |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
+        |  WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |  floor(i.common / CAST(sa.sz + sb.sz - i.common AS DOUBLE) * 10000 + 0.5)/10000 AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.doc_a = sa.doc_id
+        |JOIN sizes sb ON i.doc_b = sb.doc_id
+        |WHERE i.common / CAST(sa.sz + sb.sz - i.common AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q201_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s.sh
+        |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
+        |  WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        |  WHERE df <= 200),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, i.common,
+        |  floor(i.common / CAST(sa.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ab,
+        |  floor(i.common / CAST(sb.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ba
+        |FROM inter i
+        |JOIN sizes sa ON i.doc_a = sa.doc_id
+        |JOIN sizes sb ON i.doc_b = sb.doc_id
+        |WHERE greatest(i.common / CAST(sa.sz AS DOUBLE), i.common / CAST(sb.sz AS DOUBLE)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q163_rrf_fusion" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),

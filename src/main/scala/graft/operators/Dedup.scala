@@ -45,31 +45,45 @@ object Dedup {
   /** JIT-compiled shingle+minhash kernel. Higher-order column functions
     * evaluate interpreted (boxed, per-element expression eval) — nested
     * perms×shingles transforms cost ~60ms/doc; this tight loop does the
-    * same work in ~µs/doc. Tokens → k-shingles → MurmurHash3 (seeded,
-    * deterministic across executors) → distinct sorted hash set + the
-    * NumPerm affine-permutation minima. Permutation factors and reduced
-    * hashes are < 2^31, so products stay < 2^62 (no long overflow).
-    * Returns (shingle hash set, signature). */
+    * same work in ~µs/doc. Tokens → k-shingles → XXH64 (seed 42,
+    * deterministic across executors, 63-bit — collision-free in
+    * practice, which is what lets q120/q201 be value-oracled against
+    * string-set jaccard/containment in DuckDB) → distinct sorted hash
+    * set + the NumPerm affine-permutation minima over the 31-bit
+    * reductions (factors and reduced hashes < 2^31 keep products
+    * < 2^62 — no long overflow). Returns (shingle hash set,
+    * signature). */
   private def sigUdf(shingleK: Int) = {
     val (as, bs) = permParams
     val aArr     = as.toArray
     val bArr     = bs.toArray
     udf { (toks: Seq[String]) =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.types.UTF8String
       val n = toks.length - shingleK + 1
       if (n <= 0) (Array.empty[Long], Array.empty[Long])
       else {
+        // set elements are 63-BIT hashes: the exact-jaccard /
+        // containment consumers (q120/q201) are DuckDB-oracled over
+        // string shingle sets, and a 31-bit space collides once per
+        // ~10^4 docs (a silent off-by-one in |set| that breaks the
+        // value hash); at 63 bits a collision is a ~10^-12 event.
         val hs = Array.tabulate(n) { i =>
           val sb = new StringBuilder(toks(i))
           var j = 1
           while (j < shingleK) { sb.append(' ').append(toks(i + j)); j += 1 }
-          (scala.util.hashing.MurmurHash3.bytesHash(sb.result().getBytes("UTF-8"), 42) & 0x7FFFFFFF).toLong
+          XXH64.hashUTF8String(UTF8String.fromString(sb.result()), 42L) & Long.MaxValue
         }.distinct.sorted
         val sig = Array.tabulate(NumPerm) { i =>
           val a = aArr(i); val b = bArr(i)
           var m = Long.MaxValue
           var k = 0
           while (k < hs.length) {
-            val v = (a * hs(k) + b) % MersP
+            // minhash keeps the 31-bit REDUCTION: a, b and the reduced
+            // hash are all < 2^31, so a*h+b stays < 2^62 — no overflow.
+            // A reduced-space collision only shrinks the effective set
+            // by one element, exactly the pre-63-bit behavior.
+            val v = (a * (hs(k) & 0x7FFFFFFFL) + b) % MersP
             if (v < m) m = v
             k += 1
           }
@@ -193,7 +207,9 @@ object Dedup {
       maxBucket: Int = 100): DataFrame = {
     val sigs = signatures(documents, shingleK).cache()
     val annotated = annotatedCandidates(sigs, maxBucket).cache()
-    val truth = prefixFilterJoin(documents, threshold, shingleK)
+    // truth side reuses the cached signature frame's shingle sets — one
+    // tokenize+shingle pass for the whole report, not two
+    val truth = prefixFilterJoinFromSets(sigs.select("doc_id", "shingles"), threshold)
       .select(col("doc_a"), col("doc_b"))
     val verified = annotated.filter(col("jaccard") >= threshold)
     val funnel = annotated.agg(
@@ -642,8 +658,19 @@ object Dedup {
   def prefixFilterJoin(
       documents: DataFrame,
       theta: Double = 0.5,
-      shingleK: Int = 3): DataFrame = {
-    val sets = signatures(documents, shingleK).select(col("doc_id"), col("shingles"))
+      shingleK: Int = 3): DataFrame =
+    prefixFilterJoinFromSets(
+      signatures(documents, shingleK).select(col("doc_id"), col("shingles")), theta)
+
+  /** The join proper, from precomputed (doc_id, shingles) sets — lets
+    * q261 reuse the CACHED signature frame's shingle sets instead of
+    * re-running tokenize+shingle+minhash over the whole corpus for the
+    * truth side (the minhash minima, the expensive part of
+    * [[signatures]], are pure waste there). */
+  private[graft] def prefixFilterJoinFromSets(
+      setsIn: DataFrame,
+      theta: Double): DataFrame = {
+    val sets = setsIn.select(col("doc_id"), col("shingles"))
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     // rarity order (df asc, sh asc) is used ONLY to pick prefixes; the
