@@ -336,6 +336,7 @@ object SparkEntry {
     "q63_feature_similarity" -> ((s, d) => Multimodal.featureSimilarity(s, Tables(s, d).documents)),
     "q263_ann_graph" -> ((s, d) => AnnGraph.nnDescentTopK(Tables(s, d).embeddings)),
     "q264_ann_graph_recall" -> ((s, d) => AnnGraph.nnDescentRecall(Tables(s, d).embeddings)),
+    "q265_ann_graph_search" -> ((s, d) => AnnGraph.graphSearch(Tables(s, d).embeddings)),
     "q262_image_decode" -> ((s, d) => {
       // REAL codec path: PNG-encoded payloads decoded by JDK ImageIO,
       // box-resized, histogram features. Rows-only (DuckDB can't decode

@@ -133,6 +133,76 @@ object AnnGraph {
       .orderBy("vec_id", "rk")
   }
 
+  /** q265: query-time companion of [[nnDescentGraph]] — ALL queries
+    * beam-search the neighbor graph simultaneously, as relational
+    * rounds (the batch dual of HNSW's sequential greedy descent):
+    *
+    *   - entry points: the `beamWidth` corpus nodes with smallest
+    *     xxhash64(id) — deterministic, shared by every query, scored
+    *     per query in one broadcast join;
+    *   - each round ([[BoundedIteration.fixpoint]]): the top-`beamWidth`
+    *     UNEXPANDED nodes per query (windowed) fan out through the
+    *     graph's edges (equi-join), already-visited nodes are
+    *     anti-joined away, survivors are scored with exact cosine and
+    *     join the visited set; expansion is Θ(queries · beam · k) rows
+    *     per round — independent of corpus size, which is the whole
+    *     point: at 100 TB the scan cost is the GRAPH BUILD's, and each
+    *     query then touches ~beam·k·hops vectors;
+    *   - after `maxHops` rounds, the answer is each query's top-k
+    *     visited.
+    *
+    * State is one DataFrame (qid, node, sim, expanded) — hop-resumable
+    * like every BoundedIteration loop. */
+  def graphSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 5,
+      beamWidth: Int = 8,
+      maxHops: Int = 3,
+      graphK: Int = 10,
+      iterations: Int = 3): DataFrame = {
+    val corpus = embeddings.filter(col("vec_id") >= numQueries)
+    val graph = nnDescentGraph(corpus, graphK, iterations)
+      .select(col("id"), col("nb")).localCheckpoint(eager = true)
+    val vecs = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
+    val qs = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(vecs, "node")
+        .join(broadcast(qs), "qid")
+        .select(col("qid"), col("node"), cosine(col("qv"), col("cv")).as("sim"))
+    // deterministic shared entry points
+    val seeds = corpus.select(col("vec_id").as("node"))
+      .orderBy(xxhash64(col("node")), col("node"))
+      .limit(beamWidth)
+    val init = score(seeds.crossJoin(qs.select("qid")))
+      .withColumn("expanded", lit(false))
+    val wBeam = Window.partitionBy("qid").orderBy(desc("sim"), asc("node"))
+    val visited = BoundedIteration.fixpoint(init, maxHops) { (state, _) =>
+      val frontier = state.filter(!col("expanded"))
+        .withColumn("__r", row_number().over(wBeam))
+        .filter(col("__r") <= beamWidth)
+        .select(col("qid"), col("node"))
+      val fresh = frontier
+        .join(graph, frontier("node") === graph("id"))
+        .select(col("qid"), col("nb").as("node"))
+        .distinct()
+        .join(state.select("qid", "node"), Seq("qid", "node"), "left_anti")
+      // frontier rows flip to expanded; everything else is carried as-is
+      state
+        .join(frontier, Seq("qid", "node"), "left_semi")
+        .withColumn("expanded", lit(true))
+        .unionByName(state.join(frontier, Seq("qid", "node"), "left_anti"))
+        .unionByName(score(fresh).withColumn("expanded", lit(false)))
+    }
+    visited
+      .withColumn("rk", row_number().over(wBeam).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("node").as("cid"), round(col("sim"), 4).as("cosine"))
+      .orderBy("qid", "rk")
+  }
+
   /** Recall of the NN-descent graph against the exact k-NN graph,
     * restricted to `sampleNodes` probe nodes (the exact side is an
     * all-pairs top-k, affordable only on a sample — same honesty

@@ -49,6 +49,29 @@ class AnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("q265 graph search: finds cluster-mates of held-out queries via the graph") {
+    // queries 0..2 are excluded from the graph; their true neighbors are
+    // their remaining cluster-mates (clusters 0, 0, 0 for ids 0,1,2 —
+    // use ids 0,1,2 which live in cluster 0)
+    val res = AnnGraph.graphSearch(clustered, numQueries = 3, k = 5,
+      beamWidth = 8, maxHops = 3, graphK = 9)
+      .collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      // every returned neighbor of a cluster-0 query is in cluster 0
+      val inCluster = rows.count(r => r.getLong(2) / 10 == 0)
+      assert(inCluster >= 4, s"beam search strayed: ${rows.mkString(", ")}")
+      val sims = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+    // deterministic
+    val again = AnnGraph.graphSearch(clustered, numQueries = 3, k = 5,
+      beamWidth = 8, maxHops = 3, graphK = 9).collect()
+    assert(again.map(_.toString).toSeq == res.map(_.toString).toSeq)
+  }
+
   test("q264 recall report: iterations strictly improve on the pseudo-random init") {
     val t = Tables(spark, sfDir)
     def recall(iters: Int): Double =
