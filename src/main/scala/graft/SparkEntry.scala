@@ -334,9 +334,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q63_feature_similarity" -> ((s, d) => Multimodal.featureSimilarity(s, Tables(s, d).documents)),
-    "q263_ann_graph" -> ((s, d) => AnnGraph.nnDescentTopK(Tables(s, d).embeddings)),
-    "q264_ann_graph_recall" -> ((s, d) => AnnGraph.nnDescentRecall(Tables(s, d).embeddings)),
-    "q265_ann_graph_search" -> ((s, d) => AnnGraph.graphSearch(Tables(s, d).embeddings)),
+    // registered graph-ANN entries run 3 descent rounds (the benchmark
+    // point); library defaults stay at the converged 4-round setting
+    "q263_ann_graph" -> ((s, d) => AnnGraph.nnDescentTopK(Tables(s, d).embeddings, iterations = 3)),
+    "q264_ann_graph_recall" -> ((s, d) => AnnGraph.nnDescentRecall(Tables(s, d).embeddings, iterations = 3)),
+    "q265_ann_graph_search" -> ((s, d) => AnnGraph.graphSearch(Tables(s, d).embeddings, iterations = 3)),
+    "q266_ann_graph_insert" -> ((s, d) => AnnGraph.incrementalGraphTopK(Tables(s, d).embeddings)),
     "q262_image_decode" -> ((s, d) => {
       // REAL codec path: PNG-encoded payloads decoded by JDK ImageIO,
       // box-resized, histogram features. Rows-only (DuckDB can't decode

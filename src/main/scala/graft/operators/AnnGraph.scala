@@ -69,10 +69,14 @@ object AnnGraph {
       .select(col("id"), col("nb"), cosine(col("__va"), col("__vb")).as("sim"))
   }
 
-  /** Keep each node's best k neighbors (sim desc, id tie-break). */
+  /** Keep each node's best k DISTINCT neighbors (sim desc, id
+    * tie-break). The dedup matters: a candidate re-scored in a later
+    * round re-enters with the same sim, and without it duplicates
+    * occupy top-k slots that should hold real neighbors. */
   private def topK(edges: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
     edges
+      .dropDuplicates("id", "nb")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")
@@ -84,8 +88,8 @@ object AnnGraph {
   def nnDescentGraph(
       embeddings: DataFrame,
       k: Int = 10,
-      iterations: Int = 3,
-      maxCandidates: Int = 30): DataFrame = {
+      iterations: Int = 4,
+      maxCandidates: Int = 60): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
       .cache()
@@ -93,23 +97,29 @@ object AnnGraph {
     val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
     val init = topK(scored(initEdges(vecs, k, numBuckets), vecs), k)
 
-    val result = BoundedIteration.fixpoint(init, iterations) { (edges, iter) =>
-      // forward ∪ reverse neighborhoods share one shuffle key space
-      val fwd = edges.select(col("id"), col("nb"))
-      val undirected = fwd.unionAll(fwd.select(col("nb").as("id"), col("id").as("nb")))
-      // neighbors-of-neighbors through the shared endpoint
+    val result = BoundedIteration.fixpoint(init, iterations) { (edges, _) =>
+      // forward ∪ reverse neighborhoods share one shuffle key space;
+      // sims ride along to prioritize the candidate budget
+      val fwd = edges.select(col("id"), col("nb"), col("sim"))
+      val undirected = fwd.unionAll(
+        fwd.select(col("nb").as("id"), col("id").as("nb"), col("sim")))
+      // neighbors-of-neighbors through the shared endpoint, prioritized
+      // by the two generating edges' similarity sum — the budget goes to
+      // likely-near pairs first (deterministic: ties break on ids),
+      // which converges far faster than uniform ρ-sampling
       val cands = undirected.as("g1")
         .join(undirected.as("g2"), col("g1.nb") === col("g2.id"))
-        .select(col("g1.id").as("id"), col("g2.nb").as("nb"))
+        .select(
+          col("g1.id").as("id"), col("g2.nb").as("nb"),
+          (col("g1.sim") + col("g2.sim")).as("prio"))
         .filter(col("id") =!= col("nb"))
-        .distinct()
-      // deterministic ρ-sampling: per-node hash-ranked candidate cap
-      val wc = Window.partitionBy("id").orderBy(xxhash64(col("id"), col("nb"), lit(iter)), col("nb"))
+        .groupBy("id", "nb").agg(max("prio").as("prio"))
+      val wc = Window.partitionBy("id").orderBy(desc("prio"), asc("nb"))
       val capped = cands
         .withColumn("__cr", row_number().over(wc))
         .filter(col("__cr") <= maxCandidates)
-        .drop("__cr")
-      topK(scored(capped, vecs).unionByName(edges), k)
+        .select("id", "nb")
+      topK(scored(capped, vecs).unionByName(edges.select("id", "nb", "sim")), k)
     }
     vecs.unpersist(blocking = false)
     result
@@ -121,7 +131,7 @@ object AnnGraph {
   def nnDescentTopK(
       embeddings: DataFrame,
       k: Int = 10,
-      iterations: Int = 3,
+      iterations: Int = 4,
       showNodes: Int = 5): DataFrame = {
     val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
     nnDescentGraph(embeddings, k, iterations)
@@ -160,7 +170,7 @@ object AnnGraph {
       beamWidth: Int = 8,
       maxHops: Int = 3,
       graphK: Int = 10,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 4): DataFrame = {
     val corpus = embeddings.filter(col("vec_id") >= numQueries)
     val graph = nnDescentGraph(corpus, graphK, iterations)
       .select(col("id"), col("nb")).localCheckpoint(eager = true)
@@ -203,6 +213,122 @@ object AnnGraph {
       .orderBy("qid", "rk")
   }
 
+  /** q266: incremental graph MAINTENANCE — new vectors join an existing
+    * NN-descent graph without a full rebuild (the index-update story a
+    * continuously-ingesting corpus needs: rebuilding a 100 TB graph per
+    * micro-batch is a non-starter; inserting a batch must cost
+    * Θ(new · cap), not Θ(corpus)).
+    *
+    * Rounds are the standard descent step with candidate generation
+    * RESTRICTED to pairs that involve a new node — as an endpoint or as
+    * the shared middle — so only neighborhoods the batch actually
+    * touches are re-scored; the touched frontier grows exactly as new
+    * edges propagate. Old↔old edges never regenerate. Existing nodes
+    * DO adopt new neighbors (the reverse direction rides the same
+    * undirected expansion), so the graph converges to what a full
+    * rebuild would give on the affected neighborhoods. */
+  def nnDescentInsert(
+      graph: DataFrame,
+      allVectors: DataFrame,
+      newIds: DataFrame,
+      k: Int = 10,
+      iterations: Int = 2,
+      maxCandidates: Int = 60): DataFrame = {
+    val vecs = allVectors
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .cache()
+    val nw = newIds.select(col("vec_id").as("id")).cache()
+    // seed the batch into the graph: hash-bucket init over ALL ids, kept
+    // only where a new node is an endpoint (old↔old seeds are noise)
+    val n = vecs.count()
+    val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
+    // "involves a new node" is expressed as two broadcast flag joins +
+    // an OR filter (the new batch is micro-batch-sized by definition),
+    // NOT as a union of semi-joins: the union shape both reorders
+    // columns (using-col-first, silently swapping id/nb in a positional
+    // union — measured as "old nodes never adopt") and trips a Catalyst
+    // constraint-rewrite bug (UnionBase.rewriteConstraints
+    // NoSuchElementException) on unions of semi-joined twins.
+    val flagId = broadcast(nw.select(col("id"), lit(true).as("__n1")))
+    val flagNb = broadcast(nw.select(col("id").as("nb"), lit(true).as("__n2")))
+    def touchesNew(df: DataFrame): DataFrame = df
+      .join(flagId, Seq("id"), "left")
+      .join(flagNb, Seq("nb"), "left")
+      .filter(coalesce(col("__n1"), lit(false)) || coalesce(col("__n2"), lit(false)))
+      .drop("__n1", "__n2")
+    val seeds = touchesNew(initEdges(vecs, k, numBuckets)).select("id", "nb").distinct()
+    // constraint-free round-trip for both union inputs: checkpointed
+    // frames keep their ORIGIN constraints (stale attribute ids), and
+    // Catalyst's UnionBase.rewriteConstraints throws
+    // NoSuchElementException when a union child carries constraints
+    // over attributes not in its output — createDataFrame(rdd, schema)
+    // yields a clean LogicalRDD with no constraint baggage
+    def fresh(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val init = topK(
+      fresh(scored(seeds, vecs))
+        .unionByName(fresh(graph.select("id", "nb", "sim"))), k)
+    val result = BoundedIteration.fixpoint(init, iterations) { (edges, _) =>
+      val fwd = edges.select(col("id"), col("nb"), col("sim"))
+      val undirected = fwd.unionAll(
+        fwd.select(col("nb").as("id"), col("id").as("nb"), col("sim")))
+      // only edges touching the batch expand: new endpoint or new middle
+      val touching = touchesNew(undirected).select("id", "nb", "sim")
+      val raw = touching.as("g1")
+        .join(undirected.as("g2"), col("g1.nb") === col("g2.id"))
+        .select(
+          col("g1.id").as("id"), col("g2.nb").as("nb"),
+          (col("g1.sim") + col("g2.sim")).as("prio"))
+        .filter(col("id") =!= col("nb"))
+      // symmetrize, then keep only pairs with a NEW endpoint: a pair is
+      // scored from BOTH sides (else old nodes could never ADOPT an
+      // inserted neighbor — only the new side would learn the edge),
+      // while old↔old pairs reachable through a new middle are dropped
+      // (maintenance updates touched neighborhoods; it does not
+      // re-optimize the old graph's internal structure)
+      val sym = raw.unionAll(
+        raw.select(col("nb").as("id"), col("id").as("nb"), col("prio")))
+      val cands = touchesNew(sym)
+        .groupBy("id", "nb").agg(max("prio").as("prio"))
+      // same similarity-prioritized deterministic cap as the build loop
+      val wc = Window.partitionBy("id").orderBy(desc("prio"), asc("nb"))
+      val capped = cands
+        .withColumn("__cr", row_number().over(wc))
+        .filter(col("__cr") <= maxCandidates)
+        .select("id", "nb")
+      topK(scored(capped, vecs).unionByName(edges.select("id", "nb", "sim")), k)
+    }
+    vecs.unpersist(blocking = false)
+    nw.unpersist(blocking = false)
+    result
+  }
+
+  /** The registered q266 surface: build on the stable 90%, insert the
+    * newest 10%, report the inserted nodes' neighborhoods (ranked,
+    * deterministic). */
+  def incrementalGraphTopK(
+      embeddings: DataFrame,
+      k: Int = 10,
+      newFraction: Double = 0.1,
+      showNodes: Int = 5): DataFrame = {
+    val cut = math.floor(
+      embeddings.agg(max("vec_id")).head().getLong(0) * (1.0 - newFraction)).toLong
+    val base = embeddings.filter(col("vec_id") <= cut)
+    // 3-round base build: the operator under test is the INSERT; the
+    // base graph only needs to be a realistic starting index
+    val graph = nnDescentGraph(base, k, iterations = 3)
+    val updated = nnDescentInsert(
+      graph, embeddings, embeddings.filter(col("vec_id") > cut).select("vec_id"), k)
+    val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
+    updated
+      .filter(col("id") > cut && col("id") <= cut + showNodes)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        col("id").as("vec_id"), col("rk"), col("nb").as("neighbor_id"),
+        round(col("sim"), 4).as("cosine"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** Recall of the NN-descent graph against the exact k-NN graph,
     * restricted to `sampleNodes` probe nodes (the exact side is an
     * all-pairs top-k, affordable only on a sample — same honesty
@@ -210,7 +336,7 @@ object AnnGraph {
   def nnDescentRecall(
       embeddings: DataFrame,
       k: Int = 10,
-      iterations: Int = 3,
+      iterations: Int = 4,
       sampleNodes: Int = 50): DataFrame = {
     val graph = nnDescentGraph(embeddings, k, iterations)
       .filter(col("id") < sampleNodes)
