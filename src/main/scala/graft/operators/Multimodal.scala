@@ -76,7 +76,7 @@ object Multimodal {
     * than Graphics2D so the math is explicit and exactly reproducible
     * across JVMs — resize is part of the feature contract, not a
     * rendering detail. */
-  private[operators] def resizeBox(img: DecodedImage, tw: Int, th: Int): DecodedImage = {
+  private[graft] def resizeBox(img: DecodedImage, tw: Int, th: Int): DecodedImage = {
     if (img.width == tw && img.height == th) return img
     val out = new Array[Float](tw * th)
     var ty = 0

@@ -298,6 +298,74 @@ class PropertySpec extends SparkSpec {
     }, trials = 8)
   }
 
+  test("box resize conserves pixel mass exactly on divisible sizes, bounds it otherwise") {
+    import graft.operators.Multimodal
+    val imgGen = for {
+      w  <- Gen.choose(1, 24)
+      h  <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toFloat).toArray)
+    checkProp(Prop.forAll(imgGen, Gen.choose(1, 12), Gen.choose(1, 12)) {
+      case ((w, h, px), tw, th) =>
+        val img = Multimodal.DecodedImage(w, h, px)
+        val out = Multimodal.resizeBox(img, tw, th)
+        val inRange = out.gray.forall(v => v >= -1e-3f && v <= 255.001f)
+        val shape = out.width == tw && out.height == th && out.gray.length == tw * th
+        // exact mass conservation when each target cell covers an equal
+        // source block (divisible dims): mean is invariant
+        val exact =
+          if (w % tw == 0 && h % th == 0) {
+            val meanIn = px.sum / (w * h)
+            val meanOut = out.gray.sum / (tw * th)
+            math.abs(meanIn - meanOut) < 1e-2
+          } else true
+        inRange && shape && exact
+    }, trials = 25)
+  }
+
+  test("offset-log appends keep offsets contiguous and key-stable for any batch sizes") {
+    import graft.sources.OffsetLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-proplog").toString
+    val sizesGen = Gen.listOfN(3, Gen.choose(1, 25))
+    // a SINGLE sequential scenario (the log is stateful): three appends
+    // of random sizes, then the invariants over the whole log
+    val sizes = sizesGen.sample.get
+    var base = 0
+    sizes.foreach { n =>
+      val batch = (base until base + n).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "n")
+      OffsetLog.append(spark, dir, batch, "k", 3)
+      base += n
+    }
+    val all = OffsetLog.readBatch(spark, dir, 3, Map.empty, Map.empty)
+    val perPart = all.groupBy("partition")
+      .agg(count(lit(1)).as("c"), min("offset").as("lo"), max("offset").as("hi"))
+      .collect()
+    perPart.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L && r.getAs[Long]("hi") == r.getAs[Long]("c") - 1,
+        s"offsets not contiguous: $r")
+    }
+    assert(all.count() == base.toLong)
+    // key → partition mapping is a pure function of the key
+    val kp = all.groupBy("k").agg(countDistinct("partition").as("np")).collect()
+    kp.foreach(r => assert(r.getAs[Long]("np") == 1L))
+    // metadata head agrees with the data head
+    val ends = OffsetLog.endOffsets(spark, dir, 3)
+    assert(ends.values.sum == base.toLong)
+  }
+
+  test("bounded iteration: zero rounds is identity; round indices are 0-based and complete") {
+    import graft.operators.BoundedIteration
+    checkProp(Prop.forAll(Gen.choose(0, 6), Gen.choose(1L, 50L)) { (rounds, start) =>
+      val init = Seq(start).toDF("v")
+      var seen = Vector.empty[Int]
+      val out = BoundedIteration.fixpoint(init, rounds) { (df, r) =>
+        seen :+= r
+        df.select((col("v") + 1).as("v"))
+      }
+      out.as[Long].head() == start + rounds && seen == (0 until rounds).toVector
+    }, trials = 8)
+  }
+
   test("global row numbers equal the single-reducer window on any keyed data") {
     import org.apache.spark.sql.expressions.Window
     val rowGen = for {
