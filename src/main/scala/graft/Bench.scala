@@ -155,12 +155,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results2.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // durability: stdout capture has truncated this line before (it holds
-    // 141+ timings); persist the same JSON to a file the driver can read
+    // durability: the FULL per-query map (~10 KB for 265 queries) goes
+    // to a file; the driver's stdout capture keeps only a ~2 KB tail,
+    // which truncated the full line in rounds 5 AND 6 (BENCH_r0{5,6}
+    // both show parsed:null). stdout gets a COMPACT line — same metric/
+    // value/errors plus only the slowest 20 queries — sized to survive
+    // the tail window, printed LAST so it is the tail.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (json + "\n").getBytes("UTF-8"))
+    val topQs = results2.sortBy(-_._2).take(20)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results2.size},""" +
+      s""""queries":$topQs,"queries_full":"bench_out.json","errors":$errs,"sf":"$sfDir"}""")
     if (results2.exists(_._3.isDefined)) System.err.println(s"bench: ${results2.count(_._3.isDefined)} queries FAILED")
     spark.stop()
   }

@@ -62,6 +62,16 @@ object Graph {
     * aggregate over a checkpoint scan rather than a k-join tower —
     * arbitrary iteration counts stay plannable and re-optimizable (AQE
     * sees fresh sizes each round) instead of overwhelming Catalyst. */
+  /** Node-count ceiling for forcing broadcast of the node-cardinality
+    * rank/degree tables in the iteration (~16 B/row → ~500 MB at the
+    * ceiling, inside Spark's broadcast limits with room for overhead).
+    * Below it the explicit hint guarantees the cached edge set is never
+    * re-shuffled; above it the hint is dropped so the planner degrades
+    * to a shuffle join instead of the job failing outright on a
+    * too-large broadcast — a billions-of-nodes graph runs slower, not
+    * not-at-all. */
+  private[graft] val MaxBroadcastNodes = 3e7
+
   private[graft] def iterateRanks(
       edges: DataFrame,
       deg: DataFrame,
@@ -70,21 +80,23 @@ object Graph {
       damping: Double): DataFrame = {
     val init = deg.select(col("src").as("node"))
       .withColumn("pr", lit(1.0 / n))
+    // broadcast() is EXPLICIT (not left to autoBroadcastJoinThreshold)
+    // but GATED on the measured node count: below the ceiling, Catalyst
+    // falling back to a sort-merge join would re-shuffle the cached
+    // edge set every iteration, voiding the shuffle-free-edge-side
+    // contract; above it a forced broadcast would exceed the broadcast
+    // limit and kill the job, so the hint is dropped.
+    val hint: DataFrame => DataFrame =
+      if (n <= MaxBroadcastNodes) broadcast else identity
     BoundedIteration.fixpoint(init, iterations) { (ranks, _) =>
       // per-source share first: a node-cardinality ⋈ node-cardinality
-      // broadcast join, so the per-edge work is one broadcast probe —
-      // the edge set itself is never re-joined with its own degrees.
-      // broadcast() is EXPLICIT, not left to the autoBroadcastJoinThreshold:
-      // above the threshold Catalyst would silently fall back to a
-      // sort-merge join that re-shuffles the cached edge set every
-      // iteration, voiding the shuffle-free-edge-side contract. The
-      // share table is node-cardinality (16 B/row), broadcastable far
-      // past this graph's size.
+      // join, so the per-edge work is one probe — the edge set itself
+      // is never re-joined with its own degrees.
       val share = ranks
-        .join(broadcast(deg), col("node") === col("src"))
+        .join(hint(deg), col("node") === col("src"))
         .select(col("node").as("snode"), (col("pr") / col("d")).as("share"))
       edges
-        .join(broadcast(share), col("src") === col("snode"))
+        .join(hint(share), col("src") === col("snode"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("mass"))
         .select(

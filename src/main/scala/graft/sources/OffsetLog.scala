@@ -102,7 +102,16 @@ object OffsetLog {
       val files = f.listStatus(new Path(s"$tmp/partition=$p"))
         .map(_.getPath).filter(_.getName.startsWith("part-"))
       require(files.length == 1, s"expected 1 segment file for partition $p, got ${files.length}")
-      f.rename(files.head, new Path(dest, f"segment-${ends(p)}%d-$n%d.parquet"))
+      val seg = new Path(dest, f"segment-${ends(p)}%d-$n%d.parquet")
+      // rename returns false (not an exception) on HDFS when the dest
+      // already exists or the source vanished — swallowing it would
+      // delete the tmp dir below and silently lose this partition's
+      // rows. A pre-existing destination means a second writer raced
+      // this append (the log is single-writer per partition): fail loud.
+      require(!f.exists(seg),
+        s"segment $seg already exists — concurrent append detected (OffsetLog is single-writer)")
+      require(f.rename(files.head, seg),
+        s"rename ${files.head} -> $seg failed; aborting before tmp cleanup so no rows are lost")
     }
     f.delete(new Path(tmp), true)
     endOffsets(spark, root, numPartitions)
@@ -110,13 +119,20 @@ object OffsetLog {
 
   /** Read [from, until) per partition. Segments are pruned BY NAME to
     * the overlapping set, then the offset range rides the parquet scan
-    * as a pushed filter. Missing map entries default to 0 / head. */
+    * as a pushed filter. Missing map entries default to 0 / head.
+    *
+    * A log with NO segments yet (consumer started before the first
+    * producer append) is a caught-up read, not an error: returns an
+    * empty frame with `schema` if the caller supplied one, else with
+    * the two columns the log itself guarantees (partition, offset) —
+    * either way `count() == 0` and the drain loop sees caught-up. */
   def readBatch(
       spark: SparkSession,
       root: String,
       numPartitions: Int,
       from: Map[Int, Long],
-      until: Map[Int, Long]): DataFrame = {
+      until: Map[Int, Long],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val f = fs(spark, root)
     def segments(p: Int): Seq[(Path, Long, Long)] = {
       val d = new Path(partDir(root, p))
@@ -130,7 +146,12 @@ object OffsetLog {
         }
     }
     val all = (0 until numPartitions).flatMap(segments)
-    require(all.nonEmpty, s"offset log $root has no segments")
+    if (all.isEmpty) {
+      val s = schema.getOrElse(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType))))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
     val paths = (0 until numPartitions).flatMap { p =>
       val lo = from.getOrElse(p, 0L)
       val hi = until.getOrElse(p, Long.MaxValue)
@@ -186,14 +207,17 @@ object OffsetLog {
 
   /** The consume step: everything the group hasn't committed, plus the
     * end offsets to commit AFTER the batch lands (see object doc for
-    * the exactly-once handshake with the sink). */
+    * the exactly-once handshake with the sink). Safe to call before the
+    * first producer append — returns an empty caught-up batch (with
+    * `schema` if supplied), never throws on a segment-less log. */
   def drain(
       spark: SparkSession,
       root: String,
       group: String,
-      numPartitions: Int): (DataFrame, Map[Int, Long]) = {
+      numPartitions: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): (DataFrame, Map[Int, Long]) = {
     val from = committed(spark, root, group)
     val until = endOffsets(spark, root, numPartitions)
-    (readBatch(spark, root, numPartitions, from, until), until)
+    (readBatch(spark, root, numPartitions, from, until, schema), until)
   }
 }

@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions.col
   * Exactly-once anatomy (each step idempotent under replay):
   *   1. `drain` reads the group's uncommitted range [committed, head);
   *   2. the batch lands via [[HiveBatchSink.writeBatch]] under an
-  *      `ingest_batch` id DERIVED FROM THE RANGE END (monotone in the
-  *      log, identical on replay) — a re-landed batch dynamically
-  *      overwrites exactly its own files;
+  *      `ingest_batch` id DERIVED FROM THE COMMITTED *FROM* OFFSETS
+  *      (strictly monotone across committed cycles, and — unlike the
+  *      head — unchanged by producer appends that race the crash
+  *      window) — a re-landed batch dynamically overwrites exactly the
+  *      crashed cycle's files;
   *   3. watermark-closed partitions seal;
   *   4. only then does the group commit the new offsets.
-  * A crash between 2/3 and 4 replays the same range into the same
-  * ingest_batch — table state converges to exactly-once without any
-  * rollback bookkeeping, which is the reference's transaction model
-  * with the WAL replaced by bus offsets. */
+  * A crash between 2/3 and 4 re-drains [from, head') under the SAME
+  * ingest_batch even if the head moved to head' > head while down: the
+  * replay range is a superset of the crashed one, so every partition
+  * the crashed cycle staged is overwritten — table state converges to
+  * exactly-once without any rollback bookkeeping, which is the
+  * reference's transaction model with the WAL replaced by bus offsets.
+  * (Deriving the id from the END offsets instead would mint a NEW id
+  * for the widened range and duplicate the overlap — the bug this
+  * derivation exists to prevent.) */
 object OffsetLogRelay {
 
   final case class RelayStats(drained: Long, received: Long, corrupt: Long, sealedParts: Long)
@@ -38,9 +45,12 @@ object OffsetLogRelay {
       .forall(p => ends.getOrElse(p, 0L) == from.getOrElse(p, 0L))
     if (caughtUp) return RelayStats(0, 0, 0, 0)
     val batch = OffsetLog.readBatch(spark, logRoot, numPartitions, from, ends)
-    // ingest_batch id = Σ end offsets: strictly monotone across cycles
-    // (appends only grow offsets), identical on replay of the same range
-    val batchId = ends.values.sum
+    // ingest_batch id = Σ committed FROM offsets: stable across replay
+    // regardless of head movement (a crashed cycle's re-drain reuses the
+    // id even when a producer append widened the range meanwhile), and
+    // strictly monotone across committed cycles (a cycle only commits
+    // when it drained > 0 rows, so the next cycle's from-sum is larger)
+    val batchId = from.values.sum
     val events = batch.drop("partition", "offset")
     val stats = sink.writeBatch(events, batchId)
     val sealedNow = stats.maxEventTime.map(ts => sink.sealClosed(ts)).getOrElse(Seq.empty)

@@ -100,6 +100,76 @@ object SnapshotStore {
       } catch { case _: java.io.IOException => false }
   }
 
+  /** First token of a lock file's body — the holder's UUID, written at
+    * creation. None if the file vanished or is unreadable. */
+  private def readLockId(f: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      txt.split("\\s+").headOption.filter(_.nonEmpty)
+    } catch { case _: java.io.IOException => None }
+
+  /** Break a stale lock whose observed holder UUID is `observedId`.
+    *
+    * An unconditional delete here reintroduces the race the lock
+    * prevents: two writers both observe the stale lock, A deletes +
+    * re-creates (entering the critical section), then B's delete
+    * removes A's FRESH lock — two concurrent holders. Instead:
+    *
+    *   1. rename the lock to a tombstone named BY THE OBSERVED UUID —
+    *      deterministic, so every breaker of the same stale instance
+    *      targets the same destination and rename is the atomic
+    *      arbiter (losers see source-missing and fall through to the
+    *      normal contention path);
+    *   2. read the tombstone back: if its UUID is NOT the observed one,
+    *      the rename yanked a FRESH lock that replaced the stale one
+    *      between this breaker's stat and rename — restore it and
+    *      report contention instead of acquiring.
+    *
+    * The post-rename verify is race-free (once renamed, no other
+    * process touches the tombstone: its name embeds a UUID only this
+    * observation targeted and step 1 already decided the winner).
+    * Residual window: if the restore in step 2 itself collides with a
+    * third writer creating a new lock, the yanked holder's section is
+    * compromised — that needs three writers interleaving within the
+    * stat→rename gap of a TTL expiry, versus the two-writer
+    * delete-based race this replaces; the failure is logged loudly. */
+  private[graft] def breakStaleLock(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: Path,
+      partDir: String,
+      observedId: Option[String],
+      observedMtime: Long): Unit = {
+    // a lock left by a pre-UUID writer (or truncated by its crash) has
+    // no readable id: key its tombstone by the observed mtime instead —
+    // still deterministic across breakers of the same instance
+    val tomb = new Path(partDir, s"$Lock.broken-${observedId.getOrElse("t" + observedMtime)}")
+    val won =
+      try f.rename(p, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!won) return // another breaker won, or the holder released: retry
+    readLockId(f, tomb) match {
+      case id if id == observedId =>
+        f.delete(tomb, false) // broke the right lock; caller retries create
+      case other =>
+        // a FRESH lock always carries its creator's UUID, so any
+        // mismatch (including observed-None vs fresh-Some) lands here
+        val restored =
+          try f.rename(tomb, p)
+          catch { case _: java.io.IOException => false }
+        if (!restored) {
+          f.delete(tomb, false)
+          System.err.println(
+            s"SnapshotStore: could not restore fresh lock $p (holder ${other.getOrElse("?")}) " +
+              "after a mistaken stale-break rename — that writer's critical section is unprotected")
+        }
+        throw new IllegalStateException(
+          s"concurrent writer holds $p (a fresh lock replaced the stale one mid-break) — retry later")
+    }
+  }
+
   private def acquireLock(f: org.apache.hadoop.fs.FileSystem, partDir: String): Path = {
     val p = new Path(partDir, Lock)
     var attempts = 0
@@ -110,7 +180,9 @@ object SnapshotStore {
         catch { case _: java.io.FileNotFoundException => None }
       st match {
         case Some(s) if System.currentTimeMillis() - s.getModificationTime > LockTtlMs =>
-          f.delete(p, false) // stale (crashed holder): break and retry
+          // stale (crashed holder): break via uuid-verified atomic
+          // rename — see breakStaleLock for why not a plain delete
+          breakStaleLock(f, p, partDir, readLockId(f, p), s.getModificationTime)
         case Some(_) =>
           throw new IllegalStateException(
             s"concurrent writer holds $p — retry after it releases (or after ${LockTtlMs / 60000} min TTL)")

@@ -34,19 +34,31 @@ class OffsetLogRelaySpec extends SparkSpec {
     val s2 = OffsetLogRelay.runOnce(spark, logRoot, "agent", P, sink)
     assert(s2 == OffsetLogRelay.RelayStats(0, 0, 0, 0))
 
-    // producer appends the rest; the relay CRASHES between land and
-    // commit (simulated by landing the drained range without committing)
-    OffsetLog.append(spark, logRoot, events.exceptAll(events.limit(half)), "user_id", P)
+    // producer appends a second tranche; the relay CRASHES between land
+    // and commit (simulated by landing the drained range without
+    // committing). batchId is derived from the committed FROM offsets —
+    // the value the restarted relay will recompute.
+    val tranche2 = (n / 4).toInt
+    val rest = events.exceptAll(events.limit(half)).orderBy("event_id")
+    OffsetLog.append(spark, logRoot, rest.limit(tranche2), "user_id", P)
     val from  = OffsetLog.committed(spark, logRoot, "agent")
     val ends  = OffsetLog.endOffsets(spark, logRoot, P)
     val batch = OffsetLog.readBatch(spark, logRoot, P, from, ends)
       .drop("partition", "offset")
-    sink.writeBatch(batch, ends.values.sum) // landed, NOT committed
-    assert(landed().count() == n) // rows are there...
+    sink.writeBatch(batch, from.values.sum) // landed, NOT committed
+    assert(landed().count() == half + tranche2) // rows are there...
     assert(OffsetLog.committed(spark, logRoot, "agent") == from) // ...but offsets are not
 
-    // restart: the relay re-drains the SAME range into the SAME
-    // ingest_batch — dynamic overwrite makes the replay invisible
+    // the failure mode under test: a producer append lands BETWEEN the
+    // crash and the restart, moving the head — the re-drain covers the
+    // WIDER range [from, newHead) but must reuse the crashed cycle's
+    // ingest_batch id so dynamic overwrite erases the crashed files
+    // (an end-offset-derived id would mint a new one and duplicate the
+    // overlap)
+    OffsetLog.append(spark, logRoot, rest.exceptAll(rest.limit(tranche2)), "user_id", P)
+
+    // restart: one cycle re-drains [from, newHead) into the SAME
+    // ingest_batch — the replay of the crashed overlap is invisible
     val s3 = OffsetLogRelay.runOnce(spark, logRoot, "agent", P, sink)
     assert(s3.drained == n - half)
     assert(landed().count() == n, "replay must not duplicate rows")

@@ -38,6 +38,23 @@ class OffsetLogSpec extends SparkSpec {
     kparts.foreach(r => assert(r.getAs[Long]("np") == 1L))
   }
 
+  test("a consumer started before the first producer append sees an empty caught-up batch, not a crash") {
+    val root = tmp()
+    // no segments at all: drain must return an empty frame (schema from
+    // the caller when supplied), never throw
+    val (d0, ends0) = OffsetLog.drain(spark, root, "early", P)
+    assert(d0.count() == 0 && ends0.values.forall(_ == 0L))
+    val s = batch(0 until 1).schema
+    val (d1, _) = OffsetLog.drain(spark, root, "early", P, Some(s))
+    assert(d1.count() == 0 && d1.schema == s)
+    // the producer shows up later; the same group then drains normally
+    OffsetLog.append(spark, root, batch(0 until 10), "k", P)
+    val (d2, ends2) = OffsetLog.drain(spark, root, "early", P)
+    assert(d2.count() == 10)
+    OffsetLog.commit(spark, root, "early", ends2)
+    assert(OffsetLog.drain(spark, root, "early", P)._1.count() == 0)
+  }
+
   test("drain → commit → drain consumes each record exactly once; uncommitted ranges replay") {
     val root = tmp()
     OffsetLog.append(spark, root, batch(0 until 40), "k", P)

@@ -160,6 +160,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!lock.exists(), "the broken lock must not linger after release")
   }
 
+  test("breaking a stale lock that was replaced by a FRESH one mid-break restores it and reports contention") {
+    // the two-writer race the uuid-verified break closes: A observed the
+    // stale lock, but before A's rename, B broke it and created a fresh
+    // uuid-bearing lock. A's rename then yanks B's lock — the verify
+    // step must detect the uuid mismatch, put B's lock back, and throw,
+    // instead of letting A acquire alongside B.
+    val part = tmp()
+    val lock = new java.io.File(part, "_WRITER_LOCK")
+    val freshBody = java.util.UUID.randomUUID().toString + " " + System.currentTimeMillis()
+    java.nio.file.Files.write(lock.toPath, freshBody.getBytes("UTF-8"))
+    val f = new org.apache.hadoop.fs.Path(part)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException](
+      SnapshotStore.breakStaleLock(
+        f, new org.apache.hadoop.fs.Path(part, "_WRITER_LOCK"), part,
+        observedId = Some("stale-uuid-that-was-already-broken"), observedMtime = 0L))
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(lock.exists(), "the fresh lock must be restored after a mistaken break")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8") == freshBody,
+      "the restored lock must be the fresh holder's, byte-for-byte")
+    assert(!new java.io.File(part).listFiles().exists(_.getName.contains("broken")),
+      "no tombstone may linger")
+  }
+
   test("a crash between snapshot write and pointer swap leaves the previous snapshot live; vacuum reclaims the orphan") {
     val part = tmp()
     val src  = t.events.limit(100)
