@@ -315,6 +315,10 @@ object SparkEntry {
     "q53_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "q51_ann_bruteforce" -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "q52_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
+    "q267_ann_filtered" -> ((s, d) =>
+      Similarity.annFiltered(Tables(s, d).embeddings, org.apache.spark.sql.functions.col("label") % 2 === 1)),
+    "q268_ann_filtered_recall" -> ((s, d) =>
+      Similarity.annFilteredRecall(Tables(s, d).embeddings, org.apache.spark.sql.functions.col("label") % 2 === 1)),
     "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
     "q61_frame_extract" -> ((s, d) => Multimodal.frameExtract(s, Tables(s, d).documents).toDF()),
     "q62_feature_extract" -> ((s, d) => {
@@ -2662,6 +2666,14 @@ object SparkEntry {
     "q51_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
         | c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+        | s AS (SELECT qid, cid,
+        |   list_sum(list_transform(list_zip(qe,ce), z -> CAST(z[1] AS DOUBLE)*z[2])) AS cos
+        |   FROM q, c),
+        | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
+        |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q267_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        | c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3 AND label % 2 = 1),
         | s AS (SELECT qid, cid,
         |   list_sum(list_transform(list_zip(qe,ce), z -> CAST(z[1] AS DOUBLE)*z[2])) AS cos
         |   FROM q, c),

@@ -25,6 +25,51 @@ class SimilaritySpec extends SparkSpec {
     assert(top.sameElements(Array(10L)))
   }
 
+  test("q267 filtered ANN: predicate constrains the candidate set, ranking stays exact") {
+    // label=1 candidates are {10, 11, 12}; near-dup 10 must rank first
+    val top = Similarity.annFiltered(fixtureVecs, col("label") === 1, numQueries = 3, k = 3)
+      .filter(col("qid") === 0)
+      .select("cid").as[Long].collect()
+    assert(top.head == 10L, s"near-dup must rank first among filtered candidates, got ${top.toSeq}")
+    assert(top.toSet == Set(10L, 11L, 12L))
+    // a predicate no candidate satisfies returns empty, not garbage
+    assert(Similarity.annFiltered(fixtureVecs, col("label") === 0, numQueries = 3).count() == 0,
+      "label=0 rows are all queries (vec_id < 3) — the filtered candidate set is empty")
+  }
+
+  test("q267 filter-then-rank ≡ rank-over-subset (pre-filter is exact)") {
+    val vecs = plantedVecs(nBase = 100, nQueries = 5, dim = 16)
+    val pred = col("label") === 2
+    val filtered = Similarity.annFiltered(vecs, pred, numQueries = 5, k = 3).collect()
+    val subset = vecs.filter(col("vec_id") < 5 || pred)
+    val brute = Similarity.annBruteForce(subset, numQueries = 5, k = 3).collect()
+    assert(filtered.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
+  }
+
+  test("q268 filtered IVF: probe widening keeps recall on a selective filter") {
+    val vecs = plantedVecs(nBase = 300, nQueries = 10, dim = 64)
+    // planted dups only: 10 of 320 candidates (~3% selective) — the
+    // widened probe count clamps to all cells, degrading to filtered
+    // brute force, so every planted neighbor must be found
+    val got = Similarity.annFilteredIvf(vecs, col("label") === 2, numQueries = 10, k = 3, nCells = 8)
+      .filter(col("rk") === 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    (0 until 10).foreach { q =>
+      assert(got.get(q.toLong).contains(10000L + q), s"query $q must retrieve its planted dup, got ${got.get(q.toLong)}")
+    }
+  }
+
+  test("q268 recall report: per-query rows expose sub-k starvation instead of averaging it away") {
+    val rep = Similarity.annFilteredRecall(t.embeddings, col("label") % 2 === 1)
+      .collect()
+    assert(rep.length == 3)
+    rep.foreach { r =>
+      val n = r.getAs[Long]("n_returned")
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(n >= 0 && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q52 LSH finds the near-duplicate for the query (high-sim recall)") {
     val top = Similarity.annLsh(fixtureVecs, numQueries = 3, k = 2, numBands = 2, planesPerBand = 1, dim = 8)
       .filter(col("qid") === 0)
