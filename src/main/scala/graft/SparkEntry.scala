@@ -502,6 +502,7 @@ object SparkEntry {
     "q259_spc_chart" -> ((s, d) => StatTests.spcChart(Tables(s, d).orders)),
     "q260_partition_completeness" -> ((s, d) => EventAnalytics.partitionCompleteness(Tables(s, d).events)),
     "q261_lsh_quality" -> ((s, d) => Dedup.lshQualityReport(Tables(s, d).documents)),
+    "q269_mor_read" -> ((s, d) => ChangeLog.morCurrentOrders(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2679,6 +2680,29 @@ object SparkEntry {
         |   FROM q, c),
         | r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM s)
         |SELECT qid, cid, rk, floor((cos)*10000 + 0.5)/10000 AS cosine FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q269_mor_read" ->
+      """WITH b0 AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM b0 WHERE rn = 1),
+        |l0 AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC,
+        |               (o_orderstatus <> 'F') DESC) AS rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |w AS (SELECT * FROM l0 WHERE rn = 1),
+        |merged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w WHERE op <> 'delete'
+        |  UNION ALL
+        |  SELECT b.o_custkey, b.o_orderkey, b.o_orderdate, b.o_totalprice FROM b
+        |  WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.o_custkey = b.o_custkey))
+        |SELECT o_custkey, o_orderkey AS cur_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+        |  o_totalprice AS cur_price
+        |FROM merged ORDER BY o_custkey""".stripMargin,
     "q142_concentration" ->
       """WITH rev AS (
         |  SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS rev
