@@ -503,6 +503,8 @@ object SparkEntry {
     "q260_partition_completeness" -> ((s, d) => EventAnalytics.partitionCompleteness(Tables(s, d).events)),
     "q261_lsh_quality" -> ((s, d) => Dedup.lshQualityReport(Tables(s, d).documents)),
     "q269_mor_read" -> ((s, d) => ChangeLog.morCurrentOrders(Tables(s, d).orders)),
+    "q270_hybrid_search" -> ((s, d) =>
+      Similarity.hybridSearch(Tables(s, d).documents, Tables(s, d).embeddings)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2703,6 +2705,45 @@ object SparkEntry {
         |  strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
         |  o_totalprice AS cur_price
         |FROM merged ORDER BY o_custkey""".stripMargin,
+    "q270_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |    LATERAL unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM toks WHERE doc_id < 3),
+        |ct AS (SELECT doc_id, tok FROM toks WHERE doc_id >= 3),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM ct GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ct
+        |       WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.qid, tf.doc_id AS cid,
+        |    floor(sum(ln((st.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) * tf.tf * 2.2
+        |      / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl)))*10000 + 0.5)/10000 AS s_lex
+        |  FROM tf JOIN qt ON tf.tok = qt.tok JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT qid, cid, rk_lex FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s_lex DESC, cid) AS rk_lex FROM ls)
+        |  WHERE rk_lex <= 10),
+        |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |cv AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+        |vs AS (SELECT qid, cid,
+        |  list_sum(list_transform(list_zip(qe,ce), z -> CAST(z[1] AS DOUBLE)*z[2])) AS cos FROM qv, cv),
+        |vec AS (SELECT qid, cid, rk_vec FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk_vec FROM vs)
+        |  WHERE rk_vec <= 10),
+        |fused AS (
+        |  SELECT coalesce(lex.qid, vec.qid) AS qid, coalesce(lex.cid, vec.cid) AS cid,
+        |    lex.rk_lex, vec.rk_vec,
+        |    coalesce(1.0/(60 + lex.rk_lex), 0) + coalesce(1.0/(60 + vec.rk_vec), 0) AS rrf
+        |  FROM lex FULL OUTER JOIN vec ON lex.qid = vec.qid AND lex.cid = vec.cid),
+        |r AS (SELECT qid, cid, rk_lex, rk_vec, rrf,
+        |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rk FROM fused)
+        |SELECT qid, rk, cid, coalesce(rk_lex, 0) AS rk_lex, coalesce(rk_vec, 0) AS rk_vec,
+        |  floor(rrf*10000 + 0.5)/10000 AS rrf_score
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q142_concentration" ->
       """WITH rev AS (
         |  SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS rev

@@ -1293,6 +1293,92 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q270: hybrid retrieval — BM25 lexical leg ⊕ cosine vector leg,
+    * RRF-fused (the production two-tower search stack: q203's scoring
+    * with the QUERY DOC's own vocabulary as the term set, q51's exact
+    * vector ranking, q163's calibration-free fusion). Query docs are
+    * doc_id < numQueries; candidates join across documents ⋈ embeddings
+    * on doc_id = vec_id.
+    *
+    * Scale shape: the candidate token explode (the expensive pass) is
+    * pruned by a LEFT SEMI join against the broadcast query vocabulary
+    * BEFORE its groupBy shuffle — the wire carries only matched-term
+    * counts, not the corpus token stream; both leg rankings window on
+    * the same qid partitioning; the vector leg broadcasts the
+    * numQueries-row query table. Fusion joins two m·numQueries-row leg
+    * frames — result-sized, never corpus-sized.
+    *
+    * Lexical ranks order on the ROUNDED score (q203's oracle-portable
+    * precedent: BM25's ln/÷ arithmetic may differ from another engine by
+    * an ulp; 4-decimal rounding before the window makes rank ties break
+    * identically everywhere). */
+  def hybridSearch(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      m: Int = 10,
+      k: Int = 5,
+      k0: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // --- lexical leg: BM25 of each candidate against each query's vocab
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val qtoks = toks.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+    val vocab = qtoks.select("tok").distinct()
+    val ctoks = toks.filter(col("doc_id") >= numQueries)
+    val dl = ctoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = ctoks
+      .join(broadcast(vocab), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lexScore = tf
+      .join(broadcast(qtoks), Seq("tok"))
+      .join(broadcast(df), Seq("tok"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("doc_id").as("cid"))
+      .agg(round(sum(col("score")), 4).as("s_lex"))
+    val wl = Window.partitionBy("qid").orderBy(desc("s_lex"), asc("cid"))
+    val lex = lexScore
+      .withColumn("rk_lex", row_number().over(wl).cast("long"))
+      .filter(col("rk_lex") <= m)
+      .select("qid", "cid", "rk_lex")
+    // --- vector leg: exact cosine, queries broadcast
+    val qv = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cv = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wv = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val vec = cv.crossJoin(broadcast(qv))
+      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("rk_vec", row_number().over(wv).cast("long"))
+      .filter(col("rk_vec") <= m)
+      .select("qid", "cid", "rk_vec")
+    // --- RRF fusion over the union of the two top-m lists
+    val wf = Window.partitionBy("qid").orderBy(desc("rrf"), asc("cid"))
+    lex.join(vec, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf",
+        when(col("rk_lex").isNotNull, lit(1.0) / (lit(k0) + col("rk_lex"))).otherwise(lit(0.0)) +
+          when(col("rk_vec").isNotNull, lit(1.0) / (lit(k0) + col("rk_vec"))).otherwise(lit(0.0)))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+      .select(
+        col("qid"), col("rk"), col("cid"),
+        coalesce(col("rk_lex"), lit(0L)).as("rk_lex"),
+        coalesce(col("rk_vec"), lit(0L)).as("rk_vec"),
+        round(col("rrf"), 4).as("rrf_score"))
+      .orderBy("qid", "rk")
+  }
+
   /** q268's registered face: recall@k of filtered-IVF against filtered
     * exact, plus survivor counts — the starvation audit. One row per
     * query so a sub-k result is visible, not averaged away. */

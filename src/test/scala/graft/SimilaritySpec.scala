@@ -70,6 +70,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q270 hybrid search: both-legs candidate outranks single-leg champions") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (3L, "alpha beta gamma alpha beta gamma", "en", "s", 33L), // lexical champion, orthogonal vector
+      (4L, "delta epsilon zeta", "en", "s", 18L),                // vector champion, zero lexical overlap
+      (5L, "alpha beta eta", "en", "s", 14L),                    // decent in BOTH legs
+      (6L, "theta iota kappa", "en", "s", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 0f, 1f), 0),
+      (4L, Array(0.99f, 0.14f, 0f, 0f), 0),
+      (5L, Array(0.9f, 0.43f, 0f, 0f), 0),
+      (6L, Array(0f, 0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hybridSearch(docs, vecs, numQueries = 1, m = 2, k = 4)
+      .filter(col("qid") === 0).collect()
+    val first = got.head
+    assert(first.getAs[Long]("cid") == 5L,
+      s"rank-2-in-both (doc 5) must fuse above either single-leg champion, got ${got.toSeq}")
+    assert(first.getAs[Long]("rk_lex") == 2L && first.getAs[Long]("rk_vec") == 2L)
+    // single-leg docs still appear, with the missing leg's rank reported as 0
+    val byCid = got.map(r => r.getAs[Long]("cid") -> r).toMap
+    assert(byCid(3L).getAs[Long]("rk_lex") == 1L && byCid(3L).getAs[Long]("rk_vec") == 0L)
+    assert(byCid(4L).getAs[Long]("rk_vec") == 1L && byCid(4L).getAs[Long]("rk_lex") == 0L)
+  }
+
+  test("q270 both-legs-top-1 dominance: a candidate first in both legs is fused first") {
+    val got = Similarity.hybridSearch(t.documents, t.embeddings).collect()
+    assert(got.length == 15, s"3 queries x top-5, got ${got.length}")
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      val doubleTop = sorted.find(r => r.getAs[Long]("rk_lex") == 1L && r.getAs[Long]("rk_vec") == 1L)
+      doubleTop.foreach(r => assert(r.getAs[Long]("rk") == 1L, "1+1 candidate must fuse to rank 1"))
+      // rrf is non-increasing in rank
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q52 LSH finds the near-duplicate for the query (high-sim recall)") {
     val top = Similarity.annLsh(fixtureVecs, numQueries = 3, k = 2, numBands = 2, planesPerBand = 1, dim = 8)
       .filter(col("qid") === 0)
