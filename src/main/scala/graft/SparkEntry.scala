@@ -505,6 +505,8 @@ object SparkEntry {
     "q269_mor_read" -> ((s, d) => ChangeLog.morCurrentOrders(Tables(s, d).orders)),
     "q270_hybrid_search" -> ((s, d) =>
       Similarity.hybridSearch(Tables(s, d).documents, Tables(s, d).embeddings)),
+    "q271_er_report" -> ((s, d) => EntityResolution.linkageReport(Tables(s, d).part)),
+    "q272_er_golden" -> ((s, d) => EntityResolution.goldenRecords(Tables(s, d).part)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2744,6 +2746,21 @@ object SparkEntry {
         |SELECT qid, rk, cid, coalesce(rk_lex, 0) AS rk_lex, coalesce(rk_vec, 0) AS rk_vec,
         |  floor(rrf*10000 + 0.5)/10000 AS rrf_score
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q271_er_report" ->
+      """WITH r AS (SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part),
+        |bc AS (SELECT p_name, count(*) AS blk_n FROM r GROUP BY 1),
+        |b AS (SELECT r.*, CASE WHEN bc.blk_n > 64 THEN r.p_name || '|' || r.p_brand ELSE r.p_name END AS blk
+        |      FROM r JOIN bc USING (p_name)),
+        |p AS (
+        |  SELECT a.p_name, a.blk,
+        |    (CASE WHEN a.p_type = b2.p_type THEN 5 ELSE 0 END
+        |     + CASE WHEN abs(a.p_size - b2.p_size) <= 1 THEN 3 ELSE 0 END
+        |     + CASE WHEN abs(a.p_retailprice - b2.p_retailprice) <= 50.0 THEN 2 ELSE 0 END) AS points
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_partkey < b2.p_partkey)
+        |SELECT p_name, count(DISTINCT blk) AS n_blocks, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN points >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  floor((sum(CASE WHEN points >= 7 THEN 1 ELSE 0 END)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 AS match_rate
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q142_concentration" ->
       """WITH rev AS (
         |  SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS rev
