@@ -507,6 +507,7 @@ object SparkEntry {
       Similarity.hybridSearch(Tables(s, d).documents, Tables(s, d).embeddings)),
     "q271_er_report" -> ((s, d) => EntityResolution.linkageReport(Tables(s, d).part)),
     "q272_er_golden" -> ((s, d) => EntityResolution.goldenRecords(Tables(s, d).part)),
+    "q273_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(

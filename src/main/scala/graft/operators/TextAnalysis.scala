@@ -838,6 +838,72 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** q273: BPE vocabulary TRAINING — the full merge loop whose single
+    * inner step q141 measures. Byte-pair encoding induction is
+    * inherently sequential (merge k+1's counts depend on merge k's
+    * rewrite), so the Spark shape is the distributed dual of the
+    * classic trainer: the corpus collapses ONCE to the weighted
+    * word-frequency table (vocab-sized — 100 TB of text becomes a
+    * few-million-row table before any per-character work), each word
+    * exploded to a symbol array; then [[BoundedIteration.fixpoint]]
+    * runs `numMerges` rounds of
+    *
+    *   1. adjacent-pair counts over the vocab table (one vocab-sized
+    *      shuffle with map-side combine — pairs carry the word's corpus
+    *      frequency as weight),
+    *   2. a 1-row ordered `limit(1)` picking the next merge
+    *      (weighted count desc, then pair asc — the deterministic
+    *      tie-break a reproducible tokenizer needs),
+    *   3. a left-to-right greedy rewrite of every symbol array (the
+    *      standard non-overlapping merge semantics), checkpointed so
+    *      round k+1 plans O(1)-deep.
+    *
+    * Per-round cost is vocab-proportional and independent of corpus
+    * bytes — the property that makes BPE trainable at all at scale.
+    * Stops early when no pair remains (every word fully merged).
+    * Returns the learned merge table: (rank, left, right, merged,
+    * weighted_count) — the artifact a tokenizer ships. */
+  def bpeTrain(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val init = documents
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    BoundedIteration.fixpoint(init, numMerges, converged = (_, _, _) => exhausted) { (words, round) =>
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          expr("transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) { exhausted = true; words }
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round + 1L, l, r, l + r, n))
+        // left-to-right greedy non-overlapping rewrite — the standard
+        // BPE merge semantics ("aaa" under a+a → "aa","a", not 2 merges)
+        val mergeUdf = udf { (syms: Seq[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        words.select(mergeUdf(col("syms")).as("syms"), col("freq"))
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "weighted_count")
+      .orderBy("rank")
+  }
+
   /** q117: Zipf rank–frequency slope per language — the corpus-health
     * diagnostic (natural text has log-freq ≈ a − s·log-rank with
     * s ≈ 1; machine-generated or degenerate corpora drift): per-lang
