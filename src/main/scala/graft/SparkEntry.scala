@@ -508,6 +508,30 @@ object SparkEntry {
     "q271_er_report" -> ((s, d) => EntityResolution.linkageReport(Tables(s, d).part)),
     "q272_er_golden" -> ((s, d) => EntityResolution.goldenRecords(Tables(s, d).part)),
     "q273_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(Tables(s, d).documents)),
+    "q274_local_volume" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.localSupplierVolume(
+        t.lineitem, t.orders, t.customer, t.supplier, t.nation, t.region)
+    }),
+    "q275_product_profit" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.productTypeProfit(t.lineitem, t.orders, t.supplier, t.part, t.nation)
+    }),
+    "q276_supplier_parts" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.supplierPartBuckets(t.lineitem, t.part, t.supplier)
+    }),
+    "q277_small_qty_revenue" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.smallQuantityRevenue(t.lineitem, t.part)
+    }),
+    "q278_excess_stock" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.excessStockSuppliers(t.lineitem, t.part, t.supplier, t.nation)
+    }),
+    "q279_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables(s, d).documents)),
+    "q280_neardup_keep_best" -> ((s, d) => Dedup.nearDupKeepBest(Tables(s, d).documents)),
+    "q281_holt_forecast" -> ((s, d) => StatTests.holtForecast(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3434,5 +3458,96 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
         | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q281_holt_forecast" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |daily AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
+        |rec AS (
+        |  SELECT rn, day, rev, rev AS lvl, CAST(0.0 AS DOUBLE) AS trd, rev AS fc
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.rev,
+        |    0.25*d.rev + (1.0 - 0.25)*(r.lvl + r.trd),
+        |    0.125*((0.25*d.rev + (1.0 - 0.25)*(r.lvl + r.trd)) - r.lvl)
+        |      + (1.0 - 0.125)*r.trd,
+        |    r.lvl + r.trd
+        |  FROM rec r JOIN daily d ON d.rn = r.rn + 1)
+        |SELECT day, rev,
+        |  floor(lvl*10000 + 0.5)/10000 AS level,
+        |  floor(trd*10000 + 0.5)/10000 AS trend,
+        |  floor(fc*10000 + 0.5)/10000 AS forecast,
+        |  floor((rev - fc)*10000 + 0.5)/10000 AS err
+        |FROM rec ORDER BY day""".stripMargin,
+    "q274_local_volume" ->
+      """WITH rn AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |SELECT rn.n_name, count(*) AS n_lines,
+        |  floor(sum(l.l_extendedprice * (1.0 - l.l_discount))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN rn ON s.s_nationkey = rn.n_nationkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = s.s_nationkey
+        |GROUP BY rn.n_name ORDER BY revenue DESC, rn.n_name""".stripMargin,
+    "q275_product_profit" ->
+      """SELECT n.n_name AS supp_nation,
+        |  CAST(date_part('year', o.o_orderdate) AS INT) AS order_year,
+        |  floor(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |            - 0.5 * p.p_retailprice * l.l_quantity)*10000 + 0.5)/10000 AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY supp_nation, order_year DESC""".stripMargin,
+    "q276_supplier_parts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |    AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29))
+        |SELECT k.p_brand, k.p_type, k.p_size,
+        |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN kept k ON ps.l_partkey = k.p_partkey
+        |WHERE ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q277_small_qty_revenue" ->
+      """WITH slice AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#1'),
+        |cut AS (
+        |  SELECT l_partkey, floor(avg(l_quantity)*0.5*10000 + 0.5)/10000 AS qty_cut
+        |  FROM slice GROUP BY 1)
+        |SELECT floor(sum(s.l_extendedprice)/7.0*10000 + 0.5)/10000 AS avg_yearly
+        |FROM slice s JOIN cut c ON s.l_partkey = c.l_partkey
+        |WHERE s.l_quantity < c.qty_cut""".stripMargin,
+    "q278_excess_stock" ->
+      """WITH slice AS (
+        |  SELECT l.l_partkey, l.l_suppkey, l.l_quantity,
+        |    CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |    THEN l.l_quantity ELSE 0.0 END AS year_qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'small%'),
+        |g AS (SELECT sum(year_qty)/sum(l_quantity) AS gs FROM slice),
+        |q AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS n_lines,
+        |    sum(l_quantity) AS life_qty, sum(year_qty) AS yr_qty
+        |  FROM slice GROUP BY 1, 2)
+        |SELECT s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM q, g
+        |  WHERE n_lines >= 3 AND yr_qty > life_qty * gs * 2.0)
+        |ORDER BY s.s_name""".stripMargin,
   )
 }

@@ -287,6 +287,36 @@ object Dedup {
       .withColumnRenamed("node_id", "doc_id")
       .orderBy("cluster_id", "doc_id")
 
+  /** q280: near-dup cluster resolution with QUALITY survivorship — the
+    * curation deliverable q47 stops short of: q47 elects the MIN-ID doc
+    * per cluster (arbitrary), but a pretraining pipeline keeps the
+    * BEST-QUALITY copy (q131's election, extended from exact-dup groups
+    * to LSH-verified NEAR-dup clusters) and ships the rest as a removal
+    * manifest. Election is one cluster-grain `max_by(struct(quality,
+    * −doc_id))` aggregate over the cluster table (result-sized — only
+    * docs with near-dup edges, ~never the corpus), joined back on the
+    * cluster key; quality is the q31 map-side scorer, LEFT-joined so a
+    * token-free doc scores 0 rather than vanishing from its cluster. */
+  def nearDupKeepBest(documents: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val clusters = nearDupClusters(documents, maxRounds).select("doc_id", "cluster_id")
+    val scored = clusters
+      .join(TextAnalysis.qualityScore(documents).select(col("doc_id"), col("quality")),
+        Seq("doc_id"), "left")
+      .withColumn("quality", coalesce(col("quality"), lit(0.0)))
+    val elected = scored
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg_id")).cast("long").as("best_doc"))
+    scored
+      .join(elected, "cluster_id")
+      .select(col("cluster_id"), col("cluster_size"), col("doc_id"), col("quality"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** q67: winnowing fingerprints (the MOSS rolling-hash scheme) — the
     * plagiarism-detector's document fingerprint. Each k-token shingle
     * hashes to a 32-bit value (md5-prefix — engine-portable); a sliding

@@ -277,6 +277,50 @@ object StatTests {
         round(col("ci_hi"), 4).as("ci_hi"))
   }
 
+  /** q281: Holt linear-trend smoothing (double exponential smoothing)
+    * of daily revenue, with the one-step-ahead forecast and its error —
+    * the trend-aware upgrade of q187's level-only EWMA and the model
+    * q243's seasonal-naive backtest is usually compared against.
+    * Recurrence (standard Holt): ℓₜ = α·yₜ + (1−α)(ℓₜ₋₁+bₜ₋₁),
+    * bₜ = β(ℓₜ−ℓₜ₋₁) + (1−β)bₜ₋₁, forecast fₜ = ℓₜ₋₁+bₜ₋₁; init
+    * ℓ₁ = y₁, b₁ = 0, f₁ = y₁.
+    *
+    * Scale shape: the day table is CALENDAR-bounded (a century is
+    * ~36.5k rows at any corpus size), so after the one fact-proportional
+    * daily aggregate the coupled recurrence runs driver-side — the
+    * q119/q191 bounded-driver-math discipline; the two recurrences are
+    * NOT window-expressible and their closed form (2×2 matrix powers)
+    * is float-divergent across engines, while the sequential form is
+    * bit-reproducible: α and β are exact binary fractions (0.25, 0.125)
+    * so `1−α` is exactly representable and the DuckDB recursive-CTE
+    * oracle replays the identical IEEE operation sequence. Daily revenue
+    * is 4-decimal-rounded BEFORE the recurrence (summation-order
+    * discipline); state stays unrounded, outputs round. */
+  def holtForecast(orders: DataFrame, alpha: Double = 0.25, beta: Double = 0.125): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .orderBy("d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"))
+      .as[(String, Double)].collect()
+    var l = 0.0
+    var b = 0.0
+    val rows = daily.zipWithIndex.map { case ((day, y), i) =>
+      val fc = if (i == 0) y else l + b
+      if (i == 0) { l = y; b = 0.0 }
+      else {
+        val lNew = alpha * y + (1.0 - alpha) * (l + b)
+        val bNew = beta * (lNew - l) + (1.0 - beta) * b
+        l = lNew; b = bNew
+      }
+      (day, y, r4(l), r4(b), r4(fc), r4(y - fc))
+    }
+    rows.toSeq.toDF("day", "rev", "level", "trend", "forecast", "err").orderBy("day")
+  }
+
   /** q187: exponentially weighted moving average of daily revenue
     * (α = 0.1), the smoothing dual of q136's flat moving average. The
     * recurrence sₜ = αxₜ + (1−α)sₜ₋₁ unrolls to a closed-form weighted

@@ -904,6 +904,61 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** q279: BPE corpus ENCODING with the q273-trained vocabulary — the
+    * apply half of the tokenizer loop (train → encode → per-source
+    * fertility/compression report, the numbers a data-mixture owner
+    * reads before spending a training run).
+    *
+    * Encode replays the merge list in RANK order, each merge as the
+    * same greedy left-to-right non-overlapping rewrite the trainer
+    * used, so a training word round-trips to exactly its trained
+    * segmentation. Scale shape: the merge list is numMerges rows
+    * (driver-held, closed over by the JIT encode kernel); each DISTINCT
+    * word is encoded ONCE over the vocab-sized distinct-word table,
+    * then the per-(doc, word) count table joins that vocab on the word
+    * key — corpus bytes are never re-tokenized per occurrence, and the
+    * expensive per-word loop runs Θ(vocab), not Θ(corpus tokens). The
+    * report is a source-cardinality aggregate. */
+  def bpeEncode(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val mergeList = bpeTrain(documents, numMerges)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val encodeUdf = udf { (w: String) =>
+      var syms: Array[String] = w.split("")
+      mergeList.foreach { case (l, r) =>
+        if (syms.length >= 2) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+      }
+      syms.length
+    }
+    val words = documents
+      .select(col("doc_id"), col("source"), explode(tokens(lower(col("text")))).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("n_sub", encodeUdf(col("w")))
+    words
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .join(vocab, "w")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_bpe_tokens"),
+        sum(col("n") * length(col("w"))).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4).as("chars_per_token"))
+      .orderBy("source")
+  }
+
   /** q117: Zipf rank–frequency slope per language — the corpus-health
     * diagnostic (natural text has log-freq ≈ a − s·log-rank with
     * s ≈ 1; machine-generated or degenerate corpora drift): per-lang

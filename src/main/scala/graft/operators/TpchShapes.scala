@@ -273,4 +273,193 @@ object TpchShapes {
         round(col("value") / col("nation_total") * 100, 4).as("share_pct"))
       .orderBy(col("n_name"), col("value").desc, col("l_partkey"))
   }
+
+  /** q274: local-supplier volume (TPC-H Q5): revenue per nation from
+    * orders where the CUSTOMER and the SUPPLIER sit in the same nation
+    * of one region, within one order year. Plan shape: the region's
+    * nations broadcast; customer and supplier each resolve their nation
+    * through that broadcast BEFORE the fact joins; the date filter
+    * prunes orders at the scan; lineitem⋈orders on the order key is the
+    * only data-sized exchange — the locality condition
+    * (c_nationkey = s_nationkey) is checked as a cheap post-join filter
+    * on two already-attached ints, never as a second fact shuffle. */
+  def localSupplierVolume(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String = "ASIA",
+      yearStart: String = "1997-01-01",
+      yearEnd: String = "1998-01-01"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val suppNation = supplier
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nk"), col("n_name"))
+    val custNation = customer
+      .join(broadcast(regionNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nk"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(yearStart) && col("o_orderdate") < lit(yearEnd))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nk") === col("cust_nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("volume")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q275: product-type profit (TPC-H Q9): profit per supplier nation
+    * and order year over parts matching a name fragment. This schema
+    * carries no partsupp/supplycost table, so cost is proxied as
+    * `costFactor × p_retailprice × l_quantity` — the PLAN is the point:
+    * the name filter prunes part BEFORE its broadcast, supplier⋈nation
+    * broadcasts, and the only big exchange is lineitem⋈orders (orders
+    * contributes just the year). */
+  def productTypeProfit(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      part: DataFrame,
+      nation: DataFrame,
+      nameFragment: String = "red",
+      costFactor: Double = 0.5): DataFrame = {
+    val parts = part
+      .filter(col("p_name").contains(nameFragment))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - lit(costFactor) * col("p_retailprice") * col("l_quantity")), 4).as("profit"))
+      .orderBy(col("supp_nation"), col("order_year").desc)
+  }
+
+  /** q276: supplier-count by part bucket (TPC-H Q16): how many DISTINCT
+    * suppliers ship each (brand, type, size) bucket, excluding one
+    * brand, one type, and "complaint" suppliers (negative account
+    * balance stands in for Q16's complaint scan). The supplier–part
+    * relationship is derived as `SELECT DISTINCT l_partkey, l_suppkey`
+    * from the fact table (this schema has no partsupp): that distinct
+    * collapses the fact to catalog grain FIRST, so the part join and
+    * the count-distinct run on catalog-sized input. The excluded
+    * suppliers arrive as a broadcast ANTI join — never a NOT IN scan. */
+  def supplierPartBuckets(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      excludeBrand: String = "Brand#5",
+      excludeType: String = "PROMO",
+      sizes: Seq[Int] = Seq(1, 5, 9, 13, 17, 21, 25, 29)): DataFrame = {
+    val partSupp = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val keptParts = part
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isInCollection(sizes))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complainers = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    partSupp
+      .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(keptParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q277: small-quantity revenue (TPC-H Q17): average yearly revenue
+    * lost if orders below a per-part quantity threshold (a fraction of
+    * that part's OWN average quantity) were no longer taken, for one
+    * brand. The correlated per-part average is ONE part-grain aggregate
+    * over the brand-pruned fact slice, broadcast back onto the same
+    * slice — the fact table is scanned once per side but never
+    * self-joined at row grain. The threshold compares against the
+    * 4-decimal portable round of `frac × avg`, so the cut is
+    * reproducible across engines regardless of summation order
+    * (quantities are integer-valued, so the avg itself is exact). */
+  def smallQuantityRevenue(
+      lineitem: DataFrame,
+      part: DataFrame,
+      brand: String = "Brand#1",
+      frac: Double = 0.5,
+      years: Double = 7.0): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === brand).select(col("p_partkey"))
+    val slice = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPartAvg = slice
+      .groupBy(col("l_partkey"))
+      .agg(round(avg(col("l_quantity")) * frac, 4).as("qty_cut"))
+      .withColumnRenamed("l_partkey", "t_partkey")
+    slice
+      .join(broadcast(perPartAvg), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(round(sum(col("l_extendedprice")) / years, 4).as("avg_yearly"))
+  }
+
+  /** q278: excess-stock suppliers (TPC-H Q20): suppliers whose shipments
+    * of name-matched parts CONCENTRATE in one year — the pair's in-year
+    * quantity share exceeds `factor ×` the corpus-wide year share
+    * (availqty is proxied by lifetime volume — no partsupp table). The
+    * threshold is RELATIVE to the global share (the q180 scale-free
+    * discipline: a fixed share like TPC-H's 50% goes vacuous as sf
+    * grows and each pair's share concentrates to the uniform year
+    * fraction). Both grains come out of ONE scan of the name-pruned
+    * slice via conditional aggregation (sum + sum-if), so there is no
+    * two-aggregate self-join; the global share is the 1-row broadcast
+    * scalar idiom; sparse pairs (< `minLines` shipments) can't qualify
+    * by luck; qualifying pairs collapse to supplier keys and SEMI-join
+    * the supplier dim. Quantities are integer-valued so every sum is
+    * exact and the threshold compares deterministically across
+    * engines. */
+  def excessStockSuppliers(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      namePrefix: String = "small",
+      yearStart: String = "1997-01-01",
+      yearEnd: String = "1998-01-01",
+      factor: Double = 2.0,
+      minLines: Int = 3): DataFrame = {
+    val namedParts = part.filter(col("p_name").startsWith(namePrefix)).select(col("p_partkey"))
+    val inYear = col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd)
+    val slice = lineitem
+      .join(broadcast(namedParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        when(inYear, col("l_quantity")).otherwise(0.0).as("year_qty"))
+    val globalShare = slice.agg(
+      (sum(col("year_qty")) / sum(col("l_quantity"))).as("global_share"))
+    val qualifying = slice
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("life_qty"),
+        sum(col("year_qty")).as("yr_qty"))
+      .crossJoin(broadcast(globalShare))
+      .filter(col("n_lines") >= minLines &&
+        col("yr_qty") > col("life_qty") * col("global_share") * factor)
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
 }

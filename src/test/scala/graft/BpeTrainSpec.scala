@@ -44,6 +44,40 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges == Seq((1L, "a", "b", "ab", 2L)))
   }
 
+  test("q279 encode round-trips the trained segmentation: hand fertility") {
+    // corpus: hug*10 pug*5 pun*12 bun*4 hugs*5 (the q273 fixture).
+    // 3 merges: ug, un, hug. Encodings: hug→[hug] (1), pug→[p,ug] (2),
+    // pun→[p,un] (2), bun→[b,un] (2), hugs→[hug,s] (2).
+    // tokens = 10*1 + 5*2 + 12*2 + 4*2 + 5*2 = 62; words = 36;
+    // chars = 10*3 + 5*3 + 12*3 + 4*3 + 5*4 = 113
+    val docs = corpus("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+    val r = TextAnalysis.bpeEncode(docs, numMerges = 3).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_words") == 36L)
+    assert(r(0).getAs[Long]("n_bpe_tokens") == 62L)
+    assert(r(0).getAs[Double]("fertility") == math.floor(62.0 / 36.0 * 10000 + 0.5) / 10000)
+    assert(r(0).getAs[Double]("chars_per_token") == math.floor(113.0 / 62.0 * 10000 + 0.5) / 10000)
+  }
+
+  test("q279 with zero merges degenerates to character tokenization") {
+    val docs = corpus("ab" -> 2, "c" -> 1)
+    val r = TextAnalysis.bpeEncode(docs, numMerges = 0).collect()
+    // ab→2 chars ×2 + c→1 char = 5 tokens over 3 words
+    assert(r(0).getAs[Long]("n_bpe_tokens") == 5L)
+    assert(r(0).getAs[Long]("n_words") == 3L)
+  }
+
+  test("q279 on the driver corpus: fertility falls as merges grow") {
+    val few = TextAnalysis.bpeEncode(t.documents, numMerges = 2).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("fertility")).toMap
+    val many = TextAnalysis.bpeEncode(t.documents, numMerges = 10).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("fertility")).toMap
+    assert(few.keySet == many.keySet)
+    // more merges can only shorten (or keep) every word's segmentation
+    many.foreach { case (src, f) => assert(f <= few(src), s"$src: $f > ${few(src)}") }
+    assert(many.values.forall(f => f >= 1.0))
+  }
+
   test("q273 on the driver corpus: full rank sequence, positive weighted counts") {
     val merges = TextAnalysis.bpeTrain(t.documents, numMerges = 10).collect()
     assert(merges.map(_.getAs[Long]("rank")).toSeq == (1L to 10L),

@@ -287,6 +287,10 @@ class PlanSpec extends SparkSpec {
       "q161_length_drift"   -> bnl, // sources × bins grid densification (q126 idiom, bounded)
       "q163_rrf_fusion"     -> bnl, // bounded broadcast query side (q51/q59 idiom)
       "q264_ann_graph_recall" -> bnl, // exact-side probe sample: bounded broadcast query side (q51/q228 idiom)
+      "q267_ann_filtered"   -> bnl, // bounded broadcast query side over the pre-filtered candidates (q51 idiom)
+      "q268_ann_filtered_recall" -> bnl, // exact leg = q267's bounded broadcast query side (q51/q228 idiom)
+      "q270_hybrid_search"  -> bnl, // bounded broadcast query docs ×2 legs + 1-row corpus scalars (q51/q203 idiom)
+      "q278_excess_stock"   -> bnl, // 1-row broadcast global year-share scalar (q14 idiom)
       "q166_neyman_sample"  -> bnl, // 1-row broadcast Σ(N_h·σ_h) scalar (q14 idiom)
       "q170_quantile_normalize" -> (bnl + "unpartitioned-window"), // 1-row total scalar + GlobalOrder offset frame
       "q169_contribution"   -> bnl, // 1-row broadcast global-total scalar (q14/q114 idiom)

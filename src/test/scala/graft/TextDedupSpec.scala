@@ -113,6 +113,41 @@ class TextDedupSpec extends SparkSpec {
       .foreach { case (a, b) => assert(label(a) == label(b), s"pair ($a,$b) split across clusters") }
   }
 
+  test("q280 keep-best: the higher-quality copy survives even with a larger doc_id") {
+    // doc 10 is a stopword-padded near-dup of doc 11 (shared 60-token base
+    // → shingle Jaccard ≈ 0.86, well above the LSH threshold; the 8-stopword
+    // head drops doc 10's q31 score): despite 10 < 11, the manifest must
+    // keep 11 — exactly where min-id election goes wrong
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, "the of and a to in is it " + base, "en", "s", 1L),
+      (11L, base, "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.nearDupKeepBest(docs).collect()
+    assert(r.nonEmpty, "planted near-dups must cluster")
+    assert(r.length == 2 && r.map(_.getAs[Long]("cluster_size")).forall(_ == 2L))
+    val kept = r.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(kept == Seq(11L), s"higher-quality doc must survive, kept=$kept")
+    // quality column carries the q31 score used for the election
+    val qm = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("quality")).toMap
+    assert(qm(11L) > qm(10L))
+  }
+
+  test("q280 on the corpus: one keeper per cluster, membership matches q47") {
+    val r = Dedup.nearDupKeepBest(t.documents).collect()
+    assert(r.nonEmpty)
+    val byCluster = r.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getAs[Boolean]("keep")) == 1, s"cluster $cid keepers != 1")
+      assert(members.length == members.head.getAs[Long]("cluster_size").toInt)
+      val best = members.maxBy(m => (m.getAs[Double]("quality"), -m.getAs[Long]("doc_id")))
+      assert(best.getAs[Boolean]("keep"), s"cluster $cid kept a non-best doc")
+    }
+    val q47docs = Dedup.nearDupClusters(t.documents)
+      .select("doc_id").as[Long].collect().toSet
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == q47docs)
+  }
+
   test("q41 simhash: near-identical docs land within small hamming distance") {
     val pairs = Dedup.simhashPairs(fixtureDocs, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
