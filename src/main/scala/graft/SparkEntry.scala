@@ -532,6 +532,7 @@ object SparkEntry {
     "q279_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables(s, d).documents)),
     "q280_neardup_keep_best" -> ((s, d) => Dedup.nearDupKeepBest(Tables(s, d).documents)),
     "q281_holt_forecast" -> ((s, d) => StatTests.holtForecast(Tables(s, d).orders)),
+    "q282_shortest_path" -> ((s, d) => Graph.shortestPaths(Tables(s, d).lineitem)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3458,6 +3459,26 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
         | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q282_shortest_path" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (
+        |  SELECT pa AS src, pb AS dst, floor((1.0/c)*10000 + 0.5)/10000 AS w FROM und
+        |  UNION ALL
+        |  SELECT pb, pa, floor((1.0/c)*10000 + 0.5)/10000 FROM und),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |seed AS (SELECT src AS s FROM deg ORDER BY d DESC, src LIMIT 1),
+        |p AS (
+        |  SELECT s AS node, CAST(0 AS DOUBLE) AS dist, 0 AS hops FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, p.dist + e.w, p.hops + 1
+        |  FROM p JOIN e ON e.src = p.node WHERE p.hops < 4)
+        |SELECT node, floor(min(dist)*10000 + 0.5)/10000 AS dist
+        |FROM p GROUP BY node ORDER BY node""".stripMargin,
     "q281_holt_forecast" ->
       """WITH RECURSIVE d0 AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

@@ -171,6 +171,56 @@ object Graph {
     visited.orderBy("part")
   }
 
+  /** q282: weighted single-source shortest paths over the co-purchase
+    * graph — bounded-hop Bellman–Ford ("how closely tied is every
+    * product to the hub product", the weighted upgrade of q104's
+    * hop-count BFS): edge weight = 1/support (strong co-purchase =
+    * short distance), seed = the max-degree node (min id on ties —
+    * deterministic in both engines, and it lands in the dense component
+    * where the min-id seed can strand in a 2-node islet).
+    *
+    * Scale shape: `maxHops` relaxation rounds via [[BoundedIteration]],
+    * each ONE equi-join of the cached edge set against the broadcast
+    * distance table plus a node-grain min — never path enumeration (the
+    * DuckDB recursive-CTE oracle walks every ≤maxHops path and
+    * min-aggregates; path counts explode combinatorially, BF stays
+    * Θ(edges·hops)). The broadcast hint is gated on the measured node
+    * count exactly like [[iterateRanks]]. Float discipline: weights are
+    * 4-dp-rounded BEFORE summation, path sums accumulate left-to-right
+    * in both engines, and IEEE addition is monotone, so min-pruning
+    * (dominated prefixes dropped) cannot change the attainable minimum
+    * — BF's answer is bit-equal to the oracle's exhaustive min. */
+  def shortestPaths(lineitem: DataFrame, minSupport: Long = 2, maxHops: Int = 4): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val und = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+    val w = round(lit(1.0) / col("c"), 4)
+    val edges = und
+      .select(col("pa").as("src"), col("pb").as("dst"), w.as("w"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"), w.as("w")))
+      .cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val seedRow = deg.orderBy(desc("d"), asc("src")).limit(1).head()
+    val seed = seedRow.getLong(0)
+    val n = deg.count().toDouble
+    val hint: DataFrame => DataFrame =
+      if (n <= MaxBroadcastNodes) broadcast else identity
+    val init = Seq((seed, 0.0)).toDF("node", "dist")
+    val dists = BoundedIteration.fixpoint(init, maxHops) { (state, _) =>
+      val relaxed = edges
+        .join(hint(state), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      state.unionByName(relaxed).groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    edges.unpersist(blocking = false)
+    dists.select(col("node"), round(col("dist"), 4).as("dist")).orderBy("node")
+  }
+
   /** q192: triangle census + global clustering coefficient of the
     * co-purchase graph, over edges with support ≥ `minSupport` (pairs
     * co-bought at least that often — the same support filter q92/q106

@@ -1,9 +1,10 @@
 package graft
 
-import graft.operators.StatTests
+import graft.operators.{Graph, StatTests}
 import graft.sources.Tables
 
-/** Round-9 additions: Holt linear-trend smoothing (q281). */
+/** Round-9 additions: Holt linear-trend smoothing (q281), weighted
+  * shortest paths (q282). */
 class AnalyticsR9Spec extends SparkSpec {
   import spark.implicits._
   lazy val t = Tables(spark, sfDir)
@@ -47,6 +48,49 @@ class AnalyticsR9Spec extends SparkSpec {
     assert(got.forall(_.getAs[Double]("level") === 42.0))
     assert(got.forall(_.getAs[Double]("trend") === 0.0))
     assert(got.forall(_.getAs[Double]("err") === 0.0))
+  }
+
+  test("q282: relaxation takes the 2-hop shortcut over the direct heavy edge") {
+    import spark.implicits._
+    // baskets: {1,2}×2 → w(1,2)=0.5; {2,3}×3 → w(2,3)=0.3333; {1,3}×1 → w=1.0
+    // all degrees tie at 2 → seed = min id = 1
+    // dist(3) = min(1.0 direct, 0.5+0.3333 via 2) = 0.8333
+    val lineitem = Seq(
+      (101L, 1L), (101L, 2L),
+      (102L, 1L), (102L, 2L),
+      (103L, 2L), (103L, 3L),
+      (104L, 2L), (104L, 3L),
+      (105L, 2L), (105L, 3L),
+      (106L, 1L), (106L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.shortestPaths(lineitem, minSupport = 1, maxHops = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.8333))
+  }
+
+  test("q282: hop bound truncates the frontier — a 2-chain is cut at maxHops=1") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 2L), (103L, 3L), (104L, 2L), (104L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.shortestPaths(lineitem, minSupport = 1, maxHops = 1)
+      .as[(Long, Double)].collect().toMap
+    // seed is node 2 (degree 2 vs 1); one hop reaches 1 and 3
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val cut = Graph.shortestPaths(
+      Seq((101L, 1L), (101L, 2L), (103L, 2L), (103L, 3L)).toDF("l_orderkey", "l_partkey"),
+      minSupport = 1, maxHops = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(cut.keySet === Set(1L, 2L, 3L)) // seed 2 again: both ends in one hop
+  }
+
+  test("q282 on the corpus: seed at zero, distances positive and finite") {
+    val got = Graph.shortestPaths(Tables(spark, sfDir).lineitem).collect()
+    assert(got.length > 1, "seeded component must reach beyond the seed")
+    val dists = got.map(_.getAs[Double]("dist"))
+    assert(dists.count(_ == 0.0) === 1, "exactly the seed at distance 0")
+    assert(dists.forall(d => d >= 0.0 && d <= 4.0), "≤4 hops of ≤1.0-weight edges")
   }
 
   test("q281 on the corpus: one row per day, forecast errors center near zero") {
