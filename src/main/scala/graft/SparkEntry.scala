@@ -533,6 +533,7 @@ object SparkEntry {
     "q280_neardup_keep_best" -> ((s, d) => Dedup.nearDupKeepBest(Tables(s, d).documents)),
     "q281_holt_forecast" -> ((s, d) => StatTests.holtForecast(Tables(s, d).orders)),
     "q282_shortest_path" -> ((s, d) => Graph.shortestPaths(Tables(s, d).lineitem)),
+    "q283_tier_migration" -> ((s, d) => GlobalOrder.valueTierMigration(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3459,6 +3460,33 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
         | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q283_tier_migration" ->
+      """WITH b AS (
+        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY 1),
+        |bs AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(5) OVER (ORDER BY rev, o_custkey) AS INT) AS tier_before
+        |  FROM b),
+        |a AS (
+        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY 1),
+        |asc_ AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(5) OVER (ORDER BY rev, o_custkey) AS INT) AS tier_after
+        |  FROM a),
+        |j AS (
+        |  SELECT coalesce(bs.tier_before, 0) AS tier_before,
+        |    coalesce(asc_.tier_after, 0) AS tier_after
+        |  FROM bs FULL OUTER JOIN asc_ ON bs.o_custkey = asc_.o_custkey),
+        |m AS (
+        |  SELECT tier_before, tier_after, count(*) AS n_customers
+        |  FROM j GROUP BY 1, 2)
+        |SELECT tier_before, tier_after, n_customers,
+        |  floor(CAST(n_customers AS DOUBLE)
+        |    / sum(n_customers) OVER (PARTITION BY tier_before)*10000 + 0.5)/10000
+        |    AS row_share
+        |FROM m ORDER BY tier_before, tier_after""".stripMargin,
     "q282_shortest_path" ->
       """WITH RECURSIVE items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -246,4 +246,44 @@ object GlobalOrder {
         round(avg("recency_days"), 4).as("avg_recency_days"))
       .orderBy("r_score", "f_score", "m_score")
   }
+
+  /** q283: customer value-tier MIGRATION matrix — "which revenue
+    * quintile did each customer move to after the pivot date" (the
+    * segment-drift report behind churn/upsell programs; the q153
+    * segmentation made longitudinal). Revenue quintiles are computed
+    * per period with [[withExactNtile]] (the no-SinglePartition global
+    * ranking), customers absent from a period land in tier 0
+    * (new/churned), and the matrix is a 6×6 aggregate with each row
+    * share windowed over its ≤tiers+1-row before-tier partition.
+    * Per-customer revenue is 4-dp-rounded BEFORE ranking so the ntile
+    * order (rev, custkey) is reproducible across engines — rounding
+    * COARSENS ties and the key breaks them, where raw double sums
+    * could order differently per summation order. */
+  def valueTierMigration(
+      orders: DataFrame,
+      pivot: String = "1998-07-01",
+      tiers: Int = 5,
+      numBuckets: Int = 32): DataFrame = {
+    def tierOf(slice: DataFrame, out: String): DataFrame = {
+      val rev = slice
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      withExactNtile(rev, col("rev"), Seq("rev", "o_custkey"), tiers, out, numBuckets)
+        .select("o_custkey", out)
+    }
+    val before = tierOf(orders.filter(col("o_orderdate") < lit(pivot)), "tier_before")
+    val after = tierOf(orders.filter(col("o_orderdate") >= lit(pivot)), "tier_after")
+    val byBefore = Window.partitionBy("tier_before")
+    before
+      .join(after, Seq("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("tier_before"), lit(0)).as("tier_before"),
+        coalesce(col("tier_after"), lit(0)).as("tier_after"))
+      .groupBy("tier_before", "tier_after")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_share",
+        round(col("n_customers").cast("double")
+          / sum(col("n_customers")).over(byBefore), 4))
+      .orderBy("tier_before", "tier_after")
+  }
 }

@@ -93,6 +93,34 @@ class AnalyticsR9Spec extends SparkSpec {
     assert(dists.forall(d => d >= 0.0 && d <= 4.0), "≤4 hops of ≤1.0-weight edges")
   }
 
+  test("q283: hand migration — riser, faller, churner, joiner all land in the right cell") {
+    import spark.implicits._
+    import graft.operators.GlobalOrder
+    // before (5 customers → quintiles are singletons): rev order 1<2<3<4<5
+    // after: customer 1 becomes top, 5 churns, 6 joins
+    def o(id: Long, ck: Long, price: Double, day: String) =
+      (id, ck, "O", price, ts(day), "1-URGENT")
+    val orders = Seq(
+      o(1, 1, 10.0, "1997-01-01"), o(2, 2, 20.0, "1997-01-01"),
+      o(3, 3, 30.0, "1997-01-01"), o(4, 4, 40.0, "1997-01-01"),
+      o(5, 5, 50.0, "1997-01-01"),
+      o(6, 1, 500.0, "1999-01-01"), o(7, 2, 20.0, "1999-01-01"),
+      o(8, 3, 30.0, "1999-01-01"), o(9, 4, 40.0, "1999-01-01"),
+      o(10, 6, 1.0, "1999-01-01")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val got = GlobalOrder.valueTierMigration(orders).collect()
+      .map(r => (r.getAs[Int]("tier_before"), r.getAs[Int]("tier_after")) ->
+        r.getAs[Long]("n_customers")).toMap
+    // after-period ranking (rev, custkey): 6(1.0)→t1, 2(20)→t2, 3(30)→t3,
+    // 4(40)→t4, 1(500)→t5
+    assert(got((1, 5)) === 1L) // customer 1 rose bottom → top
+    assert(got((5, 0)) === 1L) // customer 5 churned
+    assert(got((0, 1)) === 1L) // customer 6 joined at the bottom
+    assert(got((2, 2)) === 1L && got((3, 3)) === 1L && got((4, 4)) === 1L)
+    assert(got.values.sum === 6L)
+  }
+
   test("q281 on the corpus: one row per day, forecast errors center near zero") {
     val got = StatTests.holtForecast(t.orders).collect()
     val nDays = t.orders.select(org.apache.spark.sql.functions.to_date(
