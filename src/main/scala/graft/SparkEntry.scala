@@ -534,6 +534,8 @@ object SparkEntry {
     "q281_holt_forecast" -> ((s, d) => StatTests.holtForecast(Tables(s, d).orders)),
     "q282_shortest_path" -> ((s, d) => Graph.shortestPaths(Tables(s, d).lineitem)),
     "q283_tier_migration" -> ((s, d) => GlobalOrder.valueTierMigration(Tables(s, d).orders)),
+    "q284_seq_support" -> ((s, d) => EventAnalytics.sequenceSupport(Tables(s, d).events)),
+    "q285_cumulative_reach" -> ((s, d) => EventAnalytics.cumulativeReach(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3460,6 +3462,32 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
         | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q284_seq_support" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, min(ts) AS first_ts
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+        |SELECT a.event_type AS step_a, b.event_type AS step_b,
+        |  count(*) AS n_users,
+        |  floor(CAST(count(*) AS DOUBLE)/(SELECT n_total FROM tot)*10000 + 0.5)/10000
+        |    AS support
+        |FROM f a JOIN f b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type AND a.first_ts < b.first_ts
+        |GROUP BY 1, 2 ORDER BY step_a, step_b""".stripMargin,
+    "q285_cumulative_reach" ->
+      """WITH fm AS (
+        |  SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS month
+        |  FROM orders GROUP BY 1),
+        |pm AS (SELECT month, count(*) AS new_customers FROM fm GROUP BY 1),
+        |tot AS (SELECT CAST(sum(new_customers) AS DOUBLE) AS n_total FROM pm)
+        |SELECT month, new_customers,
+        |  CAST(sum(new_customers) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_customers,
+        |  floor(CAST(sum(new_customers) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    /(SELECT n_total FROM tot)*10000 + 0.5)/10000 AS reach_share
+        |FROM pm ORDER BY month""".stripMargin,
     "q283_tier_migration" ->
       """WITH b AS (
         |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev

@@ -1364,4 +1364,60 @@ object EventAnalytics {
         round(col("p_conv_full"), 4).as("p_conv_full"))
       .orderBy("channel")
   }
+
+  /** q284: ordered-pair sequence support — for every event-type pair
+    * (a, b), how many users did a STRICTLY BEFORE ever doing b, and
+    * what share of the user base that is (the support table sequential
+    * pattern mining starts from; q85 counts ADJACENT transitions, this
+    * counts any-gap precedence). One (user, type) first-occurrence
+    * aggregate collapses the stream to ≤|types| rows per user, the
+    * pair expansion is a per-user self-join on that collapsed frame —
+    * Θ(users·|types|²) with |types| a small constant, never an
+    * event-grain self-join; the user-base total is the 1-row broadcast
+    * scalar. Strict `<` on exact timestamps keeps ties out
+    * deterministically in both engines. */
+  def sequenceSupport(events: DataFrame): DataFrame = {
+    val firstTs = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"))
+    val total = events.agg(countDistinct(col("user_id")).as("n_total"))
+    firstTs.as("a")
+      .join(firstTs.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type") &&
+          col("a.first_ts") < col("b.first_ts"))
+      .groupBy(col("a.event_type").as("step_a"), col("b.event_type").as("step_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .withColumn("support",
+        round(col("n_users").cast("double") / col("n_total"), 4))
+      .drop("n_total")
+      .orderBy("step_a", "step_b")
+  }
+
+  /** q285: cumulative customer reach — per month, how many DISTINCT
+    * customers have ever ordered by then and what share of the final
+    * base that is (the "total customers acquired" growth curve; q208
+    * slices month-over-month accounting, this is the running union).
+    * A cumulative COUNT DISTINCT is not window-expressible at scale —
+    * but reach(m) = customers whose FIRST order ≤ m, so ONE
+    * customer-grain min aggregate + a month-grain count + a prefix sum
+    * over the calendar-bounded month frame (the q89/q183 idiom)
+    * compute it exactly with no distinct-state windows. */
+  def cumulativeReach(orders: DataFrame): DataFrame = {
+    val firstMonth = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM")).as("month"))
+    val perMonth = firstMonth.groupBy("month").agg(count(lit(1)).as("new_customers"))
+    val wCum = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perMonth.agg(sum(col("new_customers")).as("n_total"))
+    perMonth
+      .withColumn("cumulative_customers", sum(col("new_customers")).over(wCum))
+      .crossJoin(broadcast(total))
+      .withColumn("reach_share",
+        round(col("cumulative_customers").cast("double") / col("n_total"), 4))
+      .drop("n_total")
+      .orderBy("month")
+  }
 }

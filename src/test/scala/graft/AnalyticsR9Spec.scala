@@ -121,6 +121,37 @@ class AnalyticsR9Spec extends SparkSpec {
     assert(got.values.sum === 6L)
   }
 
+  test("q284: precedence counts users, strict order, ties excluded") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    def e(id: Long, min: Long, uid: Long, typ: String) =
+      (id, new java.sql.Timestamp(1700000000000L + min * 60000L), uid, typ, 1.0, "{}")
+    val events = Seq(
+      e(1, 0, 1, "view"), e(2, 5, 1, "purchase"),   // view < purchase
+      e(3, 0, 2, "view"), e(4, 5, 2, "purchase"),   // again
+      e(5, 5, 3, "purchase"), e(6, 9, 3, "view"),   // reversed
+      e(7, 0, 4, "view"), e(8, 0, 4, "purchase"),   // tie → neither direction
+      e(9, 0, 5, "click")                           // single-type user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.sequenceSupport(events).collect()
+      .map(r => (r.getAs[String]("step_a"), r.getAs[String]("step_b")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("support"))).toMap
+    assert(got(("view", "purchase"))._1 === 2L)
+    assert(got(("purchase", "view"))._1 === 1L)
+    assert(got(("view", "purchase"))._2 === 0.4) // 2 of 5 users
+    assert(!got.contains(("click", "view")))
+  }
+
+  test("q285: cumulative reach is monotone and ends at 1.0") {
+    import graft.operators.EventAnalytics
+    val got = EventAnalytics.cumulativeReach(Tables(spark, sfDir).orders).collect()
+    assert(got.length > 1)
+    val cum = got.map(_.getAs[Long]("cumulative_customers"))
+    assert(cum.zip(cum.tail).forall { case (x, y) => y >= x }, "monotone")
+    assert(got.last.getAs[Double]("reach_share") === 1.0)
+    assert(cum.last === got.map(_.getAs[Long]("new_customers")).sum)
+  }
+
   test("q281 on the corpus: one row per day, forecast errors center near zero") {
     val got = StatTests.holtForecast(t.orders).collect()
     val nDays = t.orders.select(org.apache.spark.sql.functions.to_date(

@@ -291,6 +291,9 @@ class PlanSpec extends SparkSpec {
       "q268_ann_filtered_recall" -> bnl, // exact leg = q267's bounded broadcast query side (q51/q228 idiom)
       "q270_hybrid_search"  -> bnl, // bounded broadcast query docs ×2 legs + 1-row corpus scalars (q51/q203 idiom)
       "q278_excess_stock"   -> bnl, // 1-row broadcast global year-share scalar (q14 idiom)
+      "q283_tier_migration" -> Set("unpartitioned-window"), // GlobalOrder offset frame ×2 periods (q150/q153 idiom)
+      "q284_seq_support"    -> bnl, // 1-row broadcast user-base total (q14 idiom)
+      "q285_cumulative_reach" -> (bnl + "unpartitioned-window"), // 1-row total scalar + prefix sum over the calendar-month frame (q89/q183 idiom)
       "q166_neyman_sample"  -> bnl, // 1-row broadcast Σ(N_h·σ_h) scalar (q14 idiom)
       "q170_quantile_normalize" -> (bnl + "unpartitioned-window"), // 1-row total scalar + GlobalOrder offset frame
       "q169_contribution"   -> bnl, // 1-row broadcast global-total scalar (q14/q114 idiom)
