@@ -536,6 +536,10 @@ object SparkEntry {
     "q283_tier_migration" -> ((s, d) => GlobalOrder.valueTierMigration(Tables(s, d).orders)),
     "q284_seq_support" -> ((s, d) => EventAnalytics.sequenceSupport(Tables(s, d).events)),
     "q285_cumulative_reach" -> ((s, d) => EventAnalytics.cumulativeReach(Tables(s, d).orders)),
+    "q286_relational_division" -> ((s, d) => {
+      val t = Tables(s, d)
+      TpchShapes.universallyStocked(t.lineitem, t.supplier, t.nation, t.region)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3462,6 +3466,21 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
         | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q286_relational_division" ->
+      """WITH rn AS (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |sn AS (
+        |  SELECT s_suppkey, s_nationkey FROM supplier
+        |  WHERE s_nationkey IN (SELECT n_nationkey FROM rn)),
+        |slice AS (
+        |  SELECT l.l_partkey, sn.s_nationkey, l.l_extendedprice
+        |  FROM lineitem l JOIN sn ON l.l_suppkey = sn.s_suppkey)
+        |SELECT l_partkey, count(DISTINCT s_nationkey) AS n_nations,
+        |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS region_revenue
+        |FROM slice GROUP BY 1
+        |HAVING count(DISTINCT s_nationkey) = (SELECT count(*) FROM rn)
+        |ORDER BY l_partkey""".stripMargin,
     "q284_seq_support" ->
       """WITH f AS (
         |  SELECT user_id, event_type, min(ts) AS first_ts

@@ -462,4 +462,41 @@ object TpchShapes {
       .select(col("s_name"), col("n_name"))
       .orderBy(col("s_name"))
   }
+
+  /** q286: relational DIVISION — parts supplied from EVERY nation of one
+    * region ("universally stocked" items; the FOR ALL quantifier no
+    * TPC-H query exercises, classically written as double-negated NOT
+    * EXISTS). Spark-first it is counting, not negation: collapse the
+    * fact to DISTINCT (part, nation) grain FIRST (the q276 catalog-grain
+    * trick lives inside countDistinct here), one part-grain
+    * `countDistinct(nation)` and keep rows whose count equals the
+    * divisor cardinality — a 1-row broadcast scalar (the region's
+    * nation count). The revenue measure rides the same pre-broadcast
+    * slice in the same aggregate — one fact pass total. */
+  def universallyStocked(
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String = "ASIA"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val suppNation = supplier
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val slice = lineitem
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_nationkey"), col("l_extendedprice"))
+    val divisor = regionNations.agg(count(lit(1)).as("n_region_nations"))
+    slice
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("s_nationkey")).as("n_nations"),
+        round(sum(col("l_extendedprice")), 4).as("region_revenue"))
+      .crossJoin(broadcast(divisor))
+      .filter(col("n_nations") === col("n_region_nations"))
+      .select(col("l_partkey"), col("n_nations"), col("region_revenue"))
+      .orderBy(col("l_partkey"))
+  }
 }

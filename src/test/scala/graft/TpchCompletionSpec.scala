@@ -111,6 +111,32 @@ class TpchCompletionSpec extends SparkSpec {
     assert(got(0).getAs[Double]("avg_yearly") === 100.0) // 700 / 7
   }
 
+  test("q286: division keeps only parts covered by EVERY region nation") {
+    import spark.implicits._
+    val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "N_A", 1), (11, "N_B", 1), (20, "N_C", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq(
+      (100L, "S1", 10, 0.0), (101L, "S2", 11, 0.0), (102L, "S3", 20, 0.0)
+    ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val lineitem = Seq(
+      // part 1: supplied from both ASIA nations → kept, revenue 30
+      (1L, 1L, 100L, 10.0), (2L, 1L, 101L, 20.0),
+      // part 2: only N_A → dropped
+      (3L, 2L, 100L, 99.0),
+      // part 3: N_A twice + EUROPE (doesn't count toward the divisor) → dropped
+      (4L, 3L, 100L, 1.0), (5L, 3L, 100L, 1.0), (6L, 3L, 102L, 1.0)
+    ).map { case (ok, pk, sk, px) =>
+      (ok, pk, sk, 1, 1.0, px, 0.0, 0.0, "N", "O", ts("1997-06-02"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val got = TpchShapes.universallyStocked(lineitem, supplier, nation, region).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("l_partkey") === 1L)
+    assert(got(0).getAs[Long]("n_nations") === 2L)
+    assert(got(0).getAs[Double]("region_revenue") === 30.0)
+  }
+
   test("q278: a year-concentrated supplier qualifies; spread-out and sparse ones don't") {
     import spark.implicits._
     val part = Seq(
