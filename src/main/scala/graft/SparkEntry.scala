@@ -540,6 +540,9 @@ object SparkEntry {
       val t = Tables(s, d)
       TpchShapes.universallyStocked(t.lineitem, t.supplier, t.nation, t.region)
     }),
+    "q287_position_attribution" -> ((s, d) =>
+      EventAnalytics.positionAttribution(Tables(s, d).events)),
+    "q288_kcore" -> ((s, d) => Graph.kCore(Tables(s, d).lineitem)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3466,6 +3469,32 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, floor((avg(nb))*10000 + 0.5)/10000 AS avg_bytes,
         | floor((sum(CAST(nb AS DOUBLE)))*10000 + 0.5)/10000 AS total_bytes, CAST(max(nb) AS BIGINT) AS max_bytes
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q287_position_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.c_us, c.click_id, p.purchase_id, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND p.p_us >= c.c_us AND p.p_us < c.c_us + 3600000000),
+        |wpairs AS (
+        |  SELECT c_us, purchase_id, value,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+        |    row_number() OVER (PARTITION BY purchase_id ORDER BY c_us, click_id) AS pos
+        |  FROM pairs),
+        |credited AS (
+        |  SELECT c_us, purchase_id,
+        |    value * (CASE WHEN n_clicks = 1 THEN CAST(1.0 AS DOUBLE)
+        |                  WHEN n_clicks = 2 THEN CAST(0.5 AS DOUBLE)
+        |                  WHEN pos = 1 OR pos = n_clicks THEN CAST(0.4 AS DOUBLE)
+        |                  ELSE CAST(0.2 AS DOUBLE) / (n_clicks - 2) END) AS credit
+        |  FROM wpairs)
+        |SELECT strftime(make_timestamp(c_us), '%Y-%m-%d') AS click_day,
+        |  count(*) AS n_touches,
+        |  count(DISTINCT purchase_id) AS n_purchases,
+        |  floor(sum(credit)*10000 + 0.5)/10000 AS attributed_revenue
+        |FROM credited GROUP BY 1 ORDER BY click_day""".stripMargin,
     "q286_relational_division" ->
       """WITH rn AS (
         |  SELECT n_nationkey FROM nation

@@ -169,6 +169,55 @@ object EventAnalytics {
       .orderBy("click_day")
   }
 
+  /** q287: POSITION-BASED (U-shaped) multi-touch attribution — the
+    * standard 40/20/40 model completing the family (q135 equal-split,
+    * q152 time-decay, q219 Markov removal, q257 exact Shapley): the
+    * FIRST and LAST click before a purchase each earn 40% of its value,
+    * the middle clicks share the remaining 20%; one click takes 100%,
+    * two split 50/50 (the degenerate-case conventions every martech
+    * implementation agrees on). Same banded range equi-join as
+    * q45/q135 (pair expansion bounded per user-window, never
+    * quadratic); position comes from ONE row_number window partitioned
+    * by purchase (bounded by clicks-per-window), tie-broken on
+    * (timestamp, click id) so simultaneous clicks order identically in
+    * both engines. */
+  def positionAttribution(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        col("event_id").as("click_id"))
+    val buys = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"), col("value"))
+    val clickBins = clicks.withColumn(
+      "bin",
+      explode(array(floor(col("c_us") / winUs), floor(col("c_us") / winUs) + 1)))
+    val buyBins = buys.withColumn("bin", floor(col("p_us") / winUs))
+    val pairs = clickBins
+      .join(buyBins, Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") < col("c_us") + winUs)
+    val perPurchase = Window.partitionBy("purchase_id")
+    val byPos = perPurchase.orderBy(col("c_us"), col("click_id"))
+    pairs
+      .withColumn("n_clicks", count(lit(1)).over(perPurchase))
+      .withColumn("pos", row_number().over(byPos))
+      .withColumn("weight",
+        when(col("n_clicks") === 1, lit(1.0))
+          .when(col("n_clicks") === 2, lit(0.5))
+          .when(col("pos") === 1 || col("pos") === col("n_clicks"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n_clicks") - 2)))
+      .withColumn("credit", col("value") * col("weight"))
+      .groupBy(date_format(timestamp_micros(col("c_us")), "yyyy-MM-dd").as("click_day"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        round(sum("credit"), 4).as("attributed_revenue"))
+      .orderBy("click_day")
+  }
+
   /** q152: TIME-DECAY multi-touch attribution — each purchase's value
     * splits across the user's preceding-window clicks proportionally to
     * `0.5^(Δt / halfLife)`, so the click nearest the purchase earns the

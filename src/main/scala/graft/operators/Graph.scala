@@ -221,6 +221,39 @@ object Graph {
     dists.select(col("node"), round(col("dist"), 4).as("dist")).orderBy("node")
   }
 
+  /** q288: k-CORE decomposition of the co-purchase graph — the maximal
+    * subgraph where every node keeps ≥ k neighbors (the standard
+    * "dense-community backbone vs periphery" split; on a crawl host
+    * graph, the spam-farm/core-web separator). A NEW iterative shape
+    * beside q98 (value propagation) and q104/q282 (frontier
+    * expansion): PEELING — each round computes degrees over the
+    * SURVIVING edge set, drops nodes under k, and prunes their edges;
+    * node count is strictly decreasing until fixpoint, so convergence
+    * (checked, required) arrives in ≤ #peel-waves rounds. Per round:
+    * one degree aggregate + two semi-joins on the (cached-ancestor)
+    * support-filtered edges — never adjacency materialization beyond
+    * the edge list. Output is the surviving nodes with their in-core
+    * degree. */
+  def kCore(lineitem: DataFrame, k: Int = 2, minSupport: Long = 2, maxRounds: Int = 30): DataFrame = {
+    val und = frequentEdges(lineitem, minSupport)
+    val edges0 = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val init = edges0
+    val core = BoundedIteration.fixpoint(
+      init, maxRounds,
+      converged = (prev, next, _) => next.count() == prev.count(),
+      requireConvergence = true) { (edges, _) =>
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+    }
+    core.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
   /** q192: triangle census + global clustering coefficient of the
     * co-purchase graph, over edges with support ≥ `minSupport` (pairs
     * co-bought at least that often — the same support filter q92/q106

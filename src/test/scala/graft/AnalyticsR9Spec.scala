@@ -142,6 +142,31 @@ class AnalyticsR9Spec extends SparkSpec {
     assert(!got.contains(("click", "view")))
   }
 
+  test("q287: U-shape weights — 40/20/40 with the 1- and 2-click conventions") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    def e(id: Long, minute: Long, uid: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(1700000000000L + minute * 60000L), uid, typ, v, "{}")
+    val events = Seq(
+      // user 1: 4 clicks then a 100.0 purchase → 40 + 10 + 10 + 40
+      e(1, 0, 1, "click", 0.0), e(2, 1, 1, "click", 0.0),
+      e(3, 2, 1, "click", 0.0), e(4, 3, 1, "click", 0.0),
+      e(5, 10, 1, "purchase", 100.0),
+      // user 2: one click, 50.0 purchase → full credit
+      e(6, 0, 2, "click", 0.0), e(7, 5, 2, "purchase", 50.0),
+      // user 3: two clicks, 80.0 purchase → 40/40
+      e(8, 0, 3, "click", 0.0), e(9, 1, 3, "click", 0.0),
+      e(10, 5, 3, "purchase", 80.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.positionAttribution(events).collect()
+    assert(got.length === 1) // one click day
+    val r = got(0)
+    assert(r.getAs[Long]("n_touches") === 7L)
+    assert(r.getAs[Long]("n_purchases") === 3L)
+    // total credit conserves each purchase's full value
+    assert(r.getAs[Double]("attributed_revenue") === 230.0)
+  }
+
   test("q285: cumulative reach is monotone and ends at 1.0") {
     import graft.operators.EventAnalytics
     val got = EventAnalytics.cumulativeReach(Tables(spark, sfDir).orders).collect()
@@ -150,6 +175,38 @@ class AnalyticsR9Spec extends SparkSpec {
     assert(cum.zip(cum.tail).forall { case (x, y) => y >= x }, "monotone")
     assert(got.last.getAs[Double]("reach_share") === 1.0)
     assert(cum.last === got.map(_.getAs[Long]("new_customers")).sum)
+  }
+
+  test("q288: peeling removes the pendant chain, keeps the triangle; cascade works") {
+    import spark.implicits._
+    // baskets encode: triangle 1-2-3 (each edge support 2) plus a chain
+    // 3-4-5 (support 2): 2-core = the triangle; 4 peels, THEN 5 peels
+    // (cascade — 5's degree only drops after 4 leaves)
+    def basket(ok: Long, parts: Long*) = parts.map(p => (ok, p))
+    val lineitem = (
+      basket(1, 1, 2) ++ basket(2, 1, 2) ++
+      basket(3, 2, 3) ++ basket(4, 2, 3) ++
+      basket(5, 1, 3) ++ basket(6, 1, 3) ++
+      basket(7, 3, 4) ++ basket(8, 3, 4) ++
+      basket(9, 4, 5) ++ basket(10, 4, 5)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.kCore(lineitem, k = 2, minSupport = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got.values.forall(_ === 2L))
+  }
+
+  test("q288: k above the max degree peels everything to an empty core") {
+    import spark.implicits._
+    val lineitem = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    assert(graft.operators.Graph.kCore(lineitem, k = 3, minSupport = 2).isEmpty)
+  }
+
+  test("q288 on the corpus: every core member keeps >= k in-core neighbors") {
+    val got = graft.operators.Graph.kCore(Tables(spark, sfDir).lineitem).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Long]("core_degree") >= 2L))
   }
 
   test("q281 on the corpus: one row per day, forecast errors center near zero") {
