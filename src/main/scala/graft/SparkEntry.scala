@@ -543,6 +543,19 @@ object SparkEntry {
     "q287_position_attribution" -> ((s, d) =>
       EventAnalytics.positionAttribution(Tables(s, d).events)),
     "q288_kcore" -> ((s, d) => Graph.kCore(Tables(s, d).lineitem)),
+    "q289_spearman" -> ((s, d) => StatTests.spearmanCorr(Tables(s, d).lineitem)),
+    "q290_cramers_v" -> ((s, d) => StatTests.cramersV(Tables(s, d).events)),
+    "q291_info_gain" -> ((s, d) => StatTests.infoGain(Tables(s, d).events)),
+    "q292_hits" -> ((s, d) => Graph.hits(Tables(s, d).lineitem)),
+    "q293_target_encode" -> ((s, d) => {
+      val t = Tables(s, d)
+      FeatureEng.targetEncodeOof(t.orders, t.customer)
+    }),
+    "q294_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlapMatrix(Tables(s, d).documents)),
+    "q295_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(Tables(s, d).documents)),
+    "q296_datacard" -> ((s, d) => TextAnalysis.sourceDataCard(Tables(s, d).documents)),
+    "q297_next_entropy" -> ((s, d) => EventAnalytics.nextEventEntropy(Tables(s, d).events)),
+    "q298_holt_winters" -> ((s, d) => StatTests.holtWinters(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3674,5 +3687,294 @@ object SparkEntry {
         |  SELECT l_suppkey FROM q, g
         |  WHERE n_lines >= 3 AND yr_qty > life_qty * gs * 2.0)
         |ORDER BY s.s_name""".stripMargin,
+    "q289_spearman" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS x,
+        |         CAST(l_discount AS DOUBLE) AS y
+        |  FROM lineitem),
+        |cx AS (SELECT flag, x, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT flag, x,
+        |    coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (cnt + 1) / 2.0 AS rx
+        |  FROM cx),
+        |cy AS (SELECT flag, y, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT flag, y,
+        |    coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (cnt + 1) / 2.0 AS ry
+        |  FROM cy)
+        |SELECT b.flag AS l_returnflag, count(*) AS n,
+        |  floor(corr(rx.rx, ry.ry)*10000 + 0.5)/10000 AS spearman_rho,
+        |  floor(corr(b.x, b.y)*10000 + 0.5)/10000 AS pearson_r
+        |FROM base b
+        |JOIN rx ON b.flag = rx.flag AND b.x = rx.x
+        |JOIN ry ON b.flag = ry.flag AND b.y = ry.y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q290_cramers_v" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(date_part('dow', ts) AS VARCHAR) AS dow,
+        |    'h' || CAST(CAST(floor(date_part('hour', ts)/6) AS INT) AS VARCHAR)
+        |      AS hour_bucket
+        |  FROM events),
+        |c1 AS (SELECT event_type AS va, dow AS vb, count(*) AS o FROM f GROUP BY 1,2),
+        |m1 AS (SELECT o, sum(o) OVER (PARTITION BY va) AS row_tot,
+        |         sum(o) OVER (PARTITION BY vb) AS col_tot, sum(o) OVER () AS n,
+        |         va, vb FROM c1),
+        |s1 AS (SELECT 'event_type' AS feature_a, 'dow' AS feature_b, max(n) AS n,
+        |         count(DISTINCT va) AS r, count(DISTINCT vb) AS c,
+        |         sum((CAST(o AS DOUBLE)*o)/(row_tot*col_tot/CAST(n AS DOUBLE)))
+        |           - max(n) AS chi2
+        |       FROM m1),
+        |c2 AS (SELECT event_type AS va, hour_bucket AS vb, count(*) AS o
+        |       FROM f GROUP BY 1,2),
+        |m2 AS (SELECT o, sum(o) OVER (PARTITION BY va) AS row_tot,
+        |         sum(o) OVER (PARTITION BY vb) AS col_tot, sum(o) OVER () AS n,
+        |         va, vb FROM c2),
+        |s2 AS (SELECT 'event_type' AS feature_a, 'hour_bucket' AS feature_b,
+        |         max(n) AS n, count(DISTINCT va) AS r, count(DISTINCT vb) AS c,
+        |         sum((CAST(o AS DOUBLE)*o)/(row_tot*col_tot/CAST(n AS DOUBLE)))
+        |           - max(n) AS chi2
+        |       FROM m2),
+        |c3 AS (SELECT dow AS va, hour_bucket AS vb, count(*) AS o FROM f GROUP BY 1,2),
+        |m3 AS (SELECT o, sum(o) OVER (PARTITION BY va) AS row_tot,
+        |         sum(o) OVER (PARTITION BY vb) AS col_tot, sum(o) OVER () AS n,
+        |         va, vb FROM c3),
+        |s3 AS (SELECT 'dow' AS feature_a, 'hour_bucket' AS feature_b, max(n) AS n,
+        |         count(DISTINCT va) AS r, count(DISTINCT vb) AS c,
+        |         sum((CAST(o AS DOUBLE)*o)/(row_tot*col_tot/CAST(n AS DOUBLE)))
+        |           - max(n) AS chi2
+        |       FROM m3),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |SELECT feature_a, feature_b, CAST(n AS BIGINT) AS n, r, c,
+        |  floor(chi2*10000 + 0.5)/10000 AS chi2,
+        |  floor((CASE WHEN least(r, c) > 1
+        |         THEN sqrt(chi2/(n*(least(r, c) - 1))) ELSE 0.0 END)*10000 + 0.5)/10000
+        |    AS cramers_v
+        |FROM u ORDER BY feature_a, feature_b""".stripMargin,
+    "q291_info_gain" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(date_part('dow', ts) AS VARCHAR) AS dow,
+        |    'h' || CAST(CAST(floor(date_part('hour', ts)/6) AS INT) AS VARCHAR)
+        |      AS hour_bucket,
+        |    'v' || CAST(CAST(floor(log10("value" + 1.0)) AS INT) AS VARCHAR)
+        |      AS value_bucket
+        |  FROM events),
+        |ht AS (
+        |  SELECT -sum(c*ln(c))/sum(c)/0.6931471805599453
+        |         + ln(sum(c))/0.6931471805599453 AS h_target
+        |  FROM (SELECT count(*) AS c FROM f GROUP BY event_type)),
+        |g1 AS (SELECT v, cv, sum(c*ln(c)) AS s FROM (
+        |         SELECT dow AS v, event_type, count(*) AS c,
+        |           sum(count(*)) OVER (PARTITION BY dow) AS cv
+        |         FROM f GROUP BY 1, 2) GROUP BY 1, 2),
+        |a1 AS (SELECT 'dow' AS feature, count(DISTINCT v) AS cardinality,
+        |         (sum(cv*ln(cv)) - sum(s))/sum(cv)/0.6931471805599453 AS h_cond,
+        |         -sum(cv*ln(cv))/sum(cv)/0.6931471805599453
+        |           + ln(sum(cv))/0.6931471805599453 AS h_feature
+        |       FROM g1),
+        |g2 AS (SELECT v, cv, sum(c*ln(c)) AS s FROM (
+        |         SELECT hour_bucket AS v, event_type, count(*) AS c,
+        |           sum(count(*)) OVER (PARTITION BY hour_bucket) AS cv
+        |         FROM f GROUP BY 1, 2) GROUP BY 1, 2),
+        |a2 AS (SELECT 'hour_bucket' AS feature, count(DISTINCT v) AS cardinality,
+        |         (sum(cv*ln(cv)) - sum(s))/sum(cv)/0.6931471805599453 AS h_cond,
+        |         -sum(cv*ln(cv))/sum(cv)/0.6931471805599453
+        |           + ln(sum(cv))/0.6931471805599453 AS h_feature
+        |       FROM g2),
+        |g3 AS (SELECT v, cv, sum(c*ln(c)) AS s FROM (
+        |         SELECT value_bucket AS v, event_type, count(*) AS c,
+        |           sum(count(*)) OVER (PARTITION BY value_bucket) AS cv
+        |         FROM f GROUP BY 1, 2) GROUP BY 1, 2),
+        |a3 AS (SELECT 'value_bucket' AS feature, count(DISTINCT v) AS cardinality,
+        |         (sum(cv*ln(cv)) - sum(s))/sum(cv)/0.6931471805599453 AS h_cond,
+        |         -sum(cv*ln(cv))/sum(cv)/0.6931471805599453
+        |           + ln(sum(cv))/0.6931471805599453 AS h_feature
+        |       FROM g3),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+        |SELECT feature, cardinality,
+        |  floor(ht.h_target*10000 + 0.5)/10000 AS h_target_bits,
+        |  floor(h_cond*10000 + 0.5)/10000 AS h_cond_bits,
+        |  floor((ht.h_target - h_cond)*10000 + 0.5)/10000 AS info_gain_bits,
+        |  floor((CASE WHEN h_feature > 0
+        |         THEN (ht.h_target - h_cond)/h_feature ELSE 0.0 END)*10000 + 0.5)/10000
+        |    AS gain_ratio
+        |FROM u, ht ORDER BY feature""".stripMargin,
+    "q292_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |m AS (SELECT count(*) AS m FROM e),
+        |h1 AS (SELECT s, CAST(count(*) AS DOUBLE)/(SELECT m FROM m) AS h1
+        |       FROM e GROUP BY s),
+        |a1raw AS (SELECT e.p, sum(h1.h1) AS a1raw
+        |          FROM e JOIN h1 ON e.s = h1.s GROUP BY e.p),
+        |za AS (SELECT sum(a1raw) AS za FROM a1raw),
+        |a1 AS (SELECT p, a1raw/(SELECT za FROM za) AS a1 FROM a1raw),
+        |h2raw AS (SELECT e.s, sum(a1.a1) AS h2raw
+        |          FROM e JOIN a1 ON e.p = a1.p GROUP BY e.s),
+        |zh AS (SELECT sum(h2raw) AS zh FROM h2raw),
+        |h2 AS (SELECT s, h2raw/(SELECT zh FROM zh) AS h2 FROM h2raw),
+        |u AS (
+        |  SELECT 'hub' AS role, s AS node_id,
+        |    floor(h2*1000*1000000 + 0.5)/1000000 AS score_x1000 FROM h2
+        |  UNION ALL
+        |  SELECT 'authority' AS role, p AS node_id,
+        |    floor(a1*1000*1000000 + 0.5)/1000000 AS score_x1000 FROM a1),
+        |r AS (SELECT role, node_id, score_x1000,
+        |        row_number() OVER (PARTITION BY role
+        |          ORDER BY score_x1000 DESC, node_id) AS rank
+        |      FROM u)
+        |SELECT role, node_id, score_x1000, rank
+        |FROM r WHERE rank <= 20 ORDER BY role, rank""".stripMargin,
+    "q293_target_encode" ->
+      """WITH base AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) % 5 AS INT) AS fold,
+        |    o_totalprice AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (
+        |  SELECT segment, fold, sum(y) AS s, count(*) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |w AS (
+        |  SELECT segment, fold, s, cnt,
+        |    sum(s) OVER (PARTITION BY segment) AS seg_s,
+        |    sum(cnt) OVER (PARTITION BY segment) AS seg_n,
+        |    sum(s) OVER () AS tot_s,
+        |    sum(cnt) OVER () AS tot_n
+        |  FROM cells)
+        |SELECT segment, fold, cnt AS n_rows,
+        |  floor(((seg_s - s)/(seg_n - cnt))*10000 + 0.5)/10000 AS oof_mean,
+        |  floor(((tot_s - s)/(tot_n - cnt))*10000 + 0.5)/10000 AS oof_prior,
+        |  floor(((CAST(seg_n - cnt AS DOUBLE) * ((seg_s - s)/(seg_n - cnt))
+        |          + 20.0 * ((tot_s - s)/(tot_n - cnt)))
+        |         / (CAST(seg_n - cnt AS DOUBLE) + 20.0))*10000 + 0.5)/10000 AS encoded
+        |FROM w ORDER BY segment, fold""".stripMargin,
+    "q294_source_overlap" ->
+      """WITH sf AS (
+        |  SELECT DISTINCT source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n_fp FROM sf GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS source_a, a.n_fp AS n_a,
+        |         b.source AS source_b, b.n_fp AS n_b
+        |  FROM ps a, ps b WHERE a.source < b.source)
+        |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+        |  coalesce(sh.n_shared, 0) AS n_shared,
+        |  floor((CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+        |         /(p.n_a + p.n_b - coalesce(sh.n_shared, 0)))*10000 + 0.5)/10000
+        |    AS fp_jaccard
+        |FROM pairs p LEFT JOIN sh
+        |  ON p.source_a = sh.source_a AND p.source_b = sh.source_b
+        |ORDER BY 1, 2""".stripMargin,
+    "q295_js_divergence" ->
+      """WITH tokx AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents),
+        |c1 AS (SELECT source, t, count(*) AS c FROM tokx GROUP BY 1, 2),
+        |ts AS (SELECT source, sum(c) AS ts FROM c1 GROUP BY 1),
+        |ct AS (SELECT t, sum(c) AS ct FROM c1 GROUP BY 1),
+        |tot AS (SELECT sum(c) AS tt FROM c1),
+        |sp AS (
+        |  SELECT c1.source, c1.c, ts.ts, ct.ct, (SELECT tt FROM tot) AS tt
+        |  FROM c1 JOIN ct ON c1.t = ct.t JOIN ts ON c1.source = ts.source),
+        |terms AS (
+        |  SELECT source, ts, ct/tt AS q,
+        |    (c/ts)*ln((c/ts)/(((c/ts)+(ct/tt))/2.0))
+        |      + (ct/tt)*ln((ct/tt)/(((c/ts)+(ct/tt))/2.0)) AS term
+        |  FROM sp)
+        |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens, count(*) AS vocab_size,
+        |  floor((0.5*sum(term)/0.6931471805599453
+        |         + 0.5*(1.0 - sum(q)))*10000 + 0.5)/10000 AS js_bits
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "q296_datacard" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |vol AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT fp) AS n_distinct_fp
+        |  FROM base GROUP BY 1),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, n AS top_n FROM (
+        |    SELECT source, lang, count(*) AS n,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY count(*) DESC, lang) AS rk
+        |    FROM base GROUP BY source, lang) WHERE rk = 1)
+        |SELECT v.source, n_docs, total_chars, avg_chars, total_tokens, n_langs,
+        |  top_lang,
+        |  floor((CAST(top_n AS DOUBLE)/n_docs)*10000 + 0.5)/10000 AS top_lang_share,
+        |  floor((1.0 - CAST(n_distinct_fp AS DOUBLE)/n_docs)*10000 + 0.5)/10000
+        |    AS dup_rate
+        |FROM vol v JOIN tl ON v.source = tl.source ORDER BY 1""".stripMargin,
+    "q298_holt_winters" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |daily AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
+        |seed AS (
+        |  SELECT ((((((ys[1]+ys[2])+ys[3])+ys[4])+ys[5])+ys[6])+ys[7])/7.0 AS l0, ys
+        |  FROM (SELECT list(rev ORDER BY rn) AS ys FROM daily WHERE rn <= 7)),
+        |rec AS (
+        |  SELECT CAST(7 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS day,
+        |    CAST(NULL AS DOUBLE) AS rev, l0 AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+        |    CAST(NULL AS DOUBLE) AS snew, CAST(NULL AS DOUBLE) AS fc,
+        |    list_transform(ys, y -> y - l0) AS seas
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.rev,
+        |    0.25*(d.rev - r.seas[1]) + (1.0 - 0.25)*(r.lvl + r.trd),
+        |    0.125*((0.25*(d.rev - r.seas[1]) + (1.0 - 0.25)*(r.lvl + r.trd)) - r.lvl)
+        |      + (1.0 - 0.125)*r.trd,
+        |    0.25*(d.rev - (0.25*(d.rev - r.seas[1])
+        |                   + (1.0 - 0.25)*(r.lvl + r.trd)))
+        |      + (1.0 - 0.25)*r.seas[1],
+        |    r.lvl + r.trd + r.seas[1],
+        |    r.seas[2:] || [0.25*(d.rev - (0.25*(d.rev - r.seas[1])
+        |                                 + (1.0 - 0.25)*(r.lvl + r.trd)))
+        |                   + (1.0 - 0.25)*r.seas[1]]
+        |  FROM rec r JOIN daily d ON d.rn = r.rn + 1)
+        |SELECT day, rev,
+        |  floor(lvl*10000 + 0.5)/10000 AS level,
+        |  floor(trd*10000 + 0.5)/10000 AS trend,
+        |  floor(snew*10000 + 0.5)/10000 AS seasonal,
+        |  floor(fc*10000 + 0.5)/10000 AS forecast,
+        |  floor((rev - fc)*10000 + 0.5)/10000 AS err
+        |FROM rec WHERE rn > 7 ORDER BY day""".stripMargin,
+    "q297_next_entropy" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |cells AS (
+        |  SELECT prev_type, next_type, count(*) AS c
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT prev_type, next_type, c,
+        |    sum(c) OVER (PARTITION BY prev_type) AS tot,
+        |    row_number() OVER (PARTITION BY prev_type
+        |      ORDER BY c DESC, next_type) AS rk
+        |  FROM cells)
+        |SELECT prev_type, CAST(tot AS BIGINT) AS n_transitions,
+        |  count(DISTINCT next_type) AS n_next_types,
+        |  floor(((ln(tot) - sum(c*ln(c))/tot)/0.6931471805599453)*10000 + 0.5)/10000
+        |    AS entropy_bits,
+        |  max(CASE WHEN rk = 1 THEN next_type END) AS top_next,
+        |  floor((CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)/tot)*10000 + 0.5)/10000
+        |    AS top_share
+        |FROM m GROUP BY prev_type, tot ORDER BY prev_type""".stripMargin,
   )
 }

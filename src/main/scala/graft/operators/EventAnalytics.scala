@@ -548,6 +548,48 @@ object EventAnalytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q297: next-event predictability — the conditional entropy
+    * H(next | current) per current event type, over the SAME per-user
+    * (ts, event_id)-ordered transition pairs as q85's matrix. Low
+    * entropy = the stream is mechanical after this event (a redirect, a
+    * bot loop); entropy near log₂(#types) = anything can follow. The
+    * top next-step and its share ride along, so the row reads as "after
+    * X: usually Y (p), surprise H bits".
+    *
+    * Scale: the transition groupBy collapses to ≤ #types² cells (map-
+    * side combinable); entropy, ranking, and shares are arithmetic and
+    * a #types-bounded window on that cell frame. ln 2 is the hardcoded
+    * IEEE literal shared with the oracle. */
+  def nextEventEntropy(events: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cells = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+    val wp = Window.partitionBy("prev_type")
+    val wr = Window.partitionBy("prev_type")
+      .orderBy(col("c").desc, col("next_type"))
+    cells
+      .withColumn("tot", sum("c").over(wp))
+      .withColumn("rk", row_number().over(wr))
+      .groupBy(col("prev_type"), col("tot"))
+      .agg(
+        // H = ln(tot) − Σ c·ln c / tot, in bits (q291's one-pass form)
+        ((log(col("tot")) - sum(col("c") * log(col("c"))) / col("tot")) / lit(ln2))
+          .as("h"),
+        max(when(col("rk") === 1, col("next_type"))).as("top_next"),
+        max(when(col("rk") === 1, col("c"))).as("top_c"),
+        countDistinct(col("next_type")).as("n_next_types"))
+      .select(
+        col("prev_type"), col("tot").as("n_transitions"), col("n_next_types"),
+        round(col("h"), 4).as("entropy_bits"),
+        col("top_next"),
+        round(col("top_c").cast("double") / col("tot"), 4).as("top_share"))
+      .orderBy("prev_type")
+  }
+
   /** q86: top daily user paths — the first `pathLen` event types of each
     * (user, day), joined into a path string, counted corpus-wide. The
     * per-user-day truncation bounds both the window state and the path

@@ -401,4 +401,60 @@ object Graph {
           when(col("n_wedges") > 0, lit(3.0) * col("n_triangles") / col("n_wedges"))
             .otherwise(lit(0.0)), 4).as("global_cc"))
   }
+
+  /** q292: HITS hubs & authorities on the supplier→part bipartite graph
+    * — the mutually-recursive centrality (a good hub supplies
+    * well-sourced parts; a good authority is supplied by broad hubs)
+    * that degree (and PageRank's single score, q98) can't separate. Two
+    * unrolled iterations with L1 normalization: h¹ = degree/|E|,
+    * a¹ ∝ Σ h¹ over in-edges, h² ∝ Σ a¹ over out-edges.
+    *
+    * k is a FIXED small constant (unrolled, not iterated-to-
+    * convergence) so the DuckDB oracle can replay the identical
+    * dataflow; for convergence runs, route the same two joins through
+    * [[BoundedIteration]] like q98. Scale shape: per iteration one
+    * edge-proportional equi-join + node-level groupBy sum (map-side
+    * combinable); normalizers are 1-row broadcast scalars. Output is
+    * the top-k of each side — rank on the ROUNDED score with key
+    * tie-break, so ordering is engine-stable. */
+  def hits(lineitem: DataFrame, topN: Int = 20): DataFrame = {
+    val edges = lineitem
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    // h1(s) = deg(s) / |E| : the L1-normalized first hub pass (a0 ≡ 1).
+    // |E| = Σ deg is exact integer arithmetic — no float normalizer yet.
+    val eCount = edges.agg(count(lit(1)).as("m"))
+    val h1 = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(eCount))
+      .select(col("s"), (col("deg").cast("double") / col("m")).as("h1"))
+    // a1(p) ∝ Σ_{s→p} h1(s), L1-normalized
+    val a1raw = edges.join(broadcast(h1), "s").groupBy("p").agg(sum("h1").as("a1raw"))
+    val a1norm = a1raw.agg(sum("a1raw").as("za"))
+    val a1 = a1raw.crossJoin(broadcast(a1norm))
+      .select(col("p"), (col("a1raw") / col("za")).as("a1"))
+    // h2(s) ∝ Σ_{s→p} a1(p), L1-normalized
+    val h2raw = edges.join(broadcast(a1), "p").groupBy("s").agg(sum("a1").as("h2raw"))
+    val h2norm = h2raw.agg(sum("h2raw").as("zh"))
+    val h2 = h2raw.crossJoin(broadcast(h2norm))
+      .select(col("s"), (col("h2raw") / col("zh")).as("h2"))
+
+    val hubs = h2.select(
+      lit("hub").as("role"), col("s").as("node_id"),
+      round(col("h2") * 1000, 6).as("score_x1000"))
+    val auths = a1.select(
+      lit("authority").as("role"), col("p").as("node_id"),
+      round(col("a1") * 1000, 6).as("score_x1000"))
+    import org.apache.spark.sql.expressions.Window
+    // row_number ≤ k over a 2-value partition key: safe at node scale
+    // because Spark rewrites it to Partial/Final WindowGroupLimit (each
+    // task pre-keeps ≤ k rows per role before the shuffle — asserted in
+    // PlanSpec for the q03 idiom), so the reducer sees k·partitions
+    // rows, not every node
+    val w = Window.partitionBy("role")
+      .orderBy(col("score_x1000").desc, col("node_id"))
+    hubs.unionByName(auths)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .orderBy("role", "rank")
+  }
 }

@@ -321,6 +321,60 @@ object StatTests {
     rows.toSeq.toDF("day", "rev", "level", "trend", "forecast", "err").orderBy("day")
   }
 
+  /** q298: additive Holt–Winters (triple exponential smoothing) of
+    * daily revenue with a weekly season — the seasonal completion of
+    * the forecasting family: q187 smooths level, q281 adds trend, this
+    * adds the 7-day cycle that retail/traffic series actually carry
+    * (and that q243's seasonal-naive backtest uses as its baseline).
+    * Recurrence: fₜ = ℓ+b+s₍ₜ₋₇₎; ℓ' = α(yₜ−s₍ₜ₋₇₎)+(1−α)(ℓ+b);
+    * b' = β(ℓ'−ℓ)+(1−β)b; s' = γ(yₜ−ℓ')+(1−γ)s₍ₜ₋₇₎. Init over the
+    * first week: ℓ = mean(y₁..y₇) summed left-to-right, b = 0,
+    * sᵢ = yᵢ−ℓ; emission starts at day 8.
+    *
+    * Scale/portability: q281's discipline exactly — the daily frame is
+    * calendar-bounded so the coupled recurrence folds driver-side;
+    * α,β,γ are exact binary fractions (0.25, 0.125, 0.25) so 1−α is
+    * representable and the DuckDB recursive-CTE oracle (carrying the
+    * 7-slot seasonal ring as a LIST) replays the identical IEEE
+    * sequence. Daily revenue is 4dp-rounded BEFORE the fold; state
+    * stays unrounded; outputs round. */
+  def holtWinters(
+      orders: DataFrame,
+      alpha: Double = 0.25,
+      beta: Double = 0.125,
+      gamma: Double = 0.25,
+      period: Int = 7): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .orderBy("d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"))
+      .as[(String, Double)].collect()
+    if (daily.length <= period) {
+      Seq.empty[(String, Double, Double, Double, Double, Double, Double)]
+        .toDF("day", "rev", "level", "trend", "seasonal", "forecast", "err")
+    } else {
+      // left-to-right week sum, mirrored term-by-term in the oracle
+      var l = daily.take(period).map(_._2).foldLeft(0.0)(_ + _) / period.toDouble
+      var b = 0.0
+      var ring = daily.take(period).map(_._2 - l).toVector
+      val rows = daily.drop(period).map { case (day, y) =>
+        val sHead = ring.head
+        val fc = l + b + sHead
+        val lNew = alpha * (y - sHead) + (1.0 - alpha) * (l + b)
+        val bNew = beta * (lNew - l) + (1.0 - beta) * b
+        val sNew = gamma * (y - lNew) + (1.0 - gamma) * sHead
+        l = lNew; b = bNew; ring = ring.tail :+ sNew
+        (day, y, r4(lNew), r4(bNew), r4(sNew), r4(fc), r4(y - fc))
+      }
+      rows.toSeq.toDF("day", "rev", "level", "trend", "seasonal", "forecast", "err")
+        .orderBy("day")
+    }
+  }
+
   /** q187: exponentially weighted moving average of daily revenue
     * (α = 0.1), the smoothing dual of q136's flat moving average. The
     * recurrence sₜ = αxₜ + (1−α)sₜ₋₁ unrolls to a closed-form weighted
@@ -803,5 +857,176 @@ object StatTests {
         round(col("b1"), 4).as("beta_quantity"),
         round(col("b2"), 4).as("beta_discount"),
         round((col("b1") * col("s1y") + col("b2") * col("s2y")) / col("syy"), 4).as("r2"))
+  }
+
+  /** q289: Spearman rank correlation between quantity and discount per
+    * return flag — the monotone-association screen that Pearson (q128,
+    * q181's corr) misses when the relationship is nonlinear, and the
+    * robust choice when either variable is heavy-tailed.
+    *
+    * Ranks are AVERAGE ranks (the ties-correct textbook definition:
+    * tied values share the mean of the positions they span), computed
+    * WITHOUT ranking the fact table: one fact-proportional
+    * `groupBy(flag, value).count()` collapses to the distinct-value
+    * frame — BOUNDED for these graded variables (≤50 quantities × ≤11
+    * discounts per flag regardless of corpus size) — where a cumulative
+    * window yields `below + (cnt+1)/2`. The per-value rank table then
+    * broadcast-joins back to the fact rows and `corr` over the rank
+    * pairs is a one-pass aggregate. No data-sized sort, no per-group
+    * single reducer: the only window runs on the distinct-value frame.
+    * Pearson on the raw values rides the same scan for contrast. */
+  def spearmanCorr(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val base = lineitem.select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_discount").cast("double").as("y"))
+
+    // average rank of each distinct value within its flag group:
+    // below(v) = #rows with value < v; avg_rank(v) = below + (cnt+1)/2
+    def avgRanks(valueCol: String, rankName: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("flag"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(
+          col("flag"), col(valueCol),
+          (col("below") + (col("cnt") + lit(1)) / lit(2.0)).as(rankName))
+    }
+    base
+      .join(bcast(avgRanks("x", "rx")), Seq("flag", "x"))
+      .join(bcast(avgRanks("y", "ry")), Seq("flag", "y"))
+      .groupBy(col("flag").as("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("rx"), col("ry")), 4).as("spearman_rho"),
+        round(corr(col("x"), col("y")), 4).as("pearson_r"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q290: Cramér's V association matrix over the event stream's
+    * categorical features (event type, day-of-week, 6-hour bucket) —
+    * the normalized chi-square that answers "which features move
+    * together" on a 0..1 scale, comparable across tables of any size
+    * (raw chi-square grows with n; V does not). The bias-corrected
+    * variant is deliberately not used: plain V is the cross-engine-
+    * stable formula.
+    *
+    * Scale shape: ONE fact-proportional pass per pair builds the
+    * contingency counts (map-side partial aggregation into ≤ types×7
+    * cells), and everything after — marginals, expected counts,
+    * chi-square, V — is arithmetic on the bounded cell frame. The
+    * pair list is a compile-time constant (3 pairs), so the full
+    * matrix is 3 bounded aggregates over a shared scan. */
+  def cramersV(events: DataFrame): DataFrame = {
+    val feat = events.select(
+      col("event_type"),
+      (dayofweek(col("ts")) - lit(1)).cast("string").as("dow"),
+      concat(lit("h"), floor(hour(col("ts")) / lit(6)).cast("string")).as("hour_bucket"))
+
+    def pair(a: String, b: String): DataFrame = {
+      val cells = feat.groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("o"))
+      val wa = Window.partitionBy("va")
+      val wb = Window.partitionBy("vb")
+      cells
+        .withColumn("row_tot", sum("o").over(wa))
+        .withColumn("col_tot", sum("o").over(wb))
+        .withColumn("n", sum("o").over(Window.partitionBy(lit(1))))
+        .withColumn("e", col("row_tot") * col("col_tot") / col("n").cast("double"))
+        // sparse-correct chi-square: the cell frame only holds OBSERVED
+        // pairs, so Σ(o−e)²/e would miss zero cells' e-mass. The
+        // algebraic identity chi² = Σ o²/e − n needs only observed
+        // cells (a zero cell's o²/e term is 0), so it is exact here.
+        // o cast to double BEFORE squaring: a 100 TB cell count squared
+        // overflows long (ANSI would throw)
+        .withColumn("term", (col("o").cast("double") * col("o")) / col("e"))
+        .agg(
+          first(lit(a)).as("feature_a"),
+          first(lit(b)).as("feature_b"),
+          max("n").as("n"),
+          countDistinct("va").as("r"),
+          countDistinct("vb").as("c"),
+          (sum("term") - max("n")).as("chi2"))
+        .select(
+          col("feature_a"), col("feature_b"), col("n"), col("r"), col("c"),
+          round(col("chi2"), 4).as("chi2"),
+          // degenerate single-valued feature → V undefined; report 0
+          // (guard mirrored in the oracle; ANSI mode would throw on /0)
+          round(
+            when(least(col("r"), col("c")) > 1,
+              sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - lit(1)))))
+              .otherwise(lit(0.0)),
+            4).as("cramers_v"))
+    }
+    pair("event_type", "dow")
+      .unionByName(pair("event_type", "hour_bucket"))
+      .unionByName(pair("dow", "hour_bucket"))
+      .orderBy("feature_a", "feature_b")
+  }
+
+  /** q291: mutual-information feature ranking — how predictive each
+    * categorical feature (day-of-week, 6-hour bucket, log-value
+    * bucket) is of the event type, in bits: IG = H(type) − H(type|f),
+    * plus the normalized information-gain ratio IG/H(f) that penalizes
+    * high-cardinality features (the classic decision-tree split
+    * criterion, and the screen that catches target leakage — a feature
+    * with IG ≈ H(type) IS the label).
+    *
+    * Scale: per feature one fact-proportional groupBy into
+    * (feature_value × type) cells — bounded, map-side combinable —
+    * then entropies are sums over the cell frame. log2 via ln/ln2,
+    * identical IEEE ops in the DuckDB oracle. */
+  def infoGain(events: DataFrame): DataFrame = {
+    // hardcoded IEEE double for ln 2: the oracle uses the same literal,
+    // removing any dependence on libm-vs-JVM log(2.0) rounding
+    val ln2 = 0.6931471805599453
+    val feat = events.select(
+      col("event_type"),
+      (dayofweek(col("ts")) - lit(1)).cast("string").as("dow"),
+      concat(lit("h"), floor(hour(col("ts")) / lit(6)).cast("string")).as("hour_bucket"),
+      concat(lit("v"), floor(log10(col("value") + lit(1.0))).cast("int").cast("string"))
+        .as("value_bucket"))
+
+    // H(type) over the whole frame — one bounded aggregate, shared
+    val hTarget = feat.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .agg((-sum(col("c") * log(col("c"))) / sum(col("c")) / lit(ln2)
+        + log(sum(col("c"))) / lit(ln2)).as("h_target"))
+
+    def perFeature(f: String): DataFrame = {
+      val cells = feat.groupBy(col(f).as("v"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("v")
+      // H(type|f) = Σ_v p(v) H(type|v); entropy via the Σ c·ln c form
+      // (one pass, no per-cell division before the sum)
+      val cond = cells
+        .withColumn("cv", sum("c").over(wv))
+        .groupBy(col("v"), col("cv"))
+        .agg(sum(col("c") * log(col("c"))).as("s"))
+        .agg(
+          ((sum(col("cv") * log(col("cv"))) - sum(col("s"))) / sum(col("cv"))
+            / lit(ln2)).as("h_cond"),
+          (-sum(col("cv") * log(col("cv"))) / sum(col("cv")) / lit(ln2)
+            + log(sum(col("cv"))) / lit(ln2)).as("h_feature"),
+          countDistinct(col("v")).as("cardinality"))
+      cond.select(lit(f).as("feature"), col("cardinality"), col("h_cond"), col("h_feature"))
+    }
+    Seq("dow", "hour_bucket", "value_bucket")
+      .map(perFeature)
+      .reduce(_ unionByName _)
+      .crossJoin(hTarget) // 1-row broadcast scalar
+      .select(
+        col("feature"), col("cardinality"),
+        round(col("h_target"), 4).as("h_target_bits"),
+        round(col("h_cond"), 4).as("h_cond_bits"),
+        round(col("h_target") - col("h_cond"), 4).as("info_gain_bits"),
+        // constant feature → H(f)=0, ratio undefined; report 0 (oracle
+        // mirrors; ANSI mode would throw on the 0/0)
+        round(
+          when(col("h_feature") > 0,
+            (col("h_target") - col("h_cond")) / col("h_feature"))
+            .otherwise(lit(0.0)), 4).as("gain_ratio"))
+      .orderBy("feature")
   }
 }

@@ -1384,4 +1384,196 @@ object TextAnalysis {
           .as("pct_flagged"))
       .orderBy("source")
   }
+
+  /** q299: TextRank keyword extraction — PageRank over the word
+    * co-occurrence graph (adjacent lowercase tokens after stopword
+    * removal, undirected, weighted by corpus co-occurrence count), the
+    * unsupervised keyword ranker that beats raw frequency by rewarding
+    * CONNECTED words. Two unrolled weighted-PageRank iterations from
+    * the uniform score with damping d = 0.875 (an exact binary
+    * fraction, so 1−d is representable and the oracle replays the
+    * identical IEEE sequence — the q281/q292 unrolled-oracle
+    * discipline; convergence runs route through [[BoundedIteration]]
+    * like q98).
+    *
+    * Scale: token positions are map-side row work; the bigram groupBy
+    * collapses to the observed-bigram frame (corpus-vocab bounded, not
+    * document bounded); each iteration is one edge-proportional
+    * equi-join + node groupBy. Top-k on the ROUNDED score with token
+    * tie-break via the WindowGroupLimit-rewritten row_number idiom. */
+  def textRank(documents: DataFrame, topN: Int = 20): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val toks = filter(tokens(lower(col("text"))), t => !t.isin(stop: _*))
+    val pos = documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
+    val bigrams = pos.as("x")
+      .join(pos.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("y.p") === col("x.p") + 1)
+      .select(col("x.w").as("a"), col("y.w").as("b"))
+      .filter(col("a") =!= col("b")) // self-loops add no ranking signal
+    val edges = bigrams
+      .unionAll(bigrams.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("e"))
+    val wdeg = edges.groupBy("a").agg(sum("e").as("wd"))
+    val nodes = wdeg.agg(count(lit(1)).as("nv")) // 1-row scalar
+    val d = 0.875
+    // r1(w) = (1−d)/N + d·Σ_u e(u,w)/wd(u) · (1/N)
+    val r1 = edges
+      .join(wdeg, "a")
+      .crossJoin(broadcast(nodes))
+      .groupBy(col("b").as("w"), col("nv"))
+      .agg(sum(col("e") / col("wd") / col("nv")).as("m1"))
+      .select(col("w"), (lit(1.0 - d) / col("nv") + lit(d) * col("m1")).as("r1"))
+    val r2 = edges
+      .join(wdeg, "a")
+      .join(r1.withColumnRenamed("w", "a"), "a")
+      .crossJoin(broadcast(nodes))
+      .groupBy(col("b").as("w"), col("nv"))
+      .agg(sum(col("e") / col("wd") * col("r1")).as("m2"))
+      .select(col("w"), round(lit(1.0 - d) / col("nv") + lit(d) * col("m2"), 6)
+        .as("textrank"))
+    // global top-k via TakeOrdered (orderBy+limit — no data-sized
+    // window); the (rounded score, token) order is total ⇒ deterministic
+    r2.select(col("w").as("keyword"), col("textrank"))
+      .orderBy(col("textrank").desc, col("keyword"))
+      .limit(topN)
+  }
+
+  /** q309: duplicate-cluster size distribution — the shape of exact
+    * duplication (q33's fingerprint): how many clusters of each size,
+    * how many documents they hold, and each size's share of the corpus.
+    * The governance histogram that distinguishes "2% boilerplate
+    * repeated everywhere" from "broad light duplication" — same dup
+    * rate, opposite dedup strategies. Two bounded groupBys: fingerprint
+    * → size (fact-proportional, map-side combinable), size → histogram
+    * (≤ max-cluster-size rows). */
+  def dupClusterDist(documents: DataFrame): DataFrame = {
+    val sizes = documents
+      .select(fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("cluster_size"))
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    sizes
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 4).as("pct_docs"))
+      .orderBy("cluster_size")
+  }
+
+  /** q294: cross-source duplication matrix — for every source pair, the
+    * number of exact content fingerprints (q33's md5-of-normalized-text)
+    * present in BOTH, plus the fingerprint Jaccard. The corpus-
+    * governance view behind q100's row-level cross dedup: "how much of
+    * source B is already in source A" decides crawl priorities and
+    * dedup order. Pairs with zero overlap are emitted too (a left join
+    * against the bounded source-pair frame), so the matrix shape is
+    * stable.
+    *
+    * Scale: one fact-proportional distinct to (source, fp); the pair
+    * join is fp-equi (shuffle on fingerprint, never all-pairs), and the
+    * pair frame itself is #sources² — driver-trivial. */
+  def sourceOverlapMatrix(documents: DataFrame): DataFrame = {
+    val srcFp = documents
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .distinct()
+    val perSource = srcFp.groupBy("source").agg(count(lit(1)).as("n_fp"))
+    val shared = srcFp.as("a")
+      .join(srcFp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = perSource.select(col("source").as("source_a"), col("n_fp").as("n_a"))
+      .crossJoin(perSource.select(col("source").as("source_b"), col("n_fp").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    pairs
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")), 4).as("fp_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q295: Jensen–Shannon divergence of each source's token
+    * distribution from the corpus-wide distribution — the symmetric,
+    * bounded (≤1 bit) drift measure for corpus mixing: a source with
+    * high JS is lexically unlike the blend it feeds, which moves
+    * mixture weights (q72) and flags ingest regressions the length-only
+    * drift screens (q161) miss.
+    *
+    * Scale: token counts collapse to the (source, token) frame —
+    * vocab-bounded, never document-bounded — and the divergence is
+    * computed SPARSELY: only terms PRESENT in the source are
+    * enumerated, because for an absent term (P = 0) the mid-point is
+    * M = Q/2, so its Q-side contribution collapses to Q·ln 2 and the
+    * whole zero-count tail is the closed form ln 2·(1 − Σ_present Q) —
+    * no dense sources × vocab frame, no cartesian join. ln 2 is the
+    * shared hardcoded literal. */
+  def jsDivergence(documents: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val cst = documents
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val ts = cst.groupBy("source").agg(sum("c").as("ts"))
+    val ct = cst.groupBy("t").agg(sum("c").as("ct"))
+    val tot = cst.agg(sum("c").as("tt"))
+    val sparse = cst
+      .join(ct, "t") // vocab-keyed equi join
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot)) // 1-row scalar
+    val p = col("c") / col("ts")
+    val q = col("ct") / col("tt")
+    val mm = (p + q) / lit(2.0)
+    sparse
+      .withColumn("term", p * log(p / mm) + q * log(q / mm))
+      .withColumn("q", q)
+      .groupBy("source")
+      .agg(
+        max("ts").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum("term").as("s"),
+        sum("q").as("qp"))
+      .select(
+        col("source"), col("n_tokens"), col("vocab_size"),
+        round(lit(0.5) * col("s") / lit(ln2) + lit(0.5) * (lit(1.0) - col("qp")), 4)
+          .as("js_bits"))
+      .orderBy("source")
+  }
+
+  /** q296: per-source data card — the one-row-per-source corpus
+    * composition summary every training-data readme publishes: volume
+    * (docs, chars, whitespace tokens), language mix (count, dominant
+    * language and its share), and the exact-duplicate rate from q33's
+    * fingerprint. One fact scan feeds three bounded aggregates; the
+    * dominant language is a #langs-bounded window rank. */
+  def sourceDataCard(documents: DataFrame): DataFrame = {
+    val base = documents.select(
+      col("source"), col("lang"), col("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      fingerprint(col("text")).as("fp"))
+    val vol = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      round(avg("n_chars"), 4).as("avg_chars"),
+      sum("n_tok").as("total_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("fp").as("n_distinct_fp"))
+    val wl = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
+    val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wl))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
+    vol.join(broadcast(topLang), "source")
+      .select(
+        col("source"), col("n_docs"), col("total_chars"), col("avg_chars"),
+        col("total_tokens"), col("n_langs"), col("top_lang"),
+        round(col("top_n").cast("double") / col("n_docs"), 4).as("top_lang_share"),
+        round(lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
 }

@@ -340,7 +340,13 @@ class PlanSpec extends SparkSpec {
       "q255_doc_surprisal"  -> bnl, // 1-row broadcast corpus token total (q14 idiom)
       "q258_lorenz_curve"   -> Set("unpartitioned-window"), // 10-row decile frame + GlobalOrder offsets (q150/q183 idiom)
       "q259_spc_chart"      -> (bnl + "unpartitioned-window"), // 1-row limits broadcast (q14 idiom) + lag over the calendar-day frame (q89 idiom)
-      "q256_seasonality_strength" -> Set("unpartitioned-window")) // q194's trend MA over the calendar-days frame
+      "q256_seasonality_strength" -> Set("unpartitioned-window"), // q194's trend MA over the calendar-days frame
+      "q290_cramers_v"      -> Set("unpartitioned-window"), // grand-total over ≤types×7 contingency cells (q182 bounded-frame idiom)
+      "q291_info_gain"      -> bnl, // 1-row H(target) scalar crossed (q14 idiom)
+      "q292_hits"           -> bnl, // 1-row |E|/normalizer scalars ×3 (q14 idiom)
+      "q293_target_encode"  -> Set("unpartitioned-window"), // grand-total over segments×folds cells (q182/q290 idiom)
+      "q294_source_overlap" -> (bnl + "cartesian-product"), // #sources² pair frame densification (q126/q161 grid idiom)
+      "q295_js_divergence"  -> bnl) // 1-row corpus-total scalar (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
