@@ -556,6 +556,11 @@ object SparkEntry {
     "q296_datacard" -> ((s, d) => TextAnalysis.sourceDataCard(Tables(s, d).documents)),
     "q297_next_entropy" -> ((s, d) => EventAnalytics.nextEventEntropy(Tables(s, d).events)),
     "q298_holt_winters" -> ((s, d) => StatTests.holtWinters(Tables(s, d).orders)),
+    "q299_textrank" -> ((s, d) => TextAnalysis.textRank(Tables(s, d).documents)),
+    "q300_kendall_tau" -> ((s, d) => StatTests.kendallTau(Tables(s, d).lineitem)),
+    "q304_transition_audit" -> ((s, d) => EventAnalytics.transitionRuleAudit(Tables(s, d).events)),
+    "q308_embedding_qa" -> ((s, d) => Similarity.embeddingQa(Tables(s, d).embeddings)),
+    "q309_dup_cluster_dist" -> ((s, d) => TextAnalysis.dupClusterDist(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3953,6 +3958,111 @@ object SparkEntry {
         |  floor(fc*10000 + 0.5)/10000 AS forecast,
         |  floor((rev - fc)*10000 + 0.5)/10000 AS err
         |FROM rec WHERE rn > 7 ORDER BY day""".stripMargin,
+    "q299_textrank" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\S+'),
+        |    t -> NOT t IN ('the','a','and','of','to')) AS ts
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS p
+        |        FROM tk),
+        |bg AS (SELECT x.w AS a, y.w AS b FROM pos x JOIN pos y
+        |        ON x.doc_id = y.doc_id AND y.p = x.p + 1 AND x.w <> y.w),
+        |ed AS (SELECT a, b, count(*) AS e FROM
+        |        (SELECT a, b FROM bg UNION ALL SELECT b AS a, a AS b FROM bg)
+        |       GROUP BY 1, 2),
+        |wd AS (SELECT a, sum(e) AS wd FROM ed GROUP BY 1),
+        |nv AS (SELECT count(*) AS nv FROM wd),
+        |r1 AS (SELECT ed.b AS w, (SELECT nv FROM nv) AS nv,
+        |         sum(e/wd.wd/(SELECT nv FROM nv)) AS m1
+        |       FROM ed JOIN wd ON ed.a = wd.a GROUP BY 1, 2),
+        |r1s AS (SELECT w, (1.0 - 0.875)/nv + 0.875*m1 AS r1 FROM r1),
+        |r2 AS (SELECT ed.b AS w, (SELECT nv FROM nv) AS nv,
+        |         sum(e/wd.wd*r1s.r1) AS m2
+        |       FROM ed JOIN wd ON ed.a = wd.a JOIN r1s ON ed.a = r1s.w
+        |       GROUP BY 1, 2)
+        |SELECT w AS keyword,
+        |  floor(((1.0 - 0.875)/nv + 0.875*m2)*1000000 + 0.5)/1000000 AS textrank
+        |FROM r2 ORDER BY textrank DESC, keyword LIMIT 20""".stripMargin,
+    "q300_kendall_tau" ->
+      """WITH k AS (
+        |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '#'
+        |             || CAST(l_linenumber AS VARCHAR)) AS h,
+        |    CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |s0 AS (SELECT * FROM k ORDER BY h, x, y LIMIT 500),
+        |s AS (SELECT x, y, row_number() OVER (ORDER BY h, x, y) AS rn FROM s0),
+        |p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |      FROM s a JOIN s b ON a.rn < b.rn)
+        |SELECT count(*) AS n_pairs,
+        |  count(CASE WHEN dx*dy > 0 THEN 1 END) AS concordant,
+        |  count(CASE WHEN dx*dy < 0 THEN 1 END) AS discordant,
+        |  count(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END) AS ties_x,
+        |  count(CASE WHEN dx <> 0 AND dy = 0 THEN 1 END) AS ties_y,
+        |  count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END) AS ties_xy,
+        |  floor((CASE WHEN
+        |      (count(*) - count(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END)
+        |       - count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END)) > 0
+        |      AND (count(*) - count(CASE WHEN dx <> 0 AND dy = 0 THEN 1 END)
+        |       - count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END)) > 0
+        |    THEN CAST(count(CASE WHEN dx*dy > 0 THEN 1 END)
+        |              - count(CASE WHEN dx*dy < 0 THEN 1 END) AS DOUBLE)
+        |    /sqrt(CAST(count(*) - count(CASE WHEN dx = 0 AND dy <> 0 THEN 1 END)
+        |               - count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END) AS DOUBLE)
+        |      *(count(*) - count(CASE WHEN dx <> 0 AND dy = 0 THEN 1 END)
+        |        - count(CASE WHEN dx = 0 AND dy = 0 THEN 1 END)))
+        |    ELSE 0.0 END)*10000 + 0.5)/10000 AS tau_b
+        |FROM p""".stripMargin,
+    "q304_transition_audit" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |cells AS (SELECT prev_type, next_type, count(*) AS n FROM pairs
+        |          WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS n_total FROM cells)
+        |SELECT prev_type, next_type, n AS n_violations,
+        |  floor((CAST(n AS DOUBLE)/(SELECT n_total FROM tot))*10000 + 0.5)/10000
+        |    AS share_of_transitions
+        |FROM cells
+        |WHERE (prev_type || '>' || next_type) NOT IN
+        |  ('signup>view','signup>click','signup>error','view>view','view>click',
+        |   'view>error','click>view','click>click','click>purchase','click>error',
+        |   'purchase>view','purchase>click','error>view','error>signup')
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "q308_embedding_qa" ->
+      """WITH base AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x)))
+        |      AS nrm,
+        |    len(list_filter(embedding,
+        |      x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e38)) > 0
+        |      AS is_bad
+        |  FROM embeddings),
+        |st AS (SELECT label, count(*) AS n_vecs,
+        |         count(CASE WHEN nrm = 0.0 THEN 1 END) AS n_zero_norm,
+        |         count(CASE WHEN is_bad THEN 1 END) AS n_nonfinite,
+        |         avg(nrm) AS mu, stddev_samp(nrm) AS sd
+        |       FROM base GROUP BY 1)
+        |SELECT b.label, n_vecs, n_zero_norm, n_nonfinite,
+        |  floor(mu*10000 + 0.5)/10000 AS avg_norm,
+        |  floor(sd*10000 + 0.5)/10000 AS std_norm,
+        |  count(CASE WHEN sd > 0 THEN
+        |          CASE WHEN abs(nrm - mu)/sd > 3.0 THEN 1 END END)
+        |    AS n_norm_outliers
+        |FROM base b JOIN st ON b.label = st.label
+        |GROUP BY 1, 2, 3, 4, mu, sd ORDER BY 1""".stripMargin,
+    "q309_dup_cluster_dist" ->
+      """WITH sz AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    count(*) AS cluster_size
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  cluster_size * count(*) AS n_docs,
+        |  floor((CAST(cluster_size * count(*) AS DOUBLE)
+        |         /(SELECT n_total FROM tot))*10000 + 0.5)/10000 AS pct_docs
+        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
     "q297_next_entropy" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

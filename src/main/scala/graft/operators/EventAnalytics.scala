@@ -548,6 +548,46 @@ object EventAnalytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q304: sequence-rule audit — per-user transitions checked against
+    * an explicit allowed-transition whitelist (the state-machine
+    * contract an instrumented product flow is supposed to obey: e.g. a
+    * purchase only after a click or view). The violating pairs with
+    * counts and corpus share are the data-quality report that catches
+    * broken instrumentation (events firing out of order) and bot
+    * traffic (impossible flows) — the sequence sibling of q96's row
+    * constraint audit.
+    *
+    * Scale: the q85 transition cells (≤ #types², map-side combinable);
+    * the whitelist is a literal broadcast frame; share is a 1-row
+    * scalar combine. */
+  def transitionRuleAudit(
+      events: DataFrame,
+      allowed: Seq[(String, String)] = Seq(
+        "signup" -> "view", "signup" -> "click", "signup" -> "error",
+        "view" -> "view", "view" -> "click", "view" -> "error",
+        "click" -> "view", "click" -> "click", "click" -> "purchase",
+        "click" -> "error",
+        "purchase" -> "view", "purchase" -> "click",
+        "error" -> "view", "error" -> "signup")): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cells = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wl = allowed.toDF("prev_type", "next_type")
+    val total = cells.agg(sum("n").as("n_total"))
+    cells
+      .join(broadcast(wl), Seq("prev_type", "next_type"), "left_anti")
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select(
+        col("prev_type"), col("next_type"), col("n").as("n_violations"),
+        round(col("n").cast("double") / col("n_total"), 4).as("share_of_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** q297: next-event predictability — the conditional entropy
     * H(next | current) per current event type, over the SAME per-user
     * (ts, event_id)-ordered transition pairs as q85's matrix. Low

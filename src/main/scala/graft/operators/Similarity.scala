@@ -42,6 +42,50 @@ object Similarity {
         round(max("nrm"), 4).as("max_norm"))
       .orderBy("label")
 
+  /** q308: embedding quality audit — the vector-side data-quality gate
+    * an ANN/training pipeline runs BEFORE indexing: per label the
+    * zero-norm count (dead encoder outputs poison cosine similarity),
+    * non-finite component count (NaN/Inf propagate through every dot
+    * product), and norm outliers at |z| > 3 against the label's own
+    * norm distribution (a drifting encoder shifts norms long before
+    * recall visibly drops). The q96/q304 audit discipline applied to
+    * the embeddings table.
+    *
+    * Scale: one scan computes norms + badness flags map-side (the q50
+    * norm kernel); label moment stats are a bounded aggregate joined
+    * back broadcast; no window touches the fact table. Non-finite test
+    * is isnan ∨ |x|>1e38 — portable (no isinf in Spark SQL; float Inf
+    * exceeds any finite float threshold in both engines). */
+  def embeddingQa(embeddings: DataFrame, zThresh: Double = 3.0): DataFrame = {
+    val bad = exists(col("embedding"),
+      x => isnan(x.cast("double")) || abs(x.cast("double")) > lit(1e38))
+    val base = embeddings.select(
+      col("label"), norm(col("embedding")).as("nrm"), bad.as("is_bad"))
+    val stats = base.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      count(when(col("nrm") === 0.0, lit(1))).as("n_zero_norm"),
+      count(when(col("is_bad"), lit(1))).as("n_nonfinite"),
+      avg("nrm").as("mu"),
+      stddev_samp("nrm").as("sd"))
+    base
+      .join(broadcast(stats), "label")
+      .groupBy(col("label"), col("n_vecs"), col("n_zero_norm"), col("n_nonfinite"),
+        col("mu"), col("sd"))
+      // nested when: the z division must not evaluate when sd = 0
+      // (ANSI throws on /0; CaseWhen arms are lazy, And operands may
+      // not be)
+      .agg(count(
+        when(col("sd") > 0,
+          when(abs(col("nrm") - col("mu")) / col("sd") > zThresh, lit(1))))
+        .as("n_norm_outliers"))
+      .select(
+        col("label"), col("n_vecs"), col("n_zero_norm"), col("n_nonfinite"),
+        round(col("mu"), 4).as("avg_norm"),
+        round(col("sd"), 4).as("std_norm"),
+        col("n_norm_outliers"))
+      .orderBy("label")
+  }
+
   /** q113: per-label mean embedding (centroid pooling — the k-means
     * M-step, and the chunk→document embedding pool) in LONG format
     * (label, dim, avg_val): posexplode fans each vector to (dim, val)

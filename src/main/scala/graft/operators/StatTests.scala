@@ -859,6 +859,63 @@ object StatTests {
         round((col("b1") * col("s1y") + col("b2") * col("s2y")) / col("syy"), 4).as("r2"))
   }
 
+  /** q300: Kendall τ-b between quantity and extended price on a
+    * BOUNDED deterministic sample — the robust concordance measure
+    * whose exact form is O(n²) pairs: the scale answer is a fixed-size
+    * uniform sample (the N smallest md5 hashes of the row key — a
+    * hash-order top-N, so the sample is the SAME rows at any corpus
+    * size and any engine, and stays N as data grows, unlike a rate
+    * sample). All pair counts (concordant / discordant / ties) are
+    * exact INTEGER arithmetic over the N²/2 bounded pairs; only the
+    * final τ-b normalization touches floats. Spearman (q289) is the
+    * rank-correlation fast path; this is the tie-robust cross-check.
+    *
+    * Scale: the sample selection is a TakeOrdered over the fact table
+    * (no window, no global sort materialization); the pair expansion is
+    * a bounded N×N self-join of a driver-small frame. */
+  def kendallTau(lineitem: DataFrame, sampleN: Int = 500): DataFrame = {
+    val keyed = lineitem.select(
+      md5(concat_ws("#", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))).as("h"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_extendedprice").cast("double").as("y"))
+    // deterministic bounded sample: N smallest hashes. The fact table
+    // may hold FULL-duplicate rows (the synthetic lineitem does), so
+    // the hash is not unique — pair on a row_number over hash order
+    // instead: tied hashes are identical rows, so any tie order yields
+    // the same (x, y) multiset and the same pair counts. The window
+    // runs on the POST-LIMIT ≤N-row frame, never the fact table.
+    val sample = keyed.orderBy("h", "x", "y").limit(sampleN)
+      .withColumn("rn", row_number().over(Window.orderBy("h", "x", "y")))
+    val pairs = sample.as("a")
+      .join(sample.as("b"), col("a.rn") < col("b.rn")) // bounded N²/2
+      .select(
+        (col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("dx") * col("dy") > 0, lit(1))).as("concordant"),
+        count(when(col("dx") * col("dy") < 0, lit(1))).as("discordant"),
+        count(when(col("dx") === 0 && col("dy") =!= 0, lit(1))).as("ties_x"),
+        count(when(col("dx") =!= 0 && col("dy") === 0, lit(1))).as("ties_y"),
+        count(when(col("dx") === 0 && col("dy") === 0, lit(1))).as("ties_xy"))
+      .select(
+        col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_xy"),
+        // degenerate all-ties axis → τ undefined; report 0 (lazy when
+        // guard: ANSI mode throws on the /0, CaseWhen branches don't
+        // evaluate untaken arms)
+        round(
+          when((col("n_pairs") - col("ties_x") - col("ties_xy")) > 0 &&
+            (col("n_pairs") - col("ties_y") - col("ties_xy")) > 0,
+            (col("concordant") - col("discordant")).cast("double")
+              / sqrt((col("n_pairs") - col("ties_x") - col("ties_xy")).cast("double")
+                * (col("n_pairs") - col("ties_y") - col("ties_xy"))))
+            .otherwise(lit(0.0)),
+          4).as("tau_b"))
+  }
+
   /** q289: Spearman rank correlation between quantity and discount per
     * return flag — the monotone-association screen that Pearson (q128,
     * q181's corr) misses when the relationship is nonlinear, and the

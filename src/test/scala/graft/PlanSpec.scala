@@ -346,7 +346,11 @@ class PlanSpec extends SparkSpec {
       "q292_hits"           -> bnl, // 1-row |E|/normalizer scalars ×3 (q14 idiom)
       "q293_target_encode"  -> Set("unpartitioned-window"), // grand-total over segments×folds cells (q182/q290 idiom)
       "q294_source_overlap" -> (bnl + "cartesian-product"), // #sources² pair frame densification (q126/q161 grid idiom)
-      "q295_js_divergence"  -> bnl) // 1-row corpus-total scalar (q14 idiom)
+      "q295_js_divergence"  -> bnl, // 1-row corpus-total scalar (q14 idiom)
+      "q299_textrank"       -> bnl, // 1-row node-count scalar ×2 iterations (q14 idiom)
+      "q300_kendall_tau"    -> (bnl + "cartesian-product" + "unpartitioned-window"), // bounded N²/2 pair expansion + row_number over the POST-LIMIT ≤N-row sample (q246 idiom)
+      "q304_transition_audit" -> bnl, // 1-row transition-total scalar (q14 idiom)
+      "q309_dup_cluster_dist" -> bnl) // 1-row corpus-total scalar (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
