@@ -561,6 +561,9 @@ object SparkEntry {
     "q304_transition_audit" -> ((s, d) => EventAnalytics.transitionRuleAudit(Tables(s, d).events)),
     "q308_embedding_qa" -> ((s, d) => Similarity.embeddingQa(Tables(s, d).embeddings)),
     "q309_dup_cluster_dist" -> ((s, d) => TextAnalysis.dupClusterDist(Tables(s, d).documents)),
+    "q310_ppr" -> ((s, d) => Graph.personalizedPageRank(Tables(s, d).lineitem)),
+    "q311_image_neardup" -> ((s, d) => Multimodal.imageNearDupReport(s, Tables(s, d).documents)),
+    "q312_partition_advisor" -> ((s, d) => plans.PartitionAdvisor.advise(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4063,6 +4066,33 @@ object SparkEntry {
         |  floor((CAST(cluster_size * count(*) AS DOUBLE)
         |         /(SELECT n_total FROM tot))*10000 + 0.5)/10000 AS pct_docs
         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q310_ppr" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |canon AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS w
+        |          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT pa AS a, pb AS b, w FROM canon
+        |       UNION ALL SELECT pb AS a, pa AS b, w FROM canon),
+        |wd AS (SELECT a, sum(w) AS wd FROM ed GROUP BY 1),
+        |seed AS (SELECT a AS seed FROM wd ORDER BY wd DESC, a LIMIT 1),
+        |r1p AS (SELECT b AS node, sum(0.875*w/wd.wd) AS r
+        |        FROM ed JOIN wd ON ed.a = wd.a
+        |        WHERE ed.a = (SELECT seed FROM seed) GROUP BY 1),
+        |r1 AS (SELECT node, sum(r) AS r1 FROM (
+        |        SELECT node, r FROM r1p
+        |        UNION ALL SELECT (SELECT seed FROM seed) AS node,
+        |          CAST(0.125 AS DOUBLE) AS r) GROUP BY 1),
+        |r2p AS (SELECT ed.b AS node, sum(0.875*ed.w/wd.wd*r1.r1) AS r
+        |        FROM ed JOIN r1 ON ed.a = r1.node JOIN wd ON ed.a = wd.a
+        |        GROUP BY 1),
+        |r2 AS (SELECT node, sum(r) AS r2 FROM (
+        |        SELECT node, r FROM r2p
+        |        UNION ALL SELECT (SELECT seed FROM seed) AS node,
+        |          CAST(0.125 AS DOUBLE) AS r) GROUP BY 1)
+        |SELECT (SELECT seed FROM seed) AS seed_part, node AS part,
+        |  floor(r2*1000*1000000 + 0.5)/1000000 AS ppr_x1000
+        |FROM r2 ORDER BY ppr_x1000 DESC, part LIMIT 20""".stripMargin,
     "q297_next_entropy" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -402,6 +402,66 @@ object Graph {
             .otherwise(lit(0.0)), 4).as("global_cc"))
   }
 
+  /** q310: personalized PageRank from a seed part over the co-purchase
+    * graph — the "customers who bought this also explored…"
+    * recommendation kernel: probability mass restarts at the SEED with
+    * probability 1−d instead of everywhere, so scores measure proximity
+    * to the seed, not global importance (q98's PageRank). Seed = the
+    * highest-degree part (deterministic, key tie-break). Two unrolled
+    * iterations at binary-exact d = 0.875 (the q292/q299 oracle
+    * discipline; convergence runs route through [[BoundedIteration]]).
+    *
+    * Scale: same shape as q98 — weighted edges from the support-
+    * filtered co-purchase build, per iteration one edge-proportional
+    * equi-join + node groupBy; the seed row and normalizers are 1-row
+    * broadcast scalars; top-k via TakeOrdered. */
+  def personalizedPageRank(
+      lineitem: DataFrame,
+      minSupport: Long = 2,
+      topN: Int = 20,
+      d: Double = 0.875): DataFrame = {
+    // weighted co-purchase edges (frequentEdges' build, keeping the
+    // co-occurrence count as the edge weight)
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val canon = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+    val edges = canon.select(col("pa").as("a"), col("pb").as("b"), col("w"))
+      .unionAll(canon.select(col("pb").as("a"), col("pa").as("b"), col("w")))
+    val wdeg = edges.groupBy("a").agg(sum("w").as("wd"))
+    // deterministic seed: max weighted degree, part-key tie-break
+    val seed = wdeg
+      .orderBy(col("wd").desc, col("a"))
+      .limit(1)
+      .select(col("a").as("seed"))
+    // r0 = e_seed; r1 = (1−d)e + d·W·r0 — only the seed's out-edges
+    // carry mass, so iteration 1 is a seed-filtered edge scan
+    val r1 = edges
+      .join(broadcast(seed), col("a") === col("seed"))
+      .join(wdeg, "a")
+      .select(col("b").as("node"), (lit(d) * col("w") / col("wd")).as("m"))
+      .groupBy("node").agg(sum("m").as("r"))
+      .unionByName(seed.select(col("seed").as("node"), lit(1.0 - d).as("r")))
+      .groupBy("node").agg(sum("r").as("r1"))
+    val r2 = edges
+      .join(r1.withColumnRenamed("node", "a"), "a")
+      .join(wdeg, "a")
+      .select(col("b").as("node"), (lit(d) * col("w") / col("wd") * col("r1")).as("m"))
+      .groupBy("node").agg(sum("m").as("r"))
+      .unionByName(seed.select(col("seed").as("node"), lit(1.0 - d).as("r")))
+      .groupBy("node").agg(sum("r").as("r2"))
+    r2
+      .crossJoin(broadcast(seed))
+      .select(
+        col("seed").as("seed_part"), col("node").as("part"),
+        round(col("r2") * 1000, 6).as("ppr_x1000"))
+      .orderBy(col("ppr_x1000").desc, col("part"))
+      .limit(topN)
+  }
+
   /** q292: HITS hubs & authorities on the supplier→part bipartite graph
     * — the mutually-recursive centrality (a good hub supplies
     * well-sourced parts; a good authority is supplied by broad hubs)

@@ -242,6 +242,98 @@ object Multimodal {
       }
   }
 
+  /** q311: perceptual near-duplicate detection for images — the visual
+    * member of the dedup family (q33 exact text, q40/q41 near text,
+    * q43/q65 embedding): average-hash (aHash) over REAL ImageIO-decoded
+    * pixels — box-resize to 8×8 luma, bit i = pixel i > mean — is
+    * invariant to re-encoding, scaling, and mild noise, so visually
+    * identical images collide regardless of byte-level differences
+    * (where q33's byte fingerprint sees distinct files).
+    *
+    * Candidate generation is the q41 SimHash discipline: the 64-bit
+    * hash splits into four 16-bit bands; only pairs sharing a band
+    * compare (bucketed equi-join, never all-pairs), then exact Hamming
+    * (`bit_count(xor)`, codegen'd) filters to ≤ maxHamming. A visually
+    * distinct image shares no band with overwhelming probability, so
+    * bucket occupancy tracks true duplication, not corpus size. */
+  def imageNearDupPairs(
+      spark: SparkSession,
+      payloads: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val hashes = payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec: ImageCodec = ImageIoCodec
+        it.flatMap { case (id, bytes) =>
+          codec.decode(bytes).map { orig =>
+            val img = resizeBox(orig, 8, 8)
+            var s = 0.0
+            img.gray.foreach(s += _)
+            val mean = s / 64.0
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              if (img.gray(i) > mean) h |= (1L << i)
+              i += 1
+            }
+            (id, h)
+          }
+        }
+      }
+      .toDF("doc_id", "ahash")
+    val banded = hashes.select(
+      col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftrightunsigned(ahash, ${b * 16}) & 65535").as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band"), col("bk.key"))
+    // degenerate-bucket cap BEFORE pair expansion (the Dedup/Similarity
+    // rule): a hot bucket is Θ(maxBucket²), never Ω(n²/buckets) — on
+    // structured corpora (synthetic gradients, letterhead scans) single
+    // bands saturate and would otherwise explode quadratically
+    val ok = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket)
+      .select("band", "key")
+    val capped = banded.join(ok, Seq("band", "key")) // planner picks strategy
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct() // pairs sharing several bands enumerate once
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q311's registered surface: a one-row report over the pair stream
+    * (pair lists are corpus-dependent and possibly empty; the report
+    * row is always present and carries the quality metrics a pipeline
+    * alerts on). */
+  def imageNearDupReport(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val payloads = withImagePayload(spark, documents)
+    val pairs = imageNearDupPairs(spark, payloads)
+    val nImg = payloads.agg(count(lit(1)).as("n_images"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_neardup_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_with_dup"),
+        min("hamming").as("min_hamming"),
+        avg("hamming").as("avg_hamming"))
+      .crossJoin(broadcast(nImg)) // 1-row scalar
+      .select(
+        col("n_images"), col("n_neardup_pairs"), col("n_docs_with_dup"),
+        col("min_hamming"), round(col("avg_hamming"), 4).as("avg_hamming"))
+  }
+
   /** q63: the multimodal → similarity handoff — extracted feature
     * vectors flow straight into cosine ANN ranking, proving the
     * pipeline contract end-to-end: binary payload → per-partition

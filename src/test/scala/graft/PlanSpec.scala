@@ -350,7 +350,9 @@ class PlanSpec extends SparkSpec {
       "q299_textrank"       -> bnl, // 1-row node-count scalar ×2 iterations (q14 idiom)
       "q300_kendall_tau"    -> (bnl + "cartesian-product" + "unpartitioned-window"), // bounded N²/2 pair expansion + row_number over the POST-LIMIT ≤N-row sample (q246 idiom)
       "q304_transition_audit" -> bnl, // 1-row transition-total scalar (q14 idiom)
-      "q309_dup_cluster_dist" -> bnl) // 1-row corpus-total scalar (q14 idiom)
+      "q309_dup_cluster_dist" -> bnl, // 1-row corpus-total scalar (q14 idiom)
+      "q310_ppr"            -> bnl, // 1-row seed scalar joins (q14 idiom)
+      "q311_image_neardup"  -> bnl) // 1-row image-count scalar (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
