@@ -564,6 +564,8 @@ object SparkEntry {
     "q310_ppr" -> ((s, d) => Graph.personalizedPageRank(Tables(s, d).lineitem)),
     "q311_image_neardup" -> ((s, d) => Multimodal.imageNearDupReport(s, Tables(s, d).documents)),
     "q312_partition_advisor" -> ((s, d) => plans.PartitionAdvisor.advise(Tables(s, d).events)),
+    "q313_log_compaction" -> ((s, d) => ChangeLog.compactedOrderLog(Tables(s, d).orders)),
+    "q314_feature_hashing" -> ((s, d) => TextAnalysis.featureHashing(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4093,6 +4095,36 @@ object SparkEntry {
         |SELECT (SELECT seed FROM seed) AS seed_part, node AS part,
         |  floor(r2*1000*1000000 + 0.5)/1000000 AS ppr_x1000
         |FROM r2 ORDER BY ppr_x1000 DESC, part LIMIT 20""".stripMargin,
+    "q313_log_compaction" ->
+      """WITH log AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC, (op <> 'delete') DESC) AS rk
+        |  FROM log)
+        |SELECT o_custkey, op, o_orderkey AS net_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS net_date,
+        |  o_totalprice AS net_price
+        |FROM w WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
+    "q314_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) AS hx1,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS hx2
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |        FROM documents WHERE doc_id < 50)),
+        |cells AS (
+        |  SELECT doc_id, CAST(hx1 % 16 AS INT) AS dim,
+        |    sum(CASE WHEN hx2 % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+        |  FROM toks GROUP BY 1, 2),
+        |nm AS (
+        |  SELECT doc_id, dim, v,
+        |    sqrt(sum(v*v) OVER (PARTITION BY doc_id)) AS nrm
+        |  FROM cells)
+        |SELECT doc_id, dim, floor((v/nrm)*10000 + 0.5)/10000 AS val
+        |FROM nm WHERE nrm > 0 ORDER BY doc_id, dim""".stripMargin,
     "q297_next_entropy" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

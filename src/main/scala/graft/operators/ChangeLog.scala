@@ -79,6 +79,54 @@ object ChangeLog {
 
   val DeleteOp = "delete"
 
+  /** Compact an op-log to its MINIMAL equivalent: one net op per key —
+    * the log-side sibling of [[applyChangeLog]] (which resolves against
+    * a base): replay cost and log storage drop to key-cardinality while
+    * `apply(base, log) ≡ apply(base, compact(log))` for EVERY base (the
+    * winner row is exactly the row apply would pick; a delete winner
+    * must SURVIVE as a tombstone because the base may still hold the
+    * key). This is the maintenance job a merge-on-read table runs when
+    * the delta grows past read-amplification budget.
+    *
+    * Scale: one window partitioned by key over the LOG (delta-sized,
+    * not base-sized) — the same shuffle apply itself needs. */
+  def compactChangeLog(
+      log: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty,
+      "compactChangeLog needs key and version columns")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((versionCols.map(c => col(c).desc_nulls_last) :+
+        (col(opCol) =!= lit(DeleteOp)).desc): _*)
+    log
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** q313: the registered compaction instantiation — q269's synthesized
+    * post-cutoff order changelog compacted to one net op per customer.
+    * Deterministic from the driver tables, DuckDB-oracled; the
+    * apply≡apply∘compact equivalence is property-tested in the spec. */
+  def compactedOrderLog(orders: DataFrame, cutoff: String = "1997-01-01"): DataFrame = {
+    val log = orders
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .withColumn("op",
+        when(col("o_orderstatus") === "F", lit(DeleteOp)).otherwise(lit("upsert")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("op"))
+    compactChangeLog(log, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+      .select(
+        col("o_custkey"), col("op"),
+        col("o_orderkey").as("net_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("net_date"),
+        col("o_totalprice").as("net_price"))
+      .orderBy("o_custkey")
+  }
+
   /** q269: the registered merge-on-read instantiation — "current order
     * per customer" reconstructed from a sealed base (latest pre-1997
     * order per customer) plus the post-1997 orders replayed as a

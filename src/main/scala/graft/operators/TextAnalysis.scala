@@ -1439,6 +1439,44 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** q314: feature-hashing (hashing-trick) document vectors — the
+    * encoder-free text→vector bridge (Weinberger et al.): each token
+    * hashes to one of `dims` buckets with a ±1 sign from an independent
+    * hash bit, so collisions cancel in expectation instead of biasing
+    * upward; the signed term-frequency vector is then L2-normalized and
+    * feeds the SAME similarity stack real embeddings use (q51's cosine,
+    * q88's centroids) with zero model dependency. Hashes are md5 hex
+    * digits (the q55/q293 portable idiom), so vectors are bit-stable
+    * across engines and reruns.
+    *
+    * Scale: token explode is map-side row work; the (doc, dim) groupBy
+    * partial-aggregates before its shuffle (wire carries ≤ dims rows
+    * per doc); the L2 normalizer is a ≤dims-row window per doc. Long
+    * format (doc_id, dim, val) keeps results hash-comparable. */
+  def featureHashing(documents: DataFrame, dims: Int = 16, maxDocs: Int = 50): DataFrame = {
+    val toks = documents
+      .filter(col("doc_id") < maxDocs)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      // dim = value of md5 hex digit 1 (0..15, uniform) % dims;
+      // sign = parity of hex digit 2 — independent bits of the hash
+      .withColumn("hx1", expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1"))
+      .withColumn("hx2", expr("instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1"))
+      .select(
+        col("doc_id"),
+        (col("hx1") % lit(dims)).cast("int").as("dim"),
+        when(col("hx2") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)).as("sign"))
+    val cells = toks.groupBy("doc_id", "dim")
+      .agg(sum("sign").as("v")) // signed tf
+    val wd = Window.partitionBy("doc_id") // ≤ dims rows per doc
+    cells
+      .withColumn("nrm", sqrt(sum(col("v") * col("v")).over(wd)))
+      .filter(col("nrm") > 0)
+      .select(
+        col("doc_id"), col("dim"),
+        round(col("v") / col("nrm"), 4).as("val"))
+      .orderBy("doc_id", "dim")
+  }
+
   /** q309: duplicate-cluster size distribution — the shape of exact
     * duplication (q33's fingerprint): how many clusters of each size,
     * how many documents they hold, and each size's share of the corpus.
