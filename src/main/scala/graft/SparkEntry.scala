@@ -566,6 +566,7 @@ object SparkEntry {
     "q312_partition_advisor" -> ((s, d) => plans.PartitionAdvisor.advise(Tables(s, d).events)),
     "q313_log_compaction" -> ((s, d) => ChangeLog.compactedOrderLog(Tables(s, d).orders)),
     "q314_feature_hashing" -> ((s, d) => TextAnalysis.featureHashing(Tables(s, d).documents)),
+    "q315_conformal" -> ((s, d) => StatTests.conformalForecast(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4125,6 +4126,42 @@ object SparkEntry {
         |  FROM cells)
         |SELECT doc_id, dim, floor((v/nrm)*10000 + 0.5)/10000 AS val
         |FROM nm WHERE nrm > 0 ORDER BY doc_id, dim""".stripMargin,
+    "q315_conformal" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |daily AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
+        |rec AS (
+        |  SELECT rn, day, rev, rev AS lvl, CAST(0.0 AS DOUBLE) AS trd, rev AS fc
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.day, d.rev,
+        |    0.25*d.rev + (1.0 - 0.25)*(r.lvl + r.trd),
+        |    0.125*((0.25*d.rev + (1.0 - 0.25)*(r.lvl + r.trd)) - r.lvl)
+        |      + (1.0 - 0.125)*r.trd,
+        |    r.lvl + r.trd
+        |  FROM rec r JOIN daily d ON d.rn = r.rn + 1),
+        |hf AS (SELECT day, floor((rev - fc)*10000 + 0.5)/10000 AS err FROM rec),
+        |w2 AS (SELECT day, err, row_number() OVER (ORDER BY day) AS rn FROM hf),
+        |nn AS (SELECT count(*) AS n FROM hf),
+        |kk AS (SELECT n,
+        |         CAST(floor(CAST(0.6 AS DOUBLE)*(n - 1)) AS BIGINT) AS ncal,
+        |         CAST(ceil(CAST(0.9 AS DOUBLE)
+        |           *(CAST(floor(CAST(0.6 AS DOUBLE)*(n - 1)) AS BIGINT) + 1))
+        |           AS BIGINT) AS k
+        |       FROM nn),
+        |cal AS (SELECT abs(err) AS s, day FROM w2, kk
+        |        WHERE rn >= 2 AND rn <= ncal + 1),
+        |rkd AS (SELECT s, row_number() OVER (ORDER BY s, day) AS rk FROM cal),
+        |q AS (SELECT s AS qhat FROM rkd, kk WHERE rk = k),
+        |test AS (SELECT err FROM w2, kk WHERE rn > ncal + 1)
+        |SELECT (SELECT n FROM nn) AS n_days, (SELECT ncal FROM kk) AS n_cal,
+        |  count(*) AS n_test,
+        |  floor((SELECT qhat FROM q)*10000 + 0.5)/10000 AS qhat,
+        |  floor((CAST(count(CASE WHEN abs(err) <= (SELECT qhat FROM q) THEN 1 END)
+        |              AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS coverage
+        |FROM test""".stripMargin,
     "q297_next_entropy" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -375,6 +375,50 @@ object StatTests {
     }
   }
 
+  /** q315: split-conformal prediction intervals for the Holt forecast
+    * (q281) — the distribution-free calibration layer every deployed
+    * forecaster needs: on a calibration window the |error| order
+    * statistic at rank ⌈0.9·(n+1)⌉ becomes the half-width q̂ with a
+    * FINITE-SAMPLE ≥90% coverage guarantee (no normality assumption —
+    * exactly what revenue series violate), then the held-out tail
+    * reports observed coverage. The order statistic is an exact integer
+    * rank (no quantile interpolation), so both engines select the
+    * identical calibration error.
+    *
+    * Scale: rides q281's calendar-bounded daily frame — every window
+    * here is over ≤ #days rows (the q89/q136 bounded idiom); the split
+    * sizes and q̂ are 1-row scalars. */
+  def conformalForecast(
+      orders: DataFrame,
+      calFrac: Double = 0.6,
+      target: Double = 0.9): DataFrame = {
+    val hf = holtForecast(orders) // day, rev, level, trend, forecast, err (4dp)
+    val withRn = hf.withColumn("rn", row_number().over(one.orderBy("day")))
+    val nn = hf.agg(count(lit(1)).as("n"))
+    val kk = nn
+      .withColumn("ncal", floor(lit(calFrac) * (col("n") - 1)).cast("long"))
+      .withColumn("k", ceil(lit(target) * (col("ncal") + 1)).cast("long"))
+    val sized = withRn.crossJoin(broadcast(kk)) // 1-row split-size scalar
+    // calibration: days 2..ncal+1 (day 1's forecast is the trivial init)
+    val cal = sized
+      .filter(col("rn") >= 2 && col("rn") <= col("ncal") + 1)
+      .select(abs(col("err")).as("s"), col("day"), col("k"))
+    val qhat = cal
+      .withColumn("rk", row_number().over(one.orderBy("s", "day")))
+      .filter(col("rk") === col("k"))
+      .select(col("s").as("qhat"))
+    sized
+      .filter(col("rn") > col("ncal") + 1)
+      .crossJoin(broadcast(qhat)) // 1-row scalar
+      .agg(
+        max("n").as("n_days"),
+        max("ncal").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        round(max("qhat"), 4).as("qhat"),
+        round(count(when(abs(col("err")) <= col("qhat"), lit(1)))
+          .cast("double") / count(lit(1)), 4).as("coverage"))
+  }
+
   /** q187: exponentially weighted moving average of daily revenue
     * (α = 0.1), the smoothing dual of q136's flat moving average. The
     * recurrence sₜ = αxₜ + (1−α)sₜ₋₁ unrolls to a closed-form weighted

@@ -47,6 +47,22 @@ class HoltWintersSpec extends SparkSpec {
     assert(StatTests.holtWinters(orders(Seq.fill(7)(5.0))).count() === 0L)
   }
 
+  test("q315: conformal interval covers ≈ target on the real series, exact on a known one") {
+    // constant series: every error is 0 → qhat = 0 and coverage = 1
+    val flat = StatTests.conformalForecast(orders(Seq.fill(20)(42.0))).head()
+    assert(flat.getAs[Double]("qhat") === 0.0)
+    assert(flat.getAs[Double]("coverage") === 1.0)
+    assert(flat.getAs[Long]("n_cal") === 11L) // floor(0.6*19)
+    // real series: finite-sample guarantee says coverage ≥ ~0.9 up to
+    // test-set noise; sanity band only
+    val real = StatTests.conformalForecast(Tables(spark, sfDir).orders).head()
+    assert(real.getAs[Double]("qhat") > 0.0)
+    val cov = real.getAs[Double]("coverage")
+    assert(cov > 0.6 && cov <= 1.0)
+    assert(real.getAs[Long]("n_days") ===
+      real.getAs[Long]("n_cal") + real.getAs[Long]("n_test") + 1L)
+  }
+
   test("real orders: forecast errors are finite and seasonals sum to a bounded drift") {
     val got = StatTests.holtWinters(Tables(spark, sfDir).orders).collect()
     assert(got.length > 100)
