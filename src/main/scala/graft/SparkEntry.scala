@@ -567,6 +567,8 @@ object SparkEntry {
     "q313_log_compaction" -> ((s, d) => ChangeLog.compactedOrderLog(Tables(s, d).orders)),
     "q314_feature_hashing" -> ((s, d) => TextAnalysis.featureHashing(Tables(s, d).documents)),
     "q315_conformal" -> ((s, d) => StatTests.conformalForecast(Tables(s, d).orders)),
+    "q316_blocklist" -> ((s, d) => TextAnalysis.blocklistReport(Tables(s, d).documents)),
+    "q317_schema_compat" -> ((s, d) => plans.SchemaCompat.eventsV2Report(s, Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4162,6 +4164,22 @@ object SparkEntry {
         |  floor((CAST(count(CASE WHEN abs(err) <= (SELECT qhat FROM q) THEN 1 END)
         |              AS DOUBLE)/count(*))*10000 + 0.5)/10000 AS coverage
         |FROM test""".stripMargin,
+    "q316_blocklist" ->
+      """WITH terms AS (
+        |  SELECT unnest(['slow', 'spark', 'merge batch']) AS term),
+        |ps AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |hits AS (
+        |  SELECT d.source, t.term, count(*) AS n_flagged
+        |  FROM documents d, terms t
+        |  WHERE contains(d.text, t.term)
+        |  GROUP BY 1, 2)
+        |SELECT ps.source, t.term, ps.n_docs,
+        |  coalesce(h.n_flagged, 0) AS n_flagged,
+        |  floor((CAST(coalesce(h.n_flagged, 0) AS DOUBLE)/ps.n_docs)*10000 + 0.5)/10000
+        |    AS flag_rate
+        |FROM ps CROSS JOIN terms t
+        |LEFT JOIN hits h ON h.source = ps.source AND h.term = t.term
+        |ORDER BY 1, 2""".stripMargin,
     "q297_next_entropy" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

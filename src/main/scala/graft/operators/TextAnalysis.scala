@@ -1439,6 +1439,41 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** q316: blocklist content-filter report — the safety-filtering
+    * surface every corpus pipeline runs before training: per (source,
+    * term) match counts and rates against an explicit term list
+    * (substring semantics, phrases included), with zero-match cells
+    * kept so the matrix shape is stable and a NEW match is visible as a
+    * change, not a new row. The report form (not a filter) because the
+    * first question is always "how much would we lose, where" before
+    * anything is dropped.
+    *
+    * Scale: the term list explodes map-side (fact × K rows, K literal
+    * and tiny); per-source totals broadcast back; the dense grid is
+    * #sources × K. A large blocklist (10⁵ terms) would swap the explode
+    * for an Aho–Corasick pass in mapPartitions — the seam is the same
+    * report schema. */
+  def blocklistReport(
+      documents: DataFrame,
+      terms: Seq[String] = Seq("slow", "spark", "merge batch")): DataFrame = {
+    val termCol = explode(array(terms.map(lit): _*)).as("term")
+    val hits = documents
+      .select(col("source"), col("text"), termCol)
+      .filter(col("text").contains(col("term")))
+      .groupBy("source", "term").agg(count(lit(1)).as("n_flagged"))
+    val perSource = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val grid = perSource.crossJoin(
+      documents.sparkSession.createDataFrame(
+        terms.map(Tuple1(_))).toDF("term")) // #sources × K literal grid
+    grid
+      .join(hits, Seq("source", "term"), "left")
+      .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
+      .select(
+        col("source"), col("term"), col("n_docs"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_docs"), 4).as("flag_rate"))
+      .orderBy("source", "term")
+  }
+
   /** q314: feature-hashing (hashing-trick) document vectors — the
     * encoder-free text→vector bridge (Weinberger et al.): each token
     * hashes to one of `dims` buckets with a ±1 sign from an independent
