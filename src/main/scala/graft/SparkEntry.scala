@@ -569,6 +569,11 @@ object SparkEntry {
     "q315_conformal" -> ((s, d) => StatTests.conformalForecast(Tables(s, d).orders)),
     "q316_blocklist" -> ((s, d) => TextAnalysis.blocklistReport(Tables(s, d).documents)),
     "q317_schema_compat" -> ((s, d) => plans.SchemaCompat.eventsV2Report(s, Tables(s, d).events)),
+    "q318_metric_corr" -> ((s, d) => StatTests.metricCorrMatrix(Tables(s, d).events)),
+    "q319_wilson_returns" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.wilsonReturnRates(t.lineitem, t.part)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4180,6 +4185,44 @@ object SparkEntry {
         |FROM ps CROSS JOIN terms t
         |LEFT JOIN hits h ON h.source = ps.source AND h.term = t.term
         |ORDER BY 1, 2""".stripMargin,
+    "q318_metric_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM daily),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |dense AS (
+        |  SELECT dy.d, t.event_type, coalesce(daily.n, 0) AS n
+        |  FROM days dy CROSS JOIN types t
+        |  LEFT JOIN daily ON daily.d = dy.d AND daily.event_type = t.event_type)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_days,
+        |  floor(corr(a.n, b.n)*10000 + 0.5)/10000 AS pearson_r
+        |FROM dense a JOIN dense b
+        |  ON a.d = b.d AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q319_wilson_returns" ->
+      """WITH agg AS (
+        |  SELECT p.p_brand, count(*) AS n,
+        |    count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS k
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT p_brand, n, k,
+        |    CAST(k AS DOUBLE)/n AS p,
+        |    CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE) AS z2
+        |  FROM agg)
+        |SELECT p_brand, n, k,
+        |  floor(p*10000 + 0.5)/10000 AS share,
+        |  floor(((p + z2/(CAST(2.0 AS DOUBLE)*n)
+        |          - CAST(1.96 AS DOUBLE)*sqrt(p*(CAST(1.0 AS DOUBLE) - p)/n
+        |            + z2/(CAST(4.0 AS DOUBLE)*n*n)))
+        |         /(CAST(1.0 AS DOUBLE) + z2/n))*10000 + 0.5)/10000 AS wilson_lo,
+        |  floor(((p + z2/(CAST(2.0 AS DOUBLE)*n)
+        |          + CAST(1.96 AS DOUBLE)*sqrt(p*(CAST(1.0 AS DOUBLE) - p)/n
+        |            + z2/(CAST(4.0 AS DOUBLE)*n*n)))
+        |         /(CAST(1.0 AS DOUBLE) + z2/n))*10000 + 0.5)/10000 AS wilson_hi
+        |FROM c ORDER BY p_brand""".stripMargin,
     "q297_next_entropy" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -419,6 +419,67 @@ object StatTests {
           .cast("double") / count(lit(1)), 4).as("coverage"))
   }
 
+  /** q318: metric correlation matrix — pairwise Pearson correlation of
+    * the DAILY COUNT series of every event-type pair (which product
+    * metrics move together / which decouple — the first screen before
+    * any causal story, and the generalization of q232's single rolling
+    * pair to the full matrix). Day-aligned via a dense (day × type)
+    * pivot with zero-fill — a missing day is a 0-count day, not a
+    * missing observation (dropping it would bias every correlation
+    * toward busy days).
+    *
+    * Scale: one fact-proportional groupBy to the (day, type) frame,
+    * dense-filled against the bounded day×type grid, then #types²/2
+    * corr aggregates over the calendar-bounded frame. */
+  def metricCorrMatrix(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.select("d").distinct()
+    val types = daily.select("event_type").distinct()
+    val dense = days.crossJoin(types) // calendar × #types: bounded grid
+      .join(daily, Seq("d", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val pairs = dense.as("a")
+      .join(dense.as("b"),
+        col("a.d") === col("b.d") && col("a.event_type") < col("b.event_type"))
+    pairs
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(corr(col("a.n"), col("b.n")), 4).as("pearson_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q319: per-brand return rates with Wilson score intervals — the
+    * ranking-safe proportion CI (the naive Wald interval collapses at
+    * small n and p near 0, exactly where return-rate outliers live, and
+    * ranking brands by raw share crowns whoever has the least data):
+    * per part brand, the returned-line share (`l_returnflag = 'R'`)
+    * with 95% Wilson bounds, z = 1.96 — rank by `wilson_lo` for an
+    * under-the-noise-floor-safe "worst brands" list. One broadcast dim
+    * join + one bounded aggregate + closed-form algebra. */
+  def wilsonReturnRates(lineitem: DataFrame, part: DataFrame, z: Double = 1.96): DataFrame = {
+    val agg = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("k"))
+    val p = col("k").cast("double") / col("n")
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / col("n")
+    val center = p + z2 / (lit(2.0) * col("n"))
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / col("n")
+      + z2 / (lit(4.0) * col("n") * col("n")))
+    agg.select(
+      col("p_brand"), col("n"), col("k"),
+      round(p, 4).as("share"),
+      round((center - spread) / denom, 4).as("wilson_lo"),
+      round((center + spread) / denom, 4).as("wilson_hi"))
+      .orderBy("p_brand")
+  }
+
   /** q187: exponentially weighted moving average of daily revenue
     * (α = 0.1), the smoothing dual of q136's flat moving average. The
     * recurrence sₜ = αxₜ + (1−α)sₜ₋₁ unrolls to a closed-form weighted

@@ -354,7 +354,8 @@ class PlanSpec extends SparkSpec {
       "q310_ppr"            -> bnl, // 1-row seed scalar joins (q14 idiom)
       "q311_image_neardup"  -> bnl, // 1-row image-count scalar (q14 idiom)
       "q315_conformal"      -> (bnl + "unpartitioned-window"), // 1-row split/q̂ scalars + windows over the calendar-day frame (q89 idiom)
-      "q316_blocklist"      -> (bnl + "cartesian-product")) // #sources × K literal-term grid densification (q294 idiom)
+      "q316_blocklist"      -> (bnl + "cartesian-product"), // #sources × K literal-term grid densification (q294 idiom)
+      "q318_metric_corr"    -> (bnl + "cartesian-product")) // calendar-days × #types zero-fill grid (q294/q316 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")

@@ -82,6 +82,42 @@ class StatAssociationSpec extends SparkSpec {
     assert(dw.getAs[Long]("cardinality") === 1L)
   }
 
+  test("q318: proportional series correlate to 1, inverse to -1, zero-fill keeps all days") {
+    // A and B perfectly proportional; C inverse of A; D present one day
+    val rows = Seq.concat(
+      Seq.fill(2)(("1997-01-01 01:00:00", "A")), Seq.fill(4)(("1997-01-01 01:00:00", "B")),
+      Seq.fill(3)(("1997-01-02 01:00:00", "A")), Seq.fill(6)(("1997-01-02 01:00:00", "B")),
+      Seq.fill(1)(("1997-01-03 01:00:00", "A")), Seq.fill(2)(("1997-01-03 01:00:00", "B")),
+      Seq.fill(3)(("1997-01-01 01:00:00", "C")), Seq.fill(2)(("1997-01-02 01:00:00", "C")),
+      Seq.fill(4)(("1997-01-03 01:00:00", "C")),
+      Seq.fill(5)(("1997-01-01 01:00:00", "D")))
+    val got = StatTests.metricCorrMatrix(ev(rows)).collect()
+    val m = got.map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(m(("A", "B")).getAs[Double]("pearson_r") === 1.0)
+    assert(m(("A", "C")).getAs[Double]("pearson_r") === -1.0)
+    // D's missing days zero-fill: every pair sees all 3 days
+    assert(got.forall(_.getAs[Long]("n_days") === 3L))
+    assert(got.length === 6) // C(4,2) pairs
+  }
+
+  test("q319: Wilson interval is exactly [0, hi] at k=0 and [lo, 1] at k=n") {
+    val li = (
+      (1 to 5).map(i => (i.toLong, 10L, "N")) ++ // brand ZERO: no returns
+      (1 to 4).map(i => (100L + i, 20L, "R"))    // brand ALL: all returned
+    ).toDF("l_orderkey", "l_partkey", "l_returnflag")
+    val part = Seq((10L, "ZERO"), (20L, "ALL")).toDF("p_partkey", "p_brand")
+    val got = StatTests.wilsonReturnRates(li, part).collect()
+      .map(r => r.getAs[String]("p_brand") -> r).toMap
+    val zero = got("ZERO")
+    assert(zero.getAs[Double]("share") === 0.0)
+    assert(zero.getAs[Double]("wilson_lo") === 0.0) // exact: center = spread at p=0
+    assert(zero.getAs[Double]("wilson_hi") > 0.0)   // honest uncertainty at n=5
+    val all = got("ALL")
+    assert(all.getAs[Double]("share") === 1.0)
+    assert(all.getAs[Double]("wilson_hi") === 1.0)
+    assert(all.getAs[Double]("wilson_lo") < 1.0)
+  }
+
   test("q289-q291 run on the real tables with sane ranges") {
     val t = sources.Tables(spark, sfDir)
     val sp = StatTests.spearmanCorr(t.lineitem).collect()
