@@ -574,6 +574,22 @@ object SparkEntry {
       val t = Tables(s, d)
       StatTests.wilsonReturnRates(t.lineitem, t.part)
     }),
+    "q320_naive_bayes" -> ((s, d) => Classify.naiveBayesLang(Tables(s, d).documents)),
+    "q322_dupkey_audit" -> ((s, d) => Audit.duplicateKeyAudit(Tables(s, d).lineitem)),
+    "q323_local_cc" -> ((s, d) => Graph.localClusteringCoefficient(Tables(s, d).lineitem)),
+    "q324_croston" -> ((s, d) => StatTests.crostonDemand(Tables(s, d).lineitem)),
+    "q326_rec_holdout" -> ((s, d) => {
+      val t = Tables(s, d)
+      Recommend.lastOrderHitRate(t.orders, t.lineitem)
+    }),
+    "q321_model_eval" -> ((s, d) => {
+      val t = Tables(s, d)
+      Classify.modelEval(t.orders, t.lineitem)
+    }),
+    "q325_lift_table" -> ((s, d) => {
+      val t = Tables(s, d)
+      Classify.liftTable(t.orders, t.lineitem)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4246,5 +4262,211 @@ object SparkEntry {
         |  floor((CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)/tot)*10000 + 0.5)/10000
         |    AS top_share
         |FROM m GROUP BY prev_type, tot ORDER BY prev_type""".stripMargin,
+    "q320_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |train AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+        |ctok AS (SELECT lang AS c, count(*) AS n_tok FROM train GROUP BY 1),
+        |cdoc AS (SELECT lang AS c, count(*) AS n_doc FROM documents
+        |         WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_train FROM documents WHERE doc_id % 5 <> 0),
+        |v AS (SELECT count(DISTINCT term) AS v FROM train),
+        |cs AS (SELECT c, ln(CAST(n_doc AS DOUBLE)/n_train) AS log_prior,
+        |         CAST(n_tok AS DOUBLE) + 1.0*v AS denom
+        |       FROM ctok JOIN cdoc USING (c) CROSS JOIN nt CROSS JOIN v),
+        |cnts AS (SELECT lang AS c, term, count(*) AS cnt FROM train GROUP BY 1, 2),
+        |obs AS (SELECT c, term, ln((cnt + 1.0)/denom) AS logp
+        |        FROM cnts JOIN cs USING (c)),
+        |ttf AS (SELECT doc_id, lang AS true_lang, term, count(*) AS tf
+        |        FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |mt AS (SELECT ttf.doc_id, obs.c, sum(tf*logp) AS s_obs,
+        |         CAST(sum(tf) AS BIGINT) AS m
+        |       FROM ttf JOIN obs USING (term) GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, true_lang, CAST(sum(tf) AS BIGINT) AS t_d
+        |       FROM ttf GROUP BY 1, 2),
+        |grid AS (SELECT dt.doc_id, dt.true_lang, dt.t_d, l.c FROM dt
+        |         CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS c) l),
+        |sc AS (SELECT g.doc_id, g.true_lang, g.c,
+        |         cs.log_prior + coalesce(mt.s_obs, 0.0)
+        |         + (g.t_d - coalesce(mt.m, 0))*ln(1.0/cs.denom) AS score
+        |       FROM grid g JOIN cs ON cs.c = g.c
+        |       LEFT JOIN mt ON mt.doc_id = g.doc_id AND mt.c = g.c),
+        |pred AS (SELECT doc_id, true_lang, c,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, c) AS rk
+        |         FROM sc)
+        |SELECT true_lang, c AS pred_lang, count(*) AS n_docs
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q322_dupkey_audit" ->
+      """WITH pk AS (
+        |  SELECT l_orderkey, l_linenumber, count(*) AS m,
+        |    count(DISTINCT (l_partkey, l_suppkey, l_quantity, l_extendedprice,
+        |      l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)) AS nv
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n_total FROM lineitem)
+        |SELECT m AS multiplicity, count(*) AS n_keys,
+        |  CAST(sum(m) AS BIGINT) AS n_rows,
+        |  count(CASE WHEN nv > 1 THEN 1 END) AS n_divergent_keys,
+        |  floor((CAST(sum(m) AS DOUBLE)/(SELECT n_total FROM tot))*1000000 + 0.5)
+        |    /1000000 AS row_share
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q323_local_cc" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT a.pk AS pa, b.pk AS pb FROM items a JOIN items b
+        |    ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        |  FROM edges e1 JOIN edges e2 ON e1.pb = e2.pa
+        |  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |corners AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT x AS node FROM tri UNION ALL
+        |    SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+        |  GROUP BY 1)
+        |SELECT d.node AS part, d.degree,
+        |  CAST(coalesce(c.tri, 0) AS BIGINT) AS n_triangles,
+        |  floor((CAST(2 AS DOUBLE)*coalesce(c.tri, 0)/(d.degree*(d.degree - 1)))
+        |    *10000 + 0.5)/10000 AS local_cc
+        |FROM deg d LEFT JOIN corners c USING (node)
+        |WHERE d.degree >= 2
+        |ORDER BY local_cc DESC, degree DESC, part
+        |LIMIT 20""".stripMargin,
+    "q324_croston" ->
+      """WITH weekly AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(floor(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE))/7) AS BIGINT) AS wi,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT part, wi, q,
+        |    CAST(row_number() OVER (PARTITION BY part ORDER BY wi) AS BIGINT) AS j,
+        |    CAST(wi - lag(wi) OVER (PARTITION BY part ORDER BY wi) AS DOUBLE) AS iv,
+        |    count(*) OVER (PARTITION BY part) AS jmax
+        |  FROM weekly),
+        |st AS (
+        |  SELECT part, jmax AS n_events,
+        |    sum(CASE WHEN j = 1 THEN pow(0.75, jmax - 1)
+        |             ELSE 0.25*pow(0.75, jmax - j) END * q) AS z_raw,
+        |    sum(CASE WHEN j = 2 THEN pow(0.75, jmax - 2)
+        |             WHEN j > 2 THEN 0.25*pow(0.75, jmax - j)
+        |             ELSE 0.0 END * iv) AS p_raw
+        |  FROM seq WHERE jmax >= 6 GROUP BY 1, 2)
+        |SELECT part, n_events,
+        |  floor(z_raw*10000 + 0.5)/10000 AS size_ewma,
+        |  floor(p_raw*10000 + 0.5)/10000 AS interval_ewma,
+        |  floor((z_raw/p_raw)*10000 + 0.5)/10000 AS demand_rate
+        |FROM st
+        |ORDER BY demand_rate DESC, part
+        |LIMIT 20""".stripMargin,
+    "q326_rec_holdout" ->
+      """WITH marked AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS cust,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_holdout
+        |  FROM orders),
+        |lines AS (SELECT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+        |train AS (SELECT m.cust, l.ok, l.part FROM lines l
+        |          JOIN marked m ON l.ok = m.ok AND NOT m.is_holdout),
+        |holdout AS (SELECT DISTINCT m.cust, l.part FROM lines l
+        |            JOIN marked m ON l.ok = m.ok AND m.is_holdout),
+        |basket AS (SELECT DISTINCT ok, part FROM train),
+        |co AS (SELECT a.part AS pa, b.part AS pb, count(*) AS c
+        |       FROM basket a JOIN basket b ON a.ok = b.ok AND a.part < b.part
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS f, pb AS t, c FROM co
+        |        UNION ALL SELECT pb, pa, c FROM co),
+        |owned AS (SELECT DISTINCT cust, part FROM train),
+        |cand AS (
+        |  SELECT o.cust, a.t, CAST(sum(a.c) AS BIGINT) AS score
+        |  FROM owned o JOIN adj a ON o.part = a.f
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT c.* FROM cand c LEFT JOIN owned o
+        |    ON c.cust = o.cust AND c.t = o.part
+        |  WHERE o.cust IS NULL),
+        |ranked AS (
+        |  SELECT cust, t, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, t) AS rnk
+        |  FROM cand2 QUALIFY rnk <= 3),
+        |hits AS (
+        |  SELECT r.cust, min(r.rnk) AS first_hit
+        |  FROM ranked r JOIN holdout h ON r.cust = h.cust AND r.t = h.part
+        |  GROUP BY 1),
+        |ev AS (SELECT DISTINCT cust FROM ranked)
+        |SELECT count(*) AS n_customers,
+        |  count(CASE WHEN first_hit = 1 THEN 1 END) AS hits_at_1,
+        |  count(first_hit) AS hits_at_k,
+        |  floor((CAST(count(CASE WHEN first_hit = 1 THEN 1 END) AS DOUBLE)
+        |    /count(*))*10000 + 0.5)/10000 AS hit_rate_1,
+        |  floor((CAST(count(first_hit) AS DOUBLE)/count(*))*10000 + 0.5)/10000
+        |    AS hit_rate_k
+        |FROM ev LEFT JOIN hits USING (cust)""".stripMargin,
+    "q321_model_eval" ->
+      """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
+        |             WHERE l_returnflag = 'R'),
+        |st AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+        |       FROM orders),
+        |sc AS (SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END AS y,
+        |         CASE WHEN sd = 0 THEN 0.5
+        |              ELSE 1.0/(1.0 + exp(-(o_totalprice - mu)/sd)) END AS p
+        |       FROM orders LEFT JOIN ret ON o_orderkey = rk CROSS JOIN st),
+        |rn AS (SELECT o_totalprice, y,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        |       FROM sc),
+        |ar AS (SELECT o_totalprice, min(rn) + (count(*) - 1)/2.0 AS arank
+        |       FROM rn GROUP BY 1),
+        |wr AS (SELECT rn.y, ar.arank FROM rn JOIN ar USING (o_totalprice)),
+        |auc AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+        |          CASE WHEN sum(y) = 0 OR sum(y) = count(*) THEN 0.5
+        |            ELSE (sum(CASE WHEN y = 1 THEN arank END)
+        |              - CAST(sum(y) AS DOUBLE)*(sum(y) + 1)/2.0)
+        |            /(CAST(sum(y) AS DOUBLE)*(count(*) - sum(y))) END AS auc_raw
+        |        FROM wr),
+        |pw AS (SELECT avg((p - y)*(p - y)) AS brier_raw,
+        |         avg(-(y*ln(p) + (1 - y)*ln(1.0 - p))) AS logloss_raw FROM sc),
+        |eb AS (SELECT least(CAST(floor(p*10) AS BIGINT), 9) AS bin,
+        |         count(*) AS nb, avg(p) AS pb, avg(CAST(y AS DOUBLE)) AS yb
+        |       FROM sc GROUP BY 1),
+        |ec AS (SELECT sum(nb*abs(pb - yb))/sum(nb) AS ece_raw FROM eb)
+        |SELECT n AS n_orders, npos AS n_pos,
+        |  floor(auc_raw*1000000 + 0.5)/1000000 AS auc,
+        |  floor(brier_raw*1000000 + 0.5)/1000000 AS brier,
+        |  floor(logloss_raw*1000000 + 0.5)/1000000 AS logloss,
+        |  floor(ece_raw*1000000 + 0.5)/1000000 AS ece
+        |FROM auc CROSS JOIN pw CROSS JOIN ec""".stripMargin,
+    "q325_lift_table" ->
+      """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
+        |             WHERE l_returnflag = 'R'),
+        |sc AS (SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END AS y
+        |       FROM orders LEFT JOIN ret ON o_orderkey = rk),
+        |tiled AS (SELECT y, ntile(10) OVER
+        |            (ORDER BY -o_totalprice, o_orderkey) AS decile
+        |          FROM sc),
+        |agg AS (SELECT decile, count(*) AS n_orders,
+        |          CAST(sum(y) AS BIGINT) AS n_pos
+        |        FROM tiled GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+        |          CAST(sum(n_orders) AS BIGINT) AS tot_n FROM agg),
+        |cum AS (SELECT decile, n_orders, n_pos,
+        |          CAST(sum(n_pos) OVER (ORDER BY decile
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |            AS cum_pos
+        |        FROM agg)
+        |SELECT decile, n_orders, n_pos,
+        |  floor((CAST(n_pos AS DOUBLE)/n_orders)*10000 + 0.5)/10000 AS pos_rate,
+        |  floor((CAST(cum_pos AS DOUBLE)/tot_pos)*10000 + 0.5)/10000 AS cum_capture,
+        |  floor(((CAST(n_pos AS DOUBLE)/n_orders)
+        |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
+        |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
   )
 }

@@ -72,4 +72,43 @@ object Audit {
       .select("check_name", "table_name", "n_violations", "n_rows", "passed")
       .orderBy("check_name")
   }
+
+  /** q322: duplicate-KEY audit of the fact table — q96's
+    * `unique_*` check says HOW MANY rows violate uniqueness; this says
+    * what the duplication looks like, which decides the fix. Per key
+    * multiplicity m: how many (l_orderkey, l_linenumber) keys occur m
+    * times, how many rows they hold, what share of the table that is,
+    * and — the load-bearing split — how many of those keys are
+    * DIVERGENT (same key, different measure tuple: a real correctness
+    * bug needing upstream triage) vs pure replays (identical rows: safe
+    * to `dropDuplicates`). The synthetic lineitem is known to carry
+    * divergent duplicates, which is exactly why every sampling/top-k
+    * operator here orders by the full value tuple.
+    *
+    * One key-grain aggregate (count + distinct value-tuple count per
+    * key), one bounded multiplicity rollup, 1-row total broadcast — the
+    * same two-shuffle shape at 100 TB. */
+  def duplicateKeyAudit(lineitem: DataFrame): DataFrame = {
+    val perKey = lineitem
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(
+        count(lit(1)).as("m"),
+        countDistinct(
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate")).as("nv"))
+    val total = lineitem.agg(count(lit(1)).as("n_total"))
+    perKey
+      .groupBy(col("m").as("multiplicity"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("m")).as("n_rows"),
+        count(when(col("nv") > 1, 1)).as("n_divergent_keys"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("multiplicity"), col("n_keys"), col("n_rows"), col("n_divergent_keys"),
+        graft.functions.PortableRound.round(
+          col("n_rows").cast("double") / col("n_total"), 6).as("row_share"))
+      .orderBy("multiplicity")
+  }
 }

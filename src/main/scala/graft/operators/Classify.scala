@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
+import graft.functions.TextFunctions.tokens
+
+/** Supervised-classification primitives over warehouse tables — the
+  * "train a baseline model inside the engine" family that rounds out
+  * the training-data toolkit (dedup, curation, sampling) with the model
+  * side: a multinomial Naive Bayes text classifier, threshold-free
+  * ranking metrics (ROC-AUC / Brier / log-loss / calibration), and the
+  * decile lift table every campaign-targeting readout is built on.
+  *
+  * Scale shape shared by all three: model STATE is vocabulary- or
+  * class-sized (a word-level vocab fits in a broadcast even at 100 TB
+  * of documents; class priors are a handful of rows), so training is
+  * data-proportional aggregation down to small state, and scoring is a
+  * broadcast join back over the data — no per-row driver work, no
+  * iteration. Ranking metrics ride the [[GlobalOrder]] range-bucket
+  * machinery so the global sort every AUC formula assumes never plans
+  * a data-sized single reducer.
+  */
+object Classify {
+
+  /** The five language labels the synthetic corpus carries, in the
+    * alphabetical order used for score tie-breaks. */
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** q320: multinomial Naive Bayes language classifier, trained and
+    * evaluated inside the engine on a deterministic hash split
+    * (doc_id % 5 == 0 is the holdout). Returns the holdout confusion
+    * matrix (true lang × predicted lang × doc count).
+    *
+    * Training is two data-proportional aggregates down to MODEL-sized
+    * state: per-(class, term) token counts with add-α smoothing
+    * (vocabulary-sized) and per-class token/doc totals (5 rows).
+    * Scoring joins test-doc term frequencies against the BROADCAST
+    * model — the join key is the term, so the fact-side shuffle is the
+    * tf aggregate only — and handles unseen (class, term) pairs in
+    * closed form: with M(d,c) = matched token mass, the remaining
+    * T_d − M(d,c) tokens each contribute the class floor
+    * ln(α/(N_c+αV)), so absent pairs never need materializing. The
+    * per-doc argmax is a 5-row window partitioned by doc — bounded by
+    * the label set, not the data. */
+  def naiveBayesLang(documents: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val tok = documents.select(
+      col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val train = tok.filter(col("doc_id") % 5 =!= 0)
+
+    // class stats: token mass N_c and doc count per class (5 rows)
+    val classTok = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_tok"))
+    val classDoc = documents.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_doc"))
+    val nTrainDocs = documents.filter(col("doc_id") % 5 =!= 0)
+      .agg(count(lit(1)).as("n_train")) // 1 row
+    val vocabSize = train.agg(countDistinct(col("term")).as("v")) // 1 row
+    val classStats = classTok.join(classDoc, "c")
+      .crossJoin(broadcast(nTrainDocs)).crossJoin(broadcast(vocabSize))
+      .select(
+        col("c"),
+        log(col("n_doc").cast("double") / col("n_train")).as("log_prior"),
+        (col("n_tok").cast("double") + lit(alpha) * col("v")).as("denom"))
+
+    // observed-(class, term) log-likelihoods — vocabulary-sized
+    val obs = train.groupBy(col("lang").as("c"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(classStats), "c")
+      .select(col("c"), col("term"),
+        log((col("cnt") + lit(alpha)) / col("denom")).as("logp"))
+
+    // holdout term frequencies, then matched-mass sums per (doc, class)
+    val testTf = tok.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val matched = testTf
+      .join(broadcast(obs), "term")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("tf") * col("logp")).as("s_obs"), sum(col("tf")).as("m"))
+
+    // full doc × class grid (explode of the literal label set), so a
+    // class matching ZERO of a doc's terms still scores (all-floor)
+    val docTotals = testTf.groupBy("doc_id", "true_lang")
+      .agg(sum(col("tf")).as("t_d"))
+    val grid = docTotals
+      .withColumn("c", explode(array(Langs.map(lit): _*)))
+      .join(matched, Seq("doc_id", "c"), "left")
+      .join(broadcast(classStats), "c")
+      .withColumn("score",
+        col("log_prior") + coalesce(col("s_obs"), lit(0.0)) +
+          (col("t_d") - coalesce(col("m"), lit(0L))) * log(lit(alpha) / col("denom")))
+
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("c"))
+    grid
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("c").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  /** Orders labeled by "contains a returned line" with a logistic
+    * score over standardized order value — the shared input of
+    * q321/q325. The label is a distinct-projected semi-join flag; the
+    * score's μ/σ are 1-row broadcast scalars. The score exists to be a
+    * deterministic, mildly-informative ranker; the POINT is the metric
+    * machinery downstream, which accepts any (p, y) column pair. */
+  private[graft] def scoredOrders(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val returned = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    val stats = orders.agg(
+      avg(col("o_totalprice")).as("mu"),
+      stddev_samp(col("o_totalprice")).as("sd"))
+    orders
+      .join(returned, col("o_orderkey") === col("rk"), "left")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        when(col("rk").isNotNull, 1).otherwise(0).as("y"),
+        // σ=0 (constant feature) guarded in a lazy CaseWhen — Spark 4
+        // ANSI throws DIVIDE_BY_ZERO even on doubles; an uninformative
+        // feature scores a flat 1/2
+        when(col("sd") === 0.0, lit(0.5))
+          .otherwise(lit(1.0) / (lit(1.0) +
+            exp(-(col("o_totalprice") - col("mu")) / col("sd")))).as("p"))
+  }
+
+  /** q321: threshold-free evaluation of a probabilistic classifier —
+    * ROC-AUC (tie-corrected rank-sum), Brier score, log-loss, and
+    * expected calibration error over 10 equal-width probability bins,
+    * in one row.
+    *
+    * AUC ranks by the RAW feature (o_totalprice) rather than the
+    * logistic score: AUC is invariant under strictly-monotone
+    * transforms, and ranking the stored column keeps the global order
+    * bit-identical across engines (no float-function ulps near ties).
+    * Ranks come from [[GlobalOrder.withGlobalRowNumber]] — range-bucket
+    * partitioned, no data-sized single-reducer sort — and tie groups
+    * collapse to their average rank via one aggregate on the tie key
+    * (min(rn) + (n−1)/2 is the mean of a consecutive integer run).
+    * Brier / log-loss / ECE are single-pass aggregates; the ECE bin
+    * frame is 10 rows. */
+  def modelEval(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val scored = scoredOrders(orders, lineitem)
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      scored, col("o_totalprice"), Seq("o_totalprice", "o_orderkey"), rnCol = "rn")
+    // average rank of each price tie-group (AUC's tie correction)
+    val avgRank = ranked
+      .groupBy("o_totalprice")
+      .agg(min(col("rn")).as("rmin"), count(lit(1)).as("tn"))
+      .select(col("o_totalprice"),
+        (col("rmin") + (col("tn") - 1) / lit(2.0)).as("arank"))
+    val withRank = ranked.join(avgRank, "o_totalprice")
+
+    val auc = withRank.agg(
+      sum(when(col("y") === 1, col("arank"))).as("rpos"),
+      sum(col("y")).as("npos"),
+      count(lit(1)).as("n"))
+      .select(col("n"), col("npos"),
+        // one-class degenerate frame (n⁺·n⁻ = 0): AUC is undefined;
+        // report the chance value 1/2 instead of dividing by zero
+        when(col("npos") === 0 || col("npos") === col("n"), lit(0.5))
+          .otherwise((col("rpos") - col("npos") * (col("npos") + 1) / lit(2.0)) /
+            (col("npos") * (col("n") - col("npos")))).as("auc_raw"))
+
+    val pointwise = scored.agg(
+      avg(pow(col("p") - col("y"), 2)).as("brier_raw"),
+      avg(-(col("y") * log(col("p")) + (lit(1) - col("y")) * log(lit(1.0) - col("p"))))
+        .as("logloss_raw"))
+
+    val ece = scored
+      .withColumn("bin", least(floor(col("p") * 10), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nb"), avg(col("p")).as("pb"), avg(col("y")).as("yb"))
+      .agg(sum(col("nb") * abs(col("pb") - col("yb"))).as("gap"), sum(col("nb")).as("nt"))
+      .select((col("gap") / col("nt")).as("ece_raw"))
+
+    auc.crossJoin(broadcast(pointwise)).crossJoin(broadcast(ece))
+      .select(
+        col("n").as("n_orders"), col("npos").as("n_pos"),
+        round(col("auc_raw"), 6).as("auc"),
+        round(col("brier_raw"), 6).as("brier"),
+        round(col("logloss_raw"), 6).as("logloss"),
+        round(col("ece_raw"), 6).as("ece"))
+  }
+
+  /** q325: decile lift table of the order-value ranker against the
+    * returned-line label — the campaign-targeting readout ("the top
+    * decile captures X% of all returns, lift Y"). Deciles are EXACT
+    * ntile buckets over descending score from
+    * [[GlobalOrder.withExactNtile]] (range-bucketed, bit-identical to
+    * the single-reducer SQL window); per-decile rates, cumulative
+    * capture, and lift then ride a 10-row frame. */
+  def liftTable(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // ranking by the raw feature (descending) — the logistic transform
+    // is rank-preserving, so the μ/σ pass q321 needs is skipped here
+    val returned = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    val scored = orders
+      .join(returned, col("o_orderkey") === col("rk"), "left")
+      .select(
+        col("o_orderkey"),
+        when(col("rk").isNotNull, 1).otherwise(0).as("y"),
+        (-col("o_totalprice")).as("negp"))
+    val tiled = GlobalOrder.withExactNtile(
+      scored, col("negp"), Seq("negp", "o_orderkey"), buckets = 10, outCol = "decile")
+    val ten = Window.partitionBy(lit(1)) // folds away; 10-row frame
+    tiled
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"), sum(col("y")).as("n_pos"))
+      .withColumn("tot_pos", sum(col("n_pos")).over(ten))
+      .withColumn("tot_n", sum(col("n_orders")).over(ten))
+      .withColumn("cum_pos",
+        sum(col("n_pos")).over(ten.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        // long: the oracle's ntile() yields BIGINT and the driver's
+        // value hash is dtype-sensitive
+        col("decile").cast("long").as("decile"), col("n_orders"), col("n_pos"),
+        round(col("n_pos") / col("n_orders").cast("double"), 4).as("pos_rate"),
+        round(col("cum_pos") / col("tot_pos").cast("double"), 4).as("cum_capture"),
+        round((col("n_pos") / col("n_orders").cast("double")) /
+          (col("tot_pos") / col("tot_n").cast("double")), 4).as("lift"))
+      .orderBy("decile")
+  }
+}

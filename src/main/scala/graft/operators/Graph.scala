@@ -402,6 +402,49 @@ object Graph {
             .otherwise(lit(0.0)), 4).as("global_cc"))
   }
 
+  /** q323: per-node LOCAL clustering coefficient over the frequent
+    * co-purchase graph — q192 gives the one-number global census; this
+    * is the node-level view ("which products sit inside tightly-knit
+    * bundles vs. span unrelated baskets"), the standard local-structure
+    * feature for node classification and community seeding.
+    *
+    * Triangles enumerate once in canonical x<y<z orientation (the q192
+    * two-join shape), then each triangle credits ALL THREE corners via
+    * a 3-row explode — per-node triangle counts come from one groupBy
+    * over that, never from re-enumerating per node. Degrees are one
+    * aggregate of the symmetrized adjacency; cc(v) = 2T(v)/(d(v)(d(v)−1))
+    * with the d<2 frame filtered out before the division (ANSI). Ranked
+    * by the ROUNDED coefficient with key tie-breaks so top-k is
+    * engine-stable. */
+  def localClusteringCoefficient(
+      lineitem: DataFrame,
+      minSupport: Long = 2,
+      topN: Int = 20): DataFrame = {
+    val edges = frequentEdges(lineitem, minSupport).cache()
+    val wedgePaths = edges.select(col("pa").as("x"), col("pb").as("y"))
+      .join(edges.select(col("pa").as("y2"), col("pb").as("z")), col("y") === col("y2"))
+    val triCorners = wedgePaths
+      .join(edges.select(col("pa").as("x3"), col("pb").as("z3")),
+        col("x") === col("x3") && col("z") === col("z3"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val deg = edges.select(col("pa").as("node")).unionAll(edges.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val out = deg
+      .filter(col("degree") >= 2)
+      .join(triCorners, Seq("node"), "left")
+      .select(
+        col("node").as("part"), col("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 4).as("local_cc"))
+      .orderBy(desc("local_cc"), desc("degree"), asc("part"))
+      .limit(topN)
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** q310: personalized PageRank from a seed part over the co-purchase
     * graph — the "customers who bought this also explored…"
     * recommendation kernel: probability mass restarts at the SEED with

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round
+
+/** Recommender EVALUATION inside the engine — q92 builds the
+  * co-purchase scores and q310/q245 rank graph neighbors, but none of
+  * that says whether the recommendations are any good. This family
+  * closes the loop with the standard offline protocol: hold out each
+  * customer's LAST order, train on everything before it, recommend
+  * top-k, and score hit-rate@k against what the held-out order actually
+  * contained.
+  *
+  * Scale shape: the temporal split is one per-customer window (data-
+  * proportional partitions); co-occurrence training is the q92 pair
+  * expansion (Θ(Σ basket²), support-capped); candidate generation is
+  * (customer train-part) ⋈ (part adjacency) — an equi-join whose fan-out
+  * is bounded by the support filter exactly as in q192/q245; ranking is
+  * a per-customer window; scoring is one semi-join. No driver-side
+  * loops, no per-customer iteration.
+  */
+object Recommend {
+
+  /** q326: leave-last-order-out hit-rate of the co-purchase
+    * recommender. Returns one row: customers evaluated, hits at k=1 and
+    * k=3, and the corresponding hit rates.
+    *
+    * A customer is EVALUATED when they have ≥2 orders (a train history
+    * and a holdout) and ≥1 candidate recommendation; the holdout is the
+    * last order by (o_orderdate, o_orderkey). Recommendation scores are
+    * integer co-occurrence counts summed over the customer's train
+    * parts — exact, so ranking with (score desc, part asc) tie-break is
+    * engine-stable; already-bought train parts are anti-joined away
+    * (recommending what you know they own is a free hit). */
+  def lastOrderHitRate(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      minSupport: Long = 2,
+      k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val marked = orders
+      .withColumn("rk", row_number().over(w))
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"),
+        (col("rk") === 1).as("is_holdout"))
+    val lines = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val trainLines = lines.join(marked.filter(!col("is_holdout")), "ok")
+      .select("cust", "ok", "part")
+    val holdoutParts = lines.join(marked.filter(col("is_holdout")), "ok")
+      .select("cust", "part").distinct()
+
+    // co-occurrence adjacency from TRAIN orders only (both directions —
+    // a recommendation flows from an owned part to its neighbor)
+    val basket = trainLines.select("ok", "part").distinct()
+    val co = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+    val adj = co.select(col("pa").as("from"), col("pb").as("to"), col("c"))
+      .unionAll(co.select(col("pb").as("from"), col("pa").as("to"), col("c")))
+
+    val owned = trainLines.select("cust", "part").distinct()
+    val candidates = owned
+      .join(adj, col("part") === col("from"))
+      .groupBy(col("cust"), col("to"))
+      .agg(sum(col("c")).as("score"))
+      .join(owned.withColumnRenamed("part", "to"), Seq("cust", "to"), "left_anti")
+    val wc = Window.partitionBy("cust").orderBy(desc("score"), asc("to"))
+    val ranked = candidates
+      .withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= k)
+
+    // a hit at k: any of the top-k recs appears in the holdout order
+    val hits = ranked
+      .join(holdoutParts.withColumnRenamed("part", "to"), Seq("cust", "to"), "left_semi")
+      .groupBy("cust").agg(min(col("rnk")).as("first_hit"))
+    val evaluated = ranked.select("cust").distinct()
+    evaluated
+      .join(hits, Seq("cust"), "left")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        count(when(col("first_hit") === 1, 1)).as("hits_at_1"),
+        count(when(col("first_hit").isNotNull, 1)).as("hits_at_k"))
+      .select(
+        col("n_customers"), col("hits_at_1"), col("hits_at_k"),
+        round(col("hits_at_1").cast("double") / col("n_customers"), 4).as("hit_rate_1"),
+        round(col("hits_at_k").cast("double") / col("n_customers"), 4).as("hit_rate_k"))
+  }
+}

@@ -1191,4 +1191,65 @@ object StatTests {
             .otherwise(lit(0.0)), 4).as("gain_ratio"))
       .orderBy("feature")
   }
+
+  /** q324: Croston's method for INTERMITTENT demand — the forecasting
+    * family member (q187 EWMA / q281 Holt / q298 Holt–Winters) that the
+    * others get wrong on sparse series: averaging zero weeks into a
+    * level underestimates demand when it arrives, so Croston smooths
+    * the nonzero demand SIZES and the inter-demand INTERVALS as two
+    * separate EWMAs and forecasts their ratio (expected demand per
+    * period).
+    *
+    * Both recurrences unroll to the q187 closed form — weight
+    * α(1−α)^(J−j) per event (the first event carries the remaining
+    * (1−α)^(J−1) mass), so each part's state is two weighted SUMS: one
+    * groupBy over the demand-event table, no iteration, no recursion,
+    * no per-part driver work. α = 0.25 is binary-exact so the weights
+    * agree bit-for-bit across engines; event indexing and intervals
+    * ride per-part windows (data-proportional partitions). Ranked by
+    * the ROUNDED rate with key tie-break. */
+  def crostonDemand(
+      lineitem: DataFrame,
+      alpha: Double = 0.25,
+      minEvents: Int = 6,
+      topN: Int = 20): DataFrame = {
+    val om = 1.0 - alpha
+    // demand events: weeks with any shipment, per part (zero weeks are
+    // BETWEEN events — Croston never materializes them)
+    val weekly = lineitem
+      .select(col("l_partkey").as("part"),
+        floor(datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01"))) / 7).as("wi"),
+        col("l_quantity"))
+      .groupBy("part", "wi")
+      .agg(sum(col("l_quantity")).as("q"))
+    val w = Window.partitionBy("part").orderBy("wi")
+    val seq = weekly
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("iv", (col("wi") - lag(col("wi"), 1).over(w)).cast("double"))
+      .withColumn("jmax", count(lit(1)).over(Window.partitionBy("part")))
+    seq
+      .filter(col("jmax") >= minEvents)
+      .groupBy(col("part"), col("jmax").as("n_events"))
+      .agg(
+        // size EWMA: w_j = α(1−α)^(J−j), first event absorbs (1−α)^(J−1)
+        sum(
+          when(col("j") === 1, pow(lit(om), col("jmax") - 1))
+            .otherwise(lit(alpha) * pow(lit(om), col("jmax") - col("j"))) * col("q"))
+          .as("z_raw"),
+        // interval EWMA over j≥2 (the first interval is undefined);
+        // event 2's interval absorbs the (1−α)^(J−2) init mass
+        sum(
+          when(col("j") === 2, pow(lit(om), col("jmax") - 2))
+            .when(col("j") > 2, lit(alpha) * pow(lit(om), col("jmax") - col("j")))
+            .otherwise(lit(0.0)) * col("iv"))
+          .as("p_raw"))
+      .select(
+        col("part"), col("n_events"),
+        round(col("z_raw"), 4).as("size_ewma"),
+        round(col("p_raw"), 4).as("interval_ewma"),
+        // intervals are ≥1 week by construction, so p_raw ≥ (1−α)-mass > 0
+        round(col("z_raw") / col("p_raw"), 4).as("demand_rate"))
+      .orderBy(desc("demand_rate"), asc("part"))
+      .limit(topN)
+  }
 }
