@@ -48,15 +48,25 @@ object Classify {
     val tok = documents.select(
       col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("term"))
-    val train = tok.filter(col("doc_id") % 5 =!= 0)
 
-    // class stats: token mass N_c and doc count per class (5 rows)
-    val classTok = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_tok"))
+    // ONE training explode pass, aggregated straight to the vocab-sized
+    // (class, term) count table; every other training statistic (class
+    // token mass, vocabulary size) derives from THIS — the fact-sized
+    // token stream is never re-scanned. It feeds three
+    // consumers, which AQE's ReuseExchange dedupes inside the single
+    // job the eager checkpoint at the end creates (explicit cache()
+    // measured neutral-to-slower here — the q310 tradeoff).
+    val cnts = tok.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("c"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTok = cnts.groupBy("c").agg(sum(col("cnt")).as("n_tok"))
+    val vocabSize = cnts.select(col("term")).distinct()
+      .agg(count(lit(1)).as("v")) // 1 row
+    // doc-count priors come off the documents scan (no explode)
     val classDoc = documents.filter(col("doc_id") % 5 =!= 0)
       .groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_doc"))
     val nTrainDocs = documents.filter(col("doc_id") % 5 =!= 0)
       .agg(count(lit(1)).as("n_train")) // 1 row
-    val vocabSize = train.agg(countDistinct(col("term")).as("v")) // 1 row
     val classStats = classTok.join(classDoc, "c")
       .crossJoin(broadcast(nTrainDocs)).crossJoin(broadcast(vocabSize))
       .select(
@@ -65,13 +75,13 @@ object Classify {
         (col("n_tok").cast("double") + lit(alpha) * col("v")).as("denom"))
 
     // observed-(class, term) log-likelihoods — vocabulary-sized
-    val obs = train.groupBy(col("lang").as("c"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
+    val obs = cnts
       .join(broadcast(classStats), "c")
       .select(col("c"), col("term"),
         log((col("cnt") + lit(alpha)) / col("denom")).as("logp"))
 
-    // holdout term frequencies, then matched-mass sums per (doc, class)
+    // ONE holdout explode pass down to (doc, term) tf grain — the
+    // matched-mass join and the per-doc totals share its exchange
     val testTf = tok.filter(col("doc_id") % 5 === 0)
       .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -93,12 +103,14 @@ object Classify {
           (col("t_d") - coalesce(col("m"), lit(0L))) * log(lit(alpha) / col("denom")))
 
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("c"))
-    grid
+    val confusion = grid
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .groupBy(col("true_lang"), col("c").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("true_lang", "pred_lang")
+      .localCheckpoint(eager = true) // ≤|classes|² rows
+    confusion
   }
 
   /** Orders labeled by "contains a returned line" with a logistic
@@ -143,6 +155,10 @@ object Classify {
     * Brier / log-loss / ECE are single-pass aggregates; the ECE bin
     * frame is 10 rows. */
   def modelEval(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // scored feeds four consumers and ranked two; the shared shuffle
+    // subtrees dedupe via AQE ReuseExchange inside the single job the
+    // eager checkpoint creates (explicit cache() measured neutral here,
+    // and a cache boundary would block broadcast re-planning)
     val scored = scoredOrders(orders, lineitem)
     val ranked = GlobalOrder.withGlobalRowNumber(
       scored, col("o_totalprice"), Seq("o_totalprice", "o_orderkey"), rnCol = "rn")
@@ -177,13 +193,15 @@ object Classify {
       .agg(sum(col("nb") * abs(col("pb") - col("yb"))).as("gap"), sum(col("nb")).as("nt"))
       .select((col("gap") / col("nt")).as("ece_raw"))
 
-    auc.crossJoin(broadcast(pointwise)).crossJoin(broadcast(ece))
+    val out = auc.crossJoin(broadcast(pointwise)).crossJoin(broadcast(ece))
       .select(
         col("n").as("n_orders"), col("npos").as("n_pos"),
         round(col("auc_raw"), 6).as("auc"),
         round(col("brier_raw"), 6).as("brier"),
         round(col("logloss_raw"), 6).as("logloss"),
         round(col("ece_raw"), 6).as("ece"))
+      .localCheckpoint(eager = true) // 1 row
+    out
   }
 
   /** q325: decile lift table of the order-value ranker against the
