@@ -582,6 +582,10 @@ object SparkEntry {
       val t = Tables(s, d)
       Recommend.lastOrderHitRate(t.orders, t.lineitem)
     }),
+    "q327_trending" -> ((s, d) => TopK.trendingParts(Tables(s, d).lineitem)),
+    "q328_hbos" -> ((s, d) => EventAnalytics.hbosOutliers(Tables(s, d).events)),
+    "q329_forecast_tournament" -> ((s, d) =>
+      StatTests.forecastTournament(Tables(s, d).orders)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4409,6 +4413,105 @@ object SparkEntry {
         |  floor((CAST(count(first_hit) AS DOUBLE)/count(*))*10000 + 0.5)/10000
         |    AS hit_rate_k
         |FROM ev LEFT JOIN hits USING (cust)""".stripMargin,
+    "q327_trending" ->
+      """WITH weekly AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(floor(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE))/7) AS BIGINT) AS wk,
+        |    floor(sum(l_extendedprice*(1.0 - l_discount))*10000 + 0.5)/10000 AS wrev
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT max(wk) AS wmax FROM weekly),
+        |two AS (SELECT weekly.*, wmax FROM weekly CROSS JOIN mx
+        |        WHERE wk >= wmax - 1),
+        |ranked AS (SELECT part, wk, wmax, wrev,
+        |  CAST(row_number() OVER (PARTITION BY wk ORDER BY wrev DESC, part)
+        |    AS BIGINT) AS rnk
+        |  FROM two),
+        |cur AS (SELECT part, wrev AS rev_cur, rnk AS rank_cur
+        |        FROM ranked WHERE wk = wmax),
+        |prev AS (SELECT part, wrev AS rev_prev, rnk AS rank_prev
+        |         FROM ranked WHERE wk = wmax - 1)
+        |SELECT cur.part, rank_prev, rank_cur,
+        |  rank_prev - rank_cur AS rank_gain, rev_prev, rev_cur
+        |FROM cur JOIN prev ON cur.part = prev.part
+        |ORDER BY rank_gain DESC, cur.part LIMIT 20""".stripMargin,
+    "q328_hbos" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, value,
+        |    hour(ts) AS f_hour,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS f_dow
+        |  FROM events),
+        |vr AS (SELECT min(value) AS vmin, max(value) AS vmax FROM f),
+        |b AS (SELECT f.*, CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+        |        ELSE least(CAST(floor((value - vmin)*10/(vmax - vmin)) AS BIGINT), 9)
+        |        END AS f_vbin
+        |      FROM f CROSS JOIN vr),
+        |tot AS (SELECT count(*) AS n_total FROM f),
+        |dh AS (SELECT f_hour, CAST(count(*) AS DOUBLE)/(SELECT n_total FROM tot)
+        |         AS d_h FROM b GROUP BY 1),
+        |dd AS (SELECT f_dow, CAST(count(*) AS DOUBLE)/(SELECT n_total FROM tot)
+        |         AS d_d FROM b GROUP BY 1),
+        |dv AS (SELECT f_vbin, CAST(count(*) AS DOUBLE)/(SELECT n_total FROM tot)
+        |         AS d_v FROM b GROUP BY 1)
+        |SELECT event_id, event_type, f_hour, f_dow, f_vbin,
+        |  floor((-(ln(d_h) + ln(d_d) + ln(d_v)))*10000 + 0.5)/10000 AS hbos_score
+        |FROM b JOIN dh USING (f_hour) JOIN dd USING (f_dow) JOIN dv USING (f_vbin)
+        |ORDER BY hbos_score DESC, event_id LIMIT 20""".stripMargin,
+    "q329_forecast_tournament" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |daily AS (SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
+        |nt AS (SELECT count(*) AS n, count(*)//4 AS ntest FROM daily),
+        |rec AS (
+        |  SELECT rn, rev, rev AS s, rev AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+        |    CAST(NULL AS DOUBLE) AS fce, CAST(NULL AS DOUBLE) AS fch
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.rev,
+        |    0.25*d.rev + 0.75*r.s,
+        |    0.25*d.rev + 0.75*(r.lvl + r.trd),
+        |    0.125*((0.25*d.rev + 0.75*(r.lvl + r.trd)) - r.lvl) + 0.875*r.trd,
+        |    r.s, r.lvl + r.trd
+        |  FROM rec r JOIN daily d ON d.rn = r.rn + 1),
+        |f AS (
+        |  SELECT rn, rev,
+        |    lag(rev) OVER (ORDER BY rn) AS fcn,
+        |    lag(rev, 7) OVER (ORDER BY rn) AS fcs,
+        |    fce, fch
+        |  FROM rec),
+        |sc AS (
+        |  SELECT sum(abs(rev - fcn))/(SELECT n - ntest - 1 FROM nt) AS smae
+        |  FROM f WHERE rn BETWEEN 2 AND (SELECT n - ntest FROM nt)),
+        |test AS (SELECT * FROM f WHERE rn > (SELECT n - ntest FROM nt)),
+        |m AS (
+        |  SELECT 'naive' AS model, count(*) AS n_test,
+        |    sum(abs(rev - fcn))/count(*) AS mae_r,
+        |    sqrt(sum((rev - fcn)*(rev - fcn))/count(*)) AS rmse_r,
+        |    sum(abs(rev - fcn)/rev)/count(*)*100 AS mape_r
+        |  FROM test
+        |  UNION ALL
+        |  SELECT 'snaive7', count(*), sum(abs(rev - fcs))/count(*),
+        |    sqrt(sum((rev - fcs)*(rev - fcs))/count(*)),
+        |    sum(abs(rev - fcs)/rev)/count(*)*100
+        |  FROM test
+        |  UNION ALL
+        |  SELECT 'ewma', count(*), sum(abs(rev - fce))/count(*),
+        |    sqrt(sum((rev - fce)*(rev - fce))/count(*)),
+        |    sum(abs(rev - fce)/rev)/count(*)*100
+        |  FROM test
+        |  UNION ALL
+        |  SELECT 'holt', count(*), sum(abs(rev - fch))/count(*),
+        |    sqrt(sum((rev - fch)*(rev - fch))/count(*)),
+        |    sum(abs(rev - fch)/rev)/count(*)*100
+        |  FROM test)
+        |SELECT model, n_test,
+        |  floor(mae_r*10000 + 0.5)/10000 AS mae,
+        |  floor(rmse_r*10000 + 0.5)/10000 AS rmse,
+        |  floor(mape_r*10000 + 0.5)/10000 AS mape_pct,
+        |  floor((mae_r/smae)*10000 + 0.5)/10000 AS mase
+        |FROM m CROSS JOIN sc ORDER BY mae, model""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

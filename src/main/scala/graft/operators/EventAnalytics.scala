@@ -1551,4 +1551,51 @@ object EventAnalytics {
       .drop("n_total")
       .orderBy("month")
   }
+
+  /** q328: HBOS — histogram-based outlier score over event features
+    * (hour-of-day, day-of-week, value decile): score = Σ −ln(density),
+    * the linear-time unsupervised anomaly screen that complements q87's
+    * per-type z-score (HBOS is feature-joint and needs no per-key
+    * baseline window). Events sitting in rare (hour × dow × value-bin)
+    * cells float to the top.
+    *
+    * Scale shape: three BOUNDED density tables (24 / 7 / 10 rows) from
+    * one scan family, broadcast back onto the fact — no data-sized
+    * shuffle; day-of-week comes from epoch-day arithmetic (exact
+    * integers, no engine calendar disagreements); the value bin uses
+    * 1-row broadcast min/max with the max==min degenerate range guarded
+    * lazily; top-k rides TakeOrdered on the ROUNDED score with event-id
+    * tie-break. Observed-bin densities are never zero (each event
+    * witnesses its own bin), so the logs are total. */
+  def hbosOutliers(events: DataFrame, topN: Int = 20): DataFrame = {
+    val featured = events.select(
+      col("event_id"), col("event_type"), col("value"),
+      hour(col("ts")).cast("long").as("f_hour"),
+      (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7).cast("long").as("f_dow"))
+    val vrange = featured.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = featured
+      .crossJoin(broadcast(vrange))
+      .withColumn("f_vbin",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) * 10 / (col("vmax") - col("vmin"))),
+            lit(9L))))
+      .drop("vmin", "vmax")
+    val total = featured.agg(count(lit(1)).as("n_total"))
+    def density(key: String) = binned
+      .groupBy(key).agg(count(lit(1)).as(s"c_$key"))
+      .crossJoin(broadcast(total))
+      .select(col(key), (col(s"c_$key").cast("double") / col("n_total")).as(s"d_$key"))
+    binned
+      .join(broadcast(density("f_hour")), "f_hour")
+      .join(broadcast(density("f_dow")), "f_dow")
+      .join(broadcast(density("f_vbin")), "f_vbin")
+      .select(
+        col("event_id"), col("event_type"),
+        col("f_hour"), col("f_dow"), col("f_vbin"),
+        round(-(log(col("d_f_hour")) + log(col("d_f_dow")) + log(col("d_f_vbin"))), 4)
+          .as("hbos_score"))
+      .orderBy(desc("hbos_score"), asc("event_id"))
+      .limit(topN)
+  }
 }

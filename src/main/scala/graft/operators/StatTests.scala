@@ -1252,4 +1252,82 @@ object StatTests {
       .orderBy(desc("demand_rate"), asc("part"))
       .limit(topN)
   }
+
+  /** q329: forecast TOURNAMENT — the model-selection readout that sits
+    * on top of the forecasting family: naive, seasonal-naive(7), EWMA
+    * (α=0.25) and Holt (q281's exact recurrence) each produce one-step-
+    * ahead walk-forward forecasts of daily revenue; the held-out tail
+    * (last quarter of days) scores them with MAE, RMSE, MAPE and MASE
+    * (scaled by the in-sample naive MAE — the scale-free metric that
+    * makes "is this model better than just repeating yesterday"
+    * explicit). One row per model, best first.
+    *
+    * Scale/portability: the q281/q298 discipline — the daily frame is
+    * calendar-bounded, so the four coupled recurrences fold driver-side
+    * over the SAME 4dp-pre-rounded series; α, β are exact binary
+    * fractions and the DuckDB oracle replays the identical IEEE
+    * sequence (recursive CTE for the smoothers, lags for the naives).
+    * Error aggregates round at 4dp. */
+  def forecastTournament(
+      orders: DataFrame,
+      alpha: Double = 0.25,
+      beta: Double = 0.125,
+      period: Int = 7): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .orderBy("d")
+      .select(col("rev")).as[Double].collect()
+    val n = daily.length
+    val nTest = n / 4
+    val testFrom = n - nTest // first test index
+
+    // walk-forward one-step forecasts; fc(model)(t) defined for t >= 1
+    // (>= period for snaive) — the model sees actuals up to t-1
+    val fcNaive = Array.tabulate(n)(t => if (t >= 1) daily(t - 1) else Double.NaN)
+    val fcSnaive = Array.tabulate(n)(t => if (t >= period) daily(t - period) else Double.NaN)
+    val fcEwma = {
+      val out = Array.fill(n)(Double.NaN)
+      var s = 0.0
+      for (t <- 0 until n) {
+        if (t >= 1) out(t) = s
+        s = if (t == 0) daily(0) else alpha * daily(t) + (1.0 - alpha) * s
+      }
+      out
+    }
+    val fcHolt = {
+      val out = Array.fill(n)(Double.NaN)
+      var l = 0.0; var b = 0.0
+      for (t <- 0 until n) {
+        if (t >= 1) out(t) = l + b
+        if (t == 0) { l = daily(0); b = 0.0 }
+        else {
+          val lN = alpha * daily(t) + (1.0 - alpha) * (l + b)
+          b = beta * (lN - l) + (1.0 - beta) * b
+          l = lN
+        }
+      }
+      out
+    }
+    // MASE denominator: IN-SAMPLE naive MAE (t in 1 .. testFrom-1)
+    val scaleMae = (1 until testFrom).map(t => math.abs(daily(t) - daily(t - 1))).sum /
+      (testFrom - 1).toDouble
+
+    def scoreOf(name: String, fc: Array[Double]) = {
+      val errs = (testFrom until n).map(t => daily(t) - fc(t))
+      val mae = errs.map(math.abs).sum / nTest
+      val rmse = math.sqrt(errs.map(e => e * e).sum / nTest)
+      val mape = (testFrom until n).map(t => math.abs(daily(t) - fc(t)) / daily(t)).sum /
+        nTest * 100.0
+      (name, nTest.toLong, r4(mae), r4(rmse), r4(mape), r4(mae / scaleMae))
+    }
+    Seq(
+      scoreOf("naive", fcNaive), scoreOf("snaive7", fcSnaive),
+      scoreOf("ewma", fcEwma), scoreOf("holt", fcHolt))
+      .toDF("model", "n_test", "mae", "rmse", "mape_pct", "mase")
+      .orderBy("mae", "model")
+  }
 }

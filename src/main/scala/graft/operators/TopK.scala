@@ -55,4 +55,45 @@ object TopK {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** q327: TRENDING parts — week-over-week rank movement, the "what's
+    * rising" readout behind every merchandising/feed-ranking surface.
+    * Parts are ranked by revenue within each of the LAST TWO shipping
+    * weeks (epoch-week arithmetic, exact integers); movers are parts
+    * present in both rankings, scored by rank improvement, top `topN`
+    * by (improvement desc, part asc).
+    *
+    * Scale shape: one fact-proportional (week, part) aggregate; ranking
+    * happens ONLY inside the two selected weeks (the filter lands
+    * before the window, so the per-week window partitions hold one
+    * week's active parts — catalog-bounded, not fact-bounded); revenue
+    * is rounded BEFORE ranking so ties break identically across
+    * engines. */
+  def trendingParts(lineitem: DataFrame, topN: Int = 20): DataFrame = {
+    import graft.functions.PortableRound.{round => pround}
+    val weekly = lineitem
+      .select(
+        col("l_partkey").as("part"),
+        floor(datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01"))) / 7).as("wk"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .groupBy("part", "wk")
+      .agg(pround(sum(col("rev")), 4).as("wrev"))
+    val lastWk = weekly.agg(max(col("wk")).as("wmax")) // 1 row
+    val two = weekly
+      .crossJoin(broadcast(lastWk))
+      .filter(col("wk") >= col("wmax") - 1)
+    val w = Window.partitionBy("wk").orderBy(desc("wrev"), asc("part"))
+    val ranked = two.withColumn("rnk", row_number().over(w).cast("long"))
+    val cur = ranked.filter(col("wk") === col("wmax"))
+      .select(col("part"), col("wrev").as("rev_cur"), col("rnk").as("rank_cur"))
+    val prev = ranked.filter(col("wk") === col("wmax") - 1)
+      .select(col("part"), col("wrev").as("rev_prev"), col("rnk").as("rank_prev"))
+    cur.join(prev, "part")
+      .select(
+        col("part"), col("rank_prev"), col("rank_cur"),
+        (col("rank_prev") - col("rank_cur")).as("rank_gain"),
+        col("rev_prev"), col("rev_cur"))
+      .orderBy(desc("rank_gain"), asc("part"))
+      .limit(topN)
+  }
 }

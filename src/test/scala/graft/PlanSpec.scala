@@ -355,7 +355,11 @@ class PlanSpec extends SparkSpec {
       "q311_image_neardup"  -> bnl, // 1-row image-count scalar (q14 idiom)
       "q315_conformal"      -> (bnl + "unpartitioned-window"), // 1-row split/q̂ scalars + windows over the calendar-day frame (q89 idiom)
       "q316_blocklist"      -> (bnl + "cartesian-product"), // #sources × K literal-term grid densification (q294 idiom)
-      "q318_metric_corr"    -> (bnl + "cartesian-product")) // calendar-days × #types zero-fill grid (q294/q316 idiom)
+      "q318_metric_corr"    -> (bnl + "cartesian-product"), // calendar-days × #types zero-fill grid (q294/q316 idiom)
+      "q322_dupkey_audit"   -> bnl, // 1-row table-total scalar (q14/q114 idiom)
+      "q325_lift_table"     -> Set("unpartitioned-window"), // GlobalOrder exact-ntile offset frame: ≤numBuckets rows (q150/q252 idiom)
+      "q327_trending"       -> bnl, // 1-row max-week scalar (q14 idiom); ranking windows are per-week
+      "q328_hbos"           -> bnl) // 1-row min/max + n_total scalars (q14 idiom); density joins are bounded broadcasts
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
