@@ -586,6 +586,10 @@ object SparkEntry {
     "q328_hbos" -> ((s, d) => EventAnalytics.hbosOutliers(Tables(s, d).events)),
     "q329_forecast_tournament" -> ((s, d) =>
       StatTests.forecastTournament(Tables(s, d).orders)),
+    "q330_delta_ratio" -> ((s, d) => Relational.abDeltaMethodRatio(Tables(s, d).events)),
+    "q331_fdr_bh" -> ((s, d) => Relational.abFdrBh(Tables(s, d).events)),
+    "q332_diff_in_diff" -> ((s, d) => Relational.abDiffInDiff(Tables(s, d).events)),
+    "q333_msprt" -> ((s, d) => Relational.abAlwaysValid(Tables(s, d).events)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4512,6 +4516,139 @@ object SparkEntry {
         |  floor(mape_r*10000 + 0.5)/10000 AS mape_pct,
         |  floor((mae_r/smae)*10000 + 0.5)/10000 AS mase
         |FROM m CROSS JOIN sc ORDER BY mae, model""".stripMargin,
+    "q330_delta_ratio" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ag AS (
+        |  SELECT arm, count(*) AS n_users, avg(x) AS mx, avg(y) AS my,
+        |    var_samp(x) AS vx, var_samp(y) AS vy, covar_samp(x, y) AS cxy
+        |  FROM pu GROUP BY arm),
+        |r AS (SELECT ag.*, mx/my AS ratio FROM ag),
+        |s AS (SELECT r.*,
+        |  sqrt((vx - CAST(2.0 AS DOUBLE)*ratio*cxy + ratio*ratio*vy)/n_users)/my AS se
+        |  FROM r)
+        |SELECT arm, n_users,
+        |  floor(ratio*10000 + 0.5)/10000 AS rev_per_event,
+        |  floor(se*10000 + 0.5)/10000 AS se,
+        |  floor((ratio - CAST(1.959963984540054 AS DOUBLE)*se)*10000 + 0.5)/10000 AS ci_lo,
+        |  floor((ratio + CAST(1.959963984540054 AS DOUBLE)*se)*10000 + 0.5)/10000 AS ci_hi
+        |FROM s ORDER BY arm""".stripMargin,
+    "q331_fdr_bh" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN arm = 'A' THEN value END) AS ma,
+        |    avg(CASE WHEN arm = 'B' THEN value END) AS mb,
+        |    var_samp(CASE WHEN arm = 'A' THEN value END) AS va,
+        |    var_samp(CASE WHEN arm = 'B' THEN value END) AS vb
+        |  FROM e GROUP BY event_type),
+        |z AS (SELECT t.*,
+        |  CASE WHEN va/n_a + vb/n_b > 0
+        |       THEN (ma - mb)/sqrt(va/n_a + vb/n_b) END AS z FROM t),
+        |tt AS (SELECT z.*,
+        |  CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(0.2316419 AS DOUBLE)*abs(z)) AS tk
+        |  FROM z),
+        |p AS (SELECT tt.*,
+        |  CAST(2.0 AS DOUBLE) * ((exp(CAST(-0.5 AS DOUBLE)*abs(z)*abs(z))
+        |      * CAST(0.3989422804014327 AS DOUBLE))
+        |    * (CAST(0.319381530 AS DOUBLE)*tk
+        |      + CAST(-0.356563782 AS DOUBLE)*tk*tk
+        |      + CAST(1.781477937 AS DOUBLE)*tk*tk*tk
+        |      + CAST(-1.821255978 AS DOUBLE)*tk*tk*tk*tk
+        |      + CAST(1.330274429 AS DOUBLE)*tk*tk*tk*tk*tk)) AS p
+        |  FROM tt),
+        |b AS (SELECT p.*, count(*) OVER () AS m_tests,
+        |  row_number() OVER (ORDER BY p, event_type) AS rnk FROM p),
+        |a AS (SELECT b.*,
+        |  least(min(p*m_tests/rnk) OVER (ORDER BY p, event_type
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), CAST(1.0 AS DOUBLE)) AS p_adj
+        |  FROM b)
+        |SELECT event_type, n_a, n_b,
+        |  floor(z*10000 + 0.5)/10000 AS z,
+        |  floor(p*10000 + 0.5)/10000 AS p_value,
+        |  floor(p_adj*10000 + 0.5)/10000 AS p_adj,
+        |  p_adj <= CAST(0.10 AS DOUBLE) AS significant
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q332_diff_in_diff" ->
+      """WITH mid AS (
+        |  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts)))/2) AS BIGINT) AS mid_us
+        |  FROM events),
+        |cell AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) >= (SELECT mid_us FROM mid)
+        |         THEN 'post' ELSE 'pre' END AS period,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev
+        |  FROM events GROUP BY 1, 2, 3),
+        |ag AS (
+        |  SELECT
+        |    avg(CASE WHEN arm='A' AND period='pre'  THEN rev END) AS m_ctrl_pre,
+        |    avg(CASE WHEN arm='A' AND period='post' THEN rev END) AS m_ctrl_post,
+        |    avg(CASE WHEN arm='B' AND period='pre'  THEN rev END) AS m_treat_pre,
+        |    avg(CASE WHEN arm='B' AND period='post' THEN rev END) AS m_treat_post,
+        |    var_samp(CASE WHEN arm='A' AND period='pre'  THEN rev END) AS v_cp,
+        |    var_samp(CASE WHEN arm='A' AND period='post' THEN rev END) AS v_cq,
+        |    var_samp(CASE WHEN arm='B' AND period='pre'  THEN rev END) AS v_tp,
+        |    var_samp(CASE WHEN arm='B' AND period='post' THEN rev END) AS v_tq,
+        |    count(CASE WHEN arm='A' AND period='pre'  THEN 1 END) AS n_cp,
+        |    count(CASE WHEN arm='A' AND period='post' THEN 1 END) AS n_cq,
+        |    count(CASE WHEN arm='B' AND period='pre'  THEN 1 END) AS n_tp,
+        |    count(CASE WHEN arm='B' AND period='post' THEN 1 END) AS n_tq
+        |  FROM cell),
+        |d AS (SELECT ag.*,
+        |  (m_treat_post - m_treat_pre) - (m_ctrl_post - m_ctrl_pre) AS did,
+        |  sqrt(v_cp/n_cp + v_cq/n_cq + v_tp/n_tp + v_tq/n_tq) AS se
+        |  FROM ag)
+        |SELECT
+        |  floor(m_ctrl_pre*10000 + 0.5)/10000 AS ctrl_pre,
+        |  floor(m_ctrl_post*10000 + 0.5)/10000 AS ctrl_post,
+        |  floor(m_treat_pre*10000 + 0.5)/10000 AS treat_pre,
+        |  floor(m_treat_post*10000 + 0.5)/10000 AS treat_post,
+        |  floor(did*10000 + 0.5)/10000 AS did,
+        |  floor(se*10000 + 0.5)/10000 AS se,
+        |  floor(CASE WHEN se > 0 THEN did/se END*10000 + 0.5)/10000 AS z
+        |FROM d""".stripMargin,
+    "q333_msprt" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ag AS (
+        |  SELECT
+        |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN arm = 'A' THEN rev END) AS ma,
+        |    avg(CASE WHEN arm = 'B' THEN rev END) AS mb,
+        |    var_samp(CASE WHEN arm = 'A' THEN rev END) AS va,
+        |    var_samp(CASE WHEN arm = 'B' THEN rev END) AS vb
+        |  FROM pu),
+        |v AS (SELECT ag.*, va/n_a + vb/n_b AS v FROM ag),
+        |l AS (SELECT v.*,
+        |  CASE WHEN v > 0 THEN
+        |    CAST(0.5 AS DOUBLE)*ln(v/(v + 0.25))
+        |      + (ma - mb)*(ma - mb)*CAST(0.25 AS DOUBLE)
+        |        /(CAST(2.0 AS DOUBLE)*v*(v + 0.25)) END AS log_lambda
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  floor((ma - mb)*10000 + 0.5)/10000 AS lift,
+        |  floor(log_lambda*10000 + 0.5)/10000 AS log_lambda,
+        |  floor(least(CAST(1.0 AS DOUBLE), exp(-log_lambda))*10000 + 0.5)/10000
+        |    AS p_always_valid
+        |FROM l""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

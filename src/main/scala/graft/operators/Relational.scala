@@ -1867,4 +1867,199 @@ object Relational {
         round(col("rev") / peerAvg, 4).as("vs_peers"))
       .orderBy("c_nationkey")
   }
+
+  /** q330: DELTA-METHOD confidence interval for a RATIO metric
+    * (revenue per event) — the experimentation gap q171's Welch test
+    * leaves open: most business metrics are ratios of two user-level
+    * sums (revenue/session, clicks/impression), and treating the ratio
+    * of averages as an average of user ratios misstates both the point
+    * estimate and the variance. Per arm: R̂ = x̄/ȳ and
+    * Var(R̂) ≈ (σ_x² − 2R̂σ_xy + R̂²σ_y²)/(n·ȳ²) — the first-order
+    * Taylor (delta-method) expansion, the industry-standard ratio CI.
+    *
+    * Scale shape: one user-grain aggregate (numerator, denominator per
+    * user), then a 2-row conditional-moment aggregate (mean/var/cov per
+    * arm) — everything after the per-user rollup is bounded. ȳ ≥ 1 by
+    * construction (a user in the frame has ≥1 event), so the divisions
+    * are total; singleton arms produce null variance and are left null
+    * rather than fabricated. */
+  def abDeltaMethodRatio(events: DataFrame): DataFrame = {
+    val z = 1.959963984540054 // z_{0.975}
+    val perUser = events
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("x"),
+        count(lit(1)).cast("double").as("y"))
+      .withColumn("arm", hashArm(col("user_id")))
+    perUser
+      .groupBy("arm")
+      .agg(
+        count(lit(1)).as("n_users"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        var_samp(col("x")).as("vx"), var_samp(col("y")).as("vy"),
+        covar_samp(col("x"), col("y")).as("cxy"))
+      .withColumn("ratio", col("mx") / col("my"))
+      .withColumn("se",
+        sqrt((col("vx") - lit(2.0) * col("ratio") * col("cxy") +
+          col("ratio") * col("ratio") * col("vy")) / col("n_users")) / col("my"))
+      .select(
+        col("arm"), col("n_users"),
+        round(col("ratio"), 4).as("rev_per_event"),
+        round(col("se"), 4).as("se"),
+        round(col("ratio") - lit(z) * col("se"), 4).as("ci_lo"),
+        round(col("ratio") + lit(z) * col("se"), 4).as("ci_hi"))
+      .orderBy("arm")
+  }
+
+  /** Upper-tail standard normal probability 1−Φ(x) for x ≥ 0 —
+    * Abramowitz & Stegun 26.2.17 polynomial (|ε| < 7.5e-8), built from
+    * exp + polynomials only so BOTH engines evaluate the identical
+    * closed form (no engine erf, whose libm implementations differ).
+    * Callers pass |z| and double for two-sided p. */
+  private def normUpperTail(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val pdf = exp(lit(-0.5) * x * x) * lit(0.3989422804014327) // 1/√(2π)
+    pdf * (lit(0.319381530) * t
+      + lit(-0.356563782) * t * t
+      + lit(1.781477937) * t * t * t
+      + lit(-1.821255978) * t * t * t * t
+      + lit(1.330274429) * t * t * t * t * t)
+  }
+
+  /** q331: Benjamini–Hochberg FDR correction across a FAMILY of A/B
+    * tests — the multiple-testing layer a metrics dashboard needs: one
+    * Welch z per event type (per-type value mean between the q171
+    * arms), two-sided p from the A&S normal polynomial
+    * ([[normUpperTail]] — portable across engines where erf is not),
+    * then BH step-up: p_adj(i) = min_{j≥i}(p(j)·m/j) ∧ 1, significant
+    * at the q=0.10 FDR level. Testing 5 metrics at raw α inflates the
+    * family error ~5×; BH is the standard fix that stays powerful.
+    *
+    * Scale shape: one conditional-moment aggregate at (event_type)
+    * grain — #types rows; the BH suffix-min window runs over that
+    * bounded frame (never data-sized). Zero-variance degenerate types
+    * surface as null z/p rather than dividing by zero (ANSI-safe). */
+  def abFdrBh(events: DataFrame, fdrQ: Double = 0.10): DataFrame = {
+    val perType = events
+      .withColumn("arm", hashArm(col("user_id")))
+      .groupBy("event_type")
+      .agg(
+        count(when(col("arm") === "A", lit(1))).as("n_a"),
+        count(when(col("arm") === "B", lit(1))).as("n_b"),
+        avg(when(col("arm") === "A", col("value"))).as("ma"),
+        avg(when(col("arm") === "B", col("value"))).as("mb"),
+        var_samp(when(col("arm") === "A", col("value"))).as("va"),
+        var_samp(when(col("arm") === "B", col("value"))).as("vb"))
+      .withColumn("sev", col("va") / col("n_a") + col("vb") / col("n_b"))
+      .withColumn("z",
+        when(col("sev") > 0, (col("ma") - col("mb")) / sqrt(col("sev"))))
+      .withColumn("p", lit(2.0) * normUpperTail(abs(col("z"))))
+    // BH step-up over the #types-row frame: rank ascending by p, then
+    // suffix-min of p·m/rank (rows current → end), capped at 1
+    val m = Window.orderBy(col("p"), col("event_type"))
+    val suffix = Window.orderBy(col("p"), col("event_type"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perType
+      .withColumn("m_tests", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rnk", row_number().over(m))
+      .withColumn("p_adj",
+        least(min(col("p") * col("m_tests") / col("rnk")).over(suffix), lit(1.0)))
+      .select(
+        col("event_type"), col("n_a"), col("n_b"),
+        round(col("z"), 4).as("z"),
+        round(col("p"), 4).as("p_value"),
+        round(col("p_adj"), 4).as("p_adj"),
+        (col("p_adj") <= fdrQ).as("significant"))
+      .orderBy("event_type")
+  }
+
+  /** q332: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    * for when assignment isn't randomized per user-period: the treated
+    * arm's pre→post change minus the control arm's pre→post change
+    * cancels both the group baseline gap and the common time trend.
+    * Periods split at the exact midpoint of the observed time range
+    * (integer epoch-µs arithmetic — engine-exact); cells are user-period
+    * revenue so within-user correlation never inflates the cell n; SE is
+    * the four-cell pooled normal approximation √Σ(σ²/n), z = DiD/SE.
+    *
+    * Scale shape: 1-row broadcast min/max scalar, one (user, period)
+    * aggregate, then a 4-cell conditional-moment aggregate — everything
+    * after the user-period rollup is a single scalar row. */
+  def abDiffInDiff(events: DataFrame): DataFrame = {
+    // floor, not cast-truncate: DuckDB CAST(double AS BIGINT) rounds while
+    // Spark's truncates — floor() agrees in both engines (sum < 2^53, exact)
+    val mid = events.agg(
+      floor((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / lit(2L))
+        .cast("long").as("mid_us"))
+    val cell = events
+      .crossJoin(broadcast(mid))
+      .withColumn("period", when(unix_micros(col("ts")) >= col("mid_us"), "post").otherwise("pre"))
+      .groupBy("user_id", "period")
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
+      .withColumn("arm", hashArm(col("user_id")))
+    def cellAgg(arm: String, period: String, f: (Column => Column)): Column =
+      f(when(col("arm") === arm && col("period") === period, col("rev")))
+    cell
+      .agg(
+        cellAgg("A", "pre", avg).as("m_ctrl_pre"),
+        cellAgg("A", "post", avg).as("m_ctrl_post"),
+        cellAgg("B", "pre", avg).as("m_treat_pre"),
+        cellAgg("B", "post", avg).as("m_treat_post"),
+        cellAgg("A", "pre", var_samp).as("v_cp"),
+        cellAgg("A", "post", var_samp).as("v_cq"),
+        cellAgg("B", "pre", var_samp).as("v_tp"),
+        cellAgg("B", "post", var_samp).as("v_tq"),
+        cellAgg("A", "pre", count).as("n_cp"),
+        cellAgg("A", "post", count).as("n_cq"),
+        cellAgg("B", "pre", count).as("n_tp"),
+        cellAgg("B", "post", count).as("n_tq"))
+      .withColumn("did",
+        (col("m_treat_post") - col("m_treat_pre")) - (col("m_ctrl_post") - col("m_ctrl_pre")))
+      .withColumn("se",
+        sqrt(col("v_cp") / col("n_cp") + col("v_cq") / col("n_cq") +
+          col("v_tp") / col("n_tp") + col("v_tq") / col("n_tq")))
+      .select(
+        round(col("m_ctrl_pre"), 4).as("ctrl_pre"),
+        round(col("m_ctrl_post"), 4).as("ctrl_post"),
+        round(col("m_treat_pre"), 4).as("treat_pre"),
+        round(col("m_treat_post"), 4).as("treat_post"),
+        round(col("did"), 4).as("did"),
+        round(col("se"), 4).as("se"),
+        round(when(col("se") > 0, col("did") / col("se")), 4).as("z"))
+  }
+
+  /** q333: mSPRT ALWAYS-VALID p-value — the peeking-safe sequential
+    * test the q171 fixed-horizon Welch test is not: a dashboard read
+    * daily is a sequential test, and fixed-horizon p-values peeked at
+    * repeatedly inflate false positives severalfold. The mixture SPRT
+    * (normal mixture over effect sizes, variance τ²) gives
+    * ln Λ = ½ln(V/(V+τ²)) + Δ̂²τ²/(2V(V+τ²)) and p_always =
+    * min(1, e^{−ln Λ}) — valid at EVERY look, no alpha-spending
+    * schedule. τ²=0.25 is a binary-exact literal; ln Λ is reported
+    * instead of Λ so a decisive experiment never overflows.
+    *
+    * Scale shape: identical to q171 — one user-grain aggregate, then a
+    * 1-row conditional-moment scalar; pure closed-form algebra after. */
+  def abAlwaysValid(events: DataFrame, tau2: Double = 0.25): DataFrame = {
+    val perUser = perUserRevenueArm(events)
+    val a = when(col("arm") === "A", col("rev"))
+    val b = when(col("arm") === "B", col("rev"))
+    perUser
+      .agg(
+        count(a).as("n_a"), count(b).as("n_b"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"))
+      .withColumn("v", col("va") / col("n_a") + col("vb") / col("n_b"))
+      .withColumn("log_lambda",
+        when(col("v") > 0,
+          lit(0.5) * log(col("v") / (col("v") + lit(tau2))) +
+            (col("ma") - col("mb")) * (col("ma") - col("mb")) * lit(tau2) /
+              (lit(2.0) * col("v") * (col("v") + lit(tau2)))))
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("ma") - col("mb"), 4).as("lift"),
+        round(col("log_lambda"), 4).as("log_lambda"),
+        round(least(lit(1.0), exp(-col("log_lambda"))), 4).as("p_always_valid"))
+  }
 }

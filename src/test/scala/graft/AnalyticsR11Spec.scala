@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventAnalytics, StatTests, TopK}
+import graft.operators.{EventAnalytics, Relational, StatTests, TopK}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -113,5 +113,99 @@ class AnalyticsR11Spec extends SparkSpec {
     val out = StatTests.forecastTournament(orders).collect()
     assert(out.forall(_.getAs[Double]("mae") == 0.0),
       s"constant series → zero test error for all models: ${out.mkString(";")}")
+  }
+
+  // ------------------------------------------------- q330–q333 (A/B suite)
+  /** The md5-parity arm of a user id — the JVM-side mirror of
+    * Relational.hashArm, so fixtures can plant users into known arms. */
+  private def armOf(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    if ("01234567".contains(f"${d(0) & 0xff}%02x".charAt(0))) "A" else "B"
+  }
+
+  private def ev(rows: (Long, Long, String, Double, String)*) =
+    // (event_id, user_id, event_type, value, ts)
+    rows.map { case (e, u, t, v, ts) => (e, u, t, v, Timestamp.valueOf(ts)) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+
+  test("q330: degenerate identical users → exact ratio, zero-width CI") {
+    // every user: one purchase of 10 and one view → x=10, y=2, ratio=5
+    val users = (1L to 40L)
+    val rows = users.flatMap(u => Seq(
+      (u * 2, u, "purchase", 10.0, "2024-01-01 10:00:00"),
+      (u * 2 + 1, u, "view", 0.0, "2024-01-01 11:00:00")))
+    val out = Relational.abDeltaMethodRatio(ev(rows: _*)).collect()
+    assert(out.length == 2 && out.map(_.getAs[String]("arm")).toSeq == Seq("A", "B"))
+    out.foreach { r =>
+      assert(r.getAs[Double]("rev_per_event") == 5.0)
+      assert(r.getAs[Double]("se") == 0.0, "identical users → zero delta-method variance")
+      assert(r.getAs[Double]("ci_lo") == 5.0 && r.getAs[Double]("ci_hi") == 5.0)
+    }
+    assert(out.map(_.getAs[Long]("n_users")).sum == 40L)
+  }
+
+  test("q330: arms match the shared md5-parity assignment") {
+    val rows = (1L to 30L).map(u => (u, u, "purchase", 1.0, "2024-01-01 10:00:00"))
+    val out = Relational.abDeltaMethodRatio(ev(rows: _*)).collect()
+    val expA = (1L to 30L).count(armOf(_) == "A").toLong
+    assert(out.find(_.getAs[String]("arm") == "A").get.getAs[Long]("n_users") == expA)
+  }
+
+  test("q331: only the separated metric is significant; BH keeps p_adj >= p and <= 1") {
+    // 'sep': arm A values ≈ 0, arm B values ≈ 100 (tiny jitter for variance);
+    // 'same': both arms identical distribution
+    val users = (1L to 60L)
+    val rows = users.flatMap { u =>
+      val armA = armOf(u) == "A"
+      Seq(
+        (u * 10, u, "sep", (if (armA) 0.0 else 100.0) + (u % 3) * 0.01, "2024-01-01 10:00:00"),
+        (u * 10 + 1, u, "same", 50.0 + (u % 5) * 0.01, "2024-01-01 11:00:00"))
+    }
+    val out = Relational.abFdrBh(ev(rows: _*)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("sep").getAs[Boolean]("significant"),
+      s"separated metric must survive BH: ${out("sep")}")
+    assert(!out("same").getAs[Boolean]("significant"),
+      s"identical-arm metric must not: ${out("same")}")
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p_value") - 1e-9,
+        "BH only inflates p-values")
+      assert(r.getAs[Double]("p_adj") <= 1.0)
+    }
+  }
+
+  test("q332: planted parallel trend with treatment lift → exact DiD, zero-variance cells") {
+    // time range 2024-01-01..2024-01-31 → midpoint Jan 16; both arms drift
+    // +5 post, treated (B) users gain +7 more → did = 7 exactly
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val treated = armOf(u) == "B"
+      Seq(
+        (u * 10, u, "purchase", 10.0, "2024-01-01 00:00:00"),
+        (u * 10 + 1, u, "purchase", 15.0 + (if (treated) 7.0 else 0.0), "2024-01-31 00:00:00"))
+    }
+    val r = Relational.abDiffInDiff(ev(rows: _*)).first()
+    assert(r.getAs[Double]("ctrl_pre") == 10.0 && r.getAs[Double]("ctrl_post") == 15.0)
+    assert(r.getAs[Double]("treat_pre") == 10.0 && r.getAs[Double]("treat_post") == 22.0)
+    assert(r.getAs[Double]("did") == 7.0)
+    assert(r.getAs[Double]("se") == 0.0, "constant cells → zero pooled SE")
+    assert(r.isNullAt(r.fieldIndex("z")), "z undefined at se=0 (guarded, not DIVIDE_BY_ZERO)")
+  }
+
+  test("q333: identical arms → always-valid p stays 1; separation drives it to ~0") {
+    val users = (1L to 60L)
+    val same = users.map(u => (u, u, "purchase", 10.0 + (u % 7) * 0.5, "2024-01-01 00:00:00"))
+    val r1 = Relational.abAlwaysValid(ev(same: _*)).first()
+    assert(r1.getAs[Double]("p_always_valid") == 1.0,
+      s"no effect → mSPRT must not reject: $r1")
+    assert(r1.getAs[Double]("log_lambda") < 0.0, "null effect → evidence against H1")
+    val sep = users.map { u =>
+      val v = if (armOf(u) == "A") 0.0 + (u % 3) * 0.01 else 1000.0 + (u % 3) * 0.01
+      (u, u, "purchase", v, "2024-01-01 00:00:00")
+    }
+    val r2 = Relational.abAlwaysValid(ev(sep: _*)).first()
+    assert(r2.getAs[Double]("p_always_valid") < 0.001,
+      s"1000-unit lift must be decisive at every look: $r2")
   }
 }

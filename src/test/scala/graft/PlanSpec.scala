@@ -359,7 +359,9 @@ class PlanSpec extends SparkSpec {
       "q322_dupkey_audit"   -> bnl, // 1-row table-total scalar (q14/q114 idiom)
       "q325_lift_table"     -> Set("unpartitioned-window"), // GlobalOrder exact-ntile offset frame: ≤numBuckets rows (q150/q252 idiom)
       "q327_trending"       -> bnl, // 1-row max-week scalar (q14 idiom); ranking windows are per-week
-      "q328_hbos"           -> bnl) // 1-row min/max + n_total scalars (q14 idiom); density joins are bounded broadcasts
+      "q328_hbos"           -> bnl, // 1-row min/max + n_total scalars (q14 idiom); density joins are bounded broadcasts
+      "q331_fdr_bh"         -> Set("unpartitioned-window"), // BH suffix-min over the #event-types frame (q182 bounded-frame idiom)
+      "q332_diff_in_diff"   -> bnl) // 1-row midpoint scalar (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
