@@ -590,6 +590,13 @@ object SparkEntry {
     "q331_fdr_bh" -> ((s, d) => Relational.abFdrBh(Tables(s, d).events)),
     "q332_diff_in_diff" -> ((s, d) => Relational.abDiffInDiff(Tables(s, d).events)),
     "q333_msprt" -> ((s, d) => Relational.abAlwaysValid(Tables(s, d).events)),
+    "q334_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMixturePlan(Tables(s, d).documents)),
+    "q335_isotonic" -> ((s, d) => {
+      val t = Tables(s, d)
+      Classify.isotonicCalibration(t.orders, t.lineitem)
+    }),
+    "q336_gap_expfit" -> ((s, d) => StatTests.interPurchaseExpFit(Tables(s, d).orders)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4649,6 +4656,47 @@ object SparkEntry {
         |  floor(least(CAST(1.0 AS DOUBLE), exp(-log_lambda))*10000 + 0.5)/10000
         |    AS p_always_valid
         |FROM l""".stripMargin,
+    "q334_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok, count(*) AS n_docs
+        |       FROM s GROUP BY source),
+        |tot AS (SELECT sum(n_tok) AS tot_tok,
+        |        sum(sqrt(CAST(n_tok AS DOUBLE))) AS tot_w FROM ps),
+        |wt AS (SELECT ps.*, tot_tok, sqrt(CAST(n_tok AS DOUBLE))/tot_w AS w
+        |       FROM ps CROSS JOIN tot)
+        |SELECT source, n_docs, n_tok,
+        |  floor(n_tok/CAST(tot_tok AS DOUBLE)*10000 + 0.5)/10000 AS raw_share,
+        |  floor(w*10000 + 0.5)/10000 AS temp_share,
+        |  floor(w*CAST(100000.0 AS DOUBLE)*10000 + 0.5)/10000 AS planned_tokens,
+        |  floor(w*CAST(100000.0 AS DOUBLE)/n_tok*10000 + 0.5)/10000 AS epochs
+        |FROM wt ORDER BY source""".stripMargin,
+    "q336_gap_expfit" ->
+      """WITH g0 AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS DOUBLE) AS gap
+        |  FROM orders),
+        |g AS (SELECT * FROM g0 WHERE gap IS NOT NULL),
+        |m AS (SELECT avg(gap) AS mean_gap FROM g),
+        |r AS (SELECT gap, o_custkey, o_orderkey,
+        |        row_number() OVER (ORDER BY gap, o_custkey, o_orderkey) AS rn,
+        |        count(*) OVER () AS n FROM g),
+        |f AS (SELECT r.*, mean_gap,
+        |        CASE WHEN mean_gap > 0 THEN 1.0 - exp(-gap/mean_gap)
+        |             ELSE CAST(0.0 AS DOUBLE) END AS fx
+        |      FROM r CROSS JOIN m)
+        |SELECT max(n) AS n_gaps,
+        |  floor(max(mean_gap)*10000 + 0.5)/10000 AS mean_gap,
+        |  floor(CASE WHEN max(mean_gap) > 0 THEN 1.0/max(mean_gap) END*10000 + 0.5)/10000
+        |    AS lambda,
+        |  floor(max(greatest(rn/CAST(n AS DOUBLE) - fx,
+        |    fx - (rn - 1)/CAST(n AS DOUBLE)))*10000 + 0.5)/10000 AS ks_stat
+        |FROM f""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

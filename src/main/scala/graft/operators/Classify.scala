@@ -243,4 +243,56 @@ object Classify {
           (col("tot_pos") / col("tot_n").cast("double")), 4).as("lift"))
       .orderBy("decile")
   }
+
+  /** q335: ISOTONIC calibration (pool-adjacent-violators) of the order
+    * value ranker against the returned-line label — the calibration
+    * layer between q320/q321's raw scores and a deployable probability:
+    * PAVA finds the monotone-nondecreasing fit minimizing weighted
+    * squared error, the standard post-hoc calibrator when the score is
+    * rank-good but probability-poor (exactly what q321's ECE measures).
+    *
+    * Spark-first shape: the data-sized work is binning — exact score
+    * ntiles from [[GlobalOrder.withExactNtile]] (range-bucketed, no
+    * single-reducer sort) and one per-bin aggregate; PAVA itself runs
+    * driver-side over the BIN frame (`bins` (n, ȳ) pairs — bounded by
+    * construction, the q149/q329 driver-fold discipline), which is the
+    * exact solution to the binned problem at any corpus size.
+    * Rows-only surface: the PAVA recursion isn't SQL-expressible, so
+    * correctness rides the hand-traced ScalaTest (violator pooling,
+    * weighted means, monotone output, calibration-preserving mass). */
+  def isotonicCalibration(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      bins: Int = 20): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val scored = scoredOrders(orders, lineitem)
+    // the logistic transform is monotone in the raw feature, so binning
+    // by o_totalprice bins by score with engine-stable ordering
+    val binned = GlobalOrder.withExactNtile(
+      scored, col("o_totalprice"), Seq("o_totalprice", "o_orderkey"), bins, "bin")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg(col("p")).as("p_mean"), avg(col("y")).as("y_rate"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("p_mean"), r.getAs[Double]("y_rate")))
+    // PAVA: maintain a stack of blocks (weight, weighted-mean); merge
+    // while the tail violates monotonicity. O(bins) — driver math.
+    case class Block(w: Double, mean: Double, span: Int)
+    val blocks = binned.foldLeft(List.empty[Block]) { case (acc, (_, n, _, y)) =>
+      var st = Block(n.toDouble, y, 1) :: acc
+      while (st.tail.nonEmpty && st.tail.head.mean > st.head.mean + 1e-15) {
+        val a :: b :: rest = st: @unchecked
+        st = Block(a.w + b.w, (a.w * a.mean + b.w * b.mean) / (a.w + b.w), a.span + b.span) :: rest
+      }
+      st
+    }.reverse
+    val iso = blocks.flatMap(b => List.fill(b.span)(b.mean))
+    val r4 = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    binned.zip(iso).map { case ((bin, n, pm, yr), cal) =>
+      (bin.toLong, n, r4(pm), r4(yr), r4(cal))
+    }.toSeq.toDF("bin", "n", "p_mean", "raw_rate", "iso_rate")
+      .orderBy("bin")
+  }
 }

@@ -1330,4 +1330,43 @@ object StatTests {
       .toDF("model", "n_test", "mae", "rmse", "mape_pct", "mase")
       .orderBy("mae", "model")
   }
+
+  /** q336: exponential FIT of inter-purchase gaps + one-sample KS — the
+    * model-fit step on top of q209's gap distribution: fit
+    * Exp(λ = 1/mean-gap) by maximum likelihood and measure
+    * D = sup|F̂_n − F_λ| against the fitted CDF (the memorylessness
+    * check behind "is a Poisson-process assumption defensible for this
+    * purchase stream"). Both one-sided gaps are evaluated
+    * (D⁺ = rn/n − F, D⁻ = F − (rn−1)/n), so ties and staircase jumps
+    * are handled exactly.
+    *
+    * Scale shape: per-customer lag window (customer-partitioned — never
+    * data-sized), 1-row broadcast mean scalar, ECDF ranks from
+    * [[GlobalOrder.withGlobalRowNumber]] (range-bucketed, no
+    * single-reducer sort — the q184 discipline), one scalar max. */
+  def interPurchaseExpFit(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(col("prev"))).cast("double").as("gap"))
+    val m = gaps.agg(avg(col("gap")).as("mean_gap"))
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      gaps, col("gap"), Seq("gap", "o_custkey", "o_orderkey"), "rn", "__tot")
+    ranked
+      .crossJoin(broadcast(m))
+      .withColumn("fx",
+        when(col("mean_gap") > 0, lit(1.0) - exp(-col("gap") / col("mean_gap")))
+          .otherwise(lit(0.0)))
+      .agg(
+        max(col("__tot")).as("n_gaps"),
+        round(max(col("mean_gap")), 4).as("mean_gap"),
+        round(when(max(col("mean_gap")) > 0, lit(1.0) / max(col("mean_gap"))), 4)
+          .as("lambda"),
+        round(max(greatest(
+          col("rn") / col("__tot") - col("fx"),
+          col("fx") - (col("rn") - 1) / col("__tot"))), 4).as("ks_stat"))
+  }
 }

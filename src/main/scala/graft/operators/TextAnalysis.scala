@@ -1649,4 +1649,37 @@ object TextAnalysis {
           .as("dup_rate"))
       .orderBy("source")
   }
+  /** q334: TEMPERATURE-based mixture sampling plan — the multilingual /
+    * multi-source training recipe (mBERT/XLM style): raw proportional
+    * sampling lets the biggest source drown the tail, uniform sampling
+    * over-trains tiny sources; sampling ∝ n^τ (τ=0.5 here — sqrt in
+    * BOTH engines rather than pow(x, .5), whose libm paths differ)
+    * up-weights the tail smoothly. Per source: raw share, tempered
+    * share, planned tokens for the budget, and the implied epoch count
+    * (planned/n — >1 means the source repeats).
+    *
+    * Scale shape: one fact-proportional token-count aggregate down to
+    * the #sources frame, 1-row broadcast totals, then pure algebra —
+    * the plan itself is catalog-sized. */
+  def temperatureMixturePlan(
+      documents: DataFrame,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val perSource = documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("n_tok"), count(lit(1)).as("n_docs"))
+    val tot = perSource.agg(
+      sum(col("n_tok")).as("tot_tok"),
+      sum(sqrt(col("n_tok").cast("double"))).as("tot_w"))
+    perSource
+      .crossJoin(broadcast(tot))
+      .withColumn("w", sqrt(col("n_tok").cast("double")) / col("tot_w"))
+      .select(
+        col("source"), col("n_docs"), col("n_tok"),
+        round(col("n_tok") / col("tot_tok").cast("double"), 4).as("raw_share"),
+        round(col("w"), 4).as("temp_share"),
+        round(col("w") * lit(budgetTokens.toDouble), 4).as("planned_tokens"),
+        round(col("w") * lit(budgetTokens.toDouble) / col("n_tok"), 4).as("epochs"))
+      .orderBy("source")
+  }
 }

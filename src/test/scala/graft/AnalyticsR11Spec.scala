@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventAnalytics, Relational, StatTests, TopK}
+import graft.operators.{Classify, EventAnalytics, Relational, StatTests, TextAnalysis, TopK}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -207,5 +207,77 @@ class AnalyticsR11Spec extends SparkSpec {
     val r2 = Relational.abAlwaysValid(ev(sep: _*)).first()
     assert(r2.getAs[Double]("p_always_valid") < 0.001,
       s"1000-unit lift must be decisive at every look: $r2")
+  }
+
+  // ------------------------------------------------------------- q334–q336
+  test("q334: sqrt tempering reweights 100-vs-400 tokens to exactly 1/3 vs 2/3") {
+    val docs = Seq(
+      (1L, ("w " * 100).trim, "en", "tiny", 200L),
+      (2L, ("w " * 400).trim, "en", "big", 800L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.temperatureMixturePlan(docs, budgetTokens = 300L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("tiny").getAs[Long]("n_tok") == 100L && out("big").getAs[Long]("n_tok") == 400L)
+    assert(out("tiny").getAs[Double]("raw_share") == 0.2 &&
+      out("big").getAs[Double]("raw_share") == 0.8)
+    // sqrt weights: 10 vs 20 → 1/3 vs 2/3 (4dp floor-rounded)
+    assert(out("tiny").getAs[Double]("temp_share") == 0.3333)
+    assert(out("big").getAs[Double]("temp_share") == 0.6667)
+    // tiny source repeats: 100 planned of budget 300 over 100 tokens → 1 epoch
+    assert(out("tiny").getAs[Double]("epochs") == 1.0)
+    assert(out("big").getAs[Double]("epochs") == 0.5)
+  }
+
+  private def ordersLi(prices: Seq[Double], returnedIdx: Set[Int]) = {
+    val orders = prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong + 1, 1L, "F", p, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = prices.indices.map { i =>
+      (i.toLong + 1, 1, 1L, 1L, 1.0, 1.0, if (returnedIdx(i)) "R" else "N", 0.0, 0.0, "O",
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_discount", "l_tax", "l_linestatus", "l_shipdate")
+    (orders, li)
+  }
+
+  test("q335: a decreasing violation pools to the weighted mean; increasing stays") {
+    // 4 orders, 2 bins: low-price bin all returned (rate 1), high-price
+    // bin none (rate 0) → monotone violation → both pool to 0.5
+    val (o1, l1) = ordersLi(Seq(10.0, 20.0, 30.0, 40.0), Set(0, 1))
+    val viol = Classify.isotonicCalibration(o1, l1, bins = 2).collect()
+    assert(viol.map(_.getAs[Double]("raw_rate")).toSeq == Seq(1.0, 0.0))
+    assert(viol.map(_.getAs[Double]("iso_rate")).toSeq == Seq(0.5, 0.5),
+      s"PAVA must pool the violating pair: ${viol.mkString(";")}")
+    // already-monotone rates are a fixed point
+    val (o2, l2) = ordersLi(Seq(10.0, 20.0, 30.0, 40.0), Set(2, 3))
+    val mono = Classify.isotonicCalibration(o2, l2, bins = 2).collect()
+    assert(mono.map(_.getAs[Double]("iso_rate")).toSeq == Seq(0.0, 1.0))
+  }
+
+  test("q335: on the real tables the fit is monotone and mass-preserving") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val rows = Classify.isotonicCalibration(t.orders, t.lineitem).collect()
+    assert(rows.length == 20)
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b + 1e-9 }, "PAVA output must be monotone")
+    val wRaw = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("raw_rate")).sum
+    val wIso = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    assert(math.abs(wRaw - wIso) < rows.length * 0.0001 * rows.map(_.getAs[Long]("n")).max,
+      s"pooling preserves the weighted mean: $wRaw vs $wIso")
+  }
+
+  test("q336: unit gaps → lambda exactly 1, KS = F(1) = 0.6321 (the staircase lower gap)") {
+    val orders = (0 until 10).map { d =>
+      (d.toLong + 1, 7L, "F", 100.0,
+        Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d).atStartOfDay()),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val r = StatTests.interPurchaseExpFit(orders).first()
+    assert(r.getAs[Long]("n_gaps") == 9L)
+    assert(r.getAs[Double]("mean_gap") == 1.0 && r.getAs[Double]("lambda") == 1.0)
+    // all mass at x=1: D⁻ = F(1) − 0 = 1 − e⁻¹ → 0.6321 at 4dp
+    assert(r.getAs[Double]("ks_stat") == 0.6321, s"got $r")
   }
 }

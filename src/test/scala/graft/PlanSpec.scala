@@ -361,7 +361,9 @@ class PlanSpec extends SparkSpec {
       "q327_trending"       -> bnl, // 1-row max-week scalar (q14 idiom); ranking windows are per-week
       "q328_hbos"           -> bnl, // 1-row min/max + n_total scalars (q14 idiom); density joins are bounded broadcasts
       "q331_fdr_bh"         -> Set("unpartitioned-window"), // BH suffix-min over the #event-types frame (q182 bounded-frame idiom)
-      "q332_diff_in_diff"   -> bnl) // 1-row midpoint scalar (q14 idiom)
+      "q332_diff_in_diff"   -> bnl, // 1-row midpoint scalar (q14 idiom)
+      "q334_temperature_mix" -> bnl, // 1-row corpus-total scalar (q14 idiom)
+      "q336_gap_expfit"     -> (bnl + "unpartitioned-window")) // 1-row mean scalar + GlobalOrder offset frame (q184 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
