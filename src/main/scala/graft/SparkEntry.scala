@@ -597,6 +597,7 @@ object SparkEntry {
       Classify.isotonicCalibration(t.orders, t.lineitem)
     }),
     "q336_gap_expfit" -> ((s, d) => StatTests.interPurchaseExpFit(Tables(s, d).orders)),
+    "q337_burn_rate" -> ((s, d) => EventAnalytics.sloBurnRate(Tables(s, d).events)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4697,6 +4698,29 @@ object SparkEntry {
         |  floor(max(greatest(rn/CAST(n AS DOUBLE) - fx,
         |    fx - (rn - 1)/CAST(n AS DOUBLE)))*10000 + 0.5)/10000 AS ks_stat
         |FROM f""".stripMargin,
+    "q337_burn_rate" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    count(*) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_errors
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT daily.*,
+        |    CAST(sum(n_errors) OVER (ORDER BY eday
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS e7,
+        |    CAST(sum(n_events) OVER (ORDER BY eday
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+        |  FROM daily),
+        |b AS (SELECT w.*, n_errors/CAST(n_events AS DOUBLE) AS rate FROM w),
+        |c AS (SELECT b.*, rate/0.25 AS burn1, e7/CAST(n7 AS DOUBLE)/0.25 AS burn7 FROM b)
+        |SELECT day, n_events, n_errors,
+        |  floor(rate*10000 + 0.5)/10000 AS error_rate,
+        |  floor(burn1*10000 + 0.5)/10000 AS burn_1d,
+        |  floor(burn7*10000 + 0.5)/10000 AS burn_7d,
+        |  burn1 > CAST(2.0 AS DOUBLE) AND burn7 > CAST(1.0 AS DOUBLE) AS page
+        |FROM c ORDER BY day""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

@@ -1598,4 +1598,41 @@ object EventAnalytics {
       .orderBy(desc("hbos_score"), asc("event_id"))
       .limit(topN)
   }
+
+  /** q337: SLO error-budget BURN-RATE readout — the SRE alerting
+    * arithmetic (multi-window burn-rate alerts) over the event stream:
+    * with availability SLO 75% the error budget is a 25% error rate;
+    * burn = observed-rate / budget-rate, and a page fires only when the
+    * FAST window burns hot (1-day > 2×) AND the SLOW window confirms
+    * (trailing 7-day > 1×) — the two-window AND is what keeps pages
+    * from flapping on a single bad hour while still catching sustained
+    * burns early.
+    *
+    * Scale shape: one fact-proportional daily aggregate; the trailing
+    * window is a RANGE frame over the integer epoch day on the
+    * calendar-bounded daily frame (gap-correct where a rows-frame would
+    * misalign across missing days); budget 0.25 is binary-exact. */
+  def sloBurnRate(events: DataFrame, budget: Double = 0.25): DataFrame = {
+    val daily = events
+      .groupBy(
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("eday"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("event_type") === "error").cast("long")).as("n_errors"))
+    val w7 = Window.orderBy("eday").rangeBetween(-6, 0)
+    daily
+      .withColumn("e7", sum(col("n_errors")).over(w7))
+      .withColumn("n7", sum(col("n_events")).over(w7))
+      .withColumn("rate", col("n_errors") / col("n_events"))
+      .withColumn("burn1", col("rate") / lit(budget))
+      .withColumn("burn7", col("e7") / col("n7") / lit(budget))
+      .select(
+        col("day"), col("n_events"), col("n_errors"),
+        round(col("rate"), 4).as("error_rate"),
+        round(col("burn1"), 4).as("burn_1d"),
+        round(col("burn7"), 4).as("burn_7d"),
+        (col("burn1") > lit(2.0) && col("burn7") > lit(1.0)).as("page"))
+      .orderBy("day")
+  }
 }

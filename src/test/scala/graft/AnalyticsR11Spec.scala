@@ -280,4 +280,30 @@ class AnalyticsR11Spec extends SparkSpec {
     // all mass at x=1: D⁻ = F(1) − 0 = 1 − e⁻¹ → 0.6321 at 4dp
     assert(r.getAs[Double]("ks_stat") == 0.6321, s"got $r")
   }
+
+  test("q337: page fires only when the fast window burns AND the slow window confirms") {
+    // day 1: 1/4 errors (burn_1d = 1.0, no page); day 2: 4/4 errors
+    // (burn_1d = 4, burn_7d = 5/8/0.25 = 2.5 → page)
+    val rows =
+      (1 to 4).map(i => (i.toLong, 1L, if (i == 1) "error" else "view", 1.0,
+        "2024-01-01 10:00:00")) ++
+      (5 to 8).map(i => (i.toLong, 1L, "error", 1.0, "2024-01-02 10:00:00"))
+    val out = EventAnalytics.sloBurnRate(ev(rows: _*)).collect()
+    assert(out.length == 2)
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getAs[Double]("burn_1d") == 1.0 && !d1.getAs[Boolean]("page"))
+    assert(d2.getAs[Double]("burn_1d") == 4.0 && d2.getAs[Double]("burn_7d") == 2.5)
+    assert(d2.getAs[Boolean]("page"))
+  }
+
+  test("q337: the trailing window is gap-correct — 8 days later the hot day has aged out") {
+    val rows =
+      (1 to 4).map(i => (i.toLong, 1L, "error", 1.0, "2024-01-01 10:00:00")) ++
+      (5 to 8).map(i => (i.toLong, 1L, "view", 1.0, "2024-01-09 10:00:00"))
+    val out = EventAnalytics.sloBurnRate(ev(rows: _*)).collect()
+    val late = out(1)
+    assert(late.getAs[Double]("burn_7d") == 0.0,
+      s"a RANGE frame must exclude the 8-day-old burn; rows-frame would not: $late")
+    assert(!late.getAs[Boolean]("page"))
+  }
 }
