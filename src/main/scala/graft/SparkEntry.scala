@@ -598,6 +598,8 @@ object SparkEntry {
     }),
     "q336_gap_expfit" -> ((s, d) => StatTests.interPurchaseExpFit(Tables(s, d).orders)),
     "q337_burn_rate" -> ((s, d) => EventAnalytics.sloBurnRate(Tables(s, d).events)),
+    "q338_granger" -> ((s, d) => StatTests.grangerLag1(Tables(s, d).events)),
+    "q339_dispersion" -> ((s, d) => StatTests.dispersionAudit(Tables(s, d).events)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4721,6 +4723,62 @@ object SparkEntry {
         |  floor(burn7*10000 + 0.5)/10000 AS burn_7d,
         |  burn1 > CAST(2.0 AS DOUBLE) AND burn7 > CAST(1.0 AS DOUBLE) AS page
         |FROM c ORDER BY day""".stripMargin,
+    "q338_granger" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) AS x,
+        |    CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT y,
+        |    lag(y) OVER (ORDER BY day) AS ylag,
+        |    lag(x) OVER (ORDER BY day) AS xlag
+        |  FROM daily),
+        |f AS (SELECT * FROM lagged WHERE ylag IS NOT NULL),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    var_samp(ylag) AS s11, covar_samp(ylag, xlag) AS s12, var_samp(xlag) AS s22,
+        |    covar_samp(ylag, y) AS s1y, covar_samp(xlag, y) AS s2y, var_samp(y) AS syy
+        |  FROM f),
+        |b AS (SELECT m.*,
+        |  s11*s22 - s12*s12 AS det FROM m),
+        |c AS (SELECT b.*,
+        |  (s22*s1y - s12*s2y)/det AS b1,
+        |  (s11*s2y - s12*s1y)/det AS b2 FROM b),
+        |d AS (SELECT c.*,
+        |  syy - b1*s1y - b2*s2y AS rssu,
+        |  syy - s1y*s1y/s11 AS rssr FROM c)
+        |SELECT n AS n_days,
+        |  floor(b1*10000 + 0.5)/10000 AS beta_ylag,
+        |  floor(b2*10000 + 0.5)/10000 AS beta_xlag,
+        |  floor(CASE WHEN rssu > 0 THEN (rssr - rssu)*(n - 3)/rssu END*10000 + 0.5)/10000
+        |    AS granger_f,
+        |  floor((b1*s1y + b2*s2y)/syy*10000 + 0.5)/10000 AS r2_u
+        |FROM d""".stripMargin,
+    "q339_dispersion" ->
+      """WITH tot AS (
+        |  SELECT count(DISTINCT user_id) AS n_users,
+        |    count(DISTINCT CAST(ts AS DATE)) AS n_days FROM events),
+        |nz0 AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |nz AS (
+        |  SELECT event_type, count(*) AS m_nonzero,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c*c) AS BIGINT) AS sc2
+        |  FROM nz0 GROUP BY event_type),
+        |g AS (SELECT nz.*, n_users*n_days AS nn FROM nz CROSS JOIN tot),
+        |h AS (SELECT g.*, sc/nn AS lam FROM g),
+        |i AS (SELECT h.*, sc2/nn - lam*lam AS v FROM h),
+        |j AS (SELECT i.*, v/lam AS disp FROM i)
+        |SELECT event_type, m_nonzero,
+        |  floor(lam*10000 + 0.5)/10000 AS lambda,
+        |  floor(disp*10000 + 0.5)/10000 AS dispersion,
+        |  floor((nn - m_nonzero)/CAST(nn AS DOUBLE)*10000 + 0.5)/10000 AS zero_share_obs,
+        |  floor(exp(-lam)*10000 + 0.5)/10000 AS zero_share_poisson,
+        |  disp > CAST(1.25 AS DOUBLE) AS overdispersed
+        |FROM j ORDER BY event_type""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

@@ -1369,4 +1369,91 @@ object StatTests {
           col("rn") / col("__tot") - col("fx"),
           col("fx") - (col("rn") - 1) / col("__tot"))), 4).as("ks_stat"))
   }
+
+  /** q338: GRANGER causality (lag-1) between two event-type daily count
+    * series — "do clicks help predict tomorrow's purchases beyond
+    * purchases' own history?": unrestricted OLS y_t ~ y_{t−1} + x_{t−1}
+    * vs restricted y_t ~ y_{t−1}, F = (SSE_r − SSE_u)(n−3)/SSE_u. The
+    * q247 covariance-normal-equation discipline: var_samp/covar_samp
+    * one-pass aggregates (numerically stable in BOTH engines), Cramer's
+    * 2×2 solve, the (n−1) scale cancelling inside F — no raw power
+    * sums, no iteration, no driver data.
+    *
+    * Scale shape: one fact-proportional daily aggregate, lag windows
+    * over the calendar-bounded day frame, then a 1-row moment scalar. */
+  def grangerLag1(
+      events: DataFrame,
+      causeType: String = "click",
+      effectType: String = "purchase"): DataFrame = {
+    val daily = events
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum((col("event_type") === causeType).cast("long")).cast("double").as("x"),
+        sum((col("event_type") === effectType).cast("long")).cast("double").as("y"))
+    val wd = Window.orderBy("day")
+    val lagged = daily
+      .withColumn("ylag", lag(col("y"), 1).over(wd))
+      .withColumn("xlag", lag(col("x"), 1).over(wd))
+      .filter(col("ylag").isNotNull)
+    lagged
+      .agg(
+        count(lit(1)).as("n"),
+        var_samp(col("ylag")).as("s11"), covar_samp(col("ylag"), col("xlag")).as("s12"),
+        var_samp(col("xlag")).as("s22"),
+        covar_samp(col("ylag"), col("y")).as("s1y"), covar_samp(col("xlag"), col("y")).as("s2y"),
+        var_samp(col("y")).as("syy"))
+      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+      .withColumn("b1", (col("s22") * col("s1y") - col("s12") * col("s2y")) / col("det"))
+      .withColumn("b2", (col("s11") * col("s2y") - col("s12") * col("s1y")) / col("det"))
+      .withColumn("rssu", col("syy") - col("b1") * col("s1y") - col("b2") * col("s2y"))
+      .withColumn("rssr", col("syy") - col("s1y") * col("s1y") / col("s11"))
+      .select(
+        col("n").as("n_days"),
+        round(col("b1"), 4).as("beta_ylag"),
+        round(col("b2"), 4).as("beta_xlag"),
+        round(when(col("rssu") > 0,
+          (col("rssr") - col("rssu")) * (col("n") - 3) / col("rssu")), 4).as("granger_f"),
+        round((col("b1") * col("s1y") + col("b2") * col("s2y")) / col("syy"), 4).as("r2_u"))
+  }
+
+  /** q339: Poisson OVERDISPERSION diagnostic of per-user daily event
+    * counts, per event type — the count-model pre-flight ("is a Poisson
+    * assumption defensible, or do we need negative-binomial / zero-
+    * inflated"): index of dispersion D = Var/λ (Poisson ⇒ 1) and the
+    * observed zero share vs the Poisson-implied e^{−λ}.
+    *
+    * The zeros are the scale trick: a user-day with no events has no
+    * row, and materializing the #users × #days zero grid is exactly the
+    * explosion that dies at 100 TB — instead N = n_users·n_days is a
+    * 1-row scalar, zeros = N − observed rows, and the moments of the
+    * zero-inflated distribution come from Σc, Σc² over the NONZERO rows
+    * alone (zeros contribute nothing to either sum). */
+  def dispersionAudit(events: DataFrame, threshold: Double = 1.25): DataFrame = {
+    val totals = events.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(to_date(col("ts"))).as("n_days"))
+    val nz = events
+      .groupBy(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("m_nonzero"),
+        sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    nz.crossJoin(broadcast(totals))
+      .withColumn("nn", col("n_users") * col("n_days"))
+      .withColumn("lam", col("sc") / col("nn"))
+      .withColumn("v", col("sc2") / col("nn") - col("lam") * col("lam"))
+      .withColumn("disp", col("v") / col("lam"))
+      .select(
+        col("event_type"),
+        col("m_nonzero"),
+        round(col("lam"), 4).as("lambda"),
+        round(col("disp"), 4).as("dispersion"),
+        round((col("nn") - col("m_nonzero")) / col("nn").cast("double"), 4)
+          .as("zero_share_obs"),
+        round(exp(-col("lam")), 4).as("zero_share_poisson"),
+        (col("disp") > lit(threshold)).as("overdispersed"))
+      .orderBy("event_type")
+  }
 }

@@ -306,4 +306,44 @@ class AnalyticsR11Spec extends SparkSpec {
       s"a RANGE frame must exclude the 8-day-old burn; rows-frame would not: $late")
     assert(!late.getAs[Boolean]("page"))
   }
+
+  test("q338: purchases that exactly replay yesterday's clicks → beta_xlag 1, R² 1") {
+    // day t: (t%5)+1 clicks; purchases on day t = clicks of day t−1.
+    // The unrestricted fit is then EXACT: b2=1, b1=0, R²=1, and the
+    // guarded F is null at rss_u=0 (degenerate perfection, not ANSI error).
+    var id = 0L
+    val rows = (0 until 20).flatMap { t =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(t)
+      val clicks = (t % 5) + 1
+      val purch = if (t == 0) 0 else ((t - 1) % 5) + 1
+      (0 until clicks).map { _ => id += 1
+        (id, 1L, "click", 1.0, day.atStartOfDay().toString.replace('T', ' ') + ":00")
+      } ++ (0 until purch).map { _ => id += 1
+        (id, 1L, "purchase", 1.0, day.atStartOfDay().toString.replace('T', ' ') + ":00")
+      }
+    }
+    val r = StatTests.grangerLag1(ev(rows: _*)).first()
+    assert(r.getAs[Long]("n_days") == 19L)
+    assert(r.getAs[Double]("beta_xlag") == 1.0 && r.getAs[Double]("beta_ylag") == 0.0)
+    assert(r.getAs[Double]("r2_u") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("granger_f")),
+      "rss_u = 0 is guarded to null, not a DIVIDE_BY_ZERO")
+  }
+
+  test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
+    // users {1..4}, days {Jan 1, Jan 2} → N = 8 user-days
+    val uni = (1 to 4).map(u => (u.toLong, u.toLong, "uni", 1.0, "2024-01-01 10:00:00"))
+    val burst = (1 to 8).map(i => (100L + i, 1L, "burst", 1.0, "2024-01-02 10:00:00"))
+    val out = StatTests.dispersionAudit(ev((uni ++ burst): _*)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val u = out("uni")
+    assert(u.getAs[Double]("lambda") == 0.5 && u.getAs[Double]("dispersion") == 0.5)
+    assert(u.getAs[Double]("zero_share_obs") == 0.5 &&
+      u.getAs[Double]("zero_share_poisson") == 0.6065)
+    assert(!u.getAs[Boolean]("overdispersed"))
+    val b = out("burst")
+    assert(b.getAs[Double]("lambda") == 1.0 && b.getAs[Double]("dispersion") == 7.0)
+    assert(b.getAs[Double]("zero_share_obs") == 0.875)
+    assert(b.getAs[Boolean]("overdispersed"), "one user-day holding all 8 events is the burst")
+  }
 }

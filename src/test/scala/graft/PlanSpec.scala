@@ -364,7 +364,9 @@ class PlanSpec extends SparkSpec {
       "q332_diff_in_diff"   -> bnl, // 1-row midpoint scalar (q14 idiom)
       "q334_temperature_mix" -> bnl, // 1-row corpus-total scalar (q14 idiom)
       "q336_gap_expfit"     -> (bnl + "unpartitioned-window"), // 1-row mean scalar + GlobalOrder offset frame (q184 idiom)
-      "q337_burn_rate"      -> Set("unpartitioned-window")) // trailing range frame over the calendar-day table (q89/q232 idiom)
+      "q337_burn_rate"      -> Set("unpartitioned-window"), // trailing range frame over the calendar-day table (q89/q232 idiom)
+      "q338_granger"        -> Set("unpartitioned-window"), // lag over the calendar-day frame (q89 idiom)
+      "q339_dispersion"     -> bnl) // 1-row user/day-count scalar (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
