@@ -1612,14 +1612,23 @@ object EventAnalytics {
     * window is a RANGE frame over the integer epoch day on the
     * calendar-bounded daily frame (gap-correct where a rows-frame would
     * misalign across missing days); budget 0.25 is binary-exact. */
-  def sloBurnRate(events: DataFrame, budget: Double = 0.25): DataFrame = {
-    val daily = events
-      .groupBy(
-        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("eday"),
-        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum((col("event_type") === "error").cast("long")).as("n_errors"))
+  def sloBurnRate(events: DataFrame, budget: Double = 0.25): DataFrame =
+    burnReport(dailyErrorCounts(events), budget)
+
+  /** The daily (eday, day, n_events, n_errors) frame q337 scores —
+    * shared with the streaming monitor ([[graft.streaming
+    * .StreamingBurnRate]]), whose watermarked window aggregation must
+    * land the IDENTICAL rows for the alert report to transfer. */
+  def dailyErrorCounts(events: DataFrame): DataFrame = events
+    .groupBy(
+      datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("eday"),
+      date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+    .agg(
+      count(lit(1)).as("n_events"),
+      sum((col("event_type") === "error").cast("long")).as("n_errors"))
+
+  /** Burn-rate scoring over a daily count frame (bounded by calendar). */
+  def burnReport(daily: DataFrame, budget: Double = 0.25): DataFrame = {
     val w7 = Window.orderBy("eday").rangeBetween(-6, 0)
     daily
       .withColumn("e7", sum(col("n_errors")).over(w7))
