@@ -600,6 +600,16 @@ object SparkEntry {
     "q337_burn_rate" -> ((s, d) => EventAnalytics.sloBurnRate(Tables(s, d).events)),
     "q338_granger" -> ((s, d) => StatTests.grangerLag1(Tables(s, d).events)),
     "q339_dispersion" -> ((s, d) => StatTests.dispersionAudit(Tables(s, d).events)),
+    "q340_grouping_sets" -> ((s, d) => Relational.groupingSetsMix(Tables(s, d).lineitem)),
+    "q341_series_knn" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.seriesKnn(t.orders, t.customer)
+    }),
+    "q342_rolling_median" -> ((s, d) => StatTests.rollingMedian(Tables(s, d).orders)),
+    "q343_rec_coverage" -> ((s, d) => {
+      val t = Tables(s, d)
+      Recommend.recCoverage(t.orders, t.lineitem)
+    }),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4779,6 +4789,96 @@ object SparkEntry {
         |  floor(exp(-lam)*10000 + 0.5)/10000 AS zero_share_poisson,
         |  disp > CAST(1.25 AS DOUBLE) AS overdispersed
         |FROM j ORDER BY event_type""".stripMargin,
+    "q340_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_lines,
+        |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS revenue,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q341_series_knn" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nation, CAST(o_orderdate AS DATE) AS d,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT n.nation, dd.d, coalesce(rev, CAST(0.0 AS DOUBLE)) AS rev
+        |  FROM (SELECT DISTINCT nation FROM daily) n
+        |  CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+        |  LEFT JOIN daily ON daily.nation = n.nation AND daily.d = dd.d),
+        |stats AS (SELECT nation, avg(rev) AS mu, stddev_samp(rev) AS sd
+        |          FROM grid GROUP BY 1),
+        |z AS (SELECT g.nation, g.d,
+        |        CASE WHEN sd > 0 THEN (rev - mu)/sd ELSE CAST(0.0 AS DOUBLE) END AS z
+        |      FROM grid g JOIN stats USING (nation)),
+        |dist AS (
+        |  SELECT a.nation AS na, b.nation AS nb,
+        |    floor(sum((a.z - b.z)*(a.z - b.z))*10000 + 0.5)/10000 AS ssd
+        |  FROM z a JOIN z b ON a.d = b.d AND a.nation < b.nation GROUP BY 1, 2),
+        |sym AS (SELECT * FROM dist UNION ALL SELECT nb, na, ssd FROM dist),
+        |r AS (SELECT na AS nation,
+        |        CAST(row_number() OVER (PARTITION BY na ORDER BY ssd, nb) AS BIGINT) AS rk,
+        |        nb AS neighbor, ssd
+        |      FROM sym)
+        |SELECT nation, rk, neighbor, ssd FROM r WHERE rk <= 3
+        |ORDER BY nation, rk""".stripMargin,
+    "q342_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT daily.*,
+        |    quantile_cont(rev, 0.5) OVER (ORDER BY eday
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7,
+        |    avg(rev) OVER (ORDER BY eday
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg7
+        |  FROM daily)
+        |SELECT day, rev,
+        |  floor(med7*10000 + 0.5)/10000 AS median_7d,
+        |  floor(avg7*10000 + 0.5)/10000 AS mean_7d,
+        |  floor((rev - med7)*10000 + 0.5)/10000 AS vs_median
+        |FROM w ORDER BY day""".stripMargin,
+    "q343_rec_coverage" ->
+      """WITH lines AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+        |cust AS (SELECT o_orderkey AS ok, o_custkey AS cust FROM orders),
+        |co AS (
+        |  SELECT a.part AS pa, b.part AS pb, count(*) AS c
+        |  FROM lines a JOIN lines b ON a.ok = b.ok AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT pa AS frm, pb AS tto, c FROM co
+        |        UNION ALL SELECT pb, pa, c FROM co),
+        |owned AS (SELECT DISTINCT cust, part FROM lines JOIN cust USING (ok)),
+        |cand AS (
+        |  SELECT o.cust, a.tto, CAST(sum(c) AS BIGINT) AS score
+        |  FROM owned o JOIN adj a ON o.part = a.frm GROUP BY 1, 2),
+        |cand2 AS (SELECT * FROM cand WHERE NOT EXISTS (
+        |  SELECT 1 FROM owned w WHERE w.cust = cand.cust AND w.part = cand.tto)),
+        |topk AS (SELECT cust, tto FROM (
+        |  SELECT cust, tto, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, tto) AS rnk FROM cand2) WHERE rnk <= 3),
+        |perpart AS (SELECT tto, count(*) AS slots FROM topk GROUP BY 1),
+        |t10 AS (
+        |  SELECT CAST(sum(CASE WHEN pr <= 10 THEN slots ELSE 0 END) AS BIGINT)
+        |      AS top10_slots,
+        |    CAST(sum(slots) AS BIGINT) AS total_slots,
+        |    count(*) AS n_rec_parts
+        |  FROM (SELECT perpart.*, row_number() OVER (ORDER BY slots DESC, tto) AS pr
+        |        FROM perpart)),
+        |sc AS (SELECT
+        |  (SELECT count(DISTINCT cust) FROM owned) AS n_customers,
+        |  (SELECT count(DISTINCT part) FROM lines) AS n_catalog,
+        |  (SELECT count(DISTINCT cust) FROM topk) AS n_with_recs)
+        |SELECT n_customers, n_with_recs, n_catalog, n_rec_parts, total_slots,
+        |  floor(n_with_recs/CAST(n_customers AS DOUBLE)*10000 + 0.5)/10000
+        |    AS customer_share,
+        |  floor(n_rec_parts/CAST(n_catalog AS DOUBLE)*10000 + 0.5)/10000
+        |    AS catalog_coverage,
+        |  floor(top10_slots/CAST(total_slots AS DOUBLE)*10000 + 0.5)/10000
+        |    AS top10_concentration
+        |FROM sc CROSS JOIN t10""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

@@ -88,4 +88,64 @@ object Recommend {
         round(col("hits_at_1").cast("double") / col("n_customers"), 4).as("hit_rate_1"),
         round(col("hits_at_k").cast("double") / col("n_customers"), 4).as("hit_rate_k"))
   }
+
+  /** q343: recommendation COVERAGE and popularity-bias report — q326
+    * says whether the recs hit; this says whether they span the catalog
+    * or just re-rank the same bestsellers (the aggregate-diversity
+    * readout a rec system is audited on): catalog coverage = share of
+    * catalog parts that appear in ANY customer's top-k, and
+    * concentration = share of all top-k slots taken by the 10 most-
+    * recommended parts (popularity bias). Scores are integer
+    * co-occurrence counts — ranking ties break on ids, engine-stable.
+    *
+    * Scale shape: the q92/q326 pair expansion (support-capped), one
+    * equi-join candidate generation, per-customer top-k windows; the
+    * report aggregates land on catalog- and customer-bounded frames. */
+  def recCoverage(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      minSupport: Long = 2,
+      k: Int = 3): DataFrame = {
+    val lines = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val cust = orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+    val basket = lines.distinct()
+    val co = basket.as("a")
+      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+    val adj = co.select(col("pa").as("from"), col("pb").as("to"), col("c"))
+      .unionAll(co.select(col("pb").as("from"), col("pa").as("to"), col("c")))
+    val owned = lines.join(cust, "ok").select("cust", "part").distinct()
+    val candidates = owned
+      .join(adj, col("part") === col("from"))
+      .groupBy(col("cust"), col("to"))
+      .agg(sum(col("c")).as("score"))
+      .join(owned.withColumnRenamed("part", "to"), Seq("cust", "to"), "left_anti")
+    val wc = Window.partitionBy("cust").orderBy(desc("score"), asc("to"))
+    val topk = candidates
+      .withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= k)
+
+    val perPart = topk.groupBy("to").agg(count(lit(1)).as("slots"))
+    val wp = Window.orderBy(desc("slots"), asc("to"))
+    val top10Slots = perPart
+      .withColumn("pr", row_number().over(wp))
+      .agg(
+        sum(when(col("pr") <= 10, col("slots")).otherwise(0L)).as("top10_slots"),
+        sum(col("slots")).as("total_slots"),
+        count(lit(1)).as("n_rec_parts"))
+    val scalars = owned.agg(countDistinct(col("cust")).as("n_customers"))
+      .crossJoin(broadcast(lines.agg(countDistinct(col("part")).as("n_catalog"))))
+      .crossJoin(broadcast(topk.agg(countDistinct(col("cust")).as("n_with_recs"))))
+    scalars.crossJoin(broadcast(top10Slots))
+      .select(
+        col("n_customers"), col("n_with_recs"), col("n_catalog"), col("n_rec_parts"),
+        col("total_slots"),
+        round(col("n_with_recs") / col("n_customers").cast("double"), 4)
+          .as("customer_share"),
+        round(col("n_rec_parts") / col("n_catalog").cast("double"), 4).as("catalog_coverage"),
+        round(col("top10_slots") / col("total_slots").cast("double"), 4)
+          .as("top10_concentration"))
+  }
 }

@@ -2062,4 +2062,22 @@ object Relational {
         round(col("log_lambda"), 4).as("log_lambda"),
         round(least(lit(1.0), exp(-col("log_lambda"))), 4).as("p_always_valid"))
   }
+
+  /** q340: arbitrary GROUPING SETS — the grain mix neither q09's rollup
+    * (hierarchical prefixes) nor q27's cube (every combination) can
+    * express: exactly {(returnflag), (linestatus), ()} — two
+    * independent single-dimension breakdowns plus the grand total in
+    * ONE pass. Same single-Expand plan family as rollup/cube (the scan
+    * is shared; each row expands to its 3 grains map-side), with
+    * grouping_id() disambiguating subtotal NULLs (q206 discipline). */
+  def groupingSetsMix(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 }

@@ -1456,4 +1456,72 @@ object StatTests {
         (col("disp") > lit(threshold)).as("overdispersed"))
       .orderBy("event_type")
   }
+
+  /** q341: time-series k-NN — which nations' daily revenue curves move
+    * together (the "similar series" primitive behind matrix-profile /
+    * motif tooling, run at entity grain): per-nation daily revenue on a
+    * ZERO-FILLED calendar grid (quiet days count as 0 — dropping them
+    * silently aligns unrelated dates), per-nation z-normalization
+    * (guarded at σ=0), then z-normalized squared Euclidean distance per
+    * pair and the top `k` neighbors per nation.
+    *
+    * Scale shape: the grid is #nations × #days — calendar-bounded, not
+    * corpus-bounded; the pair join is day-keyed (grid × #nations rows),
+    * the distance aggregate lands on the #nations² frame, and ranking
+    * windows partition by nation. */
+  def seriesKnn(orders: DataFrame, customer: DataFrame, k: Int = 3): DataFrame = {
+    val daily = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey").as("nation"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"), to_date(col("o_orderdate")).as("d"))
+      // 4dp pre-round: the grid feeds moments in BOTH engines, so the
+      // inputs must already be bit-equal (sum order differs across them)
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val grid = daily.select("nation").distinct()
+      .crossJoin(daily.select("d").distinct())
+      .join(daily, Seq("nation", "d"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0.0)))
+    val stats = grid.groupBy("nation")
+      .agg(avg(col("rev")).as("mu"), stddev_samp(col("rev")).as("sd"))
+    val z = grid.join(broadcast(stats), "nation")
+      .select(col("nation"), col("d"),
+        when(col("sd") > 0, (col("rev") - col("mu")) / col("sd")).otherwise(lit(0.0)).as("z"))
+    val dist = z.as("a")
+      .join(z.as("b"), col("a.d") === col("b.d") && col("a.nation") < col("b.nation"))
+      .groupBy(col("a.nation").as("na"), col("b.nation").as("nb"))
+      .agg(round(sum((col("a.z") - col("b.z")) * (col("a.z") - col("b.z"))), 4).as("ssd"))
+    val sym = dist.unionAll(
+      dist.select(col("nb").as("na"), col("na").as("nb"), col("ssd")))
+    val w = Window.partitionBy("na").orderBy(asc("ssd"), asc("nb"))
+    sym
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("na").as("nation"), col("rk"), col("nb").as("neighbor"), col("ssd"))
+      .orderBy("nation", "rk")
+  }
+
+  /** q342: trailing 7-day rolling MEDIAN of daily revenue — the robust
+    * smoother the q136 moving AVERAGE is not (one flash-sale day drags
+    * a mean for a week; the median shrugs): exact percentile as a
+    * WINDOW aggregate over a RANGE frame on the integer epoch day
+    * (gap-correct, q337 discipline). The window input is the
+    * calendar-bounded daily frame — the percentile state is ≤7 values
+    * per row, never data-sized. */
+  def rollingMedian(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("eday"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val w7 = Window.orderBy("eday").rangeBetween(-6, 0)
+    daily
+      .withColumn("med7", expr("percentile(rev, 0.5)").over(w7))
+      .withColumn("avg7", avg(col("rev")).over(w7))
+      .select(
+        col("day"), col("rev"),
+        round(col("med7"), 4).as("median_7d"),
+        round(col("avg7"), 4).as("mean_7d"),
+        round(col("rev") - col("med7"), 4).as("vs_median"))
+      .orderBy("day")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Classify, EventAnalytics, Relational, StatTests, TextAnalysis, TopK}
+import graft.operators.{Classify, EventAnalytics, Recommend, Relational, StatTests, TextAnalysis, TopK}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -8,6 +8,14 @@ import java.sql.Timestamp
   * fixtures for properties the DuckDB oracle equality can't state. */
 class AnalyticsR11Spec extends SparkSpec {
   import spark.implicits._
+
+  private def li(rows: (Long, Int, Long, Long, Double, Double, String)*) =
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag")
+      .withColumn("l_discount", lit(0.0))
+      .withColumn("l_tax", lit(0.0))
+      .withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
 
   // ---------------------------------------------------------------- q327
   private def liWeek(rows: (Long, Long, Double, String)*) =
@@ -328,6 +336,91 @@ class AnalyticsR11Spec extends SparkSpec {
     assert(r.getAs[Double]("r2_u") == 1.0)
     assert(r.isNullAt(r.fieldIndex("granger_f")),
       "rss_u = 0 is guarded to null, not a DIVIDE_BY_ZERO")
+  }
+
+  test("q340: grouping-sets mix emits exactly the three requested grains") {
+    val rows = li(
+      (1L, 1, 1L, 1L, 1.0, 10.0, "N"), (2L, 1, 1L, 1L, 1.0, 20.0, "R"))
+      .withColumn("l_linestatus",
+        when(col("l_returnflag") === "N", "O").otherwise("F"))
+    val out = Relational.groupingSetsMix(rows).collect()
+    val gids = out.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(1L, 2L, 3L),
+      s"flag-grain (gid 1), status-grain (gid 2), grand total (gid 3) — and NO (flag,status) cube cell: $out")
+    val grand = out.find(_.getAs[Long]("gid") == 3L).get
+    assert(grand.getAs[Long]("n_lines") == 2L && grand.getAs[Double]("revenue") == 30.0)
+    // each single-dim grain partitions the rows
+    assert(out.filter(_.getAs[Long]("gid") == 1L).map(_.getAs[Long]("n_lines")).sum == 2L)
+    assert(out.filter(_.getAs[Long]("gid") == 2L).map(_.getAs[Long]("n_lines")).sum == 2L)
+  }
+
+  test("q341: proportional series are mutual rank-1 at distance 0; the inverse one is farthest") {
+    // nations: 10 and 20 move together (one is 2× the other — identical
+    // after z-normalization), 30 moves inversely
+    val cust = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("c_custkey", "c_nationkey")
+    val series = Seq(1.0, 2.0, 3.0, 2.0, 1.0)
+    var id = 0L
+    val orders = series.zipWithIndex.flatMap { case (v, i) =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val ts = Timestamp.valueOf(day.atStartOfDay())
+      Seq(
+        { id += 1; (id, 1L, "F", 10.0 * v, ts, "1-URGENT") },
+        { id += 1; (id, 2L, "F", 20.0 * v, ts, "1-URGENT") },
+        { id += 1; (id, 3L, "F", 10.0 * (4.0 - v), ts, "1-URGENT") })
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = StatTests.seriesKnn(orders, cust, k = 2).collect()
+    val first = out.filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("nation") -> (r.getAs[Long]("neighbor"), r.getAs[Double]("ssd")))
+      .toMap
+    assert(first(10L) == (20L, 0.0) && first(20L) == (10L, 0.0),
+      s"z-normalization must make the 2x-scaled twin exactly distance 0: ${out.mkString(";")}")
+    assert(first(30L)._2 > 0.0, "the inverse series is nobody's zero-distance twin")
+  }
+
+  test("q342: the rolling median shrugs off the spike the rolling mean absorbs") {
+    val vals = Seq(10.0, 10.0, 10.0, 100.0, 10.0, 10.0, 10.0)
+    val orders = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, "F", v,
+        Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = StatTests.rollingMedian(orders).collect()
+    val spike = out(3)
+    assert(spike.getAs[Double]("median_7d") == 10.0,
+      s"median of {10,10,10,100} interpolates to 10: $spike")
+    assert(spike.getAs[Double]("mean_7d") == 32.5, "the mean absorbs the spike (130/4)")
+    assert(spike.getAs[Double]("vs_median") == 90.0)
+    val last = out(6)
+    assert(last.getAs[Double]("median_7d") == 10.0 && last.getAs[Double]("mean_7d") > 20.0)
+  }
+
+  test("q343: coverage counts distinct recommended parts; concentration sums top slots") {
+    // orders 1,2 both buy {1,2} → edge (1,2) support 2; customer 30 owns
+    // only part 1 → rec part 2; customers 10/20 own both → no candidates;
+    // catalog also holds the never-recommended part 3 (customer 30's other buy? no - keep 3 unowned-by-30)
+    val orders = Seq(
+      (1L, 10L, "F", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 20L, "F", 1.0, Timestamp.valueOf("2024-01-02 00:00:00"), "1-URGENT"),
+      (3L, 30L, "F", 1.0, Timestamp.valueOf("2024-01-03 00:00:00"), "1-URGENT"),
+      (4L, 40L, "F", 1.0, Timestamp.valueOf("2024-01-04 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lines = li(
+      (1L, 1, 1L, 1L, 1, 1, "N"), (1L, 2, 2L, 1L, 1, 1, "N"),
+      (2L, 1, 1L, 1L, 1, 1, "N"), (2L, 2, 2L, 1L, 1, 1, "N"),
+      (3L, 1, 1L, 1L, 1, 1, "N"),
+      (4L, 1, 3L, 1L, 1, 1, "N"))
+    val r = Recommend.recCoverage(orders, lines).first()
+    assert(r.getAs[Long]("n_customers") == 4L && r.getAs[Long]("n_with_recs") == 1L)
+    assert(r.getAs[Long]("n_catalog") == 3L && r.getAs[Long]("n_rec_parts") == 1L)
+    assert(r.getAs[Long]("total_slots") == 1L)
+    assert(r.getAs[Double]("customer_share") == 0.25)
+    assert(r.getAs[Double]("catalog_coverage") == 0.3333,
+      s"only part 2 of catalog {1,2,3} is ever recommended: $r")
+    assert(r.getAs[Double]("top10_concentration") == 1.0)
   }
 
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {

@@ -366,7 +366,10 @@ class PlanSpec extends SparkSpec {
       "q336_gap_expfit"     -> (bnl + "unpartitioned-window"), // 1-row mean scalar + GlobalOrder offset frame (q184 idiom)
       "q337_burn_rate"      -> Set("unpartitioned-window"), // trailing range frame over the calendar-day table (q89/q232 idiom)
       "q338_granger"        -> Set("unpartitioned-window"), // lag over the calendar-day frame (q89 idiom)
-      "q339_dispersion"     -> bnl) // 1-row user/day-count scalar (q14 idiom)
+      "q339_dispersion"     -> bnl, // 1-row user/day-count scalar (q14 idiom)
+      "q341_series_knn"     -> (bnl + "cartesian-product"), // #nations × #days zero-fill grid (q294/q318 idiom)
+      "q342_rolling_median" -> Set("unpartitioned-window"), // RANGE frame over the calendar-day table (q337 idiom)
+      "q343_rec_coverage"   -> (bnl + "unpartitioned-window")) // 1-row scalars + slot ranking over the catalog-bounded part frame
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
