@@ -610,6 +610,9 @@ object SparkEntry {
       val t = Tables(s, d)
       Recommend.recCoverage(t.orders, t.lineitem)
     }),
+    "q344_dup_matrix" -> ((s, d) => TextAnalysis.crossSourceDupMatrix(Tables(s, d).documents)),
+    "q345_funnel_by_arm" -> ((s, d) => EventAnalytics.funnelByArm(Tables(s, d).events)),
+    "q346_peaks" -> ((s, d) => StatTests.revenuePeaks(Tables(s, d).orders)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4879,6 +4882,82 @@ object SparkEntry {
         |  floor(top10_slots/CAST(total_slots AS DOUBLE)*10000 + 0.5)/10000
         |    AS top10_concentration
         |FROM sc CROSS JOIN t10""".stripMargin,
+    "q344_dup_matrix" ->
+      """WITH fps AS (
+        |  SELECT DISTINCT source,
+        |    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n_fps FROM fps GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT x.source AS source_a, y.source AS source_b
+        |  FROM ps x CROSS JOIN ps y WHERE x.source < y.source),
+        |g AS (
+        |  SELECT grid.source_a, grid.source_b,
+        |    CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared
+        |  FROM grid LEFT JOIN shared USING (source_a, source_b))
+        |SELECT source_a, source_b, n_shared,
+        |  floor(n_shared/CAST(na.n_fps AS DOUBLE)*10000 + 0.5)/10000 AS share_of_a,
+        |  floor(n_shared/CAST(nb.n_fps AS DOUBLE)*10000 + 0.5)/10000 AS share_of_b
+        |FROM g
+        |JOIN ps na ON na.source = source_a
+        |JOIN ps nb ON nb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q345_funnel_by_arm" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id),
+        |u AS (
+        |  SELECT v.user_id,
+        |    CASE WHEN c.user_id IS NOT NULL THEN 1 END AS clicked,
+        |    CASE WHEN p.user_id IS NOT NULL THEN 1 END AS purchased,
+        |    CASE WHEN substr(md5(CAST(v.user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id),
+        |pa AS (SELECT arm, count(*) AS n_view, count(clicked) AS n_click,
+        |         count(purchased) AS n_purchase
+        |       FROM u GROUP BY arm),
+        |zz AS (
+        |  SELECT a.n_purchase/CAST(a.n_click AS DOUBLE) AS ra,
+        |    b.n_purchase/CAST(b.n_click AS DOUBLE) AS rb,
+        |    (a.n_purchase + b.n_purchase)/CAST(a.n_click + b.n_click AS DOUBLE) AS rp,
+        |    a.n_click AS ca, b.n_click AS cb
+        |  FROM (SELECT * FROM pa WHERE arm = 'A') a
+        |  CROSS JOIN (SELECT * FROM pa WHERE arm = 'B') b),
+        |z AS (SELECT floor((ra - rb)/sqrt(rp*(1-rp)*(1.0/ca + 1.0/cb))*10000 + 0.5)/10000
+        |        AS step_z FROM zz)
+        |SELECT arm, n_view, n_click, n_purchase,
+        |  floor(n_click/CAST(n_view AS DOUBLE)*10000 + 0.5)/10000 AS view_to_click,
+        |  floor(n_purchase/CAST(n_click AS DOUBLE)*10000 + 0.5)/10000 AS click_to_purchase,
+        |  step_z
+        |FROM pa CROSS JOIN z ORDER BY arm""".stripMargin,
+    "q346_peaks" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT daily.*,
+        |    lag(rev) OVER (ORDER BY eday) AS prev,
+        |    lead(rev) OVER (ORDER BY eday) AS next,
+        |    quantile_cont(rev, 0.5) OVER (ORDER BY eday
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |  FROM daily)
+        |SELECT day, rev,
+        |  floor(med7*10000 + 0.5)/10000 AS baseline_med7,
+        |  floor(rev/med7*10000 + 0.5)/10000 AS prominence
+        |FROM w
+        |WHERE prev IS NOT NULL AND next IS NOT NULL
+        |  AND rev > prev AND rev > next AND rev > med7 * CAST(1.25 AS DOUBLE)
+        |ORDER BY day""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

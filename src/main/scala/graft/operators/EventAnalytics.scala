@@ -1644,4 +1644,55 @@ object EventAnalytics {
         (col("burn1") > lit(2.0) && col("burn7") > lit(1.0)).as("page"))
       .orderBy("day")
   }
+
+  /** q345: funnel BY EXPERIMENT ARM with a step-conversion z-test —
+    * the readout an A/B test of a checkout flow actually ships: q76's
+    * ordered view→click→purchase funnel computed per md5-parity arm,
+    * plus a pooled two-proportion z (q231 discipline) on the
+    * click→purchase conversion CONDITIONED on reaching click (testing
+    * the unconditioned rate would mix upstream effects into the step
+    * under test). One row per arm carries the funnel; the z repeats on
+    * both rows (a 2-row frame has no better home for a scalar).
+    *
+    * Scale shape: three per-user min-timestamp aggregates (user-
+    * cardinality frames, each smaller than the last), 2-row arm
+    * aggregate, closed-form z. */
+  def funnelByArm(events: DataFrame): DataFrame = {
+    val armOf = graft.operators.Relational.hashArm(col("user_id"))
+    def stage(tpe: String) = events.filter(col("event_type") === tpe).select("user_id", "ts")
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = stage("click").join(broadcast(v), "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = stage("purchase").join(broadcast(c), "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    val perArm = v.select(col("user_id"))
+      .join(c.select(col("user_id"), lit(1).as("clicked")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("purchased")), Seq("user_id"), "left")
+      .withColumn("arm", armOf)
+      .groupBy("arm")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("clicked")).as("n_click"),
+        count(col("purchased")).as("n_purchase"))
+    // pooled two-proportion z on purchase|click between the two arms
+    val a = perArm.filter(col("arm") === "A")
+      .select(col("n_click").as("ca"), col("n_purchase").as("pa"))
+    val b = perArm.filter(col("arm") === "B")
+      .select(col("n_click").as("cb"), col("n_purchase").as("pb"))
+    val z = a.crossJoin(broadcast(b))
+      .withColumn("ra", col("pa") / col("ca"))
+      .withColumn("rb", col("pb") / col("cb"))
+      .withColumn("rp", (col("pa") + col("pb")) / (col("ca") + col("cb")))
+      .select(round(expr(
+        "try_divide(ra - rb, sqrt(rp*(1-rp)*(1.0/ca + 1.0/cb)))"), 4).as("step_z"))
+    perArm.crossJoin(broadcast(z))
+      .select(
+        col("arm"), col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click") / col("n_view").cast("double"), 4).as("view_to_click"),
+        round(col("n_purchase") / col("n_click").cast("double"), 4).as("click_to_purchase"),
+        col("step_z"))
+      .orderBy("arm")
+  }
 }

@@ -1524,4 +1524,38 @@ object StatTests {
         round(col("rev") - col("med7"), 4).as("vs_median"))
       .orderBy("day")
   }
+
+  /** q346: PEAK detection over daily revenue — the "which days spiked"
+    * readout feeding alert triage and promo post-mortems: a peak is a
+    * STRICT local maximum (rev > both calendar neighbors — strictness
+    * makes plateaus peakless identically in both engines) whose
+    * prominence over the trailing 7-day median (the q342 robust
+    * baseline) exceeds `minProminence`. Prominence-over-median, not
+    * over-mean: one spike inflates a mean baseline and masks the next
+    * spike a week long.
+    *
+    * Scale shape: calendar-bounded daily frame; lag/lead and the RANGE
+    * median are windows over that frame (q337/q342 discipline). */
+  def revenuePeaks(orders: DataFrame, minProminence: Double = 1.25): DataFrame = {
+    val daily = orders
+      .groupBy(
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("eday"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val wd = Window.orderBy("eday")
+    val w7 = Window.orderBy("eday").rangeBetween(-6, 0)
+    daily
+      .withColumn("prev", lag(col("rev"), 1).over(wd))
+      .withColumn("next", lead(col("rev"), 1).over(wd))
+      .withColumn("med7", expr("percentile(rev, 0.5)").over(w7))
+      .filter(
+        col("prev").isNotNull && col("next").isNotNull &&
+          col("rev") > col("prev") && col("rev") > col("next") &&
+          col("rev") > col("med7") * lit(minProminence))
+      .select(
+        col("day"), col("rev"),
+        round(col("med7"), 4).as("baseline_med7"),
+        round(col("rev") / col("med7"), 4).as("prominence"))
+      .orderBy("day")
+  }
 }

@@ -1682,4 +1682,45 @@ object TextAnalysis {
         round(col("w") * lit(budgetTokens.toDouble) / col("n_tok"), 4).as("epochs"))
       .orderBy("source")
   }
+
+  /** q344: cross-source DUPLICATION matrix — which sources copy from
+    * which (q294 measures vocabulary overlap; this counts EXACT shared
+    * documents, the dedup-policy question): per unordered source pair,
+    * the number of q33 content fingerprints present in BOTH, plus each
+    * side's share of its own distinct fingerprints — asymmetric shares
+    * tell "mirror" (both high) from "aggregator scraping a corner of a
+    * big source" (one high, one low).
+    *
+    * Scale shape: (source, fp) distinct is one fact-proportional
+    * aggregate; the pair join is fp-keyed (fan-out = sources sharing a
+    * fingerprint — boilerplate-bounded, the q56 cap argument); the
+    * report lands on the #sources² frame. */
+  def crossSourceDupMatrix(documents: DataFrame): DataFrame = {
+    val fps = documents
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .distinct()
+    val perSource = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+    val shared = fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // zero-filled pair grid (q316 discipline): "no sharing" is a finding,
+    // and the report shape stays stable at every corpus scale
+    val srcs = perSource.select(col("source"))
+    val grid = srcs.as("x").crossJoin(srcs.as("y"))
+      .filter(col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    grid
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .join(broadcast(perSource.select(col("source").as("source_a"), col("n_fps").as("na"))),
+        "source_a")
+      .join(broadcast(perSource.select(col("source").as("source_b"), col("n_fps").as("nb"))),
+        "source_b")
+      .select(
+        col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") / col("na").cast("double"), 4).as("share_of_a"),
+        round(col("n_shared") / col("nb").cast("double"), 4).as("share_of_b"))
+      .orderBy("source_a", "source_b")
+  }
 }

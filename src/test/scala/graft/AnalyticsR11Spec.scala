@@ -423,6 +423,73 @@ class AnalyticsR11Spec extends SparkSpec {
     assert(r.getAs[Double]("top10_concentration") == 1.0)
   }
 
+  test("q344: mirror vs aggregator asymmetry shows in the shares; zero cells persist") {
+    val docs = Seq(
+      // big: 4 distinct docs; mirror copies 2 of them (and has nothing else)
+      (1L, "alpha text one", "en", "big", 10L),
+      (2L, "beta text two", "en", "big", 10L),
+      (3L, "gamma text three", "en", "big", 10L),
+      (4L, "delta text four", "en", "big", 10L),
+      (5L, "alpha text one", "en", "mirror", 10L),
+      (6L, "beta text two", "en", "mirror", 10L),
+      // loner shares nothing
+      (7L, "epsilon five", "en", "loner", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    assert(out.size == 3, "3 sources → 3 unordered pairs, zero cells included")
+    val bm = out(("big", "mirror"))
+    assert(bm.getAs[Long]("n_shared") == 2L)
+    assert(bm.getAs[Double]("share_of_a") == 0.5, "big: 2 of 4 fps shared")
+    assert(bm.getAs[Double]("share_of_b") == 1.0, "mirror: ALL its fps come from big")
+    assert(out(("big", "loner")).getAs[Long]("n_shared") == 0L)
+    assert(out(("loner", "mirror")).getAs[Long]("n_shared") == 0L)
+  }
+
+  test("q345: planted funnel — ordered steps gate per arm, z on the conditioned step") {
+    // user u: view then click then purchase (full funnel);
+    // user w: click BEFORE any view → click doesn't count
+    def rowsFor(u: Long) = Seq(
+      (u * 10 + 1, u, "view", 1.0, "2024-01-01 10:00:00"),
+      (u * 10 + 2, u, "click", 1.0, "2024-01-01 11:00:00"),
+      (u * 10 + 3, u, "purchase", 1.0, "2024-01-01 12:00:00"))
+    def preView(u: Long) = Seq(
+      (u * 10 + 1, u, "click", 1.0, "2024-01-01 09:00:00"),
+      (u * 10 + 2, u, "view", 1.0, "2024-01-01 10:00:00"))
+    // pick one known-A and one known-B user for each shape
+    val usersA = (1L to 50L).filter(armOf(_) == "A")
+    val usersB = (1L to 50L).filter(armOf(_) == "B")
+    val rows = rowsFor(usersA.head) ++ rowsFor(usersB.head) ++
+      preView(usersA(1)) ++ preView(usersB(1))
+    val out = EventAnalytics.funnelByArm(ev(rows: _*)).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    Seq("A", "B").foreach { arm =>
+      val r = out(arm)
+      assert(r.getAs[Long]("n_view") == 2L, s"$arm: both users viewed")
+      assert(r.getAs[Long]("n_click") == 1L, s"$arm: pre-view click must not count")
+      assert(r.getAs[Long]("n_purchase") == 1L)
+      assert(r.getAs[Double]("view_to_click") == 0.5)
+      assert(r.getAs[Double]("click_to_purchase") == 1.0)
+    }
+    assert(out("A").getAs[Double]("step_z") == 0.0, "identical step rates → z = 0")
+  }
+
+  test("q346: the strict local max above the median baseline is the only peak") {
+    val vals = Seq(10.0, 10.0, 10.0, 100.0, 10.0, 12.0, 11.0)
+    val orders = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, "F", v,
+        Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = StatTests.revenuePeaks(orders).collect()
+    // day 4 (100) is a strict max with prominence 10; day 6 (12) is a
+    // strict max but 12 < 1.25 × med7 — filtered
+    assert(out.length == 1, s"got ${out.mkString(";")}")
+    assert(out.head.getAs[String]("day") == "2024-01-04")
+    assert(out.head.getAs[Double]("prominence") == 10.0)
+  }
+
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
     // users {1..4}, days {Jan 1, Jan 2} → N = 8 user-days
     val uni = (1 to 4).map(u => (u.toLong, u.toLong, "uni", 1.0, "2024-01-01 10:00:00"))

@@ -369,7 +369,10 @@ class PlanSpec extends SparkSpec {
       "q339_dispersion"     -> bnl, // 1-row user/day-count scalar (q14 idiom)
       "q341_series_knn"     -> (bnl + "cartesian-product"), // #nations × #days zero-fill grid (q294/q318 idiom)
       "q342_rolling_median" -> Set("unpartitioned-window"), // RANGE frame over the calendar-day table (q337 idiom)
-      "q343_rec_coverage"   -> (bnl + "unpartitioned-window")) // 1-row scalars + slot ranking over the catalog-bounded part frame
+      "q343_rec_coverage"   -> (bnl + "unpartitioned-window"), // 1-row scalars + slot ranking over the catalog-bounded part frame
+      "q344_dup_matrix"     -> (bnl + "cartesian-product"), // #sources² zero-fill pair grid (q294/q316 idiom)
+      "q345_funnel_by_arm"  -> bnl, // 1-row per-arm scalar cross (q76/q231 idiom)
+      "q346_peaks"          -> Set("unpartitioned-window")) // lag/lead + RANGE median over the calendar-day table (q342 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
