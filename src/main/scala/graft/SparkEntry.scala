@@ -613,6 +613,15 @@ object SparkEntry {
     "q344_dup_matrix" -> ((s, d) => TextAnalysis.crossSourceDupMatrix(Tables(s, d).documents)),
     "q345_funnel_by_arm" -> ((s, d) => EventAnalytics.funnelByArm(Tables(s, d).events)),
     "q346_peaks" -> ((s, d) => StatTests.revenuePeaks(Tables(s, d).orders)),
+    "q347_cart_abandonment" -> ((s, d) => EventAnalytics.cartAbandonment(Tables(s, d).events)),
+    "q348_empirical_bayes" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.empiricalBayesReturns(t.lineitem, t.part)
+    }),
+    "q349_substitutes" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.substituteParts(t.orders, t.lineitem)
+    }),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -4958,6 +4967,72 @@ object SparkEntry {
         |WHERE prev IS NOT NULL AND next IS NOT NULL
         |  AND rev > prev AND rev > next AND rev > med7 * CAST(1.25 AS DOUBLE)
         |ORDER BY day""".stripMargin,
+    "q347_cart_abandonment" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT g.*,
+        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS intent,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |r AS (
+        |  SELECT count(*) AS n_sessions,
+        |    CAST(sum(intent) AS BIGINT) AS n_intent,
+        |    CAST(sum(intent*purchased) AS BIGINT) AS n_converted,
+        |    floor(avg(n_events)*10000 + 0.5)/10000 AS avg_events_per_session
+        |  FROM sess)
+        |SELECT n_sessions, n_intent, n_converted, avg_events_per_session,
+        |  floor((1.0 - n_converted/CAST(n_intent AS DOUBLE))*10000 + 0.5)/10000
+        |    AS abandonment_rate
+        |FROM r""".stripMargin,
+    "q348_empirical_bayes" ->
+      """WITH rates AS (
+        |  SELECT p_brand AS brand, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |r2 AS (SELECT rates.*, k/CAST(n AS DOUBLE) AS rate FROM rates),
+        |pr AS (
+        |  SELECT avg(rate) AS m, var_samp(rate) AS v FROM r2),
+        |pr2 AS (SELECT pr.*, v > 0 AND v < m*(1.0 - m) AS valid FROM pr),
+        |pr3 AS (SELECT pr2.*,
+        |  CASE WHEN valid THEN m*(1.0 - m)/v - 1.0 END AS ab FROM pr2),
+        |pr4 AS (SELECT m, valid,
+        |  CASE WHEN valid THEN m*ab END AS alpha,
+        |  CASE WHEN valid THEN (1.0 - m)*ab END AS beta FROM pr3)
+        |SELECT brand, n, k,
+        |  floor(rate*10000 + 0.5)/10000 AS raw_rate,
+        |  floor(CASE WHEN valid THEN (k + alpha)/(n + alpha + beta)
+        |        ELSE rate END*10000 + 0.5)/10000 AS shrunk_rate,
+        |  floor(m*10000 + 0.5)/10000 AS prior_mean
+        |FROM r2 CROSS JOIN pr4 ORDER BY brand""".stripMargin,
+    "q349_substitutes" ->
+      """WITH lines AS (SELECT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+        |owned AS (
+        |  SELECT DISTINCT o_custkey AS cust, part
+        |  FROM lines JOIN orders ON ok = o_orderkey),
+        |cp AS (
+        |  SELECT a.part AS pa, b.part AS pb, count(*) AS n_shared_customers
+        |  FROM owned a JOIN owned b ON a.cust = b.cust AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |basket AS (SELECT DISTINCT ok, part FROM lines),
+        |bp AS (
+        |  SELECT DISTINCT x.part AS pa, y.part AS pb
+        |  FROM basket x JOIN basket y ON x.ok = y.ok AND x.part < y.part)
+        |SELECT cp.pa, cp.pb, cp.n_shared_customers
+        |FROM cp WHERE NOT EXISTS (
+        |  SELECT 1 FROM bp WHERE bp.pa = cp.pa AND bp.pb = cp.pb)
+        |ORDER BY n_shared_customers DESC, pa, pb LIMIT 20""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

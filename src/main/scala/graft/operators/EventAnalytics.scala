@@ -1695,4 +1695,45 @@ object EventAnalytics {
         col("step_z"))
       .orderBy("arm")
   }
+
+  /** q347: CART ABANDONMENT over 30-minute sessions — the
+    * conversion-leak readout between q22 (session counts) and q76
+    * (user-lifetime funnel): per session, did the user show intent
+    * (click) and did the SAME session convert (purchase)? Lifetime
+    * funnels overstate conversion (a purchase next week still counts);
+    * the session cut is what checkout UX work is measured on.
+    *
+    * Scale shape: the q22 discipline — per-user lag + running-sum
+    * windows assign session ids (user-partitioned, never data-sized in
+    * one task), one (user, session) aggregate, then a scalar report.
+    * (ts, event_id) ordering makes same-timestamp rows deterministic
+    * in both engines. */
+  def cartAbandonment(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_sess")).over(
+        Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("intent"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchased"),
+        count(lit(1)).as("n_events"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("intent")).cast("long").as("n_intent"),
+      sum(col("intent") * col("purchased")).cast("long").as("n_converted"),
+      round(avg(col("n_events")), 4).as("avg_events_per_session"))
+      .select(
+        col("n_sessions"), col("n_intent"), col("n_converted"),
+        col("avg_events_per_session"),
+        round(lit(1.0) - col("n_converted") / col("n_intent").cast("double"), 4)
+          .as("abandonment_rate"))
+  }
 }

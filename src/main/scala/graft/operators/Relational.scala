@@ -2080,4 +2080,41 @@ object Relational {
         round(sum(col("l_extendedprice")), 4).as("revenue"),
         grouping_id().cast("long").as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** q349: SUBSTITUTE detection — the complement of q92's complements:
+    * parts the SAME customers buy but never in the SAME order (high
+    * customer co-ownership + zero basket co-occurrence is the classic
+    * substitute signature; q92's co-purchase finds things bought
+    * together, which substitutes by definition are not). Candidate =
+    * customer-grain pair with ≥ `minCustomers` shared owners, anti-
+    * joined against the order-grain pair set.
+    *
+    * Scale shape: both pair expansions are the q92 bounded form
+    * (Θ(Σ per-key parts²) with the customer key's engagement bound);
+    * the anti-join is pair-keyed; top-k via rounded-free integer
+    * ordering (counts are exact). */
+  def substituteParts(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      minCustomers: Long = 3,
+      topN: Int = 20): DataFrame = {
+    val lines = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val owned = lines
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("cust", "part").distinct()
+    val custPairs = owned.as("a")
+      .join(owned.as("b"), col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
+      .agg(count(lit(1)).as("n_shared_customers"))
+      .filter(col("n_shared_customers") >= minCustomers)
+    val basket = lines.distinct()
+    val basketPairs = basket.as("x")
+      .join(basket.as("y"), col("x.ok") === col("y.ok") && col("x.part") < col("y.part"))
+      .select(col("x.part").as("pa"), col("y.part").as("pb"))
+      .distinct()
+    custPairs
+      .join(basketPairs, Seq("pa", "pb"), "left_anti")
+      .orderBy(desc("n_shared_customers"), asc("pa"), asc("pb"))
+      .limit(topN)
+  }
 }

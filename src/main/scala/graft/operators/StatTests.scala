@@ -1558,4 +1558,44 @@ object StatTests {
         round(col("rev") / col("med7"), 4).as("prominence"))
       .orderBy("day")
   }
+
+  /** q348: EMPIRICAL-BAYES shrinkage of per-brand return rates — the
+    * ranking-safe companion to q319's Wilson interval: Wilson widens
+    * small-n uncertainty, shrinkage MOVES small-n estimates toward the
+    * prior so a 2-line brand can't top (or bottom) a leaderboard on
+    * luck. Beta prior by method of moments over the brand rate frame
+    * (α+β = m(1−m)/v − 1, α = m(α+β) — the standard closed form; v≥
+    * m(1−m) degenerate prior guarded to no-shrinkage), posterior mean
+    * (k+α)/(n+α+β) per brand.
+    *
+    * Scale shape: one fact aggregate to the #brands frame, a 1-row
+    * moment scalar, closed-form algebra — the q319 anatomy. */
+  def empiricalBayesReturns(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rates = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("l_returnflag") === "R").cast("long")).as("k"))
+      .withColumn("rate", col("k") / col("n").cast("double"))
+    val prior = rates.agg(avg(col("rate")).as("m"), var_samp(col("rate")).as("v"))
+      .withColumn("valid", col("v") > 0 && col("v") < col("m") * (lit(1.0) - col("m")))
+      .withColumn("ab",
+        when(col("valid"), col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+      .select(
+        col("m"), col("valid"),
+        when(col("valid"), col("m") * col("ab")).as("alpha"),
+        when(col("valid"), (lit(1.0) - col("m")) * col("ab")).as("beta"))
+    rates
+      .crossJoin(broadcast(prior))
+      .select(
+        col("brand"), col("n"), col("k"),
+        round(col("rate"), 4).as("raw_rate"),
+        round(when(col("valid"),
+          (col("k") + col("alpha")) / (col("n") + col("alpha") + col("beta")))
+          .otherwise(col("rate")), 4).as("shrunk_rate"),
+        round(col("m"), 4).as("prior_mean"))
+      .orderBy("brand")
+  }
 }

@@ -490,6 +490,80 @@ class AnalyticsR11Spec extends SparkSpec {
     assert(out.head.getAs[Double]("prominence") == 10.0)
   }
 
+  test("q347: same-session conversion only — the late purchase opens a new intentless session") {
+    // user 1: view+click 10:00, purchase 11:00 (>30min later → new session)
+    // user 2: view,click,purchase inside 5 minutes → converted session
+    val rows = Seq(
+      (1L, 1L, "view", 1.0, "2024-01-01 10:00:00"),
+      (2L, 1L, "click", 1.0, "2024-01-01 10:05:00"),
+      (3L, 1L, "purchase", 1.0, "2024-01-01 11:00:00"),
+      (4L, 2L, "view", 1.0, "2024-01-01 09:00:00"),
+      (5L, 2L, "click", 1.0, "2024-01-01 09:02:00"),
+      (6L, 2L, "purchase", 1.0, "2024-01-01 09:04:00"))
+    val r = EventAnalytics.cartAbandonment(ev(rows: _*)).first()
+    assert(r.getAs[Long]("n_sessions") == 3L, s"user 1 splits into 2 sessions: $r")
+    assert(r.getAs[Long]("n_intent") == 2L)
+    assert(r.getAs[Long]("n_converted") == 1L,
+      "user 1's purchase lands in a session with no click — not a conversion")
+    assert(r.getAs[Double]("abandonment_rate") == 0.5)
+  }
+
+  test("q348: the small-n outlier shrinks hard toward the prior; big-n barely moves") {
+    // 8 mid brands anchor the prior near 0.25; 'tiny' is 2/2 returned
+    // (rate 1.0, n=2), 'huge' is 50/200 (rate 0.25, n=200)
+    val rows =
+      (1 to 8).flatMap { b =>
+        (1 to 40).map(i => (b * 1000L + i, 1, b.toLong, 1L, 1.0, 1.0,
+          if (i <= 10 + (b % 3)) "R" else "N"))
+      } ++
+      Seq((9001L, 1, 9L, 1L, 1.0, 1.0, "R"), (9002L, 1, 9L, 1L, 1.0, 1.0, "R")) ++
+      (1 to 200).map(i => (10000L + i, 1, 10L, 1L, 1.0, 1.0, if (i <= 50) "R" else "N"))
+    val liDf = li(rows: _*)
+    val partDf = (1L to 10L).map(pk => (pk, s"B$pk")).toDF("p_partkey", "p_brand")
+    val out = StatTests.empiricalBayesReturns(liDf, partDf).collect()
+      .map(r => r.getAs[String]("brand") -> r).toMap
+    val tiny = out("B9"); val huge = out("B10")
+    assert(tiny.getAs[Double]("raw_rate") == 1.0 && huge.getAs[Double]("raw_rate") == 0.25)
+    val m = tiny.getAs[Double]("prior_mean")
+    val tinyPull = tiny.getAs[Double]("raw_rate") - tiny.getAs[Double]("shrunk_rate")
+    val hugePull = math.abs(huge.getAs[Double]("raw_rate") - huge.getAs[Double]("shrunk_rate"))
+    assert(tinyPull > 0.3, s"n=2 at rate 1.0 must shrink hard toward m=$m: $tiny")
+    assert(hugePull < 0.05, s"n=200 must barely move: $huge")
+  }
+
+  test("q348: zero-variance rate frame degrades to no shrinkage, not a blowup") {
+    val rows = (1 to 2).flatMap(b => (1 to 10).map(i =>
+      (b * 100L + i, 1, b.toLong, 1L, 1.0, 1.0, if (i <= 5) "R" else "N")))
+    val partDf = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val out = StatTests.empiricalBayesReturns(li(rows: _*), partDf).collect()
+    out.foreach(r => assert(r.getAs[Double]("shrunk_rate") == r.getAs[Double]("raw_rate"),
+      s"identical rates → v=0 → raw passes through: $r"))
+  }
+
+  test("q349: co-owned-never-co-bought pairs qualify; co-bought pairs are excluded") {
+    // custs 1..3 buy part 1 and part 2 in SEPARATE orders; custs 1..3
+    // buy parts 3,4 TOGETHER in one order each
+    val orders = (1 to 3).flatMap { c =>
+      Seq((c * 10L + 1, c.toLong), (c * 10L + 2, c.toLong), (c * 10L + 3, c.toLong))
+    }.map { case (ok, c) =>
+      (ok, c, "F", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val lines = li((1 to 3).flatMap { c =>
+      Seq(
+        (c * 10L + 1, 1, 1L, 1L, 1.0, 1.0, "N"),
+        (c * 10L + 2, 1, 2L, 1L, 1.0, 1.0, "N"),
+        (c * 10L + 3, 1, 3L, 1L, 1.0, 1.0, "N"),
+        (c * 10L + 3, 2, 4L, 1L, 1.0, 1.0, "N"))
+    }: _*)
+    val out = Relational.substituteParts(orders, lines).collect()
+    val pairs = out.map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"))).toSet
+    assert(pairs.contains((1L, 2L)), s"parts 1,2: 3 shared owners, zero co-baskets: $pairs")
+    assert(!pairs.contains((3L, 4L)), "co-bought parts are complements, not substitutes")
+    assert(out.find(r => r.getAs[Long]("pa") == 1L).get
+      .getAs[Long]("n_shared_customers") == 3L)
+  }
+
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
     // users {1..4}, days {Jan 1, Jan 2} → N = 8 user-days
     val uni = (1 to 4).map(u => (u.toLong, u.toLong, "uni", 1.0, "2024-01-01 10:00:00"))
