@@ -622,6 +622,7 @@ object SparkEntry {
       val t = Tables(s, d)
       Relational.substituteParts(t.orders, t.lineitem)
     }),
+    "q350_dedup_cascade" -> ((s, d) => Dedup.dedupCascadeReport(Tables(s, d).documents)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)

@@ -803,4 +803,56 @@ object Dedup {
         round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** q350: dedup CASCADE report — the pipeline-composition readout a
+    * curation run ships with: how many documents and how much token
+    * mass survive each stage of exact-fingerprint dedup (q33) followed
+    * by near-dup cluster election (q40/q47/q280's MinHash components,
+    * keep-best per cluster). Per stage: docs in, docs kept, token mass
+    * kept, drop share — the number that justifies (or indicts) each
+    * stage's cost at 100 TB.
+    *
+    * Scale shape: strictly the component operators' own plans (fp
+    * groupBy; banded LSH → bounded components), composed stage-on-
+    * stage so later stages only see survivors; the report is a 3-row
+    * frame. Rows-only: MinHash banding is not portable SQL — the
+    * ScalaTest plants one exact-dup pair and one near-dup pair and
+    * checks each falls at its own stage. */
+  def dedupCascadeReport(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents
+      .select(col("doc_id"), col("text"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n0, t0) = stat(base)
+    // stage 1: exact fingerprint, keep smallest doc_id
+    val exactKeep = base
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep"))
+      .drop("fp", "keep")
+    val (n1, t1) = stat(exactKeep)
+    // stage 2: near-dup components over the exact survivors, keep-best.
+    // The cluster table covers ONLY docs with near-dup edges, so the
+    // survivor set is "everything minus the election LOSERS" — an
+    // anti-join, not a semi-join (a semi-join would drop every
+    // singleton doc, i.e. almost the whole corpus).
+    val losers = nearDupKeepBest(exactKeep.select("doc_id", "text", "source"))
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    val nearKeep = exactKeep.join(losers, Seq("doc_id"), "left_anti")
+    val (n2, t2) = stat(nearKeep)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    Seq(
+      ("0_input", n0, t0, n0, t0, 0.0),
+      ("1_exact", n0, t0, n1, t1, r4(1.0 - n1.toDouble / n0)),
+      ("2_neardup", n1, t1, n2, t2, r4(1.0 - n2.toDouble / math.max(n1, 1L))))
+      .toDF("stage", "docs_in", "tokens_in", "docs_kept", "tokens_kept", "doc_drop_share")
+  }
 }

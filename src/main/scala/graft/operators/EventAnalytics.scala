@@ -1709,7 +1709,6 @@ object EventAnalytics {
     * (ts, event_id) ordering makes same-timestamp rows deterministic
     * in both engines. */
   def cartAbandonment(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60L * 1000000L
     val sess = events
       .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))

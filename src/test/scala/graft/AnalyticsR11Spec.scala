@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Classify, EventAnalytics, Recommend, Relational, StatTests, TextAnalysis, TopK}
+import graft.operators.{Classify, Dedup, EventAnalytics, Recommend, Relational, StatTests, TextAnalysis, TopK}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -562,6 +562,30 @@ class AnalyticsR11Spec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), "co-bought parts are complements, not substitutes")
     assert(out.find(r => r.getAs[Long]("pa") == 1L).get
       .getAs[Long]("n_shared_customers") == 3L)
+  }
+
+  test("q350: the exact pair drops at stage 1, the near pair at stage 2, token mass tracked") {
+    val near1 = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val near2 = near1 + " extra" // one appended token → shingle Jaccard ≫ 0.7
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s1", 1L),
+      (2L, "alpha beta gamma", "en", "s1", 1L), // exact dup of 1
+      (3L, near1, "en", "s1", 1L),
+      (4L, near2, "en", "s1", 1L), // near-dup of 3
+      (5L, "totally different content here", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dedupCascadeReport(docs).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    assert(out("0_input").getAs[Long]("docs_kept") == 5L)
+    val ex = out("1_exact")
+    assert(ex.getAs[Long]("docs_in") == 5L && ex.getAs[Long]("docs_kept") == 4L,
+      s"exact stage drops exactly the byte-identical twin: $ex")
+    assert(ex.getAs[Double]("doc_drop_share") == 0.2)
+    val nd = out("2_neardup")
+    assert(nd.getAs[Long]("docs_in") == 4L && nd.getAs[Long]("docs_kept") == 3L,
+      s"near stage drops exactly the one-token-edit twin: $nd")
+    assert(nd.getAs[Long]("tokens_kept") < nd.getAs[Long]("tokens_in"),
+      "token mass shrinks with the dropped near-dup")
   }
 
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
