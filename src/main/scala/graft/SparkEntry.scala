@@ -623,6 +623,8 @@ object SparkEntry {
       Relational.substituteParts(t.orders, t.lineitem)
     }),
     "q350_dedup_cascade" -> ((s, d) => Dedup.dedupCascadeReport(Tables(s, d).documents)),
+    "q351_nrr" -> ((s, d) => EventAnalytics.netRevenueRetention(Tables(s, d).orders)),
+    "q352_seasonal_index" -> ((s, d) => StatTests.seasonalIndex(Tables(s, d).orders)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -5034,6 +5036,44 @@ object SparkEntry {
         |FROM cp WHERE NOT EXISTS (
         |  SELECT 1 FROM bp WHERE bp.pa = cp.pa AND bp.pb = cp.pb)
         |ORDER BY n_shared_customers DESC, pa, pb LIMIT 20""".stripMargin,
+    "q351_nrr" ->
+      """WITH cm AS (
+        |  SELECT o_custkey AS cust,
+        |    year(o_orderdate)*12 + month(o_orderdate) - 1 AS mi,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.mi, a.rev, b.rev AS prev_rev
+        |  FROM cm a JOIN cm b ON a.cust = b.cust AND b.mi = a.mi - 1),
+        |g AS (
+        |  SELECT mi, count(*) AS n_retained_customers,
+        |    floor(sum(rev)*10000 + 0.5)/10000 AS retained_rev,
+        |    floor(sum(prev_rev)*10000 + 0.5)/10000 AS base_rev
+        |  FROM j GROUP BY mi)
+        |SELECT CAST(mi//12 AS VARCHAR) || '-' ||
+        |    lpad(CAST((mi % 12) + 1 AS VARCHAR), 2, '0') AS month,
+        |  n_retained_customers, retained_rev, base_rev,
+        |  floor(retained_rev/base_rev*10000 + 0.5)/10000 AS nrr
+        |FROM g ORDER BY month""".stripMargin,
+    "q352_seasonal_index" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 AS mi,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT mi, rev,
+        |    count(*) OVER (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS n_win,
+        |    avg(rev) OVER (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS ma
+        |  FROM monthly),
+        |q AS (SELECT (mi % 12) + 1 AS month_of_year, rev/ma AS ratio
+        |      FROM r WHERE n_win = 13),
+        |i AS (SELECT month_of_year, avg(ratio) AS raw_idx, count(*) AS n_years
+        |      FROM q GROUP BY 1),
+        |n AS (SELECT avg(raw_idx) AS mean_idx FROM i)
+        |SELECT month_of_year, n_years,
+        |  floor(raw_idx*10000 + 0.5)/10000 AS raw_index,
+        |  floor(raw_idx/mean_idx*10000 + 0.5)/10000 AS seasonal_index
+        |FROM i CROSS JOIN n ORDER BY month_of_year""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

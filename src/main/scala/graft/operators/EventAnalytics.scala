@@ -1735,4 +1735,40 @@ object EventAnalytics {
         round(lit(1.0) - col("n_converted") / col("n_intent").cast("double"), 4)
           .as("abandonment_rate"))
   }
+
+  /** q351: NET REVENUE RETENTION by month — the SaaS-grade revenue
+    * metric q208's growth accounting (user counts) does not give:
+    * NRR(m) = revenue in m from customers who ALSO bought in m−1,
+    * divided by those same customers' m−1 revenue — expansion and
+    * contraction of the retained base, insulated from new-customer
+    * noise (which a plain m/m−1 revenue ratio mixes in).
+    *
+    * Scale shape: one (customer, month) revenue aggregate, a month-
+    * shifted self equi-join on (customer, month) — both sides the same
+    * customer-month grain — then a #months-frame report. Month index
+    * is integer year*12+month arithmetic (no engine date-diff
+    * disagreements). */
+  def netRevenueRetention(orders: DataFrame): DataFrame = {
+    val cm = orders
+      .groupBy(
+        col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val prev = cm.select(
+      col("cust"), (col("mi") + 1).as("mi"), col("rev").as("prev_rev"))
+    val joined = cm.join(prev, Seq("cust", "mi"))
+    joined
+      .groupBy("mi")
+      .agg(
+        count(lit(1)).as("n_retained_customers"),
+        round(sum(col("rev")), 4).as("retained_rev"),
+        round(sum(col("prev_rev")), 4).as("base_rev"))
+      .select(
+        concat(
+          floor(col("mi") / 12).cast("long").cast("string"), lit("-"),
+          lpad((pmod(col("mi"), lit(12)) + 1).cast("string"), 2, "0")).as("month"),
+        col("n_retained_customers"), col("retained_rev"), col("base_rev"),
+        round(col("retained_rev") / col("base_rev"), 4).as("nrr"))
+      .orderBy("month")
+  }
 }

@@ -1598,4 +1598,39 @@ object StatTests {
         round(col("m"), 4).as("prior_mean"))
       .orderBy("brand")
   }
+
+  /** q352: classical SEASONAL INDEX (ratio-to-moving-average) — the
+    * 12-row month-of-year profile behind every "deseasonalized" number:
+    * monthly revenue over a centered 13-month moving average gives a
+    * per-month ratio; averaging ratios by month-of-year and normalizing
+    * to mean 1 yields the index (q194 decomposes one series; this is
+    * the reusable multiplicative profile). Interior months only (the
+    * centered window must be full, or edge months bias their index).
+    *
+    * Scale shape: one monthly aggregate (calendar-bounded), a rows
+    * ±6 window on that frame, a 12-row aggregate; month arithmetic is
+    * integer (year*12+month). */
+  def seasonalIndex(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val w = Window.orderBy("mi").rowsBetween(-6, 6)
+    val ratio = monthly
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("ma", avg(col("rev")).over(w))
+      .filter(col("n_win") === 13) // full centered window only
+      // long: DuckDB's year() arithmetic lands BIGINT and the driver's
+      // value hash is dtype-sensitive
+      .select((pmod(col("mi"), lit(12)) + 1).cast("long").as("month_of_year"),
+        (col("rev") / col("ma")).as("ratio"))
+    val idx = ratio.groupBy("month_of_year")
+      .agg(avg(col("ratio")).as("raw_idx"), count(lit(1)).as("n_years"))
+    val norm = idx.agg(avg(col("raw_idx")).as("mean_idx"))
+    idx.crossJoin(broadcast(norm))
+      .select(
+        col("month_of_year"), col("n_years"),
+        round(col("raw_idx"), 4).as("raw_index"),
+        round(col("raw_idx") / col("mean_idx"), 4).as("seasonal_index"))
+      .orderBy("month_of_year")
+  }
 }

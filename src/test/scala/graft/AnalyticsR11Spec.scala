@@ -588,6 +588,55 @@ class AnalyticsR11Spec extends SparkSpec {
       "token mass shrinks with the dropped near-dup")
   }
 
+  test("q351: expansion shows in NRR; churned revenue shrinks the base; new customers excluded") {
+    val orders = Seq(
+      (1L, 1L, 100.0, "2024-01-15"), // cust 1 retained, expands
+      (2L, 1L, 120.0, "2024-02-10"),
+      (3L, 2L, 50.0, "2024-01-20"),  // cust 2 churns after Jan
+      (4L, 3L, 999.0, "2024-02-01")) // cust 3 brand new in Feb — excluded
+      .map { case (k, c, v, d) =>
+        (k, c, "F", v, Timestamp.valueOf(d + " 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = EventAnalytics.netRevenueRetention(orders).collect()
+    assert(out.length == 1, s"only Feb has a prior-month base: ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getAs[String]("month") == "2024-02")
+    assert(r.getAs[Long]("n_retained_customers") == 1L)
+    assert(r.getAs[Double]("retained_rev") == 120.0 && r.getAs[Double]("base_rev") == 100.0)
+    assert(r.getAs[Double]("nrr") == 1.2, "cust 2's churn and cust 3's arrival don't touch NRR")
+  }
+
+  test("q352: a flat monthly series yields index exactly 1 for all 12 months") {
+    val orders = (0 until 36).map { m =>
+      val day = java.time.LocalDate.of(2020, 1, 15).plusMonths(m)
+      (m.toLong + 1, 1L, "F", 1000.0,
+        Timestamp.valueOf(day.atStartOfDay()), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = StatTests.seasonalIndex(orders).collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getAs[Double]("seasonal_index") == 1.0),
+      s"no seasonality → flat index: ${out.mkString(";")}")
+    // interior months only: 36 months minus 6 on each edge = 24 ratios → 2 years/month
+    assert(out.forall(_.getAs[Long]("n_years") == 2L))
+  }
+
+  test("q352: indices normalize to mean 1 and the hot month indexes highest") {
+    val pattern = Array.fill(12)(1000.0); pattern(11) = 3000.0 // December spike
+    val orders = (0 until 48).map { m =>
+      val day = java.time.LocalDate.of(2020, 1, 15).plusMonths(m)
+      (m.toLong + 1, 1L, "F", pattern(m % 12),
+        Timestamp.valueOf(day.atStartOfDay()), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val out = StatTests.seasonalIndex(orders).collect()
+    val byM = out.map(r => r.getAs[Long]("month_of_year") -> r.getAs[Double]("seasonal_index")).toMap
+    assert(byM(12L) == byM.values.max, "the spiking month carries the top index")
+    val mean = out.map(_.getAs[Double]("seasonal_index")).sum / 12
+    assert(math.abs(mean - 1.0) < 0.001, s"normalized to mean 1, got $mean")
+  }
+
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
     // users {1..4}, days {Jan 1, Jan 2} → N = 8 user-days
     val uni = (1 to 4).map(u => (u.toLong, u.toLong, "uni", 1.0, "2024-01-01 10:00:00"))
