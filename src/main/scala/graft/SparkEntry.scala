@@ -625,6 +625,11 @@ object SparkEntry {
     "q350_dedup_cascade" -> ((s, d) => Dedup.dedupCascadeReport(Tables(s, d).documents)),
     "q351_nrr" -> ((s, d) => EventAnalytics.netRevenueRetention(Tables(s, d).orders)),
     "q352_seasonal_index" -> ((s, d) => StatTests.seasonalIndex(Tables(s, d).orders)),
+    "q353_pvm" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.priceVolumeMix(t.lineitem, t.part)
+    }),
+    "q354_runs_test" -> ((s, d) => StatTests.runsTest(Tables(s, d).orders)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -5074,6 +5079,55 @@ object SparkEntry {
         |  floor(raw_idx*10000 + 0.5)/10000 AS raw_index,
         |  floor(raw_idx/mean_idx*10000 + 0.5)/10000 AS seasonal_index
         |FROM i CROSS JOIN n ORDER BY month_of_year""".stripMargin,
+    "q353_pvm" ->
+      """WITH byr AS (
+        |  SELECT p_brand AS brand, year(l_shipdate) AS yr,
+        |    floor(sum(l_extendedprice*(1.0 - l_discount))*10000 + 0.5)/10000 AS rev,
+        |    floor(sum(l_quantity)*10000 + 0.5)/10000 AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |mx AS (SELECT max(yr) AS y2 FROM byr),
+        |cur AS (SELECT brand, rev AS rev2, qty AS qty2
+        |        FROM byr CROSS JOIN mx WHERE yr = y2),
+        |prev AS (SELECT brand, rev AS rev1, qty AS qty1
+        |         FROM byr CROSS JOIN mx WHERE yr = y2 - 1),
+        |j AS (SELECT cur.brand, rev1, rev2, qty1, qty2,
+        |        rev1/qty1 AS p1, rev2/qty2 AS p2
+        |      FROM cur JOIN prev USING (brand))
+        |SELECT brand,
+        |  floor(rev1*10000 + 0.5)/10000 AS rev_prev,
+        |  floor(rev2*10000 + 0.5)/10000 AS rev_cur,
+        |  floor((rev2 - rev1)*10000 + 0.5)/10000 AS delta_rev,
+        |  floor((p2 - p1)*qty1*10000 + 0.5)/10000 AS price_effect,
+        |  floor((qty2 - qty1)*p1*10000 + 0.5)/10000 AS volume_effect,
+        |  floor((p2 - p1)*(qty2 - qty1)*10000 + 0.5)/10000 AS mix_effect
+        |FROM j ORDER BY brand""".stripMargin,
+    "q354_runs_test" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+        |s AS (SELECT eday, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+        |      FROM daily CROSS JOIN m WHERE rev <> med),
+        |l AS (SELECT sgn, lag(sgn) OVER (ORDER BY eday) AS prev_sgn FROM s),
+        |r AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_runs,
+        |    CAST(sum(sgn) AS BIGINT) AS n_pos,
+        |    count(*) AS n
+        |  FROM l),
+        |c AS (SELECT r.*, n - n_pos AS n_neg FROM r),
+        |d AS (SELECT c.*, CAST(2.0 AS DOUBLE)*n_pos*n_neg/n + CAST(1.0 AS DOUBLE) AS mu
+        |      FROM c),
+        |e AS (SELECT d.*,
+        |        (mu - CAST(1.0 AS DOUBLE))*(mu - CAST(2.0 AS DOUBLE))/(n - 1) AS sigma2
+        |      FROM d)
+        |SELECT n AS n_days, n_pos, n_neg, n_runs,
+        |  floor(mu*10000 + 0.5)/10000 AS expected_runs,
+        |  floor(CASE WHEN sigma2 > 0 THEN (n_runs - mu)/sqrt(sigma2) END*10000 + 0.5)/10000
+        |    AS z
+        |FROM e""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

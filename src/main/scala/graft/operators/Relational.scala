@@ -2117,4 +2117,43 @@ object Relational {
       .orderBy(desc("n_shared_customers"), asc("pa"), asc("pb"))
       .limit(topN)
   }
+
+  /** q353: PRICE-VOLUME-MIX decomposition — the merchandising bridge
+    * that explains a revenue change ("did we sell more, or charge
+    * more?"): per brand, ΔR between the last two shipping years splits
+    * exactly into price effect (Δp·q₁), volume effect (Δq·p₁) and the
+    * cross term (Δp·Δq), with p = revenue-weighted unit price Σrev/Σqty.
+    * The three terms sum to ΔR by construction — conservation asserted
+    * in the spec.
+    *
+    * Scale shape: one (brand, year) fact aggregate, a 1-row max-year
+    * scalar, a self-join of the 2-year slices on brand (catalog-
+    * bounded), closed-form algebra. */
+  def priceVolumeMix(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val by = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), year(col("l_shipdate")).as("yr"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("rev"),
+        round(sum(col("l_quantity")), 4).as("qty"))
+    val maxYr = by.agg(max(col("yr")).as("y2")) // 1 row
+    val two = by.crossJoin(broadcast(maxYr)).filter(col("yr") >= col("y2") - 1)
+    val cur = two.filter(col("yr") === col("y2"))
+      .select(col("brand"), col("rev").as("rev2"), col("qty").as("qty2"))
+    val prev = two.filter(col("yr") === col("y2") - 1)
+      .select(col("brand"), col("rev").as("rev1"), col("qty").as("qty1"))
+    cur.join(prev, "brand")
+      .withColumn("p1", col("rev1") / col("qty1"))
+      .withColumn("p2", col("rev2") / col("qty2"))
+      .select(
+        col("brand"),
+        round(col("rev1"), 4).as("rev_prev"),
+        round(col("rev2"), 4).as("rev_cur"),
+        round(col("rev2") - col("rev1"), 4).as("delta_rev"),
+        round((col("p2") - col("p1")) * col("qty1"), 4).as("price_effect"),
+        round((col("qty2") - col("qty1")) * col("p1"), 4).as("volume_effect"),
+        round((col("p2") - col("p1")) * (col("qty2") - col("qty1")), 4).as("mix_effect"))
+      .orderBy("brand")
+  }
 }

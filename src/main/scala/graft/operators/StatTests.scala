@@ -1633,4 +1633,45 @@ object StatTests {
         round(col("raw_idx") / col("mean_idx"), 4).as("seasonal_index"))
       .orderBy("month_of_year")
   }
+
+  /** q354: Wald–Wolfowitz RUNS test on daily revenue — "is the series
+    * random around its median, or does it trend/oscillate?": days sign
+    * as above/below the median (exact-median days dropped, the standard
+    * convention), R = number of runs, and the normal approximation
+    * z = (R − μ_R)/σ_R with μ_R = 2n₊n₋/n + 1. Too FEW runs ⇒
+    * trending/clustered (the q222/q248 regime), too MANY ⇒
+    * oscillation — the cheap first screen before either.
+    *
+    * Scale shape: calendar-bounded daily frame; the median is the exact
+    * percentile on that bounded frame, runs count from one lag window,
+    * the z from a 1-row scalar. */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("eday"))
+      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+    val med = daily.agg(expr("percentile(rev, 0.5)").as("med")) // 1 row
+    val signed = daily
+      .crossJoin(broadcast(med))
+      .filter(col("rev") =!= col("med"))
+      .withColumn("sgn", when(col("rev") > col("med"), 1).otherwise(0))
+    val wd = Window.orderBy("eday")
+    val runs = signed
+      .withColumn("prev_sgn", lag(col("sgn"), 1).over(wd))
+      .agg(
+        sum(when(col("prev_sgn").isNull || col("sgn") =!= col("prev_sgn"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        sum(col("sgn")).cast("long").as("n_pos"),
+        count(lit(1)).as("n"))
+    runs
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .withColumn("mu", lit(2.0) * col("n_pos") * col("n_neg") / col("n") + lit(1.0))
+      .withColumn("sigma2",
+        (col("mu") - lit(1.0)) * (col("mu") - lit(2.0)) / (col("n") - lit(1.0)))
+      .select(
+        col("n").as("n_days"), col("n_pos"), col("n_neg"), col("n_runs"),
+        round(col("mu"), 4).as("expected_runs"),
+        round(when(col("sigma2") > 0,
+          (col("n_runs") - col("mu")) / sqrt(col("sigma2"))), 4).as("z"))
+  }
 }

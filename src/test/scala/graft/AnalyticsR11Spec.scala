@@ -637,6 +637,49 @@ class AnalyticsR11Spec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.001, s"normalized to mean 1, got $mean")
   }
 
+  test("q353: the three PVM effects conserve the revenue delta exactly") {
+    // brand B1: year 1 sells 10 units at unit price 10 (rev 100);
+    // year 2 sells 20 units at unit price 15 (rev 300)
+    // price effect (15-10)*10 = 50, volume (20-10)*10 = 100, mix 5*10 = 50 → 200 = delta
+    val rows = Seq(
+      (1L, 1, 1L, 1L, 10.0, 100.0, "N", "2023-06-01"),
+      (2L, 1, 1L, 1L, 20.0, 300.0, "N", "2024-06-01"))
+      .map { case (k, ln, pk, sk, q, e, rf, d) =>
+        (k, ln, pk, sk, q, e, rf, Timestamp.valueOf(d + " 00:00:00")) }
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      .withColumn("l_discount", lit(0.0))
+    val partDf = Seq((1L, "B1")).toDF("p_partkey", "p_brand")
+    val r = Relational.priceVolumeMix(rows, partDf).first()
+    assert(r.getAs[Double]("delta_rev") == 200.0)
+    assert(r.getAs[Double]("price_effect") == 50.0)
+    assert(r.getAs[Double]("volume_effect") == 100.0)
+    assert(r.getAs[Double]("mix_effect") == 50.0)
+    assert(r.getAs[Double]("price_effect") + r.getAs[Double]("volume_effect") +
+      r.getAs[Double]("mix_effect") == r.getAs[Double]("delta_rev"),
+      "PVM terms must conserve the delta")
+  }
+
+  test("q354: a strictly alternating series maximizes runs; a two-block series minimizes") {
+    def orders(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, "F", v,
+        Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()),
+        "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    // alternating around the median: runs = n (here 20), z strongly positive
+    val alt = StatTests.runsTest(orders((0 until 20).map(i =>
+      if (i % 2 == 0) 10.0 else 20.0))).first()
+    assert(alt.getAs[Long]("n_runs") == 20L && alt.getAs[Double]("z") > 3.0,
+      s"perfect oscillation → max runs: $alt")
+    // two blocks: runs = 2, z strongly negative (trending regime)
+    val blk = StatTests.runsTest(orders(
+      Seq.fill(10)(10.0) ++ Seq.fill(10)(20.0))).first()
+    assert(blk.getAs[Long]("n_runs") == 2L && blk.getAs[Double]("z") < -3.0,
+      s"two blocks → min runs: $blk")
+    assert(alt.getAs[Double]("expected_runs") == 11.0, "mu = 2*10*10/20 + 1")
+  }
+
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
     // users {1..4}, days {Jan 1, Jan 2} → N = 8 user-days
     val uni = (1 to 4).map(u => (u.toLong, u.toLong, "uni", 1.0, "2024-01-01 10:00:00"))

@@ -374,7 +374,8 @@ class PlanSpec extends SparkSpec {
       "q345_funnel_by_arm"  -> bnl, // 1-row per-arm scalar cross (q76/q231 idiom)
       "q346_peaks"          -> Set("unpartitioned-window"), // lag/lead + RANGE median over the calendar-day table (q342 idiom)
       "q348_empirical_bayes" -> bnl, // 1-row method-of-moments prior scalar (q14/q319 idiom)
-      "q352_seasonal_index" -> (bnl + "unpartitioned-window")) // 1-row normalizer scalar + centered MA over the #months frame (q89 idiom)
+      "q352_seasonal_index" -> (bnl + "unpartitioned-window"), // 1-row normalizer scalar + centered MA over the #months frame (q89 idiom)
+      "q354_runs_test"      -> (bnl + "unpartitioned-window")) // 1-row median scalar + lag over the calendar-day frame (q89 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
