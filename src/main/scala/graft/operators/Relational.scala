@@ -2099,9 +2099,19 @@ object Relational {
       minCustomers: Long = 3,
       topN: Int = 20): DataFrame = {
     val lines = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-    val owned = lines
+    val owned0 = lines
       .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
       .select("cust", "part").distinct()
+    // degree prefilter BEFORE the quadratic expansion: a part owned by
+    // fewer than `minCustomers` customers cannot appear in any
+    // qualifying pair, so pruning it is exact — and it is the lever
+    // that keeps Θ(Σ per-customer parts²) in check at scale (the long
+    // tail of rarely-bought parts never enters the self-join)
+    val popular = owned0.groupBy("part")
+      .agg(count(lit(1)).as("__own"))
+      .filter(col("__own") >= minCustomers)
+      .select("part")
+    val owned = owned0.join(popular, Seq("part"), "left_semi")
     val custPairs = owned.as("a")
       .join(owned.as("b"), col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
       .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
