@@ -630,6 +630,7 @@ object SparkEntry {
       Relational.priceVolumeMix(t.lineitem, t.part)
     }),
     "q354_runs_test" -> ((s, d) => StatTests.runsTest(Tables(s, d).orders)),
+    "q355_tukey_fences" -> ((s, d) => StatTests.tukeyFences(Tables(s, d).orders)),
     "q321_model_eval" -> ((s, d) => {
       val t = Tables(s, d)
       Classify.modelEval(t.orders, t.lineitem)
@@ -5128,6 +5129,27 @@ object SparkEntry {
         |  floor(CASE WHEN sigma2 > 0 THEN (n_runs - mu)/sqrt(sigma2) END*10000 + 0.5)/10000
         |    AS z
         |FROM e""".stripMargin,
+    "q355_tukey_fences" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS prio,
+        |    quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT q.*,
+        |  q1 - CAST(1.5 AS DOUBLE)*(q3 - q1) AS lo,
+        |  q3 + CAST(1.5 AS DOUBLE)*(q3 - q1) AS hi FROM q)
+        |SELECT prio AS o_orderpriority, count(*) AS n,
+        |  floor(max(q1)*10000 + 0.5)/10000 AS q1,
+        |  floor(max(q3)*10000 + 0.5)/10000 AS q3,
+        |  floor(max(lo)*10000 + 0.5)/10000 AS fence_lo,
+        |  floor(max(hi)*10000 + 0.5)/10000 AS fence_hi,
+        |  CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  floor(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+        |    THEN 1 ELSE 0 END)/CAST(count(*) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS outlier_share
+        |FROM orders JOIN f ON o_orderpriority = prio
+        |GROUP BY prio ORDER BY prio""".stripMargin,
     "q321_model_eval" ->
       """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem
         |             WHERE l_returnflag = 'R'),

@@ -1674,4 +1674,42 @@ object StatTests {
         round(when(col("sigma2") > 0,
           (col("n_runs") - col("mu")) / sqrt(col("sigma2"))), 4).as("z"))
   }
+
+  /** q355: TUKEY boxplot fences per order priority — the third robust
+    * outlier convention beside q90's MAD-z and q123's winsorization
+    * (the boxplot is what ships on the dashboard): exact Q1/Q3 per
+    * group, IQR fences at 1.5×, and the count + share of rows outside
+    * them. Exact percentiles — both engines interpolate identically on
+    * the same stored doubles.
+    *
+    * Scale shape: one grouped percentile aggregate (#groups bounded by
+    * the priority alphabet), fences broadcast back onto the fact by the
+    * group key, one conditional count. */
+  def tukeyFences(orders: DataFrame, k: Double = 1.5): DataFrame = {
+    val q = orders
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("q1"),
+        expr("percentile(o_totalprice, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    orders
+      .join(broadcast(q), col("o_orderpriority") === col("prio"))
+      .groupBy("prio")
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("q1")).as("mq1"), max(col("q3")).as("mq3"),
+        max(col("lo")).as("mlo"), max(col("hi")).as("mhi"),
+        sum(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(
+        col("prio").as("o_orderpriority"), col("n"),
+        round(col("mq1"), 4).as("q1"),
+        round(col("mq3"), 4).as("q3"),
+        round(col("mlo"), 4).as("fence_lo"),
+        round(col("mhi"), 4).as("fence_hi"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 4).as("outlier_share"))
+      .orderBy("o_orderpriority")
+  }
 }

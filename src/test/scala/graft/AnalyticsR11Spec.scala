@@ -680,6 +680,20 @@ class AnalyticsR11Spec extends SparkSpec {
     assert(alt.getAs[Double]("expected_runs") == 11.0, "mu = 2*10*10/20 + 1")
   }
 
+  test("q355: hand quartiles place the fences; only the planted extreme is outside") {
+    // group X: 1..9 plus one 1000 outlier → Q1=3.25, Q3=7.75 over the 10
+    // values, IQR=4.5, hi fence = 14.5 → exactly the 1000 falls out
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val orders = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, "F", v, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val r = StatTests.tukeyFences(orders).first()
+    assert(r.getAs[Double]("q1") == 3.25 && r.getAs[Double]("q3") == 7.75)
+    assert(r.getAs[Double]("fence_lo") == -3.5 && r.getAs[Double]("fence_hi") == 14.5)
+    assert(r.getAs[Long]("n_outliers") == 1L && r.getAs[Double]("outlier_share") == 0.1)
+  }
+
   test("q339: a bursty type is flagged overdispersed; a uniform type is not") {
     // users {1..4}, days {Jan 1, Jan 2} → N = 8 user-days
     val uni = (1 to 4).map(u => (u.toLong, u.toLong, "uni", 1.0, "2024-01-01 10:00:00"))
