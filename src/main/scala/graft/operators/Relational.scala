@@ -2089,15 +2089,23 @@ object Relational {
     * customer-grain pair with ≥ `minCustomers` shared owners, anti-
     * joined against the order-grain pair set.
     *
-    * Scale shape: both pair expansions are the q92 bounded form
-    * (Θ(Σ per-key parts²) with the customer key's engagement bound);
-    * the anti-join is pair-keyed; top-k via rounded-free integer
-    * ordering (counts are exact). */
+    * Scale shape: the basket-grain pair expansion is the q92 bounded
+    * form (order size is naturally small); the CUSTOMER-grain expansion
+    * is NOT naturally bounded — a whale customer owning 50k popular
+    * parts would expand to ~1.25B pairs inside one shuffle task — so
+    * the owned set is capped at `maxPartsPerCustomer` deterministic
+    * hash-ranked parts per customer ([[Skew.capPerKey]], the maxBucket
+    * discipline). The default cap (1000) is ~10× the measured max
+    * degree at sf0.1 (105), so results are exact on real data; a
+    * binding cap approximates whale customers only, and the boundary
+    * is explicit in the API. Degree prefilter + anti-join unchanged;
+    * top-k via rounded-free integer ordering (counts are exact). */
   def substituteParts(
       orders: DataFrame,
       lineitem: DataFrame,
       minCustomers: Long = 3,
-      topN: Int = 20): DataFrame = {
+      topN: Int = 20,
+      maxPartsPerCustomer: Int = 1000): DataFrame = {
     val lines = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
     val owned0 = lines
       .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
@@ -2111,7 +2119,9 @@ object Relational {
       .agg(count(lit(1)).as("__own"))
       .filter(col("__own") >= minCustomers)
       .select("part")
-    val owned = owned0.join(popular, Seq("part"), "left_semi")
+    val owned = Skew.capPerKey(
+      owned0.join(popular, Seq("part"), "left_semi"),
+      key = "cust", item = "part", cap = maxPartsPerCustomer)
     val custPairs = owned.as("a")
       .join(owned.as("b"), col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
       .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))

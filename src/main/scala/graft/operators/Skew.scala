@@ -30,6 +30,39 @@ object Skew {
     saltedLarge.join(saltedSmall, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Deterministic per-key set cap — the maxBucket discipline for
+    * quadratic per-key expansions (q349's customer×parts self-join, or
+    * any `a ⋈ a ON key` whose per-key group size is not naturally
+    * bounded). Keys with ≤ `cap` rows pass through BIT-IDENTICAL on the
+    * plan they already had; a key exceeding the cap (a "whale" — a B2B
+    * customer owning 50k popular parts would otherwise expand to ~1.25B
+    * pairs inside ONE shuffle partition) keeps the `cap` rows ranked
+    * first by xxhash64(key, item) — deterministic across retries and
+    * cluster sizes, no RNG — so downstream Θ(Σ per-key n²) is bounded
+    * by Θ(keys·cap²). The cap is an explicit exact/approximate
+    * boundary: choose it above the data's real max degree (measure with
+    * [[skewAudit]]) and the result is exact; a binding cap is a
+    * documented approximation of whale keys only.
+    *
+    * Plan shape: one per-key count aggregate, a broadcast of the
+    * (rare-by-definition) whale keys, and a window sort over ONLY the
+    * whale rows — the non-whale path is an anti-join passthrough, no
+    * window, no extra sort. */
+  def capPerKey(df: DataFrame, key: String, item: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whales = df.groupBy(col(key)).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") > cap)
+      .select(col(key))
+    val pass = df.join(broadcast(whales), Seq(key), "left_anti")
+    val w = Window.partitionBy(col(key))
+      .orderBy(xxhash64(col(key), col(item)), col(item))
+    val whaleRows = df.join(broadcast(whales), Seq(key), "left_semi")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+    pass.unionByName(whaleRows)
+  }
+
   /** q154: join-key skew audit — the pre-flight diagnostic that decides
     * between a plain shuffle join, AQE skew splitting, and [[saltedJoin]]
     * (and, fed a `saltBuckets`, sizes it).
