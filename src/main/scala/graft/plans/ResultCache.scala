@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Plan-fingerprint RESULT CACHE — the engine-side memo a dashboard
@@ -35,28 +36,52 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * same snapshot). */
 object ResultCache {
 
-  /** Fingerprint of (canonicalized plan, input snapshot). */
+  /** Fingerprint of (canonicalized plan, input snapshot).
+    *
+    * FAIL-CLOSED: every leaf of the analyzed plan must be one the cache
+    * can prove unchanged — a file-backed relation (snapshot = per-root
+    * file count / bytes / max mtime), literal in-memory data (snapshot =
+    * a hash of the rows — the canonicalized plan string elides
+    * LocalRelation data, so two different literal frames would otherwise
+    * collide), or a Range/OneRow leaf (fully described by the plan
+    * string). ANY other leaf — a Hive catalog table, an RDD-backed
+    * frame, a DSv2 relation — is REFUSED with an error instead of
+    * silently fingerprinting without its snapshot: a cache that can't
+    * see an input change would serve stale rows after an INSERT, and
+    * staleness is the one failure a result cache must not have. */
   def fingerprint(df: DataFrame): String = {
     val spark = df.sparkSession
-    val plan = df.queryExecution.analyzed.canonicalized.toString
-    val roots = df.queryExecution.analyzed.collect {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.map(_.toString)
-    }.flatten.sorted
+    val analyzed = df.queryExecution.analyzed
+    val plan = analyzed.canonicalized.toString
     val conf = spark.sparkContext.hadoopConfiguration
-    val snapshot = roots.map { r =>
-      val p = new Path(r)
-      val f = p.getFileSystem(conf)
-      if (!f.exists(p)) s"$r:absent"
-      else {
-        val it = f.listFiles(p, true)
-        var n = 0L; var bytes = 0L; var maxM = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          n += 1; bytes += st.getLen; maxM = math.max(maxM, st.getModificationTime)
+    val snapshot: Seq[String] = analyzed.collectLeaves().flatMap {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString).sorted.map { r =>
+          val p = new Path(r)
+          val f = p.getFileSystem(conf)
+          if (!f.exists(p)) s"$r:absent"
+          else {
+            val it = f.listFiles(p, true)
+            var n = 0L; var bytes = 0L; var maxM = 0L
+            while (it.hasNext) {
+              val st = it.next()
+              n += 1; bytes += st.getLen; maxM = math.max(maxM, st.getModificationTime)
+            }
+            s"$r:$n:$bytes:$maxM"
+          }
         }
-        s"$r:$n:$bytes:$maxM"
-      }
+      case l: LocalRelation =>
+        // literal rows are immutable for a given frame, but distinct
+        // literal frames share a canonicalized plan string — hash the
+        // data (UnsafeRow/InternalRow hashCodes are content hashes)
+        Seq(s"local:${l.schema.catalogString}:${l.data.map(_.hashCode()).hashCode()}")
+      case r: Range =>
+        Seq(s"range:${r.start}:${r.end}:${r.step}:${r.numSlices.getOrElse(-1)}")
+      case _: OneRowRelation => Seq("onerow")
+      case other => throw new IllegalArgumentException(
+        s"result cache refuses a non-snapshotable input leaf: ${other.nodeName}. " +
+          "Only file-backed relations, literal local data, and range/one-row leaves " +
+          "can be proven unchanged; caching anything else could serve stale results.")
     }
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest((plan + "\n" + snapshot.mkString("\n")).getBytes("UTF-8"))

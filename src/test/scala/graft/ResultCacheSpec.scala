@@ -59,6 +59,39 @@ class ResultCacheSpec extends SparkSpec {
     assert(ResultCache.fingerprint(q1) != ResultCache.fingerprint(q3))
   }
 
+  test("literal local data fingerprints by content: different rows fork, same rows share") {
+    val a1 = Seq((1L, "a"), (2L, "b")).toDF("id", "k").groupBy("k").count()
+    val a2 = Seq((1L, "a"), (2L, "b")).toDF("id", "k").groupBy("k").count()
+    val b  = Seq((1L, "a"), (9L, "z")).toDF("id", "k").groupBy("k").count()
+    assert(ResultCache.fingerprint(a1) == ResultCache.fingerprint(a2),
+      "identical literal frames share an entry")
+    assert(ResultCache.fingerprint(a1) != ResultCache.fingerprint(b),
+      "the canonicalized plan elides LocalRelation data — the content hash must fork it")
+  }
+
+  test("fail-closed: an RDD-backed frame is refused, not silently cached stale") {
+    val rdd = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(rdd, schema)
+    val e = intercept[IllegalArgumentException](ResultCache.fingerprint(df))
+    assert(e.getMessage.contains("non-snapshotable"), e.getMessage)
+    val cache = Files.createTempDirectory("graft-rc").toString
+    intercept[IllegalArgumentException](ResultCache.cached(df, cache))
+  }
+
+  test("range and mixed file+local plans fingerprint fine") {
+    val in = freshInput()
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
+    val q = spark.read.parquet(in).join(dim, "k").groupBy("name").count()
+    val fp1 = ResultCache.fingerprint(q)
+    assert(fp1.nonEmpty)
+    assert(ResultCache.fingerprint(spark.range(10).toDF()).nonEmpty)
+    // appending to the FILE side still invalidates the mixed plan
+    Seq((5L, "a", 1.0)).toDF("id", "k", "v").write.mode("append").parquet(in)
+    assert(ResultCache.fingerprint(q) != fp1)
+  }
+
   test("evictExcept drops dead entries and keeps live ones") {
     val in = freshInput()
     val cache = Files.createTempDirectory("graft-rc").toString
