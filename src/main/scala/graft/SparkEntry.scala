@@ -320,7 +320,10 @@ object SparkEntry {
     "q268_ann_filtered_recall" -> ((s, d) =>
       Similarity.annFilteredRecall(Tables(s, d).embeddings, org.apache.spark.sql.functions.col("label") % 2 === 1)),
     "q60_multimodal_meta" -> ((s, d) => Multimodal.metaStats(Tables(s, d).documents)),
-    "q61_frame_extract" -> ((s, d) => Multimodal.frameExtract(s, Tables(s, d).documents).toDF()),
+    // real multi-frame decode: animated-GIF payloads, ImageIO sequence
+    // reader, per-frame pixel luma — the byte-window stub remains only
+    // as the video-seam test double (Multimodal.frameExtract)
+    "q61_frame_extract" -> ((s, d) => Multimodal.frameExtractGif(s, Tables(s, d).documents).toDF()),
     "q62_feature_extract" -> ((s, d) => {
       // oracle-sortable projection of the feature vectors: raw
       // array<float> columns crash the driver's pandas sort, so emit the

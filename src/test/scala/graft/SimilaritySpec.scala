@@ -361,6 +361,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again(0L).first_frame_checksum == out(0L).first_frame_checksum)
   }
 
+  test("q61 real GIF: frames round-trip a genuine multi-frame container, pixel-exact") {
+    val docs = Seq((0L, "a", "en", "s", 1L), (3L, "b", "en", "s", 1L), (7L, "c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the payloads are REAL animated GIFs: ImageIO itself sees N frames
+    val payloads = Multimodal.withAnimatedGifPayload(spark, docs, maxExtraFrames = 6, px = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads(0L).take(6).map(_.toChar).mkString.startsWith("GIF"), "payload is a GIF container")
+    val frames7 = Multimodal.GifFrameCodec.decodeFrames(payloads(7L))
+    assert(frames7.length == 2 + (7 % 6), s"doc 7 encodes ${2 + (7 % 6)} frames, decoded ${frames7.length}")
+    // frame pixels survive the encode→decode round trip exactly: gray
+    // v is its own palette entry, luma(v,v,v) = v
+    val f0 = frames7.head
+    assert(f0.width == 8 && f0.height == 8)
+    val expected00 = ((0 * 31 + 0 * 17 + 0 * 53 + 7L * 7) % 256).toFloat
+    assert(math.abs(f0.gray(0) - expected00) < 0.5f, s"${f0.gray(0)} vs $expected00")
+
+    val out = Multimodal.frameExtractGif(spark, docs, sampleEvery = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(0L).n_frames == 2 && out(3L).n_frames == 5 && out(7L).n_frames == 3)
+    assert(out(7L).sampled_frames == 2) // frames 0 and 2 of 3
+    val expectedChecksum = f0.gray.foldLeft(0L)((a, v) => a + v.toLong)
+    assert(out(7L).first_frame_checksum == expectedChecksum,
+      "checksum is a decoded-pixel property")
+    // corrupt container → 0 frames, no throw
+    assert(Multimodal.GifFrameCodec.decodeFrames("not a gif".getBytes).isEmpty)
+  }
+
   test("q228: recall report — exact is its own ceiling, approximates stay in [0,1]") {
     val rep = Similarity.annRecallReport(Tables(spark, sfDir).embeddings)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
