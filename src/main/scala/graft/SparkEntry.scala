@@ -5212,5 +5212,103 @@ object SparkEntry {
         |  floor(((CAST(n_pos AS DOUBLE)/n_orders)
         |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
+    "q288_kcore" -> kcoreOracle,
+    "q312_partition_advisor" ->
+      // mirrors PartitionAdvisor.advise over the events schema: one
+      // grouped aggregate per candidate column (string/int + date(ts);
+      // value is DOUBLE → not a candidate), verdicts + log-decade fit,
+      // rank by (verdict class, rounded fit, name)
+      """WITH t AS MATERIALIZED (SELECT count(*) AS total FROM events),
+        |cand AS (
+        |  SELECT 'event_id' AS candidate, CAST(event_id AS VARCHAR) AS v FROM events
+        |  UNION ALL SELECT 'date(ts)', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'event_type', event_type FROM events
+        |  UNION ALL SELECT 'props', props FROM events),
+        |per AS (SELECT candidate, v, count(*) AS n FROM cand GROUP BY 1, 2),
+        |stats AS (SELECT candidate, count(*) AS nd, max(n) AS topn FROM per GROUP BY 1),
+        |scored AS (
+        |  SELECT candidate, nd AS n_partitions,
+        |    floor(CAST(topn AS DOUBLE)/total*10000 + 0.5)/10000 AS top_share,
+        |    floor(CAST(total AS DOUBLE)/nd*10000 + 0.5)/10000 AS rows_per_partition,
+        |    CASE WHEN nd < 2 THEN 'reject' WHEN nd > 10000 THEN 'reject'
+        |         WHEN CAST(topn AS DOUBLE)/total > 0.5 THEN 'warn' ELSE 'ok' END AS verdict,
+        |    CASE WHEN nd < 2 THEN 'constant column: no pruning possible'
+        |         WHEN nd > 10000 THEN nd || ' partitions: small-file explosion'
+        |         WHEN CAST(topn AS DOUBLE)/total > 0.5
+        |           THEN 'top value holds over half of rows: skewed partitions'
+        |         ELSE 'balanced cardinality and spread' END AS reason,
+        |    floor(abs(log10((CAST(total AS DOUBLE)/nd)/1000000.0))*10000 + 0.5)/10000 AS fit_log10
+        |  FROM stats, t)
+        |SELECT CAST(row_number() OVER (ORDER BY
+        |    CASE verdict WHEN 'ok' THEN 0 WHEN 'warn' THEN 1 ELSE 2 END,
+        |    fit_log10, candidate) AS BIGINT) AS rank,
+        |  candidate, n_partitions, top_share, rows_per_partition, verdict, reason, fit_log10
+        |FROM scored ORDER BY rank""".stripMargin,
+    "q335_isotonic" ->
+      // PAVA has no closed form per row, but the FIT does: the minimax
+      // characterization of (weighted, L2, non-decreasing) isotonic
+      // regression — iso_i = max_{j<=i} min_{k>=i} wavg(y[j..k]) —
+      // is three bounded joins over the 20-bin frame (prefix sums give
+      // every segment mean), exactly what the stack-merge PAVA computes
+      """WITH ret AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem WHERE l_returnflag = 'R'),
+        |st AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders),
+        |sc AS (SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END AS y,
+        |         CASE WHEN sd = 0 THEN 0.5
+        |              ELSE 1.0/(1.0 + exp(-(o_totalprice - mu)/sd)) END AS p
+        |       FROM orders LEFT JOIN ret ON o_orderkey = rk CROSS JOIN st),
+        |binned AS (SELECT ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bin, y, p FROM sc),
+        |b AS (SELECT bin, count(*) AS n, avg(p) AS p_mean, avg(CAST(y AS DOUBLE)) AS y_rate
+        |      FROM binned GROUP BY 1),
+        |pre AS (SELECT bin, n, y_rate,
+        |          sum(n*y_rate) OVER (ORDER BY bin) AS cwy,
+        |          sum(n) OVER (ORDER BY bin) AS cw FROM b),
+        |seg AS (SELECT j.bin AS jb, k.bin AS kb,
+        |          (k.cwy - coalesce(jp.cwy, 0))/(k.cw - coalesce(jp.cw, 0)) AS a
+        |        FROM pre j JOIN pre k ON j.bin <= k.bin
+        |        LEFT JOIN pre jp ON jp.bin = j.bin - 1),
+        |mins AS (SELECT i.bin, s.jb, min(s.a) AS m
+        |         FROM b i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin GROUP BY 1, 2),
+        |iso AS (SELECT bin, max(m) AS iso_raw FROM mins GROUP BY 1)
+        |SELECT CAST(b.bin AS BIGINT) AS bin, b.n,
+        |  floor(b.p_mean*10000 + 0.5)/10000 AS p_mean,
+        |  floor(b.y_rate*10000 + 0.5)/10000 AS raw_rate,
+        |  floor(iso.iso_raw*10000 + 0.5)/10000 AS iso_rate
+        |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+    "q317_schema_compat" ->
+      // the v2 evolution report is a pure function of the events schema
+      // (drop props, narrow value, tighten user_id, add session_id) —
+      // the oracle pins the expected classification as literals, an
+      // independent golden the Spark diff must reproduce
+      """SELECT * FROM (VALUES
+        |  ('props', 'removed', 'string dropped', 'breaking'),
+        |  ('session_id', 'add-nullable', 'new optional string', 'ok'),
+        |  ('user_id', 'required-tightened', 'nullable → required: existing nulls violate it', 'breaking'),
+        |  ('value', 'narrowing', 'double → float', 'breaking')
+        |) AS t(field, change, detail, verdict) ORDER BY field, change""".stripMargin,
   )
+
+  /** q288's oracle: k-core peeling has no closed form, so the SQL
+    * unrolls the fixpoint — 30 peel rounds (the operator's maxRounds;
+    * rounds after convergence are no-ops), each one degree filter +
+    * edge restriction over the previous round. CTEs are MATERIALIZED:
+    * DuckDB otherwise inlines each multi-referenced round and the
+    * expansion is exponential. */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 30).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  WHERE e.src IN (SELECT node FROM k$i) AND e.dst IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT a.pk AS pa, b.pk AS pb FROM items a JOIN items b
+       |    ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM und
+       |  UNION ALL SELECT pb, pa FROM und),
+       |$rounds
+       |SELECT src AS node, count(*) AS core_degree FROM e30 GROUP BY 1 ORDER BY node""".stripMargin
+  }
 }

@@ -54,7 +54,10 @@ object PartitionAdvisor {
         else if (nd > maxPartitions)
           ("reject", s"$nd partitions: small-file explosion")
         else if (topShare > 0.5)
-          ("warn", f"top value holds ${topShare * 100}%.1f%% of rows: skewed partitions")
+          // no numeric interpolation: the share is already a column
+          // (top_share), and %-formatting is the one thing two engines
+          // can disagree on at exact half-ULPs — keep reasons literal
+          ("warn", "top value holds over half of rows: skewed partitions")
         else ("ok", "balanced cardinality and spread")
       // fit = distance of rows/partition from target, in log decades —
       // 10× over or under costs equally
