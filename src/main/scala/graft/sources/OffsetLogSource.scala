@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** [[OffsetLog]] as a genuine Data Source V2 `MicroBatchStream` — the
+  * standard `readStream.format(...)` surface over the same immutable
+  * segment layout the hand-rolled relay drains, so Structured Streaming
+  * OWNS offset tracking and checkpointing (the engine's WAL replaces the
+  * relay's consumer-group files; the relay stays as the exactly-once
+  * comparison harness and for callers without a streaming runtime).
+  *
+  * {{{
+  *   spark.readStream
+  *     .format("graft.sources.OffsetLogSourceProvider")
+  *     .option("path", logRoot)
+  *     .option("numPartitions", "4")
+  *     .load()
+  * }}}
+  *
+  * Bus anatomy preserved end-to-end:
+  *   - `latestOffset` parses segment NAMES — metadata-only head lookup,
+  *     no data file opened, exactly like a broker;
+  *   - `planInputPartitions` prunes to segments overlapping
+  *     [start, end) BY NAME, then each overlapping segment becomes ONE
+  *     InputPartition (a broker's per-segment fetch) — parallelism
+  *     scales with data in range, a tail read touches tail segments;
+  *   - the reader clamps the offset range row-by-row inside the
+  *     segment (segments are offset-sorted by construction, so the
+  *     reader short-circuits past the range end);
+  *   - the `partition` column is directory-derived (the file itself
+  *     holds only payload + offset), injected as a constant per split;
+  *   - offsets checkpoint through the engine: a restart resumes from
+  *     the streaming WAL — `commit` is a no-op because segments are
+  *     immutable (nothing to release), which is also why replay is
+  *     exact.
+  *
+  * Segment payloads are read with parquet-hadoop's example Group API
+  * (flat primitive schemas: long/int/double/float/boolean/string/
+  * binary/timestamp — the offset-log contract; nested payloads belong
+  * in a serialized column, the bus posture). Timestamp physical units
+  * (MILLIS/MICROS/NANOS) normalize to Spark's micros.
+  */
+class OffsetLogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OffsetLogSource.logSchema(
+      SparkSession.active,
+      options.get("path"),
+      options.getInt("numPartitions", 4))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OffsetLogTable(
+      schema,
+      properties.get("path"),
+      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(4))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] object OffsetLogSource {
+  private[sources] val SegRe = "segment-(\\d+)-(\\d+)\\.parquet".r
+
+  /** Spark schema of the log: one segment footer (via Spark's own
+    * parquet conversion) + the directory-derived partition column. An
+    * empty log (consumer attached before the first append) exposes the
+    * two columns the log itself guarantees. */
+  def logSchema(spark: SparkSession, root: String, numPartitions: Int): StructType = {
+    require(root != null, "offsetlog source requires option 'path'")
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = (0 until numPartitions).iterator.flatMap { p =>
+      val d = new Path(s"$root/partition=$p")
+      if (!f.exists(d)) Iterator.empty
+      else f.listStatus(d).iterator.map(_.getPath).filter(x => SegRe.matches(x.getName))
+    }.take(1).toSeq
+    val payload = seg.headOption match {
+      case Some(path) => spark.read.parquet(path.toString).schema
+      case None => StructType(Seq(StructField("offset", LongType)))
+    }
+    StructType(StructField("partition", IntegerType, nullable = false) +: payload.fields.toSeq)
+  }
+}
+
+private[sources] class OffsetLogTable(tableSchema: StructType, root: String, numPartitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"offsetlog(`$root`)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new OffsetLogMicroBatchStream(tableSchema, root, numPartitions)
+      }
+    }
+}
+
+/** Engine-facing offset: the per-log-partition next-offset map. MUST
+  * serialize to ONE line — the engine's offset WAL is line-oriented
+  * (one line per source), so a multi-line json() would deserialize as
+  * several sources and refuse the checkpoint on restart. */
+private[sources] case class LogOffsets(ends: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    ends.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+private[sources] object LogOffsets {
+  def parse(s: String): LogOffsets =
+    LogOffsets(
+      s.trim.stripPrefix("{").stripSuffix("}").split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(a, b) = kv.split(":")
+          a.trim.stripPrefix("\"").stripSuffix("\"").toInt -> b.trim.toLong
+        }.toMap)
+}
+
+private[sources] case class SegmentSplit(
+    file: String,
+    logPartition: Int,
+    from: Long,
+    until: Long) extends InputPartition
+
+private[sources] class OffsetLogMicroBatchStream(
+    schema: StructType,
+    root: String,
+    numPartitions: Int) extends MicroBatchStream {
+  import OffsetLogSource.SegRe
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset =
+    LogOffsets((0 until numPartitions).map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset =
+    LogOffsets(OffsetLog.endOffsets(spark, root, numPartitions))
+
+  override def deserializeOffset(json: String): Offset = LogOffsets.parse(json)
+
+  /** Segments are immutable and retention is a log policy
+    * ([[graft.streaming.Retention]]), not a consumer's — nothing to
+    * release on commit; the engine's WAL is the durable cursor. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogOffsets].ends
+    val until = end.asInstanceOf[LogOffsets].ends
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until numPartitions).flatMap { p =>
+      val lo = from.getOrElse(p, 0L)
+      val hi = until.getOrElse(p, 0L)
+      if (hi <= lo) Nil
+      else {
+        val d = new Path(s"$root/partition=$p")
+        if (!f.exists(d)) Nil
+        else f.listStatus(d).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case SegRe(s0, n0) =>
+              val s = s0.toLong; val n = n0.toLong
+              // overlap prune by NAME, clamp the range per segment
+              if (s < hi && s + n > lo)
+                Some(SegmentSplit(st.getPath.toString, p, math.max(lo, s), math.min(hi, s + n)))
+              else None
+            case _ => None
+          }
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SegmentReaderFactory(
+      schema,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+}
+
+private[sources] class SegmentReaderFactory(
+    schema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[SegmentSplit]
+    new SegmentReader(schema, split, conf.value)
+  }
+}
+
+/** Row-by-row Group → InternalRow reader over one immutable segment.
+  * Supports the offset-log payload contract: flat primitive columns.
+  * Rows are offset-sorted within a segment (append numbers them with
+  * one ordered window), so the reader stops at the range end instead of
+  * scanning the tail. */
+private[sources] class SegmentReader(
+    schema: StructType,
+    split: SegmentSplit,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), new Path(split.file))
+    .withConf(conf)
+    .build()
+
+  private var row: InternalRow = _
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done) return false
+    var g = reader.read()
+    while (g != null) {
+      val fileSchema = g.getType
+      val offIdx = fileSchema.getFieldIndex("offset")
+      val off = g.getLong(offIdx, 0)
+      if (off >= split.until) { done = true; return false } // sorted: past range
+      if (off >= split.from) {
+        row = convert(g)
+        return true
+      }
+      g = reader.read()
+    }
+    done = true
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+
+  private def timestampToMicros(g: Group, idx: Int): Long = {
+    val prim = g.getType.getType(idx).asPrimitiveType()
+    if (prim.getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96) {
+      // Spark's default on-write timestamp: 8 LE bytes nanos-of-day +
+      // 4 LE bytes Julian day
+      val b = g.getInt96(idx, 0).getBytes
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nanosOfDay = buf.getLong
+      val julianDay = buf.getInt
+      (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+    } else {
+      val raw = g.getLong(idx, 0)
+      prim.getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+          case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+        }
+        case _ => raw // bare INT64: assume micros
+      }
+    }
+  }
+
+  private def convert(g: Group): InternalRow = {
+    val fileSchema = g.getType
+    val out = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (f.name == "partition") out.setInt(i, split.logPartition)
+      else {
+        val idx = fileSchema.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) out.setNullAt(i)
+        else f.dataType match {
+          case LongType                        => out.setLong(i, g.getLong(idx, 0))
+          case IntegerType                     => out.setInt(i, g.getInteger(idx, 0))
+          case DoubleType                      => out.setDouble(i, g.getDouble(idx, 0))
+          case FloatType                       => out.setFloat(i, g.getFloat(idx, 0))
+          case BooleanType                     => out.setBoolean(i, g.getBoolean(idx, 0))
+          case StringType                      => out.update(i, UTF8String.fromString(g.getString(idx, 0)))
+          case BinaryType                      => out.update(i, g.getBinary(idx, 0).getBytes)
+          case TimestampType | TimestampNTZType => out.setLong(i, timestampToMicros(g, idx))
+          case DateType                        => out.setInt(i, g.getInteger(idx, 0))
+          case other => throw new UnsupportedOperationException(
+            s"offsetlog payload column ${f.name}: unsupported type $other " +
+              "(the log contract is flat primitive columns)")
+        }
+      }
+      i += 1
+    }
+    out
+  }
+}
