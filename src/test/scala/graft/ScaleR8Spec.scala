@@ -95,6 +95,57 @@ class ScaleR8Spec extends SparkSpec {
       s"whale-part expansion is bounded by the cap, got $whalePairs pairs")
   }
 
+  test("saltedJoin bounds the hot key's per-task shuffle rows (task-level, measured)") {
+    // one hot key carrying 90% of the large side: unsalted, ONE reducer
+    // task reads all its rows; salted over 8 buckets, no task reads more
+    // than ~1/8 of them. Asserted from real task metrics, not plan shape.
+    val large = spark.range(200000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 1000) END AS k",
+      "id AS payload")
+    val small = (Seq("hot") ++ (0 until 1000).map(i => s"k$i")).toDF("k")
+      .withColumn("dim", lit(1))
+    val listener = new BenchSkew.TaskMaxListener
+    spark.sparkContext.addSparkListener(listener)
+    // this fixture is kilobytes, so AQE would coalesce the whole shuffle
+    // into one partition and void the per-task measurement; at real
+    // scale the partitions are advisory-sized and stay separate
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      def measure(df: org.apache.spark.sql.DataFrame): Long = {
+        listener.reset()
+        // plain count(): the only shuffle executed is the JOIN's own
+        // exchange (a groupBy here would re-shuffle by the hot key and
+        // measure the wrong stage)
+        df.count()
+        Thread.sleep(500)
+        listener.maxShuffleReadRows
+      }
+      // broadcast would dodge the shuffle and void the measurement —
+      // force a shuffle join for both shapes
+      val unsaltedMax = measure(
+        large.hint("shuffle_hash").join(small, "k"))
+      val saltedMax = measure(
+        Skew.saltedJoin(large, small.hint("shuffle_hash"), "k", "payload", saltBuckets = 64))
+      val hotRows = 180000L
+      assert(unsaltedMax >= hotRows,
+        s"control: the unsalted join must concentrate the hot key in one task ($unsaltedMax)")
+      // 64 salts over the 4 test reducers spread the hot key ~evenly;
+      // the bound leaves binomial slack (salt->reducer is a hash, not a
+      // round-robin)
+      assert(saltedMax <= hotRows / 2,
+        s"salted max per-task shuffle rows $saltedMax vs $unsaltedMax unsalted")
+      // 4 test reducers leave real hash imbalance (measured ~2.5x cut
+      // here; at cluster partition counts the cut approaches saltBuckets)
+      assert(saltedMax * 2 <= unsaltedMax,
+        s"salting must cut the hot task by at least 2x: $saltedMax vs $unsaltedMax")
+    } finally {
+      prev.fold(spark.conf.unset(coalesceKey))(v => spark.conf.set(coalesceKey, v))
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("q349: a non-binding cap (default 1000) changes nothing vs an effectively infinite cap") {
     val (orders, lines) = whaleFixture
     val a = Relational.substituteParts(orders, lines, topN = 1000).collect().toSet
