@@ -642,6 +642,13 @@ object SparkEntry {
       val t = Tables(s, d)
       Classify.liftTable(t.orders, t.lineitem)
     }),
+    "q356_weibull_leadtime" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.weibullLeadTime(t.orders, t.lineitem)
+    }),
+    "q357_kruskal_wallis" -> ((s, d) => StatTests.kruskalWallis(Tables(s, d).orders)),
+    "q358_brown_forsythe" -> ((s, d) => StatTests.brownForsythe(Tables(s, d).orders)),
+    "q359_token_drift" -> ((s, d) => TextAnalysis.tokenDrift(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5213,6 +5220,103 @@ object SparkEntry {
         |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q288_kcore" -> kcoreOracle,
+    "q356_weibull_leadtime" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) + 1 AS DOUBLE) AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE date_diff('day', o_orderdate, l_shipdate) + 1 >= 1),
+        |g AS (SELECT prio, t, count(*) AS nt FROM t GROUP BY 1, 2),
+        |tot AS (SELECT prio, CAST(sum(nt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |pts AS (
+        |  SELECT g.prio, g.nt, tot.n,
+        |    sum(g.nt) OVER (PARTITION BY g.prio ORDER BY g.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    ln(g.t) AS x
+        |  FROM g JOIN tot ON g.prio = tot.prio),
+        |xy AS (SELECT prio, nt, n, x,
+        |         ln(-ln(1.0 - (cum - 0.3)/(n + 0.4))) AS y FROM pts),
+        |s AS (
+        |  SELECT prio, max(n) AS n, sum(nt) AS sw,
+        |    sum(nt*x) AS swx, sum(nt*y) AS swy,
+        |    sum(nt*x*x) AS swxx, sum(nt*y*y) AS swyy, sum(nt*x*y) AS swxy
+        |  FROM xy GROUP BY 1),
+        |f AS (
+        |  SELECT prio, n,
+        |    swxx - swx*swx/sw AS sxx, swyy - swy*swy/sw AS syy,
+        |    swxy - swx*swy/sw AS sxy, sw, swx, swy
+        |  FROM s),
+        |k AS (
+        |  SELECT prio, n,
+        |    CASE WHEN sxx = 0 THEN NULL ELSE sxy/sxx END AS shape,
+        |    sxx, syy, sxy, sw, swx, swy FROM f)
+        |SELECT prio AS o_orderpriority, n,
+        |  floor(shape*10000 + 0.5)/10000 AS shape_k,
+        |  floor(CASE WHEN shape IS NULL OR shape = 0 THEN NULL
+        |    ELSE exp(-((swy - shape*swx)/sw)/shape) END*10000 + 0.5)/10000 AS scale_days,
+        |  floor(CASE WHEN syy = 0 OR sxx = 0 THEN NULL
+        |    ELSE sxy*sxy/(sxx*syy) END*10000 + 0.5)/10000 AS r2
+        |FROM k ORDER BY o_orderpriority""".stripMargin,
+    "q357_kruskal_wallis" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |    rank() OVER (ORDER BY o_totalprice) AS mn,
+        |    count(*) OVER (PARTITION BY o_totalprice) AS cnt
+        |  FROM orders),
+        |a AS (SELECT grp, mn + (cnt - 1)/2.0 AS avgrank, v, cnt FROM r),
+        |pg AS (SELECT grp, count(*) AS ng, sum(avgrank) AS rg FROM a GROUP BY 1),
+        |tie AS (
+        |  SELECT sum(CAST(cnt AS DOUBLE)*cnt*cnt - cnt) AS tie3
+        |  FROM (SELECT v, max(cnt) AS cnt FROM a GROUP BY v)),
+        |top AS (
+        |  SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+        |    sum(rg*rg/ng) AS srq FROM pg)
+        |SELECT n, k,
+        |  floor((12.0/(n*(CAST(n AS DOUBLE)+1))*srq - 3.0*(n+1))*10000 + 0.5)/10000 AS h,
+        |  floor(CASE WHEN 1.0 - tie3/(CAST(n AS DOUBLE)*n*n - n) = 0 THEN NULL
+        |    ELSE (12.0/(n*(CAST(n AS DOUBLE)+1))*srq - 3.0*(n+1))
+        |         / (1.0 - tie3/(CAST(n AS DOUBLE)*n*n - n)) END*10000 + 0.5)/10000
+        |    AS h_tie_corrected
+        |FROM top CROSS JOIN tie""".stripMargin,
+    "q358_brown_forsythe" ->
+      """WITH meds AS (
+        |  SELECT o_orderpriority AS grp, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |z AS (
+        |  SELECT o.o_orderpriority AS grp, abs(o.o_totalprice - m.med) AS z
+        |  FROM orders o JOIN meds m ON o.o_orderpriority = m.grp),
+        |grand AS (SELECT avg(z) AS gm, count(*) AS n FROM z),
+        |pg AS (SELECT grp, count(*) AS ng, avg(z) AS mg, var_samp(z) AS vg
+        |       FROM z GROUP BY 1)
+        |SELECT max(n) AS n, count(*) AS k,
+        |  floor((sum(ng*(mg-gm)*(mg-gm))/(count(*)-1))
+        |    / (sum((ng-1)*vg)/(max(n)-count(*)))*10000 + 0.5)/10000 AS f_stat
+        |FROM pg CROSS JOIN grand""".stripMargin,
+    "q359_token_drift" ->
+      """WITH tok AS (
+        |  SELECT (doc_id % 2 = 0) AS in_a,
+        |    unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM tok GROUP BY 1 HAVING cnt_a + cnt_b >= 20),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM tok)
+        |SELECT token, cnt_a, cnt_b,
+        |  floor(CAST(cnt_a AS DOUBLE)/na*1000000 + 0.5)/1000000 AS rate_a,
+        |  floor(CAST(cnt_b AS DOUBLE)/nb*1000000 + 0.5)/1000000 AS rate_b,
+        |  floor(log2(((cnt_a + 0.5)/na)/((cnt_b + 0.5)/nb))*10000 + 0.5)/10000 AS log2_ratio,
+        |  floor((CAST(cnt_a AS DOUBLE)*(nb-cnt_b) - CAST(cnt_b AS DOUBLE)*(na-cnt_a))
+        |    * (CAST(cnt_a AS DOUBLE)*(nb-cnt_b) - CAST(cnt_b AS DOUBLE)*(na-cnt_a))
+        |    * (CAST(na AS DOUBLE)+nb)
+        |    / (CAST(na AS DOUBLE)*nb*(cnt_a+cnt_b)*(CAST(na AS DOUBLE)+nb-cnt_a-cnt_b))
+        |    *10000 + 0.5)/10000 AS chi2
+        |FROM c CROSS JOIN tot
+        |ORDER BY chi2 DESC, token LIMIT 50""".stripMargin,
     "q312_partition_advisor" ->
       // mirrors PartitionAdvisor.advise over the events schema: one
       // grouped aggregate per candidate column (string/int + date(ts);

@@ -609,6 +609,133 @@ object StatTests {
         round(expr("try_divide(ssb/(k-1), ssw/(n_days-k))"), 4).as("f_stat"))
   }
 
+  /** q356: Weibull lead-time fit per order priority — the reliability
+    * engineer's view of fulfillment ("is slow shipping a heavy tail or
+    * a shifted mode"): shape k < 1 means lead times front-load with a
+    * long tail, k > 1 means a characteristic delay. Fit by MEDIAN-RANK
+    * REGRESSION (Benard's approximation), the standard closed-form
+    * Weibull estimator: F_i = (i − 0.3)/(n + 0.4) at the cumulative
+    * rank, then OLS of ln(−ln(1−F)) on ln(t) — slope = shape, scale =
+    * exp(−intercept/slope).
+    *
+    * Scale shape: lead times are CALENDAR-BOUNDED integers (days), so
+    * the fit collapses to VALUE GRAIN first — one (priority, t) count
+    * aggregate, then a ≤#distinct-days window per priority (bounded
+    * frame, the q89 idiom) for cumulative ranks, then a closed-form
+    * weighted OLS per priority. No row-grain ranking is ever planned;
+    * the last-rank convention per distinct t (cum count) with weight =
+    * count is the grouped-data median-rank form. */
+  def weibullLeadTime(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val t = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderpriority").as("prio"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) + 1).cast("double").as("t"))
+      .filter(col("t") >= 1.0) // ln needs t > 0; same-day ships land at t=1
+    val grouped = t.groupBy("prio", "t").agg(count(lit(1)).as("nt"))
+    val totals = grouped.groupBy("prio").agg(sum("nt").as("n"))
+    val w = Window.partitionBy("prio").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = grouped
+      .join(broadcast(totals), "prio") // #priorities rows
+      .withColumn("cum", sum("nt").over(w))
+      .withColumn("fr", (col("cum") - lit(0.3)) / (col("n") + lit(0.4)))
+      .withColumn("x", log(col("t")))
+      .withColumn("y", log(-log(lit(1.0) - col("fr"))))
+    pts.groupBy("prio")
+      .agg(
+        max(col("n")).as("n"),
+        sum("nt").as("sw"),
+        sum(col("nt") * col("x")).as("swx"),
+        sum(col("nt") * col("y")).as("swy"),
+        sum(col("nt") * col("x") * col("x")).as("swxx"),
+        sum(col("nt") * col("y") * col("y")).as("swyy"),
+        sum(col("nt") * col("x") * col("y")).as("swxy"))
+      .withColumn("sxx", col("swxx") - col("swx") * col("swx") / col("sw"))
+      .withColumn("syy", col("swyy") - col("swy") * col("swy") / col("sw"))
+      .withColumn("sxy", col("swxy") - col("swx") * col("swy") / col("sw"))
+      // a single distinct lead time (sxx = 0) can't identify a shape —
+      // lazy CaseWhen, never an ANSI divide-by-zero
+      .withColumn("shape", when(col("sxx") === 0.0, lit(null))
+        .otherwise(col("sxy") / col("sxx")))
+      .withColumn("intercept", (col("swy") - col("shape") * col("swx")) / col("sw"))
+      .select(
+        col("prio").as("o_orderpriority"),
+        col("n"),
+        round(col("shape"), 4).as("shape_k"),
+        round(when(col("shape").isNull || col("shape") === 0.0, lit(null))
+          .otherwise(exp(-col("intercept") / col("shape"))), 4).as("scale_days"),
+        round(when(col("syy") === 0.0 || col("sxx") === 0.0, lit(null))
+          .otherwise(col("sxy") * col("sxy") / (col("sxx") * col("syy"))), 4).as("r2"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q357: Kruskal–Wallis rank test — "do order priorities draw from
+    * the same price distribution" without normality assumptions (the
+    * nonparametric one-way ANOVA; q226 is its parametric sibling).
+    * Global AVERAGE ranks ride [[GlobalOrder.withGlobalRowNumber]]
+    * (range-bucketed — no data-sized single-reducer sort) with tie
+    * groups collapsed to min(rn) + (cnt−1)/2 by one aggregate on the
+    * tie key (the q321 discipline); H gets the standard tie correction
+    * 1 − Σ(t³−t)/(N³−N). */
+  def kruskalWallis(orders: DataFrame): DataFrame = {
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      orders.select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"), col("o_orderkey")),
+      col("v"), Seq("v", "o_orderkey"), rnCol = "rn", totalCol = "tot")
+    val tieAvg = ranked.groupBy("v")
+      .agg(min("rn").as("mn"), count(lit(1)).as("cnt"))
+      .select(col("v"),
+        (col("mn") + (col("cnt") - 1) / lit(2.0)).as("avgrank"),
+        col("cnt"))
+    val perGroup = ranked.join(tieAvg, "v")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("ng"), sum("avgrank").as("rg"))
+    val ties = tieAvg.agg(
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    perGroup
+      .agg(
+        sum("ng").as("n"),
+        count(lit(1)).as("k"),
+        sum(col("rg") * col("rg") / col("ng")).as("srq"))
+      .crossJoin(broadcast(ties)) // 1-row scalar
+      .withColumn("h",
+        lit(12.0) / (col("n") * (col("n") + 1)) * col("srq") - lit(3.0) * (col("n") + 1))
+      .withColumn("c",
+        lit(1.0) - col("tie3") / (col("n") * col("n") * col("n") - col("n")))
+      .select(
+        col("n"), col("k"),
+        round(col("h"), 4).as("h"),
+        round(when(col("c") === 0.0, lit(null)).otherwise(col("h") / col("c")), 4)
+          .as("h_tie_corrected"))
+  }
+
+  /** q358: Brown–Forsythe test — "do order priorities have the same
+    * price SPREAD" (variance homogeneity, the precondition q226's ANOVA
+    * quietly assumes): one-way ANOVA on z = |x − group median|. The
+    * median variant (vs Levene's mean) is the robust standard. One
+    * exact-percentile aggregate per group (#groups rows, broadcast
+    * back), then the q226 ssb/ssw algebra on z. */
+  def brownForsythe(orders: DataFrame): DataFrame = {
+    val meds = orders.groupBy(col("o_orderpriority").as("grp"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val z = orders.select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+      .join(broadcast(meds), "grp")
+      .withColumn("z", abs(col("x") - col("med")))
+    val grand = z.agg(avg("z").as("gm"), count(lit(1)).as("n"))
+    z.groupBy("grp")
+      .agg(count(lit(1)).as("ng"), avg("z").as("mg"), var_samp(col("z")).as("vg"))
+      .crossJoin(broadcast(grand))
+      .agg(
+        max("n").as("n"),
+        count(lit(1)).as("k"),
+        sum((col("ng") - 1) * col("vg")).as("ssw"),
+        sum(col("ng") * pow(col("mg") - col("gm"), 2)).as("ssb"))
+      .select(
+        col("n"), col("k"),
+        round(expr("try_divide(ssb/(k-1), ssw/(n-k))"), 4).as("f_stat"))
+  }
+
   /** q232: rolling correlation between two event streams — trailing
     * 7-day Pearson correlation of daily purchase vs error activity (the
     * co-movement monitor: a correlation regime change flags incidents

@@ -1723,4 +1723,54 @@ object TextAnalysis {
         round(col("n_shared") / col("nb").cast("double"), 4).as("share_of_b"))
       .orderBy("source_a", "source_b")
   }
+
+  /** q359: TOKEN-FREQUENCY DRIFT between two corpus versions — "which
+    * tokens' rates shifted significantly between crawls", the
+    * vocabulary-level companion of q240's binned PSI and q161's length
+    * drift (a new boilerplate source, a scraper regression, or a
+    * domain-mix change shows up here first, named by token). Split =
+    * doc_id parity (the standard A/B stand-in on one table; production
+    * passes two snapshots). Per token: occurrence counts vs each side's
+    * total token mass, the 2×2 chi-square in closed form (sparse-safe —
+    * no dense vocab grid, the q295 discipline), and a ±0.5-smoothed
+    * log2 rate ratio for direction. Ranked by the ROUNDED statistic
+    * with a token tie-break so the top-N cut is engine-stable.
+    *
+    * Scale shape: explode → map-side-combinable (token) count — one
+    * shuffle on token; the min-count filter prunes the hapax tail
+    * BEFORE the stats; top-N is a bounded sort. */
+  def tokenDrift(documents: DataFrame, minCount: Long = 20, topN: Int = 50): DataFrame = {
+    val tok = documents.select(
+      (pmod(col("doc_id"), lit(2)) === 0).as("in_a"),
+      explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy("token")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+      .filter(col("cnt_a") + col("cnt_b") >= minCount)
+    val totals = tok.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    counts
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .withColumn("chi2_raw", {
+        // 2×2 chi-square closed form over (a, Na−a, b, Nb−b)
+        val a = col("cnt_a").cast("double"); val b = col("cnt_b").cast("double")
+        val na = col("na").cast("double"); val nb = col("nb").cast("double")
+        val num = (a * (nb - b) - b * (na - a)); val tot = na + nb
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(num * num * tot /
+            (na * nb * (a + b) * (tot - a - b)))
+      })
+      .withColumn("chi2", round(col("chi2_raw"), 4))
+      .select(
+        col("token"), col("cnt_a"), col("cnt_b"),
+        round(col("cnt_a") / col("na").cast("double"), 6).as("rate_a"),
+        round(col("cnt_b") / col("nb").cast("double"), 6).as("rate_b"),
+        round(log2(((col("cnt_a") + 0.5) / col("na")) / ((col("cnt_b") + 0.5) / col("nb"))), 4)
+          .as("log2_ratio"),
+        col("chi2"))
+      .orderBy(desc("chi2"), asc("token"))
+      .limit(topN)
+  }
 }

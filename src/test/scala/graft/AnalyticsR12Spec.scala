@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{StatTests, TextAnalysis}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Ground-truth fixtures for the round-8 additions (q356–q359):
+  * properties the DuckDB oracle equality can't state. */
+class AnalyticsR12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ordersOf(rows: (Long, String, Double, String)*) =
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("F"))
+      .drop("d")
+
+  // ------------------------------------------------------------- q356
+  test("q356: exact Weibull quantile lead times recover shape and scale with r2 = 1") {
+    // choose integer-day lead times that ARE the Benard-rank quantiles
+    // of some Weibull: with one line per distinct t and n points, the
+    // regression of y on x is then exactly linear — r2 rounds to 1 and
+    // the fitted shape/scale equal the hand-computed regression of the
+    // same points (weights all 1, no ties)
+    val n = 8
+    val k = 2.0; val lam = 12.0
+    // t_i = round(lam * (-ln(1-F_i))^(1/k)) — integers, so NOT exactly
+    // on the curve; compute the expected fit by the same closed form
+    val fs = (1 to n).map(i => (i - 0.3) / (n + 0.4))
+    val ts = fs.map(f => math.max(1L, math.round(lam * math.pow(-math.log(1 - f), 1 / k))))
+    assert(ts.distinct.size == n, s"fixture needs distinct integer days: $ts")
+    val base = "2024-01-01 00:00:00"
+    val orders = ordersOf(ts.zipWithIndex.map { case (_, i) =>
+      ((i + 1).toLong, "1-URGENT", 100.0, base) }: _*)
+    val lines = ts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, Timestamp.valueOf(base).toLocalDateTime.plusDays(t - 1).toString.replace('T', ' ') + ":00")
+    }.toDF("l_orderkey", "ship")
+      .withColumn("l_shipdate", to_timestamp(col("ship")))
+      .drop("ship")
+    val out = StatTests.weibullLeadTime(orders, lines).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // expected: plain OLS of y_i = ln(-ln(1-F_i)) on x_i = ln(t_i)
+    val xs = ts.map(t => math.log(t.toDouble))
+    val ys = fs.map(f => math.log(-math.log(1 - f)))
+    val sw = n.toDouble
+    val sxx = xs.map(x => x * x).sum - math.pow(xs.sum, 2) / sw
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum / sw
+    val slope = sxy / sxx
+    val scale = math.exp(-(ys.sum - slope * xs.sum) / sw / slope)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(r.getAs[Double]("shape_k") == r4(slope), s"$r vs slope $slope")
+    assert(r.getAs[Double]("scale_days") == r4(scale), s"$r vs scale $scale")
+    assert(r.getAs[Double]("r2") > 0.99, s"near-exact quantile data must fit: $r")
+    assert(math.abs(r.getAs[Double]("shape_k") - k) < 0.2 &&
+      math.abs(r.getAs[Double]("scale_days") - lam) < 1.0,
+      s"recovered (k, lambda) should approximate ($k, $lam): $r")
+  }
+
+  test("q356: a single distinct lead time degrades to null shape, not a blowup") {
+    val orders = ordersOf((1L, "1-URGENT", 1.0, "2024-01-01 00:00:00"),
+      (2L, "1-URGENT", 1.0, "2024-01-01 00:00:00"))
+    val lines = Seq((1L, "2024-01-04 00:00:00"), (2L, "2024-01-04 00:00:00"))
+      .toDF("l_orderkey", "ship")
+      .withColumn("l_shipdate", to_timestamp(col("ship"))).drop("ship")
+    val r = StatTests.weibullLeadTime(orders, lines).collect().head
+    assert(r.isNullAt(r.fieldIndex("shape_k")) && r.isNullAt(r.fieldIndex("scale_days")))
+  }
+
+  // ------------------------------------------------------------- q357
+  test("q357: hand-computed H on a tie-free two-group example; correction is identity") {
+    // A = {10, 20}, B = {30, 40}: ranks 1,2 vs 3,4
+    // H = 12/(4*5) * (3^2/2 + 7^2/2) - 3*5 = 0.6*29 - 15 = 2.4
+    val orders = ordersOf(
+      (1L, "A", 10.0, "2024-01-01 00:00:00"), (2L, "A", 20.0, "2024-01-01 00:00:00"),
+      (3L, "B", 30.0, "2024-01-01 00:00:00"), (4L, "B", 40.0, "2024-01-01 00:00:00"))
+    val r = StatTests.kruskalWallis(orders).collect().head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("k") == 2)
+    assert(r.getAs[Double]("h") == 2.4, r.toString)
+    assert(r.getAs[Double]("h_tie_corrected") == 2.4, "no ties -> correction = 1")
+  }
+
+  test("q357: ties take average ranks and the correction inflates H") {
+    // A = {10, 10}, B = {10, 40}: the three 10s share rank (1+2+3)/3 = 2
+    val orders = ordersOf(
+      (1L, "A", 10.0, "2024-01-01 00:00:00"), (2L, "A", 10.0, "2024-01-01 00:00:00"),
+      (3L, "B", 10.0, "2024-01-01 00:00:00"), (4L, "B", 40.0, "2024-01-01 00:00:00"))
+    val r = StatTests.kruskalWallis(orders).collect().head
+    // Ra = 4, Rb = 6; H = 0.6*(16/2 + 36/2) - 15 = 0.6
+    assert(r.getAs[Double]("h") == 0.6, r.toString)
+    // tie correction: C = 1 - (27-3)/(64-4) = 0.6 -> H/C = 1.0
+    assert(r.getAs[Double]("h_tie_corrected") == 1.0, r.toString)
+  }
+
+  // ------------------------------------------------------------- q358
+  test("q358: equal spreads give F near 0; a blown-up group lifts F") {
+    def fixture(bSpread: Double) = ordersOf((1 to 12).map { i =>
+      val grp = if (i <= 6) "A" else "B"
+      val spread = if (grp == "A") 1.0 else bSpread
+      // symmetric around the group median 100: |x - med| is exactly
+      // spread * {0,1,2} on each side
+      val off = Seq(-2.0, -1.0, 0.0, 0.0, 1.0, 2.0)((i - 1) % 6) * spread
+      (i.toLong, grp, 100.0 + off, "2024-01-01 00:00:00")
+    }: _*)
+    val same = StatTests.brownForsythe(fixture(1.0)).collect().head
+    assert(same.getAs[Double]("f_stat") == 0.0, s"identical spreads: $same")
+    val diff = StatTests.brownForsythe(fixture(5.0)).collect().head
+    assert(diff.getAs[Double]("f_stat") > 4.0, s"5x spread must be detectable: $diff")
+    assert(diff.getAs[Long]("n") == 12 && diff.getAs[Long]("k") == 2)
+  }
+
+  // ------------------------------------------------------------- q359
+  test("q359: a planted one-sided token tops the drift ranking with the right direction") {
+    val common = "the quick brown fox jumps over lazy dogs daily " * 3
+    val docs = (0 until 40).map { i =>
+      val txt =
+        if (i % 2 == 0) common + (" driftword" * 5) // A side only
+        else common
+      (i.toLong, txt, "en", "s", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.tokenDrift(docs, minCount = 20, topN = 10).collect()
+    val top = out.head
+    assert(top.getAs[String]("token") == "driftword", out.map(_.toString).mkString(","))
+    assert(top.getAs[Long]("cnt_a") == 100 && top.getAs[Long]("cnt_b") == 0)
+    assert(top.getAs[Double]("log2_ratio") > 5.0, "A-only token drifts positive")
+    // balanced tokens carry (near-)zero chi2: every other reported token
+    // scores far below the planted one
+    out.tail.foreach(r => assert(r.getAs[Double]("chi2") < top.getAs[Double]("chi2") / 10))
+  }
+}
