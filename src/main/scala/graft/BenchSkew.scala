@@ -25,7 +25,11 @@ object BenchSkew {
     "q40_minhash_lsh",    // banded LSH with maxBucket caps (hot buckets)
     "q22_sessionize",     // per-user windows with a hot user
     "q118_peak_concurrency", // hot-day interval sweep
-    "q70_sink_ingest")    // rebalance + AQE skew split on a hot (dt,hr)
+    "q70_sink_ingest",    // rebalance + AQE skew split on a hot (dt,hr)
+    "q43_embedding_neardup", // SRP buckets vs a dense hot cluster
+    "q52_ann_lsh",        // LSH buckets saturated by the hot cluster
+    "q53_ann_ivf",        // IVF with 40% of mass in one centroid
+    "q65_semantic_dedup") // bucketed cosine + bounded components, clumpy
 
   final class TaskMaxListener extends SparkListener {
     @volatile var maxShuffleReadRows = 0L
@@ -46,14 +50,16 @@ object BenchSkew {
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench-skew")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")))
+    // embeddings is the newest fixture table — its presence marks a
+    // complete generation
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")))
       GenSkewData.generate(spark, dir)
 
     val listener = new TaskMaxListener
     spark.sparkContext.addSparkListener(listener)
 
     // warmup: one scan per table
-    Seq("lineitem", "orders", "customer", "part", "events", "documents")
+    Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$dir/$t.parquet").count())
 
     val rows = SkewQueries.map { name =>

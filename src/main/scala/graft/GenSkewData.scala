@@ -143,8 +143,29 @@ object GenSkewData {
       concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+    // embeddings: CLUSTERED with one dense hot cluster — the ANN
+    // adversary (uniform vectors make every LSH/IVF bucket balanced;
+    // real corpora are clumpy, and a dense cluster is what saturates a
+    // bucket): 40% of vectors in ONE tight cluster, the rest across 20
+    // looser clusters; 32-dim, deterministic hash-derived coordinates
+    val nVec = (8000 * scale).toInt.max(200)
+    val dim = 32
+    val embeddings = spark.range(nVec)
+      .withColumn("label",
+        when(pmod(xxhash64(col("id"), lit(40)), lit(10L)) < 4, lit(0))
+          .otherwise((pmod(xxhash64(col("id"), lit(41)), lit(20L)) + 1).cast("int")))
+      .select(
+        col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), d ->
+             CAST(label * 3.0
+               + CAST(pmod(xxhash64(label, d), 1000) AS DOUBLE) / 500.0
+               + CAST(pmod(xxhash64(id, d, 42), 1000) AS DOUBLE) / 1000.0
+                 * CASE WHEN label = 0 THEN 0.05 ELSE 0.6 END AS FLOAT))""")
+          .as("embedding"),
+        col("label"))
     Seq("customer" -> customer, "part" -> part, "orders" -> orders,
-      "lineitem" -> lineitem, "events" -> events, "documents" -> documents)
+      "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+      "embeddings" -> embeddings)
       .foreach { case (n, df) =>
         df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
       }

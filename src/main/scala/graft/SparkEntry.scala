@@ -649,6 +649,10 @@ object SparkEntry {
     "q357_kruskal_wallis" -> ((s, d) => StatTests.kruskalWallis(Tables(s, d).orders)),
     "q358_brown_forsythe" -> ((s, d) => StatTests.brownForsythe(Tables(s, d).orders)),
     "q359_token_drift" -> ((s, d) => TextAnalysis.tokenDrift(Tables(s, d).documents)),
+    "q360_price_index" -> ((s, d) => Relational.priceIndex(Tables(s, d).lineitem)),
+    "q361_gumbel_extremes" -> ((s, d) => StatTests.gumbelExtremes(Tables(s, d).orders)),
+    "q362_dedup_coverage" -> ((s, d) => TextAnalysis.dedupCoverageEstimate(Tables(s, d).documents)),
+    "q363_ljung_box" -> ((s, d) => StatTests.ljungBox(Tables(s, d).orders)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5220,6 +5224,78 @@ object SparkEntry {
         |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q288_kcore" -> kcoreOracle,
+    "q360_price_index" ->
+      """WITH by AS (
+        |  SELECT l_partkey AS part, date_part('year', l_shipdate) AS yr,
+        |    sum(l_extendedprice*(1.0 - l_discount)) AS rev, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2 HAVING sum(l_quantity) > 0),
+        |my AS (SELECT max(yr) AS y2 FROM by),
+        |base AS (SELECT part, rev/qty AS p0, qty AS q0 FROM by, my WHERE yr = y2 - 1),
+        |cur AS (SELECT part, rev/qty AS p1, qty AS q1, y2 FROM by, my WHERE yr = y2),
+        |j AS (SELECT base.*, cur.p1, cur.q1, cur.y2 FROM base JOIN cur USING (part)),
+        |s AS (
+        |  SELECT count(*) AS n_parts,
+        |    CAST(max(y2) - 1 AS BIGINT) AS base_year, CAST(max(y2) AS BIGINT) AS cur_year,
+        |    sum(p1*q0) AS ln_, sum(p0*q0) AS ld, sum(p1*q1) AS pn, sum(p0*q1) AS pd
+        |  FROM j)
+        |SELECT base_year, cur_year, n_parts,
+        |  floor(ln_/ld*10000 + 0.5)/10000 AS laspeyres,
+        |  floor(pn/pd*10000 + 0.5)/10000 AS paasche,
+        |  floor(sqrt((ln_/ld)*(pn/pd))*10000 + 0.5)/10000 AS fisher
+        |FROM s""".stripMargin,
+    "q361_gumbel_extremes" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1),
+        |mo AS (SELECT count(*) AS n_days, avg(mx) AS m, stddev_samp(mx) AS s FROM daily),
+        |fit AS (SELECT n_days, m - 0.5772156649015329*(s*sqrt(6.0)/pi()) AS mu,
+        |          s*sqrt(6.0)/pi() AS beta FROM mo)
+        |SELECT n_days,
+        |  floor(mu*10000 + 0.5)/10000 AS mu,
+        |  floor(beta*10000 + 0.5)/10000 AS beta,
+        |  floor((mu - beta*ln(-ln(1.0 - 1.0/30)))*10000 + 0.5)/10000 AS rl_30d,
+        |  floor((mu - beta*ln(-ln(1.0 - 1.0/100)))*10000 + 0.5)/10000 AS rl_100d,
+        |  floor((mu - beta*ln(-ln(1.0 - 1.0/365)))*10000 + 0.5)/10000 AS rl_365d
+        |FROM fit""".stripMargin,
+    "q362_dedup_coverage" ->
+      """WITH a AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(substr(text, 1, 256)) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn > 1),
+        |b AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(substr(text, -256, 256)) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn > 1),
+        |s AS (
+        |  SELECT (SELECT count(*) FROM a) AS n_a,
+        |    (SELECT count(*) FROM b) AS n_b,
+        |    (SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_both),
+        |e AS (SELECT n_a, n_b, n_both,
+        |        (n_a + 1)*(n_b + 1)/(n_both + 1.0) - 1 AS est FROM s)
+        |SELECT n_a, n_b, n_both,
+        |  floor(est*10000 + 0.5)/10000 AS est_total_dups,
+        |  floor(CASE WHEN est <= 0 THEN NULL ELSE n_a/est END*10000 + 0.5)/10000 AS coverage_a,
+        |  floor(CASE WHEN est <= 0 THEN NULL ELSE n_b/est END*10000 + 0.5)/10000 AS coverage_b
+        |FROM e""".stripMargin,
+    "q363_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |mean AS (SELECT avg(rev) AS xbar, count(*) AS n FROM daily),
+        |c AS (SELECT date_diff('day', DATE '1970-01-01', day) AS di,
+        |        rev - xbar AS c, n FROM daily, mean),
+        |denom AS (SELECT sum(c*c) AS ss, CAST(max(n) AS BIGINT) AS nd FROM c),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |rho AS (
+        |  SELECT lag, sum(a.c*b.c)/(SELECT ss FROM denom) AS rho,
+        |    (SELECT nd FROM denom) AS nd
+        |  FROM c a CROSS JOIN lags JOIN c b ON a.di + lag = b.di
+        |  GROUP BY lag)
+        |SELECT CAST(max(nd) AS BIGINT) AS n_days, count(*) AS m_lags,
+        |  floor(max(nd)*(max(nd) + 2)*sum(rho*rho/(nd - lag))*10000 + 0.5)/10000 AS q_stat
+        |FROM rho""".stripMargin,
     "q356_weibull_leadtime" ->
       """WITH t AS (
         |  SELECT o_orderpriority AS prio,

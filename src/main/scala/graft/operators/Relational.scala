@@ -2138,6 +2138,48 @@ object Relational {
       .limit(topN)
   }
 
+  /** q360: LASPEYRES / PAASCHE / FISHER price indices between the last
+    * two shipping years — the econometrician's answer to q353's
+    * accounting bridge ("how much did PRICES move, holding the basket
+    * fixed"): Laspeyres weights by base-year quantities, Paasche by
+    * current-year, Fisher is their geometric mean. Per-part unit
+    * prices are revenue-weighted (Σrev/Σqty, the q353 convention);
+    * only parts traded in BOTH years enter (the matched basket).
+    *
+    * Scale shape: one (part, year) fact aggregate, a 1-row max-year
+    * scalar, a self-join of two year slices on part (catalog-bounded),
+    * three ratio aggregates — no window, no data-sized frame. */
+  def priceIndex(lineitem: DataFrame): DataFrame = {
+    val by = lineitem
+      .groupBy(col("l_partkey").as("part"), year(col("l_shipdate")).as("yr"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+        sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 0)
+      .withColumn("p", col("rev") / col("qty"))
+    val maxYr = by.agg(max(col("yr")).as("y2")) // 1 row
+    val two = by.crossJoin(broadcast(maxYr)).filter(col("yr") >= col("y2") - 1)
+    val base = two.filter(col("yr") === col("y2") - 1)
+      .select(col("part"), col("p").as("p0"), col("qty").as("q0"))
+    val cur = two.filter(col("yr") === col("y2"))
+      .select(col("part"), col("p").as("p1"), col("qty").as("q1"), col("y2"))
+    base.join(cur, "part")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        max(col("y2") - 1).cast("long").as("base_year"),
+        max(col("y2")).cast("long").as("cur_year"),
+        sum(col("p1") * col("q0")).as("l_num"),
+        sum(col("p0") * col("q0")).as("l_den"),
+        sum(col("p1") * col("q1")).as("p_num"),
+        sum(col("p0") * col("q1")).as("p_den"))
+      .select(
+        col("base_year"), col("cur_year"), col("n_parts"),
+        round(col("l_num") / col("l_den"), 4).as("laspeyres"),
+        round(col("p_num") / col("p_den"), 4).as("paasche"),
+        round(sqrt((col("l_num") / col("l_den")) * (col("p_num") / col("p_den"))), 4)
+          .as("fisher"))
+  }
+
   /** q353: PRICE-VOLUME-MIX decomposition — the merchandising bridge
     * that explains a revenue change ("did we sell more, or charge
     * more?"): per brand, ΔR between the last two shipping years splits

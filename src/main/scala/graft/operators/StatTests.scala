@@ -736,6 +736,73 @@ object StatTests {
         round(expr("try_divide(ssb/(k-1), ssw/(n-k))"), 4).as("f_stat"))
   }
 
+  /** q361: GUMBEL block-extremes fit over daily maxima — "what order
+    * value should we expect once a month / once a year" (capacity
+    * planning for the fraud/large-order review queue; the
+    * extreme-value complement of q355's in-distribution fences):
+    * method-of-moments Gumbel fit (β = s√6/π, μ = m − γβ) over the
+    * daily-max frame, with return levels μ − β·ln(−ln(1−1/T)).
+    * Calendar-bounded: one (day, max) aggregate, one moment pass —
+    * the q89/q181 daily-frame idiom. */
+  def gumbelExtremes(orders: DataFrame): DataFrame = {
+    val gamma = 0.5772156649015329 // Euler–Mascheroni
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(max("o_totalprice").as("mx"))
+    daily
+      .agg(count(lit(1)).as("n_days"), avg("mx").as("m"), stddev_samp(col("mx")).as("s"))
+      .withColumn("beta", col("s") * math.sqrt(6.0) / math.Pi)
+      .withColumn("mu", col("m") - lit(gamma) * col("beta"))
+      .select(
+        col("n_days"),
+        round(col("mu"), 4).as("mu"),
+        round(col("beta"), 4).as("beta"),
+        round(col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0 / 30))), 4)
+          .as("rl_30d"),
+        round(col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0 / 100))), 4)
+          .as("rl_100d"),
+        round(col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0 / 365))), 4)
+          .as("rl_365d"))
+  }
+
+  /** q363: LJUNG–BOX portmanteau test on daily revenue — "is there ANY
+    * autocorrelation left" in one number (q181 shows the per-lag
+    * picture; this is the gate a forecast-residual check needs):
+    * Q = n(n+2) Σ_{k≤m} ρ̂k²/(n−k) with the CLASSICAL fixed-mean ACF
+    * ρ̂k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)² (q181's pairwise corr is a
+    * different estimator — documented, not interchangeable). Day-index
+    * equi-join per lag over the calendar-bounded daily frame; the
+    * global mean/variance attach via the 1-row broadcast scalar. */
+  def ljungBox(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+      .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
+    // two-pass: mean first (1 row), then the centered series
+    val mean = daily.agg(avg("rev").as("xbar"), count(lit(1)).as("n"))
+    val centered = daily.crossJoin(broadcast(mean))
+      .select(col("di"), (col("rev") - col("xbar")).as("c"), col("n"))
+    val denom = centered.agg(sum(col("c") * col("c")).as("ss"), max("n").as("nd"))
+    val lagDf = daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    centered.as("a")
+      .crossJoin(broadcast(lagDf))
+      .join(centered.as("b"), col("a.di") + col("lag") === col("b.di"))
+      .groupBy("lag")
+      .agg(sum(col("a.c") * col("b.c")).as("num"))
+      .crossJoin(broadcast(denom)) // 1-row scalar
+      .select(col("lag"), (col("num") / col("ss")).as("rho"), col("nd"))
+      .agg(
+        max("nd").as("n_days"),
+        count(lit(1)).as("m_lags"),
+        sum(col("rho") * col("rho") / (col("nd") - col("lag"))).as("srho"),
+        max("nd").as("nn"))
+      .select(
+        col("n_days"),
+        col("m_lags"),
+        round(col("nn") * (col("nn") + 2) * col("srho"), 4).as("q_stat"))
+  }
+
   /** q232: rolling correlation between two event streams — trailing
     * 7-day Pearson correlation of daily purchase vs error activity (the
     * co-movement monitor: a correlation regime change flags incidents

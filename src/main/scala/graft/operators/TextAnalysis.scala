@@ -1724,6 +1724,43 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** q362: CAPTURE–RECAPTURE estimate of the true duplicate population —
+    * the dedup-QA question no single detector answers: "how many dups
+    * does our pipeline MISS". Two independent detectors (head-of-doc
+    * fingerprint vs tail-of-doc fingerprint — genuinely different
+    * views: neither is a refinement of the other, unlike raw-vs-
+    * normalized where one set nests in the other and the estimator
+    * degenerates) each flag their duplicate docs (non-first member of
+    * a fingerprint group, doc_id order); the Chapman estimator
+    * N̂ = (nA+1)(nB+1)/(m+1) − 1 over the overlap m sizes the total
+    * duplicate population, and each detector's coverage = n/N̂.
+    *
+    * Scale shape: two fp equi-aggregates (never all-pairs), one
+    * doc-grain join on doc_id for the overlap, a 1-row report. */
+  def dedupCoverageEstimate(documents: DataFrame, window: Int = 256): DataFrame = {
+    def flagged(fp: org.apache.spark.sql.Column, name: String): DataFrame =
+      documents.select(col("doc_id"), fp.as("fp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") > 1)
+        .select(col("doc_id").as(name))
+    val a = flagged(md5(substring(col("text"), 1, window)), "a_id")
+    val b = flagged(md5(substring(col("text"), -window, window)), "b_id")
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val m = a.join(b, col("a_id") === col("b_id")).agg(count(lit(1)).as("n_both"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m)) // 1-row scalars
+      .withColumn("est",
+        (col("n_a") + 1) * (col("n_b") + 1) / (col("n_both") + lit(1.0)) - 1)
+      .select(
+        col("n_a"), col("n_b"), col("n_both"),
+        round(col("est"), 4).as("est_total_dups"),
+        round(when(col("est") <= 0.0, lit(null)).otherwise(col("n_a") / col("est")), 4)
+          .as("coverage_a"),
+        round(when(col("est") <= 0.0, lit(null)).otherwise(col("n_b") / col("est")), 4)
+          .as("coverage_b"))
+  }
+
   /** q359: TOKEN-FREQUENCY DRIFT between two corpus versions — "which
     * tokens' rates shifted significantly between crawls", the
     * vocabulary-level companion of q240's binned PSI and q161's length

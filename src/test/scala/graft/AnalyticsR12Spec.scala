@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{StatTests, TextAnalysis}
+import graft.operators.{Relational, StatTests, TextAnalysis}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -108,6 +108,94 @@ class AnalyticsR12Spec extends SparkSpec {
     val diff = StatTests.brownForsythe(fixture(5.0)).collect().head
     assert(diff.getAs[Double]("f_stat") > 4.0, s"5x spread must be detectable: $diff")
     assert(diff.getAs[Long]("n") == 12 && diff.getAs[Long]("k") == 2)
+  }
+
+  // ------------------------------------------------------------- q360
+  test("q360: hand-computed Laspeyres/Paasche/Fisher on a two-part matched basket") {
+    // part 1: y2023 p=10 q=5 -> y2024 p=12 q=4; part 2: p=2 q=10 -> p=2 q=20
+    // part 3 trades only in 2024 (excluded from the matched basket)
+    // L = (12*5 + 2*10)/(10*5 + 2*10) = 80/70; P = (48+40)/(40+40) = 1.1
+    val li = Seq(
+      (1L, 10.0 * 5, 5.0, "2023-03-01"), (1L, 12.0 * 4, 4.0, "2024-03-01"),
+      (2L, 2.0 * 10, 10.0, "2023-05-01"), (2L, 2.0 * 20, 20.0, "2024-05-01"),
+      (3L, 7.0 * 2, 2.0, "2024-06-01"))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity", "ship")
+      .withColumn("l_shipdate", to_timestamp(col("ship")))
+      .withColumn("l_discount", lit(0.0))
+      .drop("ship")
+    val r = Relational.priceIndex(li).collect().head
+    assert(r.getAs[Long]("base_year") == 2023 && r.getAs[Long]("cur_year") == 2024)
+    assert(r.getAs[Long]("n_parts") == 2)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(r.getAs[Double]("laspeyres") == r4(80.0 / 70))
+    assert(r.getAs[Double]("paasche") == 1.1)
+    assert(r.getAs[Double]("fisher") == r4(math.sqrt(80.0 / 70 * 1.1)))
+  }
+
+  // ------------------------------------------------------------- q361
+  test("q361: Gumbel moments fit matches hand math; return levels are monotone in horizon") {
+    val days = (1 to 30).map(i => (i.toLong, "P", 100.0 + (i % 7) * 13.0,
+      f"2024-01-${i}%02d 00:00:00"))
+    val orders = ordersOf(days: _*)
+    val r = StatTests.gumbelExtremes(orders).collect().head
+    assert(r.getAs[Long]("n_days") == 30)
+    // hand moments over the daily maxima (one order per day -> max = value)
+    val xs = days.map(_._3)
+    val m = xs.sum / xs.size
+    val s = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    val beta = s * math.sqrt(6.0) / math.Pi
+    val mu = m - 0.5772156649015329 * beta
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(r.getAs[Double]("mu") == r4(mu) && r.getAs[Double]("beta") == r4(beta), r.toString)
+    val (a, b, c) = (r.getAs[Double]("rl_30d"), r.getAs[Double]("rl_100d"), r.getAs[Double]("rl_365d"))
+    assert(a < b && b < c, s"longer horizons mean higher return levels: $a $b $c")
+  }
+
+  // ------------------------------------------------------------- q362
+  test("q362: Chapman estimator over head/tail detectors on planted overlap structure") {
+    def block(ch: Char) = ch.toString * 256
+    // docs 1,2 share the HEAD block only; 3,4 share the TAIL block only;
+    // 5,6 share BOTH; 7..10 unique everywhere
+    def doc(id: Long, head: String, tail: String) =
+      (id, head + s" middle-$id " + tail, "en", "s", 600L)
+    val docs = Seq(
+      doc(1, block('a'), block('p') + "1"), doc(2, block('a'), block('q') + "2"),
+      doc(3, block('b') + "3", block('z')), doc(4, block('c') + "4", block('z')),
+      doc(5, block('d'), block('y')), doc(6, block('d'), block('y')),
+      doc(7, block('e') + "7", block('m') + "7"), doc(8, block('f') + "8", block('n') + "8"),
+      doc(9, block('g') + "9", block('o') + "9"), doc(10, block('h') + "0", block('r') + "0"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.dedupCoverageEstimate(docs).collect().head
+    // A (head fp) flags {2, 6}; B (tail fp) flags {4, 6}; overlap {6}
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Long]("n_both") == 1, r.toString)
+    // Chapman: 3*3/2 - 1 = 3.5
+    assert(r.getAs[Double]("est_total_dups") == 3.5)
+    assert(r.getAs[Double]("coverage_a") == math.floor(2 / 3.5 * 10000 + 0.5) / 10000)
+  }
+
+  // ------------------------------------------------------------- q363
+  test("q363: Ljung-Box Q matches a brute-force reference; trend >> shuffled") {
+    def qStat(xs: Seq[Double], m: Int): Double = {
+      val n = xs.size
+      val xbar = xs.sum / n
+      val c = xs.map(_ - xbar)
+      val ss = c.map(x => x * x).sum
+      val rhos = (1 to m).map(k => (0 until n - k).map(i => c(i) * c(i + k)).sum / ss)
+      n * (n + 2.0) * rhos.zipWithIndex.map { case (r, i) => r * r / (n - (i + 1)) }.sum
+    }
+    // strongly trending series over 40 consecutive days
+    val trend = (1 to 40).map(i => 100.0 + i * 10.0)
+    val orders = ordersOf(trend.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, "P", v,
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString + " 00:00:00")
+    }: _*)
+    val r = StatTests.ljungBox(orders).collect().head
+    assert(r.getAs[Long]("n_days") == 40 && r.getAs[Long]("m_lags") == 7)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(math.abs(r.getAs[Double]("q_stat") - r4(qStat(trend, 7))) < 0.01,
+      s"${r.getAs[Double]("q_stat")} vs ${qStat(trend, 7)}")
+    assert(r.getAs[Double]("q_stat") > 100, "a strong trend must reject independence loudly")
   }
 
   // ------------------------------------------------------------- q359

@@ -375,7 +375,13 @@ class PlanSpec extends SparkSpec {
       "q346_peaks"          -> Set("unpartitioned-window"), // lag/lead + RANGE median over the calendar-day table (q342 idiom)
       "q348_empirical_bayes" -> bnl, // 1-row method-of-moments prior scalar (q14/q319 idiom)
       "q352_seasonal_index" -> (bnl + "unpartitioned-window"), // 1-row normalizer scalar + centered MA over the #months frame (q89 idiom)
-      "q354_runs_test"      -> (bnl + "unpartitioned-window")) // 1-row median scalar + lag over the calendar-day frame (q89 idiom)
+      "q354_runs_test"      -> (bnl + "unpartitioned-window"), // 1-row median scalar + lag over the calendar-day frame (q89 idiom)
+      "q357_kruskal_wallis" -> (bnl + "unpartitioned-window"), // 1-row tie-correction scalar (q14 idiom) + GlobalOrder offset frame ≤numBuckets rows (q150/q252 idiom)
+      "q358_brown_forsythe" -> bnl, // 1-row grand-mean scalar (q14/q226 idiom); group medians broadcast on an equi-key
+      "q359_token_drift"    -> bnl, // 1-row corpus token-mass scalar (q14/q255 idiom)
+      "q360_price_index"    -> bnl, // 1-row max-year scalar (q14/q353 idiom)
+      "q362_dedup_coverage" -> bnl, // 1-row nA/nB/overlap scalars crossed (q14 idiom)
+      "q363_ljung_box"      -> bnl) // 1-row mean/denominator scalars + ≤maxLag lag frame broadcast (q14/q181 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
