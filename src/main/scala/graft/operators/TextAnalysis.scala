@@ -1784,10 +1784,21 @@ object TextAnalysis {
       .agg(
         sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
-      .filter(col("cnt_a") + col("cnt_b") >= minCount)
-    val totals = tok.agg(
-      sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
-      sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    tokenDriftFromCounts(counts, minCount, topN)
+  }
+
+  /** The q359 kernel over PRE-AGGREGATED token-grain counts
+    * (token, cnt_a, cnt_b) — shared by the batch parity split above and
+    * the streaming monitor ([[graft.streaming.StreamingTokenDrift]]),
+    * so a threshold tuned on the batch report transfers to ingest
+    * unchanged (the stream_psi discipline). Totals are taken over the
+    * UNFILTERED counts (token mass, not surviving-token mass). */
+  private[graft] def tokenDriftFromCounts(
+      tokenCounts: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val counts = tokenCounts.filter(col("cnt_a") + col("cnt_b") >= minCount)
+    val totals = tokenCounts.agg(
+      sum(col("cnt_a")).as("na"),
+      sum(col("cnt_b")).as("nb"))
     counts
       .crossJoin(broadcast(totals)) // 1-row scalar
       .withColumn("chi2_raw", {

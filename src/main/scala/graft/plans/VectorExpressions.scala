@@ -42,10 +42,16 @@ trait VectorExpressionHelpers { self: Expression =>
     case _         => arr.getDouble(i)
   }
 
-  /** Java source for reading element i of `arr` as double. */
-  protected def getterSrc(arr: String, t: DataType): String = t match {
-    case FloatType => s"(double) $arr.getFloat(i)"
-    case _         => s"$arr.getDouble(i)"
+  /** Java source for reading element `idx` of `arr` as double. The
+    * index variable is caller-supplied: every local in these codegen
+    * bodies MUST be a `ctx.freshName` — two vector expressions landing
+    * in ONE whole-stage-codegen function otherwise redeclare the same
+    * Java locals, janino rejects the class, and the stage silently
+    * falls back to interpreted execution (caught in the round-8 bench:
+    * "Redefinition of local variable i" on the ANN path). */
+  protected def getterSrc(arr: String, idx: String, t: DataType): String = t match {
+    case FloatType => s"(double) $arr.getFloat($idx)"
+    case _         => s"$arr.getDouble($idx)"
   }
 }
 
@@ -74,15 +80,16 @@ case class VecDot(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
-         |    dot += ${getterSrc(x, lt)} * ${getterSrc(y, rt)};
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $dot += ${getterSrc(x, i, lt)} * ${getterSrc(y, i, rt)};
          |  }
          |}
-         |${ev.value} = dot;
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -113,15 +120,16 @@ case class VecNorm(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val v = ctx.freshName("v")
       s"""
-         |double s = 0.0;
-         |for (int i = 0; i < $x.numElements(); i++) {
-         |  if (!$x.isNullAt(i)) {
-         |    double v = ${getterSrc(x, et)};
-         |    s += v * v;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    double $v = ${getterSrc(x, i, et)};
+         |    $s += $v * $v;
          |  }
          |}
-         |${ev.value} = java.lang.Math.sqrt(s);
+         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 
@@ -158,18 +166,22 @@ case class VecCosine(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val u = ctx.freshName("u")
+      val v = ctx.freshName("v"); val denom = ctx.freshName("denom")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double d = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
-         |    double u = ${getterSrc(x, lt)};
-         |    double v = ${getterSrc(y, rt)};
-         |    d += u * v; na += u * u; nb += v * v;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $d = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    double $u = ${getterSrc(x, i, lt)};
+         |    double $v = ${getterSrc(y, i, rt)};
+         |    $d += $u * $v; $na += $u * $u; $nb += $v * $v;
          |  }
          |}
-         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |${ev.value} = denom == 0.0 ? 0.0 : d / denom;
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $denom == 0.0 ? 0.0 : $d / $denom;
        """.stripMargin
     })
 

@@ -35,6 +35,30 @@ class VectorExprSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0)
   }
 
+  test("regression: several vector exprs in ONE codegen function compile (fresh locals)") {
+    // pre-fix, every vector expression declared the same Java locals
+    // (i, n, d, ...) — two of them in one whole-stage-codegen function
+    // made janino reject the class and the stage silently fell back to
+    // interpreted execution (caught in the round-8 bench). fallback=false
+    // turns the silent downgrade into a hard failure so this can't rot.
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val r = vecs.select(
+        dot(col("a"), col("b")).as("d"),
+        dot(col("b"), col("a")).as("d2"),
+        norm(col("a")).as("na"),
+        norm(col("b")).as("nb"),
+        cosine(col("a"), col("b")).as("c"),
+        cosine(col("b"), col("a")).as("c2"))
+        .filter(col("d") === col("d2"))
+        .collect()
+      assert(r.length == vecs.count())
+      assert(r.forall(x => math.abs(x.getAs[Double]("c") - x.getAs[Double]("c2")) < 1e-12))
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("SQL registration: vec_dot/vec_norm/vec_cosine callable from spark.sql") {
     VectorFunctionRegistry.register(spark)
     val r = spark.sql(
