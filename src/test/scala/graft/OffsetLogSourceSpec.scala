@@ -118,6 +118,41 @@ class OffsetLogSourceSpec extends SparkSpec {
     assert(seen.size == new java.util.HashSet[Long](seen).size, "no duplicates")
   }
 
+  test("fan-in through the standard API: a union of two DSv2 log streams lands the FanInRelay's table") {
+    val logA = Files.createTempDirectory("graft-dsv2-fanA").toString
+    val logB = Files.createTempDirectory("graft-dsv2-fanB").toString
+    val events = Tables(spark, sfDir).events
+    OffsetLog.append(spark, logA, events.limit(120), "user_id", P)
+    OffsetLog.append(spark, logB, events.exceptAll(events.limit(120)).limit(80), "user_id", P)
+
+    // path A: the combined-commit fan-in relay
+    val sinkA = new HiveBatchSink(spark,
+      Files.createTempDirectory("graft-dsv2-fansinkA").toString)
+    graft.streaming.FanInRelay.drainLoop(spark, Seq(logA, logB), "agents", P, sinkA,
+      commitRoot = Files.createTempDirectory("graft-dsv2-fanck").toString)
+
+    // path B: engine-checkpointed union — Structured Streaming tracks
+    // each source's offsets in ONE commit, which is exactly the
+    // combined-commit atomicity FanInRelay hand-builds
+    val sinkB = new HiveBatchSink(spark,
+      Files.createTempDirectory("graft-dsv2-fansinkB").toString)
+    val unioned = readLog(logA).drop("partition", "offset")
+      .unionByName(readLog(logB).drop("partition", "offset"))
+    val q = sinkB
+      .streamWriter(unioned, Files.createTempDirectory("graft-dsv2-fanck2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def surface(s: HiveBatchSink) =
+      s.readTable().select("event_id").unionByName(
+        spark.read.parquet(s.stagingPath).select("event_id"))
+    val a = surface(sinkA); val b = surface(sinkB)
+    assert(a.count() == 200 && b.count() == 200)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "fan-in through readStream lands exactly the relay's rows")
+  }
+
   test("empty log: attaching a consumer before the first append is caught-up, not an error") {
     val logRoot = Files.createTempDirectory("graft-dsv2-log4").toString
     new java.io.File(logRoot).mkdirs()
