@@ -653,6 +653,10 @@ object SparkEntry {
     "q361_gumbel_extremes" -> ((s, d) => StatTests.gumbelExtremes(Tables(s, d).orders)),
     "q362_dedup_coverage" -> ((s, d) => TextAnalysis.dedupCoverageEstimate(Tables(s, d).documents)),
     "q363_ljung_box" -> ((s, d) => StatTests.ljungBox(Tables(s, d).orders)),
+    // real WAV decode via the JVM's own audio codec; features are DSP
+    // over decoded samples (Goertzel bin scan) — not SQL-expressible,
+    // rows-only with ground-truth specs
+    "q364_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, Tables(s, d).documents).toDF()),
   )
 
   def oracleSql: Map[String, String] = Map(

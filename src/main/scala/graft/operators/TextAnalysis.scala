@@ -1735,6 +1735,13 @@ object TextAnalysis {
     * N̂ = (nA+1)(nB+1)/(m+1) − 1 over the overlap m sizes the total
     * duplicate population, and each detector's coverage = n/N̂.
     *
+    * Honesty note: Chapman assumes the detectors capture independently.
+    * On short documents (len < window) head and tail views coincide, so
+    * the views correlate and N̂ biases toward |A∪B| — a LOWER bound on
+    * the real population. Production picks structurally independent
+    * detectors (e.g. MinHash vs SimHash); the estimator and report
+    * shape are what this operator contributes.
+    *
     * Scale shape: two fp equi-aggregates (never all-pairs), one
     * doc-grain join on doc_id for the overlap, a 1-row report. */
   def dedupCoverageEstimate(documents: DataFrame, window: Int = 256): DataFrame = {

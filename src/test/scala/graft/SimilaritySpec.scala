@@ -388,6 +388,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.GifFrameCodec.decodeFrames("not a gif".getBytes).isEmpty)
   }
 
+  test("q364 real audio: WAV round-trips the JVM codec; Goertzel finds the planted tone") {
+    val docs = Seq((0L, "a", "en", "s", 1L), (5L, "b", "en", "s", 1L), (13L, "c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // payloads are REAL RIFF/WAVE containers
+    val wav = Multimodal.withWavPayload(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(wav(0L).take(4).map(_.toChar).mkString == "RIFF")
+    assert(new String(wav(0L).slice(8, 12)) == "WAVE")
+    val out = Multimodal.audioFeatures(spark, docs).collect().map(f => f.doc_id -> f).toMap
+    // tone freq = 200 + (id % 20)*100
+    assert(out(0L).dominant_freq_hz == 200, out(0L).toString)
+    assert(out(5L).dominant_freq_hz == 700, out(5L).toString)
+    assert(out(13L).dominant_freq_hz == 1500, out(13L).toString)
+    // RMS of a full-period sine = amp/sqrt(2); amp(id) = 0.25 + 0.5*((id%3)/4)
+    def expectedRms(id: Long) = (0.25 + 0.5 * ((id % 3) / 4.0)) / math.sqrt(2)
+    Seq(0L, 5L, 13L).foreach { id =>
+      assert(math.abs(out(id).rms - expectedRms(id)) < 0.01,
+        s"doc $id rms ${out(id).rms} vs ${expectedRms(id)}")
+    }
+    // zero-crossing rate of an f-Hz tone ≈ 2f/sr
+    assert(math.abs(out(5L).zero_crossing_rate - 2.0 * 700 / 8000) < 0.01)
+    assert(out(0L).n_samples == 800 && out(0L).duration_ms == 100 &&
+      out(0L).sample_rate_hz == 8000)
+    // corrupt container drops, never throws
+    val feats = Multimodal.audioFeatures(spark, docs)
+    assert(feats.count() == 3)
+  }
+
   test("q228: recall report — exact is its own ceiling, approximates stay in [0,1]") {
     val rep = Similarity.annRecallReport(Tables(spark, sfDir).embeddings)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
