@@ -5228,6 +5228,104 @@ object SparkEntry {
         |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q288_kcore" -> kcoreOracle,
+    "q227_column_lineage" ->
+      // GOLDEN oracle: column lineage is a pure function of the 25
+      // registered plans it reports on (schema-stable; the pivot
+      // columns ride the sink's fixed event-type domain) — pinning the
+      // expected report catches silent lineage regressions the
+      // rows-only check never could
+      """SELECT * FROM (VALUES
+        |  ('q01_pricing_summary', 'avg_disc', 'lineitem.l_discount'),
+        |  ('q01_pricing_summary', 'avg_price', 'lineitem.l_extendedprice'),
+        |  ('q01_pricing_summary', 'avg_qty', 'lineitem.l_quantity'),
+        |  ('q01_pricing_summary', 'count_order', ''),
+        |  ('q01_pricing_summary', 'l_linestatus', 'lineitem.l_linestatus'),
+        |  ('q01_pricing_summary', 'l_returnflag', 'lineitem.l_returnflag'),
+        |  ('q01_pricing_summary', 'sum_base_price', 'lineitem.l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_charge', 'lineitem.l_discount,lineitem.l_extendedprice,lineitem.l_tax'),
+        |  ('q01_pricing_summary', 'sum_disc_price', 'lineitem.l_discount,lineitem.l_extendedprice'),
+        |  ('q01_pricing_summary', 'sum_qty', 'lineitem.l_quantity'),
+        |  ('q06_selective_agg', 'revenue', 'lineitem.l_discount,lineitem.l_extendedprice'),
+        |  ('q08_distinct_count', 'event_type', 'events.event_type'),
+        |  ('q08_distinct_count', 'n_events', ''),
+        |  ('q08_distinct_count', 'n_users', 'events.user_id'),
+        |  ('q118_peak_concurrency', 'day', 'events.ts'),
+        |  ('q118_peak_concurrency', 'n_sessions', ''),
+        |  ('q118_peak_concurrency', 'peak_concurrency', 'events.ts'),
+        |  ('q121_dau_wau', 'dau', ''),
+        |  ('q121_dau_wau', 'day', 'events.ts'),
+        |  ('q121_dau_wau', 'stickiness', ''),
+        |  ('q121_dau_wau', 'wau', ''),
+        |  ('q12_case_agg', 'event_type', 'events.event_type'),
+        |  ('q12_case_agg', 'high_value_cnt', 'events.value'),
+        |  ('q12_case_agg', 'high_value_sum', 'events.value'),
+        |  ('q12_case_agg', 'n_events', ''),
+        |  ('q136_moving_avg', 'day', 'events.ts'),
+        |  ('q136_moving_avg', 'days_in_frame', 'events.ts'),
+        |  ('q136_moving_avg', 'ma_7d', 'events.ts,events.value'),
+        |  ('q136_moving_avg', 'revenue', 'events.value'),
+        |  ('q13_having', 'l_partkey', 'lineitem.l_partkey'),
+        |  ('q13_having', 'n_items', ''),
+        |  ('q13_having', 'sum_qty', 'lineitem.l_quantity'),
+        |  ('q143_calendar_rollup', 'day', ''),
+        |  ('q143_calendar_rollup', 'gid', ''),
+        |  ('q143_calendar_rollup', 'hour', ''),
+        |  ('q143_calendar_rollup', 'month', ''),
+        |  ('q143_calendar_rollup', 'n_events', ''),
+        |  ('q143_calendar_rollup', 'revenue', 'events.value'),
+        |  ('q16_percentiles', 'event_type', 'events.event_type'),
+        |  ('q16_percentiles', 'median_value', 'events.value'),
+        |  ('q16_percentiles', 'n_events', ''),
+        |  ('q16_percentiles', 'p95_value', 'events.value'),
+        |  ('q186_dow_seasonality', 'dow', 'orders.o_orderdate'),
+        |  ('q186_dow_seasonality', 'n_orders', ''),
+        |  ('q186_dow_seasonality', 'revenue', 'orders.o_totalprice'),
+        |  ('q186_dow_seasonality', 'seasonality_idx', 'orders.o_totalprice'),
+        |  ('q200_exact_money', 'max_exact', 'orders.o_totalprice'),
+        |  ('q200_exact_money', 'min_exact', 'orders.o_totalprice'),
+        |  ('q200_exact_money', 'n_orders', ''),
+        |  ('q200_exact_money', 'o_orderpriority', 'orders.o_orderpriority'),
+        |  ('q200_exact_money', 'sum_double', 'orders.o_totalprice'),
+        |  ('q200_exact_money', 'sum_exact', 'orders.o_totalprice'),
+        |  ('q20_events_hourly', 'avg_value', 'events.value'),
+        |  ('q20_events_hourly', 'event_type', 'events.event_type'),
+        |  ('q20_events_hourly', 'hour', 'events.ts'),
+        |  ('q20_events_hourly', 'n_events', ''),
+        |  ('q20_events_hourly', 'sum_value', 'events.value'),
+        |  ('q211_pythagorean_means', 'arith_mean', 'orders.o_totalprice'),
+        |  ('q211_pythagorean_means', 'geo_mean', 'orders.o_totalprice'),
+        |  ('q211_pythagorean_means', 'harm_mean', 'orders.o_totalprice'),
+        |  ('q211_pythagorean_means', 'n', ''),
+        |  ('q211_pythagorean_means', 'o_orderpriority', 'orders.o_orderpriority'),
+        |  ('q21_partition_layout', 'dt', 'events.ts'),
+        |  ('q21_partition_layout', 'hr', 'events.ts'),
+        |  ('q21_partition_layout', 'n_rows', ''),
+        |  ('q21_partition_layout', 'n_types', 'events.event_type'),
+        |  ('q28_pivot', 'click', 'events.event_type'),
+        |  ('q28_pivot', 'dt', 'events.ts'),
+        |  ('q28_pivot', 'error', 'events.event_type'),
+        |  ('q28_pivot', 'purchase', 'events.event_type'),
+        |  ('q28_pivot', 'signup', 'events.event_type'),
+        |  ('q28_pivot', 'view', 'events.event_type'),
+        |  ('q29_stats_agg', 'corr_vu', 'events.user_id,events.value'),
+        |  ('q29_stats_agg', 'covar_vu', 'events.user_id,events.value'),
+        |  ('q29_stats_agg', 'event_type', 'events.event_type'),
+        |  ('q29_stats_agg', 'n_events', ''),
+        |  ('q29_stats_agg', 'sd_value', 'events.value'),
+        |  ('q29_stats_agg', 'var_value', 'events.value'),
+        |  ('q79_histogram', 'bin', 'orders.o_totalprice'),
+        |  ('q79_histogram', 'bin_max', 'orders.o_totalprice'),
+        |  ('q79_histogram', 'bin_min', 'orders.o_totalprice'),
+        |  ('q79_histogram', 'n_orders', ''),
+        |  ('q87_anomaly', 'dt', 'events.ts'),
+        |  ('q87_anomaly', 'hr', 'events.ts'),
+        |  ('q87_anomaly', 'n_events', ''),
+        |  ('q87_anomaly', 'z', ''),
+        |  ('q89_mom_change', 'month', 'orders.o_orderdate'),
+        |  ('q89_mom_change', 'pct_change', 'orders.o_orderdate,orders.o_totalprice'),
+        |  ('q89_mom_change', 'revenue', 'orders.o_totalprice')
+        |) AS t(query, out_column, sources) ORDER BY query, out_column""".stripMargin,
+
     "q360_price_index" ->
       """WITH by AS (
         |  SELECT l_partkey AS part, date_part('year', l_shipdate) AS yr,
