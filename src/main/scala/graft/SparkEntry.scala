@@ -5228,6 +5228,28 @@ object SparkEntry {
         |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q288_kcore" -> kcoreOracle,
+    "q218_mv_advisor" ->
+      // GOLDEN oracle (q227 discipline): the advisor report is a pure
+      // function of the registered plans + the sink's fixed schemas —
+      // pinning it makes a silent advisor regression fail the gate
+      """SELECT "table", group_keys, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(covers AS BIGINT) AS covers, queries
+        |FROM (VALUES
+        |  ('events', 'date_format(date_trunc(''hour'', ts), ''yyyy-mm-dd hh:00''),event_type', 1, 2, 'q20_events_hourly'),
+        |  ('events', 'date_format(ts, ''hh''),date_format(ts, ''yyyymmdd'')', 2, 2, 'q87_anomaly'),
+        |  ('events', 'date_format(ts, ''yyyy-mm-dd'')', 1, 1, 'q136_moving_avg'),
+        |  ('events', 'dt,event_type', 1, 2, 'q28_pivot'),
+        |  ('events', 'dt,hr', 1, 0, 'q21_partition_layout'),
+        |  ('events', 'event_type', 4, 1, 'q08_distinct_count,q12_case_agg,q16_percentiles,q29_stats_agg'),
+        |  ('lineitem', 'l_linestatus,l_returnflag', 1, 1, 'q01_pricing_summary'),
+        |  ('lineitem', 'l_partkey', 1, 1, 'q13_having'),
+        |  ('orders', '(dayofweek(to_date(o_orderdate)) - 1)', 1, 1, 'q186_dow_seasonality'),
+        |  ('orders', 'cast(floor((o_totalprice / 50000.0d)) as bigint)', 1, 1, 'q79_histogram'),
+        |  ('orders', 'date_format(cast(o_orderdate as timestamp), ''yyyy-mm'')', 1, 1, 'q89_mom_change'),
+        |  ('orders', 'o_orderpriority', 2, 2, 'q200_exact_money,q211_pythagorean_means')
+        |) AS t("table", group_keys, n_exact, covers, queries)
+        |ORDER BY "table", group_keys""".stripMargin,
+
     "q227_column_lineage" ->
       // GOLDEN oracle: column lineage is a pure function of the 25
       // registered plans it reports on (schema-stable; the pivot
