@@ -657,6 +657,11 @@ object SparkEntry {
     // over decoded samples (Goertzel bin scan) — not SQL-expressible,
     // rows-only with ground-truth specs
     "q364_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, Tables(s, d).documents).toDF()),
+    "q365_cochran_armitage" -> ((s, d) => StatTests.cochranArmitage(Tables(s, d).lineitem)),
+    "q366_theil_index" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.theilIndex(t.orders, t.customer, t.nation)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5228,6 +5233,39 @@ object SparkEntry {
         |         /(CAST(tot_pos AS DOUBLE)/tot_n))*10000 + 0.5)/10000 AS lift
         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "q288_kcore" -> kcoreOracle,
+    "q365_cochran_armitage" ->
+      """WITH g AS (
+        |  SELECT CAST(ceil(l_quantity/10.0) AS BIGINT) AS w, count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS r
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k, sum(r) AS rr,
+        |    sum(w*r) AS swr, sum(w*n) AS swn, sum(w*w*n) AS swwn FROM g),
+        |e AS (
+        |  SELECT nn, k, rr/nn AS pbar,
+        |    swr - (rr/nn)*swn AS num,
+        |    (rr/nn)*(1.0 - rr/nn)*(swwn - CAST(swn AS DOUBLE)*swn/nn) AS den2
+        |  FROM s)
+        |SELECT nn AS n, k AS k_doses,
+        |  floor(pbar*10000 + 0.5)/10000 AS overall_rate,
+        |  floor(CASE WHEN den2 <= 0 THEN NULL ELSE num/sqrt(den2) END*10000 + 0.5)/10000
+        |    AS z_trend
+        |FROM e""".stripMargin,
+    "q366_theil_index" ->
+      """WITH cr AS (
+        |  SELECT o_custkey AS ck, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1 HAVING sum(o_totalprice) > 0),
+        |j AS (
+        |  SELECT n.n_name, cr.x FROM cr
+        |  JOIN customer c ON cr.ck = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |m AS (SELECT n_name, avg(x) AS mu, count(*) AS n_customers
+        |      FROM j GROUP BY 1)
+        |SELECT j.n_name AS nation, max(m.n_customers) AS n_customers,
+        |  floor(avg((j.x/m.mu)*ln(j.x/m.mu))*10000 + 0.5)/10000 AS theil,
+        |  floor(max(m.mu)*10000 + 0.5)/10000 AS mean_revenue
+        |FROM j JOIN m ON j.n_name = m.n_name
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

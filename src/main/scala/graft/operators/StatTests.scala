@@ -803,6 +803,64 @@ object StatTests {
         round(col("nn") * (col("nn") + 2) * col("srho"), 4).as("q_stat"))
   }
 
+  /** q365: COCHRAN–ARMITAGE trend test — "does the return RATE rise
+    * with order size" (a dose-response question chi-square can't
+    * answer: q126 detects ANY association, this detects the ordered
+    * trend, with more power when the trend is real). Doses = quantity
+    * buckets ⌈q/10⌉ scored by their index; Z = Σwᵢ(rᵢ − nᵢp̄) /
+    * √(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)). One (bucket) contingency
+    * aggregate (≤5 rows), closed form — the q126/q331 family shape. */
+  def cochranArmitage(lineitem: DataFrame): DataFrame = {
+    val g = lineitem
+      .select(
+        ceil(col("l_quantity") / 10.0).cast("long").as("w"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"), sum("y").as("r"))
+    g.agg(
+      sum("n").as("nn"),
+      count(lit(1)).as("k"),
+      sum("r").as("rr"),
+      sum(col("w") * (col("r"))).as("swr"),
+      sum(col("w") * col("n")).as("swn"),
+      sum(col("w") * col("w") * col("n")).as("swwn"))
+      .withColumn("pbar", col("rr") / col("nn"))
+      .withColumn("num", col("swr") - col("pbar") * col("swn"))
+      .withColumn("den2",
+        col("pbar") * (lit(1.0) - col("pbar")) *
+          (col("swwn") - col("swn") * col("swn") / col("nn")))
+      .select(
+        col("nn").as("n"), col("k").as("k_doses"),
+        round(col("pbar"), 4).as("overall_rate"),
+        round(when(col("den2") <= 0.0, lit(null))
+          .otherwise(col("num") / sqrt(col("den2"))), 4).as("z_trend"))
+  }
+
+  /** q366: THEIL inequality index of customer revenue per nation — the
+    * decomposable cousin of q183's Gini ("how concentrated is revenue
+    * within each market"): T = mean((x/μ)·ln(x/μ)) over per-customer
+    * revenue, 0 = perfectly equal, ln(n) = one customer has it all.
+    * One customer-grain aggregate, per-nation means broadcast back
+    * (#nations rows), one closed-form aggregate. */
+  def theilIndex(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val custRev = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(sum("o_totalprice").as("x"))
+      .filter(col("x") > 0)
+      .join(customer.select(col("c_custkey").as("ck"), col("c_nationkey")), "ck")
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), "c_nationkey")
+    val means = custRev.groupBy("n_name")
+      .agg(avg("x").as("mu"), count(lit(1)).as("n_customers"))
+    custRev
+      .join(broadcast(means), "n_name")
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        max("n_customers").as("n_customers"),
+        round(avg((col("x") / col("mu")) * log(col("x") / col("mu"))), 4).as("theil"),
+        round(max("mu"), 4).as("mean_revenue"))
+      .orderBy("nation")
+  }
+
   /** q232: rolling correlation between two event streams — trailing
     * 7-day Pearson correlation of daily purchase vs error activity (the
     * co-movement monitor: a correlation regime change flags incidents

@@ -198,6 +198,54 @@ class AnalyticsR12Spec extends SparkSpec {
     assert(r.getAs[Double]("q_stat") > 100, "a strong trend must reject independence loudly")
   }
 
+  // ------------------------------------------------------------- q365
+  private def liQty(rows: (Long, Double, String)*) =
+    rows.toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .withColumn("l_partkey", lit(1L))
+      .withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0))
+
+  test("q365: perfect dose-response matches the hand-computed Z; flat rates score ~0") {
+    // doses w=1,2,3 (q=5,15,25), 10 lines each, return rates 0/.5/1
+    def rows(rates: Seq[Int]) = (0 until 30).map { i =>
+      val d = i / 10
+      ((i + 1).toLong, d * 10 + 5.0, if (i % 10 < rates(d)) "R" else "N")
+    }
+    val trend = StatTests.cochranArmitage(liQty(rows(Seq(0, 5, 10)): _*)).collect().head
+    // hand: n=30, pbar=.5, w=(1,2,3), r=(0,5,10), num=Σw·r−p̄Σw·n=25−.5*60=-?
+    // Σw·r = 0+10+30 = 40; Σw·n = 60; num = 40 − 30 = 10
+    // den² = .25*(Σw²n − (Σwn)²/N) = .25*(140*... w²n = 10+40+90=140; 60²/30=120) = .25*20 = 5
+    val z = 10.0 / math.sqrt(5.0)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(trend.getAs[Long]("n") == 30 && trend.getAs[Long]("k_doses") == 3)
+    assert(trend.getAs[Double]("z_trend") == r4(z), s"$trend vs $z")
+    val flat = StatTests.cochranArmitage(liQty(rows(Seq(5, 5, 5)): _*)).collect().head
+    assert(math.abs(flat.getAs[Double]("z_trend")) < 1e-9, flat.toString)
+  }
+
+  // ------------------------------------------------------------- q366
+  test("q366: equal revenues give Theil 0; a dominant customer gives ln3/2 exactly") {
+    val orders = (
+      (1 to 4).map(i => (i.toLong, i.toLong, 100.0, "2024-01-01 00:00:00")) ++     // nation A: all equal
+      Seq((10L, 10L, 1.0), (11L, 11L, 1.0), (12L, 12L, 1.0), (13L, 13L, 9.0))
+        .map { case (k, c, v) => (k, c, v, "2024-01-01 00:00:00") }                // nation B: {1,1,1,9}
+    ).map { case (k, c, v, d) => (k, c, "F", v, Timestamp.valueOf(d), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val customer = ((1 to 4).map(i => (i.toLong, 0)) ++ (10 to 13).map(i => (i.toLong, 1)))
+      .toDF("c_custkey", "c_nationkey")
+      .withColumn("c_name", lit("c")).withColumn("c_acctbal", lit(0.0))
+      .withColumn("c_mktsegment", lit("BUILDING"))
+    val nation = Seq((0, "EQUALIA"), (1, "SKEWLAND")).toDF("n_nationkey", "n_name")
+    val out = StatTests.theilIndex(orders, customer, nation).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    assert(out("EQUALIA").getAs[Double]("theil") == 0.0)
+    // T({1,1,1,9}) = mean((x/3)ln(x/3)) = ln3/2
+    val expected = math.floor(math.log(3.0) / 2 * 10000 + 0.5) / 10000
+    assert(out("SKEWLAND").getAs[Double]("theil") == expected, out("SKEWLAND").toString)
+    assert(out("SKEWLAND").getAs[Long]("n_customers") == 4)
+  }
+
   // ------------------------------------------------------------- q359
   test("q359: a planted one-sided token tops the drift ranking with the right direction") {
     val common = "the quick brown fox jumps over lazy dogs daily " * 3
