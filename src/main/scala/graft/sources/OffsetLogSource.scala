@@ -58,7 +58,8 @@ class OffsetLogSourceProvider extends TableProvider {
     OffsetLogSource.logSchema(
       SparkSession.active,
       options.get("path"),
-      options.getInt("numPartitions", 4))
+      OffsetLogSource.resolvePartitions(
+        Option(options.get("numPartitions")), options.get("path")))
 
   override def getTable(
       schema: StructType,
@@ -67,13 +68,33 @@ class OffsetLogSourceProvider extends TableProvider {
     new OffsetLogTable(
       schema,
       properties.get("path"),
-      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(4))
+      OffsetLogSource.resolvePartitions(
+        Option(properties.get("numPartitions")), properties.get("path")))
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 private[sources] object OffsetLogSource {
   private[sources] val SegRe = "segment-(\\d+)-(\\d+)\\.parquet".r
+
+  /** Partition count: the explicit option wins; otherwise DISCOVER it
+    * from the `partition=P` directory layout (max P + 1). An
+    * understated explicit value would silently truncate the partition
+    * set — discovery can't make that mistake, and a log that doesn't
+    * exist yet falls back to 4 (matching [[OffsetLog]] callers). */
+  private[sources] def resolvePartitions(explicit: Option[String], root: String): Int =
+    explicit.map(_.toInt).getOrElse {
+      val spark = SparkSession.active
+      val p = new Path(root)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) 4
+      else {
+        val parts = f.listStatus(p).map(_.getPath.getName)
+          .collect { case n if n.startsWith("partition=") =>
+            n.stripPrefix("partition=").toInt }
+        if (parts.isEmpty) 4 else parts.max + 1
+      }
+    }
 
   /** Spark schema of the log: one segment footer (via Spark's own
     * parquet conversion) + the directory-derived partition column. An

@@ -153,6 +153,21 @@ class OffsetLogSourceSpec extends SparkSpec {
       "fan-in through readStream lands exactly the relay's rows")
   }
 
+  test("numPartitions discovers from the directory layout when not specified") {
+    val logRoot = Files.createTempDirectory("graft-dsv2-log5").toString
+    val events = Tables(spark, sfDir).events
+    OffsetLog.append(spark, logRoot, events.limit(60), "user_id", P)
+    var rows = -1L
+    val q = spark.readStream.format(fmt).option("path", logRoot).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-dsv2-ck5").toString)
+      .foreachBatch { (b: DataFrame, _: Long) => rows = b.count(); () }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(rows == 60, s"discovery must cover all $P partitions, read $rows rows")
+  }
+
   test("empty log: attaching a consumer before the first append is caught-up, not an error") {
     val logRoot = Files.createTempDirectory("graft-dsv2-log4").toString
     new java.io.File(logRoot).mkdirs()
