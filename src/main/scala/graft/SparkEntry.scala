@@ -662,6 +662,38 @@ object SparkEntry {
       val t = Tables(s, d)
       StatTests.theilIndex(t.orders, t.customer, t.nation)
     }),
+    "q367_wasserstein" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.wasserstein(t.orders, t.customer)
+    }),
+    "q368_cliffs_delta" -> ((s, d) => StatTests.cliffsDelta(Tables(s, d).orders)),
+    "q369_mood_median" -> ((s, d) => StatTests.moodMedian(Tables(s, d).orders)),
+    "q370_hill_tail" -> ((s, d) => TextAnalysis.hillTailExponent(Tables(s, d).documents)),
+    "q371_vocab_richness" -> ((s, d) => TextAnalysis.vocabRichness(Tables(s, d).documents)),
+    "q372_good_turing" -> ((s, d) => TextAnalysis.goodTuring(Tables(s, d).documents)),
+    "q373_source_hellinger" -> ((s, d) => TextAnalysis.sourceHellinger(Tables(s, d).documents)),
+    "q374_labeler_kappa" -> ((s, d) => TextAnalysis.labelerKappa(Tables(s, d).documents)),
+    "q375_ipw_ate" -> ((s, d) => StatTests.ipwAte(Tables(s, d).events)),
+    "q376_friedman" -> ((s, d) => StatTests.friedman(Tables(s, d).orders)),
+    "q377_negbin_fit" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.negBinFit(t.orders, t.customer)
+    }),
+    "q378_readability" -> ((s, d) => TextAnalysis.readability(Tables(s, d).documents)),
+    "q379_cramer_von_mises" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.cramerVonMises(t.orders, t.customer)
+    }),
+    "q380_mcnemar" -> ((s, d) => TextAnalysis.mcnemar(Tables(s, d).documents)),
+    "q381_ipw_diagnostics" -> ((s, d) => StatTests.ipwDiagnostics(Tables(s, d).events)),
+    "q382_logrank" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.logRank(t.orders, t.customer)
+    }),
+    "q383_quantile_shift" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.quantileShift(t.orders, t.customer)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5266,6 +5298,349 @@ object SparkEntry {
         |  floor(max(m.mu)*10000 + 0.5)/10000 AS mean_revenue
         |FROM j JOIN m ON j.n_name = m.n_name
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q367_wasserstein" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS side
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')),
+        |v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v, side
+        |  FROM orders JOIN seg ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT v, side,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (ORDER BY v, side, k) AS cum_a,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (ORDER BY v, side, k) AS cum_b,
+        |    lead(v) OVER (ORDER BY v, side, k) AS v_next
+        |  FROM v),
+        |n AS (
+        |  SELECT count(CASE WHEN side = 0 THEN 1 END) AS n_a,
+        |         count(CASE WHEN side = 1 THEN 1 END) AS n_b FROM v)
+        |SELECT n_a, n_b,
+        |  floor(sum(abs(CAST(cum_a AS DOUBLE)/n_a - CAST(cum_b AS DOUBLE)/n_b)
+        |        *(v_next - v))*10000 + 0.5)/10000 AS w1
+        |FROM r CROSS JOIN n WHERE v_next IS NOT NULL GROUP BY n_a, n_b""".stripMargin,
+    "q368_cliffs_delta" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS side
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |r AS (SELECT *, row_number() OVER (ORDER BY v, side, k) AS rn FROM v),
+        |m AS (SELECT side, avg(rn) OVER (PARTITION BY v) AS mid FROM r),
+        |a AS (
+        |  SELECT count(CASE WHEN side = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN side = 1 THEN 1 END) AS n_b,
+        |    sum(CASE WHEN side = 0 THEN mid ELSE 0.0 END) AS r1
+        |  FROM m),
+        |d AS (
+        |  SELECT n_a, n_b,
+        |    floor((2.0*(r1 - n_a*(n_a + 1.0)/2)/(CAST(n_a AS DOUBLE)*n_b) - 1)
+        |      *10000 + 0.5)/10000 AS delta
+        |  FROM a)
+        |SELECT n_a, n_b, delta,
+        |  CASE WHEN abs(delta) < CAST(0.147 AS DOUBLE) THEN 'negligible'
+        |       WHEN abs(delta) < CAST(0.33 AS DOUBLE) THEN 'small'
+        |       WHEN abs(delta) < CAST(0.474 AS DOUBLE) THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+    "q369_mood_median" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v, o_orderpriority AS grp FROM orders),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, k) AS rn, count(*) OVER () AS tot FROM v),
+        |m AS (SELECT v AS med FROM r WHERE rn = (tot + 1) // 2),
+        |g AS (
+        |  SELECT grp, count(*) AS n,
+        |    CAST(sum(CASE WHEN v.v > med THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |  FROM v CROSS JOIN m GROUP BY grp),
+        |t AS (SELECT sum(n) AS tn, sum(n_above) AS ta FROM g),
+        |c AS (
+        |  SELECT g.grp, g.n, g.n_above,
+        |    CAST(g.n AS DOUBLE)*ta/tn AS ea,
+        |    CAST(g.n AS DOUBLE)*(tn - ta)/tn AS eb
+        |  FROM g CROSS JOIN t)
+        |SELECT grp AS o_orderpriority, n, n_above,
+        |  floor(ea*10000 + 0.5)/10000 AS exp_above,
+        |  floor(sum((n_above - ea)*(n_above - ea)/ea
+        |      + (n - n_above - eb)*(n - n_above - eb)/eb) OVER ()*10000 + 0.5)/10000 AS chi2
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
+    "q370_hill_tail" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, count(*) AS n FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok),
+        |r AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+        |  FROM tf),
+        |ref AS (SELECT lang, n AS nk1 FROM r WHERE rk = 11)
+        |SELECT r.lang, count(*) AS k_used,
+        |  floor(avg(ln(CAST(r.n AS DOUBLE)/nk1))*10000 + 0.5)/10000 AS hill_mean_log,
+        |  floor(CASE WHEN avg(ln(CAST(r.n AS DOUBLE)/nk1)) = 0 THEN NULL
+        |        ELSE 1.0/avg(ln(CAST(r.n AS DOUBLE)/nk1)) END*10000 + 0.5)/10000 AS alpha_tail
+        |FROM r JOIN ref ON r.lang = ref.lang
+        |WHERE rk <= 10
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
+    "q371_vocab_richness" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, count(*) AS n FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |  CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS f1,
+        |  CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS f2,
+        |  floor((count(*) + count(CASE WHEN n = 1 THEN 1 END)
+        |      *(count(CASE WHEN n = 1 THEN 1 END) - 1)
+        |      /(2.0*(count(CASE WHEN n = 2 THEN 1 END) + 1)))*10000 + 0.5)/10000 AS chao1,
+        |  floor((1.0 - count(CASE WHEN n = 1 THEN 1 END)/CAST(sum(n) AS DOUBLE))
+        |      *10000 + 0.5)/10000 AS coverage
+        |FROM tf GROUP BY lang ORDER BY lang""".stripMargin,
+    "q372_good_turing" ->
+      """WITH tf AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),'\S+')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |cc AS (SELECT n AS r, count(*) AS n_r FROM tf GROUP BY n),
+        |low AS (SELECT r, n_r FROM cc ORDER BY r LIMIT 10),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM tf)
+        |SELECT a.r, a.n_r,
+        |  CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+        |  floor((a.r + 1)*coalesce(b.n_r, 0)/CAST(a.n_r AS DOUBLE)*10000 + 0.5)/10000 AS r_star,
+        |  floor((a.r + 1)*coalesce(b.n_r, 0)/CAST(a.n_r AS DOUBLE)/big_n
+        |      *100000000 + 0.5)/100000000 AS p_gt
+        |FROM low a LEFT JOIN cc b ON b.r = a.r + 1 CROSS JOIN tot
+        |ORDER BY a.r""".stripMargin,
+    "q373_source_hellinger" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS n FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok),
+        |tot AS (SELECT source, sum(n) AS tot FROM tf GROUP BY source),
+        |p AS (
+        |  SELECT tf.source, tok, CAST(n AS DOUBLE)/tot AS p
+        |  FROM tf JOIN tot ON tf.source = tot.source),
+        |d AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common_vocab,
+        |    sum(sqrt(a.p*b.p)) AS bc
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, common_vocab,
+        |  floor(bc*10000 + 0.5)/10000 AS bc,
+        |  floor(sqrt(greatest(0.0, 1.0 - bc))*10000 + 0.5)/10000 AS hellinger,
+        |  floor(-ln(bc)*10000 + 0.5)/10000 AS bhattacharyya
+        |FROM d ORDER BY src_a, src_b""".stripMargin,
+    "q374_labeler_kappa" ->
+      """WITH f AS (
+        |  SELECT (n_chars >= 400) AS a,
+        |    (len(regexp_extract_all(text,'\S+')) >= 60) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(count(CASE WHEN a AND b THEN 1 END) AS BIGINT) AS n_both,
+        |    CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS BIGINT) AS n_a_only,
+        |    CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS BIGINT) AS n_b_only,
+        |    CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS BIGINT) AS n_neither
+        |  FROM f),
+        |k AS (
+        |  SELECT *, (n_both + n_neither)/CAST(n_docs AS DOUBLE) AS po,
+        |    ((n_both + n_a_only)*(n_both + n_b_only)
+        |      + (n_b_only + n_neither)*(n_a_only + n_neither))
+        |      /(CAST(n_docs AS DOUBLE)*n_docs) AS pe
+        |  FROM c)
+        |SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+        |  floor(po*10000 + 0.5)/10000 AS p_observed,
+        |  floor(pe*10000 + 0.5)/10000 AS p_expected,
+        |  floor(CASE WHEN pe < 1.0 THEN (po - pe)/(1.0 - pe) END*10000 + 0.5)/10000 AS kappa
+        |FROM k""".stripMargin,
+    "q375_ipw_ate" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS t, value AS y, event_type AS x FROM events),
+        |p AS (SELECT x, avg(CAST(t AS DOUBLE)) AS eh FROM e GROUP BY x),
+        |j AS (SELECT t, y, eh FROM e JOIN p ON e.x = p.x)
+        |SELECT count(*) AS n_events,
+        |  floor((avg(CASE WHEN t = 1 THEN y END) - avg(CASE WHEN t = 0 THEN y END))
+        |      *10000 + 0.5)/10000 AS ate_naive,
+        |  floor((sum(CASE WHEN t = 1 THEN y/eh END)/sum(CASE WHEN t = 1 THEN 1.0/eh END)
+        |       - sum(CASE WHEN t = 0 THEN y/(1.0 - eh) END)
+        |         /sum(CASE WHEN t = 0 THEN 1.0/(1.0 - eh) END))*10000 + 0.5)/10000 AS ate_ipw,
+        |  floor(sum(CASE WHEN t = 1 THEN y/eh END)/sum(CASE WHEN t = 1 THEN 1.0/eh END)
+        |      *10000 + 0.5)/10000 AS mu_treated,
+        |  floor(sum(CASE WHEN t = 0 THEN y/(1.0 - eh) END)
+        |      /sum(CASE WHEN t = 0 THEN 1.0/(1.0 - eh) END)*10000 + 0.5)/10000 AS mu_control
+        |FROM j""".stripMargin,
+    "q376_friedman" ->
+      """WITH cell AS (
+        |  SELECT month(o_orderdate) AS block, o_orderpriority AS treat,
+        |    floor(avg(o_totalprice)*10000 + 0.5)/10000 AS m
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT treat, row_number() OVER (PARTITION BY block ORDER BY m, treat) AS r
+        |  FROM cell),
+        |s AS (
+        |  SELECT treat, sum(CAST(r AS DOUBLE)) AS rank_sum, count(*) AS n_blocks
+        |  FROM r GROUP BY treat)
+        |SELECT treat AS o_orderpriority, rank_sum, n_blocks,
+        |  floor((12.0/(max(n_blocks) OVER ()*count(*) OVER ()*(count(*) OVER () + 1))
+        |      *sum(rank_sum*rank_sum) OVER ()
+        |      - 3.0*max(n_blocks) OVER ()*(count(*) OVER () + 1))*10000 + 0.5)/10000 AS q_stat
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+    "q377_negbin_fit" ->
+      """WITH c AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, count(o_orderkey) AS cnt
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |  floor(avg(CAST(cnt AS DOUBLE))*10000 + 0.5)/10000 AS mean_orders,
+        |  floor(var_samp(CAST(cnt AS DOUBLE))*10000 + 0.5)/10000 AS var_orders,
+        |  floor(CASE WHEN var_samp(CAST(cnt AS DOUBLE)) = avg(CAST(cnt AS DOUBLE)) THEN NULL
+        |      ELSE avg(CAST(cnt AS DOUBLE))*avg(CAST(cnt AS DOUBLE))
+        |      /(var_samp(CAST(cnt AS DOUBLE)) - avg(CAST(cnt AS DOUBLE))) END*10000 + 0.5)/10000 AS nb_r,
+        |  floor(CASE WHEN var_samp(CAST(cnt AS DOUBLE)) = 0 THEN NULL
+        |      ELSE avg(CAST(cnt AS DOUBLE))/var_samp(CAST(cnt AS DOUBLE)) END*10000 + 0.5)/10000 AS nb_p,
+        |  floor(CASE WHEN avg(CAST(cnt AS DOUBLE)) = 0 THEN NULL
+        |      ELSE var_samp(CAST(cnt AS DOUBLE))/avg(CAST(cnt AS DOUBLE)) END*10000 + 0.5)/10000 AS dispersion
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q378_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text),'[a-z]+')) AS DOUBLE) AS w,
+        |    CAST(len(regexp_extract_all(lower(text),'[aeiouy]+')) AS DOUBLE) AS s,
+        |    CAST(greatest(len(regexp_extract_all(text,'[.!?]+')), 1) AS DOUBLE) AS st
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  floor(avg(w/st)*10000 + 0.5)/10000 AS words_per_sentence,
+        |  floor(avg(s/w)*10000 + 0.5)/10000 AS syllables_per_word,
+        |  floor(avg(206.835 - 1.015*w/st - 84.6*(s/w))*10000 + 0.5)/10000 AS flesch_ease,
+        |  floor(avg(0.39*w/st + 11.8*(s/w) - 15.59)*10000 + 0.5)/10000 AS fk_grade
+        |FROM d WHERE w > 0 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q379_cramer_von_mises" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS side
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')),
+        |v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v, side
+        |  FROM orders JOIN seg ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (ORDER BY v, side, k) AS cum_a,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (ORDER BY v, side, k) AS cum_b
+        |  FROM v),
+        |n AS (
+        |  SELECT count(CASE WHEN side = 0 THEN 1 END) AS n_a,
+        |         count(CASE WHEN side = 1 THEN 1 END) AS n_b FROM v)
+        |SELECT n_a, n_b,
+        |  floor(CAST(n_a AS DOUBLE)*n_b/((n_a + n_b)*(n_a + n_b))
+        |    *sum((CAST(cum_a AS DOUBLE)/n_a - CAST(cum_b AS DOUBLE)/n_b)
+        |        *(CAST(cum_a AS DOUBLE)/n_a - CAST(cum_b AS DOUBLE)/n_b))
+        |    *10000 + 0.5)/10000 AS t_stat
+        |FROM r CROSS JOIN n GROUP BY n_a, n_b""".stripMargin,
+    "q380_mcnemar" ->
+      """WITH f AS (
+        |  SELECT (n_chars >= 400) AS a,
+        |    (len(regexp_extract_all(text,'\S+')) >= 60) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS BIGINT) AS n_a_only,
+        |    CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS BIGINT) AS n_b_only
+        |  FROM f)
+        |SELECT n_docs, n_a_only, n_b_only,
+        |  floor(CASE WHEN n_a_only + n_b_only > 0 THEN
+        |    CAST(n_a_only - n_b_only AS DOUBLE)*(n_a_only - n_b_only)
+        |      /(n_a_only + n_b_only) END*10000 + 0.5)/10000 AS chi2,
+        |  floor(CASE WHEN n_a_only + n_b_only > 0 THEN
+        |    greatest(0, abs(n_a_only - n_b_only) - 1)
+        |      *greatest(0, abs(n_a_only - n_b_only) - 1)
+        |      /CAST(n_a_only + n_b_only AS DOUBLE) END*10000 + 0.5)/10000 AS chi2_corrected
+        |FROM c""".stripMargin,
+    "q381_ipw_diagnostics" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS t, event_type AS x FROM events),
+        |p AS (SELECT x, avg(CAST(t AS DOUBLE)) AS eh FROM e GROUP BY x),
+        |j AS (
+        |  SELECT t, CASE WHEN t = 1 THEN 1.0/eh ELSE 1.0/(1.0 - eh) END AS w
+        |  FROM e JOIN p ON e.x = p.x)
+        |SELECT t AS arm, count(*) AS n,
+        |  floor(sum(w)*10000 + 0.5)/10000 AS sum_w,
+        |  floor(sum(w)*sum(w)/sum(w*w)*10000 + 0.5)/10000 AS ess,
+        |  floor(sum(w)*sum(w)/sum(w*w)/count(*)*10000 + 0.5)/10000 AS ess_ratio,
+        |  floor(max(w)*10000 + 0.5)/10000 AS max_w,
+        |  floor(stddev_samp(w)/avg(w)*10000 + 0.5)/10000 AS cv_w
+        |FROM j GROUP BY t ORDER BY arm""".stripMargin,
+    "q382_logrank" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS side
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')),
+        |e AS (SELECT max(o_orderdate) AS endd FROM orders),
+        |life AS (
+        |  SELECT side,
+        |    CAST(floor(date_diff('day', f, l)/30.0) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', l, endd) > 365 THEN 1 ELSE 0 END AS churned
+        |  FROM (SELECT o_custkey, side, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |        FROM orders JOIN seg ON o_custkey = c_custkey GROUP BY 1, 2)
+        |  CROSS JOIN e),
+        |bts AS (
+        |  SELECT t, side, count(*) AS n_t, CAST(sum(churned) AS BIGINT) AS d
+        |  FROM life GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT t, s.side
+        |  FROM bts CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) s),
+        |tot AS (SELECT side, count(*) AS n_users FROM life GROUP BY 1),
+        |dense AS (
+        |  SELECT g.t, g.side, coalesce(b.n_t, 0) AS n_t, coalesce(b.d, 0) AS d, tot.n_users
+        |  FROM grid g LEFT JOIN bts b ON g.t = b.t AND g.side = b.side
+        |  JOIN tot ON g.side = tot.side),
+        |risk AS (
+        |  SELECT t, side, d,
+        |    n_users - coalesce(sum(n_t) OVER (PARTITION BY side ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |  FROM dense),
+        |pt AS (
+        |  SELECT t,
+        |    max(CASE WHEN side = 0 THEN at_risk END) AS ra,
+        |    max(CASE WHEN side = 1 THEN at_risk END) AS rb,
+        |    max(CASE WHEN side = 0 THEN d END) AS da,
+        |    max(CASE WHEN side = 1 THEN d END) AS db
+        |  FROM risk GROUP BY t),
+        |terms AS (
+        |  SELECT da,
+        |    CAST(da + db AS DOUBLE)*ra/(ra + rb) AS e_a,
+        |    CASE WHEN ra + rb > 1 THEN
+        |      CAST(da + db AS DOUBLE)*(CAST(ra AS DOUBLE)/(ra + rb))
+        |        *(1.0 - CAST(ra AS DOUBLE)/(ra + rb))
+        |        *((ra + rb) - (da + db))/((ra + rb) - 1)
+        |      ELSE 0.0 END AS v
+        |  FROM pt),
+        |agg AS (
+        |  SELECT count(*) AS n_times, CAST(sum(da) AS BIGINT) AS o_a,
+        |    sum(e_a) AS ea, sum(v) AS vv FROM terms)
+        |SELECT n_times, o_a,
+        |  floor(ea*10000 + 0.5)/10000 AS e_a,
+        |  floor(CASE WHEN vv > 0 THEN (o_a - ea)*(o_a - ea)/vv END*10000 + 0.5)/10000 AS chi2,
+        |  floor(CASE WHEN vv > 0 THEN (o_a - ea)/sqrt(vv) END*10000 + 0.5)/10000 AS z_stat
+        |FROM agg""".stripMargin,
+    "q383_quantile_shift" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS side
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')),
+        |v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v, side
+        |  FROM orders JOIN seg ON o_custkey = c_custkey),
+        |r AS (SELECT v, side, row_number() OVER (PARTITION BY side ORDER BY v, k) AS rn FROM v),
+        |n AS (SELECT side, count(*) AS ns FROM v GROUP BY side),
+        |b AS (
+        |  SELECT side, d AS decile, CAST(ceil(ns*d/10.0) AS BIGINT) AS trank
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, 11)) AS d)),
+        |q AS (
+        |  SELECT b.decile,
+        |    max(CASE WHEN r.side = 0 THEN r.v END) AS q_a,
+        |    max(CASE WHEN r.side = 1 THEN r.v END) AS q_b
+        |  FROM r JOIN b ON r.side = b.side AND r.rn = b.trank
+        |  GROUP BY 1)
+        |SELECT decile, q_a, q_b,
+        |  floor((q_b - q_a)*10000 + 0.5)/10000 AS shift,
+        |  floor(CASE WHEN q_a <> 0 THEN q_b/q_a END*10000 + 0.5)/10000 AS ratio
+        |FROM q ORDER BY decile""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

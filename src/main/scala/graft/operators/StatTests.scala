@@ -1964,4 +1964,385 @@ object StatTests {
         round(col("n_outliers") / col("n").cast("double"), 4).as("outlier_share"))
       .orderBy("o_orderpriority")
   }
+
+  /** q367: 1-D Wasserstein-1 (earth-mover's) distance between the order
+    * price distributions of two customer segments — the metric answer to
+    * "HOW different are these two distributions" where KS (q184) only
+    * says "are they different". Exact, not binned: over the pooled
+    * sample sorted by value, W1 = Σ |F_A(x) − F_B(x)|·(x_{i+1} − x_i).
+    * The pooled sort rides [[GlobalOrder]] range buckets (never one
+    * task); per-row cumulative counts come from the q184 identity
+    * (own-side rank, and "other side ≤ row" = rn − rn_side, valid under
+    * the deterministic total order); the x_{i+1} lookup is an equi-join
+    * on rn+1 (the q181/q363 lag idiom), not a data-sized window. */
+  def wasserstein(
+      orders: DataFrame,
+      customer: DataFrame,
+      segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val seg = customer
+      .filter(col("c_mktsegment").isInCollection(Seq(segA, segB)))
+      .select(col("c_custkey"), when(col("c_mktsegment") === segA, 0).otherwise(1).as("side"))
+    val vals = orders
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
+    val all = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "side", "k"), "rn", "__tot")
+    val bySide = Seq(0, 1).map { s =>
+      GlobalOrder.withGlobalRowNumber(
+        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
+    }
+    val counts = vals.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    val cum = bySide.head.unionByName(bySide(1))
+      .select(col("rn"), col("v"),
+        when(col("side") === 0, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_a"),
+        when(col("side") === 1, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_b"))
+    val nxt = cum.select((col("rn") - 1).as("rnp"), col("v").as("v_next"))
+    // the last pooled point has no next value — and needs none: both CDFs are 1 there
+    cum.join(nxt, col("rn") === col("rnp"))
+      .crossJoin(broadcast(counts)) // 1-row scalar
+      .agg(
+        max("n_a").as("na"), max("n_b").as("nb"),
+        sum(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
+          * (col("v_next") - col("v"))).as("w"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("w"), 4).as("w1"))
+  }
+
+  /** q368: Cliff's delta — the rank-based EFFECT SIZE companion to the
+    * Mann–Whitney test (q185): δ = P(a > b) − P(a < b) ∈ [−1, 1],
+    * computed from the same mid-rank sum as U (δ = 2U/(n₁n₂) − 1), so
+    * it reuses the bucketed global ranking verbatim. The conventional
+    * magnitude label thresholds (0.147/0.33/0.474) are applied to the
+    * ROUNDED |δ| so both engines bucket identically. */
+  def cliffsDelta(
+      orders: DataFrame,
+      prioA: String = "1-URGENT",
+      prioB: String = "5-LOW"): DataFrame = {
+    val vals = orders
+      .filter(col("o_orderpriority").isInCollection(Seq(prioA, prioB)))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+        when(col("o_orderpriority") === prioA, 0).otherwise(1).as("side"))
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "side", "k"), "rn", "__tot")
+    val n1 = sum(when(col("side") === 0, 1L).otherwise(0L))
+    val n2 = sum(when(col("side") === 1, 1L).otherwise(0L))
+    val r1 = sum(when(col("side") === 0, col("mid")).otherwise(0.0))
+    val u = r1 - n1 * (n1 + lit(1.0)) / 2
+    ranked
+      .withColumn("mid", avg(col("rn")).over(Window.partitionBy("v")))
+      .agg(n1.as("n_a"), n2.as("n_b"),
+        round(lit(2.0) * u / (n1 * n2) - 1, 4).as("delta"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
+
+  /** q369: Mood's median test — do the order-priority groups share a
+    * common median price? The global median is PERCENTILE_DISC-style
+    * (the value at global rank ⌈n/2⌉ under the deterministic
+    * (value, key) order — an exact rank pick via [[GlobalOrder]], never
+    * an interpolated average, so both engines agree bit-for-bit), then
+    * one broadcast scalar splits every group into above/not-above and
+    * the χ² statistic folds over the ≤5-row contingency aggregate. */
+  def moodMedian(orders: DataFrame): DataFrame = {
+    val vals = orders.select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+      col("o_orderpriority").as("grp"))
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "k"), "rn", "__tot")
+    val med = ranked
+      .filter(col("rn") === floor((col("__tot") + 1) / 2).cast("long"))
+      .select(col("v").as("med"))
+    val g = vals.crossJoin(broadcast(med)) // 1-row scalar
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("n_above"))
+    g // ≤5-row aggregate: the constant-partition window folds away
+      .withColumn("ta", sum("n_above").over(one))
+      .withColumn("tn", sum("n").over(one))
+      .withColumn("ea", col("n").cast("double") * col("ta") / col("tn"))
+      .withColumn("eb", col("n").cast("double") * (col("tn") - col("ta")) / col("tn"))
+      .withColumn("cell",
+        (col("n_above") - col("ea")) * (col("n_above") - col("ea")) / col("ea")
+          + (col("n") - col("n_above") - col("eb"))
+          * (col("n") - col("n_above") - col("eb")) / col("eb"))
+      .select(
+        col("grp").as("o_orderpriority"), col("n"), col("n_above"),
+        round(col("ea"), 4).as("exp_above"),
+        round(sum("cell").over(one), 4).as("chi2"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q375: inverse-propensity-weighted treatment effect over the events
+    * stream — arm = user-id parity (a deterministic hash arm), outcome =
+    * event value, confounder = event type. Propensity ê(x) is the
+    * per-stratum treated share (one tiny aggregate, broadcast back);
+    * the Hájek/stabilized estimator normalizes each arm by its summed
+    * weights. Reports the naive difference next to the IPW one so the
+    * confounding correction is visible in the output. */
+  def ipwAte(events: DataFrame): DataFrame = {
+    val e = events.select(
+      (col("user_id") % 2).cast("int").as("t"),
+      col("value").as("y"), col("event_type").as("x"))
+    val prop = e.groupBy("x").agg(avg(col("t").cast("double")).as("eh"))
+    e.join(broadcast(prop), "x")
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(when(col("t") === 1, col("y"))).as("naive1"),
+        avg(when(col("t") === 0, col("y"))).as("naive0"),
+        (sum(when(col("t") === 1, col("y") / col("eh")))
+          / sum(when(col("t") === 1, lit(1.0) / col("eh")))).as("mu1"),
+        (sum(when(col("t") === 0, col("y") / (lit(1.0) - col("eh"))))
+          / sum(when(col("t") === 0, lit(1.0) / (lit(1.0) - col("eh"))))).as("mu0"))
+      .select(
+        col("n_events"),
+        round(col("naive1") - col("naive0"), 4).as("ate_naive"),
+        round(col("mu1") - col("mu0"), 4).as("ate_ipw"),
+        round(col("mu1"), 4).as("mu_treated"),
+        round(col("mu0"), 4).as("mu_control"))
+  }
+
+  /** q376: Friedman test — the nonparametric repeated-measures ANOVA:
+    * blocks = order months, treatments = order priorities, measure =
+    * the block-treatment mean price. Ranks are per block over the
+    * ≤(blocks×treatments)-row aggregate (a bounded window, the q89
+    * calendar idiom), ordered by the PRE-ROUNDED mean (4 dp) with the
+    * treatment label as tie-break so both engines rank identically;
+    * Q = 12/(bk(k+1))·ΣR_j² − 3b(k+1) folds over the k-row rank sums. */
+  def friedman(orders: DataFrame): DataFrame = {
+    val cell = orders
+      .groupBy(month(to_date(col("o_orderdate"))).as("block"),
+        col("o_orderpriority").as("treat"))
+      .agg(round(avg("o_totalprice"), 4).as("m"))
+    val w = Window.partitionBy("block").orderBy(col("m"), col("treat"))
+    val sums = cell
+      .withColumn("r", row_number().over(w))
+      .groupBy("treat")
+      .agg(sum(col("r").cast("double")).as("rank_sum"),
+        count(lit(1)).as("n_blocks"))
+    sums // k-row aggregate: constant-partition window folds away
+      .withColumn("k", count(lit(1)).over(one))
+      .withColumn("b", max("n_blocks").over(one))
+      .withColumn("q",
+        lit(12.0) / (col("b") * col("k") * (col("k") + 1))
+          * sum(col("rank_sum") * col("rank_sum")).over(one)
+          - lit(3.0) * col("b") * (col("k") + 1))
+      .select(
+        col("treat").as("o_orderpriority"),
+        col("rank_sum"), col("n_blocks"),
+        round(col("q"), 4).as("q_stat"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q377: negative-binomial fit of per-customer order counts, by
+    * market segment — the count-model companion to q339's Poisson
+    * dispersion audit. Zero-order customers ENTER the fit (left join
+    * from the customer dimension; `count(o_orderkey)` skips nulls, so
+    * they contribute 0 — no dense grid). Method-of-moments NB2:
+    * r = m²/(v−m), p = m/v; an underdispersed segment reports a
+    * negative r, which is the audit signal (NB doesn't fit). */
+  def negBinFit(orders: DataFrame, customer: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("c"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        avg(col("c").cast("double")).as("m"),
+        var_samp(col("c").cast("double")).as("v"))
+      .select(
+        col("segment"), col("n_cust"),
+        round(col("m"), 4).as("mean_orders"),
+        round(col("v"), 4).as("var_orders"),
+        // equidispersed (v = m) or degenerate (v = 0 / m = 0) segments
+        // have no NB fit — report null, never divide (ANSI-safe)
+        round(when(col("v") =!= col("m"), col("m") * col("m") / (col("v") - col("m"))), 4)
+          .as("nb_r"),
+        round(when(col("v") =!= 0.0, col("m") / col("v")), 4).as("nb_p"),
+        round(when(col("m") =!= 0.0, col("v") / col("m")), 4).as("dispersion"))
+      .orderBy("segment")
+
+  /** q379: two-sample Cramér–von Mises statistic between two customer
+    * segments' order prices — the whole-distribution companion to KS
+    * (q184, max gap) and Wasserstein (q367, integrated gap):
+    * T = nm/(n+m)² · Σ_k (F_A(z_k) − F_B(z_k))² over the pooled order
+    * statistics. Same [[GlobalOrder]] scaffold as q367 (the q184
+    * own-side-rank identity gives both CDFs at every pooled row), no
+    * lead lookup needed — the sum is over rows, not intervals. */
+  def cramerVonMises(
+      orders: DataFrame,
+      customer: DataFrame,
+      segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val seg = customer
+      .filter(col("c_mktsegment").isInCollection(Seq(segA, segB)))
+      .select(col("c_custkey"), when(col("c_mktsegment") === segA, 0).otherwise(1).as("side"))
+    val vals = orders
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
+    val all = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "side", "k"), "rn", "__tot")
+    val bySide = Seq(0, 1).map { s =>
+      GlobalOrder.withGlobalRowNumber(
+        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
+    }
+    val counts = vals.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    bySide.head.unionByName(bySide(1))
+      .select(col("rn"),
+        when(col("side") === 0, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_a"),
+        when(col("side") === 1, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_b"))
+      .crossJoin(broadcast(counts)) // 1-row scalar
+      .agg(
+        max("n_a").as("na"), max("n_b").as("nb"),
+        sum((col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
+          * (col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))).as("s"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("na").cast("double") * col("nb")
+          / ((col("na") + col("nb")) * (col("na") + col("nb"))) * col("s"), 4).as("t_stat"))
+  }
+
+  /** q381: IPW weight diagnostics for the q375 estimator — the health
+    * check every propensity analysis needs BEFORE trusting the point
+    * estimate: per arm, Kish's effective sample size (Σw)²/Σw², its
+    * ratio to the raw n (1.0 = perfectly balanced, →0 = a few huge
+    * weights dominate), the max weight and the weight CV. Same
+    * stratum-propensity broadcast as q375, one grouped aggregate. */
+  def ipwDiagnostics(events: DataFrame): DataFrame = {
+    val e = events.select(
+      (col("user_id") % 2).cast("int").as("t"),
+      col("event_type").as("x"))
+    val prop = e.groupBy("x").agg(avg(col("t").cast("double")).as("eh"))
+    e.join(broadcast(prop), "x")
+      .withColumn("w",
+        when(col("t") === 1, lit(1.0) / col("eh"))
+          .otherwise(lit(1.0) / (lit(1.0) - col("eh"))))
+      .groupBy(col("t").as("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("w"), 4).as("sum_w"),
+        round(sum("w") * sum("w") / sum(col("w") * col("w")), 4).as("ess"),
+        round(sum("w") * sum("w") / sum(col("w") * col("w")) / count(lit(1)), 4)
+          .as("ess_ratio"),
+        round(max("w"), 4).as("max_w"),
+        round(stddev_samp(col("w")) / avg(col("w")), 4).as("cv_w"))
+      .orderBy("arm")
+  }
+
+  /** q382: log-rank test — do two market segments share a survival
+    * curve? Lifetimes and censoring follow q221's conventions
+    * (30-day months, churn = last order > churnDays before corpus
+    * end). Per distinct lifetime t the (t × side) grid is DENSIFIED
+    * (bounded: ≤#months × 2 — the q241/q318 grid idiom) so each side's
+    * at-risk count exists even at the other side's event times; then
+    * O−E and the hypergeometric variance fold over the bounded frame:
+    * χ² = (ΣO_A − ΣE_A)²/ΣV. Scale shape: one customer-grain
+    * aggregate, broadcast scalars, bounded-frame windows. */
+  def logRank(
+      orders: DataFrame,
+      customer: DataFrame,
+      segA: String = "BUILDING",
+      segB: String = "MACHINERY",
+      churnDays: Int = 365): DataFrame = {
+    val seg = customer
+      .filter(col("c_mktsegment").isInCollection(Seq(segA, segB)))
+      .select(col("c_custkey"), when(col("c_mktsegment") === segA, 0).otherwise(1).as("side"))
+    val endd = orders.agg(max("o_orderdate").as("endd"))
+    val life = orders
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "side")
+      .agg(min("o_orderdate").as("f"), max("o_orderdate").as("l"))
+      .crossJoin(broadcast(endd)) // 1-row corpus-end scalar
+      .select(col("side"),
+        floor(datediff(col("l"), col("f")) / lit(30.0)).cast("long").as("t"),
+        (datediff(col("endd"), col("l")) > churnDays).cast("long").as("churned"))
+    val byTS = life.groupBy("t", "side")
+      .agg(count(lit(1)).as("n_t"), sum("churned").as("d"))
+    val grid = byTS.select("t").distinct()
+      .withColumn("side", explode(array(lit(0), lit(1))))
+    val totals = life.groupBy("side").agg(count(lit(1)).as("n_users"))
+    val wPrev = Window.partitionBy("side").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dense = grid
+      .join(byTS, Seq("t", "side"), "left")
+      .na.fill(0L, Seq("n_t", "d"))
+      .join(broadcast(totals), "side")
+      .withColumn("at_risk", col("n_users") - coalesce(sum("n_t").over(wPrev), lit(0L)))
+    val perT = dense.groupBy("t").agg(
+      max(when(col("side") === 0, col("at_risk"))).as("ra"),
+      max(when(col("side") === 1, col("at_risk"))).as("rb"),
+      max(when(col("side") === 0, col("d"))).as("da"),
+      max(when(col("side") === 1, col("d"))).as("db"))
+      .withColumn("nn", col("ra") + col("rb"))
+      .withColumn("dd", col("da") + col("db"))
+      .withColumn("e_a", col("dd").cast("double") * col("ra") / col("nn"))
+      .withColumn("v",
+        when(col("nn") > 1,
+          col("dd").cast("double") * (col("ra").cast("double") / col("nn"))
+            * (lit(1.0) - col("ra").cast("double") / col("nn"))
+            * (col("nn") - col("dd")) / (col("nn") - 1))
+          .otherwise(lit(0.0)))
+    perT
+      .agg(
+        sum("da").as("o_a"), sum("e_a").as("ea"), sum("v").as("vv"),
+        count(lit(1)).as("n_times"))
+      .select(
+        col("n_times"), col("o_a"),
+        round(col("ea"), 4).as("e_a"),
+        round(when(col("vv") > 0.0,
+          (col("o_a") - col("ea")) * (col("o_a") - col("ea")) / col("vv")), 4).as("chi2"),
+        round(when(col("vv") > 0.0,
+          (col("o_a") - col("ea")) / sqrt(col("vv"))), 4).as("z_stat"))
+  }
+
+  /** q383: per-decile quantile-shift table between two customer
+    * segments — the QQ-plot data behind the q184/q367/q379 scalars:
+    * for each decile d, the EXACT d-th decile of each side
+    * (PERCENTILE_DISC at rank ⌈n·d/10⌉ — a rank pick, engine-stable on
+    * raw doubles), their difference and ratio. The boundary ranks land
+    * via an equi-join of the [[GlobalOrder]]-ranked rows against a
+    * broadcast 2×10-row (side, decile → target rank) table — no
+    * data-sized window, no per-row decile arithmetic. */
+  def quantileShift(
+      orders: DataFrame,
+      customer: DataFrame,
+      segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val seg = customer
+      .filter(col("c_mktsegment").isInCollection(Seq(segA, segB)))
+      .select(col("c_custkey"), when(col("c_mktsegment") === segA, 0).otherwise(1).as("side"))
+    val vals = orders
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
+    val ranked = Seq(0, 1).map { s =>
+      GlobalOrder.withGlobalRowNumber(
+        vals.filter(col("side") === s), col("v"), Seq("v", "k"), "rn", "__ns")
+    }.reduce(_ unionByName _)
+    val counts = vals.groupBy("side").agg(count(lit(1)).as("ns"))
+    val bounds = counts
+      .withColumn("decile", explode(array((1L to 10L).map(lit): _*)))
+      .select(col("side"), col("decile"),
+        ceil(col("ns") * col("decile") / lit(10.0)).cast("long").as("trank"))
+    ranked
+      .join(broadcast(bounds),
+        ranked("side") === bounds("side") && col("rn") === col("trank"))
+      .groupBy("decile")
+      .agg(
+        max(when(ranked("side") === 0, col("v"))).as("q_a"),
+        max(when(ranked("side") === 1, col("v"))).as("q_b"))
+      .select(
+        col("decile"), col("q_a"), col("q_b"),
+        round(col("q_b") - col("q_a"), 4).as("shift"),
+        round(when(col("q_a") =!= 0.0, col("q_b") / col("q_a")), 4).as("ratio"))
+      .orderBy("decile")
+  }
 }

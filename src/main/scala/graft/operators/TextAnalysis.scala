@@ -1828,4 +1828,209 @@ object TextAnalysis {
       .orderBy(desc("chi2"), asc("token"))
       .limit(topN)
   }
+
+  /** q370: Hill estimator of the token-frequency tail exponent — the
+    * principled MLE cousin of the q117 Zipf regression (which fits the
+    * whole head; Hill fits only the upper order statistics, the part
+    * that matters for heavy-tail capacity planning). Per language:
+    * 1/α̂ = (1/k)·Σ_{i≤k} ln(n_(i)/n_(k+1)) over the top-k token
+    * frequencies. The top-(k+1) selection is the q117 rank-limit window
+    * (Partial+Final WindowGroupLimit — bounded pre-shuffle heaps over
+    * the vocab-sized TF table), and the k+1-th frequency attaches back
+    * by a per-lang equi-join, ≤#langs rows broadcast. */
+  def hillTailExponent(documents: DataFrame, k: Int = 10): DataFrame = {
+    val tf = documents
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+    val top = tf
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k + 1)
+    val ref = top.filter(col("rk") === k + 1).select(col("lang"), col("n").as("nk1"))
+    top.filter(col("rk") <= k)
+      .join(broadcast(ref), "lang")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("k_used"),
+        avg(log(col("n").cast("double") / col("nk1"))).as("h"))
+      .select(
+        col("lang"), col("k_used"),
+        round(col("h"), 4).as("hill_mean_log"),
+        // h = 0 ⇔ the whole top-k ties with n_(k+1): no tail decay to
+        // estimate (ANSI-safe: the untaken branch never divides)
+        round(when(col("h") =!= 0.0, lit(1.0) / col("h")), 4).as("alpha_tail"))
+      .orderBy("lang")
+  }
+
+  /** q371: vocabulary richness per language — bias-corrected Chao1
+    * ("how many token types exist that this corpus has NOT seen yet")
+    * and Good's coverage estimate (1 − f₁/N, the probability mass of
+    * already-seen types). Pure group-bys over the TF table: f₁/f₂ are
+    * singleton/doubleton type counts. The bias-corrected form
+    * V + f₁(f₁−1)/(2(f₂+1)) is total (defined at f₂ = 0). */
+  def vocabRichness(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(
+        col("lang"), col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("vocab")
+          + col("f1") * (col("f1") - 1) / (lit(2.0) * (col("f2") + 1)), 4).as("chao1"),
+        round(lit(1.0) - col("f1") / col("n_tokens").cast("double"), 4).as("coverage"))
+      .orderBy("lang")
+
+  /** q372: Good–Turing counts-of-counts — the smoothing table behind
+    * every n-gram LM (q71): for each of the lowest maxR occupied raw
+    * counts r, how many token types occur exactly r times (N_r), the
+    * adjusted count
+    * r_star = (r+1)·N_{r+1}/N_r, and its probability p_GT = r_star/N. The
+    * r→r+1 lookup is a self-join of the ≤maxR-row counts-of-counts
+    * aggregate — broadcast arithmetic, no window. */
+  def goodTuring(documents: DataFrame, maxR: Int = 10): DataFrame = {
+    val tf = documents
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val cc = tf.groupBy(col("n").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = tf.agg(sum("n").as("big_n"))
+    // the LOWEST maxR occupied counts — in a natural corpus that IS
+    // r = 1..maxR (singletons exist); a high-floor synthetic spectrum
+    // still reports its low-frequency end instead of an empty table
+    cc.orderBy("r").limit(maxR)
+      .join(broadcast(cc.select((col("r") - 1).as("rm"), col("n_r").as("n_r_next"))),
+        col("r") === col("rm"), "left")
+      .crossJoin(broadcast(tot)) // 1-row scalar
+      .select(
+        col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        round((col("r") + 1) * coalesce(col("n_r_next"), lit(0L))
+          / col("n_r").cast("double"), 4).as("r_star"),
+        round((col("r") + 1) * coalesce(col("n_r_next"), lit(0L))
+          / col("n_r").cast("double") / col("big_n"), 8).as("p_gt"))
+      .orderBy("r")
+  }
+
+  /** q373: pairwise source-distribution distance — Bhattacharyya
+    * coefficient BC = Σ√(p·q) over the two sources' token
+    * distributions, with Hellinger = √(1−BC) and the Bhattacharyya
+    * distance −ln BC. Only SHARED tokens contribute to BC, so the join
+    * is a sparse inner equi-join on token (each token expands to at
+    * most #sources² pairs — organizationally bounded, like q295's
+    * sparse JS divergence; no dense vocab grid). */
+  def sourceHellinger(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val tot = tf.groupBy("source").agg(sum("n").as("tot"))
+    val p = tf.join(broadcast(tot), "source")
+      .select(col("source"), col("tok"), (col("n") / col("tot")).as("p"))
+    p.as("a")
+      .join(p.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(
+        count(lit(1)).as("common_vocab"),
+        sum(sqrt(col("a.p") * col("b.p"))).as("bc"))
+      .select(
+        col("src_a"), col("src_b"), col("common_vocab"),
+        round(col("bc"), 4).as("bc"),
+        round(sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))), 4).as("hellinger"),
+        round(-log(col("bc")), 4).as("bhattacharyya"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q374: Cohen's κ between two deterministic quality labelers — the
+    * inter-annotator-agreement primitive every labeling pipeline needs
+    * before trusting a rater pool. Labeler A flags on the stored char
+    * count, labeler B on the live token count; κ = (p_o − p_e)/(1 − p_e)
+    * from the one-pass 2×2 contingency aggregate. */
+  def labelerKappa(
+      documents: DataFrame,
+      lenThresh: Int = 400,
+      tokThresh: Int = 60): DataFrame =
+    documents
+      .select(
+        (col("n_chars") >= lenThresh).as("a"),
+        (size(tokens(col("text"))) >= tokThresh).as("b"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("po", (col("n_both") + col("n_neither")) / col("n_docs").cast("double"))
+      .withColumn("pe",
+        ((col("n_both") + col("n_a_only")) * (col("n_both") + col("n_b_only"))
+          + (col("n_b_only") + col("n_neither")) * (col("n_a_only") + col("n_neither")))
+          / (col("n_docs").cast("double") * col("n_docs")))
+      .select(
+        col("n_docs"), col("n_both"), col("n_a_only"), col("n_b_only"), col("n_neither"),
+        round(col("po"), 4).as("p_observed"),
+        round(col("pe"), 4).as("p_expected"),
+        // pe = 1 ⇔ a degenerate single-cell corpus: κ undefined
+        round(when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 4)
+          .as("kappa"))
+
+  /** q380: McNemar's test on the q374 labeler pair — the PAIRED
+    * question κ doesn't answer: is one labeler systematically stricter
+    * than the other? Only the discordant cells matter:
+    * χ² = (n₁₀ − n₀₁)²/(n₁₀ + n₀₁), reported with the
+    * continuity-corrected variant; zero discordance → null (no test).
+    * Same one-pass 2×2 contingency aggregate as q374. */
+  def mcnemar(
+      documents: DataFrame,
+      lenThresh: Int = 400,
+      tokThresh: Int = 60): DataFrame =
+    documents
+      .select(
+        (col("n_chars") >= lenThresh).as("a"),
+        (size(tokens(col("text"))) >= tokThresh).as("b"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_b_only"))
+      .withColumn("disc", col("n_a_only") + col("n_b_only"))
+      .select(
+        col("n_docs"), col("n_a_only"), col("n_b_only"),
+        round(when(col("disc") > 0,
+          (col("n_a_only") - col("n_b_only")).cast("double")
+            * (col("n_a_only") - col("n_b_only")) / col("disc")), 4).as("chi2"),
+        round(when(col("disc") > 0,
+          greatest(lit(0L), abs(col("n_a_only") - col("n_b_only")) - 1)
+            * greatest(lit(0L), abs(col("n_a_only") - col("n_b_only")) - 1)
+            / col("disc").cast("double")), 4).as("chi2_corrected"))
+
+  /** q378: readability profile per language — Flesch reading ease and
+    * Flesch–Kincaid grade from three regex counters (alphabetic words,
+    * vowel-group syllable proxy, sentence-terminator runs; the corpus
+    * may lack terminators entirely, so sentences floor at 1 per doc).
+    * Pure per-row map work + one ≤#langs aggregate — the linear-scan
+    * shape that scales to 100 TB unchanged. */
+  def readability(documents: DataFrame): DataFrame = {
+    val w = size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+      .cast("double")
+    val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    val st = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    documents
+      .select(col("lang"), w.as("w"), syl.as("s"), st.as("st"))
+      .filter(col("w") > 0)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("w") / col("st")), 4).as("words_per_sentence"),
+        round(avg(col("s") / col("w")), 4).as("syllables_per_word"),
+        round(avg(lit(206.835) - lit(1.015) * col("w") / col("st")
+          - lit(84.6) * (col("s") / col("w"))), 4).as("flesch_ease"),
+        round(avg(lit(0.39) * col("w") / col("st")
+          + lit(11.8) * col("s") / col("w") - lit(15.59)), 4).as("fk_grade"))
+      .orderBy("lang")
+  }
 }

@@ -1,0 +1,350 @@
+package graft
+
+import graft.operators.{StatTests, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Ground-truth fixtures for the round-8 late widening (q367–q378):
+  * hand-computed statistics on planted data — the properties the DuckDB
+  * oracle equality can't state. */
+class AnalyticsR13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+
+  private def docsOf(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ------------------------------------------------------------- q367
+  test("q367: unit-shifted distributions are exactly W1 = 1 apart") {
+    val cust = Seq(
+      (1L, "BUILDING"), (2L, "BUILDING"), (3L, "BUILDING"),
+      (4L, "MACHINERY"), (5L, "MACHINERY"), (6L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    // A = {1,2,3}, B = {2,3,4}: shifting a distribution by +1 moves
+    // every unit of mass a distance of exactly 1
+    val orders = Seq(
+      (10L, 1L, 1.0), (11L, 2L, 2.0), (12L, 3L, 3.0),
+      (13L, 4L, 2.0), (14L, 5L, 3.0), (15L, 6L, 4.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = StatTests.wasserstein(orders, cust).collect().head
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("w1") == 1.0, r.toString)
+  }
+
+  test("q367: identical distributions are W1 = 0 apart") {
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val orders = (1 to 10).flatMap(i =>
+      Seq((i.toLong * 2, 1L, i * 7.0), (i.toLong * 2 + 1, 2L, i * 7.0)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = StatTests.wasserstein(orders, cust).collect().head
+    assert(r.getAs[Double]("w1") == 0.0, r.toString)
+  }
+
+  // ------------------------------------------------------------- q368
+  private def prioOrders(rows: (Long, String, Double)*) =
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  test("q368: fully separated groups hit delta = -1 / +1 with a 'large' label") {
+    val lo = prioOrders((1L, "1-URGENT", 1.0), (2L, "1-URGENT", 2.0), (3L, "1-URGENT", 3.0),
+      (4L, "5-LOW", 4.0), (5L, "5-LOW", 5.0), (6L, "5-LOW", 6.0))
+    val r = StatTests.cliffsDelta(lo).collect().head
+    assert(r.getAs[Double]("delta") == -1.0 && r.getAs[String]("magnitude") == "large", r.toString)
+    val hi = prioOrders((1L, "1-URGENT", 9.0), (2L, "1-URGENT", 8.0),
+      (3L, "5-LOW", 1.0), (4L, "5-LOW", 2.0))
+    val r2 = StatTests.cliffsDelta(hi).collect().head
+    assert(r2.getAs[Double]("delta") == 1.0, r2.toString)
+  }
+
+  test("q368: interleaved equal-mass groups score delta = 0 / negligible") {
+    val o = prioOrders((1L, "1-URGENT", 1.0), (2L, "5-LOW", 1.0),
+      (3L, "1-URGENT", 2.0), (4L, "5-LOW", 2.0))
+    val r = StatTests.cliffsDelta(o).collect().head
+    assert(r.getAs[Double]("delta") == 0.0 && r.getAs[String]("magnitude") == "negligible")
+  }
+
+  // ------------------------------------------------------------- q369
+  test("q369: groups split cleanly around the rank-⌈n/2⌉ median; chi2 = n") {
+    // global sorted values 1..6 → median = value at rank 3 = 3
+    // X all ≤ med (0 above), Y all > med (3 above): the 2×2 is maximal
+    val o = prioOrders((1L, "X", 1.0), (2L, "X", 2.0), (3L, "X", 3.0),
+      (4L, "Y", 4.0), (5L, "Y", 5.0), (6L, "Y", 6.0))
+    val out = StatTests.moodMedian(o).collect()
+    assert(out.length == 2)
+    val x = out.find(_.getAs[String]("o_orderpriority") == "X").get
+    val y = out.find(_.getAs[String]("o_orderpriority") == "Y").get
+    assert(x.getAs[Long]("n_above") == 0 && y.getAs[Long]("n_above") == 3)
+    assert(x.getAs[Double]("exp_above") == 1.5 && y.getAs[Double]("exp_above") == 1.5)
+    // chi2 = Σ (o-e)²/e over 4 cells = 4 × 1.5²/1.5 = 6 (= n here)
+    assert(x.getAs[Double]("chi2") == 6.0 && y.getAs[Double]("chi2") == 6.0)
+  }
+
+  // ------------------------------------------------------------- q370
+  test("q370: planted geometric frequencies recover the exact Hill mean log") {
+    // freqs 16,8,4,2,1 → top-3 over n_(4)=2: h = mean(ln8, ln4, ln2) = 2·ln2
+    val text = (Seq.fill(16)("a") ++ Seq.fill(8)("b") ++ Seq.fill(4)("c")
+      ++ Seq.fill(2)("d") ++ Seq("e")).mkString(" ")
+    val docs = docsOf((1L, text, "en", "s", text.length.toLong))
+    val r = TextAnalysis.hillTailExponent(docs, k = 3).collect().head
+    assert(r.getAs[Long]("k_used") == 3)
+    val h = 2 * math.log(2.0)
+    assert(r.getAs[Double]("hill_mean_log") == r4(h), r.toString)
+    assert(r.getAs[Double]("alpha_tail") == r4(1.0 / h), r.toString)
+  }
+
+  test("q370: a lang with fewer than k+1 types drops out (no tail to estimate)") {
+    val docs = docsOf(
+      (1L, "a a b", "short", "s", 5L),
+      (2L, (1 to 80).map(i => s"t$i").mkString(" ") + " " + Seq.fill(60)("hot").mkString(" "),
+        "long", "s", 400L))
+    val out = TextAnalysis.hillTailExponent(docs, k = 50).collect()
+    assert(out.map(_.getAs[String]("lang")).toSeq == Seq("long"))
+  }
+
+  // ------------------------------------------------------------- q371
+  test("q371: Chao1 and coverage match the hand count") {
+    // tokens: x×3 y×1 z×1 w×2 v×2 → N=9 V=5 f1=2 f2=2
+    val docs = docsOf((1L, "x x x y z w w v v", "en", "s", 17L))
+    val r = TextAnalysis.vocabRichness(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 9 && r.getAs[Long]("vocab") == 5)
+    assert(r.getAs[Long]("f1") == 2 && r.getAs[Long]("f2") == 2)
+    assert(r.getAs[Double]("chao1") == r4(5 + 2.0 * 1 / (2.0 * 3)), r.toString)
+    assert(r.getAs[Double]("coverage") == r4(1 - 2.0 / 9), r.toString)
+  }
+
+  test("q371: an all-singleton corpus estimates near-double the seen vocab") {
+    val docs = docsOf((1L, "a b c d", "en", "s", 7L))
+    val r = TextAnalysis.vocabRichness(docs).collect().head
+    // bias-corrected with f2=0: V + f1(f1-1)/2 = 4 + 6 = 10; coverage 0
+    assert(r.getAs[Double]("chao1") == 10.0 && r.getAs[Double]("coverage") == 0.0)
+  }
+
+  // ------------------------------------------------------------- q372
+  test("q372: counts-of-counts ladder gives the textbook r* table") {
+    // 3 singletons, 2 doubletons, 1 tripleton → N=10
+    val docs = docsOf((1L, "a b c d d e e f f f", "en", "s", 19L))
+    val out = TextAnalysis.goodTuring(docs).collect()
+    assert(out.length == 3)
+    val by = out.map(r => r.getAs[Long]("r") -> r).toMap
+    assert(by(1L).getAs[Long]("n_r") == 3 && by(1L).getAs[Long]("n_r_next") == 2)
+    assert(by(1L).getAs[Double]("r_star") == r4(2.0 * 2 / 3))
+    assert(by(2L).getAs[Double]("r_star") == 1.5)
+    assert(by(3L).getAs[Long]("n_r_next") == 0 && by(3L).getAs[Double]("r_star") == 0.0)
+    val p1 = math.floor(2.0 * 2 / 3 / 10 * 1e8 + 0.5) / 1e8
+    assert(by(1L).getAs[Double]("p_gt") == p1, by(1L).toString)
+  }
+
+  // ------------------------------------------------------------- q373
+  test("q373: identical sources are BC = 1 / Hellinger = 0; disjoint pairs vanish") {
+    val docs = docsOf(
+      (1L, "a b", "en", "s1", 3L),
+      (2L, "a b", "en", "s2", 3L),
+      (3L, "z z", "en", "s3", 3L))
+    val out = TextAnalysis.sourceHellinger(docs).collect()
+    assert(out.length == 1, out.map(_.toString).mkString(","))
+    val r = out.head
+    assert(r.getAs[String]("src_a") == "s1" && r.getAs[String]("src_b") == "s2")
+    assert(r.getAs[Long]("common_vocab") == 2)
+    assert(r.getAs[Double]("bc") == 1.0 && r.getAs[Double]("hellinger") == 0.0
+      && r.getAs[Double]("bhattacharyya") == 0.0, r.toString)
+  }
+
+  test("q373: a half-overlapping source pair lands at BC = 0.5") {
+    // s1 = {a:1/2, b:1/2}, s2 = {a:1/2, c:1/2} → BC over shared {a} = 1/2
+    val docs = docsOf(
+      (1L, "a b", "en", "s1", 3L),
+      (2L, "a c", "en", "s2", 3L))
+    val r = TextAnalysis.sourceHellinger(docs).collect().head
+    assert(r.getAs[Double]("bc") == 0.5)
+    assert(r.getAs[Double]("hellinger") == r4(math.sqrt(0.5)), r.toString)
+    assert(r.getAs[Double]("bhattacharyya") == r4(math.log(2.0)), r.toString)
+  }
+
+  // ------------------------------------------------------------- q374
+  test("q374: perfect agreement is kappa = 1; independence is kappa = 0") {
+    val longText = Seq.fill(70)("w").mkString(" ")
+    val shortText = "w w w"
+    // 2 both-flagged + 2 neither → po = 1, pe = 0.5, κ = 1
+    val agree = docsOf(
+      (1L, longText, "en", "s", 500L), (2L, longText, "en", "s", 500L),
+      (3L, shortText, "en", "s", 100L), (4L, shortText, "en", "s", 100L))
+    val r = TextAnalysis.labelerKappa(agree).collect().head
+    assert(r.getAs[Long]("n_both") == 2 && r.getAs[Long]("n_neither") == 2)
+    assert(r.getAs[Double]("p_observed") == 1.0 && r.getAs[Double]("kappa") == 1.0)
+    // one doc in each contingency cell → po = pe = 0.5, κ = 0
+    val indep = docsOf(
+      (1L, longText, "en", "s", 500L),  // a ∧ b
+      (2L, shortText, "en", "s", 500L), // a ∧ ¬b
+      (3L, longText, "en", "s", 100L),  // ¬a ∧ b
+      (4L, shortText, "en", "s", 100L)) // ¬a ∧ ¬b
+    val r2 = TextAnalysis.labelerKappa(indep).collect().head
+    assert(r2.getAs[Double]("p_observed") == 0.5 && r2.getAs[Double]("p_expected") == 0.5)
+    assert(r2.getAs[Double]("kappa") == 0.0, r2.toString)
+  }
+
+  // ------------------------------------------------------------- q375
+  test("q375: IPW recovers the true uniform effect the naive difference distorts") {
+    // stratum A: 3 treated (y=10), 1 control (y=0); stratum B: 1 treated
+    // (y=20), 3 control (y=10). True effect = +10 in both strata; the
+    // naive pooled difference is 5 because treatment concentrates in A.
+    def ev(uid: Long, et: String, v: Double) = (uid, et, v)
+    val events = Seq(
+      ev(1, "A", 10.0), ev(3, "A", 10.0), ev(5, "A", 10.0), ev(2, "A", 0.0),
+      ev(7, "B", 20.0), ev(4, "B", 10.0), ev(6, "B", 10.0), ev(8, "B", 10.0))
+      .toDF("user_id", "event_type", "value")
+    val r = StatTests.ipwAte(events).collect().head
+    assert(r.getAs[Long]("n_events") == 8)
+    assert(r.getAs[Double]("ate_naive") == 5.0, r.toString)
+    assert(r.getAs[Double]("ate_ipw") == 10.0, r.toString)
+    assert(r.getAs[Double]("mu_treated") == 15.0 && r.getAs[Double]("mu_control") == 5.0)
+  }
+
+  // ------------------------------------------------------------- q376
+  test("q376: a perfectly consistent treatment ordering gives Q = 2b(k-1)·... the closed form") {
+    // 3 blocks × 3 treatments, same order everywhere → rank sums 3,6,9
+    // Q = 12/(3·3·4)·(9+36+81) − 3·3·4 = 42 − 36 = 6
+    val rows = for {
+      m <- 1 to 3
+      (p, v) <- Seq(("1-URGENT", 10.0), ("3-MEDIUM", 20.0), ("5-LOW", 30.0))
+    } yield ((m * 10 + v).toLong, p, v, f"2024-$m%02d-15 00:00:00")
+    val orders = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val out = StatTests.friedman(orders).collect()
+    assert(out.length == 3)
+    val by = out.map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    assert(by("1-URGENT").getAs[Double]("rank_sum") == 3.0)
+    assert(by("3-MEDIUM").getAs[Double]("rank_sum") == 6.0)
+    assert(by("5-LOW").getAs[Double]("rank_sum") == 9.0)
+    out.foreach(r => assert(r.getAs[Double]("q_stat") == 6.0, r.toString))
+    out.foreach(r => assert(r.getAs[Long]("n_blocks") == 3))
+  }
+
+  // ------------------------------------------------------------- q377
+  test("q377: method-of-moments NB fit on planted counts, zero-order customers included") {
+    val cust = Seq((1L, "SEG"), (2L, "SEG"), (3L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    // customer 1 places NO orders → count 0 via the left join
+    val orders = ((1 to 2).map(i => (100L + i, 2L, 1.0))
+      ++ (1 to 4).map(i => (200L + i, 3L, 1.0)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = StatTests.negBinFit(orders, cust).collect().head
+    assert(r.getAs[Long]("n_cust") == 3)
+    // counts {0,2,4}: m=2, v=4 → r = 4/(4−2) = 2, p = 2/4, disp = 2
+    assert(r.getAs[Double]("mean_orders") == 2.0 && r.getAs[Double]("var_orders") == 4.0)
+    assert(r.getAs[Double]("nb_r") == 2.0 && r.getAs[Double]("nb_p") == 0.5)
+    assert(r.getAs[Double]("dispersion") == 2.0)
+  }
+
+  // ------------------------------------------------------------- q378
+  test("q378: Flesch/FK match the closed form on a punctuated fixture") {
+    // 6 words, 2 sentences, 6 single-vowel-group syllables
+    val docs = docsOf((1L, "The cat sat. The dog ran!", "en", "s", 26L))
+    val r = TextAnalysis.readability(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 1)
+    assert(r.getAs[Double]("words_per_sentence") == 3.0)
+    assert(r.getAs[Double]("syllables_per_word") == 1.0)
+    assert(r.getAs[Double]("flesch_ease") == r4(206.835 - 1.015 * 3.0 - 84.6 * 1.0), r.toString)
+    assert(r.getAs[Double]("fk_grade") == r4(0.39 * 3.0 + 11.8 * 1.0 - 15.59), r.toString)
+  }
+
+  test("q378: terminator-free corpora floor at one sentence per doc") {
+    val docs = docsOf((1L, "only words no stops here", "en", "s", 24L))
+    val r = TextAnalysis.readability(docs).collect().head
+    assert(r.getAs[Double]("words_per_sentence") == 5.0, r.toString)
+  }
+
+  // ------------------------------------------------------------- q379
+  test("q379: separated two-point samples match the hand-summed CvM statistic") {
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    // A = {1,2}, B = {3,4}: pooled CDF gaps .5, 1, .5, 0 → Σgap² = 1.5
+    // T = (2·2/16)·1.5 = 0.375
+    val orders = Seq((10L, 1L, 1.0), (11L, 1L, 2.0), (12L, 2L, 3.0), (13L, 2L, 4.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = StatTests.cramerVonMises(orders, cust).collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("t_stat") == 0.375, r.toString)
+  }
+
+  // ------------------------------------------------------------- q380
+  test("q380: only the discordant cells drive McNemar, with capped continuity correction") {
+    val strictA = Seq.fill(3)(("w w w", 500L))          // a ∧ ¬b ×3
+    val strictB = Seq((Seq.fill(70)("w").mkString(" "), 100L)) // ¬a ∧ b ×1
+    val docs = docsOf((strictA ++ strictB).zipWithIndex.map { case ((t, nc), i) =>
+      ((i + 1).toLong, t, "en", "s", nc) }: _*)
+    val r = TextAnalysis.mcnemar(docs).collect().head
+    assert(r.getAs[Long]("n_a_only") == 3 && r.getAs[Long]("n_b_only") == 1)
+    assert(r.getAs[Double]("chi2") == 1.0, r.toString)          // (3−1)²/4
+    assert(r.getAs[Double]("chi2_corrected") == 0.25, r.toString) // (|2|−1)²/4
+  }
+
+  test("q380: zero discordance yields null statistics, not a division") {
+    val docs = docsOf((1L, Seq.fill(70)("w").mkString(" "), "en", "s", 500L))
+    val r = TextAnalysis.mcnemar(docs).collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2")) && r.isNullAt(r.fieldIndex("chi2_corrected")))
+  }
+
+  // ------------------------------------------------------------- q381
+  test("q381: Kish ESS on the q375 fixture — 4 rows collapse to 3 effective") {
+    val events = Seq(
+      (1L, "A", 10.0), (3L, "A", 10.0), (5L, "A", 10.0), (2L, "A", 0.0),
+      (7L, "B", 20.0), (4L, "B", 10.0), (6L, "B", 10.0), (8L, "B", 10.0))
+      .toDF("user_id", "event_type", "value")
+    val out = StatTests.ipwDiagnostics(events).collect()
+    assert(out.length == 2)
+    // both arms: weights {4/3, 4/3, 4/3, 4} → Σw = 8, Σw² = 64/3,
+    // ESS = 64/(64/3) = 3, ratio .75, max 4, cv = (4/3)/2
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == 4)
+      assert(r.getAs[Double]("sum_w") == 8.0, r.toString)
+      assert(r.getAs[Double]("ess") == 3.0 && r.getAs[Double]("ess_ratio") == 0.75)
+      assert(r.getAs[Double]("max_w") == 4.0)
+      assert(r.getAs[Double]("cv_w") == r4(4.0 / 3 / 2), r.toString)
+    }
+  }
+
+  // ------------------------------------------------------------- q382
+  private def datedOrders(rows: (Long, Long, String)*) =
+    rows.toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+
+  test("q382: identical survival in both segments scores chi2 = 0") {
+    val cust = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "MACHINERY"), (4L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = datedOrders(
+      (1L, 1L, "2022-01-01 00:00:00"),                                    // A: t=0 churned
+      (2L, 2L, "2024-11-01 00:00:00"), (3L, 2L, "2024-12-31 00:00:00"),   // A: t=2 censored
+      (4L, 3L, "2022-01-01 00:00:00"),                                    // B: t=0 churned
+      (5L, 4L, "2024-11-01 00:00:00"), (6L, 4L, "2024-12-31 00:00:00"))   // B: t=2 censored
+    val r = StatTests.logRank(orders, cust).collect().head
+    assert(r.getAs[Long]("n_times") == 2)
+    assert(r.getAs[Long]("o_a") == 1 && r.getAs[Double]("e_a") == 1.0)
+    assert(r.getAs[Double]("chi2") == 0.0 && r.getAs[Double]("z_stat") == 0.0, r.toString)
+  }
+
+  test("q382: one segment churning while the other survives rejects loudly") {
+    val cust = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "MACHINERY"), (4L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    // both A customers churn at t=0; both B customers censored at t=0
+    val orders = datedOrders(
+      (1L, 1L, "2022-01-01 00:00:00"), (2L, 2L, "2022-06-01 00:00:00"),
+      (3L, 3L, "2024-12-31 00:00:00"), (4L, 4L, "2024-12-30 00:00:00"))
+    val r = StatTests.logRank(orders, cust).collect().head
+    // t=0: ra=rb=2, da=2, db=0 → E_A = 1, V = 2·¼·(4−2)/3 = 1/3
+    assert(r.getAs[Long]("o_a") == 2 && r.getAs[Double]("e_a") == 1.0)
+    assert(r.getAs[Double]("chi2") == 3.0, r.toString)
+    assert(r.getAs[Double]("z_stat") == r4(math.sqrt(3.0)), r.toString)
+  }
+
+  // ------------------------------------------------------------- q383
+  test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))
+      ++ (1 to 10).map(i => (100L + i, 2L, i * 20.0)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = StatTests.quantileShift(orders, cust).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(r.getAs[Double]("q_a") == d * 10.0 && r.getAs[Double]("q_b") == d * 20.0)
+      assert(r.getAs[Double]("shift") == d * 10.0 && r.getAs[Double]("ratio") == 2.0)
+    }
+  }
+}

@@ -381,7 +381,15 @@ class PlanSpec extends SparkSpec {
       "q359_token_drift"    -> bnl, // 1-row corpus token-mass scalar (q14/q255 idiom)
       "q360_price_index"    -> bnl, // 1-row max-year scalar (q14/q353 idiom)
       "q362_dedup_coverage" -> bnl, // 1-row nA/nB/overlap scalars crossed (q14 idiom)
-      "q363_ljung_box"      -> bnl) // 1-row mean/denominator scalars + ≤maxLag lag frame broadcast (q14/q181 idiom)
+      "q363_ljung_box"      -> bnl, // 1-row mean/denominator scalars + ≤maxLag lag frame broadcast (q14/q181 idiom)
+      "q367_wasserstein"    -> (bnl + "unpartitioned-window"), // GlobalOrder offset frames ×3 rankings (q184 idiom) + 1-row n_a/n_b scalar (q14 idiom)
+      "q368_cliffs_delta"   -> Set("unpartitioned-window"), // GlobalOrder offset frame (q185 idiom)
+      "q369_mood_median"    -> (bnl + "unpartitioned-window"), // GlobalOrder offset frame + 1-row median scalar (q14 idiom) + χ² fold over the ≤5-group frame (q182 idiom)
+      "q372_good_turing"    -> bnl, // 1-row corpus-total scalar (q14 idiom); the r→r+1 lookup is an equi-join
+      "q376_friedman"       -> Set("unpartitioned-window"), // Q fold over the ≤#priorities rank-sum frame (q182 bounded-frame idiom)
+      "q379_cramer_von_mises" -> (bnl + "unpartitioned-window"), // GlobalOrder offset frames ×3 + 1-row n_a/n_b scalar (q367 idiom)
+      "q382_logrank"        -> bnl, // 1-row corpus-end scalar (q221 idiom); at-risk windows are side-partitioned over the ≤#months grid
+      "q383_quantile_shift" -> Set("unpartitioned-window")) // GlobalOrder offset frames ×2 (q184 idiom); boundary lookup is a broadcast equi-join
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
