@@ -694,6 +694,11 @@ object SparkEntry {
       val t = Tables(s, d)
       StatTests.quantileShift(t.orders, t.customer)
     }),
+    "q384_rate_ratio" -> ((s, d) => StatTests.rateRatio(Tables(s, d).events)),
+    "q385_yuen_trimmed" -> ((s, d) => StatTests.yuenTrimmed(Tables(s, d).orders)),
+    "q386_partial_corr" -> ((s, d) => StatTests.partialCorr(Tables(s, d).orders)),
+    "q387_two_way_anova" -> ((s, d) => StatTests.twoWayAnova(Tables(s, d).orders)),
+    "q388_cochran_q" -> ((s, d) => TextAnalysis.cochranQ(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5641,6 +5646,124 @@ object SparkEntry {
         |  floor((q_b - q_a)*10000 + 0.5)/10000 AS shift,
         |  floor(CASE WHEN q_a <> 0 THEN q_b/q_a END*10000 + 0.5)/10000 AS ratio
         |FROM q ORDER BY decile""".stripMargin,
+    "q384_rate_ratio" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c_a,
+        |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS c_b,
+        |    count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |  FROM events)
+        |SELECT c_a, c_b, n_days,
+        |  floor(c_a/CAST(n_days AS DOUBLE)*10000 + 0.5)/10000 AS rate_a,
+        |  floor(c_b/CAST(n_days AS DOUBLE)*10000 + 0.5)/10000 AS rate_b,
+        |  floor(CASE WHEN c_b > 0 THEN c_a/CAST(c_b AS DOUBLE) END*10000 + 0.5)/10000
+        |    AS rate_ratio,
+        |  floor(CASE WHEN c_a > 0 AND c_b > 0 THEN
+        |    ln(c_a/CAST(c_b AS DOUBLE))/sqrt(1.0/c_a + 1.0/c_b) END*10000 + 0.5)/10000
+        |    AS z_stat
+        |FROM c""".stripMargin,
+    "q385_yuen_trimmed" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS side
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |r AS (
+        |  SELECT v, side, row_number() OVER (PARTITION BY side ORDER BY v, k) AS rn,
+        |    count(*) OVER (PARTITION BY side) AS ns
+        |  FROM v),
+        |w AS (
+        |  SELECT side, v, rn, ns,
+        |    CAST(floor(ns*CAST(0.1 AS DOUBLE)) AS BIGINT) AS g
+        |  FROM r),
+        |bnd AS (
+        |  SELECT side, max(CASE WHEN rn = g + 1 THEN v END) AS vlo,
+        |    max(CASE WHEN rn = ns - g THEN v END) AS vhi
+        |  FROM w GROUP BY side),
+        |s AS (
+        |  SELECT w.side, max(ns) AS ns, max(g) AS g,
+        |    avg(CASE WHEN rn > g AND rn <= ns - g THEN v END) AS tm,
+        |    var_samp(least(greatest(v, vlo), vhi)) AS s2w
+        |  FROM w JOIN bnd ON w.side = bnd.side GROUP BY w.side),
+        |d AS (
+        |  SELECT side, ns, ns - 2*g AS h, tm,
+        |    CASE WHEN ns - 2*g > 1 THEN
+        |      s2w*(ns - 1)/((ns - 2*g)*(ns - 2*g - 1)) END AS dd
+        |  FROM s)
+        |SELECT a.ns AS n_a, b.ns AS n_b, a.h AS h_a, b.h AS h_b,
+        |  floor(a.tm*10000 + 0.5)/10000 AS tm_a,
+        |  floor(b.tm*10000 + 0.5)/10000 AS tm_b,
+        |  floor(CASE WHEN a.dd + b.dd > 0 THEN
+        |    (a.tm - b.tm)/sqrt(a.dd + b.dd) END*10000 + 0.5)/10000 AS t_stat
+        |FROM d a CROSS JOIN d b WHERE a.side = 0 AND b.side = 1""".stripMargin,
+    "q386_partial_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y, avg(o_totalprice) AS z
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT count(*) AS n_days, corr(x, y) AS rxy, corr(x, z) AS rxz,
+        |    corr(y, z) AS ryz
+        |  FROM daily)
+        |SELECT n_days,
+        |  floor(rxy*10000 + 0.5)/10000 AS r_rev_cnt,
+        |  floor(rxz*10000 + 0.5)/10000 AS r_rev_ticket,
+        |  floor(ryz*10000 + 0.5)/10000 AS r_cnt_ticket,
+        |  floor(CASE WHEN rxz*rxz < 1.0 AND ryz*ryz < 1.0 THEN
+        |    (rxy - rxz*ryz)/sqrt((1.0 - rxz*rxz)*(1.0 - ryz*ryz)) END*10000 + 0.5)/10000
+        |    AS partial_r
+        |FROM c""".stripMargin,
+    "q387_two_way_anova" ->
+      """WITH k AS (
+        |  SELECT month(o_orderdate) AS ma, o_orderpriority AS pb, o_totalprice AS v
+        |  FROM orders),
+        |tot AS (SELECT count(*) AS n, sum(v) AS s, sum(v*v) AS ss FROM k),
+        |ba AS (
+        |  SELECT count(*) AS a_levels, sum(sa*sa/na) AS pa FROM (
+        |    SELECT ma, count(*) AS na, sum(v) AS sa FROM k GROUP BY ma)),
+        |bb AS (
+        |  SELECT count(*) AS b_levels, sum(sb*sb/nb) AS pb2 FROM (
+        |    SELECT pb, count(*) AS nb, sum(v) AS sb FROM k GROUP BY pb)),
+        |bc AS (
+        |  SELECT count(*) AS n_cells, sum(sc*sc/nc) AS pc FROM (
+        |    SELECT ma, pb, count(*) AS nc, sum(v) AS sc FROM k GROUP BY ma, pb)),
+        |x AS (
+        |  SELECT n, a_levels, b_levels, n_cells,
+        |    ss - s*s/n AS sst, pa - s*s/n AS ssa, pb2 - s*s/n AS ssb, ss - pc AS sse,
+        |    a_levels - 1 AS dfa, b_levels - 1 AS dfb,
+        |    n_cells - a_levels - b_levels + 1 AS dfab, n - n_cells AS dfe
+        |  FROM tot CROSS JOIN ba CROSS JOIN bb CROSS JOIN bc),
+        |y AS (SELECT *, sst - ssa - ssb - sse AS ssab FROM x)
+        |SELECT n AS n_orders, a_levels, b_levels, dfa, dfb, dfab, dfe,
+        |  floor(CASE WHEN dfa > 0 AND dfe > 0 AND sse > 0 THEN
+        |    ssa/dfa/(sse/dfe) END*10000 + 0.5)/10000 AS f_month,
+        |  floor(CASE WHEN dfb > 0 AND dfe > 0 AND sse > 0 THEN
+        |    ssb/dfb/(sse/dfe) END*10000 + 0.5)/10000 AS f_prio,
+        |  floor(CASE WHEN dfab > 0 AND dfe > 0 AND sse > 0 THEN
+        |    ssab/dfab/(sse/dfe) END*10000 + 0.5)/10000 AS f_inter,
+        |  floor(CASE WHEN sst > 0 THEN ssa/sst END*10000 + 0.5)/10000 AS eta2_month,
+        |  floor(CASE WHEN sst > 0 THEN ssb/sst END*10000 + 0.5)/10000 AS eta2_prio,
+        |  floor(CASE WHEN sst > 0 THEN ssab/sst END*10000 + 0.5)/10000 AS eta2_inter
+        |FROM y""".stripMargin,
+    "q388_cochran_q" ->
+      """WITH f AS (
+        |  SELECT
+        |    CAST(n_chars >= 400 AS BIGINT) AS a,
+        |    CAST(len(regexp_extract_all(text,'\S+')) >= 60 AS BIGINT) AS b,
+        |    CAST(len(regexp_extract_all(lower(text),'[aeiou]'))
+        |      /CAST(n_chars AS DOUBLE) >= CAST(0.285 AS DOUBLE) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars > 0),
+        |g AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(a) AS BIGINT) AS c_a, CAST(sum(b) AS BIGINT) AS c_b,
+        |    CAST(sum(c) AS BIGINT) AS c_c,
+        |    CAST(sum((a + b + c)*(a + b + c)) AS BIGINT) AS sr2
+        |  FROM f),
+        |h AS (SELECT *, c_a + c_b + c_c AS nn FROM g)
+        |SELECT n_docs, c_a, c_b, c_c,
+        |  floor(CASE WHEN 3*nn - sr2 > 0 THEN
+        |    2.0*(3*(c_a*c_a + c_b*c_b + c_c*c_c) - nn*nn)/(3*nn - sr2)
+        |  END*10000 + 0.5)/10000 AS q_stat
+        |FROM h""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

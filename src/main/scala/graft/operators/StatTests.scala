@@ -2304,6 +2304,156 @@ object StatTests {
           (col("o_a") - col("ea")) / sqrt(col("vv"))), 4).as("z_stat"))
   }
 
+  /** q384: two-sample Poisson rate-ratio test between two event types
+    * over the same observation window — "are purchases arriving at the
+    * same rate as errors?" The conditional test: given c_a + c_b
+    * events, RR = c_a/c_b with z = ln(RR)/√(1/c_a + 1/c_b). One
+    * full-scan aggregate; zero-count sides report null statistics
+    * instead of dividing (ANSI-safe). */
+  def rateRatio(
+      events: DataFrame,
+      typeA: String = "purchase",
+      typeB: String = "error"): DataFrame =
+    events
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("c_b"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+      .select(
+        col("c_a"), col("c_b"), col("n_days"),
+        round(col("c_a") / col("n_days").cast("double"), 4).as("rate_a"),
+        round(col("c_b") / col("n_days").cast("double"), 4).as("rate_b"),
+        round(when(col("c_b") > 0, col("c_a") / col("c_b").cast("double")), 4)
+          .as("rate_ratio"),
+        round(when(col("c_a") > 0 && col("c_b") > 0,
+          log(col("c_a") / col("c_b").cast("double"))
+            / sqrt(lit(1.0) / col("c_a") + lit(1.0) / col("c_b"))), 4).as("z_stat"))
+
+  /** q385: Yuen's trimmed-mean test between two order priorities — the
+    * heavy-tail-robust alternative to q171's Welch t (a single whale
+    * order can swamp a mean comparison; trimming removes it, Winsorized
+    * variance prices the removal honestly). Per side: trim
+    * g = ⌊n·trim⌋ ranks from each tail of the [[GlobalOrder]] ranking,
+    * trimmed mean over the middle h = n − 2g, variance of the
+    * WINSORIZED sample (tails clamped to the g+1 / n−g rank values —
+    * two 1-row rank picks, broadcast), d = s²_w(n−1)/(h(h−1)),
+    * t = (m̄₁ − m̄₂)/√(d₁ + d₂). */
+  def yuenTrimmed(
+      orders: DataFrame,
+      prioA: String = "1-URGENT",
+      prioB: String = "5-LOW",
+      trim: Double = 0.1): DataFrame = {
+    def sideStats(prio: String): DataFrame = {
+      val vals = orders.filter(col("o_orderpriority") === prio)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val ranked = GlobalOrder.withGlobalRowNumber(
+        vals, col("v"), Seq("v", "k"), "rn", "__ns")
+        .withColumn("g", floor(col("__ns") * lit(trim)).cast("long"))
+      val lo = ranked.filter(col("rn") === col("g") + 1).select(col("v").as("vlo"))
+      val hi = ranked.filter(col("rn") === col("__ns") - col("g")).select(col("v").as("vhi"))
+      ranked
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi)) // 1-row rank picks
+        .agg(
+          max("__ns").as("ns"), max("g").as("g"),
+          avg(when(col("rn") > col("g") && col("rn") <= col("__ns") - col("g"),
+            col("v"))).as("tm"),
+          var_samp(least(greatest(col("v"), col("vlo")), col("vhi"))).as("s2w"))
+        .withColumn("h", col("ns") - lit(2) * col("g"))
+        .withColumn("dd",
+          when(col("h") > 1,
+            col("s2w") * (col("ns") - 1) / (col("h") * (col("h") - 1))))
+    }
+    val a = sideStats(prioA)
+    val b = sideStats(prioB).select(
+      col("ns").as("ns_b"), col("h").as("h_b"), col("tm").as("tm_b"), col("dd").as("dd_b"))
+    a.crossJoin(broadcast(b)) // 1-row × 1-row
+      .select(
+        col("ns").as("n_a"), col("ns_b").as("n_b"),
+        col("h").as("h_a"), col("h_b"),
+        round(col("tm"), 4).as("tm_a"),
+        round(col("tm_b"), 4).as("tm_b"),
+        round(when(col("dd") + col("dd_b") > 0.0,
+          (col("tm") - col("tm_b")) / sqrt(col("dd") + col("dd_b"))), 4).as("t_stat"))
+  }
+
+  /** q386: first-order partial correlation over the daily frame — does
+    * revenue track order COUNT once the average ticket size is held
+    * fixed? r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) from the
+    * three pairwise Pearson aggregates on (revenue, n_orders,
+    * avg_price) per day; degenerate |r| = 1 controls report null. */
+  def partialCorr(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(
+        sum("o_totalprice").as("x"),
+        count(lit(1)).cast("double").as("y"),
+        avg("o_totalprice").as("z"))
+    daily
+      .agg(
+        count(lit(1)).as("n_days"),
+        corr(col("x"), col("y")).as("rxy"),
+        corr(col("x"), col("z")).as("rxz"),
+        corr(col("y"), col("z")).as("ryz"))
+      .select(
+        col("n_days"),
+        round(col("rxy"), 4).as("r_rev_cnt"),
+        round(col("rxz"), 4).as("r_rev_ticket"),
+        round(col("ryz"), 4).as("r_cnt_ticket"),
+        round(when(col("rxz") * col("rxz") < 1.0 && col("ryz") * col("ryz") < 1.0,
+          (col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+              * (lit(1.0) - col("ryz") * col("ryz")))), 4).as("partial_r"))
+  }
+
+  /** q387: two-way ANOVA main-effects decomposition (month × priority
+    * on order value) — the factorial view where q226 is one-way and
+    * q376 is rank-based. Sums of squares from three tiny aggregates
+    * (per-month, per-priority, per-cell) + the 1-row grand totals;
+    * SS_inter falls out by subtraction; output is F ratios and η²
+    * SHARES (never raw SS — at warehouse magnitudes the raw sums of
+    * squares carry float jitter past 4 dp; the ratios are stable).
+    * Unbalanced cells are handled by the observed-cell df convention
+    * (df_error = N − #cells). */
+  def twoWayAnova(orders: DataFrame): DataFrame = {
+    val keyed = orders.select(
+      month(to_date(col("o_orderdate"))).as("ma"),
+      col("o_orderpriority").as("pb"),
+      col("o_totalprice").as("v"))
+    val tot = keyed.agg(
+      count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    val byA = keyed.groupBy("ma").agg(count(lit(1)).as("na"), sum("v").as("sa"))
+      .agg(count(lit(1)).as("a_levels"),
+        sum(col("sa") * col("sa") / col("na")).as("pa"))
+    val byB = keyed.groupBy("pb").agg(count(lit(1)).as("nb"), sum("v").as("sb"))
+      .agg(count(lit(1)).as("b_levels"),
+        sum(col("sb") * col("sb") / col("nb")).as("pb2"))
+    val byC = keyed.groupBy("ma", "pb").agg(count(lit(1)).as("nc"), sum("v").as("sc"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("sc") * col("sc") / col("nc")).as("pc"))
+    tot.crossJoin(broadcast(byA)).crossJoin(broadcast(byB)).crossJoin(broadcast(byC))
+      .withColumn("sst", col("ss") - col("s") * col("s") / col("n"))
+      .withColumn("ssa", col("pa") - col("s") * col("s") / col("n"))
+      .withColumn("ssb", col("pb2") - col("s") * col("s") / col("n"))
+      .withColumn("sse", col("ss") - col("pc"))
+      .withColumn("ssab", col("sst") - col("ssa") - col("ssb") - col("sse"))
+      .withColumn("dfa", col("a_levels") - 1)
+      .withColumn("dfb", col("b_levels") - 1)
+      .withColumn("dfab", col("n_cells") - col("a_levels") - col("b_levels") + 1)
+      .withColumn("dfe", col("n") - col("n_cells"))
+      .select(
+        col("n").as("n_orders"), col("a_levels"), col("b_levels"),
+        col("dfa"), col("dfb"), col("dfab"), col("dfe"),
+        round(when(col("dfa") > 0 && col("dfe") > 0 && col("sse") > 0.0,
+          col("ssa") / col("dfa") / (col("sse") / col("dfe"))), 4).as("f_month"),
+        round(when(col("dfb") > 0 && col("dfe") > 0 && col("sse") > 0.0,
+          col("ssb") / col("dfb") / (col("sse") / col("dfe"))), 4).as("f_prio"),
+        round(when(col("dfab") > 0 && col("dfe") > 0 && col("sse") > 0.0,
+          col("ssab") / col("dfab") / (col("sse") / col("dfe"))), 4).as("f_inter"),
+        round(when(col("sst") > 0.0, col("ssa") / col("sst")), 4).as("eta2_month"),
+        round(when(col("sst") > 0.0, col("ssb") / col("sst")), 4).as("eta2_prio"),
+        round(when(col("sst") > 0.0, col("ssab") / col("sst")), 4).as("eta2_inter"))
+  }
+
   /** q383: per-decile quantile-shift table between two customer
     * segments — the QQ-plot data behind the q184/q367/q379 scalars:
     * for each decile d, the EXACT d-th decile of each side

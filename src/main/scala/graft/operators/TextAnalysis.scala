@@ -2005,6 +2005,40 @@ object TextAnalysis {
             * greatest(lit(0L), abs(col("n_a_only") - col("n_b_only")) - 1)
             / col("disc").cast("double")), 4).as("chi2_corrected"))
 
+  /** q388: Cochran's Q across THREE deterministic quality raters — the
+    * k-rater extension of q380's McNemar pair (do the raters flag the
+    * same share of docs?): char-count, token-count and vowel-share
+    * raters; Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²) with column totals
+    * C_j, per-doc row sums R_i, N = ΣR_i. One map pass + one scalar
+    * aggregate; an all-unanimous corpus (every R_i ∈ {0,k}) has zero
+    * denominator → null (guarded). */
+  def cochranQ(
+      documents: DataFrame,
+      lenThresh: Int = 400,
+      tokThresh: Int = 60,
+      vowelShare: Double = 0.285): DataFrame = {
+    val flags = documents
+      .filter(col("n_chars") > 0)
+      .select(
+        (col("n_chars") >= lenThresh).cast("long").as("a"),
+        (size(tokens(col("text"))) >= tokThresh).cast("long").as("b"),
+        (size(regexp_extract_all(lower(col("text")), lit("[aeiou]"), lit(0)))
+          / col("n_chars").cast("double") >= vowelShare).cast("long").as("c"))
+      .withColumn("r", col("a") + col("b") + col("c"))
+    flags
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("a").as("c_a"), sum("b").as("c_b"), sum("c").as("c_c"),
+        sum(col("r") * col("r")).as("sr2"))
+      .withColumn("nn", col("c_a") + col("c_b") + col("c_c"))
+      .select(
+        col("n_docs"), col("c_a"), col("c_b"), col("c_c"),
+        round(when(lit(3L) * col("nn") - col("sr2") > 0,
+          lit(2.0) * (lit(3L) * (col("c_a") * col("c_a") + col("c_b") * col("c_b")
+            + col("c_c") * col("c_c")) - col("nn") * col("nn"))
+            / (lit(3L) * col("nn") - col("sr2"))), 4).as("q_stat"))
+  }
+
   /** q378: readability profile per language — Flesch reading ease and
     * Flesch–Kincaid grade from three regex counters (alphabetic words,
     * vowel-group syllable proxy, sentence-terminator runs; the corpus

@@ -334,6 +334,99 @@ class AnalyticsR13Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------- q383
+  // ------------------------------------------------------------- q384
+  test("q384: rate ratio and z match the closed form on planted counts") {
+    val events = (Seq.fill(6)("purchase") ++ Seq.fill(3)("error") ++ Seq.fill(2)("view"))
+      .zipWithIndex.map { case (et, i) =>
+        (i.toLong, et, if (i % 2 == 0) "2024-01-01 10:00:00" else "2024-01-02 10:00:00")
+      }.toDF("user_id", "event_type", "d")
+      .withColumn("ts", to_timestamp(col("d"))).drop("d")
+    val r = StatTests.rateRatio(events).collect().head
+    assert(r.getAs[Long]("c_a") == 6 && r.getAs[Long]("c_b") == 3 && r.getAs[Long]("n_days") == 2)
+    assert(r.getAs[Double]("rate_a") == 3.0 && r.getAs[Double]("rate_b") == 1.5)
+    assert(r.getAs[Double]("rate_ratio") == 2.0)
+    assert(r.getAs[Double]("z_stat") == r4(math.log(2.0) / math.sqrt(1.0 / 6 + 1.0 / 3)), r.toString)
+  }
+
+  // ------------------------------------------------------------- q385
+  test("q385: trimmed means and Winsorized variance match the hand computation") {
+    val orders = prioOrders(
+      ((1 to 10).map(i => (i.toLong, "1-URGENT", i.toDouble))
+        ++ (1 to 10).map(i => (100L + i, "5-LOW", i + 12.0))): _*)
+    val r = StatTests.yuenTrimmed(orders).collect().head
+    assert(r.getAs[Long]("n_a") == 10 && r.getAs[Long]("h_a") == 8)
+    assert(r.getAs[Double]("tm_a") == 5.5 && r.getAs[Double]("tm_b") == 17.5)
+    // winsorized sample {2,2,3..8,9,9}: SS = 66.5, var = 66.5/9,
+    // d = var·9/(8·7) = 66.5/56 per side → t = −12/√(2·66.5/56)
+    val t = -12.0 / math.sqrt(2 * 66.5 / 56)
+    assert(r.getAs[Double]("t_stat") == r4(t), s"$r vs $t")
+  }
+
+  // ------------------------------------------------------------- q386
+  test("q386: partial correlation matches the three-corr closed form on a planted frame") {
+    // daily tuples: x = (10,25,30,50), y = (1,2,3,4), z = x/y
+    val rows = Seq(
+      (1L, 10.0, "2024-01-01"),
+      (2L, 10.0, "2024-01-02"), (3L, 15.0, "2024-01-02"),
+      (4L, 10.0, "2024-01-03"), (5L, 10.0, "2024-01-03"), (6L, 10.0, "2024-01-03"),
+      (7L, 12.5, "2024-01-04"), (8L, 12.5, "2024-01-04"),
+      (9L, 12.5, "2024-01-04"), (10L, 12.5, "2024-01-04"))
+    val orders = rows.toDF("o_orderkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val r = StatTests.partialCorr(orders).collect().head
+    assert(r.getAs[Long]("n_days") == 4)
+    // hand corrs on (x, y, z)
+    def corr2(u: Seq[Double], v: Seq[Double]) = {
+      val (mu, mv) = (u.sum / u.size, v.sum / v.size)
+      val c = u.zip(v).map { case (a, b) => (a - mu) * (b - mv) }.sum
+      c / math.sqrt(u.map(a => (a - mu) * (a - mu)).sum * v.map(b => (b - mv) * (b - mv)).sum)
+    }
+    val x = Seq(10.0, 25.0, 30.0, 50.0); val y = Seq(1.0, 2.0, 3.0, 4.0)
+    val z = Seq(10.0, 12.5, 10.0, 12.5)
+    val (rxy, rxz, ryz) = (corr2(x, y), corr2(x, z), corr2(y, z))
+    val expected = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(r.getAs[Double]("r_rev_cnt") - r4(rxy)) < 1.5e-4, r.toString)
+    assert(math.abs(r.getAs[Double]("partial_r") - r4(expected)) < 1.5e-4,
+      s"$r vs expected $expected")
+  }
+
+  // ------------------------------------------------------------- q387
+  test("q387: additive 2x2 design recovers exact F ratios and zero interaction") {
+    val rows = for {
+      (m, base) <- Seq(("01", 0.0), ("02", 20.0))
+      (p, off) <- Seq(("1-URGENT", 10.0), ("5-LOW", 20.0))
+      e <- Seq(-2.0, 2.0)
+    } yield (base + off + e, p, s"2024-$m-15 00:00:00")
+    val orders = rows.zipWithIndex.map { case ((v, p, d), i) => ((i + 1).toLong, p, v, d) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val r = StatTests.twoWayAnova(orders).collect().head
+    // SSA = 800, SSB = 200, SSE = 32, SST = 1032, SSAB = 0 (hand math)
+    assert(r.getAs[Long]("n_orders") == 8 && r.getAs[Long]("dfe") == 4)
+    assert(r.getAs[Double]("f_month") == 100.0, r.toString)
+    assert(r.getAs[Double]("f_prio") == 25.0, r.toString)
+    assert(math.abs(r.getAs[Double]("f_inter")) < 1e-6, r.toString)
+    assert(r.getAs[Double]("eta2_month") == r4(800.0 / 1032), r.toString)
+  }
+
+  // ------------------------------------------------------------- q388
+  test("q388: equally-busy raters score Q = 0; a lone strict rater scores the closed form") {
+    // one doc per disagreement pattern with equal column totals → Q = 0
+    val balanced = docsOf(
+      (1L, Seq.fill(70)("aaa").mkString(" "), "en", "s", 500L), // (1,1,1)
+      (2L, "zz zz zz", "en", "s", 500L),                        // (1,0,0)
+      (3L, Seq.fill(70)("zz").mkString(" "), "en", "s", 100L),  // (0,1,0)
+      (4L, "aaa", "en", "s", 10L))                              // (0,0,1)
+    val r = TextAnalysis.cochranQ(balanced).collect().head
+    assert(r.getAs[Long]("c_a") == 2 && r.getAs[Long]("c_b") == 2 && r.getAs[Long]("c_c") == 2,
+      r.toString)
+    assert(r.getAs[Double]("q_stat") == 0.0, r.toString)
+    // rater A alone flags all 3 docs → Q = 2(3·9 − 9)/(9 − 3) = 6
+    val strict = docsOf((1 to 3).map(i => (i.toLong, "zz zz", "en", "s", 500L)): _*)
+    val r2 = TextAnalysis.cochranQ(strict).collect().head
+    assert(r2.getAs[Double]("q_stat") == 6.0, r2.toString)
+  }
+
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
     val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))

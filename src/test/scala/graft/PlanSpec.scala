@@ -389,7 +389,9 @@ class PlanSpec extends SparkSpec {
       "q376_friedman"       -> Set("unpartitioned-window"), // Q fold over the ≤#priorities rank-sum frame (q182 bounded-frame idiom)
       "q379_cramer_von_mises" -> (bnl + "unpartitioned-window"), // GlobalOrder offset frames ×3 + 1-row n_a/n_b scalar (q367 idiom)
       "q382_logrank"        -> bnl, // 1-row corpus-end scalar (q221 idiom); at-risk windows are side-partitioned over the ≤#months grid
-      "q383_quantile_shift" -> Set("unpartitioned-window")) // GlobalOrder offset frames ×2 (q184 idiom); boundary lookup is a broadcast equi-join
+      "q383_quantile_shift" -> Set("unpartitioned-window"), // GlobalOrder offset frames ×2 (q184 idiom); boundary lookup is a broadcast equi-join
+      "q385_yuen_trimmed"   -> (bnl + "unpartitioned-window"), // GlobalOrder offset frames ×2 + 1-row trim-boundary rank picks crossed (q14 idiom)
+      "q387_two_way_anova"  -> bnl) // 1-row grand/per-factor moment frames crossed (q14/q226 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
