@@ -699,6 +699,9 @@ object SparkEntry {
     "q386_partial_corr" -> ((s, d) => StatTests.partialCorr(Tables(s, d).orders)),
     "q387_two_way_anova" -> ((s, d) => StatTests.twoWayAnova(Tables(s, d).orders)),
     "q388_cochran_q" -> ((s, d) => TextAnalysis.cochranQ(Tables(s, d).documents)),
+    "q389_nelson_aalen" -> ((s, d) => StatTests.nelsonAalen(Tables(s, d).orders)),
+    "q390_event_study" -> ((s, d) => StatTests.eventStudy(Tables(s, d).orders)),
+    "q391_price_dispersion" -> ((s, d) => StatTests.priceDispersion(Tables(s, d).lineitem)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5764,6 +5767,58 @@ object SparkEntry {
         |    2.0*(3*(c_a*c_a + c_b*c_b + c_c*c_c) - nn*nn)/(3*nn - sr2)
         |  END*10000 + 0.5)/10000 AS q_stat
         |FROM h""".stripMargin,
+    "q389_nelson_aalen" ->
+      """WITH u AS (
+        |  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT max(o_orderdate) AS endd FROM orders),
+        |lf AS (
+        |  SELECT CAST(floor(date_diff('day', f, l)/30.0) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', l, endd) > 365 THEN 1 ELSE 0 END AS churned
+        |  FROM u, e),
+        |bt AS (
+        |  SELECT t, count(*) AS n_t, CAST(sum(churned) AS BIGINT) AS d
+        |  FROM lf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_users FROM bt),
+        |rk AS (
+        |  SELECT t, n_t, d,
+        |    n_users - CAST(coalesce(sum(n_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+        |  FROM bt, tot),
+        |f AS (SELECT t, d, at_risk, d/CAST(at_risk AS DOUBLE) AS h FROM rk)
+        |SELECT t AS lifetime_months, at_risk, d AS n_churned,
+        |  floor(h*10000 + 0.5)/10000 AS hazard,
+        |  floor(sum(h) OVER w*10000 + 0.5)/10000 AS cum_hazard,
+        |  floor(exp(-sum(h) OVER w)*10000 + 0.5)/10000 AS na_survival
+        |FROM f
+        |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY lifetime_months""".stripMargin,
+    "q390_event_study" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, rev, date_diff('day', DATE '1970-01-01', day) AS di FROM daily),
+        |m AS (SELECT di AS mdi FROM d2 ORDER BY rev DESC, day LIMIT 1),
+        |o AS (SELECT day, rev, di - mdi AS "offset" FROM d2 CROSS JOIN m),
+        |b AS (SELECT avg(rev) AS base FROM o WHERE abs("offset") > 7)
+        |SELECT "offset", strftime(day, '%Y-%m-%d') AS day, rev,
+        |  floor(CASE WHEN base > 0 THEN rev/base END*10000 + 0.5)/10000 AS rel_to_baseline
+        |FROM o CROSS JOIN b WHERE abs("offset") <= 7 ORDER BY "offset"""".stripMargin,
+    "q391_price_dispersion" ->
+      """WITH p AS (
+        |  SELECT l_partkey, l_extendedprice/l_quantity AS p
+        |  FROM lineitem WHERE l_quantity > 0),
+        |g AS (
+        |  SELECT l_partkey, count(*) AS n_lines, avg(p) AS m, stddev_samp(p) AS sd
+        |  FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT l_partkey, n_lines,
+        |    floor(m*10000 + 0.5)/10000 AS avg_unit_price,
+        |    floor(sd/m*10000 + 0.5)/10000 AS cv
+        |  FROM g WHERE n_lines >= 5 AND m > 0)
+        |SELECT l_partkey, n_lines, avg_unit_price, cv
+        |FROM f ORDER BY cv DESC, l_partkey LIMIT 20""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

@@ -2454,6 +2454,97 @@ object StatTests {
         round(when(col("sst") > 0.0, col("ssab") / col("sst")), 4).as("eta2_inter"))
   }
 
+  /** q389: Nelson–Aalen hazard table over customer lifetimes — the
+    * HAZARD view of q221's Kaplan–Meier (S(t) says who's left; h(t)
+    * says when the churn risk actually spikes, the input to any
+    * intervention-timing decision): per lifetime month, h = d/at-risk,
+    * cumulative hazard H(t) = Σ h(u), and the Nelson–Aalen survival
+    * exp(−H) next to it. Same lifetime/censoring conventions and the
+    * same calendar-bounded frame as q221. */
+  def nelsonAalen(orders: DataFrame, churnDays: Int = 365): DataFrame = {
+    val u = orders.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("f"), max("o_orderdate").as("l"))
+    val endd = orders.agg(max("o_orderdate").as("endd"))
+    val life = u.crossJoin(broadcast(endd))
+      .select(
+        floor(datediff(col("l"), col("f")) / lit(30.0)).cast("long").as("t"),
+        (datediff(col("endd"), col("l")) > churnDays).cast("long").as("churned"))
+    val byT = life.groupBy("t").agg(count(lit(1)).as("n_t"), sum("churned").as("d"))
+    val total = byT.agg(sum("n_t").as("n_users"))
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .withColumn("at_risk", col("n_users") - coalesce(sum("n_t").over(wPrev), lit(0L)))
+      .withColumn("h", col("d") / col("at_risk").cast("double"))
+      .withColumn("hh", sum("h").over(wCum))
+      .select(
+        col("t").as("lifetime_months"), col("at_risk"),
+        col("d").as("n_churned"),
+        round(col("h"), 4).as("hazard"),
+        round(col("hh"), 4).as("cum_hazard"),
+        round(exp(-col("hh")), 4).as("na_survival"))
+      .orderBy("lifetime_months")
+  }
+
+  /** q390: event study around the PEAK revenue day — the
+    * pre/post-window readout behind any launch/incident review ("was
+    * the spike a one-day blip or a level shift?"): marker = the
+    * highest-revenue day (ordering on the PRE-ROUNDED daily revenue
+    * with the day as tie-break, so both engines pick the same marker),
+    * then each offset in [−k, +k] reports its revenue relative to the
+    * OUT-OF-WINDOW baseline average. 1-row marker + 1-row baseline
+    * scalars; the offset lookup is a day-index equi-range filter on the
+    * calendar-bounded daily frame. */
+  def eventStudy(orders: DataFrame, k: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 4).as("rev"))
+      .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val marker = daily.orderBy(desc("rev"), asc("day")).limit(1)
+      .select(col("di").as("mdi"), col("day").as("marker_day"))
+    val withOff = daily.crossJoin(broadcast(marker)) // 1-row marker scalar
+      .withColumn("offset", (col("di") - col("mdi")).cast("long"))
+    val baseline = withOff
+      .filter(abs(col("offset")) > k)
+      .agg(avg("rev").as("base"))
+    withOff
+      .filter(abs(col("offset")) <= k)
+      .crossJoin(broadcast(baseline)) // 1-row baseline scalar
+      .select(
+        col("offset"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev"),
+        round(when(col("base") > 0.0, col("rev") / col("base")), 4).as("rel_to_baseline"))
+      .orderBy("offset")
+  }
+
+  /** q391: unit-price dispersion per part — the pricing-QA screen over
+    * the catalog ("which parts are quoted all over the map?"): per
+    * part, the coefficient of variation of the line-level unit price
+    * (extended/qty), minimum support, top-N by the ROUNDED CV with the
+    * part key as tie-break (engine-stable top-k on a catalog-bounded
+    * aggregate). */
+  def priceDispersion(
+      lineitem: DataFrame,
+      minLines: Int = 5,
+      topN: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), (col("l_extendedprice") / col("l_quantity")).as("p"))
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        avg("p").as("m"),
+        stddev_samp(col("p")).as("sd"))
+      .filter(col("n_lines") >= minLines && col("m") > 0.0)
+      .select(
+        col("l_partkey"), col("n_lines"),
+        round(col("m"), 4).as("avg_unit_price"),
+        round(col("sd") / col("m"), 4).as("cv"))
+      .orderBy(desc("cv"), asc("l_partkey"))
+      .limit(topN)
+
   /** q383: per-decile quantile-shift table between two customer
     * segments — the QQ-plot data behind the q184/q367/q379 scalars:
     * for each decile d, the EXACT d-th decile of each side

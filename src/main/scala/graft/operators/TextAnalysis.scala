@@ -1953,16 +1953,36 @@ object TextAnalysis {
       documents: DataFrame,
       lenThresh: Int = 400,
       tokThresh: Int = 60): DataFrame =
+    kappaFromCells(labelerCells(documents, lenThresh, tokThresh))
+
+  /** One 2×2 contingency slice — four ADDITIVE long cells, so
+    * micro-batch slices sum to exactly the full-corpus contingency
+    * (the property the stream_labeler_kappa dual rides). */
+  private[graft] def labelerCells(
+      documents: DataFrame,
+      lenThresh: Int = 400,
+      tokThresh: Int = 60): DataFrame =
     documents
       .select(
         (col("n_chars") >= lenThresh).as("a"),
         (size(tokens(col("text"))) >= tokThresh).as("b"))
       .agg(
-        count(lit(1)).as("n_docs"),
         sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
         sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_a_only"),
         sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_b_only"),
         sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_neither"))
+
+  /** κ from (possibly many) contingency slices — the shared kernel of
+    * q374 and its streaming dual: sum the cells, then the same po/pe/κ
+    * arithmetic, so a threshold tuned on the batch report transfers to
+    * ingest unchanged. */
+  private[graft] def kappaFromCells(cells: DataFrame): DataFrame =
+    cells
+      .agg(
+        sum("n_both").as("n_both"), sum("n_a_only").as("n_a_only"),
+        sum("n_b_only").as("n_b_only"), sum("n_neither").as("n_neither"))
+      .withColumn("n_docs",
+        col("n_both") + col("n_a_only") + col("n_b_only") + col("n_neither"))
       .withColumn("po", (col("n_both") + col("n_neither")) / col("n_docs").cast("double"))
       .withColumn("pe",
         ((col("n_both") + col("n_a_only")) * (col("n_both") + col("n_b_only"))

@@ -427,6 +427,62 @@ class AnalyticsR13Spec extends SparkSpec {
     assert(r2.getAs[Double]("q_stat") == 6.0, r2.toString)
   }
 
+  // ------------------------------------------------------------- q389
+  test("q389: hazard, cumulative hazard and NA survival match the hand table") {
+    // c1,c2: single old orders (t=0, churned); c3: 60-day recent pair
+    // (t=2, censored); c4: single recent order (t=0, censored)
+    val orders = Seq(
+      (1L, 1L, "2022-01-01 00:00:00"), (2L, 2L, "2022-02-01 00:00:00"),
+      (3L, 3L, "2024-11-01 00:00:00"), (4L, 3L, "2024-12-31 00:00:00"),
+      (5L, 4L, "2024-12-20 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val out = StatTests.nelsonAalen(orders).collect()
+    assert(out.length == 2)
+    val t0 = out.head
+    assert(t0.getAs[Long]("lifetime_months") == 0 && t0.getAs[Long]("at_risk") == 4)
+    assert(t0.getAs[Long]("n_churned") == 2 && t0.getAs[Double]("hazard") == 0.5)
+    assert(t0.getAs[Double]("cum_hazard") == 0.5)
+    assert(t0.getAs[Double]("na_survival") == r4(math.exp(-0.5)), t0.toString)
+    val t2 = out(1)
+    assert(t2.getAs[Long]("at_risk") == 1 && t2.getAs[Double]("hazard") == 0.0)
+    assert(t2.getAs[Double]("cum_hazard") == 0.5, "no churn at t=2 leaves H flat")
+  }
+
+  // ------------------------------------------------------------- q390
+  test("q390: a planted spike day anchors the window; flat days read 1.0 vs baseline") {
+    val orders = (1 to 21).map { i =>
+      val rev = if (i == 11) 1000.0 else 100.0
+      (i.toLong, "P", rev, f"2024-01-$i%02d 00:00:00")
+    }
+    val df = orders.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val out = StatTests.eventStudy(df).collect()
+    assert(out.length == 15, s"offsets -7..+7 all present: ${out.length}")
+    val byOff = out.map(r => r.getAs[Long]("offset") -> r).toMap
+    assert(byOff(0L).getAs[String]("day") == "2024-01-11")
+    assert(byOff(0L).getAs[Double]("rel_to_baseline") == 10.0, byOff(0L).toString)
+    (-7L to 7L).filter(_ != 0).foreach(o =>
+      assert(byOff(o).getAs[Double]("rel_to_baseline") == 1.0, byOff(o).toString))
+  }
+
+  // ------------------------------------------------------------- q391
+  test("q391: CV ranks the scattered part above the constant one; thin parts drop") {
+    val rows =
+      (1 to 5).map(i => (i.toLong, 1L, 10.0, 1.0)) ++          // part 1: constant price
+      (1 to 4).map(i => (10L + i, 2L, 10.0, 1.0)) ++           // part 2: 4×10 + 1×20
+      Seq((15L, 2L, 20.0, 1.0)) ++
+      Seq((20L, 3L, 99.0, 1.0))                                // part 3: below minLines
+    val li = rows.toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+    val out = StatTests.priceDispersion(li).collect()
+    assert(out.map(_.getAs[Long]("l_partkey")).toSeq == Seq(2L, 1L), out.mkString(","))
+    val p2 = out.head
+    // unit prices {10,10,10,10,20}: m=12, var_samp=20 → cv = √20/12
+    assert(p2.getAs[Double]("avg_unit_price") == 12.0)
+    assert(p2.getAs[Double]("cv") == r4(math.sqrt(20.0) / 12), p2.toString)
+    assert(out(1).getAs[Double]("cv") == 0.0)
+  }
+
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
     val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))
