@@ -702,6 +702,14 @@ object SparkEntry {
     "q389_nelson_aalen" -> ((s, d) => StatTests.nelsonAalen(Tables(s, d).orders)),
     "q390_event_study" -> ((s, d) => StatTests.eventStudy(Tables(s, d).orders)),
     "q391_price_dispersion" -> ((s, d) => StatTests.priceDispersion(Tables(s, d).lineitem)),
+    "q392_overlap_orders" -> ((s, d) => {
+      val t = Tables(s, d)
+      EventAnalytics.overlappingOrders(t.orders, t.lineitem)
+    }),
+    // file-layout metadata (input_file_name ranges) — not SQL-portable,
+    // rows-only with a ScalaTest sorted-vs-shuffled ground truth
+    "q393_overlap_depth" -> ((s, d) =>
+      graft.sources.ClusteringDepth.report(s, s"$d/orders.parquet", "o_orderdate")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5819,6 +5827,22 @@ object SparkEntry {
         |  FROM g WHERE n_lines >= 5 AND m > 0)
         |SELECT l_partkey, n_lines, avg_unit_price, cv
         |FROM f ORDER BY cv DESC, l_partkey LIMIT 20""".stripMargin,
+    "q392_overlap_orders" ->
+      """WITH win AS (
+        |  SELECT l_orderkey, min(l_shipdate) AS s, max(l_shipdate) AS e
+        |  FROM lineitem GROUP BY 1),
+        |ow AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS o, s, e
+        |  FROM orders JOIN win ON o_orderkey = l_orderkey),
+        |p AS (
+        |  SELECT a.cust, count(*) AS n_overlap_pairs
+        |  FROM ow a JOIN ow b ON a.cust = b.cust AND a.o < b.o
+        |    AND a.s <= b.e AND b.s <= a.e
+        |  GROUP BY 1),
+        |c AS (SELECT cust, count(*) AS n_orders FROM ow GROUP BY 1)
+        |SELECT p.cust AS o_custkey, c.n_orders, p.n_overlap_pairs
+        |FROM p JOIN c ON p.cust = c.cust
+        |ORDER BY n_overlap_pairs DESC, o_custkey LIMIT 50""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

@@ -1771,4 +1771,39 @@ object EventAnalytics {
         round(col("retained_rev") / col("base_rev"), 4).as("nrr"))
       .orderBy("month")
   }
+
+  /** q392: INTERVAL-OVERLAP self-join — which customers juggle orders
+    * whose fulfillment windows (first→last shipment) overlap in time?
+    * The interval×interval sibling of q45's point-in-interval range
+    * join. The pair expansion is keyed on the CUSTOMER (an equi-join,
+    * never a cartesian) and rides [[Skew.capPerKey]]: per-customer
+    * order sets are naturally small, but a B2B whale with 10⁵ orders
+    * would expand quadratically inside one task — the deterministic
+    * hash-ranked cap (chosen far above any real per-customer degree, so
+    * the result is exact at every tested SF; a binding cap is a
+    * documented whale-only approximation, the q349 discipline) bounds
+    * every task. Output is all-integer (engine-stable top-k). */
+  def overlappingOrders(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      cap: Int = 1000,
+      topN: Int = 50): DataFrame = {
+    val win = lineitem.groupBy("l_orderkey")
+      .agg(min("l_shipdate").as("s"), max("l_shipdate").as("e"))
+    val ow = orders
+      .join(win, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("o"), col("s"), col("e"))
+    val capped = Skew.capPerKey(ow, "cust", "o", cap)
+    val pairs = capped.as("a").join(capped.as("b"),
+      col("a.cust") === col("b.cust") && col("a.o") < col("b.o")
+        && col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+    val perCust = pairs.groupBy(col("a.cust").as("o_custkey"))
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+    val counts = ow.groupBy(col("cust").as("ck")).agg(count(lit(1)).as("n_orders"))
+    perCust
+      .join(counts, col("o_custkey") === col("ck"))
+      .select(col("o_custkey"), col("n_orders"), col("n_overlap_pairs"))
+      .orderBy(desc("n_overlap_pairs"), asc("o_custkey"))
+      .limit(topN)
+  }
 }

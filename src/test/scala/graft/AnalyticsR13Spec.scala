@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{StatTests, TextAnalysis}
 import org.apache.spark.sql.functions._
+import java.nio.file.Files
 
 /** Ground-truth fixtures for the round-8 late widening (q367–q378):
   * hand-computed statistics on planted data — the properties the DuckDB
@@ -481,6 +482,61 @@ class AnalyticsR13Spec extends SparkSpec {
     assert(p2.getAs[Double]("avg_unit_price") == 12.0)
     assert(p2.getAs[Double]("cv") == r4(math.sqrt(20.0) / 12), p2.toString)
     assert(out(1).getAs[Double]("cv") == 0.0)
+  }
+
+  // ------------------------------------------------------------- q392
+  private def liShip(rows: (Long, String, String)*) =
+    rows.toDF("l_orderkey", "s", "e")
+      .select(col("l_orderkey"),
+        explode(array(to_timestamp(col("s")), to_timestamp(col("e")))).as("l_shipdate"))
+
+  test("q392: overlapping fulfillment windows pair up; disjoint ones don't") {
+    val orders = Seq((1L, 10L), (2L, 10L), (3L, 10L), (10L, 20L), (11L, 20L), (12L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = liShip(
+      // cust 10: A[01-01..01-10] ∩ B[01-05..01-15]; C[02-20..02-28] disjoint
+      (1L, "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+      (2L, "2024-01-05 00:00:00", "2024-01-15 00:00:00"),
+      (3L, "2024-02-20 00:00:00", "2024-02-28 00:00:00"),
+      // cust 20: three mutually overlapping windows → 3 pairs
+      (10L, "2024-03-01 00:00:00", "2024-03-30 00:00:00"),
+      (11L, "2024-03-05 00:00:00", "2024-03-25 00:00:00"),
+      (12L, "2024-03-10 00:00:00", "2024-03-20 00:00:00"))
+    val out = graft.operators.EventAnalytics.overlappingOrders(orders, li).collect()
+    assert(out.map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("n_overlap_pairs")).toMap
+      == Map(10L -> 1L, 20L -> 3L), out.mkString(","))
+    assert(out.head.getAs[Long]("o_custkey") == 20L, "most-overlapping customer first")
+  }
+
+  test("q392: a binding cap bounds the whale's pair expansion") {
+    val orders = (1 to 10).map(i => (i.toLong, 99L)).toDF("o_orderkey", "o_custkey")
+    // ten identical month-long windows → uncapped would be C(10,2) = 45 pairs
+    val li = liShip((1 to 10).map(i =>
+      (i.toLong, "2024-01-01 00:00:00", "2024-01-30 00:00:00")): _*)
+    val out = graft.operators.EventAnalytics.overlappingOrders(orders, li, cap = 3).collect()
+    assert(out.head.getAs[Long]("n_overlap_pairs") == 3L, // C(3,2)
+      s"cap=3 must bound the expansion: ${out.mkString(",")}")
+  }
+
+  // ------------------------------------------------------------- q393
+  test("q393: a range-clustered layout reads depth ~1; a shuffled one reads depth ~#files") {
+    import graft.sources.ClusteringDepth
+    val n = 20000
+    val base = spark.range(n).select(
+      col("id"), (col("id") % 97).as("noise"))
+    val clustered = Files.createTempDirectory("graft-depth-sorted").toString
+    val shuffled = Files.createTempDirectory("graft-depth-shuffled").toString
+    base.repartitionByRange(8, col("id")).write.mode("overwrite").parquet(clustered)
+    base.repartition(8, col("noise")).write.mode("overwrite").parquet(shuffled)
+    val c = ClusteringDepth.report(spark, clustered, "id").collect().head
+    val s = ClusteringDepth.report(spark, shuffled, "id").collect().head
+    assert(c.getAs[Long]("n_files") >= 2 && c.getAs[Long]("n_rows") == n)
+    assert(c.getAs[Double]("avg_open_depth") <= 1.5, s"range layout stays near depth 1: $c")
+    assert(c.getAs[Double]("expected_stab") <= 1.5, s"range layout point cost ~1 file: $c")
+    assert(s.getAs[Double]("expected_stab") >= s.getAs[Long]("n_files") * 0.8,
+      s"shuffled layout overlaps everywhere: $s")
+    assert(c.getAs[Double]("point_scan_share") < s.getAs[Double]("point_scan_share"),
+      "the clustered table must be cheaper to point-scan")
   }
 
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
