@@ -710,6 +710,8 @@ object SparkEntry {
     // rows-only with a ScalaTest sorted-vs-shuffled ground truth
     "q393_overlap_depth" -> ((s, d) =>
       graft.sources.ClusteringDepth.report(s, s"$d/orders.parquet", "o_orderdate")),
+    "q394_bayes_ab" -> ((s, d) => Relational.bayesAb(Tables(s, d).events)),
+    "q395_tost_equivalence" -> ((s, d) => Relational.tostEquivalence(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5843,6 +5845,110 @@ object SparkEntry {
         |SELECT p.cust AS o_custkey, c.n_orders, p.n_overlap_pairs
         |FROM p JOIN c ON p.cust = c.cust
         |ORDER BY n_overlap_pairs DESC, o_custkey LIMIT 50""".stripMargin,
+    "q394_bayes_ab" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |c AS (
+        |  SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    count(CASE WHEN arm = 'A' AND event_type = 'purchase' THEN 1 END) AS s_a,
+        |    count(CASE WHEN arm = 'B' AND event_type = 'purchase' THEN 1 END) AS s_b
+        |  FROM e),
+        |pp AS (
+        |  SELECT *, (s_a + CAST(0.5 AS DOUBLE))/(n_a + 1) AS pa,
+        |    (s_b + CAST(0.5 AS DOUBLE))/(n_b + 1) AS pb
+        |  FROM c),
+        |v AS (
+        |  SELECT *, pa*(1.0 - pa)/(n_a + 1) AS va, pb*(1.0 - pb)/(n_b + 1) AS vb
+        |  FROM pp),
+        |z AS (SELECT *, CASE WHEN va + vb > 0 THEN (pa - pb)/sqrt(va + vb) END AS zz FROM v),
+        |tt AS (SELECT *,
+        |  CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(0.2316419 AS DOUBLE)*abs(zz)) AS tk
+        |  FROM z),
+        |q AS (SELECT *,
+        |  (exp(CAST(-0.5 AS DOUBLE)*abs(zz)*abs(zz))
+        |      * CAST(0.3989422804014327 AS DOUBLE))
+        |    * (CAST(0.319381530 AS DOUBLE)*tk
+        |      + CAST(-0.356563782 AS DOUBLE)*tk*tk
+        |      + CAST(1.781477937 AS DOUBLE)*tk*tk*tk
+        |      + CAST(-1.821255978 AS DOUBLE)*tk*tk*tk*tk
+        |      + CAST(1.330274429 AS DOUBLE)*tk*tk*tk*tk*tk) AS qq
+        |  FROM tt),
+        |pr AS (SELECT *,
+        |  floor(CASE WHEN zz >= 0 THEN 1.0 - qq ELSE qq END*10000 + 0.5)/10000 AS prob
+        |  FROM q)
+        |SELECT n_a, n_b, s_a, s_b,
+        |  floor(pa*10000 + 0.5)/10000 AS conv_a,
+        |  floor(pb*10000 + 0.5)/10000 AS conv_b,
+        |  floor((pa - pb)*10000 + 0.5)/10000 AS lift,
+        |  prob AS prob_a_beats_b,
+        |  CASE WHEN prob >= CAST(0.95 AS DOUBLE) THEN 'ship_a'
+        |       WHEN prob <= CAST(0.05 AS DOUBLE) THEN 'ship_b'
+        |       ELSE 'inconclusive' END AS decision
+        |FROM pr""".stripMargin,
+    "q395_tost_equivalence" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT rev,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |m AS (
+        |  SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN arm = 'A' THEN rev END) AS ma,
+        |    avg(CASE WHEN arm = 'B' THEN rev END) AS mb,
+        |    var_samp(CASE WHEN arm = 'A' THEN rev END) AS va,
+        |    var_samp(CASE WHEN arm = 'B' THEN rev END) AS vb,
+        |    avg(rev) AS m_all
+        |  FROM w),
+        |d AS (
+        |  SELECT *, ma - mb AS d, sqrt(va/n_a + vb/n_b) AS se,
+        |    abs(m_all)*CAST(0.05 AS DOUBLE) AS delta
+        |  FROM m),
+        |z AS (
+        |  SELECT *, CASE WHEN se > 0 THEN (d + delta)/se END AS zl,
+        |    CASE WHEN se > 0 THEN (delta - d)/se END AS zu
+        |  FROM d),
+        |tz AS (SELECT *,
+        |  CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(0.2316419 AS DOUBLE)*abs(zl)) AS tl,
+        |  CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(0.2316419 AS DOUBLE)*abs(zu)) AS tu
+        |  FROM z),
+        |qz AS (SELECT *,
+        |  (exp(CAST(-0.5 AS DOUBLE)*abs(zl)*abs(zl))
+        |      * CAST(0.3989422804014327 AS DOUBLE))
+        |    * (CAST(0.319381530 AS DOUBLE)*tl
+        |      + CAST(-0.356563782 AS DOUBLE)*tl*tl
+        |      + CAST(1.781477937 AS DOUBLE)*tl*tl*tl
+        |      + CAST(-1.821255978 AS DOUBLE)*tl*tl*tl*tl
+        |      + CAST(1.330274429 AS DOUBLE)*tl*tl*tl*tl*tl) AS ql,
+        |  (exp(CAST(-0.5 AS DOUBLE)*abs(zu)*abs(zu))
+        |      * CAST(0.3989422804014327 AS DOUBLE))
+        |    * (CAST(0.319381530 AS DOUBLE)*tu
+        |      + CAST(-0.356563782 AS DOUBLE)*tu*tu
+        |      + CAST(1.781477937 AS DOUBLE)*tu*tu*tu
+        |      + CAST(-1.821255978 AS DOUBLE)*tu*tu*tu*tu
+        |      + CAST(1.330274429 AS DOUBLE)*tu*tu*tu*tu*tu) AS qu
+        |  FROM tz),
+        |p AS (SELECT *,
+        |  floor(CASE WHEN zl >= 0 THEN ql ELSE 1.0 - ql END*10000 + 0.5)/10000 AS pl,
+        |  floor(CASE WHEN zu >= 0 THEN qu ELSE 1.0 - qu END*10000 + 0.5)/10000 AS pu
+        |  FROM qz)
+        |SELECT n_a, n_b,
+        |  floor(ma*10000 + 0.5)/10000 AS mean_a,
+        |  floor(mb*10000 + 0.5)/10000 AS mean_b,
+        |  floor(delta*10000 + 0.5)/10000 AS margin,
+        |  floor(zl*10000 + 0.5)/10000 AS z_lower,
+        |  floor(zu*10000 + 0.5)/10000 AS z_upper,
+        |  pl AS p_lower, pu AS p_upper,
+        |  greatest(pl, pu) < CAST(0.05 AS DOUBLE) AS equivalent
+        |FROM p""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

@@ -438,6 +438,83 @@ object Relational {
               pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("welch_df"))
   }
 
+  /** q394: Bayesian A/B on conversion — the "probability A actually
+    * beats B" readout stakeholders ask for where q171/q231 hand back a
+    * p-value: Jeffreys-smoothed posterior conversion rates
+    * p̂ = (s+½)/(n+1) with var p̂(1−p̂)/(n+1), and
+    * P(A>B) = Φ((p̂_A−p̂_B)/√(v_A+v_B)) through the same portable A&S
+    * normal polynomial as q331 (no engine erf). The ship/hold decision
+    * label thresholds on the ROUNDED posterior probability so both
+    * engines bucket identically. */
+  def bayesAb(events: DataFrame): DataFrame = {
+    val e = events.withColumn("arm", hashArm(col("user_id")))
+    val agg = e.agg(
+      count(when(col("arm") === "A", lit(1))).as("n_a"),
+      count(when(col("arm") === "B", lit(1))).as("n_b"),
+      count(when(col("arm") === "A" && col("event_type") === "purchase", lit(1))).as("s_a"),
+      count(when(col("arm") === "B" && col("event_type") === "purchase", lit(1))).as("s_b"))
+      .withColumn("pa", (col("s_a") + 0.5) / (col("n_a") + 1))
+      .withColumn("pb", (col("s_b") + 0.5) / (col("n_b") + 1))
+      .withColumn("va", col("pa") * (lit(1.0) - col("pa")) / (col("n_a") + 1))
+      .withColumn("vb", col("pb") * (lit(1.0) - col("pb")) / (col("n_b") + 1))
+      .withColumn("zz",
+        when(col("va") + col("vb") > 0.0,
+          (col("pa") - col("pb")) / sqrt(col("va") + col("vb"))))
+      .withColumn("prob",
+        round(when(col("zz") >= 0, lit(1.0) - normUpperTail(abs(col("zz"))))
+          .otherwise(normUpperTail(abs(col("zz")))), 4))
+    agg.select(
+      col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+      round(col("pa"), 4).as("conv_a"),
+      round(col("pb"), 4).as("conv_b"),
+      round(col("pa") - col("pb"), 4).as("lift"),
+      col("prob").as("prob_a_beats_b"),
+      when(col("prob") >= 0.95, "ship_a")
+        .when(col("prob") <= 0.05, "ship_b")
+        .otherwise("inconclusive").as("decision"))
+  }
+
+  /** q395: TOST equivalence test on the q171 per-user revenue frame —
+    * the question a non-significant Welch CANNOT answer ("absence of
+    * evidence ≠ evidence of absence"): are the arm means equivalent
+    * within ±δ (δ = marginFrac × the grand mean)? Two one-sided normal
+    * tests — z_L = (d+δ)/se against d ≤ −δ, z_U = (δ−d)/se against
+    * d ≥ +δ — both p's through the portable A&S polynomial; equivalent
+    * ⇔ max(p_L, p_U) < α on the ROUNDED p's (engine-stable). */
+  def tostEquivalence(
+      events: DataFrame,
+      marginFrac: Double = 0.05,
+      alpha: Double = 0.05): DataFrame = {
+    val perUser = perUserRevenueArm(events)
+    val a = when(col("arm") === "A", col("rev"))
+    val b = when(col("arm") === "B", col("rev"))
+    // 1 − Φ(z) for ANY sign of z, through the x ≥ 0 polynomial
+    def upperP(z: Column): Column =
+      when(z >= 0, normUpperTail(z)).otherwise(lit(1.0) - normUpperTail(-z))
+    val agg = perUser
+      .agg(
+        count(a).as("n_a"), count(b).as("n_b"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"),
+        avg("rev").as("m_all"))
+      .withColumn("d", col("ma") - col("mb"))
+      .withColumn("se", sqrt(col("va") / col("n_a") + col("vb") / col("n_b")))
+      .withColumn("delta", abs(col("m_all")) * lit(marginFrac))
+      .withColumn("zl", when(col("se") > 0.0, (col("d") + col("delta")) / col("se")))
+      .withColumn("zu", when(col("se") > 0.0, (col("delta") - col("d")) / col("se")))
+      .withColumn("pl", round(upperP(col("zl")), 4))
+      .withColumn("pu", round(upperP(col("zu")), 4))
+    agg.select(
+      col("n_a"), col("n_b"),
+      round(col("ma"), 4).as("mean_a"),
+      round(col("mb"), 4).as("mean_b"),
+      round(col("delta"), 4).as("margin"),
+      round(col("zl"), 4).as("z_lower"),
+      round(col("zu"), 4).as("z_upper"),
+      col("pl").as("p_lower"), col("pu").as("p_upper"),
+      (greatest(col("pl"), col("pu")) < alpha).as("equivalent"))
+  }
+
   /** q223: CUPED variance reduction for the q171 A/B harness — the
     * modern experimentation workhorse: each user's PRE-period revenue is
     * a covariate correlated with their post-period metric but

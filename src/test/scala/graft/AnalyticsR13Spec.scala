@@ -539,6 +539,62 @@ class AnalyticsR13Spec extends SparkSpec {
       "the clustered table must be cheaper to point-scan")
   }
 
+  // --------------------------------------------------------- q394/q395
+  private def armOf(u: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ("01234567".contains(hex.charAt(0))) "A" else "B"
+  }
+  private def normQ(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.2316419 * x)
+    math.exp(-0.5 * x * x) * 0.3989422804014327 *
+      (0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t
+        - 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t)
+  }
+
+  test("q394: posterior P(A>B) matches the Jeffreys-normal closed form on planted arms") {
+    // users 1..200, one event each; the first 100 purchase
+    val events = (1L to 200L).map(u =>
+      (u, if (u <= 100) "purchase" else "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r = graft.operators.Relational.bayesAb(events).collect().head
+    val byArm = (1L to 200L).groupBy(armOf)
+    val (na, nb) = (byArm("A").size, byArm("B").size)
+    val (sa, sb) = (byArm("A").count(_ <= 100), byArm("B").count(_ <= 100))
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("s_a") == sa, r.toString)
+    val pa = (sa + 0.5) / (na + 1); val pb = (sb + 0.5) / (nb + 1)
+    val v = pa * (1 - pa) / (na + 1) + pb * (1 - pb) / (nb + 1)
+    val z = (pa - pb) / math.sqrt(v)
+    val prob = if (z >= 0) 1.0 - normQ(z) else normQ(-z)
+    assert(r.getAs[Double]("conv_a") == r4(pa), r.toString)
+    assert(math.abs(r.getAs[Double]("prob_a_beats_b") - r4(prob)) < 1.5e-4,
+      s"$r vs prob $prob")
+  }
+
+  test("q395: near-identical arms with a tight spread declare equivalence") {
+    val events = (1L to 200L).map(u => (u, "purchase", (u % 7).toDouble))
+      .toDF("user_id", "event_type", "value")
+    val r = graft.operators.Relational.tostEquivalence(events).collect().head
+    // ground truth via the same md5 arms + formulas
+    val revs = (1L to 200L).map(u => armOf(u) -> (u % 7).toDouble)
+    def stats(arm: String) = {
+      val xs = revs.filter(_._1 == arm).map(_._2)
+      val m = xs.sum / xs.size
+      (xs.size, m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (na, ma, va) = stats("A"); val (nb, mb, vb) = stats("B")
+    val mAll = revs.map(_._2).sum / revs.size
+    val d = ma - mb; val se = math.sqrt(va / na + vb / nb)
+    val delta = math.abs(mAll) * 0.05
+    val (zl, zu) = ((d + delta) / se, (delta - d) / se)
+    def upperP(z: Double) = if (z >= 0) normQ(z) else 1.0 - normQ(-z)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("z_lower") - r4(zl)) < 1.5e-4, r.toString)
+    assert(math.abs(r.getAs[Double]("z_upper") - r4(zu)) < 1.5e-4, r.toString)
+    val expectEq = math.max(r4(upperP(zl)), r4(upperP(zu))) < 0.05
+    assert(r.getAs[Boolean]("equivalent") == expectEq, s"$r vs p=(${upperP(zl)}, ${upperP(zu)})")
+  }
+
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
     val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))
