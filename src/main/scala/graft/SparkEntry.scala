@@ -712,6 +712,10 @@ object SparkEntry {
       graft.sources.ClusteringDepth.report(s, s"$d/orders.parquet", "o_orderdate")),
     "q394_bayes_ab" -> ((s, d) => Relational.bayesAb(Tables(s, d).events)),
     "q395_tost_equivalence" -> ((s, d) => Relational.tostEquivalence(Tables(s, d).events)),
+    // layout metadata ranking — not SQL-portable, rows-only (q393's spec
+    // discipline: sorted-vs-shuffled ground truth)
+    "q396_sort_advisor" -> ((s, d) => graft.sources.ClusteringDepth.sortAdvisor(
+      s, s"$d/orders.parquet", Seq("o_orderdate", "o_custkey", "o_totalprice"))),
   )
 
   def oracleSql: Map[String, String] = Map(

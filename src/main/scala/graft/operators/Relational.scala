@@ -446,13 +446,28 @@ object Relational {
     * normal polynomial as q331 (no engine erf). The ship/hold decision
     * label thresholds on the ROUNDED posterior probability so both
     * engines bucket identically. */
-  def bayesAb(events: DataFrame): DataFrame = {
-    val e = events.withColumn("arm", hashArm(col("user_id")))
-    val agg = e.agg(
-      count(when(col("arm") === "A", lit(1))).as("n_a"),
-      count(when(col("arm") === "B", lit(1))).as("n_b"),
-      count(when(col("arm") === "A" && col("event_type") === "purchase", lit(1))).as("s_a"),
-      count(when(col("arm") === "B" && col("event_type") === "purchase", lit(1))).as("s_b"))
+  def bayesAb(events: DataFrame): DataFrame =
+    bayesAbFromCounts(bayesArmCounts(events))
+
+  /** One exposure/conversion count slice per arm — four ADDITIVE longs,
+    * so micro-batch slices sum to exactly the full-corpus counts (the
+    * property the stream_bayes_ab dual rides). */
+  private[graft] def bayesArmCounts(events: DataFrame): DataFrame =
+    events.withColumn("arm", hashArm(col("user_id")))
+      .agg(
+        count(when(col("arm") === "A", lit(1))).as("n_a"),
+        count(when(col("arm") === "B", lit(1))).as("n_b"),
+        count(when(col("arm") === "A" && col("event_type") === "purchase", lit(1))).as("s_a"),
+        count(when(col("arm") === "B" && col("event_type") === "purchase", lit(1))).as("s_b"))
+
+  /** Posterior P(A>B) from (possibly many) count slices — the shared
+    * kernel of q394 and its streaming dual: sum the counts, then the
+    * same Jeffreys-normal arithmetic, so the ship/hold threshold tuned
+    * on the batch report transfers to the live monitor unchanged. */
+  private[graft] def bayesAbFromCounts(counts: DataFrame): DataFrame = {
+    val agg = counts.agg(
+      sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+      sum("s_a").as("s_a"), sum("s_b").as("s_b"))
       .withColumn("pa", (col("s_a") + 0.5) / (col("n_a") + 1))
       .withColumn("pb", (col("s_b") + 0.5) / (col("n_b") + 1))
       .withColumn("va", col("pa") * (lit(1.0) - col("pa")) / (col("n_a") + 1))

@@ -72,4 +72,19 @@ object ClusteringDepth {
         round(when(col("span") > 0.0,
           col("len_sum") / col("span") / col("n_files")), 4).as("point_scan_share"))
   }
+
+  /** q396: SORT-KEY ADVISOR — measure, don't guess, which candidate
+    * column the table is (or should be) clustered on: one [[report]]
+    * per candidate (bounded list — one min/max scan each), ranked by
+    * the point-scan share ascending. The top row is the column whose
+    * current layout already prunes best; a flat column ranking near
+    * 1.0 everywhere says the table needs a sorted rewrite
+    * (SortedWrites/zorder_write) before zone maps can help. */
+  def sortAdvisor(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame =
+    columns
+      .map(c => report(spark, dir, c).withColumn("column", lit(c)))
+      .reduce(_ unionByName _)
+      .select(col("column"), col("n_files"), col("avg_open_depth"),
+        col("max_depth"), col("expected_stab"), col("point_scan_share"))
+      .orderBy(asc("point_scan_share"), asc("column"))
 }

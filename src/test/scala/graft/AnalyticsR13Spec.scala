@@ -595,6 +595,22 @@ class AnalyticsR13Spec extends SparkSpec {
     assert(r.getAs[Boolean]("equivalent") == expectEq, s"$r vs p=(${upperP(zl)}, ${upperP(zu)})")
   }
 
+  // ------------------------------------------------------------- q396
+  test("q396: the advisor ranks the actually-clustered column first") {
+    import graft.sources.ClusteringDepth
+    val dir = Files.createTempDirectory("graft-advisor").toString
+    spark.range(20000)
+      .select(col("id"), (col("id") * 2654435761L % 9973).as("noise"))
+      .repartitionByRange(8, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val out = ClusteringDepth.sortAdvisor(spark, dir, Seq("noise", "id")).collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[String]("column") == "id",
+      s"the range-partitioned key must win: ${out.mkString(",")}")
+    assert(out.head.getAs[Double]("point_scan_share")
+      < out(1).getAs[Double]("point_scan_share"), out.mkString(","))
+  }
+
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
     val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))
