@@ -716,6 +716,12 @@ object SparkEntry {
     // discipline: sorted-vs-shuffled ground truth)
     "q396_sort_advisor" -> ((s, d) => graft.sources.ClusteringDepth.sortAdvisor(
       s, s"$d/orders.parquet", Seq("o_orderdate", "o_custkey", "o_totalprice"))),
+    "q397_mann_kendall" -> ((s, d) => StatTests.mannKendall(Tables(s, d).orders)),
+    "q398_decayed_clv" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.decayedClv(t.orders, t.customer)
+    }),
+    "q399_demand_classes" -> ((s, d) => StatTests.demandClasses(Tables(s, d).lineitem)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5953,6 +5959,72 @@ object SparkEntry {
         |  pl AS p_lower, pu AS p_upper,
         |  greatest(pl, pu) < CAST(0.05 AS DOUBLE) AS equivalent
         |FROM p""".stripMargin,
+    "q397_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT rev, date_diff('day', DATE '1970-01-01', day) AS di FROM daily),
+        |s AS (
+        |  SELECT CAST(sum(sign(b.rev - a.rev)) AS BIGINT) AS s_stat
+        |  FROM d2 a JOIN d2 b ON a.di < b.di),
+        |t AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t*(t - 1)*(2*t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT count(*) AS t FROM daily GROUP BY rev)),
+        |v AS (
+        |  SELECT s_stat, n, tie_term,
+        |    (n*(n - 1)*(2*n + 5) - tie_term)/CAST(18.0 AS DOUBLE) AS var_s
+        |  FROM s CROSS JOIN t),
+        |z AS (
+        |  SELECT *, CASE WHEN var_s > 0 THEN (s_stat - sign(s_stat))/sqrt(var_s) END AS z
+        |  FROM v),
+        |r AS (SELECT *, floor(z*10000 + 0.5)/10000 AS zr FROM z)
+        |SELECT n AS n_days, s_stat,
+        |  floor(var_s*10000 + 0.5)/10000 AS var_s,
+        |  zr AS z_stat,
+        |  CASE WHEN zr > CAST(1.96 AS DOUBLE) THEN 'increasing'
+        |       WHEN zr < CAST(-1.96 AS DOUBLE) THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM r""".stripMargin,
+    "q398_decayed_clv" -> {
+      val c = -math.log(2.0) / 180.0 // the SAME double the Spark side uses
+      s"""WITH e AS (SELECT max(o_orderdate) AS endd FROM orders),
+         |pc AS (
+         |  SELECT o_custkey,
+         |    sum(o_totalprice * exp($c * date_diff('day', o_orderdate, endd))) AS clv
+         |  FROM orders CROSS JOIN e GROUP BY 1),
+         |j AS (
+         |  SELECT c_mktsegment AS segment, clv
+         |  FROM pc JOIN customer ON o_custkey = c_custkey)
+         |SELECT segment, count(*) AS n_customers,
+         |  floor(avg(clv)*10000 + 0.5)/10000 AS avg_clv,
+         |  floor(quantile_cont(clv, 0.5)*10000 + 0.5)/10000 AS median_clv,
+         |  floor(quantile_cont(clv, 0.9)*10000 + 0.5)/10000 AS p90_clv
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q399_demand_classes" ->
+      """WITH g AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |    min(CAST(l_shipdate AS DATE)) AS f, max(CAST(l_shipdate AS DATE)) AS l,
+        |    avg(l_quantity) AS mq, var_samp(l_quantity) AS vq
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT
+        |    floor(date_diff('day', f, l)/CAST(n - 1 AS DOUBLE)*10000 + 0.5)/10000 AS adi,
+        |    floor(vq/(mq*mq)*10000 + 0.5)/10000 AS cv2
+        |  FROM g WHERE n >= 2 AND mq > 0),
+        |c AS (
+        |  SELECT CASE WHEN adi < CAST(1.32 AS DOUBLE) THEN
+        |           CASE WHEN cv2 < CAST(0.49 AS DOUBLE) THEN 'smooth' ELSE 'erratic' END
+        |         ELSE
+        |           CASE WHEN cv2 < CAST(0.49 AS DOUBLE) THEN 'intermittent' ELSE 'lumpy' END
+        |         END AS demand_class, adi, cv2
+        |  FROM m)
+        |SELECT demand_class, count(*) AS n_parts,
+        |  floor(avg(adi)*10000 + 0.5)/10000 AS avg_adi,
+        |  floor(avg(cv2)*10000 + 0.5)/10000 AS avg_cv2
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure
       // function of the registered plans + the sink's fixed schemas —

@@ -2545,6 +2545,106 @@ object StatTests {
       .orderBy(desc("cv"), asc("l_partkey"))
       .limit(topN)
 
+  /** q397: Mann–Kendall trend test on daily revenue — the
+    * nonparametric "is there a monotone trend" screen (q246's Theil–Sen
+    * gives the slope; this gives the significance): S = Σ_{i<j}
+    * sign(x_j − x_i) over the PRE-ROUNDED daily series (sign flips are
+    * engine-stable), tie-corrected variance, continuity-corrected z.
+    * The pair expansion is days² on the calendar-bounded frame — the
+    * q246 idiom, never data-sized. */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 4).as("rev"))
+      .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val s = daily.as("a").join(daily.as("b"), col("a.di") < col("b.di"))
+      .agg(sum(signum(col("b.rev") - col("a.rev"))).cast("long").as("s_stat"))
+    val ties = daily.groupBy("rev").agg(count(lit(1)).as("t"))
+      .agg(
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    s.crossJoin(broadcast(ties)) // 1-row scalars
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie_term")) / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") > 0.0,
+          (col("s_stat") - signum(col("s_stat").cast("double"))) / sqrt(col("var_s"))))
+      .withColumn("zr", round(col("z"), 4))
+      .select(
+        col("n").as("n_days"), col("s_stat"),
+        round(col("var_s"), 4).as("var_s"),
+        col("zr").as("z_stat"),
+        when(col("zr") > 1.96, "increasing")
+          .when(col("zr") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
+  /** q398: exponentially-decayed customer lifetime value by segment —
+    * the recency-weighted CLV every retention model starts from: each
+    * order contributes value·2^(−age/halfLife) (age to the corpus-end
+    * scalar), summed per customer, then segment-level mean and exact
+    * percentile summary. One fact pass + a customer-grain aggregate. */
+  def decayedClv(
+      orders: DataFrame,
+      customer: DataFrame,
+      halfLifeDays: Double = 180.0): DataFrame = {
+    val endd = orders.agg(max("o_orderdate").as("endd"))
+    val perCust = orders
+      .crossJoin(broadcast(endd)) // 1-row corpus-end scalar
+      .select(col("o_custkey"),
+        (col("o_totalprice")
+          * exp(lit(-math.log(2.0) / halfLifeDays)
+            * datediff(col("endd"), col("o_orderdate")))).as("dv"))
+      .groupBy("o_custkey")
+      .agg(sum("dv").as("clv"))
+    perCust
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(avg("clv"), 4).as("avg_clv"),
+        round(expr("percentile(clv, 0.5)"), 4).as("median_clv"),
+        round(expr("percentile(clv, 0.9)"), 4).as("p90_clv"))
+      .orderBy("segment")
+  }
+
+  /** q399: Syntetos–Boylan demand classification — the forecasting
+    * router that decides WHICH model each part deserves (smooth →
+    * exponential smoothing q187, intermittent/lumpy → Croston q324):
+    * per part, the average inter-demand interval from min/max/count
+    * (NO per-part sort — (last−first)/(n−1) needs only three
+    * aggregates) and the squared CV of demand sizes; the conventional
+    * 1.32 / 0.49 cutoffs applied to the ROUNDED metrics so both
+    * engines classify identically. Output is the per-class census. */
+  def demandClasses(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n"),
+        min(to_date(col("l_shipdate"))).as("f"),
+        max(to_date(col("l_shipdate"))).as("l"),
+        avg("l_quantity").as("mq"),
+        var_samp(col("l_quantity")).as("vq"))
+      .filter(col("n") >= 2 && col("mq") > 0.0)
+      .select(
+        round(datediff(col("l"), col("f")) / (col("n") - 1).cast("double"), 4).as("adi"),
+        round(col("vq") / (col("mq") * col("mq")), 4).as("cv2"))
+    perPart
+      .select(
+        when(col("adi") < 1.32,
+          when(col("cv2") < 0.49, "smooth").otherwise("erratic"))
+          .otherwise(
+            when(col("cv2") < 0.49, "intermittent").otherwise("lumpy")).as("demand_class"),
+        col("adi"), col("cv2"))
+      .groupBy("demand_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(avg("adi"), 4).as("avg_adi"),
+        round(avg("cv2"), 4).as("avg_cv2"))
+      .orderBy("demand_class")
+  }
+
   /** q383: per-decile quantile-shift table between two customer
     * segments — the QQ-plot data behind the q184/q367/q379 scalars:
     * for each decile d, the EXACT d-th decile of each side

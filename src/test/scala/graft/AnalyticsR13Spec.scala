@@ -611,6 +611,57 @@ class AnalyticsR13Spec extends SparkSpec {
       < out(1).getAs[Double]("point_scan_share"), out.mkString(","))
   }
 
+  // ------------------------------------------------------------- q397
+  test("q397: a strictly rising series scores S = C(n,2) and 'increasing'; flat scores null z") {
+    def daysOf(revs: Seq[Double]) = prioOrders(revs.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, "P", v) }: _*)
+      .withColumn("o_orderdate",
+        to_timestamp(concat(lit("2024-01-"),
+          lpad((col("o_orderkey")).cast("string"), 2, "0"), lit(" 00:00:00"))))
+    val up = StatTests.mannKendall(daysOf((1 to 10).map(_ * 10.0))).collect().head
+    assert(up.getAs[Long]("n_days") == 10 && up.getAs[Long]("s_stat") == 45)
+    // no ties: Var = 10·9·25/18 = 125; z = 44/√125
+    assert(up.getAs[Double]("var_s") == 125.0)
+    assert(up.getAs[Double]("z_stat") == r4(44.0 / math.sqrt(125.0)), up.toString)
+    assert(up.getAs[String]("trend") == "increasing")
+    val flat = StatTests.mannKendall(daysOf(Seq.fill(10)(7.0))).collect().head
+    assert(flat.getAs[Long]("s_stat") == 0 && flat.getAs[Double]("var_s") == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("z_stat")) && flat.getAs[String]("trend") == "no_trend")
+  }
+
+  // ------------------------------------------------------------- q398
+  test("q398: one half-life halves an order's contribution exactly") {
+    val cust = Seq((1L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, 100.0, "2024-12-31 00:00:00"), // age 0 → weight 1
+      (2L, 1L, 100.0, "2024-07-04 00:00:00")) // age 180 → weight ½
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val r = StatTests.decayedClv(orders, cust).collect().head
+    assert(r.getAs[Long]("n_customers") == 1)
+    assert(math.abs(r.getAs[Double]("avg_clv") - 150.0) < 1e-3, r.toString)
+  }
+
+  // ------------------------------------------------------------- q399
+  test("q399: smooth and lumpy parts land in their Syntetos-Boylan quadrants") {
+    val rows =
+      (0 until 5).map(i => (i.toLong, 1L, 10.0, f"2024-01-${i + 1}%02d 00:00:00")) ++
+      Seq((10L, 2L, 1.0, "2024-01-01 00:00:00"),
+        (11L, 2L, 1.0, "2024-01-31 00:00:00"),
+        (12L, 2L, 28.0, "2024-03-01 00:00:00"))
+    val li = rows.toDF("l_orderkey", "l_partkey", "l_quantity", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+    val out = StatTests.demandClasses(li).collect()
+    val by = out.map(r => r.getAs[String]("demand_class") -> r).toMap
+    // part 1: adi = 4/4 = 1, cv2 = 0 → smooth
+    assert(by("smooth").getAs[Long]("n_parts") == 1 && by("smooth").getAs[Double]("avg_adi") == 1.0)
+    // part 2: adi = 60/2 = 30; qty {1,1,28}: mq=10, vq=243 → cv2=2.43 → lumpy
+    assert(by("lumpy").getAs[Long]("n_parts") == 1)
+    assert(by("lumpy").getAs[Double]("avg_adi") == 30.0 && by("lumpy").getAs[Double]("avg_cv2") == 2.43,
+      by("lumpy").toString)
+    assert(out.length == 2)
+  }
+
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
     val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))
