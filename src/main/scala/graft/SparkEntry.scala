@@ -722,6 +722,12 @@ object SparkEntry {
       StatTests.decayedClv(t.orders, t.customer)
     }),
     "q399_demand_classes" -> ((s, d) => StatTests.demandClasses(Tables(s, d).lineitem)),
+    "q400_benford2" -> ((s, d) => StatTests.benfordSecondDigit(Tables(s, d).orders)),
+    "q401_price_changes" -> ((s, d) => StatTests.priceChangeFrequency(Tables(s, d).lineitem)),
+    "q402_repeat_purchase" -> ((s, d) => {
+      val t = Tables(s, d)
+      StatTests.repeatPurchase(t.orders, t.customer)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6024,6 +6030,61 @@ object SparkEntry {
         |SELECT demand_class, count(*) AS n_parts,
         |  floor(avg(adi)*10000 + 0.5)/10000 AS avg_adi,
         |  floor(avg(cv2)*10000 + 0.5)/10000 AS avg_cv2
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q400_benford2" -> {
+      // the SAME doubles the Spark side builds its CASE ladder from
+      val probs = (0 to 9).map(d =>
+        (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum)
+      val ladder = probs.zipWithIndex
+        .map { case (p, d) => s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+      s"""WITH dd AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 2, 1)
+         |    AS INT) AS d
+         |  FROM orders WHERE o_totalprice >= 10),
+         |g AS (SELECT d, count(*) AS n FROM dd GROUP BY 1),
+         |e AS (
+         |  SELECT g.d, g.n, sum(n) OVER () AS total,
+         |    CASE g.d $ladder END AS p_exp
+         |  FROM g),
+         |x AS (SELECT *, p_exp*total AS e FROM e)
+         |SELECT d AS digit, n,
+         |  floor(n/CAST(total AS DOUBLE)*10000 + 0.5)/10000 AS p_observed,
+         |  floor(p_exp*10000 + 0.5)/10000 AS p_expected,
+         |  floor(sum((n - e)*(n - e)/e) OVER ()*10000 + 0.5)/10000 AS chi2
+         |FROM x ORDER BY digit""".stripMargin
+    },
+    "q401_price_changes" ->
+      """WITH s AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd,
+        |    floor(l_extendedprice/l_quantity*10000 + 0.5)/10000 AS up
+        |  FROM lineitem WHERE l_quantity > 0),
+        |q AS (
+        |  SELECT l_partkey, up,
+        |    lag(up) OVER (PARTITION BY l_partkey
+        |      ORDER BY sd, up, l_orderkey, l_linenumber) AS prev
+        |  FROM s),
+        |g AS (
+        |  SELECT l_partkey, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND up <> prev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_changes
+        |  FROM q GROUP BY 1)
+        |SELECT n_changes, count(*) AS n_parts,
+        |  floor(avg(CAST(n_lines AS DOUBLE))*10000 + 0.5)/10000 AS avg_lines
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q402_repeat_purchase" ->
+      """WITH c AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, count(o_orderkey) AS c
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |  CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_repeat,
+        |  floor(avg(CAST(c AS DOUBLE))*10000 + 0.5)/10000 AS avg_orders,
+        |  floor(count(CASE WHEN c >= 2 THEN 1 END)/CAST(count(*) AS DOUBLE)
+        |      *10000 + 0.5)/10000 AS repeat_share,
+        |  floor(CASE WHEN count(CASE WHEN c >= 2 THEN 1 END) > 0 THEN
+        |      sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+        |        /CAST(count(CASE WHEN c >= 2 THEN 1 END) AS DOUBLE)
+        |    END*10000 + 0.5)/10000 AS orders_per_repeater
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q218_mv_advisor" ->
       // GOLDEN oracle (q227 discipline): the advisor report is a pure

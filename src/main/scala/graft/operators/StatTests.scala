@@ -2645,6 +2645,87 @@ object StatTests {
       .orderBy("demand_class")
   }
 
+  /** q400: SECOND-digit Benford audit on order values — the harder
+    * fraud screen (first digits (q182) survive naive rounding fraud;
+    * second digits rarely do): expected P(d) = Σ_{k=1..9}
+    * log₁₀(1 + 1/(10k+d)) for d = 0..9, observed from the second
+    * character of the integer part (values ≥ 10 only), χ² over the
+    * 10-row frame. */
+  def benfordSecondDigit(orders: DataFrame): DataFrame = {
+    val digits = orders
+      .filter(col("o_totalprice") >= 10.0)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 2, 1)
+        .cast("int").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val expected = (0 to 9).map { d =>
+      (d, (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum)
+    }.foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>
+      when(col("d") === d, lit(p)).otherwise(acc)
+    }
+    digits
+      .withColumn("total", sum("n").over(one)) // 10-row frame
+      .withColumn("p_exp", expected)
+      .withColumn("e", col("p_exp") * col("total"))
+      .select(
+        col("d").as("digit"), col("n"),
+        round(col("n") / col("total").cast("double"), 4).as("p_observed"),
+        round(col("p_exp"), 4).as("p_expected"),
+        round(sum((col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+          .over(one), 4).as("chi2"))
+      .orderBy("digit")
+  }
+
+  /** q401: price-CHANGE frequency per part — the menu-cost view of the
+    * catalog (q391 says how dispersed quotes are; this says how OFTEN
+    * the quoted level moves): per part, walk the shipment sequence in a
+    * deterministic total order and count level changes of the ROUNDED
+    * unit price (engine-stable); report the per-change-count census.
+    * The walk is a per-part window — partitions are catalog-key-sized
+    * (the q209 per-user idiom), never data-sized. */
+  def priceChangeFrequency(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("sd"), col("up"), col("l_orderkey"), col("l_linenumber"))
+    val seq = lineitem
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("sd"),
+        round(col("l_extendedprice") / col("l_quantity"), 4).as("up"))
+      .withColumn("prev", lag("up", 1).over(w))
+    seq
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("prev").isNotNull && col("up") =!= col("prev"), 1L)
+          .otherwise(0L)).as("n_changes"))
+      .groupBy("n_changes")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("n_lines").cast("double")), 4).as("avg_lines"))
+      .orderBy("n_changes")
+  }
+
+  /** q402: repeat-purchase profile by segment — the one-glance loyalty
+    * readout (share of customers who came back, and how hard): repeat
+    * share, mean orders per customer, mean orders among repeaters;
+    * zero-order customers enter via the dimension left join (the q377
+    * convention). */
+  def repeatPurchase(orders: DataFrame, customer: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("c"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        round(avg(col("c").cast("double")), 4).as("avg_orders"),
+        round(sum(when(col("c") >= 2, 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 4).as("repeat_share"),
+        round(when(sum(when(col("c") >= 2, 1L).otherwise(0L)) > 0,
+          sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            / sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("double")), 4)
+          .as("orders_per_repeater"))
+      .orderBy("segment")
+
   /** q383: per-decile quantile-shift table between two customer
     * segments — the QQ-plot data behind the q184/q367/q379 scalars:
     * for each decile d, the EXACT d-th decile of each side

@@ -662,6 +662,53 @@ class AnalyticsR13Spec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  // ------------------------------------------------------------- q400
+  test("q400: values 10..19 put one observation on each second digit") {
+    val orders = (10 to 19).map(v => (v.toLong, "P", v.toDouble))
+    val out = StatTests.benfordSecondDigit(prioOrders(orders: _*)).collect()
+    assert(out.length == 10)
+    val probs = (0 to 9).map(d =>
+      (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum)
+    out.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(r.getAs[Long]("n") == 1 && r.getAs[Double]("p_observed") == 0.1)
+      assert(r.getAs[Double]("p_expected") == r4(probs(d)), r.toString)
+    }
+    val chi2 = probs.map(p => { val e = p * 10; (1 - e) * (1 - e) / e }).sum
+    assert(math.abs(out.head.getAs[Double]("chi2") - r4(chi2)) < 1e-3, out.head.toString)
+  }
+
+  // ------------------------------------------------------------- q401
+  test("q401: price-level walks count exactly their changes") {
+    val rows = Seq(
+      // part 1: unit prices 10,10,20,20,10 in date order → 2 changes
+      (1L, 1, 1L, 1.0, 10.0, "2024-01-01"), (2L, 1, 1L, 1.0, 10.0, "2024-01-02"),
+      (3L, 1, 1L, 1.0, 20.0, "2024-01-03"), (4L, 1, 1L, 1.0, 20.0, "2024-01-04"),
+      (5L, 1, 1L, 1.0, 10.0, "2024-01-05"),
+      // part 2: constant → 0 changes
+      (6L, 1, 2L, 1.0, 5.0, "2024-01-01"), (7L, 1, 2L, 1.0, 5.0, "2024-01-02"),
+      (8L, 1, 2L, 1.0, 5.0, "2024-01-03"))
+    val li = rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+      "l_extendedprice", "d")
+      .withColumn("l_shipdate", to_timestamp(col("d"))).drop("d")
+    val out = StatTests.priceChangeFrequency(li).collect()
+    val by = out.map(r => r.getAs[Long]("n_changes") -> r.getAs[Long]("n_parts")).toMap
+    assert(by == Map(0L -> 1L, 2L -> 1L), out.mkString(","))
+    assert(out.find(_.getAs[Long]("n_changes") == 2L).get.getAs[Double]("avg_lines") == 5.0)
+  }
+
+  // ------------------------------------------------------------- q402
+  test("q402: zero-order customers dilute the repeat share; repeaters average their own orders") {
+    val cust = Seq((1L, "SEG"), (2L, "SEG"), (3L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val orders = (Seq((10L, 2L)) ++ (1 to 3).map(i => (20L + i, 3L)))
+      .toDF("o_orderkey", "o_custkey")
+    val r = StatTests.repeatPurchase(orders, cust).collect().head
+    assert(r.getAs[Long]("n_customers") == 3 && r.getAs[Long]("n_repeat") == 1)
+    assert(r.getAs[Double]("avg_orders") == r4(4.0 / 3), r.toString)
+    assert(r.getAs[Double]("repeat_share") == r4(1.0 / 3), r.toString)
+    assert(r.getAs[Double]("orders_per_repeater") == 3.0, r.toString)
+  }
+
   test("q383: planted 2x-scaled segment reads back 10 exact decile ratios of 2") {
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
     val orders = ((1 to 10).map(i => (i.toLong, 1L, i * 10.0))

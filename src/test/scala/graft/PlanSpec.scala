@@ -397,7 +397,8 @@ class PlanSpec extends SparkSpec {
       "q393_overlap_depth"  -> (bnl + "unpartitioned-window"), // sweep over the 2·#files METADATA frame (zone-map idiom) + 1-row totals scalar
       "q396_sort_advisor"   -> (bnl + "unpartitioned-window"), // q393's metadata sweep × #candidate columns (bounded list)
       "q397_mann_kendall"   -> (bnl + "cartesian-product"), // days² pair expansion of the calendar-bounded daily frame + 1-row tie scalar (q246 idiom)
-      "q398_decayed_clv"    -> bnl) // 1-row corpus-end scalar (q221/q389 idiom)
+      "q398_decayed_clv"    -> bnl, // 1-row corpus-end scalar (q221/q389 idiom)
+      "q400_benford2"       -> Set("unpartitioned-window")) // 10-digit frame totals (q182 bounded idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
