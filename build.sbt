@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through RAW: sbt's default logger wraps
+// every child line in "[info] " — which is exactly what made the driver's
+// BENCH artifact unparseable (BENCH_r08 tail shows the full JSON line
+// present but "[info] "-prefixed → parsed:null). StdoutOutput keeps the
+// one-line JSON contract byte-exact.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

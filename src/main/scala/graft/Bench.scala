@@ -176,12 +176,28 @@ object Bench {
     val calibEnd = (cpuCalibration(1), cpuCalibration(Runtime.getRuntime.availableProcessors()))
     val calib = f"""{"start_1t":${calibStart._1}%.3f,"start_nt":${calibStart._2}%.3f,""" +
       f""""end_1t":${calibEnd._1}%.3f,"end_nt":${calibEnd._2}%.3f}"""
+    // Throttle NORMALIZATION — the round-8 forensics made the stamps;
+    // this makes them load-bearing. REF_1T is this host's unthrottled
+    // single-thread spin time (best stamp observed across the committed
+    // bench_history: 0.80 s); throttleFactor > 1 means the host was
+    // stealing cycles during this sweep, and value_normalized = raw /
+    // factor is the comparable number for round-over-round deltas.
+    // start/end divergence > 1.2x flags a sweep that crossed a throttle
+    // EDGE mid-run — its per-query mix is unevenly distorted and any
+    // apparent regression should be re-measured before it is believed.
+    val ref1t = 0.80
+    val throttleFactor = math.max(1.0, ((calibStart._1 + calibEnd._1) / 2.0) / ref1t)
+    val calibDivergence = math.max(calibStart._1, calibEnd._1) / math.min(calibStart._1, calibEnd._1)
+    val throttleFlag = calibDivergence > 1.2
     val qs = results2.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results2.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results2.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val normFields = f""""value_normalized":${total / throttleFactor}%.3f,""" +
+      f""""throttle_factor":$throttleFactor%.3f,"calibration_divergence":$calibDivergence%.3f,""" +
+      s""""throttle_flagged":$throttleFlag"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$normFields,"queries":$qs,""" +
       s""""errors":$errs,"calibration":$calib,"sf":"$sfDir"}"""
     // durability: the FULL per-query map (~10 KB for 265 queries) goes
     // to a file; the driver's stdout capture keeps only a ~2 KB tail,
@@ -203,11 +219,21 @@ object Bench {
     val topQs = results2.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results2.size},""" +
-      s""""queries":$topQs,"queries_full":"bench_out.json","errors":$errs,""" +
-      s""""calibration":$calib,"sf":"$sfDir"}""")
     if (results2.exists(_._3.isDefined)) System.err.println(s"bench: ${results2.count(_._3.isDefined)} queries FAILED")
+    // The compact line must be the LAST thing on stdout AND complete
+    // inside the driver's ~2 KB tail window. Rounds 5/6 lost it to
+    // truncation of the full map; round 8 lost it to late stderr WARN
+    // interleaving + sbt's "[info] " prefix (fixed in build.sbt via
+    // StdoutOutput). Belt and braces here: logs OFF, session stopped,
+    // stderr flushed, and only THEN the line — nothing can print after.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.err.flush()
+    Thread.sleep(300)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",$normFields,""" +
+      s""""n_queries":${results2.size},"queries":$topQs,"queries_full":"bench_out.json",""" +
+      s""""errors":$errs,"calibration":$calib,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

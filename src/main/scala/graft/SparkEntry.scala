@@ -5514,9 +5514,13 @@ object SparkEntry {
         |  SELECT treat, sum(CAST(r AS DOUBLE)) AS rank_sum, count(*) AS n_blocks
         |  FROM r GROUP BY treat)
         |SELECT treat AS o_orderpriority, rank_sum, n_blocks,
-        |  floor((12.0/(max(n_blocks) OVER ()*count(*) OVER ()*(count(*) OVER () + 1))
+        |  -- complete-block gate mirrors the Spark side: Q is only valid
+        |  -- when every block ranks all k treatments
+        |  CASE WHEN min(n_blocks) OVER () = max(n_blocks) OVER () THEN
+        |    floor((12.0/(max(n_blocks) OVER ()*count(*) OVER ()*(count(*) OVER () + 1))
         |      *sum(rank_sum*rank_sum) OVER ()
-        |      - 3.0*max(n_blocks) OVER ()*(count(*) OVER () + 1))*10000 + 0.5)/10000 AS q_stat
+        |      - 3.0*max(n_blocks) OVER ()*(count(*) OVER () + 1))*10000 + 0.5)/10000
+        |  END AS q_stat
         |FROM s ORDER BY o_orderpriority""".stripMargin,
     "q377_negbin_fit" ->
       """WITH c AS (
@@ -5901,7 +5905,8 @@ object SparkEntry {
         |  floor(pb*10000 + 0.5)/10000 AS conv_b,
         |  floor((pa - pb)*10000 + 0.5)/10000 AS lift,
         |  prob AS prob_a_beats_b,
-        |  CASE WHEN prob >= CAST(0.95 AS DOUBLE) THEN 'ship_a'
+        |  CASE WHEN n_a < 100 OR n_b < 100 THEN 'inconclusive'
+        |       WHEN prob >= CAST(0.95 AS DOUBLE) THEN 'ship_a'
         |       WHEN prob <= CAST(0.05 AS DOUBLE) THEN 'ship_b'
         |       ELSE 'inconclusive' END AS decision
         |FROM pr""".stripMargin,
@@ -6041,7 +6046,12 @@ object SparkEntry {
          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 2, 1)
          |    AS INT) AS d
          |  FROM orders WHERE o_totalprice >= 10),
-         |g AS (SELECT d, count(*) AS n FROM dd GROUP BY 1),
+         |g0 AS (SELECT d, count(*) AS n FROM dd GROUP BY 1),
+         |-- densified: a digit with zero rows still owes (0-e)^2/e = e
+         |g AS (
+         |  SELECT ten.d, COALESCE(g0.n, 0) AS n
+         |  FROM (SELECT CAST(r.range AS INT) AS d FROM range(0, 10) r) ten
+         |  LEFT JOIN g0 ON ten.d = g0.d),
          |e AS (
          |  SELECT g.d, g.n, sum(n) OVER () AS total,
          |    CASE g.d $ladder END AS p_exp

@@ -463,7 +463,17 @@ object Relational {
   /** Posterior P(A>B) from (possibly many) count slices — the shared
     * kernel of q394 and its streaming dual: sum the counts, then the
     * same Jeffreys-normal arithmetic, so the ship/hold threshold tuned
-    * on the batch report transfers to the live monitor unchanged. */
+    * on the batch report transfers to the live monitor unchanged.
+    *
+    * Small-n caveat: P(A>B) uses a NORMAL approximation to the Beta
+    * posterior difference, which misstates tail probabilities exactly
+    * where the live monitor consults it earliest — the first few
+    * micro-batches. The decision therefore carries a minimum-exposure
+    * gate ([[BayesMinExposure]] per arm): below it the report stays
+    * `inconclusive` no matter how extreme the approximate posterior
+    * looks, so an early lucky streak cannot ship an arm. */
+  private[graft] val BayesMinExposure = 100L
+
   private[graft] def bayesAbFromCounts(counts: DataFrame): DataFrame = {
     val agg = counts.agg(
       sum("n_a").as("n_a"), sum("n_b").as("n_b"),
@@ -484,7 +494,8 @@ object Relational {
       round(col("pb"), 4).as("conv_b"),
       round(col("pa") - col("pb"), 4).as("lift"),
       col("prob").as("prob_a_beats_b"),
-      when(col("prob") >= 0.95, "ship_a")
+      when(col("n_a") < BayesMinExposure || col("n_b") < BayesMinExposure, "inconclusive")
+        .when(col("prob") >= 0.95, "ship_a")
         .when(col("prob") <= 0.05, "ship_b")
         .otherwise("inconclusive").as("decision"))
   }

@@ -2005,11 +2005,18 @@ object StatTests {
       .crossJoin(broadcast(counts)) // 1-row scalar
       .agg(
         max("n_a").as("na"), max("n_b").as("nb"),
-        sum(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
-          * (col("v_next") - col("v"))).as("w"))
+        // ANSI guard: one empty side makes the CDF ill-defined — emit a
+        // null distance (DuckDB's x/0 → NULL does the same), don't throw
+        sum(when(col("n_a") > 0 && col("n_b") > 0,
+          abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
+            * (col("v_next") - col("v")))).as("w"))
       .select(
         col("na").as("n_a"), col("nb").as("n_b"),
         round(col("w"), 4).as("w1"))
+      // a global .agg on empty input emits one all-null row; the oracle's
+      // GROUP BY form emits zero — drop the null row so an empty segment
+      // degenerates identically in both engines
+      .filter(col("n_a").isNotNull)
   }
 
   /** q368: Cliff's delta — the rank-based EFFECT SIZE companion to the
@@ -2129,10 +2136,15 @@ object StatTests {
     sums // k-row aggregate: constant-partition window folds away
       .withColumn("k", count(lit(1)).over(one))
       .withColumn("b", max("n_blocks").over(one))
+      .withColumn("bmin", min("n_blocks").over(one))
+      // the Q formula is only valid for COMPLETE blocks (every block
+      // ranks all k treatments); an incomplete grid would silently skew
+      // the rank sums — report null Q instead of a wrong statistic
       .withColumn("q",
-        lit(12.0) / (col("b") * col("k") * (col("k") + 1))
-          * sum(col("rank_sum") * col("rank_sum")).over(one)
-          - lit(3.0) * col("b") * (col("k") + 1))
+        when(col("bmin") === col("b"),
+          lit(12.0) / (col("b") * col("k") * (col("k") + 1))
+            * sum(col("rank_sum") * col("rank_sum")).over(one)
+            - lit(3.0) * col("b") * (col("k") + 1)))
       .select(
         col("treat").as("o_orderpriority"),
         col("rank_sum"), col("n_blocks"),
@@ -2203,12 +2215,17 @@ object StatTests {
       .crossJoin(broadcast(counts)) // 1-row scalar
       .agg(
         max("n_a").as("na"), max("n_b").as("nb"),
-        sum((col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
-          * (col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))).as("s"))
+        // ANSI guard: one empty side → null statistic, not DIVIDE_BY_ZERO
+        // (DuckDB's x/0 → NULL degenerates the same way)
+        sum(when(col("n_a") > 0 && col("n_b") > 0,
+          (col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
+            * (col("cum_a") / col("n_a") - col("cum_b") / col("n_b")))).as("s"))
       .select(
         col("na").as("n_a"), col("nb").as("n_b"),
         round(col("na").cast("double") * col("nb")
           / ((col("na") + col("nb")) * (col("na") + col("nb"))) * col("s"), 4).as("t_stat"))
+      // empty-input degeneracy: match the oracle's zero-row form (q367 note)
+      .filter(col("n_a").isNotNull)
   }
 
   /** q381: IPW weight diagnostics for the q375 estimator — the health
@@ -2650,13 +2667,21 @@ object StatTests {
     * second digits rarely do): expected P(d) = Σ_{k=1..9}
     * log₁₀(1 + 1/(10k+d)) for d = 0..9, observed from the second
     * character of the integer part (values ≥ 10 only), χ² over the
-    * 10-row frame. */
+    * 10-row frame. The frame is DENSIFIED to all ten digits before the
+    * χ² — groupBy only emits observed digits, and a digit with zero
+    * rows still owes its (0−e)²/e = e contribution; dropping it would
+    * understate χ² exactly on the sparse data a fraud screen most
+    * needs to flag. */
   def benfordSecondDigit(orders: DataFrame): DataFrame = {
-    val digits = orders
+    val observed = orders
       .filter(col("o_totalprice") >= 10.0)
       .select(substring(floor(col("o_totalprice")).cast("string"), 2, 1)
         .cast("int").as("d"))
-      .groupBy("d").agg(count(lit(1)).as("n"))
+      .groupBy("d").agg(count(lit(1)).as("n0"))
+    val digits = orders.sparkSession.range(0, 10)
+      .select(col("id").cast("int").as("d"))
+      .join(observed, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n0"), lit(0L)).as("n"))
     val expected = (0 to 9).map { d =>
       (d, (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum)
     }.foldLeft(lit(null).cast("double")) { case (acc, (d, p)) =>

@@ -86,5 +86,8 @@ object ClusteringDepth {
       .reduce(_ unionByName _)
       .select(col("column"), col("n_files"), col("avg_open_depth"),
         col("max_depth"), col("expected_stab"), col("point_scan_share"))
-      .orderBy(asc("point_scan_share"), asc("column"))
+      // a degenerate single-value candidate (span = 0) has a NULL share —
+      // it carries no clustering signal, so it must rank LAST, not win
+      // the advisory under Spark's nulls-first asc default
+      .orderBy(asc_nulls_last("point_scan_share"), asc("column"))
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,6 +27,9 @@ import org.apache.spark.util.SerializableConfiguration
   *     .format("graft.sources.OffsetLogSourceProvider")
   *     .option("path", logRoot)
   *     .option("numPartitions", "4")
+  *     .option("maxRowsPerTrigger", "100000")   // admission control (rows)
+  *     .option("maxSegmentsPerTrigger", "64")   // admission control (files)
+  *     .option("failOnDataLoss", "true")        // retention-hole posture
   *     .load()
   * }}}
   *
@@ -122,14 +125,21 @@ private[sources] class OffsetLogTable(tableSchema: StructType, root: String, num
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
+    val maxSegs = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
+    val failOnLoss = Option(options.get("failOnDataLoss")).forall(_.toBoolean)
+    maxRows.foreach(n => require(n > 0, s"maxRowsPerTrigger must be positive, got $n"))
+    maxSegs.foreach(n => require(n > 0, s"maxSegmentsPerTrigger must be positive, got $n"))
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new OffsetLogMicroBatchStream(tableSchema, root, numPartitions)
+          new OffsetLogMicroBatchStream(
+            tableSchema, root, numPartitions, maxRows, maxSegs, failOnLoss)
       }
     }
+  }
 }
 
 /** Engine-facing offset: the per-log-partition next-offset map. MUST
@@ -160,16 +170,136 @@ private[sources] case class SegmentSplit(
 private[sources] class OffsetLogMicroBatchStream(
     schema: StructType,
     root: String,
-    numPartitions: Int) extends MicroBatchStream {
+    numPartitions: Int,
+    maxRowsPerTrigger: Option[Long] = None,
+    maxSegmentsPerTrigger: Option[Int] = None,
+    failOnDataLoss: Boolean = true)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
   import OffsetLogSource.SegRe
 
   private def spark = SparkSession.active
+
+  /** Captured head at AvailableNow start: the run drains TO here in
+    * bounded batches and then stops, even if a producer keeps
+    * appending — the engine's available-now contract. */
+  @volatile private var availableNowCap: Option[Map[Int, Long]] = None
 
   override def initialOffset(): Offset =
     LogOffsets((0 until numPartitions).map(_ -> 0L).toMap)
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method " +
+        "(the stream implements SupportsAdmissionControl)")
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(OffsetLog.endOffsets(spark, root, numPartitions))
+
+  /** ADMISSION CONTROL — the broker-consumer pattern
+    * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger` in the built-in
+    * sources): a post-downtime catch-up drains as a SEQUENCE of bounded
+    * micro-batches instead of one unbounded batch, so state stores,
+    * shuffle sizes and commit units stay trigger-sized no matter how
+    * far behind the consumer fell. `maxRowsPerTrigger` maps to
+    * `ReadLimit.maxRows`, `maxSegmentsPerTrigger` to
+    * `ReadLimit.maxFiles` (a segment IS one file); both compose. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq ++
+      maxSegmentsPerTrigger.map(ReadLimit.maxFiles).toSeq
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     LogOffsets(OffsetLog.endOffsets(spark, root, numPartitions))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LogOffsets].ends
+    val head = OffsetLog.endOffsets(spark, root, numPartitions)
+    // AvailableNow: never admit past the head captured at run start
+    val end = availableNowCap match {
+      case Some(cap) => head.map { case (p, e) => p -> math.min(e, cap.getOrElse(p, 0L)) }
+      case None => head
+    }
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case o => Seq(o)
+    }
+    val bounded = flatten(limit).foldLeft(end) {
+      case (acc, r: ReadMaxRows)  => capRows(from, acc, r.maxRows())
+      case (acc, s: ReadMaxFiles) => capSegments(from, acc, s.maxFiles())
+      case (acc, _: ReadAllAvailable) => acc
+      case (acc, _) => acc // minRows etc.: no upper bound implied
+    }
+    LogOffsets(bounded)
+  }
+
+  /** Proportional row admission: each partition advances by
+    * floor(budget · lag_p / totalLag), remainder distributed one row at
+    * a time to the laggiest partitions — total admitted ==
+    * min(budget, totalLag), and strictly > 0 whenever lag exists, so a
+    * capped catch-up always makes progress and the per-trigger row
+    * count never exceeds the budget. */
+  private def capRows(from: Map[Int, Long], end: Map[Int, Long], budget: Long): Map[Int, Long] = {
+    val lag = end.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, 0L)) }
+    val total = lag.values.sum
+    if (total <= budget) end
+    else {
+      val base = lag.map { case (p, l) => p -> (budget * l / total) }
+      var rem = budget - base.values.sum
+      val order = lag.toSeq.sortBy { case (p, l) => (-l, p) }.iterator
+      val bumped = scala.collection.mutable.Map(base.toSeq: _*)
+      while (rem > 0 && order.hasNext) {
+        val (p, l) = order.next()
+        val extra = math.min(rem, l - bumped(p))
+        bumped(p) += extra; rem -= extra
+      }
+      end.map { case (p, _) => p -> (from.getOrElse(p, 0L) + bumped.getOrElse(p, 0L)) }
+    }
+  }
+
+  /** Segment admission: round-robin across partitions (fairness — the
+    * first partition cannot hog the budget), each grant advancing that
+    * partition's end to its next segment boundary past the cursor.
+    * Segment boundaries come from NAMES — metadata-only, like the row
+    * cap. */
+  private def capSegments(from: Map[Int, Long], end: Map[Int, Long], budget: Int): Map[Int, Long] = {
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per partition: sorted end-boundaries of segments overlapping (from, end]
+    val boundaries: Map[Int, Seq[Long]] = (0 until numPartitions).map { p =>
+      val lo = from.getOrElse(p, 0L); val hi = end.getOrElse(p, 0L)
+      val d = new Path(s"$root/partition=$p")
+      val bs =
+        if (hi <= lo || !f.exists(d)) Nil
+        else f.listStatus(d).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case SegRe(s0, n0) =>
+              val s = s0.toLong; val e = s + n0.toLong
+              if (s < hi && e > lo) Some(math.min(e, hi)) else None
+            case _ => None
+          }
+        }.sorted
+      p -> bs
+    }.toMap
+    val granted = scala.collection.mutable.Map((0 until numPartitions).map(_ -> 0): _*)
+    var left = budget
+    var progressed = true
+    while (left > 0 && progressed) {
+      progressed = false
+      (0 until numPartitions).foreach { p =>
+        if (left > 0 && granted(p) < boundaries(p).length) {
+          granted(p) += 1; left -= 1; progressed = true
+        }
+      }
+    }
+    end.map { case (p, _) =>
+      val bs = boundaries(p); val g = granted(p)
+      p -> (if (g == 0) from.getOrElse(p, 0L) else bs(g - 1))
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = LogOffsets.parse(json)
 
@@ -189,18 +319,39 @@ private[sources] class OffsetLogMicroBatchStream(
       if (hi <= lo) Nil
       else {
         val d = new Path(s"$root/partition=$p")
-        if (!f.exists(d)) Nil
-        else f.listStatus(d).toSeq.flatMap { st =>
-          st.getPath.getName match {
-            case SegRe(s0, n0) =>
-              val s = s0.toLong; val n = n0.toLong
-              // overlap prune by NAME, clamp the range per segment
-              if (s < hi && s + n > lo)
-                Some(SegmentSplit(st.getPath.toString, p, math.max(lo, s), math.min(hi, s + n)))
-              else None
-            case _ => None
+        val splits =
+          if (!f.exists(d)) Nil
+          else f.listStatus(d).toSeq.flatMap { st =>
+            st.getPath.getName match {
+              case SegRe(s0, n0) =>
+                val s = s0.toLong; val n = n0.toLong
+                // overlap prune by NAME, clamp the range per segment
+                if (s < hi && s + n > lo)
+                  Some(SegmentSplit(st.getPath.toString, p, math.max(lo, s), math.min(hi, s + n)))
+                else None
+              case _ => None
+            }
           }
+        // RETENTION × WAL seam: segments are contiguous by
+        // construction, so any hole in [lo, hi) means Retention expired
+        // data this cursor never consumed. Fail LOUD by default (the
+        // Kafka failOnDataLoss posture) — silent skipping turns a
+        // lifecycle misconfiguration into quiet row loss; opt out with
+        // failOnDataLoss=false to resume from what remains.
+        val sorted = splits.sortBy(_.from)
+        var cursor = lo
+        val gaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { sp =>
+          if (sp.from > cursor) gaps += ((cursor, sp.from))
+          cursor = math.max(cursor, sp.until)
         }
+        if (cursor < hi) gaps += ((cursor, hi))
+        if (gaps.nonEmpty && failOnDataLoss)
+          throw new IllegalStateException(
+            s"offsetlog data loss: partition=$p offsets ${gaps.map { case (a, b) => s"[$a,$b)" }.mkString(", ")} " +
+              s"were expired by retention before this consumer read them (root=$root). " +
+              "Raise the retention window or restart with failOnDataLoss=false to skip the hole.")
+        splits
       }
     }.toArray
   }

@@ -314,10 +314,14 @@ final class HiveBatchSink(
   def start(stream: DataFrame, checkpoint: String): StreamingQuery =
     streamWriter(stream, checkpoint).start()
 
-  def streamWriter(stream: DataFrame, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+  def streamWriter(
+      stream: DataFrame,
+      checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batch, batchId)
         writeBatch(batch, batchId).maxEventTime.foreach(ts => sealClosed(ts))
         ()
       }

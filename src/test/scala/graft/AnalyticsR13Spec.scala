@@ -611,6 +611,21 @@ class AnalyticsR13Spec extends SparkSpec {
       < out(1).getAs[Double]("point_scan_share"), out.mkString(","))
   }
 
+  test("q396: a degenerate constant column (span 0, null share) ranks LAST, never wins") {
+    import graft.sources.ClusteringDepth
+    val dir = Files.createTempDirectory("graft-advisor-const").toString
+    spark.range(20000)
+      .select(col("id"), lit(7L).as("konst"))
+      .repartitionByRange(8, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val out = ClusteringDepth.sortAdvisor(spark, dir, Seq("konst", "id")).collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[String]("column") == "id",
+      s"a constant column carries no clustering signal and must not win: ${out.mkString(",")}")
+    assert(out(1).getAs[String]("column") == "konst" && out(1).isNullAt(out(1).fieldIndex("point_scan_share")),
+      s"the constant column's null share must sort last: ${out.mkString(",")}")
+  }
+
   // ------------------------------------------------------------- q397
   test("q397: a strictly rising series scores S = C(n,2) and 'increasing'; flat scores null z") {
     def daysOf(revs: Seq[Double]) = prioOrders(revs.zipWithIndex.map { case (v, i) =>
@@ -676,6 +691,26 @@ class AnalyticsR13Spec extends SparkSpec {
     }
     val chi2 = probs.map(p => { val e = p * 10; (1 - e) * (1 - e) / e }).sum
     assert(math.abs(out.head.getAs[Double]("chi2") - r4(chi2)) < 1e-3, out.head.toString)
+  }
+
+  test("q400: absent second digits still appear (n=0) and owe their full (0-e)^2/e = e to chi2") {
+    // values 10..14 → digits 0..4 observed once; digits 5..9 ABSENT
+    val orders = (10 to 14).map(v => (v.toLong, "P", v.toDouble))
+    val out = StatTests.benfordSecondDigit(prioOrders(orders: _*)).collect()
+    assert(out.length == 10, s"frame must densify to all ten digits: ${out.length}")
+    val probs = (0 to 9).map(d =>
+      (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum)
+    (5 to 9).foreach { d =>
+      val r = out(d)
+      assert(r.getAs[Int]("digit") == d && r.getAs[Long]("n") == 0L, r.toString)
+    }
+    val chi2 = (0 to 9).map { d =>
+      val e = probs(d) * 5
+      val o = if (d <= 4) 1.0 else 0.0
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(out.head.getAs[Double]("chi2") - r4(chi2)) < 1e-3,
+      s"zero cells must contribute e: ${out.head}")
   }
 
   // ------------------------------------------------------------- q401

@@ -46,13 +46,27 @@ class StreamingBayesAbSpec extends SparkSpec {
     StreamingBayesAb.updateCountTable(b0, table, batchId = 0)
     val p0 = StreamingBayesAb.posteriorReport(spark, table)
       .collect().head.getAs[Double]("prob_a_beats_b")
-    // batch 1: arm A converts heavily
+    // batch 1: arm A converts heavily — but exposure is still tiny, so
+    // the minimum-exposure gate must hold the decision at inconclusive
+    // (the normal approximation to the Beta posterior is least
+    // trustworthy exactly here, the early-batch window)
     val b1 = Seq.tabulate(30)(_ => (uA, "purchase", 1.0))
       .toDF("user_id", "event_type", "value")
     StreamingBayesAb.updateCountTable(b1, table, batchId = 1)
     val r1 = StreamingBayesAb.posteriorReport(spark, table).collect().head
     assert(math.abs(p0 - 0.5) < 0.01, s"no-conversion start sits at 0.5: $p0")
     assert(r1.getAs[Double]("prob_a_beats_b") > 0.99, r1.toString)
-    assert(r1.getAs[String]("decision") == "ship_a", r1.toString)
+    assert(r1.getAs[Long]("n_a") < Relational.BayesMinExposure)
+    assert(r1.getAs[String]("decision") == "inconclusive",
+      s"an early lucky streak must not ship: $r1")
+    // batch 2: enough exposure on BOTH arms to clear the gate — the
+    // posterior still favors A overwhelmingly, and NOW it may ship
+    val b2 = Seq.tabulate(300)(i => (if (i % 2 == 0) uA else uB, "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+    StreamingBayesAb.updateCountTable(b2, table, batchId = 2)
+    val r2 = StreamingBayesAb.posteriorReport(spark, table).collect().head
+    assert(r2.getAs[Long]("n_a") >= Relational.BayesMinExposure &&
+      r2.getAs[Long]("n_b") >= Relational.BayesMinExposure)
+    assert(r2.getAs[String]("decision") == "ship_a", r2.toString)
   }
 }
