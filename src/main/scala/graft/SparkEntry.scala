@@ -327,8 +327,9 @@ object SparkEntry {
     "q62_feature_extract" -> ((s, d) => {
       // oracle-sortable projection of the feature vectors: raw
       // array<float> columns crash the driver's pandas sort, so emit the
-      // dims + the l1 mass (the histogram embedding is l1-normalized, a
-      // real per-doc property DuckDB can assert without decoding bytes)
+      // dims + the l1 mass (the REAL-codec luma histogram is
+      // l1-normalized, a per-doc property DuckDB can assert without
+      // decoding bytes)
       import org.apache.spark.sql.functions._
       Multimodal.featureExtract(s, Tables(s, d).documents).toDF()
         .select(
@@ -3645,9 +3646,11 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n_rows
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
     "q62_feature_extract" ->
+      // the real-codec path renders a per-doc PNG (always decodable, never
+      // empty), box-resizes to 64x64 and emits an l1-normalized histogram:
+      // every doc's feature mass is exactly 1.0 at 4dp
       """SELECT doc_id, 64 AS width_px, 64 AS height_px, 16 AS dims,
-        | CASE WHEN octet_length(encode(text)) = 0 THEN CAST(0.0 AS DOUBLE)
-        |      ELSE CAST(1.0 AS DOUBLE) END AS feature_l1
+        | CAST(1.0 AS DOUBLE) AS feature_l1
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_multimodal_meta" ->
       """WITH t AS (SELECT source, octet_length(encode(text)) AS nb FROM documents)
@@ -6036,6 +6039,159 @@ object SparkEntry {
         |  floor(avg(adi)*10000 + 0.5)/10000 AS avg_adi,
         |  floor(avg(cv2)*10000 + 0.5)/10000 AS avg_cv2
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q119_kmeans" -> {
+      // Unrolled Lloyd replay (the q98/q288 unrolled-oracle pattern):
+      // every arithmetic step the operator takes is mirrored, including
+      // the FLOAT truncation unit() applies to each centroid component
+      // (CAST(... AS FLOAT) — the quantization that makes the
+      // inter-iteration state engine-comparable) and the md5-ordered
+      // 128-point sample + farthest-first seeding (argmin of max-dot,
+      // ties to the earliest sample index, matching the strict < scan).
+      // Dots are left-to-right double accumulation in both engines
+      // (VecDot ≡ list_dot_product over DOUBLE[], verified bit-exact).
+      val k = 8; val iters = 4; val m = 128
+      val seeds = (1 until k).map { j =>
+        s"""ps$j AS MATERIALIZED (
+           |  SELECT sidx FROM (
+           |    SELECT s.sidx, max(list_dot_product(s.e, d.e)) AS best
+           |    FROM samp s CROSS JOIN seeds$j d
+           |    GROUP BY s.sidx)
+           |  ORDER BY best ASC, sidx ASC LIMIT 1),
+           |seeds${j + 1} AS MATERIALIZED (
+           |  SELECT * FROM seeds$j
+           |  UNION ALL SELECT $j AS c, e FROM samp WHERE sidx = (SELECT sidx FROM ps$j))""".stripMargin
+      }.mkString(",\n")
+      val lloyd = (1 to iters).map { i =>
+        s"""asg$i AS MATERIALIZED (
+           |  SELECT vec_id, c, d FROM (
+           |    SELECT m.vec_id, t.c, list_dot_product(m.e, t.e) AS d,
+           |      row_number() OVER (PARTITION BY m.vec_id
+           |        ORDER BY list_dot_product(m.e, t.e) DESC, t.c ASC) AS rn
+           |    FROM emb m CROSS JOIN cents$i t) WHERE rn = 1),
+           |mom$i AS MATERIALIZED (
+           |  SELECT a.c, l.pos, sum(l.v) AS s
+           |  FROM asg$i a JOIN lng l USING (vec_id)
+           |  GROUP BY 1, 2),
+           |nrm$i AS MATERIALIZED (SELECT c, sqrt(sum(s*s)) AS n FROM mom$i GROUP BY c),
+           |cents${i + 1} AS MATERIALIZED (
+           |  SELECT p.c,
+           |    list(CAST(CAST(CASE WHEN n.n = 0 THEN p.s ELSE p.s/n.n END AS FLOAT) AS DOUBLE)
+           |      ORDER BY p.pos) AS e
+           |  FROM mom$i p JOIN nrm$i n USING (c)
+           |  GROUP BY p.c
+           |  UNION ALL
+           |  SELECT c, e FROM cents$i
+           |  WHERE c NOT IN (SELECT DISTINCT c FROM asg$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH emb AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |lng AS MATERIALIZED (
+         |  SELECT vec_id, unnest(e) AS v, unnest(range(1, len(e)+1)) AS pos FROM emb),
+         |samp AS MATERIALIZED (
+         |  SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sidx
+         |  FROM emb QUALIFY sidx <= $m),
+         |seeds1 AS MATERIALIZED (SELECT 0 AS c, e FROM samp WHERE sidx = 1),
+         |$seeds,
+         |cents1 AS MATERIALIZED (SELECT * FROM seeds$k),
+         |$lloyd,
+         |fin AS (
+         |  SELECT vec_id, c, d FROM (
+         |    SELECT m.vec_id, t.c, list_dot_product(m.e, t.e) AS d,
+         |      row_number() OVER (PARTITION BY m.vec_id
+         |        ORDER BY list_dot_product(m.e, t.e) DESC, t.c ASC) AS rn
+         |    FROM emb m CROSS JOIN cents${iters + 1} t) WHERE rn = 1)
+         |SELECT CAST(c AS BIGINT) AS cluster_id, count(*) AS n_vecs,
+         |  floor(avg(d)*10000 + 0.5)/10000 AS avg_cos
+         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q191_mmr" -> {
+      // MMR greedy is EXACTLY replayable: VecDot accumulates float
+      // elements left-to-right in double, and DuckDB's
+      // list_dot_product over CAST(... AS DOUBLE[]) produces the
+      // bit-identical double (verified), so pool ranking, redundancy
+      // maxima and every argmax tie resolve the same way. The 10
+      // greedy steps unroll as chained CTEs (no window/aggregate
+      // restrictions of recursive CTEs); λ and 1−λ are emitted as the
+      // EXACT doubles the Scala loop uses (1−0.7 ≠ 0.3 in IEEE).
+      val l = 0.7
+      val L = f"$l%.17e"; val M = f"${1 - l}%.17e"
+      val steps = (2 to 10).map { n =>
+        s"""sel${n - 1} AS MATERIALIZED (${
+          if (n == 2) "SELECT * FROM pick1"
+          else s"SELECT * FROM sel${n - 2} UNION ALL SELECT * FROM pick${n - 1}"}),
+           |pick$n AS MATERIALIZED (
+           |  SELECT qid, $n AS rk, cid, rel, score FROM (
+           |    SELECT p.qid, p.cid, p.rel,
+           |      $L*p.rel - $M*max(pd.d) AS score,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY $L*p.rel - $M*max(pd.d) DESC, p.cid) AS rn
+           |    FROM pool p JOIN pdot pd ON pd.qid = p.qid AND pd.ca = p.cid
+           |    WHERE pd.cb IN (SELECT cid FROM sel${n - 1} u WHERE u.qid = p.qid)
+           |      AND p.cid NOT IN (SELECT cid FROM sel${n - 1} u WHERE u.qid = p.qid)
+           |    GROUP BY 1, 2, 3
+           |  ) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to 10).map(n => s"SELECT * FROM pick$n").mkString(" UNION ALL ")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 3),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id >= 3),
+         |r0 AS MATERIALIZED (SELECT qid, cid, list_dot_product(qe, ce) AS rel, ce FROM q CROSS JOIN c),
+         |pool AS MATERIALIZED (SELECT qid, cid, rel, ce FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS prk
+         |  FROM r0) WHERE prk <= 50),
+         |pdot AS MATERIALIZED (
+         |  SELECT a.qid, a.cid AS ca, b.cid AS cb, list_dot_product(a.ce, b.ce) AS d
+         |  FROM pool a JOIN pool b ON a.qid = b.qid),
+         |pick1 AS MATERIALIZED (
+         |  SELECT qid, 1 AS rk, cid, rel, $L*rel AS score FROM (
+         |    SELECT qid, cid, rel,
+         |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |$steps
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, cid,
+         |  floor(rel*10000 + 0.5)/10000 AS relevance,
+         |  floor(score*10000 + 0.5)/10000 AS mmr_score
+         |FROM ($all) ORDER BY qid, rk""".stripMargin
+    },
+    "q196_bootstrap_ci" -> {
+      // the SAME Poisson(1) inverse-CDF thresholds the Spark CASE ladder
+      // uses, emitted in round-trip-exact scientific notation (exponent
+      // literals are DOUBLE in DuckDB, not DECIMAL); the md5 uniform is
+      // the q105 replayable idiom, so the whole resample replays
+      val cum = {
+        val e = math.exp(-1.0)
+        var acc = 0.0; var fact = 1.0
+        (0 to 7).map { k => if (k > 0) fact *= k; acc += e / fact; acc }
+      }
+      val ladder = cum.zipWithIndex
+        .map { case (c, k) => f"WHEN u < $c%.17e THEN $k" }.mkString(" ")
+      s"""WITH x AS (
+         |  SELECT o_orderkey, o_totalprice, r.range AS r,
+         |    (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-' ||
+         |        CAST(r.range AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+         |  FROM orders CROSS JOIN range(1, 201) r),
+         |w AS (SELECT r, CAST(CASE $ladder ELSE 8 END AS DOUBLE) AS w, o_totalprice FROM x),
+         |rep AS (SELECT r, sum(w*o_totalprice)/sum(w) AS boot_mean FROM w GROUP BY r),
+         |base AS (
+         |  SELECT count(*) AS n, avg(o_totalprice) AS mean,
+         |    stddev_samp(o_totalprice)/sqrt(count(*)) AS se_analytic
+         |  FROM orders),
+         |boot AS (
+         |  SELECT count(*) AS n_replicates, stddev_samp(boot_mean) AS se_boot,
+         |    quantile_cont(boot_mean, 0.025) AS ci_lo,
+         |    quantile_cont(boot_mean, 0.975) AS ci_hi
+         |  FROM rep)
+         |SELECT n, n_replicates,
+         |  floor(mean*10000 + 0.5)/10000 AS mean,
+         |  floor(se_analytic*10000 + 0.5)/10000 AS se_analytic,
+         |  floor(se_boot*10000 + 0.5)/10000 AS se_boot,
+         |  floor(ci_lo*10000 + 0.5)/10000 AS ci_lo,
+         |  floor(ci_hi*10000 + 0.5)/10000 AS ci_hi
+         |FROM boot CROSS JOIN base""".stripMargin
+    },
     "q400_benford2" -> {
       // the SAME doubles the Spark side builds its CASE ladder from
       val probs = (0 to 9).map(d =>

@@ -181,27 +181,48 @@ object Multimodal {
 
   final case class MediaFeature(doc_id: Long, width_px: Int, height_px: Int, feature: Array[Float])
 
-  /** q62: "decode → resize → feature-extract" over binary payloads. STUB
-    * CODEC: the resize just reports clamped target dims and the feature
-    * vector is a deterministic byte-histogram embedding — a real build
-    * swaps in an image library + model; the pipeline shape (binary in,
-    * per-partition batching where the model would be loaded once, fixed-
-    * width float vector out, ready for graft.operators.Similarity) is the
-    * production contract. */
-  def featureExtract(spark: SparkSession, documents: DataFrame, dim: Int = 16, targetPx: Int = 64): Dataset[MediaFeature] = {
+  /** q62: "decode → resize → feature-extract" over binary payloads,
+    * through the REAL codec by default: genuinely-PNG payloads
+    * ([[withImagePayload]]) decoded by [[ImageIoCodec]] (JDK ImageIO —
+    * actual pixel decode), box-resized to `targetPx`², reduced to an
+    * l1-normalized luma histogram — the `array<float>` handoff
+    * [[featureSimilarity]] and the Similarity stack consume. The
+    * pipeline shape (binary in, per-partition batching where a model
+    * would be loaded once, fixed-width float vector out) is the
+    * production contract; swap `withImagePayload` for a real media
+    * column and the rest is unchanged.
+    *
+    * `realCodec = false` keeps the historical byte-histogram double
+    * (ByteGrayStub over the raw text bytes, no decode) — the cheap
+    * comparison leg for tests that want codec-independent features. */
+  def featureExtract(
+      spark: SparkSession,
+      documents: DataFrame,
+      dim: Int = 16,
+      targetPx: Int = 64,
+      realCodec: Boolean = true): Dataset[MediaFeature] = {
     import spark.implicits._
-    withPayload(documents)
-      .select(col("doc_id"), col("payload"))
+    val payloads =
+      if (realCodec) withImagePayload(spark, documents).select(col("doc_id"), col("payload"))
+      else withPayload(documents).select(col("doc_id"), col("payload"))
+    payloads
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // codec referenced once per partition; ByteGrayStub keeps the
-        // historical byte-histogram output bit-identical (oracle-stable)
-        val codec: ImageCodec = ByteGrayStub
-        it.map { case (id, payload) =>
-          val img = codec.decode(payload).get // stub never fails
-          val hist = histogramFeature(img.gray, dim)
-          MediaFeature(id, math.min(targetPx, 4096), math.min(targetPx, 4096), hist)
-        }
+        // codec referenced once per partition (the model-load slot)
+        val codec: ImageCodec = if (realCodec) ImageIoCodec else ByteGrayStub
+        if (realCodec)
+          it.flatMap { case (id, payload) =>
+            codec.decode(payload).map { orig =>
+              val img = resizeBox(orig, targetPx, targetPx)
+              MediaFeature(id, img.width, img.height, histogramFeature(img.gray, dim))
+            }
+          }
+        else
+          it.map { case (id, payload) =>
+            val img = codec.decode(payload).get // stub never fails
+            MediaFeature(id, math.min(targetPx, 4096), math.min(targetPx, 4096),
+              histogramFeature(img.gray, dim))
+          }
       }
   }
 

@@ -228,11 +228,13 @@ object StatTests {
     * the SAME map-side pass. Weights come from a deterministic
     * per-(row, replicate) hash uniform pushed through the Poisson(1)
     * inverse CDF (a literal CASE ladder — P(k>7) < 1e-5 truncates), so
-    * reruns and engines agree bit-for-bit. The replicate fan-out is
-    * map-side (explode → partial agg); the shuffle carries `b`
-    * moment rows, never b× the data. Rows-only: the spec pins the
-    * bootstrap SE against the analytic SE and CI coverage of the
-    * sample mean. */
+    * reruns and engines agree bit-for-bit. The uniform is the md5
+    * idiom (first 8 hex chars of md5("orderkey-replicate") → [0,2³²)),
+    * the same replayable source q105/q234 oracle — which is what makes
+    * this query ORACLE-CHECKABLE: DuckDB replays the identical weights,
+    * so the whole resample is cross-engine deterministic. The replicate
+    * fan-out is map-side (explode → partial agg); the shuffle carries
+    * `b` moment rows, never b× the data. */
   def bootstrapCi(orders: DataFrame, b: Int = 200): DataFrame = {
     // Poisson(1) inverse CDF thresholds: cumulative e^{-1}·Σ 1/k!
     val cum = {
@@ -244,8 +246,9 @@ object StatTests {
         acc
       }
     }
-    val u = (pmod(xxhash64(col("o_orderkey"), col("r")), lit(1000000L)).cast("double")
-      + 0.5) / 1000000.0
+    val u = (conv(substring(md5(concat_ws("-",
+      col("o_orderkey").cast("string"), col("r").cast("string"))), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
     // CASE ladder must test the SMALLEST threshold first → fold the
     // thresholds largest-first so k=0's test ends up outermost
     val weight = cum.zipWithIndex.reverse.foldLeft(lit(8)) { case (acc, (c, k)) =>
