@@ -729,6 +729,12 @@ object SparkEntry {
       val t = Tables(s, d)
       StatTests.repeatPurchase(t.orders, t.customer)
     }),
+    "q403_grubbs" -> ((s, d) => StatTests.grubbs(Tables(s, d).orders)),
+    "q404_page_hinkley" -> ((s, d) => StatTests.pageHinkley(Tables(s, d).orders)),
+    "q405_knn_classify" -> ((s, d) => Similarity.knnClassify(Tables(s, d).embeddings)),
+    "q406_novelty_curve" -> ((s, d) => TextAnalysis.noveltyCurve(Tables(s, d).documents)),
+    "q407_compression_quality" -> ((s, d) =>
+      TextAnalysis.compressionQuality(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6039,6 +6045,96 @@ object SparkEntry {
         |  floor(avg(adi)*10000 + 0.5)/10000 AS avg_adi,
         |  floor(avg(cv2)*10000 + 0.5)/10000 AS avg_cv2
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q403_grubbs" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*) AS n_days, avg(x) AS mu, stddev_samp(x) AS s FROM daily),
+        |dv AS (
+        |  SELECT d.day, d.x, st.n_days, st.mu, st.s,
+        |    CASE WHEN st.s > 0 THEN abs(d.x - st.mu)/st.s END AS dev,
+        |    row_number() OVER (
+        |      ORDER BY (CASE WHEN st.s > 0 THEN abs(d.x - st.mu)/st.s END) DESC, d.day) AS rn
+        |  FROM daily d CROSS JOIN st),
+        |top AS (SELECT * FROM dv WHERE rn = 1),
+        |tt AS (SELECT *,
+        |  CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(0.2316419 AS DOUBLE)*dev) AS tk
+        |  FROM top),
+        |pq AS (SELECT *,
+        |  (exp(CAST(-0.5 AS DOUBLE)*dev*dev) * CAST(0.3989422804014327 AS DOUBLE))
+        |    * (CAST(0.319381530 AS DOUBLE)*tk
+        |      + CAST(-0.356563782 AS DOUBLE)*tk*tk
+        |      + CAST(1.781477937 AS DOUBLE)*tk*tk*tk
+        |      + CAST(-1.821255978 AS DOUBLE)*tk*tk*tk*tk
+        |      + CAST(1.330274429 AS DOUBLE)*tk*tk*tk*tk*tk) AS qq
+        |  FROM tt),
+        |fin AS (SELECT *,
+        |  floor(least(CAST(1.0 AS DOUBLE), 2.0*n_days*qq)*10000 + 0.5)/10000 AS p FROM pq)
+        |SELECT n_days,
+        |  floor(mu*10000 + 0.5)/10000 AS mean_rev,
+        |  floor(s*10000 + 0.5)/10000 AS sd_rev,
+        |  strftime(day, '%Y-%m-%d') AS worst_day,
+        |  floor(x*10000 + 0.5)/10000 AS x_worst,
+        |  floor(dev*10000 + 0.5)/10000 AS g_stat,
+        |  p AS p_bonferroni,
+        |  p < CAST(0.05 AS DOUBLE) AS outlier
+        |FROM fin""".stripMargin,
+    "q404_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT avg(x) AS gmu, stddev_samp(x) AS sigma FROM daily),
+        |r AS (SELECT day, x, gmu, sigma,
+        |    avg(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rbar
+        |  FROM daily CROSS JOIN st),
+        |m AS (SELECT *,
+        |    sum(x - rbar - CAST(0.005 AS DOUBLE)*gmu)
+        |      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM r),
+        |p AS (SELECT *,
+        |    m - least(CAST(0.0 AS DOUBLE),
+        |      min(m) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ph
+        |  FROM m)
+        |SELECT strftime(day, '%Y-%m') AS month, count(*) AS n_days,
+        |  floor(max(CASE WHEN sigma > 0 THEN ph/sigma END)*10000 + 0.5)/10000
+        |    AS max_excursion_sigmas,
+        |  max(CASE WHEN ph > sigma*4 THEN 1 ELSE 0 END) AS alarm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q405_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS true_label
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce, label AS clabel
+        |  FROM embeddings WHERE vec_id >= 50),
+        |nn AS (
+        |  SELECT qid, true_label, cid, clabel,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(qe, ce) DESC, cid) AS rk
+        |  FROM q CROSS JOIN c QUALIFY rk <= 10),
+        |v AS (SELECT qid, true_label, clabel, count(*) AS votes FROM nn GROUP BY 1, 2, 3),
+        |p AS (SELECT qid, true_label, clabel AS predicted, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, clabel) AS r
+        |  FROM v)
+        |SELECT qid, true_label, predicted, votes, true_label = predicted AS correct
+        |FROM p WHERE r = 1 ORDER BY qid""".stripMargin,
+    "q406_novelty_curve" ->
+      """WITH sp AS (SELECT max(doc_id) + 1 AS span FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+        |    CAST(floor(doc_id * 10 / span) AS BIGINT) AS bin
+        |  FROM documents CROSS JOIN sp),
+        |fs AS (SELECT fp, min(bin) AS bin FROM b GROUP BY fp),
+        |nb AS (SELECT bin, count(*) AS n_new_fp FROM fs GROUP BY bin),
+        |pb AS (SELECT bin, count(*) AS n_docs FROM b GROUP BY bin),
+        |j AS (SELECT pb.bin, pb.n_docs, COALESCE(nb.n_new_fp, 0) AS n_new_fp
+        |      FROM pb LEFT JOIN nb USING (bin))
+        |SELECT bin, n_docs, n_new_fp,
+        |  floor(n_new_fp/CAST(n_docs AS DOUBLE)*10000 + 0.5)/10000 AS novelty_share,
+        |  floor(sum(n_new_fp) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / CAST(sum(n_docs) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)*10000 + 0.5)/10000 AS cum_distinct_share
+        |FROM j ORDER BY bin""".stripMargin,
     "q119_kmeans" -> {
       // Unrolled Lloyd replay (the q98/q288 unrolled-oracle pattern):
       // every arithmetic step the operator takes is mirrored, including

@@ -1447,4 +1447,40 @@ object Similarity {
         round(coalesce(col("hits"), lit(0L)) / k.toDouble, 4).as("recall_at_k"))
       .orderBy("qid")
   }
+
+  /** q405: k-NN majority-vote CLASSIFICATION over the embedding corpus
+    * — the label-transfer primitive (auto-labeling a new slice from an
+    * already-labeled corpus, the standard weak-supervision step): each
+    * held-out query vector takes the majority label of its k exact
+    * nearest neighbours (dot product; the corpus is unit-norm so dot ≡
+    * cosine). Votes tie-break to the smaller label, neighbour ranking
+    * ties to the smaller cid — fully deterministic, and (like q191)
+    * exactly replayable cross-engine because VecDot's left-to-right
+    * double accumulation is bit-identical to list_dot_product. Scale
+    * shape: the query slice broadcasts (q51 idiom), one data-
+    * proportional scan + a per-query k-row heap (WindowGroupLimit),
+    * vote aggregate is (queries×labels)-bounded. */
+  def knnClassify(embeddings: DataFrame, numQueries: Int = 50, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val c = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clabel"))
+    val wNn = Window.partitionBy("qid").orderBy(desc("d"), asc("cid"))
+    val nn = c.crossJoin(broadcast(q))
+      .withColumn("d", dot(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") <= k)
+    val wVote = Window.partitionBy("qid").orderBy(desc("v"), asc("clabel"))
+    nn.groupBy("qid", "true_label", "clabel")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("r", row_number().over(wVote))
+      .filter(col("r") === 1)
+      .select(
+        col("qid"), col("true_label"),
+        col("clabel").as("predicted"), col("v").as("votes"),
+        (col("true_label") === col("clabel")).as("correct"))
+      .orderBy("qid")
+  }
 }

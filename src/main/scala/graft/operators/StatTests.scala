@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableRound.round
@@ -2794,5 +2794,87 @@ object StatTests {
         round(col("q_b") - col("q_a"), 4).as("shift"),
         round(when(col("q_a") =!= 0.0, col("q_b") / col("q_a")), 4).as("ratio"))
       .orderBy("decile")
+  }
+
+  /** 1 − Φ(x) for x ≥ 0 via the Abramowitz–Stegun polynomial — the
+    * portable normal tail (same constants as Relational's copy and the
+    * SQL oracles; no engine erf). */
+  private def normTail(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val pdf = exp(lit(-0.5) * x * x) * lit(0.3989422804014327)
+    pdf * (lit(0.319381530) * t
+      + lit(-0.356563782) * t * t
+      + lit(1.781477937) * t * t * t
+      + lit(-1.821255978) * t * t * t * t
+      + lit(1.330274429) * t * t * t * t * t)
+  }
+
+  /** q403: GRUBBS max-outlier test on daily revenue — "is the single
+    * most extreme day statistically an outlier", the formal follow-up
+    * to q90's fence counting and q259's control limits (both flag; this
+    * attaches a p-value to the WORST point). G = max|x−μ|/s over the
+    * calendar-day frame; significance via the Bonferroni normal bound
+    * p ≤ 2n·(1−Φ(G)) (the A&S polynomial both engines share — exact t
+    * quantiles are not portable, and the normal bound is conservative:
+    * it never flags MORE than the exact test). The argmax day resolves
+    * ties by date so both engines pick the same row; the flag
+    * thresholds on the ROUNDED p. */
+  def grubbs(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+    val stats = daily.agg(
+      count(lit(1)).as("n_days"), avg("x").as("mu"), stddev_samp(col("x")).as("s"))
+    val wTop = Window.orderBy(desc("dev"), col("day")) // ≤calendar-bounded frame
+    daily
+      .crossJoin(broadcast(stats))
+      // ANSI guard: a zero-variance series has no outlier (and no G)
+      .withColumn("dev", when(col("s") > 0.0, abs(col("x") - col("mu")) / col("s")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .withColumn("p",
+        round(least(lit(1.0), lit(2.0) * col("n_days") * normTail(col("dev"))), 4))
+      .select(
+        col("n_days"),
+        round(col("mu"), 4).as("mean_rev"),
+        round(col("s"), 4).as("sd_rev"),
+        date_format(col("day"), "yyyy-MM-dd").as("worst_day"),
+        round(col("x"), 4).as("x_worst"),
+        round(col("dev"), 4).as("g_stat"),
+        col("p").as("p_bonferroni"),
+        (col("p") < 0.05).as("outlier"))
+  }
+
+  /** q404: PAGE–HINKLEY drift monitor on daily revenue — the
+    * running-mean counterpart of q222's fixed-baseline CUSUM: CUSUM
+    * asks "has the level left the HISTORICAL mean", PH asks "is the
+    * level drifting away from its OWN evolving baseline", which keeps
+    * alarming power after a legitimate regime change q222 would
+    * permanently alarm on. m_t = Σ_{i≤t}(x_i − x̄_i − band) with x̄_i
+    * the running prefix mean and band = δ·global-mean (a relative
+    * dead-band, scale-free across SFs); excursion PH_t = m_t − min
+    * prefix m (the q222 closed-form trick — two running windows over
+    * the calendar-day frame, no sequential recursion). Reported per
+    * month in global-σ units. */
+  def pageHinkley(orders: DataFrame, delta: Double = 0.005): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+    val stats = daily.agg(avg("x").as("gmu"), stddev_samp(col("x")).as("sigma"))
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .crossJoin(broadcast(stats))
+      .withColumn("rbar", avg("x").over(wCum)) // running prefix mean
+      .withColumn("m", sum(col("x") - col("rbar") - lit(delta) * col("gmu")).over(wCum))
+      .withColumn("ph", col("m") - least(lit(0.0), min("m").over(wCum)))
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        // ANSI guard: a zero-variance series has no σ scale (ph is 0
+        // there anyway — the dead-band absorbs a constant series)
+        round(max(when(col("sigma") > 0.0, col("ph") / col("sigma"))), 4)
+          .as("max_excursion_sigmas"),
+        max((col("ph") > col("sigma") * 4).cast("int")).as("alarm"))
+      .orderBy("month")
   }
 }

@@ -2087,4 +2087,93 @@ object TextAnalysis {
           + lit(11.8) * col("s") / col("w") - lit(15.59)), 4).as("fk_grade"))
       .orderBy("lang")
   }
+
+  /** q406: corpus NOVELTY CURVE — "is the next slice of the crawl
+    * still adding new content": documents bucket into `nBins` ingestion
+    * bins by doc_id (ingestion order), each exact fingerprint (q33)
+    * attributes to the bin of its FIRST occurrence, and the per-bin
+    * report reads novelty share (docs carrying a first-seen fp / docs
+    * in bin) plus the cumulative distinct-content share. The marginal
+    * value of continued crawling IS this curve's tail — flat ≈ 1 means
+    * keep crawling, a sagging tail quantifies the dedup tax before any
+    * expensive near-dup pass runs. Scale shape: binning is a map-side
+    * expression off a 1-row max(doc_id) broadcast, first-seen is the
+    * q33 fp groupBy, the report frame is nBins rows. */
+  def noveltyCurve(documents: DataFrame, nBins: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val span = documents.agg((max("doc_id") + 1).as("span"))
+    val binned = documents
+      .crossJoin(broadcast(span)) // 1-row scalar
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        floor(col("doc_id") * nBins / col("span")).as("bin"))
+    val firstSeen = binned.groupBy("fp").agg(min("bin").as("first_bin"))
+    val perBin = binned.groupBy("bin").agg(count(lit(1)).as("n_docs"))
+    val newPerBin = firstSeen.groupBy(col("first_bin").as("bin"))
+      .agg(count(lit(1)).as("n_new_fp"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤nBins rows
+    perBin.join(newPerBin, Seq("bin"), "left")
+      .select(col("bin"), col("n_docs"),
+        coalesce(col("n_new_fp"), lit(0L)).as("n_new_fp"))
+      .withColumn("novelty_share",
+        round(col("n_new_fp") / col("n_docs").cast("double"), 4))
+      .withColumn("cum_distinct",
+        sum("n_new_fp").over(wCum))
+      .withColumn("cum_docs", sum("n_docs").over(wCum))
+      .select(col("bin"), col("n_docs"), col("n_new_fp"), col("novelty_share"),
+        round(col("cum_distinct") / col("cum_docs").cast("double"), 4)
+          .as("cum_distinct_share"))
+      .orderBy("bin")
+  }
+
+  /** q407: COMPRESSION-RATIO quality filter — the classic cheap
+    * information-density screen (boilerplate, templated spam and
+    * degenerate repetition compress far below natural prose; pure
+    * noise barely compresses at all): per document, deflate the
+    * normalized utf-8 bytes (java.util.zip, level 6 — deterministic)
+    * and read bits-per-byte; the per-source report carries the mass in
+    * each regime. Rows-only by nature (no SQL deflate) — the spec pins
+    * ground truth (repetition ≪ prose < noise). Scale shape:
+    * per-partition CPU kernel (one Deflater per partition, reused),
+    * then a sources-bounded aggregate; nothing shuffles but the
+    * per-doc scalar row. */
+  def compressionQuality(
+      documents: DataFrame,
+      minRatio: Double = 2.0,
+      maxRatio: Double = 7.0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val perDoc = documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.normalized(col("text")).as("t"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, src, t) =>
+          val in = t.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio =
+            if (out == 0) 0.0
+            else math.floor(in.length.toDouble / out * 10000 + 0.5) / 10000
+          (id, src, in.length.toLong, out.toLong, ratio)
+        }
+      }
+      .toDF("doc_id", "source", "raw_bytes", "deflated_bytes", "ratio")
+    perDoc
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("ratio"), 4).as("avg_ratio"),
+        sum(when(col("ratio") < minRatio, 1L).otherwise(0L)).as("n_low_info"),
+        sum(when(col("ratio") > maxRatio, 1L).otherwise(0L)).as("n_degenerate"))
+      .withColumn("keep_share",
+        round((col("n_docs") - col("n_low_info") - col("n_degenerate"))
+          / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+  }
 }

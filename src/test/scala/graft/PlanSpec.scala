@@ -398,7 +398,11 @@ class PlanSpec extends SparkSpec {
       "q396_sort_advisor"   -> (bnl + "unpartitioned-window"), // q393's metadata sweep × #candidate columns (bounded list)
       "q397_mann_kendall"   -> (bnl + "cartesian-product"), // days² pair expansion of the calendar-bounded daily frame + 1-row tie scalar (q246 idiom)
       "q398_decayed_clv"    -> bnl, // 1-row corpus-end scalar (q221/q389 idiom)
-      "q400_benford2"       -> Set("unpartitioned-window")) // 10-digit frame totals (q182 bounded idiom)
+      "q400_benford2"       -> Set("unpartitioned-window"), // 10-digit frame totals (q182 bounded idiom)
+      "q403_grubbs"         -> (bnl + "unpartitioned-window"), // 1-row moment scalar + argmax over the calendar-day frame (q89 idiom)
+      "q404_page_hinkley"   -> (bnl + "unpartitioned-window"), // 1-row μ/σ scalar + running frames over the calendar-day table (q222 idiom)
+      "q405_knn_classify"   -> bnl, // bounded broadcast query side (q51/q59 idiom); vote window is per-query
+      "q406_novelty_curve"  -> (bnl + "unpartitioned-window")) // 1-row span scalar + cumulative over the ≤nBins frame (q182 bounded idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
