@@ -735,6 +735,9 @@ object SparkEntry {
     "q406_novelty_curve" -> ((s, d) => TextAnalysis.noveltyCurve(Tables(s, d).documents)),
     "q407_compression_quality" -> ((s, d) =>
       TextAnalysis.compressionQuality(Tables(s, d).documents)),
+    "q408_hurst" -> ((s, d) => StatTests.hurst(Tables(s, d).orders)),
+    "q409_hill_tail" -> ((s, d) => StatTests.hillTail(Tables(s, d).orders)),
+    "q410_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6045,6 +6048,70 @@ object SparkEntry {
         |  floor(avg(adi)*10000 + 0.5)/10000 AS avg_adi,
         |  floor(avg(cv2)*10000 + 0.5)/10000 AS avg_cv2
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q408_hurst" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |sized AS (
+        |  SELECT rn, x, s.size, CAST(floor((rn - 1)/s.size) AS BIGINT) AS block
+        |  FROM idx CROSS JOIN (SELECT CAST(unnest([8,16,32,64]) AS INT) AS size) s),
+        |fullb AS (
+        |  SELECT *, count(*) OVER (PARTITION BY size, block) AS bn,
+        |    avg(x) OVER (PARTITION BY size, block) AS mu,
+        |    stddev_pop(x) OVER (PARTITION BY size, block) AS sd
+        |  FROM sized QUALIFY bn = size),
+        |cums AS (
+        |  SELECT *, sum(x - mu) OVER (PARTITION BY size, block
+        |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM fullb),
+        |rsx AS (
+        |  SELECT size, CASE WHEN max(sd) > 0 THEN (max(cum) - min(cum))/max(sd) END AS rs
+        |  FROM cums GROUP BY size, block),
+        |ps AS (SELECT size, count(rs) AS n_blocks, avg(rs) AS mean_rs FROM rsx GROUP BY size),
+        |uv AS (SELECT *, ln(CAST(size AS DOUBLE)) AS u, ln(mean_rs) AS v FROM ps),
+        |hh AS (SELECT *,
+        |  (avg(u*v) OVER () - avg(u) OVER ()*avg(v) OVER ())
+        |    / (avg(u*u) OVER () - avg(u) OVER ()*avg(u) OVER ()) AS h
+        |  FROM uv)
+        |SELECT size, n_blocks,
+        |  floor(mean_rs*10000 + 0.5)/10000 AS mean_rs,
+        |  floor(h*10000 + 0.5)/10000 AS hurst
+        |FROM hh ORDER BY size""".stripMargin,
+    "q409_hill_tail" ->
+      """WITH topx AS (
+        |  SELECT o_totalprice AS x, o_orderkey AS okey
+        |  FROM orders ORDER BY x DESC, okey LIMIT 101),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x DESC, okey) AS rn FROM topx),
+        |xr AS (SELECT *, max(CASE WHEN rn = 101 THEN x END) OVER () AS xref FROM r)
+        |SELECT count(*) AS n_tail,
+        |  floor(max(xref)*10000 + 0.5)/10000 AS x_kplus1,
+        |  floor(CASE WHEN sum(ln(x/xref)) > 0
+        |    THEN count(*)/sum(ln(x/xref)) END*10000 + 0.5)/10000 AS alpha
+        |FROM xr WHERE rn <= 100""".stripMargin,
+    "q410_burrows_delta" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text),'\S+')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1),
+        |topv AS (
+        |  SELECT tok FROM (SELECT tok, sum(c) AS ctot FROM tf GROUP BY 1)
+        |  ORDER BY ctot DESC, tok LIMIT 50),
+        |grid AS (
+        |  SELECT st.source, topv.tok, COALESCE(tf.c, 0)/CAST(st.n AS DOUBLE) AS f
+        |  FROM st CROSS JOIN topv
+        |  LEFT JOIN tf ON tf.source = st.source AND tf.tok = topv.tok),
+        |stats AS (SELECT tok, avg(f) AS mu, stddev_samp(f) AS sd FROM grid GROUP BY 1),
+        |z AS (
+        |  SELECT g.source, g.tok,
+        |    CASE WHEN s.sd > 0 THEN (g.f - s.mu)/s.sd ELSE CAST(0.0 AS DOUBLE) END AS z
+        |  FROM grid g JOIN stats s USING (tok))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_terms,
+        |  floor(avg(abs(a.z - b.z))*10000 + 0.5)/10000 AS delta
+        |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q403_grubbs" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x

@@ -2877,4 +2877,82 @@ object StatTests {
         max((col("ph") > col("sigma") * 4).cast("int")).as("alarm"))
       .orderBy("month")
   }
+
+  /** q408: HURST exponent of daily revenue via rescaled-range (R/S)
+    * analysis — the long-range-dependence diagnostic (H ≈ 0.5 random
+    * walk, H → 1 trending/persistent, H → 0 mean-reverting) that says
+    * whether q187/q281's smoothing horizon or q222/q404's drift
+    * monitors face short- or long-memory demand. Convention: for each
+    * block size s ∈ `sizes`, split the day sequence into FULL blocks,
+    * R = max−min of within-block cumulative deviations from the block
+    * mean (t = 1..s range), S = population stddev; H = OLS slope of
+    * ln(mean R/S) on ln(s) over the ≤|sizes|-row frame. All windows
+    * are block-partitioned over the calendar-bounded daily frame; the
+    * slope folds over ≤4 rows. */
+  def hurst(orders: DataFrame, sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy("day"))) // calendar frame
+    val sized = daily
+      .withColumn("size", explode(lit(sizes.toArray)))
+      .withColumn("block", floor((col("rn") - 1) / col("size")))
+    val wBlock = Window.partitionBy("size", "block")
+    val wSeq = wBlock.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = sized
+      .withColumn("bn", count(lit(1)).over(wBlock))
+      .filter(col("bn") === col("size")) // full blocks only
+      .withColumn("mu", avg("x").over(wBlock))
+      .withColumn("sd", stddev_pop("x").over(wBlock))
+      .withColumn("cum", sum(col("x") - col("mu")).over(wSeq))
+      .groupBy("size", "block")
+      .agg((max("cum") - min("cum")).as("r"), max("sd").as("s"))
+      .select(col("size"),
+        when(col("s") > 0.0, col("r") / col("s")).as("rs")) // flat block: no scale
+    blocks
+      .groupBy("size")
+      .agg(count(col("rs")).as("n_blocks"), avg("rs").as("mean_rs"))
+      .withColumn("u", log(col("size").cast("double")))
+      .withColumn("v", log(col("mean_rs")))
+      .withColumn("h", // OLS slope over the ≤|sizes|-row frame
+        (avg(col("u") * col("v")).over(one)
+          - avg("u").over(one) * avg("v").over(one))
+          / (avg(col("u") * col("u")).over(one)
+            - avg("u").over(one) * avg("u").over(one)))
+      .select(col("size"), col("n_blocks"),
+        round(col("mean_rs"), 4).as("mean_rs"),
+        round(col("h"), 4).as("hurst"))
+      .orderBy("size")
+  }
+
+  /** q409: HILL tail-index estimate of the order-value distribution —
+    * "how heavy is the revenue tail" as a number (α < 2 ⇒ infinite
+    * variance, percentile planning breaks; q117's Zipf slope is the
+    * token-frequency cousin): α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    * the top k+1 order statistics. The top-(k+1) set is a
+    * TakeOrderedAndProject (per-partition heap + driver merge — never
+    * a global sort), the rest is a ≤(k+1)-row frame; ties at the
+    * boundary are rank-resolved by order key so both engines sum the
+    * identical k terms. */
+  def hillTail(orders: DataFrame, k: Int = 100): DataFrame = {
+    val top = orders
+      .select(col("o_totalprice").as("x"), col("o_orderkey").as("okey"))
+      .orderBy(desc("x"), asc("okey"))
+      .limit(k + 1)
+    val w = Window.orderBy(desc("x"), asc("okey")) // ≤(k+1)-row frame
+    top
+      .withColumn("rn", row_number().over(w))
+      .withColumn("xref", max(when(col("rn") === k + 1, col("x"))).over(one))
+      .filter(col("rn") <= k)
+      .agg(
+        count(lit(1)).as("n_tail"),
+        max("xref").as("xr"),
+        sum(log(col("x") / col("xref"))).as("lsum"))
+      .select(
+        col("n_tail"),
+        round(col("xr"), 4).as("x_kplus1"),
+        // all-ties tail (Σ = 0): no slope to estimate — null, not ∞
+        round(when(col("lsum") > 0.0, col("n_tail") / col("lsum")), 4).as("alpha"))
+  }
 }

@@ -2176,4 +2176,45 @@ object TextAnalysis {
           / col("n_docs").cast("double"), 4))
       .orderBy("source")
   }
+
+  /** q410: BURROWS' DELTA stylometric distance between sources — the
+    * standard authorship/style measure (z-scored relative frequencies
+    * of the corpus's top-V tokens, δ(a,b) = mean |z_a − z_b|): which
+    * sources write alike, the style-level companion to q295's lexical
+    * JS divergence (JS sees WHAT words, delta sees HOW MUCH each
+    * source over/under-uses the COMMON words). Shape: one tf scan, the
+    * top-V vocabulary is a TakeOrdered broadcast, the z frame is the
+    * bounded sources×V grid (densified — an absent common word IS a
+    * style signal, z from a zero frequency), pair deltas from a
+    * tok-keyed self-join of the grid (≤ sources²·V rows, all
+    * catalog-bounded). Degenerate tokens (σ = 0 across sources)
+    * contribute 0 to every pair by convention. */
+  def burrowsDelta(documents: DataFrame, vocabV: Int = 50): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val srcTotals = tf.groupBy("source").agg(sum("c").as("n"))
+    val topV = tf.groupBy("tok").agg(sum("c").as("ctot"))
+      .orderBy(desc("ctot"), asc("tok")).limit(vocabV)
+      .select("tok")
+    val grid = srcTotals
+      .crossJoin(broadcast(topV)) // bounded sources×V grid (q294 idiom)
+      .join(tf, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c"), lit(0L)) / col("n").cast("double")).as("f"))
+    val stats = grid.groupBy("tok")
+      .agg(avg("f").as("mu"), stddev_samp(col("f")).as("sd"))
+    val z = grid.join(broadcast(stats), Seq("tok"))
+      .select(col("source"), col("tok"),
+        when(col("sd") > 0.0, (col("f") - col("mu")) / col("sd"))
+          .otherwise(lit(0.0)).as("z"))
+    z.as("a")
+      .join(z.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(avg(abs(col("a.z") - col("b.z"))), 4).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }

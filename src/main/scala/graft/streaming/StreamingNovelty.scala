@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round // shadows functions.round (q406 parity)
+import graft.functions.TextFunctions.fingerprint
+
+/** stream_novelty: ingest-time NOVELTY monitoring — the streaming dual
+  * of q406's batch novelty curve, answering "is the stream still
+  * bringing new content" LIVE instead of after the crawl lands.
+  *
+  * First-seen attribution is NOT additive (unlike the count-table
+  * duals), so the state is a first-seen FINGERPRINT table: each
+  * micro-batch writes, under its own `ingest_batch=N` partition,
+  * exactly the fingerprints whose first occurrence is this batch —
+  * computed by anti-joining the batch's distinct fps against the
+  * partitions BEFORE it. Replaying batch N recomputes against
+  * `ingest_batch < N` only and overwrites its own slice, so a retried
+  * batch can neither double-claim a fingerprint nor steal one from its
+  * past (exactly-once by construction, the HiveBatchSink discipline).
+  * A (batch, n_docs) sidecar carries the additive doc counts.
+  *
+  * Scale shape: per batch, one fingerprint projection + one distinct +
+  * one anti-join against the seen set — all fp-keyed equi-plans; state
+  * is one row per DISTINCT fingerprint ever seen (the minimum any
+  * exact first-seen monitor can hold), never document-sized. The
+  * report is batch-cardinality. Parity: on the same batch boundaries
+  * the report is ROW-IDENTICAL to q406's curve (spec-pinned). */
+object StreamingNovelty {
+
+  private def fpsDir(root: String) = s"$root/fps"
+  private def countsDir(root: String) = s"$root/counts"
+
+  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
+  /** One micro-batch: claim first-seen fingerprints + record the doc
+    * count, both under this batch's own partition (replay-idempotent). */
+  def updateSeenTable(batch: DataFrame, tableRoot: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fps = batch.select(fingerprint(col("text")).as("fp")).distinct()
+    val newFps = readIfExists(spark, fpsDir(tableRoot)) match {
+      case Some(seen) =>
+        fps.join(seen.filter(col("ingest_batch") < batchId).select("fp"),
+          Seq("fp"), "left_anti")
+      case None => fps
+    }
+    newFps
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("ingest_batch")
+      .parquet(fpsDir(tableRoot))
+    batch.agg(count(lit(1)).as("n_docs"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("ingest_batch")
+      .parquet(countsDir(tableRoot))
+  }
+
+  /** The live novelty curve — same columns and arithmetic as the batch
+    * q406 report, with batches as bins. */
+  def noveltyReport(spark: SparkSession, tableRoot: String): DataFrame = {
+    val newPerBatch = spark.read.parquet(fpsDir(tableRoot))
+      .groupBy(col("ingest_batch").as("bin"))
+      .agg(count(lit(1)).as("n_new_fp"))
+    val docs = spark.read.parquet(countsDir(tableRoot))
+      .select(col("ingest_batch").as("bin"), col("n_docs"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤#batches rows
+    docs.join(newPerBatch, Seq("bin"), "left")
+      .select(col("bin").cast("long").as("bin"), col("n_docs"),
+        coalesce(col("n_new_fp"), lit(0L)).as("n_new_fp"))
+      .withColumn("novelty_share",
+        round(col("n_new_fp") / col("n_docs").cast("double"), 4))
+      .withColumn("cum_distinct", sum("n_new_fp").over(wCum))
+      .withColumn("cum_docs", sum("n_docs").over(wCum))
+      .select(col("bin"), col("n_docs"), col("n_new_fp"), col("novelty_share"),
+        round(col("cum_distinct") / col("cum_docs").cast("double"), 4)
+          .as("cum_distinct_share"))
+      .orderBy("bin")
+  }
+}

@@ -117,4 +117,73 @@ class AnalyticsR14Spec extends SparkSpec {
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("avg_ratio")).toMap
     assert(again("prose") == rProse)
   }
+
+  // ------------------------------------------------------------- q408
+  test("q408: a pure trend scores the closed-form R/S per block and H near 1; an oscillation scores H = 0") {
+    // linear trend x_t = t over 128 days: per even block of size n,
+    // R = n^2/8 exactly, S = sqrt((n^2-1)/12) -> the H slope is the
+    // same OLS fold run here in plain Scala
+    val trend = StatTests.hurst(dayOrders128((1 to 128).map(_.toDouble))).collect()
+    val sizes = Seq(8, 16, 32, 64)
+    def rsOf(n: Int) = (n * n / 8.0) / math.sqrt((n.toDouble * n - 1) / 12.0)
+    trend.zip(sizes).foreach { case (r, n) =>
+      assert(r.getAs[Double]("mean_rs") == r4(rsOf(n)), s"size $n: $r")
+    }
+    val u = sizes.map(n => math.log(n.toDouble))
+    val v = sizes.map(n => math.log(rsOf(n)))
+    val ub = u.sum / 4; val vb = v.sum / 4
+    val slope = u.zip(v).map { case (a, b) => (a - ub) * (b - vb) }.sum /
+      u.map(a => (a - ub) * (a - ub)).sum
+    assert(trend.head.getAs[Double]("hurst") == r4(slope), trend.head.toString)
+    assert(slope > 0.85, s"a pure trend is persistent: $slope")
+    // strict oscillation: every even block has R = S -> rs = 1 at every
+    // size -> ln(rs) = 0 everywhere -> slope exactly 0
+    val osc = StatTests.hurst(
+      dayOrders128((1 to 128).map(i => if (i % 2 == 1) 101.0 else 99.0))).collect()
+    assert(osc.forall(_.getAs[Double]("hurst") == 0.0), osc.mkString(","))
+    assert(osc.forall(_.getAs[Double]("mean_rs") == 1.0), osc.mkString(","))
+  }
+
+  // ------------------------------------------------------------- q409
+  test("q409: an exact Pareto tail recovers its alpha; an all-ties tail reads null") {
+    // x_(i) = C * i^(-1/alpha): Hill over ranks recovers alpha up to
+    // the harmonic-vs-log gap; use alpha = 2 over a wide tail and
+    // assert the estimate lands near 2
+    val alpha = 2.0
+    val orders = (1 to 2000).map { i =>
+      (i.toLong, "P", 1000.0 * math.pow(i.toDouble, -1.0 / alpha))
+    }
+    val r = StatTests.hillTail(prioOrders(orders: _*), k = 100).collect().head
+    assert(r.getAs[Long]("n_tail") == 100)
+    val est = r.getAs[Double]("alpha")
+    assert(est > 1.7 && est < 2.3, s"Hill on an exact Pareto must sit near 2: $est")
+    val flat = StatTests.hillTail(
+      prioOrders((1 to 200).map(i => (i.toLong, "P", 42.0)): _*), k = 100).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("alpha")), "all-ties tail has no slope")
+  }
+
+  // ------------------------------------------------------------- q410
+  test("q410: identical sources sit at delta 0; a style outlier is farther from both") {
+    def doc(id: Long, src: String, text: String) = (id, text, "en", src, text.length.toLong)
+    val common = "the cat sat on the mat and the dog ran over the hill " * 4
+    val outlier = ("wherefore art thou yonder quill parchment hath scribe " * 5) + common
+    val docs = Seq(
+      doc(0, "a", common), doc(1, "b", common), doc(2, "c", outlier))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.burrowsDelta(docs, vocabV = 20).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Double]("delta"))
+      .toMap
+    assert(out(("a", "b")) == 0.0, s"identical styles: ${out(("a", "b"))}")
+    assert(out(("a", "c")) > 0.5 && out(("b", "c")) > 0.5, out.toString)
+    assert(out(("a", "c")) == out(("b", "c")), "equidistant from the twin sources")
+  }
+
+  private def dayOrders128(revs: Seq[Double]) =
+    revs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, i, v) }
+      .toDF("o_orderkey", "off", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(date_add(lit("2024-01-01"), col("off"))))
+      .drop("off")
+
+  private def prioOrders(rows: (Long, String, Double)*) =
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
 }
