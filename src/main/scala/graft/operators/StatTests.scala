@@ -2928,8 +2928,10 @@ object StatTests {
 
   /** q409: HILL tail-index estimate of the order-value distribution —
     * "how heavy is the revenue tail" as a number (α < 2 ⇒ infinite
-    * variance, percentile planning breaks; q117's Zipf slope is the
-    * token-frequency cousin): α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    * variance, percentile planning breaks; q117's Zipf slope and
+    * q370's token-rank Hill are the DISCRETE-frequency cousins — this
+    * is the continuous-value leg over order totals, fetched by order
+    * statistics, not TF ranks): α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
     * the top k+1 order statistics. The top-(k+1) set is a
     * TakeOrderedAndProject (per-partition heap + driver merge — never
     * a global sort), the rest is a ≤(k+1)-row frame; ties at the
