@@ -71,8 +71,29 @@ object OffsetLog {
       root: String,
       batch: DataFrame,
       keyCol: String,
-      numPartitions: Int): Map[Int, Long] = {
-    val ends = endOffsets(spark, root, numPartitions)
+      numPartitions: Int): Map[Int, Long] =
+    appendAt(spark, root, batch, keyCol, numPartitions,
+      endOffsets(spark, root, numPartitions), skipExisting = false)
+
+  /** [[append]] with EXPLICIT base offsets and optional idempotence —
+    * the primitive the DSv2 streaming sink's epoch commit needs: a
+    * replayed epoch re-runs with the bases recorded in its intent file
+    * (NOT the current head, which a partial first attempt may have
+    * advanced), and `skipExisting = true` turns an already-present
+    * target segment into a no-op instead of a concurrent-append error.
+    * Safe because segment content is DETERMINISTIC given (rows, base):
+    * rows order by (key hash, whole-row hash), so a replay regenerates
+    * byte-compatible segments and skipping is exactly-once, not
+    * lossy. */
+  private[graft] def appendAt(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      keyCol: String,
+      numPartitions: Int,
+      bases: Map[Int, Long],
+      skipExisting: Boolean): Map[Int, Long] = {
+    val ends = bases
     val endsDf = spark.createDataFrame(ends.toSeq.map { case (p, e) => (p, e) })
       .toDF("partition", "__base")
     // deterministic intra-batch order: key hash, then whole-row hash
@@ -107,11 +128,15 @@ object OffsetLog {
       // already exists or the source vanished — swallowing it would
       // delete the tmp dir below and silently lose this partition's
       // rows. A pre-existing destination means a second writer raced
-      // this append (the log is single-writer per partition): fail loud.
-      require(!f.exists(seg),
-        s"segment $seg already exists — concurrent append detected (OffsetLog is single-writer)")
-      require(f.rename(files.head, seg),
-        s"rename ${files.head} -> $seg failed; aborting before tmp cleanup so no rows are lost")
+      // this append (the log is single-writer per partition): fail loud
+      // — UNLESS this is an idempotent epoch replay (skipExisting), in
+      // which case the identical segment is already committed.
+      if (f.exists(seg))
+        require(skipExisting,
+          s"segment $seg already exists — concurrent append detected (OffsetLog is single-writer)")
+      else
+        require(f.rename(files.head, seg),
+          s"rename ${files.head} -> $seg failed; aborting before tmp cleanup so no rows are lost")
     }
     f.delete(new Path(tmp), true)
     endOffsets(spark, root, numPartitions)

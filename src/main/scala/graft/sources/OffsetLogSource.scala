@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
@@ -120,11 +121,14 @@ private[sources] object OffsetLogSource {
 }
 
 private[sources] class OffsetLogTable(tableSchema: StructType, root: String, numPartitions: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"offsetlog(`$root`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new OffsetLogWriteBuilder(root, numPartitions, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
     val maxSegs = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
