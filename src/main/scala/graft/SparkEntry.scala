@@ -738,6 +738,7 @@ object SparkEntry {
     "q408_hurst" -> ((s, d) => StatTests.hurst(Tables(s, d).orders)),
     "q409_hill_tail" -> ((s, d) => StatTests.hillTail(Tables(s, d).orders)),
     "q410_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(Tables(s, d).documents)),
+    "q411_pair_budget" -> ((s, d) => Dedup.pairBudget(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6048,6 +6049,31 @@ object SparkEntry {
         |  floor(avg(adi)*10000 + 0.5)/10000 AS avg_adi,
         |  floor(avg(cv2)*10000 + 0.5)/10000 AS avg_cv2
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q411_pair_budget" ->
+      // the q201 string-shingle replica prices the same df distribution
+      // the Spark side's hashed shingles produce (distinct per-doc sets
+      // correspond 1:1, so every df — and therefore every budget — agrees)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s.sh
+        |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
+        |  WHERE len(tk) >= 3),
+        |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |tot AS (SELECT sum(df) AS tot_inc FROM dfs),
+        |x AS (
+        |  SELECT CAST(c.cap AS INT) AS max_df, df
+        |  FROM dfs CROSS JOIN (SELECT unnest([50, 100, 200, 400]) AS cap) c)
+        |SELECT max_df,
+        |  count(CASE WHEN df <= max_df THEN 1 END) AS n_shingles_kept,
+        |  count(CASE WHEN df > max_df THEN 1 END) AS n_shingles_dropped,
+        |  CAST(COALESCE(sum(CASE WHEN df <= max_df THEN df*(df - 1) END), 0)/2
+        |    AS BIGINT) AS est_candidate_pairs,
+        |  floor(COALESCE(sum(CASE WHEN df > max_df THEN df END), 0)
+        |    / CAST((SELECT tot_inc FROM tot) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS dropped_incidence_share
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q408_hurst" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x

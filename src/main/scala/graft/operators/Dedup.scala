@@ -855,4 +855,46 @@ object Dedup {
       ("2_neardup", n1, t1, n2, t2, r4(1.0 - n2.toDouble / math.max(n1, 1L))))
       .toDF("stage", "docs_in", "tokens_in", "docs_kept", "tokens_kept", "doc_drop_share")
   }
+
+  /** q411: PAIR-BUDGET advisor for the shingle-join dedup family — the
+    * cost forecast you read BEFORE running q201/q42/q120 on a new
+    * corpus (the round-9 sf1 run made the case: containment's cost is
+    * its candidate-enumeration output, Σ df·(df−1)/2 over shingle
+    * document frequencies, and a duplication-heavy corpus grows it
+    * quadratically in the duplication factor while every input metric
+    * grows linearly). For each candidate `maxDf` cap: shingles kept /
+    * dropped, the EXACT candidate-pair enumeration count the capped
+    * join would produce (pair-multiplicity — one per shared shingle,
+    * i.e. join-output rows, the actual shuffle cost), and the share of
+    * shingle incidence the cap discards (the disclosed recall
+    * boundary). One df aggregate feeds every cap — the advisor costs
+    * one scan regardless of how many caps it prices. */
+  def pairBudget(
+      documents: DataFrame,
+      maxDfs: Seq[Int] = Seq(50, 100, 200, 400),
+      shingleK: Int = 3): DataFrame = {
+    val dfs = signatures(documents, shingleK)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val totals = dfs.agg(sum("df").as("tot_inc"))
+    dfs
+      .withColumn("max_df", explode(lit(maxDfs.toArray)))
+      .groupBy("max_df")
+      .agg(
+        sum(when(col("df") <= col("max_df"), 1L).otherwise(0L)).as("n_shingles_kept"),
+        sum(when(col("df") > col("max_df"), 1L).otherwise(0L)).as("n_shingles_dropped"),
+        sum(when(col("df") <= col("max_df"), col("df") * (col("df") - 1)).otherwise(0L))
+          .as("pp2"),
+        sum(when(col("df") > col("max_df"), col("df")).otherwise(0L)).as("dropped_inc"))
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(
+        col("max_df"),
+        col("n_shingles_kept"),
+        col("n_shingles_dropped"),
+        (col("pp2") / 2).cast("long").as("est_candidate_pairs"),
+        round(col("dropped_inc") / col("tot_inc").cast("double"), 4)
+          .as("dropped_incidence_share"))
+      .orderBy("max_df")
+  }
 }

@@ -178,6 +178,47 @@ class AnalyticsR14Spec extends SparkSpec {
     assert(out(("a", "c")) == out(("b", "c")), "equidistant from the twin sources")
   }
 
+  // ------------------------------------------------------------- q411
+  test("q411: the budget prices the capped join's EXACT enumeration count and the disclosed drop share") {
+    import graft.operators.Dedup
+    // 6 copies of one text (every shingle df=6) + 2 copies of another
+    // (df=2) + 1 unique (df=1): with cap 4, the df=6 family drops
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six seven"
+    val t3 = "lonely unique document with fresh words"
+    val docs = ((0 until 6).map(i => (i.toLong, t1)) ++
+      Seq((6L, t2), (7L, t2), (8L, t3)))
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.pairBudget(docs, maxDfs = Seq(1, 4, 10)).collect()
+      .map(r => r.getAs[Int]("max_df") -> r).toMap
+    val sh1 = 4; val sh2 = 5; val sh3 = 4 // 3-shingles per text (n_tok - 2)
+    // cap 10 keeps everything: pairs = sh1*C(6,2) + sh2*C(2,2=1)
+    assert(out(10).getAs[Long]("est_candidate_pairs") == sh1 * 15 + sh2 * 1,
+      out(10).toString)
+    assert(out(10).getAs[Double]("dropped_incidence_share") == 0.0)
+    // cap 4 drops the df=6 family entirely
+    assert(out(4).getAs[Long]("est_candidate_pairs") == sh2 * 1, out(4).toString)
+    assert(out(4).getAs[Long]("n_shingles_dropped") == sh1)
+    assert(out(4).getAs[Double]("dropped_incidence_share") ==
+      r4(sh1 * 6.0 / (sh1 * 6 + sh2 * 2 + sh3)), out(4).toString)
+    // cap 1 admits no pair at all
+    assert(out(1).getAs[Long]("est_candidate_pairs") == 0L)
+    // the forecast IS the capped join's enumeration count: replay the
+    // q201 candidate join at cap 4 and count its output rows
+    import graft.functions.TextFunctions.tokens
+    val sets = Dedup.signatures(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+    val rare = sets
+      .join(sets.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+      .filter(col("df") <= 4)
+    val actual = rare.as("a")
+      .join(rare.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(actual == out(4).getAs[Long]("est_candidate_pairs"),
+      s"forecast ${out(4)} vs actual join output $actual")
+  }
+
   private def dayOrders128(revs: Seq[Double]) =
     revs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, i, v) }
       .toDF("o_orderkey", "off", "o_totalprice")

@@ -405,7 +405,8 @@ class PlanSpec extends SparkSpec {
       "q406_novelty_curve"  -> (bnl + "unpartitioned-window"), // 1-row span scalar + cumulative over the ≤nBins frame (q182 bounded idiom)
       "q408_hurst"          -> Set("unpartitioned-window"), // day index over the calendar frame + slope fold over the ≤4-size frame (q89/q182 idioms)
       "q409_hill_tail"      -> Set("unpartitioned-window"), // rank/scalar windows over the POST-LIMIT ≤(k+1)-row frame (q300 idiom)
-      "q410_burrows_delta"  -> (bnl + "cartesian-product")) // bounded sources×V grid densification (q294/q316 idiom)
+      "q410_burrows_delta"  -> (bnl + "cartesian-product"), // bounded sources×V grid densification (q294/q316 idiom)
+      "q411_pair_budget"    -> bnl) // 1-row incidence-total scalar (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")
