@@ -245,4 +245,48 @@ object OffsetLog {
     val until = endOffsets(spark, root, numPartitions)
     (readBatch(spark, root, numPartitions, from, until, schema), until)
   }
+
+  /** CONSUMER-LAG report — the `--describe` every bus operator runs
+    * before paging anyone: per (group, partition), the committed
+    * cursor, the head, the row lag, and whether the committed cursor
+    * has fallen BEHIND the retained tail (the q-retention seam the
+    * DSv2 source fails loudly on — here it is the ops readout that
+    * catches it BEFORE a restart trips it). Metadata-only: heads and
+    * tails parse from segment NAMES, cursors from the group files —
+    * no data file opens at any log size, exactly like a broker's
+    * describe. A group with no committed file reads cursor 0 (the
+    * initial position). */
+  def lagReport(
+      spark: SparkSession,
+      root: String,
+      numPartitions: Int,
+      groups: Seq[String]): DataFrame = {
+    val heads = endOffsets(spark, root, numPartitions)
+    // retained tail: the lowest segment start per partition (0 if none)
+    val f = fs(spark, root)
+    val tails = (0 until numPartitions).map { p =>
+      val d = new Path(partDir(root, p))
+      val t =
+        if (!f.exists(d)) 0L
+        else {
+          val starts = f.listStatus(d).map(_.getPath.getName).collect {
+            case SegRe(start, _) => start.toLong
+          }
+          if (starts.isEmpty) 0L else starts.min
+        }
+      p -> t
+    }.toMap
+    val rows = groups.flatMap { g =>
+      val cur = committed(spark, root, g)
+      (0 until numPartitions).map { p =>
+        val c = cur.getOrElse(p, 0L)
+        val h = heads.getOrElse(p, 0L)
+        val t = tails.getOrElse(p, 0L)
+        (g, p, c, h, math.max(0L, h - c), c < t)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("group", "partition", "committed", "head", "lag_rows", "behind_retention")
+      .orderBy("group", "partition")
+  }
 }

@@ -102,4 +102,44 @@ class OffsetLogSpec extends SparkSpec {
     val mid2 = OffsetLog.readBatch(spark, root, P, e1, e2).orderBy("partition", "offset").collect()
     assert(mid1.toSeq == mid2.toSeq && mid1.length == 60)
   }
+
+  test("lag report: caught-up group reads lag 0, a lagging group reads exactly the undrained rows, retention breach flags") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-lag").toString
+    val P = 4
+    val events = graft.sources.Tables(spark, sfDir).events
+    OffsetLog.append(spark, root, events.limit(100), "user_id", P)
+    // group "fast" drains and commits; group "slow" never commits
+    val (batch, ends) = OffsetLog.drain(spark, root, "fast", P)
+    assert(batch.count() == 100)
+    OffsetLog.commit(spark, root, "fast", ends)
+    OffsetLog.append(spark, root,
+      events.exceptAll(events.limit(100)).limit(40), "user_id", P)
+    val rep = OffsetLog.lagReport(spark, root, P, Seq("fast", "slow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val fastLag = (0 until P).map(p => rep(("fast", p)).getAs[Long]("lag_rows")).sum
+    val slowLag = (0 until P).map(p => rep(("slow", p)).getAs[Long]("lag_rows")).sum
+    assert(fastLag == 40, s"fast group owes exactly the new tranche: $fastLag")
+    assert(slowLag == 140, s"uncommitted group owes everything: $slowLag")
+    assert(rep.values.forall(!_.getAs[Boolean]("behind_retention")))
+    // expire the oldest segment of one partition: the slow group's
+    // cursor (0) is now behind the retained tail — flagged, not silent
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val SegRe = "segment-(\\d+)-(\\d+)\\.parquet".r
+    val victim = (0 until P).flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/partition=$p")
+      f.listStatus(d).toSeq.collect {
+        case st if SegRe.findFirstIn(st.getPath.getName).isDefined &&
+          st.getPath.getName.startsWith("segment-0-") => (p, st.getPath)
+      }
+    }.head
+    f.delete(victim._2, false)
+    val rep2 = OffsetLog.lagReport(spark, root, P, Seq("fast", "slow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(rep2(("slow", victim._1)).getAs[Boolean]("behind_retention"),
+      "a cursor behind the retained tail must flag")
+    assert(!rep2(("fast", victim._1)).getAs[Boolean]("behind_retention"),
+      "the caught-up group is unaffected by tail expiry")
+  }
 }
