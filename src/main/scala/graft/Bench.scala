@@ -131,8 +131,19 @@ object Bench {
     // cold-start/contention noise, and a lower cutoff (25s) once
     // reported a 26.8s cold number for a query that runs 0.6s warm.
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
-    val calibStart = (cpuCalibration(1), cpuCalibration(Runtime.getRuntime.availableProcessors()))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset
+    // (scale-ratio spot checks at sf1 without paying the full sweep)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    /** One full timed sweep (min-of-two + both repair passes) bracketed
+      * by calibration stamps. Extracted so the calibration GATE below
+      * can run the whole thing again in a different time window. */
+    def runSweep(): (Seq[(String, Double, Option[String])], (Double, Double), (Double, Double)) = {
+      val calibStart = (cpuCalibration(1), cpuCalibration(Runtime.getRuntime.availableProcessors()))
+      val results = selected.map { case (name, fn) =>
       val (first, err1) = timeQuery(spark, sfDir, fn)
       val r =
         if (err1.isDefined || first > 60.0) (name, first, err1)
@@ -140,9 +151,9 @@ object Bench {
           val (second, err2) = timeQuery(spark, sfDir, fn)
           (name, math.min(first, second), err2)
         }
-      if (debug) System.err.println(f"[benchdbg] $name%-28s ${r._2}%7.2f s  ${jvmStateLine()}")
-      r
-    }
+        if (debug) System.err.println(f"[benchdbg] $name%-28s ${r._2}%7.2f s  ${jvmStateLine()}")
+        r
+      }
 
     // Contention-window repair. Measured on this box (round-6 forensics):
     // external multi-minute slowdown windows hit the VM with no guest-side
@@ -155,25 +166,55 @@ object Bench {
     // time window and keep the min. Monotone: a window hitting the retry
     // phase can only leave earlier numbers in place. Codegen is warm for
     // the retries because the cache above holds the whole sweep.
-    def repairPass(rs: Seq[(String, Double, Option[String])], reverse: Boolean) = {
-      val ordered = if (reverse) rs.reverse else rs
-      val fixed = ordered.map {
-        case (name, t, err) if err.isEmpty && t > 1.0 =>
-          val (t2, _) = timeQuery(spark, sfDir, SparkEntry.queries(name))
-          val best = math.min(t, t2)
-          if (debug) System.err.println(f"[benchdbg] retry $name%-22s $t%7.2f -> $best%7.2f s")
-          (name, best, err)
-        case r => r
+      def repairPass(rs: Seq[(String, Double, Option[String])], reverse: Boolean) = {
+        val ordered = if (reverse) rs.reverse else rs
+        val fixed = ordered.map {
+          case (name, t, err) if err.isEmpty && t > 1.0 =>
+            val (t2, _) = timeQuery(spark, sfDir, SparkEntry.queries(name))
+            val best = math.min(t, t2)
+            if (debug) System.err.println(f"[benchdbg] retry $name%-22s $t%7.2f -> $best%7.2f s")
+            (name, best, err)
+          case r => r
+        }
+        if (reverse) fixed.reverse else fixed
       }
-      if (reverse) fixed.reverse else fixed
+      // two passes, the second in reverse order: every >1 s line gets two
+      // retries at maximally separated wall-clock points, so a single
+      // multi-minute window cannot cover a line's sweep runs AND both
+      // retries (round-6 forensics: one retry still landed inside the
+      // same window for the line it was meant to repair)
+      val results2 = repairPass(repairPass(results, reverse = false), reverse = true)
+      val calibEnd = (cpuCalibration(1), cpuCalibration(Runtime.getRuntime.availableProcessors()))
+      (results2, calibStart, calibEnd)
     }
-    // two passes, the second in reverse order: every >1 s line gets two
-    // retries at maximally separated wall-clock points, so a single
-    // multi-minute window cannot cover a line's sweep runs AND both
-    // retries (round-6 forensics: one retry still landed inside the
-    // same window for the line it was meant to repair)
-    val results2 = repairPass(repairPass(results, reverse = false), reverse = true)
-    val calibEnd = (cpuCalibration(1), cpuCalibration(Runtime.getRuntime.availableProcessors()))
+
+    val firstRun = runSweep()
+
+    // Calibration GATE (round-9 verdict #2): a sweep whose start/end
+    // single-thread stamps diverge >1.2× crossed a host-throttle EDGE
+    // mid-run — its per-query mix is unevenly distorted. Instead of
+    // committing that as the round's number, run the whole sweep ONCE
+    // more in a different time window and headline the run with the
+    // quieter calibration; both runs are recorded in the artifact.
+    def divergence(r: (Seq[(String, Double, Option[String])], (Double, Double), (Double, Double))) =
+      math.max(r._2._1, r._3._1) / math.min(r._2._1, r._3._1)
+    def meanStamp(r: (Seq[(String, Double, Option[String])], (Double, Double), (Double, Double))) =
+      (r._2._1 + r._3._1) / 2.0
+    val gateOff = sys.env.contains("SPARK_GRAFT_BENCH_NO_RERUN")
+    val runs =
+      if (!gateOff && divergence(firstRun) > 1.2) Seq(firstRun, runSweep())
+      else Seq(firstRun)
+    // headline = the run measured in the quieter window: lower mean
+    // 1-thread stamp wins (less throttled); divergence breaks ties
+    val best = runs.minBy(r => (meanStamp(r), divergence(r)))
+    val (results2, calibStart, calibEnd) = best
+    val rerunFields =
+      if (runs.size == 1) s""""gate_reruns":0"""
+      else {
+        val other = runs.filterNot(_ eq best).head
+        f""""gate_reruns":1,"discarded_run":{"value":${other._1.map(_._2).sum}%.3f,""" +
+          f""""mean_1t":${meanStamp(other)}%.3f,"divergence":${divergence(other)}%.3f}"""
+      }
     val calib = f"""{"start_1t":${calibStart._1}%.3f,"start_nt":${calibStart._2}%.3f,""" +
       f""""end_1t":${calibEnd._1}%.3f,"end_nt":${calibEnd._2}%.3f}"""
     // Throttle NORMALIZATION — the round-8 forensics made the stamps;
@@ -185,7 +226,24 @@ object Bench {
     // start/end divergence > 1.2x flags a sweep that crossed a throttle
     // EDGE mid-run — its per-query mix is unevenly distorted and any
     // apparent regression should be re-measured before it is believed.
-    val ref1t = 0.80
+    // The unthrottled reference is host-specific: override via env, else
+    // derive from the committed bench history's best (lowest) 1-thread
+    // stamp — which is BY CONSTRUCTION this host's least-throttled
+    // observation — else fall back to the round-8 hand-measured 0.80 s.
+    // This run's own stamps also join the min, so a brand-new quieter
+    // host can only LOWER the reference, never report factor < 1.
+    val ownStamps = Seq(calibStart._1, calibEnd._1)
+    val ref1t = sys.env.get("SPARK_GRAFT_BENCH_REF1T").map(_.toDouble).getOrElse {
+      val histPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+      val stampRe = """"(?:start|end)_1t":([0-9.]+)""".r
+      val hist =
+        if (java.nio.file.Files.exists(histPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
+          stampRe.findAllMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0).toSeq
+        } else Seq.empty
+      (hist ++ ownStamps :+ 0.80).min
+    }
     val throttleFactor = math.max(1.0, ((calibStart._1 + calibEnd._1) / 2.0) / ref1t)
     val calibDivergence = math.max(calibStart._1, calibEnd._1) / math.min(calibStart._1, calibEnd._1)
     val throttleFlag = calibDivergence > 1.2
@@ -196,7 +254,7 @@ object Bench {
     val total = results2.map(_._2).sum
     val normFields = f""""value_normalized":${total / throttleFactor}%.3f,""" +
       f""""throttle_factor":$throttleFactor%.3f,"calibration_divergence":$calibDivergence%.3f,""" +
-      s""""throttle_flagged":$throttleFlag"""
+      f""""ref_1t":$ref1t%.3f,"throttle_flagged":$throttleFlag,$rerunFields"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec",$normFields,"queries":$qs,""" +
       s""""errors":$errs,"calibration":$calib,"sf":"$sfDir"}"""
     // durability: the FULL per-query map (~10 KB for 265 queries) goes

@@ -739,6 +739,8 @@ object SparkEntry {
     "q409_hill_tail" -> ((s, d) => StatTests.hillTail(Tables(s, d).orders)),
     "q410_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(Tables(s, d).documents)),
     "q411_pair_budget" -> ((s, d) => Dedup.pairBudget(Tables(s, d).documents)),
+    "q412_containment_budgeted" -> ((s, d) =>
+      Dedup.containmentJoin(Tables(s, d).documents, pairBudget = Some(1000000L))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6074,6 +6076,38 @@ object SparkEntry {
         |    / CAST((SELECT tot_inc FROM tot) AS DOUBLE)*10000 + 0.5)/10000
         |    AS dropped_incidence_share
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q412_containment_budgeted" ->
+      // q201 with the ENFORCED pair budget: the df cutoff is DERIVED in
+      // SQL exactly as budgetedMaxDf derives it in Spark — largest df
+      // ≤ 200 whose cumulative Σ df·(df−1) ≤ 2·budget (budget 1000000)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s.sh
+        |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
+        |  WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |hist AS (SELECT df, count(*) AS n_sh FROM dfs GROUP BY 1),
+        |cum AS (SELECT df, sum(df*(df - 1)*n_sh) OVER (ORDER BY df) AS cum2 FROM hist),
+        |cut AS (SELECT COALESCE(max(CASE WHEN df <= 200 AND cum2 <= 2*1000000 THEN df END), 1)
+        |          AS cutoff FROM cum),
+        |rare AS (
+        |  SELECT s.doc_id, s.sh FROM sh s JOIN dfs d ON s.sh = d.sh, cut
+        |  WHERE d.df <= cut.cutoff),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, i.common,
+        |  floor(i.common / CAST(sa.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ab,
+        |  floor(i.common / CAST(sb.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ba
+        |FROM inter i
+        |JOIN sizes sa ON i.doc_a = sa.doc_id
+        |JOIN sizes sb ON i.doc_b = sb.doc_id
+        |WHERE greatest(i.common / CAST(sa.sz AS DOUBLE), i.common / CAST(sb.sz AS DOUBLE)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q408_hurst" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
@@ -6095,7 +6129,8 @@ object SparkEntry {
         |  SELECT size, CASE WHEN max(sd) > 0 THEN (max(cum) - min(cum))/max(sd) END AS rs
         |  FROM cums GROUP BY size, block),
         |ps AS (SELECT size, count(rs) AS n_blocks, avg(rs) AS mean_rs FROM rsx GROUP BY size),
-        |uv AS (SELECT *, ln(CAST(size AS DOUBLE)) AS u, ln(mean_rs) AS v FROM ps),
+        |uv AS (SELECT *, CASE WHEN mean_rs IS NOT NULL THEN ln(CAST(size AS DOUBLE)) END AS u,
+        |  ln(mean_rs) AS v FROM ps),
         |hh AS (SELECT *,
         |  (avg(u*v) OVER () - avg(u) OVER ()*avg(v) OVER ())
         |    / (avg(u*u) OVER () - avg(u) OVER ()*avg(u) OVER ()) AS h

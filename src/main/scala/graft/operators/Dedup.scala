@@ -779,14 +779,22 @@ object Dedup {
       documents: DataFrame,
       theta: Double = 0.8,
       shingleK: Int = 3,
-      maxDf: Int = 200): DataFrame = {
+      maxDf: Int = 200,
+      pairBudget: Option[Long] = None): DataFrame = {
     val sets = signatures(documents, shingleK)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .distinct()
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // ENFORCED pair budget (round-9: q411 priced the candidate stream
+    // but nothing read the price — a duplication-heavy corpus grows
+    // Σ df·(df−1)/2 quadratically in the duplication factor while every
+    // input metric grows linearly, and maxDf alone doesn't know that).
+    // With a budget, the cap is DERIVED from the corpus: the largest
+    // df ≤ maxDf whose cumulative candidate enumeration fits.
+    val effMaxDf = pairBudget.fold(maxDf)(b => budgetedMaxDf(sets, maxDf, b))
     val rare = sets
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") <= effMaxDf)
       .select("doc_id", "sh")
     val inter = rare.select(col("doc_id").as("doc_a"), col("sh"))
       .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -802,6 +810,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("common"),
         round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The budget → cap derivation [[containmentJoin]] enforces: largest
+    * df cutoff ≤ `maxDf` whose capped candidate-pair enumeration
+    * Σ_{df ≤ cutoff} df·(df−1)/2 stays within `budget` — q411's price,
+    * read back into the join as a ceiling instead of a report. Cost:
+    * ONE df aggregate over the shingle incidence (the same aggregate
+    * the join's df window needs anyway) folded to a ≤max-df-row
+    * histogram, a cumulative sum over that bounded frame, and a 1-row
+    * driver lookup. Never returns < 1 (df = 1 shingles generate zero
+    * pairs, so cutoff 1 always fits any budget ≥ 0 — worst case the
+    * join degenerates to "unique shingles only", disclosed by q411's
+    * dropped_incidence_share rather than silently blowing the shuffle). */
+  private[graft] def budgetedMaxDf(sets: DataFrame, maxDf: Int, budget: Long): Int = {
+    val wCum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = sets
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_sh")) // histogram: ≤ max observed df rows
+      // double math: df ~ corpus size makes df²·n_sh overflow-prone in
+      // Long; the budget decision needs magnitude, not exactness past 2^53
+      .withColumn("pp2",
+        col("df").cast("double") * (col("df") - 1).cast("double") * col("n_sh").cast("double"))
+      .withColumn("cum_pp2", sum("pp2").over(wCum))
+      .filter(col("df") <= maxDf && col("cum_pp2") <= lit(2.0) * budget.toDouble)
+      .agg(max(col("df")).as("d"))
+      .head()
+    if (r.isNullAt(0)) 1 else math.max(1, r.getLong(0).toInt)
   }
 
   /** q350: dedup CASCADE report — the pipeline-composition readout a

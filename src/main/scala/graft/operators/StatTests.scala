@@ -2913,7 +2913,11 @@ object StatTests {
     blocks
       .groupBy("size")
       .agg(count(col("rs")).as("n_blocks"), avg("rs").as("mean_rs"))
-      .withColumn("u", log(col("size").cast("double")))
+      // a size whose every block was flat (mean_rs null) must drop out
+      // of the OLS ENTIRELY: null v already skips avg(v)/avg(u*v), so u
+      // is nulled on the same condition — otherwise its u still enters
+      // avg(u)/avg(u*u) and skews the slope's denominator
+      .withColumn("u", when(col("mean_rs").isNotNull, log(col("size").cast("double"))))
       .withColumn("v", log(col("mean_rs")))
       .withColumn("h", // OLS slope over the ≤|sizes|-row frame
         (avg(col("u") * col("v")).over(one)

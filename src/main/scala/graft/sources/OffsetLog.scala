@@ -134,9 +134,25 @@ object OffsetLog {
       if (f.exists(seg))
         require(skipExisting,
           s"segment $seg already exists — concurrent append detected (OffsetLog is single-writer)")
-      else
+      else {
+        // Same-base guard: skipExisting's idempotence keys on the exact
+        // name (base + count). A replayed epoch that regenerated a
+        // DIFFERENT row count for this partition (non-deterministic
+        // upstream, non-replayable source) would land segment-<base>-<n'>
+        // NEXT TO segment-<base>-<n> — two segments with overlapping
+        // offset ranges, silently corrupting the log (duplicate offsets
+        // on read, inflated endOffsets). Any existing segment sharing
+        // this base with a different count is corruption: fail loud.
+        val sameBase = f.listStatus(dest).map(_.getPath.getName).collect {
+          case nm @ SegRe(start, cnt) if start.toLong == ends(p) && cnt.toLong != n => nm
+        }
+        require(sameBase.isEmpty,
+          s"partition $p already holds ${sameBase.mkString(",")} at base ${ends(p)} but this " +
+            s"append produced $n rows — overlapping offset ranges (non-deterministic replay " +
+            "or corrupt log); refusing to write a second segment at the same base")
         require(f.rename(files.head, seg),
           s"rename ${files.head} -> $seg failed; aborting before tmp cleanup so no rows are lost")
+      }
     }
     f.delete(new Path(tmp), true)
     endOffsets(spark, root, numPartitions)
@@ -261,6 +277,22 @@ object OffsetLog {
       root: String,
       numPartitions: Int,
       groups: Seq[String]): DataFrame = {
+    import spark.implicits._
+    lagRows(spark, root, numPartitions, groups)
+      .toDF("group", "partition", "committed", "head", "lag_rows", "behind_retention")
+      .orderBy("group", "partition")
+  }
+
+  /** Driver-side rows of [[lagReport]] — the form a
+    * [[graft.streaming.SinkMonitor]] lag probe can afford on the
+    * listener event loop (pure name/cursor-file metadata, no Spark
+    * job). Tuple: (group, partition, committed, head, lag_rows,
+    * behind_retention). */
+  def lagRows(
+      spark: SparkSession,
+      root: String,
+      numPartitions: Int,
+      groups: Seq[String]): Seq[(String, Int, Long, Long, Long, Boolean)] = {
     val heads = endOffsets(spark, root, numPartitions)
     // retained tail: the lowest segment start per partition (0 if none)
     val f = fs(spark, root)
@@ -285,8 +317,6 @@ object OffsetLog {
         (g, p, c, h, math.max(0L, h - c), c < t)
       }
     }
-    import spark.implicits._
-    rows.toDF("group", "partition", "committed", "head", "lag_rows", "behind_retention")
-      .orderBy("group", "partition")
+    rows
   }
 }

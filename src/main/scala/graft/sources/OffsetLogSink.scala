@@ -56,6 +56,13 @@ private[sources] class OffsetLogWriteBuilder(
 
 private[sources] case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
 
+private[sources] object OffsetLogStreamingWrite {
+  /** Done markers kept after pruning. Spark only ever replays the last
+    * uncommitted epoch, so anything beyond a small safety margin is
+    * dead metadata; 64 also keeps a useful audit trail. */
+  val keptDoneMarkers = 64
+}
+
 private[sources] class OffsetLogStreamingWrite(
     root: String,
     numPartitions: Int,
@@ -100,11 +107,13 @@ private[sources] class OffsetLogStreamingWrite(
     if (staged.nonEmpty) {
       // intent FIRST: replays must reuse these bases, not the head
       val bases: Map[Int, Long] =
-        if (f.exists(new Path(intentPath(epochId))))
-          LogOffsets.parse(new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-              f.open(new Path(intentPath(epochId)))), "UTF-8")).ends
-        else {
+        if (f.exists(new Path(intentPath(epochId)))) {
+          val in = f.open(new Path(intentPath(epochId)))
+          val bytes =
+            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          LogOffsets.parse(new String(bytes, "UTF-8")).ends
+        } else {
           val b = OffsetLog.endOffsets(spark, root, numPartitions)
           writeAtomic(intentPath(epochId), LogOffsets(b).json())
           b
@@ -114,7 +123,33 @@ private[sources] class OffsetLogStreamingWrite(
     }
     writeAtomic(donePath(epochId), s"""{"epoch":$epochId,"files":${staged.length}}""")
     f.delete(new Path(stageDir(epochId)), true)
+    pruneEpochMarkers(epochId)
   }
+
+  /** Marker retention: without it, `_epochs/` grows one intent + one
+    * done file per micro-batch FOREVER — unbounded metadata on a log
+    * whose data side has retention. The intent file is dead the moment
+    * its done marker exists (replays check done FIRST and return), so
+    * it is deleted here; done markers are kept for the newest
+    * `keptDoneMarkers` epochs only — Spark replays at most the last
+    * uncommitted epoch, so markers older than that are never consulted
+    * again. Best-effort: a prune failure must never fail the commit. */
+  private def pruneEpochMarkers(epochId: Long): Unit =
+    try {
+      val f = fs(root)
+      f.delete(new Path(intentPath(epochId)), false)
+      val DoneRe = "(\\d+)\\.done".r
+      val dones = f.listStatus(new Path(s"$root/_epochs")).map(_.getPath).flatMap { p =>
+        p.getName match {
+          case DoneRe(e) => Some((e.toLong, p))
+          case _         => None
+        }
+      }
+      dones.sortBy(-_._1).drop(OffsetLogStreamingWrite.keptDoneMarkers).foreach { case (e, p) =>
+        f.delete(p, false)
+        f.delete(new Path(intentPath(e)), false) // orphan intent from a crashed epoch
+      }
+    } catch { case _: Throwable => () }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = fs(root)

@@ -31,6 +31,7 @@ import org.apache.spark.util.SerializableConfiguration
   *     .option("maxRowsPerTrigger", "100000")   // admission control (rows)
   *     .option("maxSegmentsPerTrigger", "64")   // admission control (files)
   *     .option("failOnDataLoss", "true")        // retention-hole posture
+  *     .option("commitGroup", "ops")            // mirror cursor for lagReport
   *     .load()
   * }}}
   *
@@ -133,6 +134,7 @@ private[sources] class OffsetLogTable(tableSchema: StructType, root: String, num
     val maxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
     val maxSegs = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
     val failOnLoss = Option(options.get("failOnDataLoss")).forall(_.toBoolean)
+    val commitGroup = Option(options.get("commitGroup")).filter(_.nonEmpty)
     maxRows.foreach(n => require(n > 0, s"maxRowsPerTrigger must be positive, got $n"))
     maxSegs.foreach(n => require(n > 0, s"maxSegmentsPerTrigger must be positive, got $n"))
     new ScanBuilder {
@@ -140,7 +142,7 @@ private[sources] class OffsetLogTable(tableSchema: StructType, root: String, num
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new OffsetLogMicroBatchStream(
-            tableSchema, root, numPartitions, maxRows, maxSegs, failOnLoss)
+            tableSchema, root, numPartitions, maxRows, maxSegs, failOnLoss, commitGroup)
       }
     }
   }
@@ -177,7 +179,8 @@ private[sources] class OffsetLogMicroBatchStream(
     numPartitions: Int,
     maxRowsPerTrigger: Option[Long] = None,
     maxSegmentsPerTrigger: Option[Int] = None,
-    failOnDataLoss: Boolean = true)
+    failOnDataLoss: Boolean = true,
+    commitGroup: Option[String] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
   import OffsetLogSource.SegRe
 
@@ -222,6 +225,7 @@ private[sources] class OffsetLogMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LogOffsets].ends
+    mirrorCursor(from) // `start` is WAL-durable AND processed: safe to expose
     val head = OffsetLog.endOffsets(spark, root, numPartitions)
     // AvailableNow: never admit past the head captured at run start
     val end = availableNowCap match {
@@ -252,7 +256,10 @@ private[sources] class OffsetLogMicroBatchStream(
     val total = lag.values.sum
     if (total <= budget) end
     else {
-      val base = lag.map { case (p, l) => p -> (budget * l / total) }
+      // BigInt product: budget · lag both near 2^40 would overflow a
+      // Long multiply and hand partitions NEGATIVE admits (a regressing
+      // end offset); the division result itself always fits (≤ budget)
+      val base = lag.map { case (p, l) => p -> (BigInt(budget) * l / total).toLong }
       var rem = budget - base.values.sum
       val order = lag.toSeq.sortBy { case (p, l) => (-l, p) }.iterator
       val bumped = scala.collection.mutable.Map(base.toSeq: _*)
@@ -309,8 +316,36 @@ private[sources] class OffsetLogMicroBatchStream(
 
   /** Segments are immutable and retention is a log policy
     * ([[graft.streaming.Retention]]), not a consumer's — nothing to
-    * release on commit; the engine's WAL is the durable cursor. */
-  override def commit(end: Offset): Unit = ()
+    * release on commit; the engine's WAL is the durable cursor.
+    *
+    * With `commitGroup` set, the committed range is ALSO mirrored into
+    * the log's consumer-group cursor file — purely observational (a
+    * restart still resumes from the WAL, never this file), but it puts
+    * an engine-owned stream on the same [[OffsetLog.lagReport]] ops
+    * surface as the relay: lag / behind_retention become visible to a
+    * monitor without touching the checkpoint. The engine invokes this
+    * while cleaning up batch N before constructing N+1, so the mirror
+    * TRAILS the true committed position by at most one batch (and a
+    * terminated run leaves its final batch unmirrored until the next
+    * attach) — async group commit, the same staleness a broker's
+    * `--describe` shows. Best-effort: a cursor mirror failure must
+    * never fail the batch it observes. */
+  override def commit(end: Offset): Unit =
+    mirrorCursor(end.asInstanceOf[LogOffsets].ends)
+
+  /** Last cursor mirrored, to skip redundant file writes on idle
+    * ProcessingTime ticks (latestOffset fires per trigger). */
+  @volatile private var mirrored: Option[Map[Int, Long]] = None
+
+  private def mirrorCursor(ends: Map[Int, Long]): Unit =
+    commitGroup.foreach { g =>
+      if (!mirrored.contains(ends)) {
+        try {
+          OffsetLog.commit(spark, root, g, ends)
+          mirrored = Some(ends)
+        } catch { case _: Throwable => () }
+      }
+    }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -22,14 +22,29 @@ final class SinkMonitor extends StreamingQueryListener {
       processedRowsPerSecond: Double,
       durationMs: Long)
 
+  /** One consumer-lag observation, taken at a micro-batch boundary:
+    * [[graft.sources.OffsetLog.lagRows]] for one (group, partition)
+    * stamped with the batch that had just completed. */
+  final case class LagSample(
+      batchId: Long,
+      group: String,
+      partition: Int,
+      committed: Long,
+      head: Long,
+      lagRows: Long,
+      behindRetention: Boolean)
+
   private val buf = scala.collection.mutable.ArrayBuffer.empty[BatchProgress]
+  private val lagBuf = scala.collection.mutable.ArrayBuffer.empty[LagSample]
+  @volatile private var probe: Option[(String, Int, Seq[String])] = None
+  @volatile private var session: Option[SparkSession] = None
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
-  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit =
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = event.progress
     buf.synchronized {
-      val p = event.progress
       buf += BatchProgress(
         Option(p.name).getOrElse(p.id.toString),
         p.batchId,
@@ -37,12 +52,43 @@ final class SinkMonitor extends StreamingQueryListener {
         p.processedRowsPerSecond,
         p.batchDuration)
     }
+    sampleLag(p.batchId)
+  }
+
+  /** Take one lag observation NOW (also called per completed batch when
+    * a probe is configured). Metadata-only — segment names + cursor
+    * files, no Spark job — so it is safe on the listener event loop and
+    * its cost is independent of log size. Best-effort: a probe failure
+    * must never kill the listener bus. */
+  def sampleLag(batchId: Long): Unit =
+    for ((root, np, groups) <- probe; s <- session)
+      try {
+        val rows = graft.sources.OffsetLog.lagRows(s, root, np, groups)
+        lagBuf.synchronized {
+          rows.foreach { case (g, p, c, h, l, b) =>
+            lagBuf += LagSample(batchId, g, p, c, h, l, b)
+          }
+        }
+      } catch { case _: Throwable => () }
+
+  /** Observe an [[graft.sources.OffsetLog]]'s consumer lag at every
+    * micro-batch boundary — pair with the DSv2 source's `commitGroup`
+    * option (which mirrors the engine's committed range into the
+    * group cursor) to watch an engine-owned stream drain a backlog. */
+  def withLagProbe(root: String, numPartitions: Int, groups: Seq[String]): this.type = {
+    probe = Some((root, numPartitions, groups)); this
+  }
 
   /** Completed-batch records captured so far (driver-side snapshot). */
   def progress: Seq[BatchProgress] = buf.synchronized(buf.toVector)
 
+  /** Lag observations captured so far (one per group×partition×batch). */
+  def lagSamples: Seq[LagSample] = lagBuf.synchronized(lagBuf.toVector)
+
   def totalInputRows: Long = progress.map(_.numInputRows).sum
 
-  def attach(spark: SparkSession): this.type = { spark.streams.addListener(this); this }
+  def attach(spark: SparkSession): this.type = {
+    session = Some(spark); spark.streams.addListener(this); this
+  }
   def detach(spark: SparkSession): Unit = spark.streams.removeListener(this)
 }
