@@ -741,6 +741,13 @@ object SparkEntry {
     "q411_pair_budget" -> ((s, d) => Dedup.pairBudget(Tables(s, d).documents)),
     "q412_containment_budgeted" -> ((s, d) =>
       Dedup.containmentJoin(Tables(s, d).documents, pairBudget = Some(1000000L))),
+    "q413_chunk_ttr" -> ((s, d) => TextAnalysis.chunkTtr(Tables(s, d).documents)),
+    "q414_ndcg" -> ((s, d) => Similarity.rankingNdcg(Tables(s, d).embeddings)),
+    "q415_anderson_darling" -> ((s, d) => StatTests.andersonDarling(Tables(s, d).orders)),
+    "q416_hodges_lehmann" -> ((s, d) => StatTests.hodgesLehmann(Tables(s, d).orders)),
+    "q417_retention_triangle" -> ((s, d) =>
+      EventAnalytics.retentionTriangle(Tables(s, d).events)),
+    "q418_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6108,6 +6115,140 @@ object SparkEntry {
         |JOIN sizes sb ON i.doc_b = sb.doc_id
         |WHERE greatest(i.common / CAST(sa.sz AS DOUBLE), i.common / CAST(sb.sz AS DOUBLE)) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q413_chunk_ttr" ->
+      // positions: DuckDB range() is 1-based, Spark posexplode 0-based —
+      // floor((pos-1)/50) here mirrors floor(pos/50) there
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |pt AS (
+        |  SELECT doc_id, source, tk[p.pos] AS tok,
+        |    CAST(floor((p.pos - 1)/50.0) AS BIGINT) AS ck
+        |  FROM toks, unnest(range(1, len(tk) + 1)) AS p(pos)),
+        |chunks AS (
+        |  SELECT doc_id, source, ck,
+        |    count(DISTINCT tok) AS n_types, count(*) AS n_toks
+        |  FROM pt GROUP BY 1, 2, 3
+        |  HAVING count(*) = 50)
+        |SELECT source, count(*) AS n_chunks,
+        |  floor(avg(n_types/CAST(n_toks AS DOUBLE))*10000 + 0.5)/10000 AS avg_ttr,
+        |  floor(min(n_types/CAST(n_toks AS DOUBLE))*10000 + 0.5)/10000 AS min_ttr
+        |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q414_ndcg" ->
+      // gold = full list_dot_product top-10, system = first-8-dims
+      // ranking (the q163 machinery); rel is binary membership in gold
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    list_dot_product(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[])) AS s_full,
+        |    list_dot_product(CAST(qe[1:8] AS DOUBLE[]), CAST(ce[1:8] AS DOUBLE[])) AS s_cheap
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, cid) AS rk_full,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_cheap DESC, cid) AS rk_cheap
+        |  FROM scored),
+        |idcg AS (SELECT sum(1.0/log2(r.r + 1)) AS v FROM unnest(range(1, 11)) AS r(r))
+        |SELECT qid,
+        |  count(CASE WHEN rk_full <= 10 THEN 1 END) AS n_hits,
+        |  floor(COALESCE(sum(CASE WHEN rk_full <= 10 THEN 1.0/log2(rk_cheap + 1) END), 0)
+        |    / (SELECT v FROM idcg) * 10000 + 0.5)/10000 AS ndcg
+        |FROM ranked WHERE rk_cheap <= 10
+        |GROUP BY qid ORDER BY qid""".stripMargin,
+    "q415_anderson_darling" ->
+      // the q184 rank algebra: M_i from each pooled row's own ranks
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS side
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |r AS (
+        |  SELECT side,
+        |    row_number() OVER (ORDER BY v, side, k) AS rn_all,
+        |    row_number() OVER (PARTITION BY side ORDER BY v, side, k) AS rn_s,
+        |    count(*) OVER (PARTITION BY side) AS ns,
+        |    count(*) OVER () AS nt
+        |  FROM v),
+        |s AS (SELECT *,
+        |    max(CASE WHEN side = 0 THEN ns END) OVER () AS n_a,
+        |    max(CASE WHEN side = 1 THEN ns END) OVER () AS n_b,
+        |    CASE WHEN side = 0 THEN rn_s ELSE rn_all - rn_s END AS m_i
+        |  FROM r)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |  floor(sum(pow(m_i*nt - n_a*rn_all, 2)
+        |      / (rn_all*CAST(nt - rn_all AS DOUBLE)))
+        |    / (max(n_a)*CAST(max(n_b) AS DOUBLE))*10000 + 0.5)/10000 AS a2_stat
+        |FROM s WHERE rn_all < nt""".stripMargin,
+    "q416_hodges_lehmann" ->
+      """WITH da AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS xa
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |db AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS xb
+        |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1),
+        |d AS (SELECT xb - xa AS d FROM da CROSS JOIN db)
+        |SELECT count(*) AS n_pairs,
+        |  floor(quantile_cont(d, 0.5)*10000 + 0.5)/10000 AS hl_shift,
+        |  floor(avg(d)*10000 + 0.5)/10000 AS mean_shift
+        |FROM d""".stripMargin,
+    "q417_retention_triangle" ->
+      """WITH am AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS am
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(am) AS cm FROM am GROUP BY 1),
+        |sizes AS (SELECT cm, count(*) AS cohort_users FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cm, datediff('day', c.cm, a.am) // 7 AS weeks_since,
+        |    count(*) AS active_users
+        |  FROM am a JOIN cohort c ON a.user_id = c.user_id
+        |  WHERE datediff('day', c.cm, a.am) // 7 <= 5
+        |  GROUP BY 1, 2)
+        |SELECT strftime(a.cm, '%Y-%m-%d') AS cohort_week, a.weeks_since,
+        |  a.active_users, s.cohort_users,
+        |  floor(a.active_users/CAST(s.cohort_users AS DOUBLE)*10000 + 0.5)/10000 AS retention
+        |FROM act a JOIN sizes s ON a.cm = s.cm
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
+    "q418_threshold_sweep" ->
+      // q120's exact string-shingle jaccard join at theta_min = 0.5,
+      // swept over the grid; thetas ride as DOUBLE casts so the >=
+      // comparisons share Spark's binary literals
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s.sh
+        |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
+        |  WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    floor(i.common / CAST(sa.sz + sb.sz - i.common AS DOUBLE)*10000 + 0.5)/10000 AS j
+        |  FROM inter i
+        |  JOIN sizes sa ON i.doc_a = sa.doc_id
+        |  JOIN sizes sb ON i.doc_b = sb.doc_id
+        |  WHERE floor(i.common / CAST(sa.sz + sb.sz - i.common AS DOUBLE)*10000 + 0.5)/10000
+        |    >= CAST(0.5 AS DOUBLE)),
+        |grid AS (SELECT CAST(g.t AS DOUBLE) AS theta
+        |  FROM unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS g(t)),
+        |per AS (
+        |  SELECT g.theta, p.doc_a, p.doc_b, p.j
+        |  FROM grid g JOIN pairs p ON p.j >= g.theta),
+        |np AS (SELECT theta, count(*) AS n_pairs,
+        |    floor(avg(j)*10000 + 0.5)/10000 AS avg_jaccard
+        |  FROM per GROUP BY 1),
+        |nd AS (SELECT theta, count(DISTINCT d) AS n_docs_affected FROM (
+        |    SELECT theta, doc_a AS d FROM per
+        |    UNION ALL SELECT theta, doc_b FROM per) GROUP BY 1)
+        |SELECT floor(g.theta*10000 + 0.5)/10000 AS theta,
+        |  COALESCE(np.n_pairs, 0) AS n_pairs,
+        |  COALESCE(nd.n_docs_affected, 0) AS n_docs_affected,
+        |  np.avg_jaccard
+        |FROM grid g LEFT JOIN np ON g.theta = np.theta
+        |LEFT JOIN nd ON g.theta = nd.theta
+        |ORDER BY theta""".stripMargin,
     "q408_hurst" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x

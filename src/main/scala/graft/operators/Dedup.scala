@@ -932,4 +932,41 @@ object Dedup {
           .as("dropped_incidence_share"))
       .orderBy("max_df")
   }
+
+  /** q418: DEDUP THRESHOLD SWEEP — what each candidate jaccard policy
+    * would COST before anyone commits to one (the θ knob is the single
+    * biggest recall/volume lever in a near-dup pass, and teams pick it
+    * blind): ONE exact prefix-filtered join at the LOOSEST θ in the
+    * grid (q120's machinery — the prefix principle makes it complete
+    * at θ_min, and any tighter policy's pairs are a subset), then per
+    * grid θ: qualifying pairs and distinct documents touched. The
+    * sweep costs one q120 run regardless of grid size. Grid θ values
+    * ride as double literals in BOTH engines (binary-inexactness is
+    * shared, so the ≥ comparisons agree). */
+  def thresholdSweep(
+      documents: DataFrame,
+      thetas: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = documents.sparkSession
+    val base = prefixFilterJoin(documents, thetas.min)
+    val per = base
+      .withColumn("theta", explode(lit(thetas.toArray)))
+      .filter(col("jaccard") >= col("theta"))
+    val pairs = per.groupBy("theta").agg(
+      count(lit(1)).as("n_pairs"),
+      round(avg("jaccard"), 4).as("avg_jaccard"))
+    val docs = per
+      .select(col("theta"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("theta").agg(countDistinct("d").as("n_docs_affected"))
+    // grid densified: a θ no pair reaches must still price at zero
+    import spark.implicits._
+    thetas.toDF("theta")
+      .join(pairs, Seq("theta"), "left")
+      .join(docs, Seq("theta"), "left")
+      .select(
+        round(col("theta"), 4).as("theta"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        col("avg_jaccard"))
+      .orderBy("theta")
+  }
 }

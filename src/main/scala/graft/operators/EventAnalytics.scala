@@ -1806,4 +1806,38 @@ object EventAnalytics {
       .orderBy(desc("n_overlap_pairs"), asc("o_custkey"))
       .limit(topN)
   }
+
+  /** q417: cohort RETENTION TRIANGLE — the classic cohort ×
+    * periods-since matrix (WEEK grain — the events table spans weeks,
+    * and the week/month choice is one `trunc` argument) (q208's growth accounting nets flows; q238's
+    * LTV sums money; this is the SHAPE of decay itself, the first chart
+    * every growth review opens with): cohort = month of a user's first
+    * event, one row per (cohort, weeks_since ≤ `maxWeeks`) with
+    * active users and retention share. Shuffles: one distinct on
+    * (user, month) — map-side combinable — a min-aggregate for cohort
+    * assignment, a broadcast-sized cohort join (≤ #users keys on the
+    * user-keyed side, cohort sizes ≤ #months rows), a final ≤
+    * #months×maxMonths frame. */
+  def retentionTriangle(events: DataFrame, maxWeeks: Int = 5): DataFrame = {
+    val am = events
+      .select(col("user_id"), trunc(col("ts").cast("date"), "week").as("am"))
+      .distinct()
+    val cohort = am.groupBy("user_id").agg(min("am").as("cm"))
+    val sizes = cohort.groupBy("cm").agg(count(lit(1)).as("cohort_users"))
+    am.join(cohort, Seq("user_id"))
+      // both dates are Monday-truncated, so the day diff is an exact
+      // multiple of 7 — integer weeks, no boundary convention to argue
+      .withColumn("weeks_since", (datediff(col("am"), col("cm")) / 7).cast("long"))
+      .filter(col("weeks_since") <= maxWeeks)
+      .groupBy("cm", "weeks_since")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cm")) // ≤ #calendar-weeks rows
+      .select(
+        date_format(col("cm"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"),
+        col("active_users"),
+        col("cohort_users"),
+        round(col("active_users") / col("cohort_users").cast("double"), 4).as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
 }

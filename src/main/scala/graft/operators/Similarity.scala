@@ -1483,4 +1483,46 @@ object Similarity {
         (col("true_label") === col("clabel")).as("correct"))
       .orderBy("qid")
   }
+
+  /** q414: nDCG@k of the CHEAP ranking against the full-precision gold
+    * — the retrieval-quality readout that prices every "cheap first
+    * pass" in this family (q163's truncated-dim scorer, PQ/int8
+    * re-rank candidates): gold = full-dot top-k per query (binary
+    * relevance), system = first-`cheapDims` dot ranking; nDCG@k =
+    * Σ_{hits} 1/log2(r+1) over the system's top-k, normalized by the
+    * ideal Σ_{r≤k}. Same bounded shape as q163: candidates × a
+    * broadcast ≤`numQueries` query slice, two rank windows per query,
+    * a ≤k-row fold — no all-pairs anything. VecDot keeps both engines'
+    * dot products bit-identical, so gold/system sets — and therefore
+    * the score — are exactly oracle-able. */
+  def rankingNdcg(
+      embeddings: DataFrame,
+      numQueries: Int = 3,
+      k: Int = 10,
+      cheapDims: Int = 8): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wFull = Window.partitionBy("qid").orderBy(desc("s_full"), asc("cid"))
+    val wCheap = Window.partitionBy("qid").orderBy(desc("s_cheap"), asc("cid"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("s_full", dot(col("qe"), col("ce")))
+      .withColumn("s_cheap", dot(slice(col("qe"), 1, cheapDims), slice(col("ce"), 1, cheapDims)))
+      .withColumn("rk_full", row_number().over(wFull).cast("long"))
+      .withColumn("rk_cheap", row_number().over(wCheap).cast("long"))
+    val idcg = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+    scored
+      .filter(col("rk_cheap") <= k)
+      .groupBy("qid")
+      .agg(
+        sum(when(col("rk_full") <= k,
+          lit(1.0) / log2(col("rk_cheap") + 1)).otherwise(lit(0.0))).as("dcg"),
+        sum(when(col("rk_full") <= k, 1L).otherwise(0L)).as("n_hits"))
+      .select(
+        col("qid"),
+        col("n_hits"),
+        round(col("dcg") / lit(idcg), 4).as("ndcg"))
+      .orderBy("qid")
+  }
 }

@@ -2961,4 +2961,73 @@ object StatTests {
         // all-ties tail (Σ = 0): no slope to estimate — null, not ∞
         round(when(col("lsum") > 0.0, col("n_tail") / col("lsum")), 4).as("alpha"))
   }
+
+  /** q415: two-sample ANDERSON–DARLING statistic between two order
+    * priorities — the tail-sensitive sibling of q184's KS (KS sees only
+    * the single worst CDF gap, mid-distribution by construction; AD
+    * weights the gaps by 1/(F(1−F)) so tail divergence — exactly where
+    * revenue risk lives — dominates): with the pooled sample globally
+    * ordered, A² = (1/(m·n)) Σ_{i=1..N−1} (M_i·N − m·i)² / (i·(N−i)),
+    * M_i = count of sample-A values among the first i pooled. Every
+    * pooled row knows its own M_i from the q184 rank algebra (side-A
+    * row: its within-side rank; side-B row: pooled rank − within-side
+    * rank) — GlobalOrder buckets, one scalar fold, no recursion, no
+    * pair expansion. */
+  def andersonDarling(
+      orders: DataFrame,
+      prioA: String = "1-URGENT",
+      prioB: String = "5-LOW"): DataFrame = {
+    val vals = orders
+      .filter(col("o_orderpriority").isInCollection(Seq(prioA, prioB)))
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+        when(col("o_orderpriority") === prioA, 0).otherwise(1).as("side"))
+    val all = GlobalOrder.withGlobalRowNumber(
+      vals, col("v"), Seq("v", "side", "k"), "rn_all", "__tot")
+    val bySide = Seq(0, 1).map { s =>
+      GlobalOrder.withGlobalRowNumber(
+        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
+    }
+    val u = bySide.head.unionByName(bySide(1))
+    val m = u.agg(
+      max(when(col("side") === 0, col("__ns"))).as("n_a"),
+      max(when(col("side") === 1, col("__ns"))).as("n_b"))
+    u.filter(col("rn_all") < col("__tot")) // i = N contributes 0/0: excluded by definition
+      .crossJoin(broadcast(m)) // 1-row scalar (q14 idiom)
+      .select(col("__tot").as("nt"), col("n_a"), col("n_b"), col("rn_all").as("i"),
+        when(col("side") === 0, col("rn_s"))
+          .otherwise(col("rn_all") - col("rn_s")).as("m_i"))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        round(
+          sum(pow(col("m_i") * col("nt") - col("n_a") * col("i"), 2)
+            / (col("i") * (col("nt") - col("i"))))
+            / (max(col("n_a")) * max(col("n_b"))).cast("double"), 4).as("a2_stat"))
+  }
+
+  /** q416: HODGES–LEHMANN shift estimator between two priorities'
+    * DAILY revenue — the robust "how much bigger is B than A" in
+    * dollars (q185's U says WHETHER they differ; HL says BY HOW MUCH,
+    * outlier-proof where the mean difference is one whale away from
+    * nonsense): median of all pairwise differences median(x_B − x_A)
+    * over the two calendar-bounded daily series. The pair frame is
+    * #days_A × #days_B (q397's calendar-bounded precedent — bounded by
+    * the RETENTION WINDOW, not the data volume), the median an exact
+    * interpolated percentile, plus the mean difference for contrast. */
+  def hodgesLehmann(
+      orders: DataFrame,
+      prioA: String = "1-URGENT",
+      prioB: String = "5-LOW"): DataFrame = {
+    def daily(p: String) = orders
+      .filter(col("o_orderpriority") === p)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+    daily(prioA).select(col("x").as("xa"))
+      .crossJoin(daily(prioB).select(col("x").as("xb")))
+      .select((col("xb") - col("xa")).as("d"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(expr("percentile(d, 0.5)"), 4).as("hl_shift"),
+        round(avg(col("d")), 4).as("mean_shift"))
+  }
 }

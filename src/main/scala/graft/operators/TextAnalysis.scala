@@ -2217,4 +2217,31 @@ object TextAnalysis {
         round(avg(abs(col("a.z") - col("b.z"))), 4).as("delta"))
       .orderBy("source_a", "source_b")
   }
+
+  /** q413: CHUNKED TYPE-TOKEN RATIO per source — the classic lexical-
+    * diversity screen a curation pipeline runs beside q31's surface
+    * ratios (raw TTR is length-confounded: longer texts repeat more, so
+    * TTR is comparable only at a FIXED window; chunking at `chunk`
+    * tokens is the standard fix — the STTR convention). Per doc:
+    * position-chunked token windows, FULL chunks only; per source: the
+    * chunk count, mean and min chunk TTR (min catches the template
+    * block a mean would launder). One posexplode + two aggregates,
+    * all shuffles keyed on (doc, chunk) then source — map-side
+    * combinable, data-proportional at any corpus size. */
+  def chunkTtr(documents: DataFrame, chunk: Int = 50): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("ck", floor(col("pos") / chunk))
+    toks
+      .groupBy("doc_id", "source", "ck")
+      .agg(countDistinct("tok").as("n_types"), count(lit(1)).as("n_toks"))
+      .filter(col("n_toks") === chunk) // partial tail chunks bias TTR up
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        round(avg(col("n_types") / col("n_toks").cast("double")), 4).as("avg_ttr"),
+        round(min(col("n_types") / col("n_toks").cast("double")), 4).as("min_ttr"))
+      .orderBy("source")
+  }
 }

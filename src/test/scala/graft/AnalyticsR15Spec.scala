@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
 class AnalyticsR15Spec extends SparkSpec {
   import spark.implicits._
 
+  private def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+
   /** 40 near-identical docs (shared 12-token boilerplate + 2 unique
     * tokens) + 5 genuinely distinct docs: every boilerplate shingle has
     * df ≈ 40, so the uncapped candidate stream is ~40²/2 pairs PER
@@ -127,9 +129,184 @@ class AnalyticsR15Spec extends SparkSpec {
     assert(RiffWave.parsePcm16(nonPcm).isEmpty)
   }
 
+  test("q407 golden values: pinned JDK-17 deflate sizes (no SQL deflate exists — DuckDB 1.0.0 probed — so the golden-VALUES discipline stands in for the oracle)") {
+    import graft.operators.TextAnalysis
+    // fixtures are normalization-stable (lowercase, single spaces after
+    // trim) so the pinned numbers are properties of deflate level 6 on
+    // this JDK line, nothing else:
+    //   rep   -> raw 1023, deflated 44,  ratio 23.25   (degenerate > 7)
+    //   prose -> raw 441,  deflated 126, ratio 3.5     (keep)
+    //   noise -> raw 512,  deflated 331, ratio 1.5468  (low-info < 2)
+    val rep = "the same phrase again and again " * 32
+    val prose = (0 until 64).map(i => s"word${i * 37 % 101}").mkString(" ")
+    val noise = {
+      var x = 42L; val sb = new StringBuilder
+      (0 until 512).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + java.lang.Math.floorMod(x, 26L).toInt).toChar)
+      }
+      sb.result()
+    }
+    val docs = Seq(
+      (1L, rep, "en", "rep"), (2L, prose, "en", "prose"), (3L, noise, "en", "noise"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.compressionQuality(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("rep").getAs[Double]("avg_ratio") === 23.25)
+    assert(out("rep").getAs[Long]("n_degenerate") === 1L)
+    assert(out("prose").getAs[Double]("avg_ratio") === 3.5)
+    assert(out("prose").getAs[Double]("keep_share") === 1.0)
+    assert(out("noise").getAs[Double]("avg_ratio") === 1.5468)
+    assert(out("noise").getAs[Long]("n_low_info") === 1L)
+  }
+
   test("q412: an empty corpus derives cap 1 without failing") {
     val docs = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
     assert(Dedup.containmentJoin(docs, pairBudget = Some(10L)).count() === 0L)
+  }
+
+  // ------------------------------------------------------------- q413
+  test("q413: chunk TTR reads 1.0 on all-distinct text, 1/chunk on one repeated token, and drops partial chunks") {
+    import graft.operators.TextAnalysis
+    val distinctText = (1 to 100).map("w" + _).mkString(" ")   // 2 full chunks, TTR 1.0
+    val repeated = Seq.fill(60)("spam").mkString(" ")          // 1 full chunk, TTR 1/50
+    val short = (1 to 30).map("s" + _).mkString(" ")           // no full chunk
+    val docs = Seq(
+      (1L, distinctText, "en", "fresh"),
+      (2L, repeated, "en", "spammy"),
+      (3L, short, "en", "tiny")).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.chunkTtr(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("fresh").getAs[Long]("n_chunks") === 2L)
+    assert(out("fresh").getAs[Double]("avg_ttr") === 1.0)
+    assert(out("spammy").getAs[Long]("n_chunks") === 1L)
+    assert(out("spammy").getAs[Double]("avg_ttr") === 0.02) // 1 type / 50 tokens
+    assert(!out.contains("tiny"), "partial chunks must not score")
+  }
+
+  // ------------------------------------------------------------- q414
+  test("q414: a cheap ranking identical to gold scores nDCG 1; an anti-correlated one scores low") {
+    import graft.operators.Similarity
+    // 16-dim vectors whose first 8 dims ARE the full signal: cheap == gold
+    val aligned = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => if (d < 8) (i * (d + 1) % 17).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val perfect = Similarity.rankingNdcg(aligned, numQueries = 3, k = 10).collect()
+    assert(perfect.length === 3)
+    perfect.foreach(r => assert(r.getAs[Double]("ndcg") === 1.0,
+      s"identical rankings must score 1.0: $r"))
+    // signal only in dims 9..16: the cheap ranking sees zeros -> tie-broken
+    // by cid, hits are whatever collides; ndcg must be in [0,1) for some query
+    val hidden = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => if (d >= 8) ((i * 7 + d) % 13).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val blind = Similarity.rankingNdcg(hidden, numQueries = 3, k = 10).collect()
+    blind.foreach { r =>
+      val v = r.getAs[Double]("ndcg")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  // ------------------------------------------------------------- q415
+  test("q415: AD statistic is tiny for identical samples and large for disjoint ones") {
+    import graft.operators.StatTests
+    def orders(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    // identical distributions interleaved
+    val same = orders((1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "1-URGENT" else "5-LOW", (i / 2).toDouble)))
+    val a2same = StatTests.andersonDarling(same).head().getAs[Double]("a2_stat")
+    // completely separated distributions
+    val apart = orders((1 to 40).map(i =>
+      if (i <= 20) (i.toLong, "1-URGENT", i.toDouble)
+      else (i.toLong, "5-LOW", 1000.0 + i)))
+    val a2apart = StatTests.andersonDarling(apart).head().getAs[Double]("a2_stat")
+    assert(a2apart > 5 * math.max(a2same, 0.1),
+      s"separated samples must dominate: same=$a2same apart=$a2apart")
+    // hand-check on a 2x2: A={1,3}, B={2,4} -> pooled 1,2,3,4
+    // i=1: M=1 t=(1*4-2*1)^2/(1*3)=4/3 ; i=2: M=1 t=(4-4)^2/4=0
+    // i=3: M=2 t=(8-6)^2/(3*1)=4/3 ; A2=(8/3)/4=2/3
+    val tiny = orders(Seq((1L, "1-URGENT", 1.0), (2L, "5-LOW", 2.0),
+      (3L, "1-URGENT", 3.0), (4L, "5-LOW", 4.0)))
+    val r = StatTests.andersonDarling(tiny).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("a2_stat") === r4(2.0 / 3.0), r.toString)
+  }
+
+  // ------------------------------------------------------------- q416
+  test("q416: HL shift recovers a planted constant offset and ignores one whale day") {
+    import graft.operators.StatTests
+    val days = (1 to 20)
+    val a = days.map(i => (i.toLong, "1-URGENT", f"2024-01-$i%02d", 100.0 + i))
+    // B = A + 50, except one whale day that would wreck the mean
+    val b = days.map(i => (100L + i, "5-LOW", f"2024-01-$i%02d",
+      if (i == 7) 99999.0 else 150.0 + i))
+    val orders = (a ++ b).toDF("o_orderkey", "o_orderpriority", "ds", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(concat(col("ds"), lit(" 00:00:00"))))
+      .drop("ds")
+    val r = StatTests.hodgesLehmann(orders).head()
+    assert(r.getAs[Long]("n_pairs") === 400L)
+    val hl = r.getAs[Double]("hl_shift")
+    assert(math.abs(hl - 50.0) < 15.0, s"HL must sit near the planted +50: $hl")
+    assert(r.getAs[Double]("mean_shift") > 2000.0, "the mean is whale-dominated (the contrast)")
+  }
+
+  // ------------------------------------------------------------- q417
+  test("q417: retention triangle reads exact planted cohort decay") {
+    import graft.operators.EventAnalytics
+    // Mondays: 2024-01-01, 2024-01-08, 2024-01-15
+    def ev(u: Long, day: String) = (u, java.sql.Timestamp.valueOf(s"$day 12:00:00"))
+    // cohort week of Jan 1: 4 users; 2 active next week, 1 two weeks out
+    val rows = Seq(
+      ev(1, "2024-01-02"), ev(2, "2024-01-03"), ev(3, "2024-01-01"), ev(4, "2024-01-07"),
+      ev(1, "2024-01-08"), ev(2, "2024-01-10"),
+      ev(1, "2024-01-16"),
+      // cohort week of Jan 8: 1 user, never returns
+      ev(9, "2024-01-09"))
+    val events = rows.toDF("user_id", "ts")
+    val out = EventAnalytics.retentionTriangle(events).collect()
+      .map(r => (r.getAs[String]("cohort_week"), r.getAs[Long]("weeks_since")) -> r).toMap
+    assert(out(("2024-01-01", 0L)).getAs[Long]("active_users") === 4L)
+    assert(out(("2024-01-01", 0L)).getAs[Double]("retention") === 1.0)
+    assert(out(("2024-01-01", 1L)).getAs[Long]("active_users") === 2L)
+    assert(out(("2024-01-01", 1L)).getAs[Double]("retention") === 0.5)
+    assert(out(("2024-01-01", 2L)).getAs[Double]("retention") === 0.25)
+    assert(out(("2024-01-08", 0L)).getAs[Long]("cohort_users") === 1L)
+    assert(!out.contains(("2024-01-08", 1L)), "no activity -> no row (sparse by design)")
+  }
+
+  // ------------------------------------------------------------- q418
+  test("q418: threshold sweep prices each policy from one pass — planted pairs fall out as theta tightens") {
+    import graft.operators.Dedup
+    // docs 1-3: identical (3 exact pairs, jaccard 1.0); each also pairs
+    // with doc 4 at 8 shared shingles / 13 union = 0.6154 — alive at
+    // theta <= 0.6, shed at 0.7; doc 5 matches nothing
+    val t1 = (1 to 12).map("a" + _).mkString(" ")
+    val half = ((1 to 10).map("a" + _) ++ (1 to 3).map("x" + _)).mkString(" ")
+    val docs = Seq(
+      (1L, t1, "en", "w"), (2L, t1, "en", "w"),
+      (3L, t1, "en", "w"), (4L, half, "en", "w"),
+      (5L, (1 to 14).map("z" + _).mkString(" "), "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.thresholdSweep(docs).collect()
+      .map(r => r.getAs[Double]("theta") -> r).toMap
+    assert(out.keySet === Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    // theta <= 0.6 sees both planted pair-classes (each of the identical
+    // triplet also pairs with doc 4 at 0.6154); 0.7 sheds all doc-4 pairs
+    assert(out(0.5).getAs[Long]("n_pairs") === 6L)
+    assert(out(0.6).getAs[Long]("n_pairs") === 6L)
+    assert(out(0.7).getAs[Long]("n_pairs") === 3L)
+    // exact triplet (1,2,3) survives every theta
+    assert(out(0.9).getAs[Long]("n_pairs") === 3L)
+    assert(out(0.9).getAs[Long]("n_docs_affected") === 3L)
+    // monotone: tightening theta can only shed pairs and docs
+    val byTheta = out.toSeq.sortBy(_._1).map(_._2)
+    byTheta.sliding(2).foreach {
+      case Seq(l, t) =>
+        assert(t.getAs[Long]("n_pairs") <= l.getAs[Long]("n_pairs"))
+        assert(t.getAs[Long]("n_docs_affected") <= l.getAs[Long]("n_docs_affected"))
+      case _ => ()
+    }
   }
 }
