@@ -748,6 +748,12 @@ object SparkEntry {
     "q417_retention_triangle" -> ((s, d) =>
       EventAnalytics.retentionTriangle(Tables(s, d).events)),
     "q418_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(Tables(s, d).documents)),
+    "q419_ks_uniform" -> ((s, d) => StatTests.ksUniform(Tables(s, d).orders)),
+    "q420_expected_shortfall" -> ((s, d) => StatTests.expectedShortfall(Tables(s, d).orders)),
+    "q421_audience_matrix" -> ((s, d) => EventAnalytics.audienceMatrix(Tables(s, d).events)),
+    "q422_cold_start_coverage" -> ((s, d) => {
+      val t = Tables(s, d); Relational.coldStartCoverage(t.part, t.lineitem)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6249,6 +6255,65 @@ object SparkEntry {
         |FROM grid g LEFT JOIN np ON g.theta = np.theta
         |LEFT JOIN nd ON g.theta = nd.theta
         |ORDER BY theta""".stripMargin,
+    "q419_ks_uniform" ->
+      // same tie convention both sides: rank by (di, k); left limits via
+      // the (rn-1)/n term cover the step function's lower straddle
+      """WITH d AS (
+        |  SELECT o_orderkey AS k,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS di
+        |  FROM orders),
+        |sp AS (SELECT min(di) AS lo, max(di) AS hi, count(*) AS n FROM d),
+        |r AS (SELECT di, row_number() OVER (ORDER BY di, k) AS rn, count(*) OVER () AS nt
+        |  FROM d),
+        |g AS (
+        |  SELECT nt, greatest(
+        |    abs(CAST(rn AS DOUBLE)/nt
+        |      - CASE WHEN sp.hi > sp.lo
+        |          THEN (di - sp.lo)/CAST(sp.hi - sp.lo AS DOUBLE) ELSE 0 END),
+        |    abs(CAST(rn - 1 AS DOUBLE)/nt
+        |      - CASE WHEN sp.hi > sp.lo
+        |          THEN (di - sp.lo)/CAST(sp.hi - sp.lo AS DOUBLE) ELSE 0 END)) AS gap
+        |  FROM r CROSS JOIN sp)
+        |SELECT max(nt) AS n,
+        |  floor(max(gap)*10000 + 0.5)/10000 AS ks_stat,
+        |  floor(max(gap)*sqrt(max(nt))*10000 + 0.5)/10000 AS sqrt_n_d
+        |FROM g""".stripMargin,
+    "q420_expected_shortfall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT quantile_cont(x, CAST(0.05 AS DOUBLE)) AS var_p FROM daily)
+        |SELECT count(*) AS n_days,
+        |  floor(max(v.var_p)*10000 + 0.5)/10000 AS var_p,
+        |  count(CASE WHEN x <= v.var_p THEN 1 END) AS n_tail_days,
+        |  floor(avg(CASE WHEN x <= v.var_p THEN x END)*10000 + 0.5)/10000
+        |    AS expected_shortfall
+        |FROM daily CROSS JOIN v""".stripMargin,
+    "q421_audience_matrix" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sizes AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.t AS t_a, b.t AS t_b, count(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.t_a, p.t_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+        |  floor(p.n_both/CAST(sa.n + sb.n - p.n_both AS DOUBLE)*10000 + 0.5)/10000
+        |    AS jaccard,
+        |  floor(p.n_both/CAST(sa.n AS DOUBLE)*10000 + 0.5)/10000 AS p_b_given_a
+        |FROM pairs p
+        |JOIN sizes sa ON p.t_a = sa.t
+        |JOIN sizes sb ON p.t_b = sb.t
+        |ORDER BY t_a, t_b""".stripMargin,
+    "q422_cold_start_coverage" ->
+      """WITH ordered AS (SELECT DISTINCT l_partkey FROM lineitem)
+        |SELECT p.p_brand AS brand, count(*) AS n_parts,
+        |  count(o.l_partkey) AS n_ordered,
+        |  floor(avg(CASE WHEN o.l_partkey IS NULL THEN 1.0 ELSE 0.0 END)*10000 + 0.5)/10000
+        |    AS dead_share,
+        |  floor(COALESCE(sum(CASE WHEN o.l_partkey IS NULL THEN p.p_retailprice END), 0)
+        |    *10000 + 0.5)/10000 AS dead_retail_value
+        |FROM part p LEFT JOIN ordered o ON p.p_partkey = o.l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q408_hurst" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x

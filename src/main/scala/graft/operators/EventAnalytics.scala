@@ -1840,4 +1840,29 @@ object EventAnalytics {
         round(col("active_users") / col("cohort_users").cast("double"), 4).as("retention"))
       .orderBy("cohort_week", "weeks_since")
   }
+
+  /** q421: AUDIENCE-OVERLAP MATRIX — q162 generalized from one pair to
+    * the full event-type grid (the segmentation sanity check a growth
+    * team reads as a heatmap: which behaviors share users, which are
+    * disjoint populations): per ordered type pair, user jaccard =
+    * |A∩B|/|A∪B| and the conditional p(b|a). Distinct (type, user)
+    * incidence first (map-side combinable), then a user-keyed
+    * self-join — data-proportional in incidence, never a user cross
+    * join; the output frame is ≤ #types² rows (catalog-bounded). */
+  def audienceMatrix(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
+    tu.select(col("t").as("t_a"), col("u"))
+      .join(tu.select(col("t").as("t_b"), col("u")), Seq("u"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("t").as("t_a"), col("n").as("n_a"))), Seq("t_a"))
+      .join(broadcast(sizes.select(col("t").as("t_b"), col("n").as("n_b"))), Seq("t_b"))
+      .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 4)
+          .as("jaccard"),
+        round(col("n_both") / col("n_a").cast("double"), 4).as("p_b_given_a"))
+      .orderBy("t_a", "t_b")
+  }
 }

@@ -2321,4 +2321,25 @@ object Relational {
         round((col("p2") - col("p1")) * (col("qty2") - col("qty1")), 4).as("mix_effect"))
       .orderBy("brand")
   }
+
+  /** q422: COLD-START COVERAGE — the catalog-side dead-stock audit
+    * (q11's anti-join asks "which parts never sold"; this prices the
+    * answer per brand for the buyer who owns the catalog): per brand,
+    * parts listed, parts ever ordered (semi-join against lineitem),
+    * never-ordered share, and the dead tail's retail value. Anti/semi
+    * joins broadcast nothing fact-sized; aggregation keys are
+    * catalog-bounded. */
+  def coldStartCoverage(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val ordered = lineitem.select(col("l_partkey")).distinct()
+    part
+      .join(ordered, col("p_partkey") === col("l_partkey"), "left")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("l_partkey").isNotNull, 1L).otherwise(0L)).as("n_ordered"),
+        round(avg(when(col("l_partkey").isNull, 1.0).otherwise(0.0)), 4).as("dead_share"),
+        round(sum(when(col("l_partkey").isNull, col("p_retailprice")).otherwise(lit(0.0))), 4)
+          .as("dead_retail_value"))
+      .orderBy("brand")
+  }
 }

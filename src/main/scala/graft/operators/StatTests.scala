@@ -3030,4 +3030,59 @@ object StatTests {
         round(expr("percentile(d, 0.5)"), 4).as("hl_shift"),
         round(avg(col("d")), 4).as("mean_shift"))
   }
+
+  /** q419: one-sample KS UNIFORMITY test of order arrival dates against
+    * a calendar-uniform law — the data-quality probe q184's two-sample
+    * form can't do (no second sample needed: "did loads arrive evenly
+    * across the window, or did a backfill dump land?"). With the span
+    * [min_day, max_day] as the null, D = max |F̂(d) − F₀(d)| over order
+    * dates, where F̂ rides the q184 GlobalOrder rank algebra and F₀ is
+    * the closed-form uniform CDF at each observed date. One scan +
+    * bucketed ranks + a 1-row span scalar; √n·D reported for the usual
+    * significance read. */
+  def ksUniform(orders: DataFrame): DataFrame = {
+    val d = orders.select(
+      col("o_orderkey").as("k"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("di"))
+    val span = d.agg(
+      min("di").as("lo"), max("di").as("hi"), count(lit(1)).as("n"))
+    val ranked = GlobalOrder.withGlobalRowNumber(
+      d, col("di"), Seq("di", "k"), "rn", "__tot")
+    ranked
+      .crossJoin(broadcast(span)) // 1-row scalar (q14 idiom)
+      .select(col("rn"), col("__tot"),
+        when(col("hi") > col("lo"),
+          (col("di") - col("lo")) / (col("hi") - col("lo")).cast("double"))
+          .otherwise(lit(0.0)).as("f0"))
+      // both one-sided gaps: the empirical step straddles F0 above and below
+      .select(greatest(
+        abs(col("rn") / col("__tot") - col("f0")),
+        abs((col("rn") - 1) / col("__tot").cast("double") - col("f0"))).as("gap"),
+        col("__tot"))
+      .agg(
+        max(col("__tot")).as("n"),
+        round(max("gap"), 4).as("ks_stat"),
+        round(max(col("gap")) * sqrt(max(col("__tot"))), 4).as("sqrt_n_d"))
+  }
+
+  /** q420: EXPECTED SHORTFALL (CVaR) of daily revenue — the tail-risk
+    * number a revenue SLO should quote instead of a bare percentile
+    * (VaR says "the 5th-percentile day is X"; ES says "WHEN we're in
+    * the tail, the average day is Y" — coherent, subadditive, and what
+    * q210's drawdown view prices per episode this prices per day):
+    * daily sums, VaR = exact interpolated p-quantile, ES = mean of
+    * days ≤ VaR. Calendar-bounded frame; two scalar aggregates. */
+  def expectedShortfall(orders: DataFrame, p: Double = 0.05): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("x"))
+    val varRow = daily.agg(expr(s"percentile(x, $p)").as("var_p"))
+    daily
+      .crossJoin(broadcast(varRow)) // 1-row scalar (q14 idiom)
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(max("var_p"), 4).as("var_p"),
+        sum(when(col("x") <= col("var_p"), 1L).otherwise(0L)).as("n_tail_days"),
+        round(avg(when(col("x") <= col("var_p"), col("x"))), 4).as("expected_shortfall"))
+  }
 }

@@ -309,4 +309,68 @@ class AnalyticsR15Spec extends SparkSpec {
       case _ => ()
     }
   }
+
+  // ------------------------------------------------------------- q419
+  test("q419: perfectly uniform dates read KS ~ 0; an all-in-one-day dump reads ~ 1") {
+    import graft.operators.StatTests
+    def orders(days: Seq[Int]) = days.zipWithIndex.map { case (d, i) =>
+      ((i + 1).toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+    }.toDF("o_orderkey", "o_orderdate")
+    // one order per day over 21 days: empirical == uniform up to 1/n
+    val even = StatTests.ksUniform(orders(1 to 21)).head()
+    assert(even.getAs[Double]("ks_stat") <= 0.05 + 1e-9, even.toString)
+    // 20 orders on day 1, one on day 21: mass piles at the left edge
+    val dump = StatTests.ksUniform(orders(Seq.fill(20)(1) :+ 21)).head()
+    assert(dump.getAs[Double]("ks_stat") > 0.9, dump.toString)
+  }
+
+  // ------------------------------------------------------------- q420
+  test("q420: expected shortfall averages exactly the planted tail days") {
+    import graft.operators.StatTests
+    // 19 days at 1000 + one catastrophic 100-revenue day; p=0.05 VaR
+    // interpolates just above 100, so the tail is exactly that day
+    val revs = Seq.fill(19)(1000.0) :+ 100.0
+    val orders = revs.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, f"2024-01-${i + 1}%02d 00:00:00", v)
+    }.toDF("o_orderkey", "ds", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("ds"))).drop("ds")
+    val r = StatTests.expectedShortfall(orders).head()
+    assert(r.getAs[Long]("n_days") === 20L)
+    assert(r.getAs[Long]("n_tail_days") === 1L)
+    assert(r.getAs[Double]("expected_shortfall") === 100.0, r.toString)
+  }
+
+  // ------------------------------------------------------------- q421
+  test("q421: audience matrix reads exact planted overlaps") {
+    import graft.operators.EventAnalytics
+    // click users {1,2,3,4}; buy users {3,4}; view users {9}
+    val rows = Seq(
+      (1L, "click"), (2L, "click"), (3L, "click"), (4L, "click"),
+      (3L, "buy"), (4L, "buy"), (3L, "buy"), // duplicate event must not double-count
+      (9L, "view"))
+    val events = rows.toDF("user_id", "event_type")
+    val out = EventAnalytics.audienceMatrix(events).collect()
+      .map(r => (r.getAs[String]("t_a"), r.getAs[String]("t_b")) -> r).toMap
+    val bc = out(("buy", "click"))
+    assert(bc.getAs[Long]("n_both") === 2L)
+    assert(bc.getAs[Double]("jaccard") === 0.5)      // 2 / (2 + 4 - 2)
+    assert(bc.getAs[Double]("p_b_given_a") === 1.0)  // every buyer clicked
+    assert(!out.contains(("buy", "view")), "disjoint audiences produce no row")
+  }
+
+  // ------------------------------------------------------------- q422
+  test("q422: cold-start coverage prices the never-ordered tail per brand") {
+    import graft.operators.Relational
+    val part = Seq(
+      (1L, "B1", 10.0), (2L, "B1", 20.0), (3L, "B1", 30.0),
+      (4L, "B2", 40.0)).toDF("p_partkey", "p_brand", "p_retailprice")
+    val lineitem = Seq(Tuple1(1L), Tuple1(1L), Tuple1(4L)).toDF("l_partkey")
+    val out = Relational.coldStartCoverage(part, lineitem).collect()
+      .map(r => r.getAs[String]("brand") -> r).toMap
+    assert(out("B1").getAs[Long]("n_parts") === 3L)
+    assert(out("B1").getAs[Long]("n_ordered") === 1L)
+    assert(out("B1").getAs[Double]("dead_share") === r4(2.0 / 3.0))
+    assert(out("B1").getAs[Double]("dead_retail_value") === 50.0)
+    assert(out("B2").getAs[Double]("dead_share") === 0.0)
+  }
 }

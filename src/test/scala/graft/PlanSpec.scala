@@ -406,7 +406,12 @@ class PlanSpec extends SparkSpec {
       "q408_hurst"          -> Set("unpartitioned-window"), // day index over the calendar frame + slope fold over the ≤4-size frame (q89/q182 idioms)
       "q409_hill_tail"      -> Set("unpartitioned-window"), // rank/scalar windows over the POST-LIMIT ≤(k+1)-row frame (q300 idiom)
       "q410_burrows_delta"  -> (bnl + "cartesian-product"), // bounded sources×V grid densification (q294/q316 idiom)
-      "q411_pair_budget"    -> bnl) // 1-row incidence-total scalar (q14 idiom)
+      "q411_pair_budget"    -> bnl, // 1-row incidence-total scalar (q14 idiom)
+      "q414_ndcg"           -> bnl, // candidates × broadcast ≤3-query slice (q163/q63 idiom)
+      "q415_anderson_darling" -> (bnl + "unpartitioned-window"), // GlobalOrder offset frames ×3 (q184 idiom) + 1-row n_a/n_b scalar (q14 idiom)
+      "q416_hodges_lehmann" -> (bnl + "cartesian-product"), // calendar-bounded days×days pair frame (q397 idiom) + daily grids
+      "q419_ks_uniform"     -> (bnl + "unpartitioned-window"), // GlobalOrder offset frame (q184 idiom) + 1-row span scalar (q14 idiom)
+      "q420_expected_shortfall" -> bnl) // 1-row VaR scalar crossed (q14 idiom)
     // q70 starts a streaming query; q94 returns an eager checkpoint —
     // their plans are guarded by their own specs
     val skip = Set("q70_sink_ingest", "q94_mv_rollup", "q98_pagerank")

@@ -14,8 +14,13 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver fixtures are single files; GenScaleData (Spark) writes
+        # a directory of part files — accept both layouts
+        p = f"{sf}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
