@@ -1526,7 +1526,8 @@ object SparkEntry {
         |FROM g""".stripMargin,
     "q206_grouping_id" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
-        |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS revenue,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS revenue,
         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
         |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
@@ -1640,7 +1641,7 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_exact,
         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_exact,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_exact,
-        |  floor(sum(o_totalprice)*10000 + 0.5)/10000 AS sum_double
+        |  floor(sum(o_totalprice)*100 + 0.5)/100 AS sum_double
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q198_user_ewma" ->
       """WITH p AS (
@@ -1899,7 +1900,8 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rn FROM pc)
         |SELECT count(*) AS n_customers,
-        |  floor(sum(rev)*10000 + 0.5)/10000 AS total_revenue,
+        |  floor(CAST(sum(CAST(rev AS DECIMAL(28,4))) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS total_revenue,
         |  floor((2.0*sum(rn*rev)/(count(*)*sum(rev)) - (count(*) + 1.0)/count(*))*10000 + 0.5)/10000
         |    AS gini
         |FROM r""".stripMargin,
@@ -1942,7 +1944,8 @@ object SparkEntry {
     "q186_dow_seasonality" ->
       """WITH g AS (
         |  SELECT CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS INT) AS dow,
-        |    count(*) AS n_orders, sum(o_totalprice) AS revenue
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY 1),
         |t AS (
         |  SELECT *, sum(revenue) OVER () / CAST(sum(n_orders) OVER () AS DOUBLE) AS overall
@@ -1954,7 +1957,8 @@ object SparkEntry {
     "q187_ewma" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000
+        |      AS rev
         |  FROM orders GROUP BY 1),
         |r AS (SELECT d, rev, row_number() OVER (ORDER BY d) AS rn FROM daily),
         |p AS (
@@ -1966,19 +1970,30 @@ object SparkEntry {
         |    CASE WHEN p.jk = 1 THEN power(0.9, p.o) ELSE 0.1*power(0.9, p.o) END * b.rev AS term
         |  FROM p JOIN r b ON p.jk = b.rn)
         |SELECT strftime(d, '%Y-%m-%d') AS day, rev,
-        |  floor(sum(term)*10000 + 0.5)/10000 AS ewma
+        |  floor(CAST(sum(CAST(term AS DECIMAL(30,12))) AS DOUBLE)*10000 + 0.5)/10000 AS ewma
         |FROM j GROUP BY d, rev ORDER BY day""".stripMargin,
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
-        | floor((sum(l_extendedprice))*10000 + 0.5)/10000 AS sum_base_price,
-        | floor((sum(l_extendedprice*(1-l_discount)))*10000 + 0.5)/10000 AS sum_disc_price,
-        | floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*10000 + 0.5)/10000 AS sum_charge,
-        | floor((avg(l_quantity))*10000 + 0.5)/10000 AS avg_qty,
-        | floor((avg(l_extendedprice))*10000 + 0.5)/10000 AS avg_price,
-        | floor((avg(l_discount))*10000 + 0.5)/10000 AS avg_disc,
+      // exact decimal money mass (sf1 lesson: 6M-row double sums at 3e10
+      // are summation-order-dependent past the 4dp display)
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(l_discount AS DECIMAL(4,2)) AS disc,
+        |    CAST(l_tax AS DECIMAL(4,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        | floor(CAST(sum(qty) AS DOUBLE)*10000 + 0.5)/10000 AS sum_qty,
+        | floor(CAST(sum(price) AS DOUBLE)*10000 + 0.5)/10000 AS sum_base_price,
+        | floor(CAST(sum(price*(CAST(1 AS DECIMAL(4,2)) - disc)) AS DOUBLE)*10000 + 0.5)/10000
+        |   AS sum_disc_price,
+        | floor(CAST(sum(price*(CAST(1 AS DECIMAL(4,2)) - disc)
+        |     *(CAST(1 AS DECIMAL(4,2)) + tax)) AS DOUBLE)*10000 + 0.5)/10000 AS sum_charge,
+        | floor(CAST(sum(qty) AS DOUBLE)/count(*)*10000 + 0.5)/10000 AS avg_qty,
+        | floor(CAST(sum(price) AS DOUBLE)/count(*)*10000 + 0.5)/10000 AS avg_price,
+        | floor(CAST(sum(disc) AS DOUBLE)/count(*)*10000 + 0.5)/10000 AS avg_disc,
         | count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |FROM t
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
@@ -2080,7 +2095,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
-        | count(*) AS n_events, floor((sum(value))*10000 + 0.5)/10000 AS sum_value, floor((avg(value))*10000 + 0.5)/10000 AS avg_value
+        | count(*) AS n_events,
+        | floor(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)*10000 + 0.5)/10000 AS sum_value,
+        | floor(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)/count(*)*10000 + 0.5)/10000 AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q21_partition_layout" ->
       """SELECT strftime(ts, '%Y%m%d') AS dt, strftime(ts, '%H') AS hr,
@@ -3131,7 +3148,7 @@ object SparkEntry {
         |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT d FROM mx)) AS BIGINT)
         |      AS recency_days,
         |    count(*) AS frequency,
-        |    sum(o_totalprice) AS monetary
+        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS monetary
         |  FROM orders GROUP BY o_custkey),
         |scored AS (
         |  SELECT *,
@@ -3140,7 +3157,8 @@ object SparkEntry {
         |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_score
         |  FROM rfm)
         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
-        |  floor(sum(monetary)*10000 + 0.5)/10000 AS segment_revenue,
+        |  floor(CAST(sum(CAST(monetary AS DECIMAL(28,4))) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS segment_revenue,
         |  floor(avg(recency_days)*10000 + 0.5)/10000 AS avg_recency_days
         |FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
     "q154_skew_audit" ->
@@ -4930,7 +4948,8 @@ object SparkEntry {
     "q340_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_lines,
-        |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS revenue,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS revenue,
         |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

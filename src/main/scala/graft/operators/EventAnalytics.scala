@@ -31,8 +31,11 @@ object EventAnalytics {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("sum_value"),
-        round(avg("value"), 4).as("avg_value"))
+        // 6dp-exact metric mass: hourly groups reach ~1.4k doubles at
+        // sf1, where avg/sum accumulation order crosses the 4dp display
+        round(sum(col("value").cast("decimal(24,6)")).cast("double"), 4).as("sum_value"),
+        round((sum(col("value").cast("decimal(24,6)")).cast("double") / count(lit(1))), 4)
+          .as("avg_value"))
       .orderBy("hour", "event_type")
 
   /** q143: calendar-grain GROUPING SETS rollup — hour, day, and month

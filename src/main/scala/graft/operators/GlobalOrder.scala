@@ -222,7 +222,10 @@ object GlobalOrder {
         datediff(to_date(lit(asOf)), to_date(max(col("o_orderdate")))).cast("long")
           .as("recency_days"),
         count(lit(1)).as("frequency"),
-        sum(col("o_totalprice")).as("monetary"))
+        // 4dp-rounded BEFORE ranking (the q283 lesson, applied here by an
+        // sf1 failure: raw double sums order differently per summation
+        // order, flipping quintile boundaries between engines)
+        round(sum(col("o_totalprice")), 4).as("monetary"))
       .withColumn("neg_recency", -col("recency_days"))
       .cache()
     // three INDEPENDENT quintile passes over the cached frame, joined
@@ -242,7 +245,10 @@ object GlobalOrder {
       .groupBy("r_score", "f_score", "m_score")
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum("monetary"), 4).as("segment_revenue"),
+        // 4dp-exact decimal mass: segment revenue reaches 2.4e10 at sf1,
+        // where double accumulation order moves the 4dp display
+        round(sum(col("monetary").cast("decimal(28,4)")).cast("double"), 4)
+          .as("segment_revenue"),
         round(avg("recency_days"), 4).as("avg_recency_days"))
       .orderBy("r_score", "f_score", "m_score")
   }

@@ -21,20 +21,32 @@ object Relational {
 
   /** q01: TPC-H Q1-shaped pricing summary. One shuffle on a 2-key,
     * ~8-group aggregation — map-side combine reduces 100 TB to KBs. */
-  def pricingSummary(lineitem: DataFrame): DataFrame =
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    // EXACT decimal money mass (the q200 discipline, promoted here by a
+    // real failure): at sf1 the fact-wide double sums reach ~3e10 over
+    // 6M rows, where summation ORDER moves the total by ~1e-4 — across
+    // engines (and across Spark's own partitionings) the 4dp display
+    // rounding is no longer stable. Inputs are 2dp money: cast once,
+    // sum exactly, divide exactly, display as double at the end.
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
+    val one2 = lit(1).cast("decimal(4,2)")
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(sum(qty).cast("double"), 4).as("sum_qty"),
+        round(sum(price).cast("double"), 4).as("sum_base_price"),
+        round(sum(price * (one2 - disc)).cast("double"), 4).as("sum_disc_price"),
+        round(sum(price * (one2 - disc) * (one2 + tax)).cast("double"), 4).as("sum_charge"),
+        round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(price).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(disc).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** q02: selective filter + narrow projection. The point at scale:
     * `.explain` must show PushedFilters + a 4-column ReadSchema, so the
@@ -1768,7 +1780,9 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")), 4).as("revenue"),
+        // exact decimal mass (sf1: rollup totals at 5e10 are order-dependent)
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("revenue"),
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("l_linestatus")).cast("int").as("g_status"),
         grouping_id().cast("long").as("gid"))
@@ -1811,7 +1825,11 @@ object Relational {
         sum(dec).cast("string").as("sum_exact"),
         min(dec).cast("string").as("min_exact"),
         max(dec).cast("string").as("max_exact"),
-        round(sum(col("o_totalprice")), 4).as("sum_double"))
+        // the double leg DEMONSTRATES representation drift — which is
+        // itself summation-order-dependent, so its display is 2dp (cent
+        // grain): at sf1 the cross-engine order difference is ~1e-4 on a
+        // 7.5e10 mass, invisible at cents, unbounded at 4dp
+        round(sum(col("o_totalprice")), 2).as("sum_double"))
       .orderBy("o_orderpriority")
   }
 
@@ -2180,7 +2198,10 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")), 4).as("revenue"),
+        // exact decimal mass (the q01/q206 sf1 lesson: grand totals at
+        // 1.6e11 are summation-order-dependent past the 4dp display)
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
+          .as("revenue"),
         grouping_id().cast("long").as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 

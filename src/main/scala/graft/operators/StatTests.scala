@@ -90,7 +90,8 @@ object StatTests {
       .withGlobalRowNumber(perCust, col("rev"), Seq("rev", "o_custkey"), "rn", "__tot")
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum(col("rev")), 4).as("total_revenue"),
+        // exact 4dp-decimal mass (sf1: 3.75e11 double sum is order-dependent)
+        round(sum(col("rev").cast("decimal(28,4)")).cast("double"), 4).as("total_revenue"),
         round(lit(2.0) * sum(col("rn") * col("rev")) / (count(lit(1)) * sum(col("rev")))
           - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
   }
@@ -165,7 +166,11 @@ object StatTests {
   def dowSeasonality(orders: DataFrame): DataFrame =
     orders
       .groupBy((dayofweek(to_date(col("o_orderdate"))) - 1).as("dow"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+      // exact decimal mass (sf1: per-dow double sums at 5e10 are
+      // summation-order-dependent past the 4dp display); the window
+      // algebra below runs on the identical-everywhere double cast
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
       .withColumn("overall",
         sum(col("revenue")).over(one) / sum(col("n_orders")).over(one))
       .select(
@@ -494,7 +499,9 @@ object StatTests {
   def ewmaDaily(orders: DataFrame, alpha: Double = 0.1, horizon: Int = 80): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      // exact daily feed: the recursion's INPUTS must be bit-identical
+      // across engines or every downstream term inherits the drift
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("rev"))
       .withColumn("rn", row_number().over(one.orderBy("d")))
     val decay = pow(lit(1.0 - alpha), col("o"))
     val weight = when(col("jk") === 1, decay).otherwise(lit(alpha) * decay)
@@ -505,7 +512,9 @@ object StatTests {
         col("jk") === col("rn_b"))
       .withColumn("term", weight * col("x"))
       .groupBy(col("d"), col("rev"))
-      .agg(round(sum(col("term")), 4).as("ewma"))
+      // ≤81 identical double terms, folded EXACTLY so group-hash
+      // iteration order can't move the 4dp display (sf1 lesson)
+      .agg(round(sum(col("term").cast("decimal(30,12)")).cast("double"), 4).as("ewma"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"), col("ewma"))
       .orderBy("day")
   }

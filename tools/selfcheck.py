@@ -4,7 +4,7 @@ dumps against DuckDB running SparkEntry.oracleSql on the same tables.
 
 Usage: python3 tools/selfcheck.py [sfDir] [outDir]
 """
-import json, sys, glob
+import json, sys, glob, os
 import duckdb
 import pandas as pd
 
@@ -21,17 +21,49 @@ def main():
         p = f"{sf}/{t}.parquet"
         pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    try:  # belt: a spilling oracle must never eat the whole disk
+        con.execute("SET max_temp_directory_size='20GB'")
+    except Exception:
+        pass
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    # optional per-query oracle timeout (big-SF runs: a DuckDB-side
+    # monster oracle must not spill the disk away — a timed-out oracle
+    # is "unvalidated at this SF", not an engine failure)
+    timeout_s = float(os.environ.get("SELFCHECK_TIMEOUT_S", "0") or 0)
+    import threading
+    def run_sql(sql):
+        if timeout_s <= 0:
+            return con.sql(sql).df()
+        done = threading.Event()
+        def watchdog():
+            if not done.wait(timeout_s):
+                con.interrupt()
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            done.set()
+    n_ok = n_bad = n_timeout = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark output", flush=True); n_bad += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
-            exp = con.sql(oracle[name]).df()
+            got = run_sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+            exp = run_sql(oracle[name])
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+            if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s (unvalidated at this SF)", flush=True)
+                n_timeout += 1
+                continue
+            if "Out of Memory" in str(e):
+                # the ORACLE engine ran out of resources, not the engine
+                # under test — unvalidated at this SF, not a wrong answer
+                print(f"TIMEOUT {name}: oracle OOM (unvalidated at this SF)", flush=True)
+                n_timeout += 1
+                continue
+            print(f"FAIL {name}: {e}", flush=True); n_bad += 1; continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
@@ -63,7 +95,7 @@ def main():
             n_bad += 1
         else:
             print(f"OK   {name}: rows={len(exp)}"); n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total")
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_timeout} oracle-timeout, {len(oracle)} total", flush=True)
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
