@@ -2006,13 +2006,19 @@ object SparkEntry {
         |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 50""".stripMargin,
     "q04_join_broadcast" ->
       """SELECT p_brand,
-        | floor((sum(l_extendedprice*(1-l_discount)))*10000 + 0.5)/10000 AS revenue,
-        | floor((sum(l_quantity))*10000 + 0.5)/10000 AS sum_qty,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   *(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |   *10000 + 0.5)/10000 AS revenue,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000
+        |   AS sum_qty,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q05_multi_join_agg" ->
-      """SELECT n_name, floor((sum(l_extendedprice*(1-l_discount)))*10000 + 0.5)/10000 AS revenue
+      """SELECT n_name,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   *(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |   *10000 + 0.5)/10000 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2023,7 +2029,8 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q06_selective_agg" ->
-      """SELECT floor((sum(l_extendedprice*l_discount))*10000 + 0.5)/10000 AS revenue
+      """SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   *CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)*10000 + 0.5)/10000 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -2489,7 +2496,8 @@ object SparkEntry {
         |  min(o_orderpriority), max(o_orderpriority) FROM orders
         |ORDER BY column_name""".stripMargin,
     "q114_revenue_share" ->
-      """WITH pn AS (SELECT n.n_name AS nation, sum(o.o_totalprice) AS rev
+      """WITH pn AS (SELECT n.n_name AS nation,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1),
         |t AS (SELECT sum(rev) AS tot FROM pn)

@@ -78,9 +78,14 @@ object Relational {
     lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
+      // exact decimal money mass (the q01 sf1 class, applied
+      // PROACTIVELY: per-brand revenue reaches ~7e9 at sf1, one SF away
+      // from the summation-order boundary the fixed queries crossed)
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
-        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)"))
+          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double"), 4).as("revenue"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).as("sum_qty"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
@@ -103,7 +108,10 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      // exact decimal money mass (q01 class, proactive: ~1.2e10/nation at sf1)
+      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)"))
+        * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double"), 4).as("revenue"))
       .orderBy("n_name")
 
   /** q06: TPC-H Q6-shaped tight filter + single sum — all predicates push
@@ -113,7 +121,9 @@ object Relational {
       .filter(
         col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount") >= 0.02 && col("l_discount") <= 0.06 && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+      // exact decimal mass (q01 class, proactive: one fact-wide total)
+      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)"))
+        * col("l_discount").cast("decimal(4,2)")).cast("double"), 4).as("revenue"))
 
   /** q07: windowed ranking per customer. Single shuffle on the partition
     * key; tie-broken by orderkey so ranks are deterministic. */
@@ -1626,7 +1636,8 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(sum(col("o_totalprice")).as("rev"))
+      // exact decimal mass (q01 class, proactive: ~1.5e10/nation at sf1)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
     val total = perNation.agg(sum(col("rev")).as("tot"))
     perNation
       .crossJoin(broadcast(total))
