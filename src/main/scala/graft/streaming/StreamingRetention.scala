@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.round // shadows functions.round (q417 parity)
+
+/** stream_retention: LIVE cohort retention — the streaming dual of
+  * q417's weekly retention triangle, answering "is this week's cohort
+  * decaying like the last one" while the events are still arriving
+  * instead of in next quarter's batch job.
+  *
+  * Cohort membership is a FIRST-SEEN property (a user's cohort is the
+  * week of their first event ever observed), so — like stream_novelty —
+  * the state is a first-seen incidence table, not an additive count:
+  * each micro-batch writes, under its own `ingest_batch=N` partition,
+  * exactly the (user, week) activity pairs not present in partitions
+  * BEFORE it (anti-join). Replaying batch N recomputes against
+  * `ingest_batch < N` only and overwrites its own slice — a retried
+  * batch can neither double-claim a pair nor steal one from its past
+  * (exactly-once by construction, the HiveBatchSink discipline). The
+  * report then runs q417's exact algebra over the accumulated
+  * incidence, so on any prefix of the stream it is ROW-IDENTICAL to
+  * the batch triangle over the same events (spec-pinned) — including
+  * cohort REASSIGNMENT when a late batch reveals an earlier first
+  * week for a user, which an additive design cannot express.
+  *
+  * Scale shape: per batch one distinct + one anti-join, both
+  * (user, week)-keyed equi-plans; state is one row per distinct
+  * (user, active-week) — the minimum any exact retention monitor can
+  * hold, bounded by users × retention window, never event-sized. */
+object StreamingRetention {
+
+  private def incDir(root: String) = s"$root/user_weeks"
+
+  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
+  /** One micro-batch: claim first-seen (user, week) activity pairs
+    * under this batch's own partition (replay-idempotent). */
+  def updateIncidence(batch: DataFrame, tableRoot: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val uw = batch
+      .select(col("user_id"), trunc(col("ts").cast("date"), "week").as("am"))
+      .distinct()
+    val newUw = readIfExists(spark, incDir(tableRoot)) match {
+      case Some(seen) =>
+        uw.join(seen.filter(col("ingest_batch") < batchId).select("user_id", "am"),
+          Seq("user_id", "am"), "left_anti")
+      case None => uw
+    }
+    newUw
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("ingest_batch")
+      .parquet(incDir(tableRoot))
+  }
+
+  /** The live triangle — q417's exact algebra over the incidence state,
+    * same columns, same grain. */
+  def retentionReport(spark: SparkSession, tableRoot: String, maxWeeks: Int = 5): DataFrame = {
+    val am = spark.read.parquet(incDir(tableRoot)).select("user_id", "am").distinct()
+    val cohort = am.groupBy("user_id").agg(min("am").as("cm"))
+    val sizes = cohort.groupBy("cm").agg(count(lit(1)).as("cohort_users"))
+    am.join(cohort, Seq("user_id"))
+      .withColumn("weeks_since", (datediff(col("am"), col("cm")) / 7).cast("long"))
+      .filter(col("weeks_since") <= maxWeeks)
+      .groupBy("cm", "weeks_since")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), Seq("cm"))
+      .select(
+        date_format(col("cm"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"),
+        col("active_users"),
+        col("cohort_users"),
+        round(col("active_users") / col("cohort_users").cast("double"), 4).as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+}
