@@ -237,12 +237,26 @@ object Bench {
       val histPath = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
       val stampRe = """"(?:start|end)_1t":([0-9.]+)""".r
+      // RECENT-window reference (round-10 advice): an all-time min never
+      // ages out — one anomalously low stamp (measurement glitch, or a
+      // faster host's history) would permanently inflate throttle_factor
+      // and deflate value_normalized for every future run. The last 20
+      // committed sweeps bound the reference's memory; a host change
+      // washes out of the window in 20 rounds instead of never.
       val hist =
         if (java.nio.file.Files.exists(histPath)) {
-          val txt = new String(java.nio.file.Files.readAllBytes(histPath), "UTF-8")
-          stampRe.findAllMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0).toSeq
+          val lines = java.nio.file.Files.readAllLines(histPath)
+          import scala.jdk.CollectionConverters._
+          lines.asScala.takeRight(20).flatMap(l =>
+            stampRe.findAllMatchIn(l).map(_.group(1).toDouble).filter(_ > 0)).toSeq
         } else Seq.empty
-      (hist ++ ownStamps :+ 0.80).min
+      val derived = (hist ++ ownStamps :+ 0.80).min
+      if (math.abs(derived - 0.80) / 0.80 > 0.10)
+        System.err.println(
+          f"bench: history-derived ref_1t=$derived%.3f differs >10%% from the " +
+            "0.80 hand-measured fallback — check bench_history.jsonl for a " +
+            "glitch stamp or a host change")
+      derived
     }
     val throttleFactor = math.max(1.0, ((calibStart._1 + calibEnd._1) / 2.0) / ref1t)
     val calibDivergence = math.max(calibStart._1, calibEnd._1) / math.min(calibStart._1, calibEnd._1)
@@ -255,7 +269,13 @@ object Bench {
     val normFields = f""""value_normalized":${total / throttleFactor}%.3f,""" +
       f""""throttle_factor":$throttleFactor%.3f,"calibration_divergence":$calibDivergence%.3f,""" +
       f""""ref_1t":$ref1t%.3f,"throttle_flagged":$throttleFlag,$rerunFields"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$normFields,"queries":$qs,""" +
+    // a filtered run is labeled as such in every persisted artifact —
+    // round-10 advice: a subset line with metric=total was otherwise
+    // indistinguishable from a full sweep, misleading trend tooling
+    val onlyField = only.fold("")(f =>
+      s""""only":[${f.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$normFields,""" +
+      s""""n_queries":${results2.size},$onlyField"queries":$qs,""" +
       s""""errors":$errs,"calibration":$calib,"sf":"$sfDir"}"""
     // durability: the FULL per-query map (~10 KB for 265 queries) goes
     // to a file; the driver's stdout capture keeps only a ~2 KB tail,
@@ -270,10 +290,16 @@ object Bench {
     // stdout-tail truncation and bench_out.json is overwritten per sweep,
     // so every sweep ALSO appends its full line (timestamped) to
     // bench_history.jsonl — committed with the repo, diffable by round
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")),
-      (s"""{"at":"${java.time.Instant.now()}",""" + json.drop(1) + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // subset runs stay OUT of the trend file: a filtered total diffed
+    // against full-sweep totals reads as a huge regression/speedup
+    // (round-10 advice); the labeled bench_out.json still records it
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")),
+        (s"""{"at":"${java.time.Instant.now()}",""" + json.drop(1) + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    else
+      System.err.println(s"bench: SPARK_GRAFT_BENCH_ONLY active — history append skipped")
     val topQs = results2.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

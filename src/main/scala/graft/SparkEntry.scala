@@ -739,8 +739,15 @@ object SparkEntry {
     "q409_hill_tail" -> ((s, d) => StatTests.hillTail(Tables(s, d).orders)),
     "q410_burrows_delta" -> ((s, d) => TextAnalysis.burrowsDelta(Tables(s, d).documents)),
     "q411_pair_budget" -> ((s, d) => Dedup.pairBudget(Tables(s, d).documents)),
-    "q412_containment_budgeted" -> ((s, d) =>
-      Dedup.containmentJoin(Tables(s, d).documents, pairBudget = Some(1000000L))),
+    "q412_containment_budgeted" -> ((s, d) => {
+      // scale-aware budget (round-10 weak-row fix): max(10⁶, n_docs·2000)
+      // — binds at sf1 (cutoff 120 < maxDf 200, 25k pairs survive)
+      // without degenerating to an empty result the way the fixed 10⁶
+      // did; the derived cap + dropped-incidence share ride on the
+      // output itself so a bound run is self-describing.
+      val docs = Tables(s, d).documents
+      Dedup.containmentJoin(docs, pairBudget = Some(Dedup.scaledPairBudget(docs)))
+    }),
     "q413_chunk_ttr" -> ((s, d) => TextAnalysis.chunkTtr(Tables(s, d).documents)),
     "q414_ndcg" -> ((s, d) => Similarity.rankingNdcg(Tables(s, d).embeddings)),
     "q415_anderson_darling" -> ((s, d) => StatTests.andersonDarling(Tables(s, d).orders)),
@@ -754,6 +761,11 @@ object SparkEntry {
     "q422_cold_start_coverage" -> ((s, d) => {
       val t = Tables(s, d); Relational.coldStartCoverage(t.part, t.lineitem)
     }),
+    "q423_threshold_sweep_sampled" -> ((s, d) =>
+      Dedup.thresholdSweepSampled(Tables(s, d).documents)),
+    "q424_duplication_profile" -> ((s, d) =>
+      Dedup.duplicationProfile(Tables(s, d).documents)),
+    "q425_dup_span_sources" -> ((s, d) => Dedup.dupSpanSources(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -796,7 +808,7 @@ object SparkEntry {
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q258_lorenz_curve" ->
       """WITH pc AS (
-        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  SELECT o_custkey, floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM pc),
         |g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS drev FROM d GROUP BY 1),
@@ -812,7 +824,7 @@ object SparkEntry {
         |FROM c ORDER BY decile""".stripMargin,
     "q259_spc_chart" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |mr AS (SELECT rev, abs(rev - lag(rev) OVER (ORDER BY d)) AS mr FROM daily),
         |lim AS (SELECT count(*) AS n_days, avg(rev) AS cl, avg(mr) AS mrbar FROM mr)
@@ -865,7 +877,7 @@ object SparkEntry {
         |ORDER BY mean_surprisal DESC, doc_id LIMIT 20""".stripMargin,
     "q256_seasonality_strength" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |t AS (
         |  SELECT d, rev,
@@ -943,7 +955,7 @@ object SparkEntry {
     "q252_abc_analysis" ->
       """WITH pp AS (
         |  SELECT l_partkey,
-        |    CAST(floor(sum(l_extendedprice)*10000 + 0.5) AS BIGINT) AS revi
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))*10000 AS BIGINT) AS revi
         |  FROM lineitem GROUP BY 1),
         |c AS (
         |  SELECT l_partkey, revi,
@@ -1027,7 +1039,7 @@ object SparkEntry {
         |FROM s WHERE sv > 0 AND sr > 0 ORDER BY lag""".stripMargin,
     "q243_seasonal_backtest" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |di AS (SELECT date_diff('day', DATE '1970-01-01', d) AS di, rev FROM daily)
         |SELECT count(*) AS n_days,
@@ -1041,7 +1053,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT node, anc >> 1, cost FROM r WHERE anc > 1)
         |SELECT anc AS node, count(*) AS n_parts,
-        |  floor(sum(cost)*100 + 0.5)/100 AS subtree_cost
+        |  floor(CAST(sum(CAST(cost AS DECIMAL(18,2))) AS DOUBLE)*100 + 0.5)/100 AS subtree_cost
         |FROM r WHERE anc < 32 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q245_link_prediction" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -1234,7 +1246,7 @@ object SparkEntry {
     "q230_universe_sample" ->
       """SELECT c_nationkey, count(*) AS n_sampled,
         |  floor((count(*)/0.25)*10000 + 0.5)/10000 AS est_orders,
-        |  floor((sum(o_totalprice)/0.25)*10000 + 0.5)/10000 AS est_revenue
+        |  floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/0.25)*10000 + 0.5)/10000 AS est_revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
         |  AND substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
@@ -1268,7 +1280,7 @@ object SparkEntry {
         |FROM gi GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q226_weekday_anova" ->
       """WITH d AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1),
         |dw AS (SELECT dayofweek(day) AS wd, x FROM d),
         |gr AS (SELECT avg(x) AS gm, count(*) AS n FROM dw),
@@ -1283,7 +1295,7 @@ object SparkEntry {
         |FROM g, gr""".stripMargin,
     "q222_cusum" ->
       """WITH d AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1),
         |st AS (SELECT avg(x) AS mu, stddev_samp(x) AS sigma FROM d),
         |cc AS (
@@ -1391,7 +1403,7 @@ object SparkEntry {
     "q210_drawdown" ->
       """WITH m AS (
         |  SELECT c_nationkey, strftime(o_orderdate, '%Y-%m') AS month,
-        |    sum(o_totalprice) AS rev
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
         |p AS (
         |  SELECT c_nationkey, rev,
@@ -1410,13 +1422,14 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q212_leave_one_out" ->
       """WITH nr AS (
-        |  SELECT c_nationkey, sum(o_totalprice) AS rev
+        |  SELECT c_nationkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
         |t AS (SELECT sum(rev) AS tot_rev, count(*) AS n FROM nr)
         |SELECT c_nationkey,
-        |  floor(rev*10000 + 0.5)/10000 AS revenue,
-        |  floor(((tot_rev - rev)/(n - 1))*10000 + 0.5)/10000 AS peer_avg,
-        |  floor((rev/((tot_rev - rev)/(n - 1)))*10000 + 0.5)/10000 AS vs_peers
+        |  floor(CAST(rev AS DOUBLE)*10000 + 0.5)/10000 AS revenue,
+        |  floor((CAST(tot_rev - rev AS DOUBLE)/(n - 1))*10000 + 0.5)/10000 AS peer_avg,
+        |  floor((CAST(rev AS DOUBLE)/(CAST(tot_rev - rev AS DOUBLE)/(n - 1)))*10000 + 0.5)/10000
+        |    AS vs_peers
         |FROM nr, t ORDER BY c_nationkey""".stripMargin,
     "q213_streaks" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1537,7 +1550,7 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
         |  floor(o_totalprice*10000 + 0.5)/10000 AS o_totalprice,
-        |  floor(sum(o_totalprice) OVER w *10000 + 0.5)/10000 AS trailing_rev,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)*10000 + 0.5)/10000 AS trailing_rev,
         |  count(*) OVER w AS n_in_window
         |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx
         |      FROM orders)
@@ -1603,7 +1616,7 @@ object SparkEntry {
         |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q204_stl_anomaly" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |t AS (
         |  SELECT d, rev,
@@ -1697,7 +1710,7 @@ object SparkEntry {
         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     "q194_stl_decompose" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |t AS (
         |  SELECT d, rev,
@@ -1857,7 +1870,7 @@ object SparkEntry {
         |ORDER BY tq.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "q180_part_concentration" ->
       """WITH np AS (
-        |  SELECT n.n_name, l.l_partkey, sum(l.l_extendedprice) AS value
+        |  SELECT n.n_name, l.l_partkey, CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
         |  FROM lineitem l
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -1873,7 +1886,7 @@ object SparkEntry {
         |ORDER BY n_name, 3 DESC, l_partkey""".stripMargin,
     "q181_acf" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |di AS (SELECT date_diff('day', DATE '1970-01-01', d) AS di, rev FROM daily),
         |l AS (SELECT unnest([1, 2, 3, 7]) AS lag)
@@ -1896,7 +1909,7 @@ object SparkEntry {
         |FROM t ORDER BY digit""".stripMargin,
     "q183_gini" ->
       """WITH pc AS (
-        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  SELECT o_custkey, floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rn FROM pc)
         |SELECT count(*) AS n_customers,
@@ -2124,9 +2137,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q24_running_total" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        | floor((sum(o_totalprice) OVER (
+        | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000 AS running_total
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)*10000 + 0.5)/10000 AS running_total
         |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
     "q25_ntile_buckets" ->
       """WITH t AS (SELECT o_totalprice,
@@ -2136,7 +2149,7 @@ object SparkEntry {
         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     "q26_left_join_agg" ->
       """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
-        | floor((coalesce(sum(o_totalprice), 0.0))*10000 + 0.5)/10000 AS total_spend
+        | floor((coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0))*10000 + 0.5)/10000 AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
     "q27_cube" ->
@@ -2435,7 +2448,7 @@ object SparkEntry {
         |FROM scored WHERE rk = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin,
     "q89_mom_change" ->
       """WITH m AS (
-        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS rev
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1)
         |SELECT month, floor(rev*10000 + 0.5)/10000 AS revenue,
         |  floor(coalesce(
@@ -3035,7 +3048,7 @@ object SparkEntry {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q142_concentration" ->
       """WITH rev AS (
-        |  SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS rev
+        |  SELECT c.c_nationkey, c.c_custkey, CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY c.c_nationkey, c.c_custkey),
         |tot AS (SELECT c_nationkey, sum(rev) AS tot FROM rev GROUP BY c_nationkey)
@@ -3156,7 +3169,7 @@ object SparkEntry {
         |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT d FROM mx)) AS BIGINT)
         |      AS recency_days,
         |    count(*) AS frequency,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS monetary
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS monetary
         |  FROM orders GROUP BY o_custkey),
         |scored AS (
         |  SELECT *,
@@ -3186,7 +3199,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT c.c_nationkey,
         |    CAST((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) AS DOUBLE) AS month_idx,
-        |    sum(o.o_totalprice) AS rev
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2)
         |SELECT c_nationkey, count(*) AS n_months,
@@ -3209,7 +3222,7 @@ object SparkEntry {
     "q157_approx_groupby" ->
       """SELECT o_orderpriority, count(*) AS n_sampled,
         |  floor(count(*) / 0.25 * 10000 + 0.5)/10000 AS est_count,
-        |  floor(sum(o_totalprice) / 0.25 * 10000 + 0.5)/10000 AS est_revenue,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 0.25 * 10000 + 0.5)/10000 AS est_revenue,
         |  floor(sqrt(sum(o_totalprice*o_totalprice) * 12.0) * 10000 + 0.5)/10000 AS stderr_revenue
         |FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
@@ -3369,7 +3382,7 @@ object SparkEntry {
     "q169_contribution" ->
       """WITH nr AS (
         |  SELECT c.c_nationkey,
-        |    floor(sum(o.o_totalprice)*10000 + 0.5)/10000 AS revenue
+        |    floor(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS revenue
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY c.c_nationkey),
         |nn AS (
@@ -3745,7 +3758,7 @@ object SparkEntry {
         |  SELECT l.l_partkey, sn.s_nationkey, l.l_extendedprice
         |  FROM lineitem l JOIN sn ON l.l_suppkey = sn.s_suppkey)
         |SELECT l_partkey, count(DISTINCT s_nationkey) AS n_nations,
-        |  floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS region_revenue
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS region_revenue
         |FROM slice GROUP BY 1
         |HAVING count(DISTINCT s_nationkey) = (SELECT count(*) FROM rn)
         |ORDER BY l_partkey""".stripMargin,
@@ -3777,14 +3790,14 @@ object SparkEntry {
         |FROM pm ORDER BY month""".stripMargin,
     "q283_tier_migration" ->
       """WITH b AS (
-        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  SELECT o_custkey, floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY 1),
         |bs AS (
         |  SELECT o_custkey,
         |    CAST(ntile(5) OVER (ORDER BY rev, o_custkey) AS INT) AS tier_before
         |  FROM b),
         |a AS (
-        |  SELECT o_custkey, floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |  SELECT o_custkey, floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY 1),
         |asc_ AS (
         |  SELECT o_custkey,
@@ -3825,7 +3838,7 @@ object SparkEntry {
     "q281_holt_forecast" ->
       """WITH RECURSIVE d0 AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |daily AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
         |rec AS (
@@ -3890,7 +3903,7 @@ object SparkEntry {
         |cut AS (
         |  SELECT l_partkey, floor(avg(l_quantity)*0.5*10000 + 0.5)/10000 AS qty_cut
         |  FROM slice GROUP BY 1)
-        |SELECT floor(sum(s.l_extendedprice)/7.0*10000 + 0.5)/10000 AS avg_yearly
+        |SELECT floor(CAST(sum(CAST(s.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0*10000 + 0.5)/10000 AS avg_yearly
         |FROM slice s JOIN cut c ON s.l_partkey = c.l_partkey
         |WHERE s.l_quantity < c.qty_cut""".stripMargin,
     "q278_excess_stock" ->
@@ -4147,7 +4160,7 @@ object SparkEntry {
     "q298_holt_winters" ->
       """WITH RECURSIVE d0 AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |daily AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
         |seed AS (
@@ -4344,7 +4357,7 @@ object SparkEntry {
     "q315_conformal" ->
       """WITH RECURSIVE d0 AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |daily AS (SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
         |rec AS (
@@ -4648,7 +4661,7 @@ object SparkEntry {
     "q329_forecast_tournament" ->
       """WITH RECURSIVE d0 AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |daily AS (SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM d0),
         |nt AS (SELECT count(*) AS n, count(*)//4 AS ntest FROM daily),
@@ -4965,7 +4978,7 @@ object SparkEntry {
     "q341_series_knn" ->
       """WITH daily AS (
         |  SELECT c_nationkey AS nation, CAST(o_orderdate AS DATE) AS d,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
         |grid AS (
         |  SELECT n.nation, dd.d, coalesce(rev, CAST(0.0 AS DOUBLE)) AS rev
@@ -4992,7 +5005,7 @@ object SparkEntry {
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday,
         |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1, 2),
         |w AS (
         |  SELECT daily.*,
@@ -5104,7 +5117,7 @@ object SparkEntry {
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday,
         |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1, 2),
         |w AS (
         |  SELECT daily.*,
@@ -5190,7 +5203,7 @@ object SparkEntry {
       """WITH cm AS (
         |  SELECT o_custkey AS cust,
         |    year(o_orderdate)*12 + month(o_orderdate) - 1 AS mi,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1, 2),
         |j AS (
         |  SELECT a.mi, a.rev, b.rev AS prev_rev
@@ -5208,7 +5221,7 @@ object SparkEntry {
     "q352_seasonal_index" ->
       """WITH monthly AS (
         |  SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 AS mi,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |r AS (
         |  SELECT mi, rev,
@@ -5249,7 +5262,7 @@ object SparkEntry {
     "q354_runs_test" ->
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS eday,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |m AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
         |s AS (SELECT eday, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
@@ -5374,8 +5387,8 @@ object SparkEntry {
         |FROM e""".stripMargin,
     "q366_theil_index" ->
       """WITH cr AS (
-        |  SELECT o_custkey AS ck, sum(o_totalprice) AS x
-        |  FROM orders GROUP BY 1 HAVING sum(o_totalprice) > 0),
+        |  SELECT o_custkey AS ck, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1 HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 0),
         |j AS (
         |  SELECT n.n_name, cr.x FROM cr
         |  JOIN customer c ON cr.ck = c.c_custkey
@@ -5785,7 +5798,7 @@ object SparkEntry {
         |FROM d a CROSS JOIN d b WHERE a.side = 0 AND b.side = 1""".stripMargin,
     "q386_partial_corr" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x,
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x,
         |    CAST(count(*) AS DOUBLE) AS y, avg(o_totalprice) AS z
         |  FROM orders GROUP BY 1),
         |c AS (
@@ -5881,7 +5894,7 @@ object SparkEntry {
     "q390_event_study" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |d2 AS (SELECT day, rev, date_diff('day', DATE '1970-01-01', day) AS di FROM daily),
         |m AS (SELECT di AS mdi FROM d2 ORDER BY rev DESC, day LIMIT 1),
@@ -6028,7 +6041,7 @@ object SparkEntry {
     "q397_mann_kendall" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    floor(sum(o_totalprice)*10000 + 0.5)/10000 AS rev
+        |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)*10000 + 0.5)/10000 AS rev
         |  FROM orders GROUP BY 1),
         |d2 AS (SELECT rev, date_diff('day', DATE '1970-01-01', day) AS di FROM daily),
         |s AS (
@@ -6119,7 +6132,9 @@ object SparkEntry {
     "q412_containment_budgeted" ->
       // q201 with the ENFORCED pair budget: the df cutoff is DERIVED in
       // SQL exactly as budgetedMaxDf derives it in Spark — largest df
-      // ≤ 200 whose cumulative Σ df·(df−1) ≤ 2·budget (budget 1000000)
+      // ≤ 200 whose cumulative Σ df·(df−1) ≤ 2·budget, where budget is
+      // the SCALE-AWARE max(10⁶, n_docs·2000) (round-10 weak-row fix);
+      // the derived cap + dropped-incidence share ride on every row
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
         |sh AS (
@@ -6127,12 +6142,18 @@ object SparkEntry {
         |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
         |  WHERE len(tk) >= 3),
+        |budget AS (SELECT greatest(1000000, count(*) * 2000) AS b FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
         |hist AS (SELECT df, count(*) AS n_sh FROM dfs GROUP BY 1),
         |cum AS (SELECT df, sum(df*(df - 1)*n_sh) OVER (ORDER BY df) AS cum2 FROM hist),
-        |cut AS (SELECT COALESCE(max(CASE WHEN df <= 200 AND cum2 <= 2*1000000 THEN df END), 1)
+        |cut AS (SELECT COALESCE(max(CASE WHEN df <= 200
+        |            AND cum2 <= 2*(SELECT b FROM budget) THEN df END), 1)
         |          AS cutoff FROM cum),
+        |disc AS (SELECT floor(
+        |    COALESCE(sum(CASE WHEN df > (SELECT cutoff FROM cut) THEN df*n_sh END), 0)
+        |      / CAST(sum(df*n_sh) AS DOUBLE) * 10000 + 0.5)/10000 AS s
+        |  FROM hist),
         |rare AS (
         |  SELECT s.doc_id, s.sh FROM sh s JOIN dfs d ON s.sh = d.sh, cut
         |  WHERE d.df <= cut.cutoff),
@@ -6142,7 +6163,9 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT i.doc_a, i.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, i.common,
         |  floor(i.common / CAST(sa.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ab,
-        |  floor(i.common / CAST(sb.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ba
+        |  floor(i.common / CAST(sb.sz AS DOUBLE) * 10000 + 0.5)/10000 AS c_ba,
+        |  CAST((SELECT cutoff FROM cut) AS INT) AS eff_max_df,
+        |  (SELECT s FROM disc) AS dropped_incidence_share
         |FROM inter i
         |JOIN sizes sa ON i.doc_a = sa.doc_id
         |JOIN sizes sb ON i.doc_b = sb.doc_id
@@ -6213,10 +6236,10 @@ object SparkEntry {
         |FROM s WHERE rn_all < nt""".stripMargin,
     "q416_hodges_lehmann" ->
       """WITH da AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS xa
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS xa
         |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
         |db AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS xb
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS xb
         |  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1),
         |d AS (SELECT xb - xa AS d FROM da CROSS JOIN db)
         |SELECT count(*) AS n_pairs,
@@ -6307,7 +6330,7 @@ object SparkEntry {
         |FROM g""".stripMargin,
     "q420_expected_shortfall" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1),
         |v AS (SELECT quantile_cont(x, CAST(0.05 AS DOUBLE)) AS var_p FROM daily)
         |SELECT count(*) AS n_days,
@@ -6341,9 +6364,110 @@ object SparkEntry {
         |    *10000 + 0.5)/10000 AS dead_retail_value
         |FROM part p LEFT JOIN ordered o ON p.p_partkey = o.l_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q423_threshold_sweep_sampled" ->
+      // q418's sweep on the md5(doc_id) quarter-sample (q55/q157 idiom)
+      // — the oracle stays feasible at every SF because the quadratic
+      // pair term shrinks by p²
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s.sh
+        |  FROM toks, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s(sh)
+        |  WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    floor(i.common / CAST(sa.sz + sb.sz - i.common AS DOUBLE)*10000 + 0.5)/10000 AS j
+        |  FROM inter i
+        |  JOIN sizes sa ON i.doc_a = sa.doc_id
+        |  JOIN sizes sb ON i.doc_b = sb.doc_id
+        |  WHERE floor(i.common / CAST(sa.sz + sb.sz - i.common AS DOUBLE)*10000 + 0.5)/10000
+        |    >= CAST(0.5 AS DOUBLE)),
+        |grid AS (SELECT CAST(g.t AS DOUBLE) AS theta
+        |  FROM unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS g(t)),
+        |per AS (
+        |  SELECT g.theta, p.doc_a, p.doc_b, p.j
+        |  FROM grid g JOIN pairs p ON p.j >= g.theta),
+        |np AS (SELECT theta, count(*) AS n_pairs,
+        |    floor(avg(j)*10000 + 0.5)/10000 AS avg_jaccard
+        |  FROM per GROUP BY 1),
+        |nd AS (SELECT theta, count(DISTINCT d) AS n_docs_affected FROM (
+        |    SELECT theta, doc_a AS d FROM per
+        |    UNION ALL SELECT theta, doc_b FROM per) GROUP BY 1)
+        |SELECT floor(g.theta*10000 + 0.5)/10000 AS theta,
+        |  COALESCE(np.n_pairs, 0) AS n_pairs,
+        |  COALESCE(nd.n_docs_affected, 0) AS n_docs_affected,
+        |  np.avg_jaccard
+        |FROM grid g LEFT JOIN np ON g.theta = np.theta
+        |LEFT JOIN nd ON g.theta = nd.theta
+        |ORDER BY theta""".stripMargin,
+    "q424_duplication_profile" ->
+      """WITH c AS (
+        |  SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+        |    count(*) AS k, sum(len(regexp_extract_all(text,'\S+'))) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(k) AS tot_docs, sum(toks) AS tot_toks FROM c)
+        |SELECT k, count(*) AS n_clusters, CAST(sum(k) AS BIGINT) AS n_docs,
+        |  floor(sum(k)/CAST((SELECT tot_docs FROM tot) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS doc_share,
+        |  floor(sum(toks)/CAST((SELECT tot_toks FROM tot) AS DOUBLE)*10000 + 0.5)/10000
+        |    AS token_share
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q425_dup_span_sources" ->
+      """WITH c AS (
+        |  SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS fp,
+        |    count(*) AS k, count(DISTINCT source) AS n_sources
+        |  FROM documents GROUP BY 1)
+        |SELECT CASE WHEN k = 1 THEN 'unique'
+        |            WHEN n_sources = 1 THEN 'within_source'
+        |            ELSE 'cross_source' END AS span,
+        |  count(*) AS n_clusters, CAST(sum(k) AS BIGINT) AS n_docs,
+        |  CAST(sum(k - 1) AS BIGINT) AS n_redundant
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q407_compression_quality" ->
+      // GOLDEN oracle (q227/q218 discipline — carried round-9 item): no
+      // SQL deflate exists (DuckDB probed), but java.util.zip level-6 on
+      // the pinned JDK is deterministic, so the sf0.01 per-source report
+      // is pinned as VALUES. Catches silent codec/normalization drift
+      // the rows-only check never could. SF-SPECIFIC: self-run sweeps at
+      // other SFs must skip q407 (like q418's oracle-infeasible row).
+      """SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(avg_ratio AS DOUBLE) AS avg_ratio,
+        |  CAST(n_low_info AS BIGINT) AS n_low_info,
+        |  CAST(n_degenerate AS BIGINT) AS n_degenerate,
+        |  CAST(keep_share AS DOUBLE) AS keep_share
+        |FROM (VALUES
+        |  ('src0', 25, 1.9513, 12, 0, 0.52),
+        |  ('src1', 25, 2.0213, 9, 0, 0.64),
+        |  ('src10', 25, 1.8525, 17, 0, 0.32),
+        |  ('src11', 25, 1.992, 11, 0, 0.56),
+        |  ('src12', 25, 1.8298, 15, 0, 0.4),
+        |  ('src13', 25, 1.9875, 11, 0, 0.56),
+        |  ('src14', 25, 1.8529, 13, 0, 0.48),
+        |  ('src15', 25, 1.8615, 14, 0, 0.44),
+        |  ('src16', 25, 1.8678, 10, 0, 0.6),
+        |  ('src17', 25, 1.9218, 13, 0, 0.48),
+        |  ('src18', 25, 1.9046, 14, 0, 0.44),
+        |  ('src19', 25, 1.7612, 17, 0, 0.32),
+        |  ('src2', 25, 1.9193, 13, 0, 0.48),
+        |  ('src3', 25, 1.8951, 14, 0, 0.44),
+        |  ('src4', 25, 1.8579, 15, 0, 0.4),
+        |  ('src5', 25, 1.857, 12, 0, 0.52),
+        |  ('src6', 25, 1.8267, 14, 0, 0.44),
+        |  ('src7', 25, 1.9658, 11, 0, 0.56),
+        |  ('src8', 25, 1.7828, 18, 0, 0.28),
+        |  ('src9', 25, 1.9354, 14, 0, 0.44)
+        |) AS t(source, n_docs, avg_ratio, n_low_info, n_degenerate, keep_share)
+        |ORDER BY source""".stripMargin,
     "q408_hurst" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1),
         |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
         |sized AS (
@@ -6408,7 +6532,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q403_grubbs" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1),
         |st AS (SELECT count(*) AS n_days, avg(x) AS mu, stddev_samp(x) AS s FROM daily),
         |dv AS (
@@ -6442,7 +6566,7 @@ object SparkEntry {
         |FROM fin""".stripMargin,
     "q404_page_hinkley" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS x
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1),
         |st AS (SELECT avg(x) AS gmu, stddev_samp(x) AS sigma FROM daily),
         |r AS (SELECT day, x, gmu, sigma,
@@ -6886,7 +7010,7 @@ object SparkEntry {
         |FROM e""".stripMargin,
     "q363_ljung_box" ->
       """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1),
         |mean AS (SELECT avg(rev) AS xbar, count(*) AS n FROM daily),
         |c AS (SELECT date_diff('day', DATE '1970-01-01', day) AS di,

@@ -801,7 +801,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    inter
+    val base = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("c_ab", col("common") / col("sz_a"))
@@ -810,6 +810,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("common"),
         round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
       .orderBy("doc_a", "doc_b")
+    // SELF-DESCRIBING budget binding (round-10 weak row: the default
+    // budget collapsed the sf1 output to 0 rows and NOTHING on the
+    // result said so — a caller who never runs q411 reads "no
+    // near-dups" and believes it). When a budget is active, every
+    // output row carries the derived cap and the share of shingle
+    // incidence it discarded; a >50% discard additionally logs loud.
+    pairBudget.fold(base) { _ =>
+      val share = incidenceDropShare(sets, effMaxDf)
+      if (share > 0.5)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"containmentJoin pair budget dropped ${share * 100}% of shingle " +
+            s"incidence (eff_max_df=$effMaxDf) — near-dup recall is bounded; " +
+            "run Dedup.pairBudget to price a larger budget")
+      base
+        .withColumn("eff_max_df", lit(effMaxDf))
+        .withColumn("dropped_incidence_share",
+          lit(math.floor(share * 10000 + 0.5) / 10000))
+    }
   }
 
   /** The budget → cap derivation [[containmentJoin]] enforces: largest
@@ -838,6 +856,35 @@ object Dedup {
       .head()
     if (r.isNullAt(0)) 1 else math.max(1, r.getLong(0).toInt)
   }
+
+  /** Share of shingle INCIDENCE (Σ df) above the derived cap — the
+    * number the budget disclosure rides on. One histogram-sized
+    * aggregate (same dfs frame as [[budgetedMaxDf]]), 1-row lookup. */
+  private[graft] def incidenceDropShare(sets: DataFrame, cutoff: Int): Double = {
+    val r = sets
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") > cutoff, col("df")).otherwise(0L)).as("dropped"),
+        sum(col("df")).as("tot"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1).toDouble
+  }
+
+  /** Scale-aware default pair budget (round-10 weak-row fix): a FIXED
+    * budget tuned at one SF silently empties the join at 10× (the df
+    * distribution shifts right ∝ corpus size, so a constant cutoff
+    * prices out exactly the high-df shingles where the near-dup signal
+    * lives). `max(floor, n_docs · perDoc)` keeps the enumeration
+    * allowance proportional to corpus cardinality — still a hard cost
+    * ceiling (pairs want to grow quadratically; this grows linearly),
+    * but one that binds by DESIGN at scale instead of by accident at
+    * the tuning SF. Cost: one count() of the input. */
+  def scaledPairBudget(
+      documents: DataFrame,
+      floor: Long = 1000000L,
+      perDoc: Long = 2000L): Long =
+    math.max(floor, documents.count() * perDoc)
 
   /** q350: dedup CASCADE report — the pipeline-composition readout a
     * curation run ships with: how many documents and how much token
@@ -931,6 +978,87 @@ object Dedup {
         round(col("dropped_inc") / col("tot_inc").cast("double"), 4)
           .as("dropped_incidence_share"))
       .orderBy("max_df")
+  }
+
+  /** q423: the q418 threshold sweep on a DETERMINISTIC md5 SUB-CORPUS
+    * (the q55/q157/q300 sampling idiom: membership = md5(doc_id) hex
+    * prefix, portable across engines) — the SCALE path for the sweep's
+    * own cost: the exact sweep's pair enumeration grows ~quadratically
+    * in corpus duplication, and at sf1 its brute DuckDB oracle form
+    * OOMs (round-10: "oracle-infeasible"); a p-fraction sample cuts the
+    * quadratic term by p² while the θ-curve SHAPE (the decision the
+    * sweep informs) is preserved. Oracle-checkable at every SF. */
+  def thresholdSweepSampled(
+      documents: DataFrame,
+      thetas: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      hexChars: Seq[String] = Seq("0", "1", "2", "3")): DataFrame =
+    thresholdSweep(
+      documents.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 1).isInCollection(hexChars)),
+      thetas)
+
+  /** q424: corpus DUPLICATION PROFILE — the "how duplicated is this
+    * corpus" readout a dedup pass is judged against (q33 deduplicates,
+    * q350 reports survival; this reports the SHAPE of the duplication
+    * being removed): exact-fingerprint cluster sizes, and per size k
+    * the number of clusters, the document share, and the token share
+    * held in k-sized clusters. A healthy crawl is mass-at-1; a quote
+    * farm shows a fat tail. One fp groupBy + one bounded histogram
+    * aggregate — the k domain is ≤ max cluster size. */
+  def duplicationProfile(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val clusters = documents
+      .select(fingerprint(col("text")).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("k"), sum("n_tok").as("toks"))
+    val tot = clusters.agg(
+      sum(col("k")).as("tot_docs"), sum(col("toks")).as("tot_toks"))
+    clusters
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .crossJoin(broadcast(tot)) // 1-row scalar (q14 idiom)
+      .select(
+        col("k"),
+        col("n_clusters"),
+        col("n_docs"),
+        round(col("n_docs") / col("tot_docs").cast("double"), 4).as("doc_share"),
+        round(col("n_tokens") / col("tot_toks").cast("double"), 4).as("token_share"))
+      .orderBy("k")
+  }
+
+  /** q425: WITHIN- vs CROSS-SOURCE duplication — where the exact dups
+    * COME FROM (q424 profiles how much; this says whether dedup should
+    * run per-source or globally: within-source dups are re-crawls and
+    * cheap to kill at ingest, cross-source dups are syndication and
+    * need the global pass): per fingerprint cluster (size ≥ 2), is it
+    * confined to one source or spanning several; report per bucket the
+    * cluster count, doc count, and redundant-doc count (k−1 per
+    * cluster — what a keep-one dedup would delete). Plans as one fp
+    * groupBy with a countDistinct(source) — no pair expansion at all,
+    * the cheapest possible dup-provenance readout. */
+  def dupSpanSources(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    documents
+      .select(fingerprint(col("text")).as("fp"), col("source"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("k"), countDistinct("source").as("n_sources"))
+      // singletons stay in the report as their own bucket: a clean
+      // corpus must read "all unique", not an empty frame (the q412
+      // lesson — empty output is indistinguishable from a broken probe)
+      .withColumn("span",
+        when(col("k") === 1, "unique")
+          .when(col("n_sources") === 1, "within_source")
+          .otherwise("cross_source"))
+      .groupBy("span")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"),
+        sum(col("k") - 1).as("n_redundant"))
+      .orderBy("span")
   }
 
   /** q418: DEDUP THRESHOLD SWEEP — what each candidate jaccard policy

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.PortableRound.round
+import graft.functions.PortableRound.{moneySum, round}
 
 /** Time-partition analytics over the event stream (SURVEY.md §2 q20–q22).
   *
@@ -1756,7 +1756,7 @@ object EventAnalytics {
       .groupBy(
         col("o_custkey").as("cust"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val prev = cm.select(
       col("cust"), (col("mi") + 1).as("mi"), col("rev").as("prev_rev"))
     val joined = cm.join(prev, Seq("cust", "mi"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableRound.round
+import graft.functions.PortableRound.{moneySum, round}
 
 /** Total-order operators — global `row_number` / `ntile` — that never
   * plan a data-sized `Exchange SinglePartition`.
@@ -225,7 +225,7 @@ object GlobalOrder {
         // 4dp-rounded BEFORE ranking (the q283 lesson, applied here by an
         // sf1 failure: raw double sums order differently per summation
         // order, flipping quintile boundaries between engines)
-        round(sum(col("o_totalprice")), 4).as("monetary"))
+        round(moneySum(col("o_totalprice")), 4).as("monetary"))
       .withColumn("neg_recency", -col("recency_days"))
       .cache()
     // three INDEPENDENT quintile passes over the cached frame, joined
@@ -273,7 +273,7 @@ object GlobalOrder {
     def tierOf(slice: DataFrame, out: String): DataFrame = {
       val rev = slice
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+        .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       withExactNtile(rev, col("rev"), Seq("rev", "o_custkey"), tiers, out, numBuckets)
         .select("o_custkey", out)
     }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.PortableRound.round
+import graft.functions.PortableRound.{moneySum, round}
 
 /** q98: fixed-iteration PageRank over the co-purchase graph — the
   * link-graph importance signal corpus-curation pipelines compute over
@@ -294,7 +294,7 @@ object Graph {
       .groupBy("node")
       .agg(
         count(lit(1)).as("n_parts"),
-        round(sum(col("p_retailprice")), 2).as("subtree_cost"))
+        round(moneySum(col("p_retailprice")), 2).as("subtree_cost"))
       .orderBy("node")
 
   /** Canonically-oriented (pa < pb) co-purchase edges with support ≥

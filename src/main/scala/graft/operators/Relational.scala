@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.PortableRound.round
+import graft.functions.PortableRound.{money, moneySum, oneRate, rate, round}
 
 /** Relational/analytical operator suite (SURVEY.md §2 q01–q18).
   *
@@ -23,16 +23,17 @@ object Relational {
     * ~8-group aggregation — map-side combine reduces 100 TB to KBs. */
   def pricingSummary(lineitem: DataFrame): DataFrame = {
     // EXACT decimal money mass (the q200 discipline, promoted here by a
-    // real failure): at sf1 the fact-wide double sums reach ~3e10 over
-    // 6M rows, where summation ORDER moves the total by ~1e-4 — across
-    // engines (and across Spark's own partitionings) the 4dp display
-    // rounding is no longer stable. Inputs are 2dp money: cast once,
-    // sum exactly, divide exactly, display as double at the end.
-    val qty = col("l_quantity").cast("decimal(18,2)")
-    val price = col("l_extendedprice").cast("decimal(18,2)")
-    val disc = col("l_discount").cast("decimal(4,2)")
-    val tax = col("l_tax").cast("decimal(4,2)")
-    val one2 = lit(1).cast("decimal(4,2)")
+    // real failure, now centralized in PortableRound): at sf1 the
+    // fact-wide double sums reach ~3e10 over 6M rows, where summation
+    // ORDER moves the total by ~1e-4 — across engines (and across
+    // Spark's own partitionings) the 4dp display rounding is no longer
+    // stable. Inputs are 2dp money: cast once, sum exactly, divide
+    // exactly, display as double at the end.
+    val qty = money(col("l_quantity"))
+    val price = money(col("l_extendedprice"))
+    val disc = rate(col("l_discount"))
+    val tax = rate(col("l_tax"))
+    val one2 = oneRate
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
@@ -82,10 +83,9 @@ object Relational {
       // PROACTIVELY: per-brand revenue reaches ~7e9 at sf1, one SF away
       // from the summation-order boundary the fixed queries crossed)
       .agg(
-        round(sum((col("l_extendedprice").cast("decimal(18,2)"))
-          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        round(sum(money(col("l_extendedprice")) * (oneRate - rate(col("l_discount"))))
           .cast("double"), 4).as("revenue"),
-        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).as("sum_qty"),
+        round(moneySum(col("l_quantity")), 4).as("sum_qty"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
@@ -109,8 +109,7 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       // exact decimal money mass (q01 class, proactive: ~1.2e10/nation at sf1)
-      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)"))
-        * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+      .agg(round(sum(money(col("l_extendedprice")) * (oneRate - rate(col("l_discount"))))
         .cast("double"), 4).as("revenue"))
       .orderBy("n_name")
 
@@ -122,8 +121,8 @@ object Relational {
         col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount") >= 0.02 && col("l_discount") <= 0.06 && col("l_quantity") < 24)
       // exact decimal mass (q01 class, proactive: one fact-wide total)
-      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)"))
-        * col("l_discount").cast("decimal(4,2)")).cast("double"), 4).as("revenue"))
+      .agg(round(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double"), 4).as("revenue"))
 
   /** q07: windowed ranking per customer. Single shuffle on the partition
     * key; tie-broken by orderkey so ranks are deterministic. */
@@ -348,7 +347,7 @@ object Relational {
     val rev = orders
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy("c_nationkey", "c_custkey")
-      .agg(sum("o_totalprice").as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     val tot = rev.groupBy("c_nationkey").agg(sum("rev").as("tot"))
     rev
       .join(broadcast(tot), Seq("c_nationkey"))
@@ -381,7 +380,7 @@ object Relational {
         // comparison boundary
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")))
           .cast("double").as("month_idx"))
-      .agg(sum("o_totalprice").as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     monthly
       .groupBy("c_nationkey")
       .agg(
@@ -846,7 +845,7 @@ object Relational {
       .join(customer.select("c_custkey", "c_nationkey"),
         orders("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey")
-      .agg(round(sum("o_totalprice"), 4).as("revenue"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("revenue"))
       .join(broadcast(nation.select(
         col("n_nationkey").as("c_nationkey"), col("n_name"), col("n_regionkey"))),
         Seq("c_nationkey"))
@@ -924,7 +923,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_sampled"),
         round(count(lit(1)) / lit(p), 4).as("est_count"),
-        round(sum("o_totalprice") / lit(p), 4).as("est_revenue"),
+        round(moneySum(col("o_totalprice")) / lit(p), 4).as("est_revenue"),
         round(
           sqrt(sum(col("o_totalprice") * col("o_totalprice")) * lit((1 - p) / (p * p))),
           4).as("stderr_revenue"))
@@ -1133,7 +1132,8 @@ object Relational {
         col("o_custkey"),
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-        round(sum("o_totalprice").over(w), 4).as("running_total"))
+        round(sum(money(col("o_totalprice"))).over(w).cast("double"), 4)
+          .as("running_total"))
       .orderBy("o_custkey", "order_date", "o_orderkey")
   }
 
@@ -1198,7 +1198,7 @@ object Relational {
       .groupBy(customer("c_custkey").as("c_custkey"), col("c_mktsegment"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum("o_totalprice"), lit(0.0)), 4).as("total_spend"))
+        round(coalesce(moneySum(col("o_totalprice")), lit(0.0)), 4).as("total_spend"))
       .orderBy("c_custkey")
 
   /** q37: approximate percentiles (KLL/GK-style sketch) — the 100 TB
@@ -1496,7 +1496,7 @@ object Relational {
   def monthOverMonth(orders: DataFrame): DataFrame = {
     val monthly = orders
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(sum("o_totalprice").as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     val w = Window.orderBy("month")
     monthly
       .withColumn("prev", lag(col("rev"), 1).over(w))
@@ -1556,7 +1556,8 @@ object Relational {
   def abcAnalysis(lineitem: DataFrame, numBuckets: Int = 32): DataFrame = {
     val perPart = lineitem
       .groupBy(col("l_partkey"))
-      .agg(floor(sum(col("l_extendedprice")) * 10000 + 0.5).cast("long").as("revi"))
+      // exact: 2dp money × 10⁴ is integral in decimal, no rounding needed
+      .agg((sum(money(col("l_extendedprice"))) * 10000).cast("long").as("revi"))
       .withColumn("rev", col("revi") / 10000.0)
     // range-bucket by revenue (descending processing order = ascending
     // bucket of -rev), mirroring GlobalOrder.withGlobalRowNumber
@@ -1637,7 +1638,7 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       // exact decimal mass (q01 class, proactive: ~1.5e10/nation at sf1)
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     val total = perNation.agg(sum(col("rev")).as("tot"))
     perNation
       .crossJoin(broadcast(total))
@@ -1792,8 +1793,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_lines"),
         // exact decimal mass (sf1: rollup totals at 5e10 are order-dependent)
-        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
-          .as("revenue"),
+        round(moneySum(col("l_extendedprice")), 4).as("revenue"),
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("l_linestatus")).cast("int").as("g_status"),
         grouping_id().cast("long").as("gid"))
@@ -1812,7 +1812,8 @@ object Relational {
     orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"), epochDay.as("day_idx"))
-      .withColumn("trailing_rev", round(sum(col("o_totalprice")).over(w), 4))
+      .withColumn("trailing_rev",
+        round(sum(money(col("o_totalprice"))).over(w).cast("double"), 4))
       .withColumn("n_in_window", count(lit(1)).over(w))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
@@ -1828,7 +1829,7 @@ object Relational {
     * canonical strings so the oracle compare is representation-exact;
     * the double sum rides along to document the contrast. */
   def exactMoney(orders: DataFrame): DataFrame = {
-    val dec = col("o_totalprice").cast("decimal(18,2)")
+    val dec = money(col("o_totalprice"))
     orders
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -1840,7 +1841,7 @@ object Relational {
         // itself summation-order-dependent, so its display is 2dp (cent
         // grain): at sf1 the cross-engine order difference is ~1e-4 on a
         // 7.5e10 mass, invisible at cents, unbounded at 4dp
-        round(sum(col("o_totalprice")), 2).as("sum_double"))
+        round(sum(col("o_totalprice")), 2).as("sum_double")) // lint:raw-money-sum-ok (the demo column)
       .orderBy("o_orderpriority")
   }
 
@@ -1928,7 +1929,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_sampled"),
         round(count(lit(1)) / p, 4).as("est_orders"),
-        round(sum("o_totalprice") / p, 4).as("est_revenue"))
+        round(moneySum(col("o_totalprice")) / p, 4).as("est_revenue"))
       .orderBy("c_nationkey")
   }
 
@@ -1944,7 +1945,7 @@ object Relational {
       .join(customer.select("c_custkey", "c_nationkey"),
         orders("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(sum("o_totalprice").as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     val w = Window.partitionBy("c_nationkey").orderBy("month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly
@@ -1987,14 +1988,20 @@ object Relational {
       .join(customer.select("c_custkey", "c_nationkey"),
         orders("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey")
-      .agg(sum("o_totalprice").as("rev"))
+      // rev stays DECIMAL through the grand total: the second-level sum
+      // of per-nation doubles re-introduced the summation-order drift
+      // the first level just removed (measured: 1 ulp at the 4dp
+      // boundary on peer_avg) — subtract exactly, go double only for
+      // the final division
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
     val tot = nationRev.agg(sum("rev").as("tot_rev"), count(lit(1)).as("n_nations"))
-    val peerAvg = (col("tot_rev") - col("rev")) / (col("n_nations") - lit(1))
+    val peerAvg =
+      (col("tot_rev") - col("rev")).cast("double") / (col("n_nations") - lit(1))
     nationRev
       .crossJoin(broadcast(tot))
       .select(
         col("c_nationkey"),
-        round(col("rev"), 4).as("revenue"),
+        round(col("rev").cast("double"), 4).as("revenue"),
         round(peerAvg, 4).as("peer_avg"),
         round(col("rev") / peerAvg, 4).as("vs_peers"))
       .orderBy("c_nationkey")
@@ -2211,8 +2218,7 @@ object Relational {
         count(lit(1)).as("n_lines"),
         // exact decimal mass (the q01/q206 sf1 lesson: grand totals at
         // 1.6e11 are summation-order-dependent past the 4dp display)
-        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4)
-          .as("revenue"),
+        round(moneySum(col("l_extendedprice")), 4).as("revenue"),
         grouping_id().cast("long").as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 

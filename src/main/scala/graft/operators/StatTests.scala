@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.PortableRound.round
+import graft.functions.PortableRound.{money, moneySum, round}
 
 /** Statistical-inference and time-series diagnostics over warehouse
   * tables — the "is this distribution what I think it is" toolkit that
@@ -41,7 +41,7 @@ object StatTests {
   def autocorrelation(orders: DataFrame, lags: Seq[Int] = Seq(1, 2, 3, 7)): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
       .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
     val lagged = daily
       .select(col("di"), col("rev").as("x"))
@@ -85,7 +85,7 @@ object StatTests {
   def giniRevenue(orders: DataFrame): DataFrame = {
     val perCust = orders
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     GlobalOrder
       .withGlobalRowNumber(perCust, col("rev"), Seq("rev", "o_custkey"), "rn", "__tot")
       .agg(
@@ -170,7 +170,7 @@ object StatTests {
       // summation-order-dependent past the 4dp display); the window
       // algebra below runs on the identical-everywhere double cast
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        moneySum(col("o_totalprice")).as("revenue"))
       .withColumn("overall",
         sum(col("revenue")).over(one) / sum(col("n_orders")).over(one))
       .select(
@@ -191,7 +191,7 @@ object StatTests {
   def stlDecompose(orders: DataFrame, halfWindow: Int = 14): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     val trendW = Window.orderBy("d").rowsBetween(-halfWindow, halfWindow)
     val dowW = Window.partitionBy("dow")
     daily
@@ -310,7 +310,7 @@ object StatTests {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       .orderBy("d")
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"))
       .as[(String, Double)].collect()
@@ -357,7 +357,7 @@ object StatTests {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       .orderBy("d")
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("rev"))
       .as[(String, Double)].collect()
@@ -501,7 +501,7 @@ object StatTests {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       // exact daily feed: the recursion's INPUTS must be bit-identical
       // across engines or every downstream term inherits the drift
-      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       .withColumn("rn", row_number().over(one.orderBy("d")))
     val decay = pow(lit(1.0 - alpha), col("o"))
     val weight = when(col("jk") === 1, decay).otherwise(lit(alpha) * decay)
@@ -573,7 +573,7 @@ object StatTests {
   def cusumDrift(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
     val stats = daily.agg(
       avg("x").as("mu"), stddev_samp(col("x")).as("sigma"))
     val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -601,7 +601,7 @@ object StatTests {
   def weekdayAnova(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
       .withColumn("wd", dayofweek(col("day")))
     val grand = daily.agg(avg("x").as("gm"), count(lit(1)).as("n"))
     daily
@@ -788,7 +788,7 @@ object StatTests {
   def ljungBox(orders: DataFrame, maxLag: Int = 7): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
       .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
     // two-pass: mean first (1 row), then the centered series
     val mean = daily.agg(avg("rev").as("xbar"), count(lit(1)).as("n"))
@@ -856,7 +856,7 @@ object StatTests {
     * (#nations rows), one closed-form aggregate. */
   def theilIndex(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
     val custRev = orders.groupBy(col("o_custkey").as("ck"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
       .filter(col("x") > 0)
       .join(customer.select(col("c_custkey").as("ck"), col("c_nationkey")), "ck")
       .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
@@ -1005,7 +1005,7 @@ object StatTests {
   def seasonalBacktest(orders: DataFrame, season: Int = 7): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
       .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
     daily
       .join(daily.select((col("di")).as("di_s"), col("rev").as("rev_s")),
@@ -1058,7 +1058,7 @@ object StatTests {
   def lorenzCurve(orders: DataFrame): DataFrame = {
     val perCust = orders
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val byDecile = GlobalOrder
       .withExactNtile(perCust, col("rev"), Seq("rev", "o_custkey"), 10, "decile")
       .groupBy("decile")
@@ -1086,7 +1086,7 @@ object StatTests {
   def spcChart(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(moneySum(col("o_totalprice")).as("rev"))
     val lagW = Window.orderBy("d")
     val withMr = daily.withColumn("mr", abs(col("rev") - lag(col("rev"), 1).over(lagW)))
     val limits = withMr.agg(
@@ -1542,7 +1542,7 @@ object StatTests {
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       .orderBy("d")
       .select(col("rev")).as[Double].collect()
     val n = daily.length
@@ -1740,7 +1740,7 @@ object StatTests {
       .groupBy(col("nation"), to_date(col("o_orderdate")).as("d"))
       // 4dp pre-round: the grid feeds moments in BOTH engines, so the
       // inputs must already be bit-equal (sum order differs across them)
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val grid = daily.select("nation").distinct()
       .crossJoin(daily.select("d").distinct())
       .join(daily, Seq("nation", "d"), "left")
@@ -1776,7 +1776,7 @@ object StatTests {
       .groupBy(
         datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("eday"),
         date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val w7 = Window.orderBy("eday").rangeBetween(-6, 0)
     daily
       .withColumn("med7", expr("percentile(rev, 0.5)").over(w7))
@@ -1805,7 +1805,7 @@ object StatTests {
       .groupBy(
         datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("eday"),
         date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val wd = Window.orderBy("eday")
     val w7 = Window.orderBy("eday").rangeBetween(-6, 0)
     daily
@@ -1877,7 +1877,7 @@ object StatTests {
   def seasonalIndex(orders: DataFrame): DataFrame = {
     val monthly = orders
       .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val w = Window.orderBy("mi").rowsBetween(-6, 6)
     val ratio = monthly
       .withColumn("n_win", count(lit(1)).over(w))
@@ -1913,7 +1913,7 @@ object StatTests {
     val daily = orders
       .groupBy(
         datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("eday"))
-      .agg(round(sum(col("o_totalprice")), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
     val med = daily.agg(expr("percentile(rev, 0.5)").as("med")) // 1 row
     val signed = daily
       .crossJoin(broadcast(med))
@@ -2414,7 +2414,7 @@ object StatTests {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(
-        sum("o_totalprice").as("x"),
+        moneySum(col("o_totalprice")).as("x"),
         count(lit(1)).cast("double").as("y"),
         avg("o_totalprice").as("z"))
     daily
@@ -2528,7 +2528,7 @@ object StatTests {
   def eventStudy(orders: DataFrame, k: Int = 7): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
     val marker = daily.orderBy(desc("rev"), asc("day")).limit(1)
       .select(col("di").as("mdi"), col("day").as("marker_day"))
@@ -2584,7 +2584,7 @@ object StatTests {
   def mannKendall(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum("o_totalprice"), 4).as("rev"))
+      .agg(round(moneySum(col("o_totalprice")), 4).as("rev"))
       .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
     val s = daily.as("a").join(daily.as("b"), col("a.di") < col("b.di"))
       .agg(sum(signum(col("b.rev") - col("a.rev"))).cast("long").as("s_stat"))
@@ -2831,7 +2831,7 @@ object StatTests {
   def grubbs(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
     val stats = daily.agg(
       count(lit(1)).as("n_days"), avg("x").as("mu"), stddev_samp(col("x")).as("s"))
     val wTop = Window.orderBy(desc("dev"), col("day")) // ≤calendar-bounded frame
@@ -2868,7 +2868,7 @@ object StatTests {
   def pageHinkley(orders: DataFrame, delta: Double = 0.005): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
     val stats = daily.agg(avg("x").as("gmu"), stddev_samp(col("x")).as("sigma"))
     val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -2901,7 +2901,7 @@ object StatTests {
   def hurst(orders: DataFrame, sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
       .withColumn("rn", row_number().over(Window.orderBy("day"))) // calendar frame
     val sized = daily
       .withColumn("size", explode(lit(sizes.toArray)))
@@ -3030,7 +3030,7 @@ object StatTests {
     def daily(p: String) = orders
       .filter(col("o_orderpriority") === p)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
     daily(prioA).select(col("x").as("xa"))
       .crossJoin(daily(prioB).select(col("x").as("xb")))
       .select((col("xb") - col("xa")).as("d"))
@@ -3084,7 +3084,7 @@ object StatTests {
   def expectedShortfall(orders: DataFrame, p: Double = 0.05): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
     val varRow = daily.agg(expr(s"percentile(x, $p)").as("var_p"))
     daily
       .crossJoin(broadcast(varRow)) // 1-row scalar (q14 idiom)

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.PortableRound.round
+import graft.functions.PortableRound.{moneySum, round}
 
 /** The remaining classic TPC-H query shapes (Q7/Q8/Q10/Q11/Q14/Q18/Q19)
   * adapted to this star schema — each one exercises a distinct plan
@@ -264,7 +264,7 @@ object TpchShapes {
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("l_partkey"))
-      .agg(sum(col("l_extendedprice")).as("value"))
+      .agg(moneySum(col("l_extendedprice")).as("value"))
     byNationPart
       .withColumn("nation_total", sum(col("value")).over(byNation))
       .withColumn("n_parts", count(lit(1)).over(byNation))
@@ -410,7 +410,7 @@ object TpchShapes {
     slice
       .join(broadcast(perPartAvg), col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_cut"))
-      .agg(round(sum(col("l_extendedprice")) / years, 4).as("avg_yearly"))
+      .agg(round(moneySum(col("l_extendedprice")) / years, 4).as("avg_yearly"))
   }
 
   /** q278: excess-stock suppliers (TPC-H Q20): suppliers whose shipments
@@ -493,7 +493,7 @@ object TpchShapes {
     slice
       .groupBy(col("l_partkey"))
       .agg(countDistinct(col("s_nationkey")).as("n_nations"),
-        round(sum(col("l_extendedprice")), 4).as("region_revenue"))
+        round(moneySum(col("l_extendedprice")), 4).as("region_revenue"))
       .crossJoin(broadcast(divisor))
       .filter(col("n_nations") === col("n_region_nations"))
       .select(col("l_partkey"), col("n_nations"), col("region_revenue"))

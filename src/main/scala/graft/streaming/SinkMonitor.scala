@@ -24,8 +24,13 @@ final class SinkMonitor extends StreamingQueryListener {
 
   /** One consumer-lag observation, taken at a micro-batch boundary:
     * [[graft.sources.OffsetLog.lagRows]] for one (group, partition)
-    * stamped with the batch that had just completed. */
+    * stamped with the QUERY (name, falling back to run id) and batch
+    * that had just completed. The query stamp disambiguates a session
+    * running several streams (or one monitor reused across drains):
+    * batch ids collide across queries, so per-batch analyses must group
+    * by (queryName, batchId) — round-10 advice. */
   final case class LagSample(
+      queryName: String,
       batchId: Long,
       group: String,
       partition: Int,
@@ -52,7 +57,7 @@ final class SinkMonitor extends StreamingQueryListener {
         p.processedRowsPerSecond,
         p.batchDuration)
     }
-    sampleLag(p.batchId)
+    sampleLag(Option(p.name).getOrElse(p.id.toString), p.batchId)
   }
 
   /** Take one lag observation NOW (also called per completed batch when
@@ -60,13 +65,13 @@ final class SinkMonitor extends StreamingQueryListener {
     * files, no Spark job — so it is safe on the listener event loop and
     * its cost is independent of log size. Best-effort: a probe failure
     * must never kill the listener bus. */
-  def sampleLag(batchId: Long): Unit =
+  def sampleLag(queryName: String, batchId: Long): Unit =
     for ((root, np, groups) <- probe; s <- session)
       try {
         val rows = graft.sources.OffsetLog.lagRows(s, root, np, groups)
         lagBuf.synchronized {
           rows.foreach { case (g, p, c, h, l, b) =>
-            lagBuf += LagSample(batchId, g, p, c, h, l, b)
+            lagBuf += LagSample(queryName, batchId, g, p, c, h, l, b)
           }
         }
       } catch { case _: Throwable => () }

@@ -32,30 +32,15 @@ object StreamingNovelty {
   private def fpsDir(root: String) = s"$root/fps"
   private def countsDir(root: String) = s"$root/counts"
 
-  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
-  }
-
   /** One micro-batch: claim first-seen fingerprints + record the doc
-    * count, both under this batch's own partition (replay-idempotent). */
+    * count, both under this batch's own partition (replay-idempotent).
+    * Round-11: the fp state rides [[FirstSeenState]]'s key-bucket
+    * layout, so the probe against history reads only the buckets this
+    * batch's fingerprints touch instead of the whole accumulated seen
+    * set (round-10 verdict, What's wrong #3). */
   def updateSeenTable(batch: DataFrame, tableRoot: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val fps = batch.select(fingerprint(col("text")).as("fp")).distinct()
-    val newFps = readIfExists(spark, fpsDir(tableRoot)) match {
-      case Some(seen) =>
-        fps.join(seen.filter(col("ingest_batch") < batchId).select("fp"),
-          Seq("fp"), "left_anti")
-      case None => fps
-    }
-    newFps
-      .withColumn("ingest_batch", lit(batchId))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .partitionBy("ingest_batch")
-      .parquet(fpsDir(tableRoot))
+    FirstSeenState.claimFirstSeen(fps, Seq("fp"), fpsDir(tableRoot), batchId)
     batch.agg(count(lit(1)).as("n_docs"))
       .withColumn("ingest_batch", lit(batchId))
       .write

@@ -70,26 +70,49 @@ class AnalyticsR15Spec extends SparkSpec {
   }
 
   test("q412: budgeted join result == explicit-cap join at the derived cap, and survivors are still found") {
-    val docs = heavyCorpus
+    // heavyCorpus + one LOW-df near-dup pair that survives the cap, so
+    // the disclosure columns are observable on actual output rows
+    val docs = heavyCorpus.union(Seq(
+      (46L, "survivor text alpha beta gamma delta", "en", "web"),
+      (47L, "survivor text alpha beta gamma delta", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"))
     val budget = 500L
     val s = Dedup.signatures(docs, 3)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .distinct()
     val derived = Dedup.budgetedMaxDf(s, 200, budget)
-    val budgeted = Dedup.containmentJoin(docs, pairBudget = Some(budget))
+    val budgetedDf = Dedup.containmentJoin(docs, pairBudget = Some(budget))
+    // round-11: a budgeted run is SELF-DESCRIBING — the derived cap and
+    // the incidence share it discarded ride on every output row
+    assert(budgetedDf.columns.takeRight(2)
+      .sameElements(Array("eff_max_df", "dropped_incidence_share")))
+    val budgeted = budgetedDf.drop("eff_max_df", "dropped_incidence_share")
       .collect().map(_.toString).sorted
     val explicit = Dedup.containmentJoin(docs, maxDf = derived)
       .collect().map(_.toString).sorted
     assert(budgeted.sameElements(explicit),
       "budgeted join must equal the explicit join at its derived cap")
+    val disc = budgetedDf.select("eff_max_df", "dropped_incidence_share").head()
+    assert(disc.getInt(0) === derived, "disclosed cap must be the derived cap")
+    assert(disc.getDouble(1) > 0.0 && disc.getDouble(1) < 1.0,
+      "a binding budget on this fixture drops a nonzero, non-total incidence share")
   }
 
-  test("q412: a budget large enough for the whole stream changes nothing") {
+  test("q412: a budget large enough for the whole stream changes nothing (and discloses a zero drop share)") {
     val docs = heavyCorpus
     val all = Dedup.containmentJoin(docs).collect().map(_.toString).sorted
-    val roomy = Dedup.containmentJoin(docs, pairBudget = Some(1000000L))
+    val roomyDf = Dedup.containmentJoin(docs, pairBudget = Some(1000000L))
+    val roomy = roomyDf.drop("eff_max_df", "dropped_incidence_share")
       .collect().map(_.toString).sorted
     assert(roomy.sameElements(all), "a non-binding budget must be a no-op")
+    assert(roomyDf.select("dropped_incidence_share").head().getDouble(0) === 0.0)
+  }
+
+  test("q412: scaledPairBudget grows with corpus cardinality above its floor") {
+    val docs = heavyCorpus
+    assert(Dedup.scaledPairBudget(docs) === 1000000L, "small corpus sits on the floor")
+    assert(Dedup.scaledPairBudget(docs, floor = 10L, perDoc = 7L) === 45L * 7L,
+      "above the floor the budget is n_docs * perDoc")
   }
 
   test("RiffWave hot-path codec: writer is byte-identical to AudioSystem's canonical PCM16 output; parser round-trips and defers non-PCM") {

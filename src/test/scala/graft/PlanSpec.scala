@@ -408,6 +408,7 @@ class PlanSpec extends SparkSpec {
       "q410_burrows_delta"  -> (bnl + "cartesian-product"), // bounded sources×V grid densification (q294/q316 idiom)
       "q411_pair_budget"    -> bnl, // 1-row incidence-total scalar (q14 idiom)
       "q414_ndcg"           -> bnl, // candidates × broadcast ≤3-query slice (q163/q63 idiom)
+      "q424_duplication_profile" -> bnl, // 1-row corpus-totals scalar (q14 idiom)
       "q415_anderson_darling" -> (bnl + "unpartitioned-window"), // GlobalOrder offset frames ×3 (q184 idiom) + 1-row n_a/n_b scalar (q14 idiom)
       "q416_hodges_lehmann" -> (bnl + "cartesian-product"), // calendar-bounded days×days pair frame (q397 idiom) + daily grids
       "q419_ks_uniform"     -> (bnl + "unpartitioned-window"), // GlobalOrder offset frame (q184 idiom) + 1-row span scalar (q14 idiom)
@@ -423,6 +424,40 @@ class PlanSpec extends SparkSpec {
         if (unexpected.nonEmpty) Some(s"$name: ${unexpected.mkString(",")}") else None
       }
     assert(bad.isEmpty, s"scale-killer shapes planned:\n${bad.mkString("\n")}")
+  }
+
+  test("no registered query sums a raw-double money column (PortableRound.moneySum lint)") {
+    // The sf1 wrong-answer class (round 10): summing 2dp money as double
+    // makes the total depend on summation ORDER once |total|·n·ε nears
+    // the display grain — and a raw total fed into ranking flipped a
+    // quantile boundary (q153). The fix is PortableRound.money/moneySum
+    // (cast → exact decimal sum → double display); this lint keeps the
+    // rule from eroding by enumeration: any NEW plain sum over a money
+    // column fails CI. Product/moment/conditional sums are out of scope
+    // by regex construction (they carry their own per-query analysis);
+    // the one deliberate raw sum (q200's drift-demo column) is marked.
+    val moneySumPattern =
+      """sum\(\s*(?:col\("(?:o_totalprice|l_extendedprice|p_retailprice)"\)|"(?:o_totalprice|l_extendedprice|p_retailprice)")\s*\)""".r
+    val root = new java.io.File("src/main/scala/graft")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f)
+      else Seq.empty
+    val offenders = scalaFiles(root).flatMap { f =>
+      // explicit UTF-8 (sources carry ≤/µ/× glyphs; the default charset
+      // threw MalformedInputException on some JVMs)
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), java.nio.charset.StandardCharsets.UTF_8)
+      text.linesIterator.zipWithIndex.collect {
+        case (line, i)
+            if moneySumPattern.findFirstIn(line).isDefined &&
+              !line.contains("lint:raw-money-sum-ok") &&
+              !line.trim.startsWith("|") => // oracle SQL is mirrored separately
+          s"${f.getPath}:${i + 1}: ${line.trim.take(90)}"
+      }.toList
+    }
+    assert(offenders.isEmpty,
+      s"raw-double money sums (use PortableRound.moneySum):\n${offenders.mkString("\n")}")
   }
 
   test("q98: a rank iteration never reshuffles the cached edge set") {

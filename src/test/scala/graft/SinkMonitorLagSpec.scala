@@ -43,11 +43,13 @@ class SinkMonitorLagSpec extends SparkSpec {
         q.awaitTermination(180000)
       }
       drain()
-      mon.sampleLag(batchId = -1L) // post-drain observation
+      mon.sampleLag("manual", batchId = -1L) // post-drain observation
 
       val samples = mon.lagSamples
       assert(samples.nonEmpty, "the probe must capture at least one batch boundary")
       assert(samples.forall(_.group == "ops"))
+      // round-11: every engine-captured sample carries its query identity
+      assert(samples.filter(_.batchId >= 0).forall(_.queryName.nonEmpty))
       assert(samples.forall(!_.behindRetention),
         "no retention ran — nothing can be behind the retained tail")
       // mid-drain: some observation must catch the backlog NOT yet drained
@@ -73,7 +75,7 @@ class SinkMonitorLagSpec extends SparkSpec {
       // caught-up) stream commits the restored final batch, bringing
       // the mirrored cursor to the head — lag reads 0 end-to-end
       drain()
-      mon.sampleLag(batchId = -2L)
+      mon.sampleLag("manual", batchId = -2L)
       val healed = mon.lagSamples.filter(_.batchId == -2L)
       assert(healed.nonEmpty && healed.forall(_.lagRows == 0L),
         s"a reattach must heal the one-batch trail: $healed")

@@ -44,8 +44,15 @@ def main():
             return con.sql(sql).df()
         finally:
             done.set()
+    # golden-VALUES oracles are pinned at the driver's gate SF (sf0.01);
+    # self-run sweeps at other SFs skip them explicitly instead of
+    # reporting a vacuous mismatch: SELFCHECK_SKIP=q407_...,q...
+    skip = set(filter(None, os.environ.get("SELFCHECK_SKIP", "").split(",")))
     n_ok = n_bad = n_timeout = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name}: golden oracle pinned at another SF", flush=True)
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output", flush=True); n_bad += 1; continue
