@@ -766,6 +766,11 @@ object SparkEntry {
     "q424_duplication_profile" -> ((s, d) =>
       Dedup.duplicationProfile(Tables(s, d).documents)),
     "q425_dup_span_sources" -> ((s, d) => Dedup.dupSpanSources(Tables(s, d).documents)),
+    "q426_woe_iv" -> ((s, d) => {
+      val t = Tables(s, d); FeatureEng.woeIv(t.orders, t.lineitem)
+    }),
+    "q428_uplift_deciles" -> ((s, d) => Classify.upliftDeciles(Tables(s, d).events)),
+    "q429_srm_check" -> ((s, d) => Relational.srmCheck(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7196,6 +7201,68 @@ object SparkEntry {
         |  ('user_id', 'required-tightened', 'nullable → required: existing nulls violate it', 'breaking'),
         |  ('value', 'narrowing', 'double → float', 'breaking')
         |) AS t(field, change, detail, verdict) ORDER BY field, change""".stripMargin,
+    "q426_woe_iv" ->
+      """WITH ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |lab AS (
+        |  SELECT CAST(least(floor(o.o_totalprice / CAST(50000 AS DOUBLE)), 9) AS INT) AS bin,
+        |    CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS pos
+        |  FROM orders o LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey),
+        |b AS (
+        |  SELECT bin, count(*) AS n_orders, CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM lab GROUP BY 1),
+        |b2 AS (SELECT bin, n_orders, n_pos, n_orders - n_pos AS n_neg FROM b),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+        |             CAST(sum(n_neg) AS BIGINT) AS tot_neg FROM b2)
+        |SELECT bin, n_orders, n_pos, n_neg,
+        |  floor(ln(((n_pos + CAST(0.5 AS DOUBLE)) / tot_pos)
+        |         / ((n_neg + CAST(0.5 AS DOUBLE)) / tot_neg)) * 10000 + 0.5)/10000 AS woe,
+        |  floor((CAST(n_pos AS DOUBLE) / tot_pos - CAST(n_neg AS DOUBLE) / tot_neg)
+        |    * ln(((n_pos + CAST(0.5 AS DOUBLE)) / tot_pos)
+        |       / ((n_neg + CAST(0.5 AS DOUBLE)) / tot_neg)) * 10000 + 0.5)/10000 AS iv_term
+        |FROM b2 CROSS JOIN t ORDER BY bin""".stripMargin,
+    "q428_uplift_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT conv,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS INT) AS decile
+        |  FROM u),
+        |g AS (
+        |  SELECT decile,
+        |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_t,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_c,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+        |  FROM r GROUP BY 1)
+        |SELECT decile, n_t, n_c, conv_t, conv_c,
+        |  CASE WHEN n_t > 0
+        |    THEN floor(CAST(conv_t AS DOUBLE) / n_t * 10000 + 0.5)/10000 END AS rate_t,
+        |  CASE WHEN n_c > 0
+        |    THEN floor(CAST(conv_c AS DOUBLE) / n_c * 10000 + 0.5)/10000 END AS rate_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0
+        |    THEN floor((CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+        |      * 10000 + 0.5)/10000 END AS uplift
+        |FROM g ORDER BY decile""".stripMargin,
+    "q429_srm_check" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |a AS (
+        |  SELECT day,
+        |    count(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |          IN ('0','1','2','3','4','5','6','7') THEN 1 END) AS n_a,
+        |    count(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |          NOT IN ('0','1','2','3','4','5','6','7') THEN 1 END) AS n_b
+        |  FROM ud GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_a, n_b,
+        |  floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) * 10000 + 0.5)/10000 AS chi2,
+        |  (floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) * 10000 + 0.5)/10000 > 10.8276) AS srm_flag
+        |FROM a ORDER BY day""".stripMargin,
   )
 
   /** q288's oracle: k-core peeling has no closed form, so the SQL

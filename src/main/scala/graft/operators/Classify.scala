@@ -295,4 +295,44 @@ object Classify {
     }.toSeq.toDF("bin", "n", "p_mean", "raw_rate", "iso_rate")
       .orderBy("bin")
   }
+
+  /** q428: uplift-by-decile table — the campaign-targeting readout for
+    * incrementality: users ranked by a targeting score (pre-outcome
+    * engagement: view count), split into score deciles, and per decile
+    * the treated-vs-control conversion gap. A well-targeted model shows
+    * uplift concentrated in the top deciles; a flat table means the
+    * score doesn't identify persuadables. Arms are the md5-parity
+    * assignment shared with q171/q394 (same users, same arms, any
+    * engine); deciles come from [[GlobalOrder.withExactNtile]] so the
+    * global score ranking never plans a data-sized single partition and
+    * reproduces SQL's ntile fill rule bit-for-bit.
+    *
+    * Scale shape: one user-grain aggregate (map-side partial) then the
+    * range-bucketed ntile; everything after is a ≤buckets-row frame. */
+  def upliftDeciles(events: DataFrame, buckets: Int = 10): DataFrame = {
+    val users = events
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("score"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("arm", Relational.hashArm(col("user_id")))
+      .withColumn("neg_score", -col("score"))
+    val ranked = GlobalOrder.withExactNtile(
+      users, col("neg_score"), Seq("neg_score", "user_id"), buckets, "decile")
+    val rateT = col("conv_t").cast("double") / col("n_t")
+    val rateC = col("conv_c").cast("double") / col("n_c")
+    ranked
+      .groupBy("decile")
+      .agg(
+        count(when(col("arm") === "A", 1)).as("n_t"),
+        count(when(col("arm") === "B", 1)).as("n_c"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0)).as("conv_t"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0)).as("conv_c"))
+      .select(
+        col("decile"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        round(when(col("n_t") > 0, rateT), 4).as("rate_t"),
+        round(when(col("n_c") > 0, rateC), 4).as("rate_c"),
+        round(when(col("n_t") > 0 && col("n_c") > 0, rateT - rateC), 4).as("uplift"))
+      .orderBy("decile")
+  }
 }

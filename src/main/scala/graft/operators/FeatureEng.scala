@@ -64,4 +64,54 @@ object FeatureEng {
           / (col("w") + lit(m)), 4).as("encoded"))
       .orderBy("segment", "fold")
   }
+
+  /** q426: weight-of-evidence (WOE) binning + information value — the
+    * credit-scoring feature-screening primitive: bucket a continuous
+    * feature (order value, fixed-width bins), and per bin report
+    * WOE = ln(P(bin|pos)/P(bin|neg)) with Laplace-smoothed counts plus
+    * the bin's information-value term (Σ iv_term = the feature's IV,
+    * the "is this feature worth encoding at all" screen). Label: the
+    * order contains at least one returned line.
+    *
+    * Scale shape: one semi-join-shaped label probe (distinct returned
+    * orderkeys, data-proportional equi-join), one groupBy into ≤nBins
+    * rows, totals via the 1-row broadcast scalar idiom — everything
+    * after the bin aggregate is arithmetic on a ≤nBins frame. */
+  def woeIv(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      binWidth: Double = 50000.0,
+      nBins: Int = 10): DataFrame = {
+    val returned = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+      .distinct()
+      .withColumn("is_ret", lit(1))
+    val labeled = orders
+      .join(returned, Seq("o_orderkey"), "left")
+      .select(
+        least(floor(col("o_totalprice") / lit(binWidth)), lit(nBins - 1).cast("double"))
+          .cast("int").as("bin"),
+        coalesce(col("is_ret"), lit(0)).as("pos"))
+    val bins = labeled
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"), sum(col("pos")).as("n_pos"))
+      .withColumn("n_neg", col("n_orders") - col("n_pos"))
+    val tot = bins.agg(
+      sum("n_pos").as("tot_pos"),
+      sum("n_neg").as("tot_neg"))
+    // smoothed log-odds evidence; iv_term multiplies the UNROUNDED woe
+    val woe = log(
+      ((col("n_pos") + lit(0.5)) / col("tot_pos")) /
+        ((col("n_neg") + lit(0.5)) / col("tot_neg")))
+    bins
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"), col("n_orders"), col("n_pos"), col("n_neg"),
+        round(woe, 4).as("woe"),
+        round(
+          (col("n_pos").cast("double") / col("tot_pos")
+            - col("n_neg").cast("double") / col("tot_neg")) * woe, 4).as("iv_term"))
+      .orderBy("bin")
+  }
 }

@@ -459,6 +459,38 @@ object Relational {
               pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("welch_df"))
   }
 
+  /** q429: sample-ratio-mismatch (SRM) guardrail — the first check any
+    * experiment readout must pass: per day, are the md5-parity arms
+    * actually splitting active users 50/50? Unit = user-day (each
+    * active user counts once per day), χ² against the expected even
+    * split via the closed form (n_a−n_b)²/(n_a+n_b), flagged at the
+    * p<0.001 boundary (10.8276). A flagged day means assignment or
+    * logging is broken and every downstream q171/q394 readout on that
+    * day is invalid — the guardrail that catches it BEFORE the t-test
+    * is read. Scale shape: one distinct user-day aggregate (map-side
+    * partial), then a ≤#days frame; the flag thresholds on the ROUNDED
+    * χ² so both engines bucket identically. */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .withColumn("arm", hashArm(col("user_id")))
+    val chi2 = round(
+      (col("n_a") - col("n_b")).cast("double") * (col("n_a") - col("n_b")).cast("double")
+        / (col("n_a") + col("n_b")).cast("double"), 4)
+    userDays
+      .groupBy("day")
+      .agg(
+        count(when(col("arm") === "A", 1)).as("n_a"),
+        count(when(col("arm") === "B", 1)).as("n_b"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_a"), col("n_b"),
+        chi2.as("chi2"),
+        (chi2 > lit(10.8276)).as("srm_flag"))
+      .orderBy("day")
+  }
+
   /** q394: Bayesian A/B on conversion — the "probability A actually
     * beats B" readout stakeholders ask for where q171/q231 hand back a
     * p-value: Jeffreys-smoothed posterior conversion rates
