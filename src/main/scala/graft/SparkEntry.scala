@@ -771,6 +771,15 @@ object SparkEntry {
     }),
     "q428_uplift_deciles" -> ((s, d) => Classify.upliftDeciles(Tables(s, d).events)),
     "q429_srm_check" -> ((s, d) => Relational.srmCheck(Tables(s, d).events)),
+    "q427_psm_att" -> ((s, d) => {
+      val t = Tables(s, d); StatTests.psmAtt(t.customer, t.orders)
+    }),
+    "q430_periodogram" -> ((s, d) => StatTests.periodogram(Tables(s, d).orders)),
+    "q431_ar2_forecast" -> ((s, d) => StatTests.ar2Forecast(Tables(s, d).orders)),
+    "q432_newsvendor" -> ((s, d) => {
+      val t = Tables(s, d); StatTests.newsvendor(t.lineitem, t.part)
+    }),
+    "q433_mediation" -> ((s, d) => StatTests.mediation(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7263,6 +7272,146 @@ object SparkEntry {
         |  (floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
         |    / CAST(n_a + n_b AS DOUBLE) * 10000 + 0.5)/10000 > 10.8276) AS srm_flag
         |FROM a ORDER BY day""".stripMargin,
+    "q427_psm_att" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS outcome
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT cu.c_custkey, cu.c_nationkey,
+        |    (cu.c_mktsegment = 'AUTOMOBILE') AS treated,
+        |    cu.c_acctbal + cu.c_custkey * CAST(1e-9 AS DOUBLE) AS score,
+        |    COALESCE(rev.outcome, CAST(0.0 AS DOUBLE)) AS outcome
+        |  FROM customer cu LEFT JOIN rev ON cu.c_custkey = rev.c_custkey),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT treated THEN score END IGNORE NULLS)
+        |      OVER (PARTITION BY c_nationkey ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bs,
+        |    last_value(CASE WHEN NOT treated THEN outcome END IGNORE NULLS)
+        |      OVER (PARTITION BY c_nationkey ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bo,
+        |    first_value(CASE WHEN NOT treated THEN score END IGNORE NULLS)
+        |      OVER (PARTITION BY c_nationkey ORDER BY score
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fs,
+        |    first_value(CASE WHEN NOT treated THEN outcome END IGNORE NULLS)
+        |      OVER (PARTITION BY c_nationkey ORDER BY score
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fo
+        |  FROM c),
+        |t AS (
+        |  SELECT c_nationkey, outcome, score,
+        |    CASE WHEN bs IS NULL THEN fo WHEN fs IS NULL THEN bo
+        |         WHEN score - bs <= fs - score THEN bo ELSE fo END AS mo,
+        |    CASE WHEN bs IS NULL THEN fs - score WHEN fs IS NULL THEN score - bs
+        |         ELSE least(score - bs, fs - score) END AS mgap
+        |  FROM m WHERE treated)
+        |SELECT c_nationkey, count(*) AS n_treated, count(mo) AS n_matched,
+        |  floor(avg((outcome - mo) / CAST(1000.0 AS DOUBLE)) * 10000 + 0.5)/10000 AS att_k,
+        |  floor(avg(mgap) * 10000 + 0.5)/10000 AS mean_score_gap
+        |FROM t GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "q430_periodogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT avg(x) AS mu, count(*) AS n_days FROM daily),
+        |cent AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', d) AS di, x - mu.mu AS xc, mu.n_days
+        |  FROM daily CROSS JOIN mu),
+        |byp AS (
+        |  SELECT p.period,
+        |    sum(xc * cos(2.0 * pi() * di / p.period)) AS sc,
+        |    sum(xc * sin(2.0 * pi() * di / p.period)) AS ss,
+        |    sum(xc * xc) AS c0, max(n_days) AS n_days
+        |  FROM cent CROSS JOIN (SELECT CAST(unnest(range(2, 15)) AS INT) AS period) p
+        |  GROUP BY 1),
+        |sh AS (
+        |  SELECT period, n_days,
+        |    CASE WHEN c0 > 0 THEN
+        |      floor((sc * sc + ss * ss) / (n_days * c0) * 10000 + 0.5)/10000 END
+        |      AS energy_share
+        |  FROM byp)
+        |SELECT period, n_days, energy_share,
+        |  CAST(row_number() OVER (ORDER BY energy_share DESC, period) AS INT) AS rank
+        |FROM sh ORDER BY period""".stripMargin,
+    "q431_ar2_forecast" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS di,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT avg(x) AS mu, count(*) AS n_days FROM daily),
+        |r1t AS (SELECT corr(a.x, b.x) AS r1 FROM daily a JOIN daily b ON b.di = a.di + 1),
+        |r2t AS (SELECT corr(a.x, b.x) AS r2 FROM daily a JOIN daily b ON b.di = a.di + 2),
+        |l2 AS (
+        |  SELECT arg_max(x, di) AS x_last, arg_min(x, di) AS x_prev
+        |  FROM (SELECT di, x FROM daily ORDER BY di DESC LIMIT 2)),
+        |j AS (SELECT * FROM mu CROSS JOIN r1t CROSS JOIN r2t CROSS JOIN l2),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN abs(1.0 - r1 * r1) > CAST(1e-12 AS DOUBLE)
+        |      THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi1,
+        |    CASE WHEN abs(1.0 - r1 * r1) > CAST(1e-12 AS DOUBLE)
+        |      THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2
+        |  FROM j)
+        |SELECT n_days,
+        |  floor(mu / CAST(1e6 AS DOUBLE) * 10000 + 0.5)/10000 AS mu_m,
+        |  floor(r1 * 10000 + 0.5)/10000 AS r1,
+        |  floor(r2 * 10000 + 0.5)/10000 AS r2,
+        |  floor(phi1 * 10000 + 0.5)/10000 AS phi1,
+        |  floor(phi2 * 10000 + 0.5)/10000 AS phi2,
+        |  floor(x_last / CAST(1e6 AS DOUBLE) * 10000 + 0.5)/10000 AS x_last_m,
+        |  floor(x_prev / CAST(1e6 AS DOUBLE) * 10000 + 0.5)/10000 AS x_prev_m,
+        |  floor((mu + phi1 * (x_last - mu) + phi2 * (x_prev - mu))
+        |    / CAST(1e6 AS DOUBLE) * 10000 + 0.5)/10000 AS forecast_m
+        |FROM f""".stripMargin,
+    "q432_newsvendor" ->
+      """WITH daily AS (
+        |  SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS d, sum(l.l_quantity) AS demand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2),
+        |lv AS (
+        |  SELECT p_brand,
+        |    floor(quantile_cont(demand, CAST(0.75 AS DOUBLE)) * 10000 + 0.5)/10000 AS s_level
+        |  FROM daily GROUP BY 1)
+        |SELECT d.p_brand, count(*) AS n_days, max(lv.s_level) AS s_level,
+        |  floor(avg(greatest(lv.s_level - d.demand, CAST(0.0 AS DOUBLE))) * 10000 + 0.5)/10000
+        |    AS exp_leftover,
+        |  floor(avg(greatest(d.demand - lv.s_level, CAST(0.0 AS DOUBLE))) * 10000 + 0.5)/10000
+        |    AS exp_shortage,
+        |  floor(avg(CASE WHEN d.demand <= lv.s_level THEN 1.0 ELSE 0.0 END) * 10000 + 0.5)/10000
+        |    AS service_rate
+        |FROM daily d JOIN lv ON d.p_brand = lv.p_brand
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q433_mediation" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS m,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS y,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE 0.0 END AS t
+        |  FROM events GROUP BY user_id),
+        |cv AS (
+        |  SELECT count(*) AS n_users,
+        |    var_samp(t) AS vt, var_samp(m) AS vm,
+        |    covar_samp(t, m) AS ctm, covar_samp(t, y) AS cty, covar_samp(m, y) AS cmy
+        |  FROM u),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN vt > 0 THEN ctm / vt END AS a,
+        |    CASE WHEN abs(vm * vt - ctm * ctm) > CAST(1e-12 AS DOUBLE)
+        |      THEN (cmy * vt - cty * ctm) / (vm * vt - ctm * ctm) END AS b,
+        |    CASE WHEN abs(vm * vt - ctm * ctm) > CAST(1e-12 AS DOUBLE)
+        |      THEN (cty * vm - cmy * ctm) / (vm * vt - ctm * ctm) END AS cp,
+        |    CASE WHEN vt > 0 THEN cty / vt END AS tot
+        |  FROM cv)
+        |SELECT n_users,
+        |  floor(a * 10000 + 0.5)/10000 AS a_t_to_m,
+        |  floor(b * 10000 + 0.5)/10000 AS b_m_to_y,
+        |  floor(cp * 10000 + 0.5)/10000 AS direct,
+        |  floor(a * b * 10000 + 0.5)/10000 AS indirect,
+        |  floor(tot * 10000 + 0.5)/10000 AS total,
+        |  CASE WHEN abs(tot) > CAST(1e-9 AS DOUBLE)
+        |    THEN floor(a * b / tot * 10000 + 0.5)/10000 END AS prop_mediated
+        |FROM f""".stripMargin,
   )
 
   /** q288's oracle: k-core peeling has no closed form, so the SQL

@@ -3094,4 +3094,216 @@ object StatTests {
         sum(when(col("x") <= col("var_p"), 1L).otherwise(0L)).as("n_tail_days"),
         round(avg(when(col("x") <= col("var_p"), col("x"))), 4).as("expected_shortfall"))
   }
+
+  /** q427: propensity-score nearest-neighbour matching ATT — the causal
+    * estimate q375's IPW weighs for, answered by MATCHING instead: each
+    * treated customer (AUTOMOBILE segment) pairs with the control whose
+    * score is nearest, and ATT = mean(treated outcome − matched control
+    * outcome). The score here is transparent (account balance — the
+    * estimator is the operator under test, not the score model), made a
+    * strict total order by a custkey·1e-9 jitter so "nearest" is
+    * engine-independent even at duplicate balances.
+    *
+    * Matching WITHOUT the quadratic treated×control scan: one per-nation
+    * window sort; the nearest control is whichever of
+    * (last preceding control, first following control) sits closer —
+    * exactly the 1-NN on a sorted line. Greedy-with-replacement
+    * semantics (standard ATT matching), all window state O(1) per row.
+    * Outcomes are exact-decimal revenue sums; ATT is displayed in
+    * THOUSANDS at 4 dp so the avg's summation-order drift (~1e-6 of a
+    * 1e8 mass) sits far below the display grain (the q200/sf1 lesson
+    * applied by construction). */
+  def psmAtt(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rev = orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("outcome"))
+    val scored = customer
+      .join(rev, Seq("c_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        (col("c_mktsegment") === "AUTOMOBILE").as("treated"),
+        (col("c_acctbal") + col("c_custkey") * lit(1e-9)).as("score"),
+        coalesce(col("outcome"), lit(0.0)).as("outcome"))
+    val w = Window.partitionBy("c_nationkey").orderBy("score")
+    val back = w.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    val ctlScore = when(!col("treated"), col("score"))
+    val ctlOut = when(!col("treated"), col("outcome"))
+    val m = scored
+      .withColumn("bs", last(ctlScore, ignoreNulls = true).over(back))
+      .withColumn("bo", last(ctlOut, ignoreNulls = true).over(back))
+      .withColumn("fs", first(ctlScore, ignoreNulls = true).over(fwd))
+      .withColumn("fo", first(ctlOut, ignoreNulls = true).over(fwd))
+      .filter(col("treated"))
+      .withColumn("mo",
+        when(col("bs").isNull, col("fo"))
+          .when(col("fs").isNull, col("bo"))
+          .when(col("score") - col("bs") <= col("fs") - col("score"), col("bo"))
+          .otherwise(col("fo")))
+      .withColumn("mgap",
+        when(col("bs").isNull, col("fs") - col("score"))
+          .when(col("fs").isNull, col("score") - col("bs"))
+          .otherwise(least(col("score") - col("bs"), col("fs") - col("score"))))
+    m.groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_treated"),
+        count(col("mo")).as("n_matched"),
+        round(avg((col("outcome") - col("mo")) / lit(1000.0)), 4).as("att_k"),
+        round(avg(col("mgap")), 4).as("mean_score_gap"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q431: Yule–Walker AR(2) fit + one-step forecast of daily revenue —
+    * the autoregressive companion to q181's ACF and q281's Holt: from
+    * the lag-1/lag-2 autocorrelations (the q181 pair-join form — no
+    * data-sized window), φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²),
+    * and the forecast re-centers the last two observations around the
+    * mean. Money-mass outputs are displayed in MILLIONS at 4 dp so
+    * summation-order drift never reaches the grain. Everything after
+    * the daily rollup is a handful of 1-row scalars. */
+  def ar2Forecast(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    def acfAt(k: Int, name: String): DataFrame =
+      daily.select(col("di"), col("x"))
+        .join(
+          daily.select((col("di") - k).as("di"), col("x").as("y")), Seq("di"))
+        .agg(corr(col("x"), col("y")).as(name))
+    val mu = daily.agg(avg("x").as("mu"), count(lit(1)).as("n_days"))
+    val last2 = daily.orderBy(desc("di")).limit(2)
+      .agg(max_by(col("x"), col("di")).as("x_last"), min_by(col("x"), col("di")).as("x_prev"))
+    val denom = lit(1.0) - col("r1") * col("r1")
+    val phi1 = when(abs(denom) > 1e-12, col("r1") * (lit(1.0) - col("r2")) / denom)
+    val phi2 = when(abs(denom) > 1e-12, (col("r2") - col("r1") * col("r1")) / denom)
+    mu.crossJoin(broadcast(acfAt(1, "r1")))
+      .crossJoin(broadcast(acfAt(2, "r2")))
+      .crossJoin(broadcast(last2))
+      .select(
+        col("n_days"),
+        round(col("mu") / lit(1e6), 4).as("mu_m"),
+        round(col("r1"), 4).as("r1"),
+        round(col("r2"), 4).as("r2"),
+        round(phi1, 4).as("phi1"),
+        round(phi2, 4).as("phi2"),
+        round(col("x_last") / lit(1e6), 4).as("x_last_m"),
+        round(col("x_prev") / lit(1e6), 4).as("x_prev_m"),
+        round(
+          (col("mu") + phi1 * (col("x_last") - col("mu"))
+            + phi2 * (col("x_prev") - col("mu"))) / lit(1e6), 4).as("forecast_m"))
+  }
+
+  /** q430: periodogram of daily revenue — the raw spectral view under
+    * q186's day-of-week test and q194/q256's STL: for each candidate
+    * period p, the share of (mean-centered) series energy captured by
+    * the p-day harmonic, (Σx̃·cos)² + (Σx̃·sin)² over n·Σx̃². A weekly
+    * rhythm shows as a spike at p=7 (and its alias at p=14 tagged by
+    * rank). The share is a RATIO of same-magnitude money masses, so
+    * summation-order drift cancels to ~1e-12 relative — displayable at
+    * 4 dp without the money-sum ceremony. One daily rollup, a
+    * #days×#periods explode, then a #periods-row aggregate. */
+  def periodogram(orders: DataFrame, periods: Seq[Int] = (2 to 14)): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(moneySum(col("o_totalprice")).as("x"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val muRow = daily.agg(avg("x").as("mu"), count(lit(1)).as("n_days"))
+    val centered = daily
+      .crossJoin(broadcast(muRow))
+      .select(col("di"), (col("x") - col("mu")).as("xc"), col("n_days"))
+    val theta = lit(2.0 * math.Pi) * col("di") / col("period")
+    val byPeriod = centered
+      .withColumn("period", explode(array(periods.map(lit): _*)))
+      .groupBy("period")
+      .agg(
+        sum(col("xc") * cos(theta)).as("sc"),
+        sum(col("xc") * sin(theta)).as("ss"),
+        sum(col("xc") * col("xc")).as("c0"),
+        max("n_days").as("n_days"))
+    byPeriod
+      .select(
+        col("period"), col("n_days"),
+        round(
+          when(col("c0") > 0,
+            (col("sc") * col("sc") + col("ss") * col("ss"))
+              / (col("n_days") * col("c0"))), 4).as("energy_share"))
+      .withColumn("rank", // constant-partitioned: #periods rows by construction
+        row_number().over(Window.partitionBy(lit(1)).orderBy(desc("energy_share"), asc("period"))))
+      .orderBy("period")
+  }
+
+  /** q432: newsvendor critical-fractile stocking per part brand — the
+    * inventory-optimization read on the demand series: with underage
+    * cost 3× overage, stock at the 0.75 demand quantile; the report
+    * shows the chosen level plus its realized economics (expected
+    * leftover, expected shortage, demand-met share) against the
+    * history. The quantile is the exact interpolated percentile (q16
+    * discipline) and the level is ROUNDED before the economics so both
+    * engines clip the same boundary days (q90 discipline). Daily-grain
+    * aggregate → #modes quantiles broadcast back → one more pass. */
+  def newsvendor(lineitem: DataFrame, part: DataFrame, fractile: Double = 0.75): DataFrame = {
+    val daily = lineitem
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(col("l_quantity")).as("demand"))
+    val levels = daily
+      .groupBy("p_brand")
+      .agg(round(expr(s"percentile(demand, CAST($fractile AS DOUBLE))"), 4).as("s_level"))
+    daily
+      .join(broadcast(levels), "p_brand")
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_days"),
+        max("s_level").as("s_level"),
+        round(avg(greatest(col("s_level") - col("demand"), lit(0.0))), 4)
+          .as("exp_leftover"),
+        round(avg(greatest(col("demand") - col("s_level"), lit(0.0))), 4)
+          .as("exp_shortage"),
+        round(avg(when(col("demand") <= col("s_level"), 1.0).otherwise(0.0)), 4)
+          .as("service_rate"))
+      .orderBy("p_brand")
+  }
+
+  /** q433: mediation analysis (Baron–Kenny product-of-coefficients) —
+    * how much of the arm effect on revenue flows THROUGH engagement:
+    * T = md5-parity arm, M = view count (mediator), Y = purchase
+    * revenue, all at user grain. a = dM/dT; (b, c′) from the
+    * two-predictor OLS of Y on (T, M) in covariance closed form;
+    * indirect = a·b, total = dY/dT, direct = c′, with the proportion
+    * mediated. Complements q375 (IPW) / q332 (DiD) / q223 (CUPED) with
+    * the decomposition register. One user-grain aggregate, then a
+    * single covariance row — every division lazily guarded. */
+  def mediation(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1).otherwise(0)).cast("double").as("m"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("y"))
+      .withColumn("t",
+        when(Relational.hashArm(col("user_id")) === "A", 1.0).otherwise(0.0))
+    val cv = users.agg(
+      count(lit(1)).as("n_users"),
+      var_samp(col("t")).as("vt"),
+      var_samp(col("m")).as("vm"),
+      covar_samp(col("t"), col("m")).as("ctm"),
+      covar_samp(col("t"), col("y")).as("cty"),
+      covar_samp(col("m"), col("y")).as("cmy"))
+    val det = col("vm") * col("vt") - col("ctm") * col("ctm")
+    val a = when(col("vt") > 0, col("ctm") / col("vt"))
+    val b = when(abs(det) > 1e-12,
+      (col("cmy") * col("vt") - col("cty") * col("ctm")) / det)
+    val cPrime = when(abs(det) > 1e-12,
+      (col("cty") * col("vm") - col("cmy") * col("ctm")) / det)
+    val total = when(col("vt") > 0, col("cty") / col("vt"))
+    val indirect = a * b
+    cv.select(
+      col("n_users"),
+      round(a, 4).as("a_t_to_m"),
+      round(b, 4).as("b_m_to_y"),
+      round(cPrime, 4).as("direct"),
+      round(indirect, 4).as("indirect"),
+      round(total, 4).as("total"),
+      round(when(abs(total) > 1e-9, indirect / total), 4).as("prop_mediated"))
+  }
 }

@@ -292,6 +292,10 @@ class PlanSpec extends SparkSpec {
       "q270_hybrid_search"  -> bnl, // bounded broadcast query docs ×2 legs + 1-row corpus scalars (q51/q203 idiom)
       "q278_excess_stock"   -> bnl, // 1-row broadcast global year-share scalar (q14 idiom)
       "q283_tier_migration" -> Set("unpartitioned-window"), // GlobalOrder offset frame ×2 periods (q150/q153 idiom)
+      "q426_woe_iv"         -> bnl, // 1-row broadcast tot_pos/tot_neg scalar (q14 idiom)
+      "q428_uplift_deciles" -> Set("unpartitioned-window"), // GlobalOrder offset frame (q150/q153 idiom)
+      "q430_periodogram"    -> (bnl + "unpartitioned-window"), // 1-row mean scalar + rank over the ≤13-period frame (q89/q182 idiom)
+      "q431_ar2_forecast"   -> bnl, // 1-row mu/r1/r2/last2 scalars (q14 idiom)
       "q284_seq_support"    -> bnl, // 1-row broadcast user-base total (q14 idiom)
       "q285_cumulative_reach" -> (bnl + "unpartitioned-window"), // 1-row total scalar + prefix sum over the calendar-month frame (q89/q183 idiom)
       "q166_neyman_sample"  -> bnl, // 1-row broadcast Σ(N_h·σ_h) scalar (q14 idiom)

@@ -88,6 +88,93 @@ class R11Spec extends SparkSpec {
       "no conversions outside the top decile")
   }
 
+  test("q427 psmAtt: nearest control wins and controls-free nations degrade to null") {
+    import graft.operators.StatTests
+    // nation 7: treated (bal 160) sits between control A (100, outcome
+    // 1000) and control B (200, outcome 5000) — B is 40 away vs 60, so
+    // the match is B and ATT = (3000-5000)/1000 = -2.
+    // nation 8: a treated customer with NO controls -> matched 0, null ATT.
+    val customer = Seq(
+      (1L, 7L, "BUILDING", 100.0),
+      (2L, 7L, "BUILDING", 200.0),
+      (3L, 7L, "AUTOMOBILE", 160.0),
+      (4L, 8L, "AUTOMOBILE", 50.0)
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq((1L, 1000.0), (2L, 5000.0), (3L, 3000.0), (4L, 700.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = StatTests.psmAtt(customer, orders).collect()
+    val n7 = out.find(_.getAs[Long]("c_nationkey") == 7L).get
+    assert(n7.getAs[Long]("n_treated") == 1L && n7.getAs[Long]("n_matched") == 1L)
+    assert(n7.getAs[Double]("att_k") == -2.0, s"expected -2.0, got $n7")
+    assert(math.abs(n7.getAs[Double]("mean_score_gap") - 40.0) < 0.001)
+    val n8 = out.find(_.getAs[Long]("c_nationkey") == 8L).get
+    assert(n8.getAs[Long]("n_matched") == 0L && n8.isNullAt(n8.fieldIndex("att_k")))
+  }
+
+  test("q430 periodogram: a planted weekly impulse ranks period 7 first") {
+    import graft.operators.StatTests
+    val days = (0 until 56).map { t =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(t))
+      (d, if (t % 7 == 0) 5000.0 else 100.0)
+    }
+    val orders = days.toDF("o_orderdate", "o_totalprice")
+    val out = StatTests.periodogram(orders).collect()
+    val p7 = out.find(_.getAs[Int]("period") == 7).get
+    assert(p7.getAs[Int]("rank") == 1, s"period 7 should dominate: ${out.mkString("; ")}")
+    // an impulse train splits its energy across the 1/7-harmonics; the
+    // fundamental's share is 1/6 here, still far above every other row
+    assert(p7.getAs[Double]("energy_share") > 0.15)
+    assert(out.forall { r =>
+      val s = r.getAs[Double]("energy_share"); s >= 0.0 && s <= 1.0001
+    })
+  }
+
+  test("q431 ar2Forecast: Yule-Walker identity holds on the sf fixture") {
+    import graft.operators.StatTests
+    val t = graft.sources.Tables(spark, sfDir)
+    val r = StatTests.ar2Forecast(t.orders).collect().head
+    val (r1, phi1, phi2) = (r.getAs[Double]("r1"), r.getAs[Double]("phi1"), r.getAs[Double]("phi2"))
+    assert(math.abs(r1) <= 1.0 && math.abs(r.getAs[Double]("r2")) <= 1.0)
+    // first YW equation: rho1 = phi1 + phi2*rho1 (to rounding grain)
+    assert(math.abs(phi1 + phi2 * r1 - r1) < 5e-3, s"YW identity: $r")
+    assert(!r.isNullAt(r.fieldIndex("forecast_m")))
+  }
+
+  test("q432 newsvendor: interpolated fractile and its economics on a planted series") {
+    import graft.operators.StatTests
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val li = Seq(10.0, 10.0, 10.0, 20.0).zipWithIndex.map { case (q, i) =>
+      (1L, q, java.sql.Date.valueOf(d0.plusDays(i)))
+    }.toDF("l_partkey", "l_quantity", "l_shipdate")
+    val part = Seq((1L, "Brand#1")).toDF("p_partkey", "p_brand")
+    val r = StatTests.newsvendor(li, part).collect().head
+    assert(r.getAs[Double]("s_level") == 12.5) // 10 + 0.25*(20-10)
+    assert(r.getAs[Double]("exp_leftover") == 1.875) // avg(2.5,2.5,2.5,0)
+    assert(r.getAs[Double]("exp_shortage") == 1.875) // avg(0,0,0,7.5)
+    assert(r.getAs[Double]("service_rate") == 0.75)
+  }
+
+  test("q433 mediation: a fully-mediated planted effect decomposes exactly") {
+    import graft.operators.StatTests
+    // m = 1 + t + (u mod 2) — arm shifts engagement by 1 with an
+    // independent parity wiggle so (t, m) is NOT collinear; y = 3m
+    // exactly, so OLS must recover b = 3 and direct = 0 and the effect
+    // is fully mediated regardless of a's exact value.
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = (1L to 400L).flatMap { u =>
+      val views = 1 + (if (md5ArmA(u)) 1 else 0) + (u % 2).toInt
+      val y = 3.0 * views
+      Seq.fill(views)((u, "view", ts0, 0.0)) :+ ((u, "purchase", ts0, y))
+    }
+    val events = rows.toDF("user_id", "event_type", "ts", "value")
+    val r = StatTests.mediation(events).collect().head
+    assert(math.abs(r.getAs[Double]("a_t_to_m") - 1.0) < 0.2, s"a: $r")
+    assert(r.getAs[Double]("b_m_to_y") == 3.0, s"b: $r")
+    assert(r.getAs[Double]("direct") == 0.0, s"direct: $r")
+    assert(r.getAs[Double]("indirect") == r.getAs[Double]("total"))
+    assert(r.getAs[Double]("prop_mediated") == 1.0)
+  }
+
   test("q428 upliftDeciles: decile sizes follow the ntile fill rule on the sf fixture") {
     val t = graft.sources.Tables(spark, sfDir)
     val out = Classify.upliftDeciles(t.events).collect()
