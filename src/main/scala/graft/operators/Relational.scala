@@ -423,7 +423,7 @@ object Relational {
   /** Deterministic md5-parity arm assignment shared by the whole
     * experimentation suite (q171/q223/q224) — one copy so every harness
     * buckets the SAME users identically on any engine or rerun. */
-  private[operators] def hashArm(user: Column): Column =
+  private[graft] def hashArm(user: Column): Column =
     when(substring(md5(user.cast("string")), 1, 1)
       .isInCollection(Seq("0", "1", "2", "3", "4", "5", "6", "7")), "A").otherwise("B")
 

@@ -109,4 +109,41 @@ object SketchMaintenance {
       .toDF("event_type", "p", "quantile")
       .orderBy("event_type", "p")
   }
+
+  /** stream_hll: incrementally maintained HLL sketch table — the
+    * DISTINCT-count analog of the CMS/t-digest tables and the streaming
+    * feed of q54's sketch-table rollup. Each micro-batch writes one
+    * DataSketches HLL per (dt, event_type) for ITS slice under
+    * `ingest_batch=N` (dynamic overwrite ⇒ replay rewrites exactly its
+    * own sketches). HLL union is a SET union — a user seen by three
+    * batches still counts once — so merge-on-read is not just
+    * idempotent under retry but exactly the semantics distinct-count
+    * needs across arbitrary slicings. */
+  def updateHllTable(
+      batch: DataFrame,
+      tablePath: String,
+      batchId: Long,
+      lgConfigK: Int = 14): Unit =
+    batch
+      .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("hll"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("ingest_batch")
+      .parquet(tablePath)
+
+  /** Merged per-type distinct estimates read purely from the sketch
+    * table. Unlike the CMS/t-digest readers this merge never touches
+    * the driver: `hll_union_agg` is a distributed aggregate, so the
+    * query side scales with sketch-table size (KBs per partition) on
+    * executors. */
+  def distinctEstimate(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath)
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+          .as("approx_users"))
+      .orderBy("event_type")
 }

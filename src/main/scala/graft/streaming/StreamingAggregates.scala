@@ -56,4 +56,42 @@ object StreamingAggregates {
       .groupBy(window(col("ts"), "1 day"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("dau_approx"))
       .select(col("window.start").as("day_start"), col("dau_approx"))
+
+  /** stream_srm: LIVE sample-ratio-mismatch guardrail — the streaming
+    * dual of q429, watching the md5-parity arm split drift per day
+    * WHILE the experiment runs instead of at readout time. Sketch
+    * state like stream_dau (one HLL per open (day, arm) window);
+    * register insertion is order-insensitive so the streamed counts
+    * equal the batch approximation on any prefix slicing. */
+  def srmArmCounts(
+      stream: DataFrame,
+      watermark: String = "25 hours",
+      rsd: Double = 0.02): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .withColumn("arm", graft.operators.Relational.hashArm(col("user_id")))
+      .groupBy(window(col("ts"), "1 day"), col("arm"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+      .select(col("window.start").as("day_start"), col("arm"), col("n_users"))
+
+  /** The alarm readout over the maintained (day, arm) counts — a tiny
+    * batch view run per micro-batch (foreachBatch) or on the sink
+    * table: chi-square of the observed split against 50/50, flagged at
+    * p<0.001 (the q429 threshold). */
+  def srmReadout(armCounts: DataFrame): DataFrame = {
+    val piv = armCounts
+      .groupBy("day_start")
+      .agg(
+        sum(when(col("arm") === "A", col("n_users")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", col("n_users")).otherwise(0L)).as("n_b"))
+    val chi2 = (col("n_a") - col("n_b")).cast("double") *
+      (col("n_a") - col("n_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    piv
+      .filter(col("n_a") + col("n_b") > 0)
+      .select(
+        col("day_start"), col("n_a"), col("n_b"),
+        chi2.as("chi2"),
+        (chi2 > lit(10.8276)).as("srm_flag"))
+      .orderBy("day_start")
+  }
 }

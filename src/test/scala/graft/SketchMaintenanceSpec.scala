@@ -70,4 +70,31 @@ class SketchMaintenanceSpec extends SparkSpec {
       assert(math.abs(est - ex) <= tol, s"$k: sketch $est vs exact $ex")
     }
   }
+
+  test("hll table: cross-batch users count once, replay leaves the estimate unchanged") {
+    val table = Files.createTempDirectory("graft-hll").toString
+    val ev = t.events
+    // slice by EVENT id, so the same user lands in several batches —
+    // the union must still count each user once per type
+    (0 until 3).foreach { b =>
+      SketchMaintenance.updateHllTable(ev.filter(col("event_id") % 3 === b), table, batchId = b)
+    }
+    val before = SketchMaintenance.distinctEstimate(spark, table)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replayed batch (simulated retry) rewrites its own slice only
+    SketchMaintenance.updateHllTable(ev.filter(col("event_id") % 3 === 1), table, batchId = 1)
+    val after = SketchMaintenance.distinctEstimate(spark, table)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before === after, "replay must not move a set-union estimate")
+
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet === exact.keySet)
+    after.foreach { case (tpe, est) =>
+      val ex = exact(tpe).toDouble
+      assert(math.abs(est.toDouble - ex) <= math.max(0.02 * ex, 2.0),
+        s"$tpe: merged HLL $est vs exact $ex")
+    }
+  }
 }

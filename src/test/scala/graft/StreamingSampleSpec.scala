@@ -122,6 +122,47 @@ class StreamingSampleSpec extends SparkSpec {
     }
   }
 
+  test("stream_srm: a planted all-A stream flags, the balanced fixture does not") {
+    import graft.streaming.StreamingAggregates
+    def runSrm(events: org.apache.spark.sql.DataFrame, name: String) = {
+      val in = tmp()
+      events.repartition(2).write.mode("overwrite").parquet(in)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = StreamingAggregates.srmArmCounts(stream, watermark = "45 days")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // HLL counts are monotone per (day, arm); keep each key's max
+      val last = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .map { case ((d, a), n) => (d, a, n) }
+        .toDF("day_start", "arm", "n_users")
+      StreamingAggregates.srmReadout(last).collect()
+    }
+    // balanced: the sf fixture's md5 parity is a fair split
+    val events = Tables(spark, sfDir).events
+    val fair = runSrm(events.select("ts", "user_id"), "srm_fair")
+    assert(fair.nonEmpty && fair.forall(!_.getAs[Boolean]("srm_flag")),
+      s"fair split must not flag: ${fair.mkString("; ")}")
+    // broken: a synthesized log where only arm-A users ever appear
+    def armA(u: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "01234567".contains(hex.charAt(0))
+    }
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val brokenEvents = (1L to 2000L).filter(armA).take(40)
+      .map(u => (ts0, u)).toDF("ts", "user_id")
+    val broken = runSrm(brokenEvents, "srm_broken")
+    assert(broken.nonEmpty && broken.forall(_.getAs[Boolean]("srm_flag")),
+      s"all-A stream must flag every day: ${broken.mkString("; ")}")
+  }
+
   test("stream_static enrichment: streamed join equals the batch left join") {
     val events = Tables(spark, sfDir).events
     val dim = events.select("user_id").distinct()
