@@ -780,6 +780,13 @@ object SparkEntry {
       val t = Tables(s, d); StatTests.newsvendor(t.lineitem, t.part)
     }),
     "q433_mediation" -> ((s, d) => StatTests.mediation(Tables(s, d).events)),
+    "q434_fk_coverage" -> ((s, d) => {
+      val t = Tables(s, d)
+      Audit.fkCoverageAudit(t.orders, t.lineitem, t.customer, t.part, t.supplier, t.nation)
+    }),
+    "q435_fairness_slices" -> ((s, d) => Classify.fairnessSlices(Tables(s, d).documents)),
+    "q436_bass_diffusion" -> ((s, d) => StatTests.bassDiffusion(Tables(s, d).events)),
+    "q437_switchback" -> ((s, d) => Relational.switchbackAnalysis(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7412,6 +7419,157 @@ object SparkEntry {
         |  CASE WHEN abs(tot) > CAST(1e-9 AS DOUBLE)
         |    THEN floor(a * b / tot * 10000 + 0.5)/10000 END AS prop_mediated
         |FROM f""".stripMargin,
+    "q434_fk_coverage" ->
+      """WITH e(edge, ck, pk) AS (VALUES
+        |  ('customer_nation', 'c', 'n'), ('lineitem_orders', 'lo', 'o'),
+        |  ('lineitem_part', 'lp', 'p'), ('lineitem_supplier', 'ls', 's'),
+        |  ('orders_customer', 'oc', 'cu'), ('supplier_nation', 'sn', 'n')),
+        |ck AS (
+        |  SELECT 'c' AS side, c_nationkey AS k, count(*) AS n FROM customer GROUP BY 2
+        |  UNION ALL SELECT 'lo', l_orderkey, count(*) FROM lineitem GROUP BY 2
+        |  UNION ALL SELECT 'lp', l_partkey, count(*) FROM lineitem GROUP BY 2
+        |  UNION ALL SELECT 'ls', l_suppkey, count(*) FROM lineitem GROUP BY 2
+        |  UNION ALL SELECT 'oc', o_custkey, count(*) FROM orders GROUP BY 2
+        |  UNION ALL SELECT 'sn', s_nationkey, count(*) FROM supplier GROUP BY 2),
+        |pk AS (
+        |  SELECT 'n' AS side, k FROM (SELECT DISTINCT n_nationkey AS k FROM nation) t
+        |  UNION ALL SELECT 'o', k FROM (SELECT DISTINCT o_orderkey AS k FROM orders) t
+        |  UNION ALL SELECT 'p', k FROM (SELECT DISTINCT p_partkey AS k FROM part) t
+        |  UNION ALL SELECT 's', k FROM (SELECT DISTINCT s_suppkey AS k FROM supplier) t
+        |  UNION ALL SELECT 'cu', k FROM (SELECT DISTINCT c_custkey AS k FROM customer) t),
+        |cs AS (
+        |  SELECT e.edge, CAST(coalesce(sum(ck.n), 0) AS BIGINT) AS n_child,
+        |    CAST(coalesce(sum(CASE WHEN pk.k IS NULL THEN ck.n ELSE 0 END), 0) AS BIGINT)
+        |      AS n_orphan
+        |  FROM e JOIN ck ON ck.side = e.ck
+        |  LEFT JOIN pk ON pk.side = e.pk AND pk.k = ck.k
+        |  GROUP BY 1),
+        |ps AS (
+        |  SELECT e.edge, count(*) AS n_parent,
+        |    count(CASE WHEN ck.k IS NULL THEN 1 END) AS n_childless
+        |  FROM e JOIN pk ON pk.side = e.pk
+        |  LEFT JOIN ck ON ck.side = e.ck AND ck.k = pk.k
+        |  GROUP BY 1),
+        |stats AS (SELECT * FROM cs JOIN ps USING (edge))
+        |SELECT edge, n_child, n_orphan,
+        |  CASE WHEN n_child > 0 THEN
+        |    floor(CAST(n_orphan AS DOUBLE)/n_child * 1000000 + 0.5)/1000000 END AS orphan_share,
+        |  n_parent, n_childless,
+        |  CASE WHEN n_parent > 0 THEN
+        |    floor(CAST(n_childless AS DOUBLE)/n_parent * 1000000 + 0.5)/1000000 END
+        |    AS childless_share
+        |FROM stats ORDER BY edge""".stripMargin,
+    "q435_fairness_slices" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |train AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+        |ctok AS (SELECT lang AS c, count(*) AS n_tok FROM train GROUP BY 1),
+        |cdoc AS (SELECT lang AS c, count(*) AS n_doc FROM documents
+        |         WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_train FROM documents WHERE doc_id % 5 <> 0),
+        |v AS (SELECT count(DISTINCT term) AS v FROM train),
+        |cs AS (SELECT c, ln(CAST(n_doc AS DOUBLE)/n_train) AS log_prior,
+        |         CAST(n_tok AS DOUBLE) + 1.0*v AS denom
+        |       FROM ctok JOIN cdoc USING (c) CROSS JOIN nt CROSS JOIN v),
+        |cnts AS (SELECT lang AS c, term, count(*) AS cnt FROM train GROUP BY 1, 2),
+        |obs AS (SELECT c, term, ln((cnt + 1.0)/denom) AS logp
+        |        FROM cnts JOIN cs USING (c)),
+        |ttf AS (SELECT doc_id, lang AS true_lang, source, term, count(*) AS tf
+        |        FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3, 4),
+        |mt AS (SELECT ttf.doc_id, obs.c, sum(tf*logp) AS s_obs,
+        |         CAST(sum(tf) AS BIGINT) AS m
+        |       FROM ttf JOIN obs USING (term) GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, true_lang, source, CAST(sum(tf) AS BIGINT) AS t_d
+        |       FROM ttf GROUP BY 1, 2, 3),
+        |grid AS (SELECT dt.doc_id, dt.true_lang, dt.source, dt.t_d, l.c FROM dt
+        |         CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS c) l),
+        |sc AS (SELECT g.doc_id, g.true_lang, g.source, g.c,
+        |         cs.log_prior + coalesce(mt.s_obs, 0.0)
+        |         + (g.t_d - coalesce(mt.m, 0))*ln(1.0/cs.denom) AS score
+        |       FROM grid g JOIN cs ON cs.c = g.c
+        |       LEFT JOIN mt ON mt.doc_id = g.doc_id AND mt.c = g.c),
+        |pred AS (SELECT doc_id, true_lang, source, c,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, c) AS rk
+        |         FROM sc),
+        |pr AS (SELECT source,
+        |         CASE WHEN c = true_lang THEN 1.0 ELSE 0.0 END AS correct,
+        |         CASE WHEN c = 'en' THEN 1.0 ELSE 0.0 END AS pred_en
+        |       FROM pred WHERE rk = 1),
+        |ov AS (SELECT avg(correct) AS overall_acc FROM pr)
+        |SELECT source, count(*) AS n_docs,
+        |  floor(avg(correct) * 10000 + 0.5)/10000 AS accuracy,
+        |  floor(avg(pred_en) * 10000 + 0.5)/10000 AS en_share,
+        |  floor((avg(correct) - max(overall_acc)) * 10000 + 0.5)/10000 AS acc_gap,
+        |  (abs(floor((avg(correct) - max(overall_acc)) * 10000 + 0.5)/10000)
+        |    > CAST(0.1 AS DOUBLE)) AS disparity_flag
+        |FROM pr CROSS JOIN ov GROUP BY source ORDER BY source""".stripMargin,
+    "q436_bass_diffusion" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |daily AS (SELECT day, count(*) AS n_adopt FROM fd GROUP BY 1),
+        |series AS (
+        |  SELECT CAST(n_adopt AS DOUBLE) AS y,
+        |    CAST(coalesce(sum(n_adopt) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS x1
+        |  FROM daily),
+        |s2 AS (SELECT y, x1, x1*x1 AS x2 FROM series),
+        |cv AS (
+        |  SELECT count(*) AS n_days, avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+        |    var_samp(x1) AS v1, var_samp(x2) AS v2,
+        |    covar_samp(x1, x2) AS c12, covar_samp(x1, y) AS c1y, covar_samp(x2, y) AS c2y
+        |  FROM s2),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN abs(v1*v2 - c12*c12) > CAST(1e-6 AS DOUBLE)
+        |      THEN (c1y*v2 - c2y*c12) / (v1*v2 - c12*c12) END AS b,
+        |    CASE WHEN abs(v1*v2 - c12*c12) > CAST(1e-6 AS DOUBLE)
+        |      THEN (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) END AS c
+        |  FROM cv),
+        |g AS (SELECT *, my - b*m1 - c*m2 AS a, b*b - 4.0*(my - b*m1 - c*m2)*c AS disc FROM f),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN c < CAST(-1e-9 AS DOUBLE) AND disc >= 0
+        |      THEN (-b - sqrt(disc)) / (2.0 * c) END AS m
+        |  FROM g)
+        |SELECT n_days,
+        |  floor(a * 10000 + 0.5)/10000 AS a,
+        |  floor(b * 10000 + 0.5)/10000 AS b,
+        |  floor(c * 1e6 * 10000 + 0.5)/10000 AS c_e6,
+        |  floor(m / 1000.0 * 10000 + 0.5)/10000 AS m_k,
+        |  CASE WHEN abs(m) > CAST(1e-9 AS DOUBLE)
+        |    THEN floor(a / m * 10000 + 0.5)/10000 END AS p_innovation,
+        |  floor(-c * m * 10000 + 0.5)/10000 AS q_imitation
+        |FROM h""".stripMargin,
+    "q437_switchback" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch_us(ts) / CAST(3600000000 AS DOUBLE)) AS BIGINT) AS block,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT rev,
+        |    CASE WHEN substr(md5(CAST(block AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM b),
+        |ag AS (
+        |  SELECT
+        |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_blocks_a,
+        |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_blocks_b,
+        |    avg(CASE WHEN arm = 'A' THEN rev END) AS ma,
+        |    avg(CASE WHEN arm = 'B' THEN rev END) AS mb,
+        |    var_samp(CASE WHEN arm = 'A' THEN rev END) AS va,
+        |    var_samp(CASE WHEN arm = 'B' THEN rev END) AS vb
+        |  FROM armed)
+        |SELECT n_blocks_a, n_blocks_b,
+        |  floor(ma * 10000 + 0.5)/10000 AS mean_rev_a,
+        |  floor(mb * 10000 + 0.5)/10000 AS mean_rev_b,
+        |  floor((ma - mb) * 10000 + 0.5)/10000 AS block_effect,
+        |  CASE WHEN va / n_blocks_a + vb / n_blocks_b > 0 THEN
+        |    floor((ma - mb) / sqrt(va / n_blocks_a + vb / n_blocks_b) * 10000 + 0.5)/10000 END
+        |    AS t_stat
+        |FROM ag""".stripMargin,
   )
 
   /** q288's oracle: k-core peeling has no closed form, so the SQL

@@ -111,4 +111,54 @@ object Audit {
           col("n_rows").cast("double") / col("n_total"), 6).as("row_share"))
       .orderBy("multiplicity")
   }
+
+  /** q434: referential-COVERAGE audit of the whole star — q96's FK
+    * check counts orphans on two edges; this walks every declared edge
+    * in BOTH directions: orphaned child rows (key points at a missing
+    * parent — a correctness bug) and childless parent keys (a parent no
+    * fact ever references — not a bug, but the dead-dimension share
+    * that q422's cold-start coverage turns into a business readout).
+    * Per edge: child rows / orphans / orphan share, distinct parent
+    * keys / childless keys / childless share.
+    *
+    * Shape per edge: one child-side key-grain aggregate, one anti-join
+    * each way (dim side broadcasts; fact-fact shuffles on the key) —
+    * nothing wider than the child table, ever. */
+  def fkCoverageAudit(
+      orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    def edge(
+        name: String,
+        child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val ck = child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("n"))
+      val pk = parent.select(col(parentKey).as("k")).distinct()
+      val orphans = ck.join(pk, Seq("k"), "left_anti")
+        .agg(coalesce(sum("n"), lit(0L)).as("n_orphan"))
+      val childless = pk.join(ck, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless"))
+      val totals = ck.agg(coalesce(sum("n"), lit(0L)).as("n_child"))
+      val parents = pk.agg(count(lit(1)).as("n_parent"))
+      totals.crossJoin(broadcast(orphans))
+        .crossJoin(broadcast(parents)).crossJoin(broadcast(childless))
+        .select(
+          lit(name).as("edge"),
+          col("n_child"), col("n_orphan"),
+          graft.functions.PortableRound.round(
+            when(col("n_child") > 0,
+              col("n_orphan").cast("double") / col("n_child")), 6).as("orphan_share"),
+          col("n_parent"), col("n_childless"),
+          graft.functions.PortableRound.round(
+            when(col("n_parent") > 0,
+              col("n_childless").cast("double") / col("n_parent")), 6)
+            .as("childless_share"))
+    }
+    edge("customer_nation", customer, "c_nationkey", nation, "n_nationkey")
+      .unionByName(edge("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"))
+      .unionByName(edge("lineitem_part", lineitem, "l_partkey", part, "p_partkey"))
+      .unionByName(edge("lineitem_supplier", lineitem, "l_suppkey", supplier, "s_suppkey"))
+      .unionByName(edge("orders_customer", orders, "o_custkey", customer, "c_custkey"))
+      .unionByName(edge("supplier_nation", supplier, "s_nationkey", nation, "n_nationkey"))
+      .orderBy("edge")
+  }
 }

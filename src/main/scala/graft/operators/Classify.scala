@@ -44,10 +44,27 @@ object Classify {
     * ln(α/(N_c+αV)), so absent pairs never need materializing. The
     * per-doc argmax is a 5-row window partitioned by doc — bounded by
     * the label set, not the data. */
-  def naiveBayesLang(documents: DataFrame, alpha: Double = 1.0): DataFrame = {
+  def naiveBayesLang(documents: DataFrame, alpha: Double = 1.0): DataFrame =
+    nbPredictions(documents, alpha, Seq("lang" -> "true_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+      .localCheckpoint(eager = true) // ≤|classes|² rows
+
+  /** Shared NB scoring core: train on the doc_id%5≠0 split, score the
+    * holdout, return one row per holdout doc with its argmax class.
+    * `carry` threads extra document columns (source, lang) through to
+    * the prediction frame — q320 aggregates to the confusion matrix,
+    * q435 slices the same predictions by source for the fairness
+    * audit, and both MUST read the identical model or the audit lies. */
+  private def nbPredictions(
+      documents: DataFrame,
+      alpha: Double,
+      carry: Seq[(String, String)]): DataFrame = {
+    val carried = carry.map { case (in, out) => col(in).as(out) }
+    val carriedNames = carry.map(_._2)
     val tok = documents.select(
-      col("doc_id"), col("lang"),
-      explode(tokens(col("text"))).as("term"))
+      (Seq(col("doc_id"), col("lang")) ++ carried :+ explode(tokens(col("text"))).as("term")): _*)
 
     // ONE training explode pass, aggregated straight to the vocab-sized
     // (class, term) count table; every other training statistic (class
@@ -83,7 +100,7 @@ object Classify {
     // ONE holdout explode pass down to (doc, term) tf grain — the
     // matched-mass join and the per-doc totals share its exchange
     val testTf = tok.filter(col("doc_id") % 5 === 0)
-      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .groupBy((col("doc_id") +: carriedNames.map(col) :+ col("term")): _*)
       .agg(count(lit(1)).as("tf"))
     val matched = testTf
       .join(broadcast(obs), "term")
@@ -92,7 +109,7 @@ object Classify {
 
     // full doc × class grid (explode of the literal label set), so a
     // class matching ZERO of a doc's terms still scores (all-floor)
-    val docTotals = testTf.groupBy("doc_id", "true_lang")
+    val docTotals = testTf.groupBy((col("doc_id") +: carriedNames.map(col)): _*)
       .agg(sum(col("tf")).as("t_d"))
     val grid = docTotals
       .withColumn("c", explode(array(Langs.map(lit): _*)))
@@ -103,14 +120,43 @@ object Classify {
           (col("t_d") - coalesce(col("m"), lit(0L))) * log(lit(alpha) / col("denom")))
 
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("c"))
-    val confusion = grid
+    grid
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .groupBy(col("true_lang"), col("c").as("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("true_lang", "pred_lang")
-      .localCheckpoint(eager = true) // ≤|classes|² rows
-    confusion
+      .select((col("doc_id") +: carriedNames.map(col) :+ col("c").as("pred_lang")): _*)
+  }
+
+  /** q435: FAIRNESS-SLICE audit of the q320 classifier — the "is the
+    * model equally good for every slice" readout a model card needs:
+    * per source (the sensitive grouping), holdout accuracy, the share
+    * of docs predicted 'en' (demographic parity on the majority
+    * label), and each slice's accuracy gap vs the overall holdout
+    * accuracy, flagged past a disparity threshold on the ROUNDED gap.
+    * Reads the IDENTICAL predictions as q320 (shared scoring core) —
+    * an audit of a different model would be no audit at all. Slice
+    * stats are a #sources aggregate + one 1-row overall scalar. */
+  def fairnessSlices(
+      documents: DataFrame,
+      alpha: Double = 1.0,
+      gapFlag: Double = 0.1): DataFrame = {
+    val preds = nbPredictions(
+      documents, alpha, Seq("lang" -> "true_lang", "source" -> "source"))
+      .withColumn("correct",
+        when(col("pred_lang") === col("true_lang"), 1.0).otherwise(0.0))
+      .withColumn("pred_en", when(col("pred_lang") === "en", 1.0).otherwise(0.0))
+    val overall = preds.agg(avg(col("correct")).as("overall_acc"))
+    // overall_acc is a broadcast constant; max() carries it through the agg
+    val gap = round(avg(col("correct")) - max(col("overall_acc")), 4)
+    preds
+      .crossJoin(broadcast(overall))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("correct")), 4).as("accuracy"),
+        round(avg(col("pred_en")), 4).as("en_share"),
+        gap.as("acc_gap"),
+        (abs(gap) > lit(gapFlag)).as("disparity_flag"))
+      .orderBy("source")
   }
 
   /** Orders labeled by "contains a returned line" with a logistic

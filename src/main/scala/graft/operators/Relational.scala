@@ -491,6 +491,43 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q437: SWITCHBACK experiment analysis — time-block randomization
+    * for settings where user-level assignment leaks through shared
+    * state (marketplaces, pricing, ranking): the md5 parity runs over
+    * HOUR-BLOCK ids instead of users, every event in a block gets the
+    * block's arm, and the effect is the block-level mean difference
+    * with a Welch t over blocks (the block is the independence unit,
+    * exactly as the user is in q171). One block-grain aggregate, then
+    * a 1-row scalar; block revenue sums ride exact decimal-free event
+    * values (~1e2 mass — far from the money-grain cliff). */
+  def switchbackAnalysis(events: DataFrame, blockHours: Int = 1): DataFrame = {
+    val blockUs = lit(blockHours.toLong * 3600L * 1000000L)
+    val blocks = events
+      .withColumn("block", floor(unix_micros(col("ts")) / blockUs))
+      .groupBy("block")
+      .agg(
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"),
+        count(lit(1)).as("n_events"))
+      .withColumn("arm", hashArm(col("block")))
+    val a = when(col("arm") === "A", col("rev"))
+    val b = when(col("arm") === "B", col("rev"))
+    blocks
+      .agg(
+        count(a).as("n_blocks_a"), count(b).as("n_blocks_b"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"))
+      .select(
+        col("n_blocks_a"), col("n_blocks_b"),
+        round(col("ma"), 4).as("mean_rev_a"),
+        round(col("mb"), 4).as("mean_rev_b"),
+        round(col("ma") - col("mb"), 4).as("block_effect"),
+        round(
+          when(col("va") / col("n_blocks_a") + col("vb") / col("n_blocks_b") > 0,
+            (col("ma") - col("mb")) /
+              sqrt(col("va") / col("n_blocks_a") + col("vb") / col("n_blocks_b"))), 4)
+          .as("t_stat"))
+  }
+
   /** q394: Bayesian A/B on conversion — the "probability A actually
     * beats B" readout stakeholders ask for where q171/q231 hand back a
     * p-value: Jeffreys-smoothed posterior conversion rates

@@ -3306,4 +3306,58 @@ object StatTests {
       round(total, 4).as("total"),
       round(when(abs(total) > 1e-9, indirect / total), 4).as("prop_mediated"))
   }
+
+  /** q436: BASS DIFFUSION fit of user adoption — the product-growth
+    * model behind "when does adoption peak": daily first-purchase
+    * counts n_t regressed on cumulative adopters, n_t = a + b·N₍t₋₁₎ +
+    * c·N²₍t₋₁₎ (the discrete Bass form), coefficients by the same
+    * two-regressor covariance closed form as q433, then the structural
+    * parameters m (market size, the positive quadratic root), p
+    * (innovation) and q (imitation). One user-grain first-purchase
+    * aggregate, a calendar-bounded day table with a prefix sum, one
+    * covariance row. c is displayed ×1e6 and m in thousands so the
+    * tiny/huge coefficients survive 4 dp. */
+  def bassDiffusion(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+    val daily = firstDay.groupBy("day").agg(count(lit(1)).as("n_adopt"))
+    // prefix sum over the ≤#days frame (q89/q183 calendar-bounded idiom)
+    val wd = Window.partitionBy(lit(1)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val series = daily
+      .withColumn("cum_prev", coalesce(sum("n_adopt").over(wd), lit(0L)).cast("double"))
+      .select(
+        col("n_adopt").cast("double").as("y"),
+        col("cum_prev").as("x1"),
+        (col("cum_prev") * col("cum_prev")).as("x2"))
+    val cv = series.agg(
+      count(lit(1)).as("n_days"),
+      avg("y").as("my"), avg("x1").as("m1"), avg("x2").as("m2"),
+      var_samp(col("x1")).as("v1"), var_samp(col("x2")).as("v2"),
+      covar_samp(col("x1"), col("x2")).as("c12"),
+      covar_samp(col("x1"), col("y")).as("c1y"),
+      covar_samp(col("x2"), col("y")).as("c2y"))
+    val det = col("v1") * col("v2") - col("c12") * col("c12")
+    val b = when(abs(det) > 1e-6, (col("c1y") * col("v2") - col("c2y") * col("c12")) / det)
+    val c = when(abs(det) > 1e-6, (col("c2y") * col("v1") - col("c1y") * col("c12")) / det)
+    val a = col("my") - b * col("m1") - c * col("m2")
+    val disc = b * b - lit(4.0) * a * c
+    // the market-size root exists only when the quadratic curves DOWN
+    // (c<0 — imitation saturates); the −1e-9 guard sits far above the
+    // cross-engine covariance noise floor and far below any real c
+    val m = when(c < -1e-9 && disc >= 0,
+      (-b - sqrt(disc)) / (lit(2.0) * c))
+    val p = when(abs(m) > 1e-9, a / m)
+    val q = -c * m
+    cv.select(
+      col("n_days"),
+      round(a, 4).as("a"),
+      round(b, 4).as("b"),
+      round(c * lit(1e6), 4).as("c_e6"),
+      round(m / lit(1000.0), 4).as("m_k"),
+      round(p, 4).as("p_innovation"),
+      round(q, 4).as("q_imitation"))
+  }
 }

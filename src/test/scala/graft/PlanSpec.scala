@@ -293,6 +293,9 @@ class PlanSpec extends SparkSpec {
       "q278_excess_stock"   -> bnl, // 1-row broadcast global year-share scalar (q14 idiom)
       "q283_tier_migration" -> Set("unpartitioned-window"), // GlobalOrder offset frame ×2 periods (q150/q153 idiom)
       "q426_woe_iv"         -> bnl, // 1-row broadcast tot_pos/tot_neg scalar (q14 idiom)
+      "q434_fk_coverage"    -> bnl, // 1-row per-edge orphan/childless scalars (q14 idiom, ×6 edges)
+      "q435_fairness_slices" -> bnl, // 1-row broadcast overall-accuracy scalar (q14 idiom)
+      "q436_bass_diffusion" -> Set("unpartitioned-window"), // prefix sum over the ≤#days adoption frame (q89/q183 idiom)
       "q428_uplift_deciles" -> Set("unpartitioned-window"), // GlobalOrder offset frame (q150/q153 idiom)
       "q430_periodogram"    -> (bnl + "unpartitioned-window"), // 1-row mean scalar + rank over the ≤13-period frame (q89/q182 idiom)
       "q431_ar2_forecast"   -> bnl, // 1-row mu/r1/r2/last2 scalars (q14 idiom)

@@ -175,6 +175,91 @@ class R11Spec extends SparkSpec {
     assert(r.getAs[Double]("prop_mediated") == 1.0)
   }
 
+  test("q434 fkCoverage: planted orphan and childless keys land in the right columns") {
+    import graft.operators.Audit
+    val nation = Seq((0L, "A"), (1L, "B")).toDF("n_nationkey", "n_name")
+    val customer = Seq((1L, 0L), (2L, 0L), (3L, 9L)) // custkey 3 -> orphan nation 9
+      .toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((10L, 1L), (11L, 2L)).toDF("o_orderkey", "o_custkey")
+    val part = Seq((100L, "x"), (101L, "never-ordered")).toDF("p_partkey", "p_name")
+    val lineitem = Seq((10L, 100L, 1L), (99L, 100L, 1L)) // orderkey 99 -> orphan
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val out = Audit.fkCoverageAudit(orders, lineitem, customer, part, supplier, nation)
+      .collect().map(r => r.getAs[String]("edge") -> r).toMap
+    assert(out("customer_nation").getAs[Long]("n_orphan") == 1L) // custkey 3
+    assert(out("customer_nation").getAs[Long]("n_childless") == 1L) // nation B
+    assert(out("lineitem_orders").getAs[Long]("n_orphan") == 1L) // orderkey 99
+    assert(out("lineitem_orders").getAs[Long]("n_childless") == 1L) // order 11
+    assert(out("lineitem_part").getAs[Long]("n_orphan") == 0L)
+    assert(out("lineitem_part").getAs[Long]("n_childless") == 1L) // part 101
+    assert(out("orders_customer").getAs[Long]("n_orphan") == 0L)
+    assert(out("lineitem_part").getAs[Double]("childless_share") == 0.5)
+  }
+
+  test("q435 fairnessSlices: slice gaps are doc-weighted centered on the overall accuracy") {
+    import graft.operators.Classify
+    val t = graft.sources.Tables(spark, sfDir)
+    val out = Classify.fairnessSlices(t.documents).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val a = r.getAs[Double]("accuracy"); a >= 0.0 && a <= 1.0
+    })
+    // Σ n_s · (acc_s − overall) = 0 by construction (to rounding grain)
+    val wsum = out.map(r => r.getAs[Long]("n_docs") * r.getAs[Double]("acc_gap")).sum
+    val n = out.map(_.getAs[Long]("n_docs")).sum
+    assert(math.abs(wsum) <= n * 1.1e-4, s"weighted gap sum $wsum over $n docs")
+  }
+
+  test("q436 bassDiffusion: a planted Bass adoption curve recovers its parameters") {
+    import graft.operators.StatTests
+    // simulate m=1000, p=0.03, q=0.38 with integer-rounded daily adopters
+    val (m0, p0, q0) = (1000.0, 0.03, 0.38)
+    val ts0 = java.time.LocalDate.of(2024, 1, 1)
+    var cum = 0.0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, java.sql.Timestamp, Double)]
+    var uid = 0L
+    var day = 0
+    while (cum < 0.98 * m0 && day < 120) {
+      val nExact = p0 * m0 + (q0 - p0) * cum - (q0 / m0) * cum * cum
+      val n = math.max(0, math.round(nExact)).toInt
+      val t = java.sql.Timestamp.valueOf(ts0.plusDays(day).atTime(12, 0))
+      (0 until n).foreach { _ =>
+        uid += 1
+        rows += ((uid, "purchase", t, 1.0))
+      }
+      cum += n
+      day += 1
+    }
+    val events = rows.toSeq.toDF("user_id", "event_type", "ts", "value")
+    val r = StatTests.bassDiffusion(events).collect().head
+    assert(math.abs(r.getAs[Double]("m_k") - 1.0) < 0.1, s"market size: $r")
+    assert(math.abs(r.getAs[Double]("p_innovation") - p0) < 0.02, s"p: $r")
+    assert(math.abs(r.getAs[Double]("q_imitation") - q0) < 0.05, s"q: $r")
+  }
+
+  test("q437 switchback: block arms partition the hours and a planted lift is recovered") {
+    import graft.operators.{Relational, StatTests}
+    // synthesize hourly blocks over 20 days; arm-A hours carry +5 revenue
+    def armA(b: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(b.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "01234567".contains(hex.charAt(0))
+    }
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 30)
+    val rows = (0 until 480).map { h =>
+      val t = java.sql.Timestamp.valueOf(base.plusHours(h))
+      val block = t.getTime * 1000L / 3600000000L
+      val rev = if (armA(block)) 15.0 else 10.0
+      (h.toLong, "purchase", t, rev)
+    }
+    val events = rows.toDF("user_id", "event_type", "ts", "value")
+    val r = Relational.switchbackAnalysis(events).collect().head
+    assert(r.getAs[Long]("n_blocks_a") + r.getAs[Long]("n_blocks_b") == 480L)
+    assert(r.getAs[Double]("mean_rev_a") == 15.0 && r.getAs[Double]("mean_rev_b") == 10.0)
+    assert(r.getAs[Double]("block_effect") == 5.0)
+  }
+
   test("q428 upliftDeciles: decile sizes follow the ntile fill rule on the sf fixture") {
     val t = graft.sources.Tables(spark, sfDir)
     val out = Classify.upliftDeciles(t.events).collect()
