@@ -787,6 +787,13 @@ object SparkEntry {
     "q435_fairness_slices" -> ((s, d) => Classify.fairnessSlices(Tables(s, d).documents)),
     "q436_bass_diffusion" -> ((s, d) => StatTests.bassDiffusion(Tables(s, d).events)),
     "q437_switchback" -> ((s, d) => Relational.switchbackAnalysis(Tables(s, d).events)),
+    "q438_equi_depth_hist" -> ((s, d) => Relational.equiDepthHistogram(Tables(s, d).orders)),
+    "q439_join_estimate_audit" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.joinEstimateAudit(t.orders, t.customer, t.lineitem, t.part)
+    }),
+    "q440_design_effect" -> ((s, d) => StatTests.designEffect(Tables(s, d).events)),
+    "q441_qte" -> ((s, d) => StatTests.quantileTreatmentEffects(Tables(s, d).events)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7570,6 +7577,106 @@ object SparkEntry {
         |    floor((ma - mb) / sqrt(va / n_blocks_a + vb / n_blocks_b) * 10000 + 0.5)/10000 END
         |    AS t_stat
         |FROM ag""".stripMargin,
+    "q438_equi_depth_hist" ->
+      """WITH bounds AS (
+        |  SELECT list_transform(
+        |    quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    b -> floor(b * 10000 + 0.5)/10000) AS bs
+        |  FROM orders),
+        |assigned AS (
+        |  SELECT o.o_totalprice,
+        |    CAST(len(list_filter(b.bs, x -> o.o_totalprice > x)) AS INT) AS bucket
+        |  FROM orders o CROSS JOIN bounds b)
+        |SELECT bucket, count(*) AS n_rows,
+        |  count(DISTINCT o_totalprice) AS n_distinct,
+        |  floor(min(o_totalprice) * 10000 + 0.5)/10000 AS lo,
+        |  floor(max(o_totalprice) * 10000 + 0.5)/10000 AS hi
+        |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q439_join_estimate_audit" ->
+      """WITH e AS (
+        |  SELECT 'lineitem_orders' AS edge,
+        |    (SELECT count(*) FROM lineitem) AS n_left,
+        |    (SELECT count(*) FROM orders) AS n_right,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_left,
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_right,
+        |    (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |      AS n_actual
+        |  UNION ALL
+        |  SELECT 'lineitem_part',
+        |    (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(DISTINCT p_partkey) FROM part),
+        |    (SELECT count(*) FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |  UNION ALL
+        |  SELECT 'orders_customer',
+        |    (SELECT count(*) FROM orders), (SELECT count(*) FROM customer),
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(DISTINCT c_custkey) FROM customer),
+        |    (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey))
+        |SELECT edge, n_left, n_right, ndv_left, ndv_right, n_actual,
+        |  floor(CAST(n_left AS DOUBLE) * n_right / greatest(ndv_left, ndv_right)
+        |    * 10000 + 0.5)/10000 AS n_estimate,
+        |  CASE WHEN n_actual > 0 THEN
+        |    floor(CAST(n_left AS DOUBLE) * n_right / greatest(ndv_left, ndv_right) / n_actual
+        |      * 10000 + 0.5)/10000 END AS err_ratio
+        |FROM e ORDER BY edge""".stripMargin,
+    "q440_design_effect" ->
+      """WITH p AS (
+        |  SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+        |pu AS (
+        |  SELECT user_id, count(*) AS m, sum(value) AS s, avg(value) AS ybar
+        |  FROM p GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS k, CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(m * m) AS BIGINT) AS sum_m2, sum(s) AS tot
+        |  FROM pu),
+        |sst AS (
+        |  SELECT sum((value - g.tot/g.n) * (value - g.tot/g.n)) AS sst
+        |  FROM p CROSS JOIN g),
+        |ssb AS (
+        |  SELECT sum(m * (ybar - g.tot/g.n) * (ybar - g.tot/g.n)) AS ssb
+        |  FROM pu CROSS JOIN g),
+        |f AS (
+        |  SELECT g.k, g.n, g.sum_m2, ssb.ssb, sst.sst,
+        |    ssb.ssb / (g.k - 1) AS msb,
+        |    (sst.sst - ssb.ssb) / (g.n - g.k) AS msw,
+        |    (g.n - CAST(g.sum_m2 AS DOUBLE) / g.n) / (g.k - 1) AS m0
+        |  FROM g CROSS JOIN sst CROSS JOIN ssb),
+        |h AS (
+        |  SELECT *,
+        |    CASE WHEN k > 1 AND n > k THEN
+        |      CASE WHEN msb + (m0 - 1.0) * msw > 0
+        |        THEN (msb - msw) / (msb + (m0 - 1.0) * msw) END END AS icc
+        |  FROM f),
+        |i AS (
+        |  SELECT *, 1.0 + (m0 - 1.0) * greatest(coalesce(icc, 0.0), 0.0) AS deff FROM h)
+        |SELECT k AS n_users, n AS n_purchases,
+        |  floor(m0 * 10000 + 0.5)/10000 AS m0,
+        |  floor(icc * 10000 + 0.5)/10000 AS icc,
+        |  floor(deff * 10000 + 0.5)/10000 AS deff,
+        |  floor(n / deff * 10000 + 0.5)/10000 AS n_effective
+        |FROM i""".stripMargin,
+    "q441_qte" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS rev,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT
+        |    quantile_cont(rev, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |      FILTER (WHERE arm = 'A') AS qa,
+        |    quantile_cont(rev, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |      FILTER (WHERE arm = 'B') AS qb
+        |  FROM pu)
+        |SELECT
+        |  floor(CAST(g.range + 1 AS DOUBLE) / CAST(10 AS DOUBLE) * 10000 + 0.5)/10000 AS p,
+        |  floor(qa[CAST(g.range + 1 AS INT)] * 10000 + 0.5)/10000 AS q_a,
+        |  floor(qb[CAST(g.range + 1 AS INT)] * 10000 + 0.5)/10000 AS q_b,
+        |  floor((qa[CAST(g.range + 1 AS INT)] - qb[CAST(g.range + 1 AS INT)])
+        |    * 10000 + 0.5)/10000 AS qte
+        |FROM q CROSS JOIN range(0, 9) g ORDER BY p""".stripMargin,
   )
 
   /** q288's oracle: k-core peeling has no closed form, so the SQL

@@ -1557,6 +1557,75 @@ object Relational {
         round(max("o_totalprice"), 4).as("bin_max"))
       .orderBy("bin")
 
+  /** q438: equi-DEPTH histogram — the optimizer-statistics dual of
+    * q79's equi-width bins: bucket bounds are the exact interpolated
+    * deciles (what ANALYZE builds for selectivity estimation), so every
+    * bucket holds ~10% of rows regardless of skew; per bucket the row
+    * count, distinct-value count and value range. Bounds are ROUNDED
+    * before assignment (q90 boundary discipline) and the bucket id is a
+    * lazy higher-order `filter` over the broadcast bounds array — no
+    * driver pull, no per-row UDF. One percentile aggregate + one
+    * bucket-grain aggregate. */
+  def equiDepthHistogram(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    val probs = (1 until buckets).map(p => p.toDouble / buckets)
+    val boundsRow = orders.agg(
+      expr(s"transform(percentile(o_totalprice, array(${probs.mkString(",")})), " +
+        "b -> floor(b * 10000 + 0.5)/10000)").as("bounds"))
+    orders
+      .crossJoin(broadcast(boundsRow))
+      .select(
+        col("o_totalprice"),
+        expr("size(filter(bounds, b -> o_totalprice > b))").as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_totalprice")).as("n_distinct"),
+        round(min("o_totalprice"), 4).as("lo"),
+        round(max("o_totalprice"), 4).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** q439: join-CARDINALITY estimate audit — the System-R independence
+    * formula every cost-based optimizer leans on,
+    * |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B), checked against the ACTUAL
+    * join size for the star's three fact edges. The error ratio is the
+    * "can I trust the planner's row estimates on THIS data" readout
+    * (uniformity violations show up as ratios far from 1). Exact NDVs
+    * and one count-shaped join per edge — data-proportional. */
+  def joinEstimateAudit(
+      orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def edge(
+        name: String,
+        left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(
+        count(lit(1)).as("n_left"), countDistinct(col(lk)).as("ndv_left"))
+      val rs = right.agg(
+        count(lit(1)).as("n_right"), countDistinct(col(rk)).as("ndv_right"))
+      val actual = left.select(col(lk).as("__k"))
+        .join(right.select(col(rk).as("__k")), "__k")
+        .agg(count(lit(1)).as("n_actual"))
+      ls.crossJoin(broadcast(rs)).crossJoin(broadcast(actual))
+        .select(
+          lit(name).as("edge"),
+          col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
+          col("n_actual"),
+          round(
+            col("n_left").cast("double") * col("n_right")
+              / greatest(col("ndv_left"), col("ndv_right")), 4).as("n_estimate"),
+          round(
+            when(col("n_actual") > 0,
+              col("n_left").cast("double") * col("n_right")
+                / greatest(col("ndv_left"), col("ndv_right")) / col("n_actual")), 4)
+            .as("err_ratio"))
+    }
+    edge("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey")
+      .unionByName(edge("lineitem_part", lineitem, "l_partkey", part, "p_partkey"))
+      .unionByName(edge("orders_customer", orders, "o_custkey", customer, "c_custkey"))
+      .orderBy("edge")
+  }
+
   /** q89: month-over-month revenue change. The lag window is global but
     * its INPUT is the already-aggregated month table — bounded by the
     * calendar, not the data — so the single-partition window that made

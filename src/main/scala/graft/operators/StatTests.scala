@@ -3360,4 +3360,75 @@ object StatTests {
       round(p, 4).as("p_innovation"),
       round(q, 4).as("q_imitation"))
   }
+
+  /** q440: cluster-sampling DESIGN EFFECT — what user-clustered
+    * randomization costs in effective sample size: purchases cluster
+    * within users, so the intraclass correlation (one-way ANOVA
+    * estimator with the unequal-size m₀ correction) inflates variance
+    * by DEFF = 1 + (m₀−1)·ICC, and n_effective = n/DEFF is the number
+    * an experiment-power calculation must actually use (q224's n is
+    * per-USER precisely to dodge this — q440 measures the penalty of
+    * getting that wrong). One user-grain aggregate + one scalar row. */
+  def designEffect(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+    val perUser = purchases.groupBy("user_id")
+      .agg(count(lit(1)).as("m"), sum("value").as("s"), avg("value").as("ybar"))
+    val g = perUser.agg(
+      count(lit(1)).as("k"),
+      sum("m").as("n"),
+      sum(col("m") * col("m")).as("sum_m2"),
+      sum("s").as("tot"))
+    val tots = purchases
+      .crossJoin(broadcast(g.select((col("tot") / col("n")).as("gm"))))
+      .agg(sum((col("value") - col("gm")) * (col("value") - col("gm"))).as("sst"))
+    val ssb = perUser
+      .crossJoin(broadcast(g.select((col("tot") / col("n")).as("gm"))))
+      .agg(sum(col("m") * (col("ybar") - col("gm")) * (col("ybar") - col("gm"))).as("ssb"))
+    val msb = col("ssb") / (col("k") - 1)
+    val msw = (col("sst") - col("ssb")) / (col("n") - col("k"))
+    val m0 = (col("n") - col("sum_m2").cast("double") / col("n")) / (col("k") - 1)
+    val icc = when(col("k") > 1 && col("n") > col("k"),
+      when(msb + (m0 - lit(1.0)) * msw > 0,
+        (msb - msw) / (msb + (m0 - lit(1.0)) * msw)))
+    // negative ICC estimates clamp to 0 for DEFF (standard practice);
+    // explicit coalesce so null-vs-greatest semantics never differ
+    // between engines
+    val deff = lit(1.0) + (m0 - lit(1.0)) * greatest(coalesce(icc, lit(0.0)), lit(0.0))
+    g.crossJoin(broadcast(tots)).crossJoin(broadcast(ssb))
+      .select(
+        col("k").as("n_users"), col("n").as("n_purchases"),
+        round(m0, 4).as("m0"),
+        round(icc, 4).as("icc"),
+        round(deff, 4).as("deff"),
+        round(col("n") / deff, 4).as("n_effective"))
+  }
+
+  /** q441: QUANTILE treatment effects — the distributional view q171's
+    * mean difference averages away: per decile, the arm-A vs arm-B
+    * difference of per-user revenue quantiles (exact interpolated
+    * percentiles, q16 discipline). A lift concentrated in the upper
+    * deciles with a flat median is a whale effect, not a broad one —
+    * the readout that distinguishes them. User-grain aggregate, one
+    * conditional percentile-array row, a ≤9-row explode. */
+  def quantileTreatmentEffects(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("rev"))
+      .withColumn("arm", Relational.hashArm(col("user_id")))
+    val probs = (1 to 9).map(p => p / 10.0)
+    val qs = perUser.agg(
+      expr(s"percentile(CASE WHEN arm = 'A' THEN rev END, array(${probs.mkString(",")}))")
+        .as("qa"),
+      expr(s"percentile(CASE WHEN arm = 'B' THEN rev END, array(${probs.mkString(",")}))")
+        .as("qb"))
+    qs.select(posexplode(arrays_zip(col("qa"), col("qb"))).as(Seq("i", "z")))
+      .select(
+        round((col("i") + 1) / lit(10.0), 4).as("p"),
+        round(col("z.qa"), 4).as("q_a"),
+        round(col("z.qb"), 4).as("q_b"),
+        round(col("z.qa") - col("z.qb"), 4).as("qte"))
+      .orderBy("p")
+  }
 }

@@ -260,6 +260,71 @@ class R11Spec extends SparkSpec {
     assert(r.getAs[Double]("block_effect") == 5.0)
   }
 
+  test("q438 equiDepthHistogram: deciles balance the rows and tile the value range") {
+    import graft.operators.Relational
+    val t = graft.sources.Tables(spark, sfDir)
+    val out = Relational.equiDepthHistogram(t.orders).collect()
+    assert(out.map(_.getAs[Int]("bucket")).toSeq == (0 to 9))
+    val total = t.orders.count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total)
+    // near-unique values -> every bucket within 2% of the even share
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(math.abs(n - total / 10.0) <= math.max(2.0, 0.02 * total), s"bucket $r")
+    }
+    // buckets tile: each bucket's lo is >= the previous bucket's hi... minus ties
+    val sorted = out.sortBy(_.getAs[Int]("bucket"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("lo") >= a.getAs[Double]("hi") - 1e-9)
+    }
+  }
+
+  test("q439 joinEstimateAudit: uniform keys audit to ratio 1, skewed keys do not") {
+    import graft.operators.Relational
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("c_custkey", "c_name")
+    val lineitem = Seq((10L, 100L), (10L, 100L), (11L, 101L), (99L, 101L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((100L, "a"), (101L, "b")).toDF("p_partkey", "p_name")
+    val out = Relational.joinEstimateAudit(orders, customer, lineitem, part)
+      .collect().map(r => r.getAs[String]("edge") -> r).toMap
+    // lineitem⋈part: 4·2/max(2,2) = 4 estimated, actual 4 -> ratio 1
+    assert(out("lineitem_part").getAs[Long]("n_actual") == 4L)
+    assert(out("lineitem_part").getAs[Double]("err_ratio") == 1.0)
+    // lineitem⋈orders: est 4·3/3 = 4, actual 3 (orderkey 99 dangles)
+    assert(out("lineitem_orders").getAs[Long]("n_actual") == 3L)
+    assert(out("lineitem_orders").getAs[Double]("n_estimate") == 4.0)
+    // orders⋈customer: est 3·3/3 = 3, actual 3
+    assert(out("orders_customer").getAs[Double]("err_ratio") == 1.0)
+  }
+
+  test("q440 designEffect: pure between-user variance gives ICC 1 and DEFF = m0") {
+    import graft.operators.StatTests
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val rows = for {
+      (u, v) <- Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)); _ <- 1 to 3
+    } yield (u, "purchase", ts0, v)
+    val events = rows.toDF("user_id", "event_type", "ts", "value")
+    val r = StatTests.designEffect(events).collect().head
+    assert(r.getAs[Long]("n_users") == 3L && r.getAs[Long]("n_purchases") == 9L)
+    assert(r.getAs[Double]("m0") == 3.0)
+    assert(r.getAs[Double]("icc") == 1.0, s"ICC: $r")
+    assert(r.getAs[Double]("deff") == 3.0 && r.getAs[Double]("n_effective") == 3.0)
+  }
+
+  test("q441 quantileTreatmentEffects: deciles ascend and QTE is the signed gap") {
+    import graft.operators.StatTests
+    val t = graft.sources.Tables(spark, sfDir)
+    val out = StatTests.quantileTreatmentEffects(t.events).collect()
+    assert(out.map(_.getAs[Double]("p")).toSeq == (1 to 9).map(_ / 10.0))
+    out.foreach { r =>
+      assert(math.abs(
+        r.getAs[Double]("qte") - (r.getAs[Double]("q_a") - r.getAs[Double]("q_b"))) < 2e-4)
+    }
+    val qa = out.map(_.getAs[Double]("q_a"))
+    assert(qa.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 }, "quantiles ascend")
+  }
+
   test("q428 upliftDeciles: decile sizes follow the ntile fill rule on the sf fixture") {
     val t = graft.sources.Tables(spark, sfDir)
     val out = Classify.upliftDeciles(t.events).collect()
