@@ -794,6 +794,8 @@ object SparkEntry {
     }),
     "q440_design_effect" -> ((s, d) => StatTests.designEffect(Tables(s, d).events)),
     "q441_qte" -> ((s, d) => StatTests.quantileTreatmentEffects(Tables(s, d).events)),
+    "q442_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedupAudit(Tables(s, d).documents)),
+    "q443_mixture_shift" -> ((s, d) => TextAnalysis.dedupMixtureShift(Tables(s, d).documents)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7677,6 +7679,48 @@ object SparkEntry {
         |  floor((qa[CAST(g.range + 1 AS INT)] - qb[CAST(g.range + 1 AS INT)])
         |    * 10000 + 0.5)/10000 AS qte
         |FROM q CROSS JOIN range(0, 9) g ORDER BY p""".stripMargin,
+    "q442_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        |        unnest(generate_series(0, len(toks) - 1, 48)) AS start
+        |      FROM t WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(
+        |      list_slice(toks, start + 1, start + least(64, n_tok - start)), ' '))
+        |      AS chunk_md5
+        |  FROM s),
+        |fp AS (
+        |  SELECT chunk_md5, count(*) AS fp_n, count(DISTINCT doc_id) AS fp_docs
+        |  FROM ch GROUP BY 1)
+        |SELECT ch.source, count(*) AS n_chunks,
+        |  count(DISTINCT ch.chunk_md5) AS n_distinct,
+        |  floor(CAST(sum(CASE WHEN fp.fp_n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5)/10000 AS dup_share,
+        |  floor(CAST(sum(CASE WHEN fp.fp_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 10000 + 0.5)/10000 AS cross_doc_share
+        |FROM ch JOIN fp USING (chunk_md5)
+        |GROUP BY 1 ORDER BY ch.source""".stripMargin,
+    "q443_mixture_shift" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |kk AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS kept
+        |  FROM k),
+        |b AS (
+        |  SELECT source, count(*) AS n_before, CAST(sum(kept) AS BIGINT) AS n_after
+        |  FROM kk GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
+        |             CAST(sum(n_after) AS BIGINT) AS tot_after FROM b)
+        |SELECT source, n_before, n_after,
+        |  floor(CAST(n_before AS DOUBLE)/tot_before * 10000 + 0.5)/10000 AS share_before,
+        |  floor(CAST(n_after AS DOUBLE)/tot_after * 10000 + 0.5)/10000 AS share_after,
+        |  floor((CAST(n_after AS DOUBLE)/tot_after - CAST(n_before AS DOUBLE)/tot_before)
+        |    * 100 * 10000 + 0.5)/10000 AS delta_pp
+        |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
   )
 
   /** q288's oracle: k-core peeling has no closed form, so the SQL

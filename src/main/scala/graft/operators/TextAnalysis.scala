@@ -2244,4 +2244,67 @@ object TextAnalysis {
         round(min(col("n_types") / col("n_toks").cast("double")), 4).as("min_ttr"))
       .orderBy("source")
   }
+
+  /** q442: CHUNK-level dedup audit — dedup at the granularity RAG and
+    * training-sequence pipelines actually consume: q75's token-window
+    * chunks fingerprinted, then per source the share of chunk
+    * occurrences that are redundant (same md5 appears elsewhere) and
+    * the share duplicated ACROSS documents (the retrieval poison:
+    * near-identical passages from different docs crowd a result list).
+    * Doc-level dedup (q33) misses both — two distinct docs can still
+    * share most of their chunks. One chunk fingerprint groupBy joined
+    * back on md5 (data-proportional), then a #sources aggregate. */
+  def chunkDedupAudit(
+      documents: DataFrame,
+      window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val chunks = chunkDocuments(documents, window, stride)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val fpStats = chunks
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("fp_n"), countDistinct(col("doc_id")).as("fp_docs"))
+    chunks
+      .join(fpStats, "chunk_md5")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_md5")).as("n_distinct"),
+        sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("n_dup_occ"),
+        sum(when(col("fp_docs") > 1, 1L).otherwise(0L)).as("n_cross_doc_occ"))
+      .select(
+        col("source"), col("n_chunks"), col("n_distinct"),
+        round(col("n_dup_occ").cast("double") / col("n_chunks"), 4).as("dup_share"),
+        round(col("n_cross_doc_occ").cast("double") / col("n_chunks"), 4)
+          .as("cross_doc_share"))
+      .orderBy("source")
+  }
+
+  /** q443: dedup MIXTURE-SHIFT audit — what exact dedup does to the
+    * source mixture: keep-one-per-fingerprint (q33's rule) removes more
+    * from duplication-heavy sources, silently re-weighting the corpus a
+    * curated mixture (q72/q334) was tuned on. Per source: docs and
+    * corpus share before vs after, and the share delta in percentage
+    * points — the number a mixture owner has to re-solve against.
+    * One fp-grain min, one source aggregate, 1-row total scalars. */
+  def dedupMixtureShift(documents: DataFrame): DataFrame = {
+    val keepers = documents
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep", min("doc_id").over(Window.partitionBy("fp")))
+      .withColumn("kept", (col("doc_id") === col("keep")).cast("long"))
+    val bySource = keepers
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"), sum("kept").as("n_after"))
+    val tot = bySource.agg(
+      sum("n_before").as("tot_before"), sum("n_after").as("tot_after"))
+    val shareBefore = col("n_before").cast("double") / col("tot_before")
+    val shareAfter = col("n_after").cast("double") / col("tot_after")
+    bySource
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_before"), col("n_after"),
+        round(shareBefore, 4).as("share_before"),
+        round(shareAfter, 4).as("share_after"),
+        round((shareAfter - shareBefore) * 100, 4).as("delta_pp"))
+      .orderBy("source")
+  }
 }

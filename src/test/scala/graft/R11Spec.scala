@@ -325,6 +325,43 @@ class R11Spec extends SparkSpec {
     assert(qa.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 }, "quantiles ascend")
   }
 
+  test("q442 chunkDedupAudit: shared passages count as cross-doc, unique docs stay clean") {
+    import graft.operators.TextAnalysis
+    val passage = (1 to 64).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage, "en", "srcA", 100L),          // one chunk
+      (2L, passage, "en", "srcA", 100L),          // identical -> cross-doc dup
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "), "en", "srcB", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.chunkDedupAudit(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Double]("dup_share") > 0.9, s"srcA: ${out("srcA")}")
+    assert(out("srcA").getAs[Double]("cross_doc_share") > 0.9)
+    assert(out("srcB").getAs[Double]("dup_share") == 0.0)
+    assert(out("srcB").getAs[Double]("cross_doc_share") == 0.0)
+  }
+
+  test("q443 dedupMixtureShift: dedup re-weights toward the cleaner source") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta", "en", "dupheavy", 10L),
+      (2L, "alpha beta", "en", "dupheavy", 10L), // dup of 1
+      (3L, "gamma delta", "en", "dupheavy", 10L),
+      (4L, "gamma delta", "en", "dupheavy", 10L), // dup of 3
+      (5L, "epsilon zeta", "en", "clean", 10L),
+      (6L, "eta theta", "en", "clean", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.dedupMixtureShift(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("dupheavy").getAs[Long]("n_before") == 4L)
+    assert(out("dupheavy").getAs[Long]("n_after") == 2L)
+    assert(out("clean").getAs[Long]("n_after") == 2L)
+    assert(out("dupheavy").getAs[Double]("share_before") == 0.6667)
+    assert(out("dupheavy").getAs[Double]("share_after") == 0.5)
+    assert(out("dupheavy").getAs[Double]("delta_pp") < 0)
+    assert(out("clean").getAs[Double]("delta_pp") > 0)
+  }
+
   test("q428 upliftDeciles: decile sizes follow the ntile fill rule on the sf fixture") {
     val t = graft.sources.Tables(spark, sfDir)
     val out = Classify.upliftDeciles(t.events).collect()
