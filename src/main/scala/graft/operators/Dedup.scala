@@ -841,9 +841,17 @@ object Dedup {
     * pairs, so cutoff 1 always fits any budget ≥ 0 — worst case the
     * join degenerates to "unique shingles only", disclosed by q411's
     * dropped_incidence_share rather than silently blowing the shuffle). */
-  private[graft] def budgetedMaxDf(sets: DataFrame, maxDf: Int, budget: Long): Int = {
+  /** The helper's internal frame, exposed pre-collect so its SPEC can
+    * lint the plan: the unpartitioned cumulative window is legal ONLY
+    * because its input is the df HISTOGRAM (≤ max-observed-df rows by
+    * construction) — a refactor that moved it onto the raw sh-grain
+    * incidence would ship a data-sized single-partition sort, and
+    * because the query executes eagerly here, PlanLint's registered-
+    * query gate would never see it. AnalyticsR15Spec asserts the window
+    * feeds off the keys=[df] aggregate. */
+  private[graft] def dfBudgetFrame(sets: DataFrame, maxDf: Int, budget: Long): DataFrame = {
     val wCum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = sets
+    sets
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .groupBy("df").agg(count(lit(1)).as("n_sh")) // histogram: ≤ max observed df rows
       // double math: df ~ corpus size makes df²·n_sh overflow-prone in
@@ -853,7 +861,10 @@ object Dedup {
       .withColumn("cum_pp2", sum("pp2").over(wCum))
       .filter(col("df") <= maxDf && col("cum_pp2") <= lit(2.0) * budget.toDouble)
       .agg(max(col("df")).as("d"))
-      .head()
+  }
+
+  private[graft] def budgetedMaxDf(sets: DataFrame, maxDf: Int, budget: Long): Int = {
+    val r = dfBudgetFrame(sets, maxDf, budget).head()
     if (r.isNullAt(0)) 1 else math.max(1, r.getLong(0).toInt)
   }
 

@@ -44,6 +44,24 @@ class AnalyticsR15Spec extends SparkSpec {
       .head().getLong(0)
   }
 
+  test("q412: budgetedMaxDf's cumulative window runs on the df histogram, never raw incidence") {
+    // The helper executes eagerly (a 1-row driver lookup), so the
+    // registered-query PlanLint gate never sees its plan — this is the
+    // gate for it. The unpartitioned running sum is bounded ONLY because
+    // its input is the ≤max-observed-df histogram; if a refactor ever
+    // moves the window onto the sh-grain frame, the Window's subtree
+    // stops containing the keys=[df] aggregate and this fails.
+    val s = Dedup.signatures(heavyCorpus, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+    val plan = Dedup.dfBudgetFrame(s, 200, 500L).queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"expected a Window node in:\n$plan")
+    val below = plan.substring(winIdx)
+    assert(below.contains("HashAggregate(keys=[df"),
+      s"cumulative window no longer fed by the df histogram aggregate:\n$plan")
+  }
+
   test("q412: the enforced pair budget derives a cap that keeps the candidate stream inside the ceiling") {
     val docs = heavyCorpus
     val budget = 500L
