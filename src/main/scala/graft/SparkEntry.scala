@@ -796,6 +796,12 @@ object SparkEntry {
     "q441_qte" -> ((s, d) => StatTests.quantileTreatmentEffects(Tables(s, d).events)),
     "q442_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedupAudit(Tables(s, d).documents)),
     "q443_mixture_shift" -> ((s, d) => TextAnalysis.dedupMixtureShift(Tables(s, d).documents)),
+    "q444_engle_granger" -> ((s, d) => {
+      val t = Tables(s, d); StatTests.engleGranger(t.orders, t.customer)
+    }),
+    "q445_abc_xyz" -> ((s, d) => {
+      val t = Tables(s, d); StatTests.abcXyz(t.lineitem, t.part)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7721,6 +7727,85 @@ object SparkEntry {
         |  floor((CAST(n_after AS DOUBLE)/tot_after - CAST(n_before AS DOUBLE)/tot_before)
         |    * 100 * 10000 + 0.5)/10000 AS delta_pp
         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+    "q444_engle_granger" ->
+      """WITH seg AS (
+        |  SELECT o.o_orderdate, o.o_totalprice, c.c_mktsegment
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |ya AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        |  FROM seg WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+        |xb AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM seg WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |bo AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', d) AS di, y, x
+        |  FROM ya JOIN xb USING (d)),
+        |ols AS (
+        |  SELECT count(*) AS n_days, avg(y) AS my, avg(x) AS mx,
+        |    var_samp(x) AS vx, covar_samp(x, y) AS cxy
+        |  FROM bo),
+        |ab AS (
+        |  SELECT *, CASE WHEN vx > 0 THEN cxy / vx END AS b FROM ols),
+        |ab2 AS (SELECT *, my - b * mx AS a FROM ab),
+        |resid AS (
+        |  SELECT bo.di, bo.y - ab2.a - ab2.b * bo.x AS e
+        |  FROM bo CROSS JOIN ab2),
+        |pairs AS (
+        |  SELECT r1.e AS el, r2.e - r1.e AS de
+        |  FROM resid r1 JOIN resid r2 ON r2.di = r1.di + 1),
+        |df AS (
+        |  SELECT count(*) AS n_pairs, sum(el * de) AS sed,
+        |    sum(el * el) AS see, sum(de * de) AS sdd
+        |  FROM pairs),
+        |rh AS (SELECT *, CASE WHEN see > 0 THEN sed / see END AS rho FROM df),
+        |tt AS (
+        |  SELECT *,
+        |    sqrt((sdd - rho * rho * see) / (n_pairs - 1) / see) AS se
+        |  FROM rh),
+        |fin AS (
+        |  SELECT *, CASE WHEN se > 0
+        |    THEN floor(rho / se * 10000 + 0.5)/10000 END AS tr FROM tt)
+        |SELECT ols.n_days,
+        |  floor(ab2.b * 10000 + 0.5)/10000 AS beta,
+        |  floor(ab2.a / CAST(1e6 AS DOUBLE) * 10000 + 0.5)/10000 AS alpha_m,
+        |  floor(fin.rho * 10000 + 0.5)/10000 AS rho,
+        |  fin.tr AS eg_tstat,
+        |  (fin.tr < -3.34) AS cointegrated
+        |FROM ols CROSS JOIN ab2 CROSS JOIN fin""".stripMargin,
+    "q445_abc_xyz" ->
+      """WITH bw AS (
+        |  SELECT p.p_brand,
+        |    weekofyear(CAST(l.l_shipdate AS DATE)) AS wk,
+        |    year(CAST(l.l_shipdate AS DATE)) AS yr,
+        |    sum(l.l_quantity) AS demand,
+        |    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2, 3),
+        |brand AS (
+        |  SELECT p_brand,
+        |    CASE WHEN avg(demand) > 0 THEN
+        |      floor(stddev_samp(demand) / avg(demand) * 10000 + 0.5)/10000 END AS cv,
+        |    sum(rev) AS rev
+        |  FROM bw GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS tot_rev FROM brand),
+        |cl AS (
+        |  SELECT p_brand, cv, rev, tot_rev,
+        |    floor(CAST(sum(rev) OVER (ORDER BY rev DESC, p_brand
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(tot_rev AS DOUBLE) * 10000 + 0.5)/10000 AS cum_share
+        |  FROM brand CROSS JOIN tot),
+        |cl2 AS (
+        |  SELECT *,
+        |    CASE WHEN cum_share <= 0.5 THEN 'A'
+        |         WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM cl)
+        |SELECT abc, xyz, count(*) AS n_brands,
+        |  floor(CAST(sum(rev) AS DOUBLE) / CAST(max(tot_rev) AS DOUBLE) * 100
+        |    * 10000 + 0.5)/10000 AS rev_share_pct
+        |FROM cl2 GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
   )
 
   /** q288's oracle: k-core peeling has no closed form, so the SQL

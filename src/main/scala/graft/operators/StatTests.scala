@@ -3405,6 +3405,114 @@ object StatTests {
         round(col("n") / deff, 4).as("n_effective"))
   }
 
+  /** q444: ENGLE–GRANGER cointegration — "do these two revenue streams
+    * share a long-run equilibrium" (the time-series version of q338's
+    * lead/lag question, but about LEVELS): OLS of segment-A on
+    * segment-B daily revenue, then a Dickey–Fuller regression on the
+    * residuals (Δe_t on e_{t−1}, no lag augmentation — stated, not
+    * hidden) whose t-statistic is the EG test, flagged at the −3.34
+    * asymptotic 5% critical value on the ROUNDED statistic. Scale-free
+    * ratios throughout; the one money-magnitude output (α) displays in
+    * millions. Two daily rollups, covariance closed forms, the q181
+    * lag-pair join — all scalar rows after the day grain. */
+  def engleGranger(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val seg = orders
+      .join(
+        broadcast(customer.select(
+          col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+    def dailyOf(segment: String, out: String): DataFrame = seg
+      .filter(col("c_mktsegment") === segment)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(moneySum(col("o_totalprice")).as(out))
+    val both = dailyOf("AUTOMOBILE", "y")
+      .join(dailyOf("BUILDING", "x"), "d")
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val ols = both.agg(
+      count(lit(1)).as("n_days"),
+      avg("y").as("my"), avg("x").as("mx"),
+      var_samp(col("x")).as("vx"),
+      covar_samp(col("x"), col("y")).as("cxy"))
+    val beta = when(col("vx") > 0, col("cxy") / col("vx"))
+    val alpha = col("my") - beta * col("mx")
+    val resid = both
+      .crossJoin(broadcast(ols.select(beta.as("b"), alpha.as("a"))))
+      .select(col("di"), (col("y") - col("a") - col("b") * col("x")).as("e"))
+    // DF regression through the origin: Δe_t = ρ·e_{t−1};
+    // t = ρ̂ / se(ρ̂) with ρ̂ = Σ e_{t−1}Δe / Σ e²_{t−1}
+    val pairs = resid
+      .join(
+        resid.select((col("di") - 1).as("di"), col("e").as("e_next")), Seq("di"))
+      .select(col("e").as("el"), (col("e_next") - col("e")).as("de"))
+    val df = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("el") * col("de")).as("sed"),
+      sum(col("el") * col("el")).as("see"),
+      sum(col("de") * col("de")).as("sdd"))
+    val rho = when(col("see") > 0, col("sed") / col("see"))
+    val sse = col("sdd") - rho * rho * col("see")
+    val se = sqrt(sse / (col("n_pairs") - 1) / col("see"))
+    val t = when(se > 0, rho / se)
+    val tr = round(t, 4)
+    ols.crossJoin(broadcast(df))
+      .select(
+        col("n_days"),
+        round(beta, 4).as("beta"),
+        round(alpha / lit(1e6), 4).as("alpha_m"),
+        round(rho, 4).as("rho"),
+        tr.as("eg_tstat"),
+        (tr < lit(-3.34)).as("cointegrated"))
+  }
+
+  /** q445: ABC–XYZ inventory matrix — the classic two-axis item
+    * segmentation: ABC = cumulative-revenue class (q252's Pareto axis,
+    * per brand), XYZ = demand-VARIABILITY class from the coefficient of
+    * variation of weekly demand (X < 0.5 ≤ Y < 1.0 ≤ Z — forecastable
+    * vs erratic). The 9-cell matrix with brand counts and revenue share
+    * is the stocking-policy map (AX: automate; CZ: make-to-order).
+    * Thresholds compare ROUNDED values so both engines classify
+    * identically. One brand×week rollup, a brand-grain aggregate, a
+    * bounded prefix-sum for ABC, and a 9-row cross-tab. */
+  def abcXyz(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val byBrand = lineitem
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+      .groupBy(col("p_brand"), weekofyear(to_date(col("l_shipdate"))).as("wk"),
+        year(to_date(col("l_shipdate"))).as("yr"))
+      .agg(
+        sum(col("l_quantity")).as("demand"),
+        // DECIMAL through every rollup below (q212 lesson: re-summing
+        // per-group doubles reintroduces the order drift moneySum removed)
+        sum(money(col("l_extendedprice"))).as("rev"))
+    val brand = byBrand
+      .groupBy("p_brand")
+      .agg(
+        round(
+          when(avg("demand") > 0, stddev_samp(col("demand")) / avg("demand")), 4).as("cv"),
+        sum(col("rev")).as("rev"))
+    // ABC by cumulative revenue share over the ≤#brands frame; cum and
+    // total are EXACT decimals, cast to double only at the division
+    val wCum = Window.partitionBy(lit(1)).orderBy(desc("rev"), asc("p_brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = brand.agg(sum("rev").as("tot_rev"))
+    val classed = brand
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share",
+        round(sum("rev").over(wCum).cast("double") / col("tot_rev").cast("double"), 4))
+      .withColumn("abc",
+        when(col("cum_share") <= 0.5, "A")
+          .when(col("cum_share") <= 0.8, "B").otherwise("C"))
+      .withColumn("xyz",
+        when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z"))
+    classed
+      .groupBy("abc", "xyz")
+      .agg(
+        count(lit(1)).as("n_brands"),
+        round(sum("rev").cast("double") / max(col("tot_rev")).cast("double") * 100, 4)
+          .as("rev_share_pct"))
+      .orderBy("abc", "xyz")
+  }
+
   /** q441: QUANTILE treatment effects — the distributional view q171's
     * mean difference averages away: per decile, the arm-A vs arm-B
     * difference of per-user revenue quantiles (exact interpolated

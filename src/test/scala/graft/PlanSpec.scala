@@ -298,6 +298,8 @@ class PlanSpec extends SparkSpec {
       "q439_join_estimate_audit" -> bnl, // 1-row per-edge count/ndv/actual scalars (q14 idiom, ×3 edges)
       "q440_design_effect"  -> bnl, // 1-row grand-mean + SS scalars (q14 idiom)
       "q443_mixture_shift"  -> bnl, // 1-row before/after totals scalar (q14 idiom)
+      "q444_engle_granger"  -> bnl, // 1-row OLS/DF scalars (q14 idiom)
+      "q445_abc_xyz"        -> (bnl + "unpartitioned-window"), // 1-row total scalar + Pareto prefix sum over the ≤#brands frame (q89/q183 idiom)
       "q435_fairness_slices" -> bnl, // 1-row broadcast overall-accuracy scalar (q14 idiom)
       "q436_bass_diffusion" -> Set("unpartitioned-window"), // prefix sum over the ≤#days adoption frame (q89/q183 idiom)
       "q428_uplift_deciles" -> Set("unpartitioned-window"), // GlobalOrder offset frame (q150/q153 idiom)

@@ -362,6 +362,38 @@ class R11Spec extends SparkSpec {
     assert(out("clean").getAs[Double]("delta_pp") > 0)
   }
 
+  test("q444 engleGranger: cointegrated planted pair flags, independent walk does not") {
+    import graft.operators.StatTests
+    // y tracks x plus stationary noise -> residuals mean-revert hard
+    // (deterministic alternating noise), so the DF t-stat is deeply negative
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val orders = (0 until 120).flatMap { t =>
+      val d = java.sql.Date.valueOf(d0.plusDays(t))
+      val x = 1000.0 + 10.0 * t
+      val y = 2.0 * x + (if (t % 2 == 0) 50.0 else -50.0)
+      Seq((t.toLong * 2, 1L, y, d), (t.toLong * 2 + 1, 2L, x, d))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val customer = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val r = StatTests.engleGranger(orders, customer).collect().head
+    assert(math.abs(r.getAs[Double]("beta") - 2.0) < 0.05, s"beta: $r")
+    assert(r.getAs[Double]("eg_tstat") < -3.34, s"alternating residuals must flag: $r")
+    assert(r.getAs[Boolean]("cointegrated"))
+  }
+
+  test("q445 abcXyz: cells partition the brands and revenue shares sum to 100") {
+    import graft.operators.StatTests
+    val t = graft.sources.Tables(spark, sfDir)
+    val out = StatTests.abcXyz(t.lineitem, t.part).collect()
+    assert(out.nonEmpty)
+    val nBrands = out.map(_.getAs[Long]("n_brands")).sum
+    val distinctBrands = t.part.select("p_brand").distinct().count()
+    assert(nBrands == distinctBrands, s"cells must partition $distinctBrands brands")
+    val share = out.map(_.getAs[Double]("rev_share_pct")).sum
+    assert(math.abs(share - 100.0) < 0.01, s"shares sum to $share")
+    assert(out.forall(r => Set("A", "B", "C")(r.getAs[String]("abc"))
+      && Set("X", "Y", "Z")(r.getAs[String]("xyz"))))
+  }
+
   test("q428 upliftDeciles: decile sizes follow the ntile fill rule on the sf fixture") {
     val t = graft.sources.Tables(spark, sfDir)
     val out = Classify.upliftDeciles(t.events).collect()
