@@ -1517,18 +1517,20 @@ object SparkEntry {
         |FROM b WHERE rn = 1""".stripMargin,
     "q216_twap" ->
       """WITH x AS (
-        |  SELECT user_id, value,
-        |    CAST(date_diff('second', ts,
-        |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-        |      AS DOUBLE) AS wt
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    date_diff('second', ts,
+        |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS wt
         |  FROM events),
         |g AS (
-        |  SELECT user_id, count(*) AS n_intervals, sum(wt) AS total_wt,
-        |    floor(avg(value)*10000 + 0.5)/10000 AS plain_avg,
-        |    floor((sum(value*wt)/sum(wt))*10000 + 0.5)/10000 AS twap
+        |  SELECT user_id, count(*) AS n_intervals, CAST(sum(wt) AS BIGINT) AS total_wt,
+        |    floor(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) * 10000 + 0.5)/10000
+        |      AS plain_avg,
+        |    floor(CAST(sum(cents * wt) AS DOUBLE) / 100.0 / sum(wt) * 10000 + 0.5)/10000
+        |      AS twap
         |  FROM x WHERE wt IS NOT NULL GROUP BY 1)
         |SELECT user_id, n_intervals,
-        |  floor(total_wt*10000 + 0.5)/10000 AS total_wt, plain_avg, twap
+        |  floor(CAST(total_wt AS DOUBLE)*10000 + 0.5)/10000 AS total_wt, plain_avg, twap
         |FROM g WHERE total_wt > 0 ORDER BY user_id""".stripMargin,
     "q217_sequence_match" ->
       """WITH x AS (
@@ -2416,11 +2418,12 @@ object SparkEntry {
       """WITH u AS (
         |  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
         |  ON l_quantity, l_extendedprice, l_discount, l_tax
-        |  INTO NAME measure VALUE v)
+        |  INTO NAME measure VALUE v),
+        |c AS (SELECT measure, CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM u)
         |SELECT measure, count(*) AS n,
-        |  floor(sum(v)*10000 + 0.5)/10000 AS total,
-        |  floor(avg(v)*10000 + 0.5)/10000 AS avg_v
-        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+        |  floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 10000 + 0.5)/10000 AS total,
+        |  floor(CAST(sum(vc) AS DOUBLE) / 100.0 / count(*) * 10000 + 0.5)/10000 AS avg_v
+        |FROM c GROUP BY measure ORDER BY measure""".stripMargin,
     "q84_gapfill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

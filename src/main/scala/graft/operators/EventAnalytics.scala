@@ -1292,21 +1292,30 @@ object EventAnalytics {
     * than divided by zero. */
   def timeWeightedAvg(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // value is 2-decimal by contract: aggregate in integer CENTS so the
+    // sums are exact in ANY accumulation order (the sf1 lesson: an
+    // avg-of-doubles can land 1 ulp either side of a 4dp rounding
+    // boundary depending on partitioning, and one flipped cell reorders
+    // the whole replica-heavy result set)
+    val cents = (graft.functions.PortableRound.money(col("value")) * 100).cast("long")
     events
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
       .withColumn("next_ts", lead("ts", 1).over(w))
       .filter(col("next_ts").isNotNull)
-      .withColumn("wt",
-        (unix_timestamp(col("next_ts")) - unix_timestamp(col("ts"))).cast("double"))
+      .withColumn("wt", unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_intervals"),
         sum("wt").as("total_wt"),
-        round(avg("value"), 4).as("plain_avg"),
-        round(sum(col("value") * col("wt")) / sum(col("wt")), 4).as("twap"))
+        round(sum(col("cents")).cast("double") / lit(100.0) / count(lit(1)), 4)
+          .as("plain_avg"),
+        round(
+          sum(col("cents") * col("wt")).cast("double") / lit(100.0) / sum(col("wt")), 4)
+          .as("twap"))
       .filter(col("total_wt") > 0)
       .select(col("user_id"), col("n_intervals"),
-        round(col("total_wt"), 4).as("total_wt"), col("plain_avg"), col("twap"))
+        round(col("total_wt").cast("double"), 4).as("total_wt"),
+        col("plain_avg"), col("twap"))
       .orderBy("user_id")
   }
 

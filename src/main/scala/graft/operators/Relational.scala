@@ -1420,11 +1420,17 @@ object Relational {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "measure",
         "v")
+      // every unpivoted measure is 2-decimal by contract; integer-cents
+      // aggregation keeps the fact-wide totals exact in any summation
+      // order (the sf1 lesson — the raw-double sum drifted past 4dp at
+      // 3e11 mass, and the money LINT can't see a generic `v` column)
+      .select(col("measure"),
+        (graft.functions.PortableRound.money(col("v")) * 100).cast("long").as("vc"))
       .groupBy("measure")
       .agg(
         count(lit(1)).as("n"),
-        round(sum("v"), 4).as("total"),
-        round(avg("v"), 4).as("avg_v"))
+        round(sum(col("vc")).cast("double") / lit(100.0), 4).as("total"),
+        round(sum(col("vc")).cast("double") / lit(100.0) / count(lit(1)), 4).as("avg_v"))
       .orderBy("measure")
 
   /** q82: count-min heavy hitters — the third sketch-table member beside
