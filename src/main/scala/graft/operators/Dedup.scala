@@ -94,6 +94,34 @@ object Dedup {
     }
   }
 
+  /** Shingle-only kernel: tokenize → k-shingles → XXH64 63-bit distinct
+    * sorted hash set, WITHOUT the NumPerm permutation minima — the
+    * containment / prefix-filter family ([[containmentJoin]],
+    * [[prefixFilterJoin]], [[pairBudget]]) never reads the minhash
+    * signature, so computing the 128-permutation pass there was pure
+    * map-stage waste. Hashes are bit-identical to [[sigUdf]]'s shingle
+    * side (same XXH64 seed, same 63-bit mask). */
+  private def shingleUdf(shingleK: Int) = udf { (toks: Seq[String]) =>
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = toks.length - shingleK + 1
+    if (n <= 0) Array.empty[Long]
+    else Array.tabulate(n) { i =>
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < shingleK) { sb.append(' ').append(toks(i + j)); j += 1 }
+      XXH64.hashUTF8String(UTF8String.fromString(sb.result()), 42L) & Long.MaxValue
+    }.distinct.sorted
+  }
+
+  /** doc_id, shingles (distinct sorted hash set) — [[signatures]] minus
+    * the minhash signature column and its permutation cost. Shingle-less
+    * docs are dropped exactly as in [[signatures]]. */
+  def shingleSets(documents: DataFrame, shingleK: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), shingleUdf(shingleK)(tokens(col("text"))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
   /** Exact jaccard of two sorted long arrays (two-pointer merge). */
   private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
     val x = a.toArray; val y = b.toArray
@@ -689,8 +717,9 @@ object Dedup {
       documents: DataFrame,
       theta: Double = 0.5,
       shingleK: Int = 3): DataFrame =
-    prefixFilterJoinFromSets(
-      signatures(documents, shingleK).select(col("doc_id"), col("shingles")), theta)
+    // r11: shingle-only kernel — the join never reads the minhash
+    // signature, so the 128-permutation pass was pure waste here
+    prefixFilterJoinFromSets(shingleSets(documents, shingleK), theta)
 
   /** The join proper, from precomputed (doc_id, shingles) sets — lets
     * q261 reuse the CACHED signature frame's shingle sets instead of
@@ -700,7 +729,11 @@ object Dedup {
   private[graft] def prefixFilterJoinFromSets(
       setsIn: DataFrame,
       theta: Double): DataFrame = {
-    val sets = setsIn.select(col("doc_id"), col("shingles"))
+    // r11: the sets frame feeds FOUR plan subtrees (df aggregate, prefix
+    // build, and both verification joins) — uncached, the before-plan
+    // scanned documents and re-ran the shingle kernel six times; one
+    // cache collapses them to a single tokenize+shingle pass
+    val sets = setsIn.select(col("doc_id"), col("shingles")).cache()
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     // rarity order (df asc, sh asc) is used ONLY to pick prefixes; the
@@ -730,13 +763,18 @@ object Dedup {
           ceil(lit(theta / (1 + theta)) * (col("sz_a") + col("sz_b"))))
       .select("doc_a", "doc_b")
       .distinct()
-    cand
+    val result = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("k_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("k_b")), Seq("doc_b"))
       .withColumn("jaccard", round(jaccardUdf(col("k_a"), col("k_b")), 4))
       .filter(col("jaccard") >= theta)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+      // result-sized (qualifying pairs only); materialize before dropping
+      // the sets cache so no consumer recomputes the shingle kernel
+      .localCheckpoint(eager = true)
+    sets.unpersist(blocking = false)
+    result
   }
 
   /** Spec twin of [[prefixFilterJoin]]: brute-force all-pairs
@@ -781,20 +819,33 @@ object Dedup {
       shingleK: Int = 3,
       maxDf: Int = 200,
       pairBudget: Option[Long] = None): DataFrame = {
-    val sets = signatures(documents, shingleK)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .distinct()
-    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // r11: one tokenize+shingle pass for every consumer below. The cache
+    // holds the COMPACT per-doc arrays (doc-cardinality rows; exploding
+    // from the cache is cheap columnar work, and caching the exploded
+    // incidence instead measured slower — the materialization cost
+    // outweighed the saved explode). The minhash signature was never
+    // read, so the shingle-only kernel drops the 128-permutation pass;
+    // the exploded incidence is distinct BY CONSTRUCTION (the kernel
+    // emits a per-doc distinct set), so the former .distinct() was a
+    // redundant full shuffle; and set sizes read off the array length
+    // instead of a groupBy over the incidence — one less shuffle.
+    val arrays = shingleSets(documents, shingleK).cache()
+    val sets = arrays.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // the df table is itself read up to three times (budget histogram,
+    // rare filter, disclosure share) — aggregate once
+    val dfs = sets.groupBy("sh").agg(count(lit(1)).as("df")).cache()
+    val sizes = arrays.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
     // ENFORCED pair budget (round-9: q411 priced the candidate stream
     // but nothing read the price — a duplication-heavy corpus grows
     // Σ df·(df−1)/2 quadratically in the duplication factor while every
     // input metric grows linearly, and maxDf alone doesn't know that).
     // With a budget, the cap is DERIVED from the corpus: the largest
     // df ≤ maxDf whose cumulative candidate enumeration fits.
-    val effMaxDf = pairBudget.fold(maxDf)(b => budgetedMaxDf(sets, maxDf, b))
+    val effMaxDf = pairBudget.fold(maxDf)(b => budgetedMaxDfFromDfs(dfs, maxDf, b))
+    // same rows as the former count-over-window + filter, but the df
+    // aggregate is shared instead of recomputed as a window
     val rare = sets
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= effMaxDf)
+      .join(dfs.filter(col("df") <= effMaxDf).select("sh"), Seq("sh"), "left_semi")
       .select("doc_id", "sh")
     val inter = rare.select(col("doc_id").as("doc_a"), col("sh"))
       .join(rare.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -816,8 +867,8 @@ object Dedup {
     // near-dups" and believes it). When a budget is active, every
     // output row carries the derived cap and the share of shingle
     // incidence it discarded; a >50% discard additionally logs loud.
-    pairBudget.fold(base) { _ =>
-      val share = incidenceDropShare(sets, effMaxDf)
+    val annotated = pairBudget.fold(base) { _ =>
+      val share = incidenceDropShareFromDfs(dfs, effMaxDf)
       if (share > 0.5)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"containmentJoin pair budget dropped ${share * 100}% of shingle " +
@@ -828,6 +879,12 @@ object Dedup {
         .withColumn("dropped_incidence_share",
           lit(math.floor(share * 10000 + 0.5) / 10000))
     }
+    // result-sized (pairs above theta); materialize before releasing the
+    // shared array/df caches
+    val result = annotated.localCheckpoint(eager = true)
+    dfs.unpersist(blocking = false)
+    arrays.unpersist(blocking = false)
+    result
   }
 
   /** The budget → cap derivation [[containmentJoin]] enforces: largest
@@ -849,10 +906,16 @@ object Dedup {
     * because the query executes eagerly here, PlanLint's registered-
     * query gate would never see it. AnalyticsR15Spec asserts the window
     * feeds off the keys=[df] aggregate. */
-  private[graft] def dfBudgetFrame(sets: DataFrame, maxDf: Int, budget: Long): DataFrame = {
+  private[graft] def dfBudgetFrame(sets: DataFrame, maxDf: Int, budget: Long): DataFrame =
+    dfBudgetFrameFromDfs(sets.groupBy("sh").agg(count(lit(1)).as("df")), maxDf, budget)
+
+  /** Same derivation from a PRECOMPUTED (sh, df) frame — lets
+    * [[containmentJoin]] share one df aggregate across the budget
+    * histogram, the rare filter, and the disclosure share instead of
+    * re-aggregating the incidence three times (r11). */
+  private[graft] def dfBudgetFrameFromDfs(dfs: DataFrame, maxDf: Int, budget: Long): DataFrame = {
     val wCum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sets
-      .groupBy("sh").agg(count(lit(1)).as("df"))
+    dfs
       .groupBy("df").agg(count(lit(1)).as("n_sh")) // histogram: ≤ max observed df rows
       // double math: df ~ corpus size makes df²·n_sh overflow-prone in
       // Long; the budget decision needs magnitude, not exactness past 2^53
@@ -863,17 +926,22 @@ object Dedup {
       .agg(max(col("df")).as("d"))
   }
 
-  private[graft] def budgetedMaxDf(sets: DataFrame, maxDf: Int, budget: Long): Int = {
-    val r = dfBudgetFrame(sets, maxDf, budget).head()
+  private[graft] def budgetedMaxDf(sets: DataFrame, maxDf: Int, budget: Long): Int =
+    budgetedMaxDfFromDfs(sets.groupBy("sh").agg(count(lit(1)).as("df")), maxDf, budget)
+
+  private[graft] def budgetedMaxDfFromDfs(dfs: DataFrame, maxDf: Int, budget: Long): Int = {
+    val r = dfBudgetFrameFromDfs(dfs, maxDf, budget).head()
     if (r.isNullAt(0)) 1 else math.max(1, r.getLong(0).toInt)
   }
 
   /** Share of shingle INCIDENCE (Σ df) above the derived cap — the
     * number the budget disclosure rides on. One histogram-sized
     * aggregate (same dfs frame as [[budgetedMaxDf]]), 1-row lookup. */
-  private[graft] def incidenceDropShare(sets: DataFrame, cutoff: Int): Double = {
-    val r = sets
-      .groupBy("sh").agg(count(lit(1)).as("df"))
+  private[graft] def incidenceDropShare(sets: DataFrame, cutoff: Int): Double =
+    incidenceDropShareFromDfs(sets.groupBy("sh").agg(count(lit(1)).as("df")), cutoff)
+
+  private[graft] def incidenceDropShareFromDfs(dfs: DataFrame, cutoff: Int): Double = {
+    val r = dfs
       .agg(
         sum(when(col("df") > cutoff, col("df")).otherwise(0L)).as("dropped"),
         sum(col("df")).as("tot"))
@@ -966,9 +1034,10 @@ object Dedup {
       documents: DataFrame,
       maxDfs: Seq[Int] = Seq(50, 100, 200, 400),
       shingleK: Int = 3): DataFrame = {
-    val dfs = signatures(documents, shingleK)
+    // r11: shingle-only kernel (the advisor never reads the minhash
+    // signature); the explode is distinct by construction — no .distinct()
+    val dfs = shingleSets(documents, shingleK)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val totals = dfs.agg(sum("df").as("tot_inc"))
     dfs
@@ -1086,6 +1155,9 @@ object Dedup {
       documents: DataFrame,
       thetas: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
     val spark = documents.sparkSession
+    // prefixFilterJoin already returns an eager checkpoint (result-sized),
+    // so `per`'s two consumers (pair stats + affected-doc stats) replay a
+    // checkpoint scan, not the whole prefix join
     val base = prefixFilterJoin(documents, thetas.min)
     val per = base
       .withColumn("theta", explode(lit(thetas.toArray)))

@@ -1152,15 +1152,21 @@ object TextAnalysis {
     * the oracle byte-identical. */
   def shingleNovelty(documents: DataFrame, windowTokens: Int = 8): DataFrame = {
     val w = split(col("text"), " ")
+    // r11: the shingle key is pure grouping identity (ownership = min
+    // doc_id per shingle) — any injective hash works, so the 32-char md5
+    // hex string became an 8-byte xxhash64: ~5× narrower shuffle rows
+    // for the distinct + ownership aggregate + join, and a far cheaper
+    // hash to compute (the same 63-bit-identity argument as the q201
+    // shingle kernel; a collision is a ~1e-12 event)
     val shingles = documents
       .filter(size(w) >= windowTokens)
       .select(col("doc_id"), col("source"),
         explode(transform(
           sequence(lit(1), size(w) - lit(windowTokens - 1)),
-          i => md5(array_join(slice(w, i, lit(windowTokens)), " ")))).as("shingle"))
+          i => xxhash64(array_join(slice(w, i, lit(windowTokens)), " ")))).as("shingle"))
       .distinct()
       // read twice (ownership aggregate + join back) — persist the
-      // deduped shingle set so the explode+md5 scan runs once
+      // deduped shingle set so the explode+hash scan runs once
       .cache()
     val owner = shingles
       .groupBy("shingle")
