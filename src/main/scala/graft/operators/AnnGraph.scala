@@ -59,28 +59,49 @@ object AnnGraph {
       .filter(col("nb").isNotNull)
   }
 
-  /** Attach exact cosine to (id, nb) pairs via two id-keyed equi-joins. */
-  private def scored(pairs: DataFrame, vecs: DataFrame): DataFrame = {
+  /** Vector-count ceiling for broadcasting the (id, vec) table into the
+    * scoring joins (r11): ~300 B/row at 64 float dims → ~600 MB at the
+    * ceiling, inside Spark's broadcast limits. Below it the two scoring
+    * joins are map-side (the candidate pairs are never shuffled at all);
+    * above it the hint is dropped and the joins degrade to shuffles — a
+    * billions-of-vectors corpus runs slower, not not-at-all (the
+    * [[Graph.MaxBroadcastNodes]] discipline applied to vectors). */
+  private[graft] val MaxBroadcastVecs = 2000000L
+
+  /** Attach exact cosine to (id, nb) pairs via two id-keyed equi-joins.
+    * `hint` is [[broadcast]] when the vector table fits (gated on its
+    * measured count), identity otherwise. */
+  private def scored(
+      pairs: DataFrame, vecs: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame = {
     val va = vecs.select(col("id"), col("vec").as("__va"))
     val vb = vecs.select(col("id").as("nb"), col("vec").as("__vb"))
     pairs
-      .join(va, "id")
-      .join(vb, "nb")
+      .join(hint(va), "id")
+      .join(hint(vb), "nb")
       .select(col("id"), col("nb"), cosine(col("__va"), col("__vb")).as("sim"))
   }
 
   /** Keep each node's best k DISTINCT neighbors (sim desc, id
     * tie-break). The dedup matters: a candidate re-scored in a later
     * round re-enters with the same sim, and without it duplicates
-    * occupy top-k slots that should hold real neighbors. */
-  private def topK(edges: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
+    * occupy top-k slots that should hold real neighbors.
+    *
+    * r11: one groupBy(id) aggregate — collect_set dedups (sim is a pure
+    * function of (id, nb), so (sim, nb) duplicates ARE (id, nb)
+    * duplicates), a descending array sort on (sim, −nb) reproduces the
+    * former window's (sim desc, nb asc) order INCLUDING its NaN-first
+    * semantics, and slice keeps k. Replaces the dropDuplicates exchange
+    * + the window exchange-and-sort with a single partial-aggregating
+    * exchange; per-node arrays are ≤ maxCandidates + k elements. */
+  private def topK(edges: DataFrame, k: Int): DataFrame =
     edges
-      .dropDuplicates("id", "nb")
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
-  }
+      .groupBy("id")
+      .agg(slice(
+        sort_array(collect_set(struct(col("sim"), (-col("nb")).as("negnb"))), asc = false),
+        1, k).as("__top"))
+      .select(col("id"), explode(col("__top")).as("__t"))
+      .select(col("id"), (-col("__t.negnb")).as("nb"), col("__t.sim").as("sim"))
 
   /** Build the k-NN graph. `embeddings` must have (vec_id, embedding).
     * Returns (id, nb, sim) — k rows per node (fewer only for degenerate
@@ -94,8 +115,10 @@ object AnnGraph {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
       .cache()
     val n = vecs.count()
+    val hint: DataFrame => DataFrame =
+      if (n <= MaxBroadcastVecs) broadcast else identity
     val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
-    val init = topK(scored(initEdges(vecs, k, numBuckets), vecs), k)
+    val init = topK(scored(initEdges(vecs, k, numBuckets), vecs, hint), k)
 
     val result = BoundedIteration.fixpoint(init, iterations) { (edges, _) =>
       // forward ∪ reverse neighborhoods share one shuffle key space;
@@ -114,12 +137,22 @@ object AnnGraph {
           (col("g1.sim") + col("g2.sim")).as("prio"))
         .filter(col("id") =!= col("nb"))
         .groupBy("id", "nb").agg(max("prio").as("prio"))
-      val wc = Window.partitionBy("id").orderBy(desc("prio"), asc("nb"))
+      // r11: the ρ-sampling cap is the same descending array sort as
+      // topK (prio desc, nb asc, NaN-first — identical selection to the
+      // former row_number window) fused into one groupBy(id); its
+      // exploded output stays hash-partitioned by id, the broadcast
+      // scoring joins preserve that, and the union's edge side is a
+      // checkpoint scan — so the closing topK aggregate needs no new
+      // exchange. Per iteration: 4 exchanges where the window form
+      // paid 8.
       val capped = cands
-        .withColumn("__cr", row_number().over(wc))
-        .filter(col("__cr") <= maxCandidates)
-        .select("id", "nb")
-      topK(scored(capped, vecs).unionByName(edges.select("id", "nb", "sim")), k)
+        .groupBy("id")
+        .agg(slice(
+          sort_array(collect_list(struct(col("prio"), (-col("nb")).as("negnb"))), asc = false),
+          1, maxCandidates).as("__c"))
+        .select(col("id"), explode(col("__c")).as("__t"))
+        .select(col("id"), (-col("__t.negnb")).as("nb"))
+      topK(scored(capped, vecs, hint).unionByName(edges.select("id", "nb", "sim")), k)
     }
     vecs.unpersist(blocking = false)
     result
@@ -175,11 +208,15 @@ object AnnGraph {
     val graph = nnDescentGraph(corpus, graphK, iterations)
       .select(col("id"), col("nb")).localCheckpoint(eager = true)
     val vecs = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
+    // r11: gate the corpus-vector scoring join on the same broadcast
+    // ceiling as the build — below it candidate rows are never shuffled
+    val hint: DataFrame => DataFrame =
+      if (corpus.count() <= MaxBroadcastVecs) broadcast else identity
     val qs = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     def score(cand: DataFrame): DataFrame =
       cand
-        .join(vecs, "node")
+        .join(hint(vecs), "node")
         .join(broadcast(qs), "qid")
         .select(col("qid"), col("node"), cosine(col("qv"), col("cv")).as("sim"))
     // deterministic shared entry points
@@ -200,10 +237,12 @@ object AnnGraph {
         .distinct()
         .join(state.select("qid", "node"), Seq("qid", "node"), "left_anti")
       // frontier rows flip to expanded; everything else is carried as-is
+      // (r11: one left join marks the flip — the former semi+anti+union
+      // pair scanned and shuffled the state twice for the same result)
       state
-        .join(frontier, Seq("qid", "node"), "left_semi")
-        .withColumn("expanded", lit(true))
-        .unionByName(state.join(frontier, Seq("qid", "node"), "left_anti"))
+        .join(frontier.withColumn("__f", lit(true)), Seq("qid", "node"), "left")
+        .withColumn("expanded", col("expanded") || coalesce(col("__f"), lit(false)))
+        .drop("__f")
         .unionByName(score(fresh).withColumn("expanded", lit(false)))
     }
     visited
@@ -241,6 +280,8 @@ object AnnGraph {
     // seed the batch into the graph: hash-bucket init over ALL ids, kept
     // only where a new node is an endpoint (old↔old seeds are noise)
     val n = vecs.count()
+    val hint: DataFrame => DataFrame =
+      if (n <= MaxBroadcastVecs) broadcast else identity
     val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
     // "involves a new node" is expressed as two broadcast flag joins +
     // an OR filter (the new batch is micro-batch-sized by definition),
@@ -266,7 +307,7 @@ object AnnGraph {
     def fresh(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
     val init = topK(
-      fresh(scored(seeds, vecs))
+      fresh(scored(seeds, vecs, hint))
         .unionByName(fresh(graph.select("id", "nb", "sim"))), k)
     val result = BoundedIteration.fixpoint(init, iterations) { (edges, _) =>
       val fwd = edges.select(col("id"), col("nb"), col("sim"))
@@ -291,12 +332,16 @@ object AnnGraph {
       val cands = touchesNew(sym)
         .groupBy("id", "nb").agg(max("prio").as("prio"))
       // same similarity-prioritized deterministic cap as the build loop
-      val wc = Window.partitionBy("id").orderBy(desc("prio"), asc("nb"))
+      // (r11: fused array-sort form, selection identical to the former
+      // row_number window — see nnDescentGraph)
       val capped = cands
-        .withColumn("__cr", row_number().over(wc))
-        .filter(col("__cr") <= maxCandidates)
-        .select("id", "nb")
-      topK(scored(capped, vecs).unionByName(edges.select("id", "nb", "sim")), k)
+        .groupBy("id")
+        .agg(slice(
+          sort_array(collect_list(struct(col("prio"), (-col("nb")).as("negnb"))), asc = false),
+          1, maxCandidates).as("__c"))
+        .select(col("id"), explode(col("__c")).as("__t"))
+        .select(col("id"), (-col("__t.negnb")).as("nb"))
+      topK(scored(capped, vecs, hint).unionByName(edges.select("id", "nb", "sim")), k)
     }
     vecs.unpersist(blocking = false)
     nw.unpersist(blocking = false)
