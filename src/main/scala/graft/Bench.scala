@@ -102,6 +102,18 @@ object Bench {
       // class cache, so the end-of-sweep retry pass (below) would pay
       // full recompilation; sized to hold the whole sweep's classes
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // r11 (guide §3.1): align the measured session with the library's
+      // own tuned posture (GraftSession) — dimension-sized sides up to
+      // 64 MB broadcast instead of shuffling both sides; estimates at
+      // this size are safe on any executor profile this engine targets
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // r11: collect_set/collect_list aggregates (the Baskets pair
+      // builds, q159 listagg, array state machines) fall back to
+      // SORT-based aggregation once a task's hash map passes the
+      // default 128 keys — i.e. always, for any real group count. At
+      // 64k keys a task holds ≤ ~10 MB of small arrays; scale-safe
+      // (the fallback still exists, it just fires at a sane size).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -18,13 +18,23 @@ object BenchSeq {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // process CPU seconds per run: on a host whose throttle swings
+    // minute-to-minute (round-8 forensics), wall time can't compare two
+    // code versions measured in different windows — CPU time measures
+    // the work actually done and is steal-independent
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { i =>
+        val c0 = osBean.getProcessCpuTime
         val (sec, err) = Bench.timeQuery(spark, sfDir, fn)
-        println(f"[benchseq] $name run $i: $sec%.2f s${err.map(" ERR " + _).getOrElse("")}  ${Bench.jvmStateLine()}")
+        val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
+        println(f"[benchseq] $name run $i: $sec%.2f s  cpu=$cpuSec%.1f s${err.map(" ERR " + _).getOrElse("")}  ${Bench.jvmStateLine()}")
       }
     }
     spark.stop()

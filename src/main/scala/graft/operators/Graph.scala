@@ -30,15 +30,13 @@ object Graph {
     * broadcasts, so a hash exchange here would be a pure extra shuffle
     * of the (much larger) edge set — measured at sf0.1 it added ~2 s for
     * zero downstream benefit. */
-  private[graft] def distinctEdges(lineitem: DataFrame): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-    items.as("a")
-      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
-  }
+  private[graft] def distinctEdges(lineitem: DataFrame): DataFrame =
+    // r11: one basket aggregation + symmetric map-side pair emission +
+    // one dedup aggregate (Baskets) instead of distinct + self-join +
+    // distinct — 2 exchanges, was 4
+    Baskets.distinctEdgesSym(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
 
   /** Degree-annotated distinct co-purchase edges (src, dst, d) for the
     * rank iteration, which divides mass by out-degree. Used by the plan
@@ -193,11 +191,9 @@ object Graph {
   def shortestPaths(lineitem: DataFrame, minSupport: Long = 2, maxHops: Int = 4): DataFrame = {
     val spark = lineitem.sparkSession
     import spark.implicits._
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val und = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("c"))
+    val und = Baskets.pairCounts(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
       .filter(col("c") >= minSupport)
     val w = round(lit(1.0) / col("c"), 4)
     val edges = und
@@ -302,15 +298,14 @@ object Graph {
     * inline copy with identical semantics, asserted by its spec). The
     * Θ(Σ basket²) pair expansion dominates every consumer, so callers
     * cache the result and unpersist after materializing. */
-  private[graft] def frequentEdges(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("c"))
+  private[graft] def frequentEdges(lineitem: DataFrame, minSupport: Long): DataFrame =
+    // r11: single-shuffle basket aggregation + map-side pair emission
+    // (see Baskets) — bit-identical rows to the former self-join build
+    Baskets.pairCounts(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
       .filter(col("c") >= minSupport)
       .select("pa", "pb")
-  }
 
   /** q245: common-neighbor link prediction over the frequent co-purchase
     * graph — "which products are never bought together but share many
@@ -373,11 +368,13 @@ object Graph {
   }
 
   def triangleCensus(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = lineitem.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("pb"))
-    val edges = a
-      .join(b, col("ok") === col("ok_b") && col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+    // r11: q192's contract (and oracle) counts LINE pairs, not distinct
+    // basket pairs — the by-line Baskets variant keeps multiplicities
+    // bit-identical to the former raw self-join while still collapsing
+    // the build to two exchanges
+    val edges = Baskets.pairCountsByLine(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
       .filter(col("c") >= minSupport)
       .select("pa", "pb")
       .cache()
@@ -464,13 +461,12 @@ object Graph {
       topN: Int = 20,
       d: Double = 0.875): DataFrame = {
     // weighted co-purchase edges (frequentEdges' build, keeping the
-    // co-occurrence count as the edge weight)
-    val items = lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val canon = items.as("a")
-      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("w"))
+    // co-occurrence count as the edge weight; r11: Baskets single-shuffle
+    // form, same rows)
+    val canon = Baskets.pairCounts(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+      .withColumnRenamed("c", "w")
       .filter(col("w") >= minSupport)
     // NOT cached despite six consumers: AQE's ReuseExchange already
     // dedupes the repeated shuffle subtrees here (measured 2.6 s warm),

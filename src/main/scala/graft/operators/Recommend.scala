@@ -51,12 +51,9 @@ object Recommend {
       .select("cust", "part").distinct()
 
     // co-occurrence adjacency from TRAIN orders only (both directions —
-    // a recommendation flows from an owned part to its neighbor)
-    val basket = trainLines.select("ok", "part").distinct()
-    val co = basket.as("a")
-      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
-      .agg(count(lit(1)).as("c"))
+    // a recommendation flows from an owned part to its neighbor; r11:
+    // Baskets single-shuffle form, same rows)
+    val co = Baskets.pairCounts(trainLines.select("ok", "part"), "ok", "part")
       .filter(col("c") >= minSupport)
     val adj = co.select(col("pa").as("from"), col("pb").as("to"), col("c"))
       .unionAll(co.select(col("pb").as("from"), col("pa").as("to"), col("c")))
@@ -108,11 +105,7 @@ object Recommend {
       k: Int = 3): DataFrame = {
     val lines = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
     val cust = orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
-    val basket = lines.distinct()
-    val co = basket.as("a")
-      .join(basket.as("b"), col("a.ok") === col("b.ok") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
-      .agg(count(lit(1)).as("c"))
+    val co = Baskets.pairCounts(lines, "ok", "part")
       .filter(col("c") >= minSupport)
     val adj = co.select(col("pa").as("from"), col("pb").as("to"), col("c"))
       .unionAll(co.select(col("pb").as("from"), col("pa").as("to"), col("c")))

@@ -1662,12 +1662,18 @@ object Relational {
     * doubles, so engines compute bit-identical metrics, and top-k ties
     * break on integer keys. */
   def basketLift(lineitem: DataFrame, minSupport: Long = 2, topN: Int = 20): DataFrame = {
+    // r11: canonical pair counts from one basket aggregation, emitted in
+    // both rule directions map-side (c is symmetric) — same pairs as the
+    // former a.pk =!= b.pk self-join; supports and the order count still
+    // read the distinct (order, part) incidence
     val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
-    val pairs = items.as("a")
-      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("ant"), col("b.pk").as("cons"))
-      .agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minSupport)
+    val canon = Baskets.pairCounts(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+      .filter(col("c") >= minSupport)
+    val pairs = canon
+      .select(col("pa").as("ant"), col("pb").as("cons"), col("c").as("c_ab"))
+      .unionAll(canon.select(col("pb").as("ant"), col("pa").as("cons"), col("c").as("c_ab")))
     val support = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
     pairs
@@ -1756,17 +1762,16 @@ object Relational {
     * never by table size; at 100 TB this stays a linear-cost shuffled
     * equi-join. distinct() first so duplicate part lines inside one
     * order don't inflate pair counts; the top-N is a TakeOrdered merge. */
-  def coPurchase(lineitem: DataFrame, topN: Int = 20): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
-    val a = items.select(col("okey"), col("pk").as("part_a"))
-    val b = items.select(col("okey"), col("pk").as("part_b"))
-    a.join(b, "okey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_orders"))
+  def coPurchase(lineitem: DataFrame, topN: Int = 20): DataFrame =
+    // r11: single-shuffle basket aggregation + map-side pair emission
+    // (Baskets.pairCounts) — same rows, 2 exchanges where the
+    // distinct + self-join + count shape paid 4
+    Baskets.pairCounts(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("c").as("n_orders"))
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
       .limit(topN)
-  }
 
   /** q114: percent-of-total report — each nation's share of global
     * revenue. The share denominator is the 1-row grand total combined
@@ -1823,29 +1828,21 @@ object Relational {
     * frequent, so baskets semi-join the frequent-pair set first (small
     * by definition at any meaningful support — that's what "frequent"
     * means), and the prune provably never changes the answer. */
-  def frequentTriples(lineitem: DataFrame, minSupport: Long = 1, topN: Int = 20): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-    val a = items.select(col("okey"), col("pk").as("pa"))
-    val b = items.select(col("okey"), col("pk").as("pb"))
-    val c = items.select(col("okey"), col("pk").as("pc"))
-    val ab = a.join(b, Seq("okey")).filter(col("pa") < col("pb"))
-    val abPruned =
-      if (minSupport <= 1) ab
-      else {
-        val freqPairs = ab.groupBy("pa", "pb").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= minSupport).select("pa", "pb")
-        ab.join(broadcast(freqPairs), Seq("pa", "pb"), "left_semi")
-      }
-    abPruned
-      .join(c, Seq("okey")).filter(col("pb") < col("pc"))
-      .groupBy(col("pa").as("part_a"), col("pb").as("part_b"), col("pc").as("part_c"))
-      .agg(count(lit(1)).as("n_orders"))
+  def frequentTriples(lineitem: DataFrame, minSupport: Long = 1, topN: Int = 20): DataFrame =
+    // r11: one basket aggregation + map-side Θ(basket³) triple emission
+    // (Baskets.tripleCounts) replaces the distinct + three-way self-join
+    // — same triples (order size bounds the emission exactly as it
+    // bounded the join fan-out), and the a-priori pair-prune becomes
+    // moot because no join ever materializes unpruned pairs
+    Baskets.tripleCounts(
+      lineitem.select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+      .select(
+        col("pa").as("part_a"), col("pb").as("part_b"), col("pc").as("part_c"),
+        col("c").as("n_orders"))
       .filter(col("n_orders") >= minSupport)
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"), asc("part_c"))
       .limit(topN)
-  }
 
   /** q93: one-pass table profiling — null counts, exact distinct counts,
     * min/max per column, pivoted to one row per column via `stack` (no
@@ -2407,16 +2404,21 @@ object Relational {
     val owned = Skew.capPerKey(
       owned0.join(popular, Seq("part"), "left_semi"),
       key = "cust", item = "part", cap = maxPartsPerCustomer)
+    // r11: the ORDER-grain expansion uses the Baskets single-shuffle
+    // form (baskets are ≤ ~7 items — map-side emission wins); the
+    // CUSTOMER-grain expansion deliberately KEEPS the shuffled
+    // self-join: customer part-sets run to ~100 items (cap 1000), and
+    // the interpreted higher-order-function pair emission on arrays
+    // that size measured 3× slower than the join (8.2 s vs 2.7 s at
+    // sf0.1) — codegen'd join fan-out beats boxed per-element lambda
+    // eval once baskets are large
     val custPairs = owned.as("a")
       .join(owned.as("b"), col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
       .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
       .agg(count(lit(1)).as("n_shared_customers"))
       .filter(col("n_shared_customers") >= minCustomers)
-    val basket = lines.distinct()
-    val basketPairs = basket.as("x")
-      .join(basket.as("y"), col("x.ok") === col("y.ok") && col("x.part") < col("y.part"))
-      .select(col("x.part").as("pa"), col("y.part").as("pb"))
-      .distinct()
+    val basketPairs = Baskets.pairCounts(lines, "ok", "part")
+      .select("pa", "pb")
     custPairs
       .join(basketPairs, Seq("pa", "pb"), "left_anti")
       .orderBy(desc("n_shared_customers"), asc("pa"), asc("pb"))
