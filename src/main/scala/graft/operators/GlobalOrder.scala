@@ -121,6 +121,63 @@ object GlobalOrder {
       .orderBy("rn")
   }
 
+  /** r11: pooled global row number PLUS both sides' running counts in
+    * ONE bucketed pass — the two-sample CDF family (q184/q367/q379/q415)
+    * previously ranked three times (pooled, then each side's rows
+    * re-ranked, each side pass replaying the pooled ranking's plan).
+    * Output columns: `rn` (pooled 1-based rank in `sortCols` order),
+    * `cum_a`/`cum_b` (rows of side 0 / side 1 at-or-before this row in
+    * that order — for a side-s row, `cum_s` IS the per-side row_number
+    * the old per-side ranking assigned), `totalCol` (pooled count) and
+    * `n_a`/`n_b` (side totals). One bounds collection + one shuffle +
+    * one window with three running aggregates; same skew posture as
+    * [[withGlobalRowNumber]] (`sideCol` must be 0/1). */
+  def withCumSides(
+      df: DataFrame,
+      bucketKey: Column,
+      sortCols: Seq[String],
+      sideCol: String,
+      rnCol: String = "rn",
+      totalCol: String = "__total",
+      numBuckets: Int = 32,
+      accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+    val keyed = df.withColumn("__bkey", bucketKey.cast("double"))
+    val boundsRow = keyed
+      .agg(expr(s"approx_percentile(__bkey, array(${probs.mkString(",")}), $accuracy)"))
+      .head()
+    val bounds: Seq[Double] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
+    val pid = bounds
+      .foldLeft(lit(0)) { (acc, b) => acc + when(col("__bkey") > lit(b), 1).otherwise(0) }
+    val withPid = keyed.withColumn("__pid", pid)
+    val tiny = Window.orderBy("__pid")
+    def pre(c: String) = coalesce(
+      sum(c).over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    def tot(c: String) =
+      sum(c).over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val offsets = withPid
+      .groupBy("__pid")
+      .agg(
+        count(lit(1)).as("__c"),
+        sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("__c1"))
+      .select(
+        col("__pid"),
+        pre("__c").as("__off"), pre("__c0").as("__off0"), pre("__c1").as("__off1"),
+        tot("__c").as(totalCol), tot("__c0").as("n_a"), tot("__c1").as("n_b"))
+    val w = Window.partitionBy("__pid").orderBy(sortCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
+      .withColumn("cum_a",
+        sum(when(col(sideCol) === 0, 1L).otherwise(0L)).over(run) + col("__off0"))
+      .withColumn("cum_b",
+        sum(when(col(sideCol) === 1, 1L).otherwise(0L)).over(run) + col("__off1"))
+      .drop("__pid", "__bkey", "__off", "__off0", "__off1")
+  }
+
   /** Grouped variant: per-`groupCols` row numbers in `sortCols` order
     * WITHOUT sorting whole groups in one task. `bucketCol` must be a
     * small-cardinality column monotone in the sort order within each

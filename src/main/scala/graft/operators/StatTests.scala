@@ -114,19 +114,16 @@ object StatTests {
     val vals = orders
       .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
-    val all = GlobalOrder.withGlobalRowNumber(
-      vals, col("v"), Seq("v", "side", "k"), "rn_all", "__tot")
-    val bySide = Seq(0, 1).map { s =>
-      GlobalOrder.withGlobalRowNumber(
-        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
-    }
-    bySide.head.unionByName(bySide(1))
-      .select(col("side"), col("__ns"), col("__tot"),
-        abs(col("rn_s") / col("__ns")
-          - (col("rn_all") - col("rn_s")) / (col("__tot") - col("__ns"))).as("gap"))
+    // r11: one fused ranking pass (GlobalOrder.withCumSides) — for a
+    // side-s row the old rn_s equals cum_s and __ns equals n_s, so the
+    // per-row gap |cum_a/n_a − cum_b/n_b| is the identical value the
+    // three-ranking form computed from either side (IEEE |x−y| = |y−x|)
+    GlobalOrder.withCumSides(vals, col("v"), Seq("v", "side", "k"), "side")
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b")).as("gap"))
       .agg(
-        max(when(col("side") === 0, col("__ns"))).as("n_a"),
-        max(when(col("side") === 1, col("__ns"))).as("n_b"),
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
         round(max(col("gap")), 4).as("ks_stat"))
   }
 
@@ -1998,23 +1995,15 @@ object StatTests {
     val vals = orders
       .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
-    val all = GlobalOrder.withGlobalRowNumber(
-      vals, col("v"), Seq("v", "side", "k"), "rn", "__tot")
-    val bySide = Seq(0, 1).map { s =>
-      GlobalOrder.withGlobalRowNumber(
-        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
-    }
-    val counts = vals.agg(
-      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
-    val cum = bySide.head.unionByName(bySide(1))
-      .select(col("rn"), col("v"),
-        when(col("side") === 0, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_a"),
-        when(col("side") === 1, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_b"))
+    // r11: one fused ranking pass (GlobalOrder.withCumSides) — cum_a and
+    // cum_b are exactly the per-row values the three-ranking union
+    // reconstructed (rn_s for the row's own side, rn − rn_s for the other),
+    // and n_a/n_b are the same side counts the separate 1-row agg computed
+    val cum = GlobalOrder.withCumSides(vals, col("v"), Seq("v", "side", "k"), "side")
+      .select(col("rn"), col("v"), col("cum_a"), col("cum_b"), col("n_a"), col("n_b"))
     val nxt = cum.select((col("rn") - 1).as("rnp"), col("v").as("v_next"))
     // the last pooled point has no next value — and needs none: both CDFs are 1 there
     cum.join(nxt, col("rn") === col("rnp"))
-      .crossJoin(broadcast(counts)) // 1-row scalar
       .agg(
         max("n_a").as("na"), max("n_b").as("nb"),
         // ANSI guard: one empty side makes the CDF ill-defined — emit a
@@ -2211,20 +2200,11 @@ object StatTests {
     val vals = orders
       .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), col("side"))
-    val all = GlobalOrder.withGlobalRowNumber(
-      vals, col("v"), Seq("v", "side", "k"), "rn", "__tot")
-    val bySide = Seq(0, 1).map { s =>
-      GlobalOrder.withGlobalRowNumber(
-        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
-    }
-    val counts = vals.agg(
-      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
-    bySide.head.unionByName(bySide(1))
-      .select(col("rn"),
-        when(col("side") === 0, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_a"),
-        when(col("side") === 1, col("rn_s")).otherwise(col("rn") - col("rn_s")).as("cum_b"))
-      .crossJoin(broadcast(counts)) // 1-row scalar
+    // r11: one fused ranking pass (GlobalOrder.withCumSides) — cum_a and
+    // cum_b are exactly the values the three-ranking union reconstructed
+    // per row (rn_s for the row's own side, rn − rn_s for the other)
+    GlobalOrder.withCumSides(vals, col("v"), Seq("v", "side", "k"), "side")
+      .select(col("rn"), col("cum_a"), col("cum_b"), col("n_a"), col("n_b"))
       .agg(
         max("n_a").as("na"), max("n_b").as("nb"),
         // ANSI guard: one empty side → null statistic, not DIVIDE_BY_ZERO
@@ -2990,21 +2970,13 @@ object StatTests {
       .filter(col("o_orderpriority").isInCollection(Seq(prioA, prioB)))
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
         when(col("o_orderpriority") === prioA, 0).otherwise(1).as("side"))
-    val all = GlobalOrder.withGlobalRowNumber(
-      vals, col("v"), Seq("v", "side", "k"), "rn_all", "__tot")
-    val bySide = Seq(0, 1).map { s =>
-      GlobalOrder.withGlobalRowNumber(
-        all.filter(col("side") === s), col("v"), Seq("v", "side", "k"), "rn_s", "__ns")
-    }
-    val u = bySide.head.unionByName(bySide(1))
-    val m = u.agg(
-      max(when(col("side") === 0, col("__ns"))).as("n_a"),
-      max(when(col("side") === 1, col("__ns"))).as("n_b"))
-    u.filter(col("rn_all") < col("__tot")) // i = N contributes 0/0: excluded by definition
-      .crossJoin(broadcast(m)) // 1-row scalar (q14 idiom)
+    // r11: one fused ranking pass (GlobalOrder.withCumSides); m_i (the
+    // side-A count at-or-before pooled rank i) is cum_a for every row —
+    // the same value the three-ranking union reconstructed per side
+    GlobalOrder.withCumSides(vals, col("v"), Seq("v", "side", "k"), "side", rnCol = "rn_all", totalCol = "__tot")
+      .filter(col("rn_all") < col("__tot")) // i = N contributes 0/0: excluded by definition
       .select(col("__tot").as("nt"), col("n_a"), col("n_b"), col("rn_all").as("i"),
-        when(col("side") === 0, col("rn_s"))
-          .otherwise(col("rn_all") - col("rn_s")).as("m_i"))
+        col("cum_a").as("m_i"))
       .agg(
         max(col("n_a")).as("n_a"),
         max(col("n_b")).as("n_b"),

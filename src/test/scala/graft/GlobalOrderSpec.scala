@@ -47,6 +47,42 @@ class GlobalOrderSpec extends SparkSpec {
       want.except(got.select("id", "v", "bucket")).isEmpty)
   }
 
+  test("fused cum-sides ≡ single-reducer pooled rank + per-side running counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // ties across sides (23 distinct values over 400 rows) exercise the
+    // tie-break columns; a 60/40 side split exercises unequal n_a/n_b
+    val df = (1 to 400)
+      .map(i => (i.toLong, (rng.nextInt(23) * 2).toDouble, if (rng.nextInt(5) < 3) 0 else 1))
+      .toDF("k", "v", "side")
+    val got = GlobalOrder.withCumSides(df, col("v"), Seq("v", "side", "k"), "side", numBuckets = 8)
+      .select("k", "rn", "cum_a", "cum_b", "n_a", "n_b", "__total")
+    val w = Window.orderBy("v", "side", "k")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    val want = df.select(
+      col("k"),
+      row_number().over(w).cast("long").as("rn"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).over(run).as("cum_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).over(run).as("cum_b"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).over(all).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).over(all).as("n_b"),
+      count(lit(1)).over(all).as("__total"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("fused cum-sides: the data-sized window stays bucket-partitioned") {
+    val vals = t.orders.select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+      (col("o_orderkey") % 2).cast("int").as("side"))
+    val plan = GlobalOrder.withCumSides(vals, col("v"), Seq("v", "side", "k"), "side")
+      .queryExecution.optimizedPlan.toString
+    val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toList
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("windowspecdefinition(__pid"))
+    assert(unpartitioned.forall(w => w.contains("sum(__c")),
+      s"data-sized window lost its bucket partitioning:\n$plan")
+  }
+
   test("q153: quintile scores partition all customers; segments conserve customers and revenue") {
     val seg = GlobalOrder.rfmSegmentation(t.orders).cache()
     val perCust = t.orders.groupBy("o_custkey").count()
