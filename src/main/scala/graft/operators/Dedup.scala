@@ -176,6 +176,11 @@ object Dedup {
     * the shared generation step of [[minhashLshPairs]] and the q261
     * quality report. `maxBucket` drops degenerate buckets before the
     * quadratic pair expansion. */
+  // NOTE (r11): a collect_set + map-side pair-emission rewrite of this
+  // (the Baskets idiom that won for order baskets) was built and
+  // MEASURED SLOWER here — q261 cpu 9.7 → 17.7 s — because LSH buckets
+  // are overwhelmingly size-1: the interpreted per-bucket HOF emission
+  // costs more than the windowed count + self-join saves. Kept as-is.
   private[graft] def bandedCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
     val bkt = bands(sigs)
     val bucketSized = bkt.withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
@@ -472,7 +477,13 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxRounds: Int = 16): DataFrame = {
-    // undirected edge list, both directions (propagation is symmetric)
+    // undirected edge list, both directions (propagation is symmetric).
+    // NOTE (r11): a self-loop + gated-label-broadcast rewrite (one join
+    // per round instead of two) was built and MEASURED SLOWER on every
+    // CC consumer (q280 cpu 16 → 25 s, q272 3.3 → 8.5 s) — near-dup
+    // edge sets are tiny, so the extra count() action, the per-round
+    // broadcast build, and the enlarged edge table cost more than the
+    // saved dimension-sized join. Kept as-is.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
@@ -729,11 +740,14 @@ object Dedup {
   private[graft] def prefixFilterJoinFromSets(
       setsIn: DataFrame,
       theta: Double): DataFrame = {
-    // r11: the sets frame feeds FOUR plan subtrees (df aggregate, prefix
-    // build, and both verification joins) — uncached, the before-plan
-    // scanned documents and re-ran the shingle kernel six times; one
-    // cache collapses them to a single tokenize+shingle pass
-    val sets = setsIn.select(col("doc_id"), col("shingles")).cache()
+    // r11 (revised mid-round): the sets frame feeds four plan subtrees
+    // (df aggregate, prefix build, both verification joins), but the
+    // whole join is ONE action — a cache() here columnar-materializes
+    // the long arrays and pays a decode on every read, measured 5×
+    // WORSE than recomputing the cheap map-side shingle kernel per
+    // subtree (q418 cpu 2.1 s uncached vs 9.6 s cached; the same
+    // columnar-boundary tax the q310 comment records). Recompute wins.
+    val sets = setsIn.select(col("doc_id"), col("shingles"))
     val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     // rarity order (df asc, sh asc) is used ONLY to pick prefixes; the
@@ -770,10 +784,12 @@ object Dedup {
       .filter(col("jaccard") >= theta)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-      // result-sized (qualifying pairs only); materialize before dropping
-      // the sets cache so no consumer recomputes the shingle kernel
-      .localCheckpoint(eager = true)
-    sets.unpersist(blocking = false)
+    // returned LAZY (r11, revised mid-round): an eager checkpoint here
+    // forces the whole join to execute at query-construction time even
+    // for consumers whose final plan provably needs none or part of it,
+    // and every registered consumer now reads the frame exactly once
+    // (q418's sweep was the lone multi-reader; its aggregates are fused
+    // into one pass in thresholdSweep).
     result
   }
 
@@ -1155,24 +1171,26 @@ object Dedup {
       documents: DataFrame,
       thetas: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
     val spark = documents.sparkSession
-    // prefixFilterJoin already returns an eager checkpoint (result-sized),
-    // so `per`'s two consumers (pair stats + affected-doc stats) replay a
-    // checkpoint scan, not the whole prefix join
     val base = prefixFilterJoin(documents, thetas.min)
+    // r11: ONE aggregation pass over the (theta, pair) stream — the old
+    // two-branch form (pair stats + affected-doc stats) replayed the
+    // whole prefix join per branch. Exploding both doc ids up front
+    // doubles each pair row, so n_pairs = rows/2 (exact — always even),
+    // the mean jaccard over the doubled multiset is the same mean, and
+    // the distinct-doc count reads the very rows it needed anyway.
     val per = base
       .withColumn("theta", explode(lit(thetas.toArray)))
       .filter(col("jaccard") >= col("theta"))
-    val pairs = per.groupBy("theta").agg(
-      count(lit(1)).as("n_pairs"),
-      round(avg("jaccard"), 4).as("avg_jaccard"))
-    val docs = per
-      .select(col("theta"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .groupBy("theta").agg(countDistinct("d").as("n_docs_affected"))
+      .select(col("theta"), col("jaccard"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+    val stats = per.groupBy("theta").agg(
+      (count(lit(1)) / 2).cast("long").as("n_pairs"),
+      round(avg("jaccard"), 4).as("avg_jaccard"),
+      countDistinct("d").as("n_docs_affected"))
     // grid densified: a θ no pair reaches must still price at zero
     import spark.implicits._
     thetas.toDF("theta")
-      .join(pairs, Seq("theta"), "left")
-      .join(docs, Seq("theta"), "left")
+      .join(stats, Seq("theta"), "left")
       .select(
         round(col("theta"), 4).as("theta"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),

@@ -46,17 +46,44 @@ object GlobalOrder {
       rnCol: String = "rn",
       totalCol: String = "__total",
       numBuckets: Int = 32,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000): DataFrame =
+    withGlobalRowNumberBounds(
+      df, bucketKey, collectBounds(df, bucketKey, numBuckets, accuracy),
+      sortCols, rnCol, totalCol)
+
+  /** The one driver-side action of the range scheme: `approx_percentile`
+    * bounds over `bucketKey` (a ≤numBuckets-element driver literal).
+    * Exposed so multi-ranking operators (q153's three quintiles) can
+    * fuse SEVERAL keys' bounds into one aggregate job instead of one
+    * collection per ranking — r11. */
+  private[operators] def collectBounds(
+      df: DataFrame,
+      bucketKey: Column,
+      numBuckets: Int,
+      accuracy: Int = 10000): Seq[Double] = {
     val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
-    val keyed = df.withColumn("__bkey", bucketKey.cast("double"))
-    val boundsRow = keyed
+    val boundsRow = df
+      .withColumn("__bkey", bucketKey.cast("double"))
       .agg(expr(s"approx_percentile(__bkey, array(${probs.mkString(",")}), $accuracy)"))
       .head()
-    val bounds: Seq[Double] =
-      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
-    val pid = bounds
-      .foldLeft(lit(0)) { (acc, b) => acc + when(col("__bkey") > lit(b), 1).otherwise(0) }
-    val withPid = keyed.withColumn("__pid", pid)
+    if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
+  }
+
+  /** Range-bucket id for a key given precomputed bounds: #bounds below. */
+  private[operators] def pidExpr(bkey: Column, bounds: Seq[Double]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) => acc + when(bkey > lit(b), 1).otherwise(0) }
+
+  /** [[withGlobalRowNumber]] with caller-supplied range bounds (in
+    * `bucketKey`-cast-double space) — no driver action of its own. */
+  private[operators] def withGlobalRowNumberBounds(
+      df: DataFrame,
+      bucketKey: Column,
+      bounds: Seq[Double],
+      sortCols: Seq[String],
+      rnCol: String = "rn",
+      totalCol: String = "__total"): DataFrame = {
+    val keyed = df.withColumn("__bkey", bucketKey.cast("double"))
+    val withPid = keyed.withColumn("__pid", pidExpr(col("__bkey"), bounds))
     val tiny = Window.orderBy("__pid")
     val offsets = withPid
       .groupBy("__pid").count()
@@ -86,7 +113,20 @@ object GlobalOrder {
       buckets: Int,
       outCol: String,
       numBuckets: Int = 32): DataFrame =
-    withGlobalRowNumber(df, bucketKey, sortCols, "__rn", "__tot", numBuckets)
+    withExactNtileBounds(
+      df, bucketKey, collectBounds(df, bucketKey, numBuckets), sortCols, buckets, outCol)
+
+  /** [[withExactNtile]] with caller-supplied range bounds — no driver
+    * action of its own (r11: lets q153 fuse its three quintiles' bounds
+    * into one aggregate job). */
+  private[operators] def withExactNtileBounds(
+      df: DataFrame,
+      bucketKey: Column,
+      bounds: Seq[Double],
+      sortCols: Seq[String],
+      buckets: Int,
+      outCol: String): DataFrame =
+    withGlobalRowNumberBounds(df, bucketKey, bounds, sortCols, "__rn", "__tot")
       .withColumn(outCol, expr(
         s"""CAST(CASE WHEN __rn <= (__tot % $buckets) * ((__tot div $buckets) + 1)
            |  THEN (__rn - 1) div ((__tot div $buckets) + 1)
@@ -141,16 +181,9 @@ object GlobalOrder {
       totalCol: String = "__total",
       numBuckets: Int = 32,
       accuracy: Int = 10000): DataFrame = {
-    val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+    val bounds = collectBounds(df, bucketKey, numBuckets, accuracy)
     val keyed = df.withColumn("__bkey", bucketKey.cast("double"))
-    val boundsRow = keyed
-      .agg(expr(s"approx_percentile(__bkey, array(${probs.mkString(",")}), $accuracy)"))
-      .head()
-    val bounds: Seq[Double] =
-      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Double](0)
-    val pid = bounds
-      .foldLeft(lit(0)) { (acc, b) => acc + when(col("__bkey") > lit(b), 1).otherwise(0) }
-    val withPid = keyed.withColumn("__pid", pid)
+    val withPid = keyed.withColumn("__pid", pidExpr(col("__bkey"), bounds))
     val tiny = Window.orderBy("__pid")
     def pre(c: String) = coalesce(
       sum(c).over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -267,34 +300,51 @@ object GlobalOrder {
     * so all three ntiles run ascending. Output is the segment-level
     * report: customers and money per (r,f,m) cell. */
   def rfmSegmentation(orders: DataFrame, numBuckets: Int = 32): DataFrame = {
-    val asOf = orders
-      .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd")).head().getString(0)
-    // the customer-cardinality aggregate is read by three bounds passes
-    // + three ranking passes — cache it so the fact-table aggregation
-    // runs once (dimension-sized by construction; the same bounded
-    // persist pagerank/bfs make)
-    val rfm = orders
+    // r11: ONE driver action replaces four (as-of max + three per-ntile
+    // bounds collections). The per-customer aggregate keys recency by
+    // last-order epoch days (monotone 1:1 with neg_recency = lastd −
+    // asof, day grain), so the as-of date and all three quintiles'
+    // range bounds come out of a single aggregate over the cached
+    // dimension-sized frame; neg_recency bounds are the lastd bounds
+    // shifted by the as-of constant (pid uses strict > comparisons —
+    // an exact affine shift of key and bounds preserves every bucket).
+    val probs = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+    def pct(c: String) =
+      expr(s"approx_percentile(CAST($c AS DOUBLE), array(${probs.mkString(",")}), 10000)")
+    val rfm0 = orders
       .groupBy(col("o_custkey"))
       .agg(
-        datediff(to_date(lit(asOf)), to_date(max(col("o_orderdate")))).cast("long")
-          .as("recency_days"),
+        datediff(max(col("o_orderdate")), to_date(lit("1970-01-01"))).cast("long")
+          .as("lastd"),
         count(lit(1)).as("frequency"),
         // 4dp-rounded BEFORE ranking (the q283 lesson, applied here by an
         // sf1 failure: raw double sums order differently per summation
         // order, flipping quintile boundaries between engines)
         round(moneySum(col("o_totalprice")), 4).as("monetary"))
-      .withColumn("neg_recency", -col("recency_days"))
       .cache()
+    val stats = rfm0.agg(
+      max("lastd").as("asof"),
+      pct("lastd").as("br"), pct("frequency").as("bf"), pct("monetary").as("bm"))
+      .head()
+    // empty input: no as-of date exists; 0 keeps the (empty) plan valid
+    val asofDays = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    def bounds(i: Int): Seq[Double] =
+      if (stats.isNullAt(i)) Seq.empty else stats.getSeq[Double](i)
+    val rfm = rfm0
+      .withColumn("recency_days", lit(asofDays) - col("lastd"))
+      .withColumn("neg_recency", col("lastd") - lit(asofDays))
     // three INDEPENDENT quintile passes over the cached frame, joined
-    // back on the key — chaining them instead (fold) would drag every
-    // earlier pass's window+join into each later bounds collection
+    // back on the key — chaining them instead was built and re-measured
+    // this round: it removes the joins but each pass's offsets aggregate
+    // replays every earlier pass's window subplan (plan 50 → 62
+    // Exchanges), so the compact cache-fed passes win
     val scored = Seq(
-      ("r_score", Seq("neg_recency", "o_custkey")),
-      ("f_score", Seq("frequency", "o_custkey")),
-      ("m_score", Seq("monetary", "o_custkey")))
-      .map { case (out, keys) =>
-        withExactNtile(
-          rfm.select("o_custkey", keys.head), col(keys.head), keys, 5, out, numBuckets)
+      ("r_score", "neg_recency", bounds(1).map(_ - asofDays)),
+      ("f_score", "frequency", bounds(2)),
+      ("m_score", "monetary", bounds(3)))
+      .map { case (out, key, bs) =>
+        withExactNtileBounds(
+          rfm.select("o_custkey", key), col(key), bs, Seq(key, "o_custkey"), 5, out)
           .select("o_custkey", out)
       }
       .foldLeft(rfm)(_.join(_, Seq("o_custkey")))
