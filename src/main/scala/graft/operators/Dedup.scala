@@ -241,9 +241,16 @@ object Dedup {
     val sigs = signatures(documents, shingleK).cache()
     val annotated = annotatedCandidates(sigs, maxBucket).cache()
     // truth side reuses the cached signature frame's shingle sets — one
-    // tokenize+shingle pass for the whole report, not two
+    // tokenize+shingle pass for the whole report, not two. The truth
+    // pair set is RESULT-sized and read twice below (recall semi-join +
+    // its own count): materialize it eagerly here — this report always
+    // executes at construction anyway (r11: the materialization moved
+    // here from prefixFilterJoinFromSets, whose other consumers are
+    // single-read; lazy there, q261 re-ran the join per read, measured
+    // cpu 9.7 → 21 s)
     val truth = prefixFilterJoinFromSets(sigs.select("doc_id", "shingles"), threshold)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true)
     val verified = annotated.filter(col("jaccard") >= threshold)
     val funnel = annotated.agg(
       count(lit(1)).as("n_candidates"),
@@ -1002,29 +1009,34 @@ object Dedup {
     val base = documents
       .select(col("doc_id"), col("text"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
-    def stat(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val (n0, t0) = stat(base)
-    // stage 1: exact fingerprint, keep smallest doc_id
-    val exactKeep = base
+    // stage 1: exact fingerprint, keep smallest doc_id. r11: the input
+    // stats and the survivor stats come out of ONE aggregate over the
+    // windowed frame (the keep flag conditions the survivor sums) —
+    // the old per-stage stat() actions replayed the tokenize +
+    // fingerprint window once per stage, and the final stage's stat
+    // replayed the ENTIRE cascade a second time.
+    val flagged = base
       .withColumn("fp", fingerprint(col("text")))
-      .withColumn("keep", min(col("doc_id")).over(
+      .withColumn("k1", col("doc_id") === min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keep"))
-      .drop("fp", "keep")
-    val (n1, t1) = stat(exactKeep)
+    val s01 = flagged.agg(
+      count(lit(1)),
+      coalesce(sum(col("n_tok")), lit(0L)),
+      coalesce(sum(when(col("k1"), 1L)), lit(0L)),
+      coalesce(sum(when(col("k1"), col("n_tok"))), lit(0L))).head()
+    val (n0, t0, n1, t1) = (s01.getLong(0), s01.getLong(1), s01.getLong(2), s01.getLong(3))
+    val exactKeep = flagged.filter(col("k1")).select("doc_id", "text", "source", "n_tok")
     // stage 2: near-dup components over the exact survivors, keep-best.
     // The cluster table covers ONLY docs with near-dup edges, so the
-    // survivor set is "everything minus the election LOSERS" — an
-    // anti-join, not a semi-join (a semi-join would drop every
-    // singleton doc, i.e. almost the whole corpus).
+    // survivor stats are "stage-1 stats minus the election LOSERS'" —
+    // one loser-sized join instead of an anti-join over the corpus
+    // (which would replay the whole cascade per stat).
     val losers = nearDupKeepBest(exactKeep.select("doc_id", "text", "source"))
       .filter(!col("keep"))
       .select(col("doc_id"))
-    val nearKeep = exactKeep.join(losers, Seq("doc_id"), "left_anti")
-    val (n2, t2) = stat(nearKeep)
+    val sL = losers.join(exactKeep.select("doc_id", "n_tok"), Seq("doc_id"))
+      .agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L))).head()
+    val (n2, t2) = (n1 - sL.getLong(0), t1 - sL.getLong(1))
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     Seq(
       ("0_input", n0, t0, n0, t0, 0.0),

@@ -1853,16 +1853,26 @@ object Relational {
     * string-stable types (integral + varchar — float/timestamp rendering
     * differs across engines, their stats belong in typed queries). */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c =>
+    // r11: the distinct counts and the min/max live in SEPARATE
+    // aggregates. Combined, the multi-countDistinct Expand (×cols+1
+    // rows) meets the STRING-buffered min/max — whose immutable buffer
+    // type disqualifies HashAggregate — and the whole expanded input
+    // pays two grouped SortAggregate sort passes (measured cpu 5.9 s on
+    // a 150k×4 profile). Split, the distinct side is a plain hashable
+    // Expand+HashAggregate and the min/max side is a single-group
+    // aggregate that needs no sort at all; the two 1-row frames
+    // cross-join back. Values identical.
+    val dAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+    val mAggs = cols.flatMap(c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max")))
     val stackArgs = cols
       .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
       .mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(dAggs.head, dAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(mAggs.head, mAggs.tail: _*))) // 1×1 rows
       .selectExpr(
         s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_value, max_value)")
       .orderBy("column_name")
