@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // ObjectHashAggregate (collect_set/collect_list paths) falls back to
+      // sort-based aggregation after this many distinct keys per task; the
+      // default 128 makes every real basket/neighbor aggregate pay a sort.
+      // 64k keys of small arrays is well within task memory at any scale —
+      // the buffers themselves, not the key count, bound memory use.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

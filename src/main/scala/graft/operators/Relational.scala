@@ -1853,26 +1853,32 @@ object Relational {
     * string-stable types (integral + varchar — float/timestamp rendering
     * differs across engines, their stats belong in typed queries). */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    // r11: the distinct counts and the min/max live in SEPARATE
-    // aggregates. Combined, the multi-countDistinct Expand (×cols+1
-    // rows) meets the STRING-buffered min/max — whose immutable buffer
-    // type disqualifies HashAggregate — and the whole expanded input
-    // pays two grouped SortAggregate sort passes (measured cpu 5.9 s on
-    // a 150k×4 profile). Split, the distinct side is a plain hashable
-    // Expand+HashAggregate and the min/max side is a single-group
-    // aggregate that needs no sort at all; the two 1-row frames
-    // cross-join back. Values identical.
-    val dAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
-    val mAggs = cols.flatMap(c =>
+    // r12: one scan, no sort, no cross-join — a per-column GROUPING SETS
+    // aggregate (Expand ×cols + HashAggregate whose only buffer is a
+    // mutable long count, so it never falls back to SortAggregate the
+    // way a string-buffered min/max does) keeps (distinct value, row
+    // count) per column; a second, Σ-distinct-values-sized global
+    // aggregate then derives every stat: n_distinct = #non-null rows of
+    // the column's branch, n_nulls = that branch's null-row count,
+    // min/max = typed min/max over the branch, cast to string at the
+    // end exactly as before. Values identical to the fused form.
+    val n = cols.size
+    def gidOf(i: Int): Long = (1L << n) - 1 - (1L << (n - 1 - i))
+    val lvl1 = df
+      .groupingSets(cols.map(c => Seq(col(c))), cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val isC = col("gid") === lit(gidOf(i))
       Seq(
-        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max")))
+        coalesce(sum(when(isC && col(c).isNull, col("cnt"))), lit(0L)).as(s"${c}__nulls"),
+        count(when(isC && col(c).isNotNull, lit(1))).as(s"${c}__distinct"),
+        min(when(isC, col(c))).cast("string").as(s"${c}__min"),
+        max(when(isC, col(c))).cast("string").as(s"${c}__max"))
+    }
     val stackArgs = cols
       .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
       .mkString(", ")
-    df.agg(dAggs.head, dAggs.tail: _*)
-      .crossJoin(broadcast(df.agg(mAggs.head, mAggs.tail: _*))) // 1×1 rows
+    lvl1.agg(aggs.head, aggs.tail: _*)
       .selectExpr(
         s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_value, max_value)")
       .orderBy("column_name")
