@@ -21,6 +21,17 @@ object VectorFunctions {
   /** Single-pass cosine (native codegen). */
   def cosine(a: Column, b: Column): Column = toColumn(VecCosine(expression(a), expression(b)))
 
+  /** One-pass raw-moment aggregate over the first `nDims` dimensions of
+    * a vector column ([[graft.plans.MomentMatrix]]): per-dim Σx/counts
+    * plus upper-triangle Σx_i·x_j/co-counts in ONE tight-loop pass — no
+    * per-pair explode, no boxed tuples; partial buffers merge on the
+    * reduce side. */
+  def momentMatrix(v: Column, nDims: Int): Column =
+    toColumn(
+      graft.plans.MomentMatrix(
+        expression(v),
+        org.apache.spark.sql.catalyst.expressions.Literal(nDims)).toAggregateExpression())
+
   /** Declarative (higher-order-function) variants: interpreted and ~1000×
     * slower per element, kept as the portable reference semantics the
     * native expressions are tested against. */

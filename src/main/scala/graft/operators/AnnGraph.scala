@@ -66,7 +66,13 @@ object AnnGraph {
     * above it the hint is dropped and the joins degrade to shuffles — a
     * billions-of-vectors corpus runs slower, not not-at-all (the
     * [[Graph.MaxBroadcastNodes]] discipline applied to vectors). */
-  private[graft] val MaxBroadcastVecs = 2000000L
+  private[graft] val MaxBroadcastVecs: Long =
+    // r12 (advice): derive the ceiling from the actual heap instead of a
+    // flat 2 M — ~300 B/row framed, admit at most 1/16 of the heap as one
+    // broadcast relation (several are alive at once across the scoring
+    // joins). A 16 g driver keeps the old 2 M ceiling; smaller heaps
+    // degrade to shuffle joins instead of a broadcast OOM.
+    math.min(2000000L, Runtime.getRuntime.maxMemory / 16 / 300)
 
   /** Attach exact cosine to (id, nb) pairs via two id-keyed equi-joins.
     * `hint` is [[broadcast]] when the vector table fits (gated on its
@@ -106,21 +112,22 @@ object AnnGraph {
   /** Build the k-NN graph. `embeddings` must have (vec_id, embedding).
     * Returns (id, nb, sim) — k rows per node (fewer only for degenerate
     * tiny buckets at init that the iterations then repair). */
-  def nnDescentGraph(
-      embeddings: DataFrame,
-      k: Int = 10,
-      iterations: Int = 4,
-      maxCandidates: Int = 60): DataFrame = {
-    val vecs = embeddings
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      .cache()
-    val n = vecs.count()
+  /** The build loop over an ALREADY-CACHED (id, vec) table with a
+    * pre-measured count — callers own the cache lifetime, so multi-stage
+    * consumers (search, recall, insert) never re-scan the corpus or
+    * re-count it per stage (r12, advice: the gate count is paid once). */
+  private[operators] def buildGraph(
+      vecs: DataFrame,
+      n: Long,
+      k: Int,
+      iterations: Int,
+      maxCandidates: Int): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (n <= MaxBroadcastVecs) broadcast else identity
     val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
     val init = topK(scored(initEdges(vecs, k, numBuckets), vecs, hint), k)
 
-    val result = BoundedIteration.fixpoint(init, iterations) { (edges, _) =>
+    BoundedIteration.fixpoint(init, iterations) { (edges, _) =>
       // forward ∪ reverse neighborhoods share one shuffle key space;
       // sims ride along to prioritize the candidate budget
       val fwd = edges.select(col("id"), col("nb"), col("sim"))
@@ -154,6 +161,18 @@ object AnnGraph {
         .select(col("id"), (-col("__t.negnb")).as("nb"))
       topK(scored(capped, vecs, hint).unionByName(edges.select("id", "nb", "sim")), k)
     }
+  }
+
+  def nnDescentGraph(
+      embeddings: DataFrame,
+      k: Int = 10,
+      iterations: Int = 4,
+      maxCandidates: Int = 60): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .cache()
+    val n = vecs.count()
+    val result = buildGraph(vecs, n, k, iterations, maxCandidates)
     vecs.unpersist(blocking = false)
     result
   }
@@ -204,14 +223,22 @@ object AnnGraph {
       maxHops: Int = 3,
       graphK: Int = 10,
       iterations: Int = 4): DataFrame = {
-    val corpus = embeddings.filter(col("vec_id") >= numQueries)
-    val graph = nnDescentGraph(corpus, graphK, iterations)
+    // r12: ONE cached projection of the corpus serves the graph build,
+    // the broadcast gate (count paid once — the former shape re-scanned
+    // the raw corpus just to evaluate the gate), the per-round scoring
+    // joins (each round's broadcast builds from the cache, not from a
+    // fresh parquet scan) and the seed pick.
+    val corpusVecs = embeddings.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .cache()
+    val n = corpusVecs.count()
+    val graph = buildGraph(corpusVecs, n, graphK, iterations, maxCandidates = 60)
       .select(col("id"), col("nb")).localCheckpoint(eager = true)
-    val vecs = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
+    val vecs = corpusVecs.select(col("id").as("node"), col("vec").as("cv"))
     // r11: gate the corpus-vector scoring join on the same broadcast
     // ceiling as the build — below it candidate rows are never shuffled
     val hint: DataFrame => DataFrame =
-      if (corpus.count() <= MaxBroadcastVecs) broadcast else identity
+      if (n <= MaxBroadcastVecs) broadcast else identity
     val qs = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     def score(cand: DataFrame): DataFrame =
@@ -220,7 +247,7 @@ object AnnGraph {
         .join(broadcast(qs), "qid")
         .select(col("qid"), col("node"), cosine(col("qv"), col("cv")).as("sim"))
     // deterministic shared entry points
-    val seeds = corpus.select(col("vec_id").as("node"))
+    val seeds = corpusVecs.select(col("id").as("node"))
       .orderBy(xxhash64(col("node")), col("node"))
       .limit(beamWidth)
     val init = score(seeds.crossJoin(qs.select("qid")))
@@ -245,6 +272,9 @@ object AnnGraph {
         .drop("__f")
         .unionByName(score(fresh).withColumn("expanded", lit(false)))
     }
+    // the loop state is checkpointed every round, so the final ranking
+    // below never re-reads the corpus — the cache can go now
+    corpusVecs.unpersist(blocking = false)
     visited
       .withColumn("rk", row_number().over(wBeam).cast("long"))
       .filter(col("rk") <= k)
@@ -277,9 +307,26 @@ object AnnGraph {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
       .cache()
     val nw = newIds.select(col("vec_id").as("id")).cache()
+    val n = vecs.count()
+    val result = insertLoop(graph, vecs, n, nw, k, iterations, maxCandidates)
+    vecs.unpersist(blocking = false)
+    nw.unpersist(blocking = false)
+    result
+  }
+
+  /** The insert loop over an ALREADY-CACHED (id, vec) corpus (count
+    * pre-measured) and cached new-id set — same cache-lifetime contract
+    * as [[buildGraph]] (r12). */
+  private[operators] def insertLoop(
+      graph: DataFrame,
+      vecs: DataFrame,
+      n: Long,
+      nw: DataFrame,
+      k: Int,
+      iterations: Int,
+      maxCandidates: Int): DataFrame = {
     // seed the batch into the graph: hash-bucket init over ALL ids, kept
     // only where a new node is an endpoint (old↔old seeds are noise)
-    val n = vecs.count()
     val hint: DataFrame => DataFrame =
       if (n <= MaxBroadcastVecs) broadcast else identity
     val numBuckets = math.max(1L, n / math.max(1, 8 * k)).toInt
@@ -343,8 +390,6 @@ object AnnGraph {
         .select(col("id"), (-col("__t.negnb")).as("nb"))
       topK(scored(capped, vecs, hint).unionByName(edges.select("id", "nb", "sim")), k)
     }
-    vecs.unpersist(blocking = false)
-    nw.unpersist(blocking = false)
     result
   }
 
@@ -356,14 +401,27 @@ object AnnGraph {
       k: Int = 10,
       newFraction: Double = 0.1,
       showNodes: Int = 5): DataFrame = {
+    // r12: ONE cached projection of the corpus serves the cut scalar,
+    // the base build (as a filtered cache view) and the insert loop —
+    // the former shape scanned raw parquet for max(), cached the base
+    // inside nnDescentGraph, then cached the full corpus AGAIN inside
+    // nnDescentInsert.
+    val vecs = embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .cache()
+    val nAll = vecs.count()
     val cut = math.floor(
-      embeddings.agg(max("vec_id")).head().getLong(0) * (1.0 - newFraction)).toLong
-    val base = embeddings.filter(col("vec_id") <= cut)
+      vecs.agg(max("id")).head().getLong(0) * (1.0 - newFraction)).toLong
+    val baseVecs = vecs.filter(col("id") <= cut)
     // 3-round base build: the operator under test is the INSERT; the
     // base graph only needs to be a realistic starting index
-    val graph = nnDescentGraph(base, k, iterations = 3)
-    val updated = nnDescentInsert(
-      graph, embeddings, embeddings.filter(col("vec_id") > cut).select("vec_id"), k)
+    val graph = buildGraph(baseVecs, baseVecs.count(), k, iterations = 3, maxCandidates = 60)
+    val nw = vecs.filter(col("id") > cut).select("id").cache()
+    val updated = insertLoop(graph, vecs, nAll, nw, k, iterations = 2, maxCandidates = 60)
+    // both loops checkpoint their state every round — the final ranking
+    // below reads checkpoints only, so the caches can go now
+    nw.unpersist(blocking = false)
+    vecs.unpersist(blocking = false)
     val w = Window.partitionBy("id").orderBy(desc("sim"), asc("nb"))
     updated
       .filter(col("id") > cut && col("id") <= cut + showNodes)
@@ -383,6 +441,11 @@ object AnnGraph {
       k: Int = 10,
       iterations: Int = 4,
       sampleNodes: Int = 50): DataFrame = {
+    // NOTE (r12): routing the exact brute-force side through the build's
+    // array cache was measured SLOWER (cpu ~8 → ~11 s warm at sf0.1) —
+    // the in-memory columnar codec for array<float> costs more per scan
+    // than the parquet read it replaces — so the exact side keeps its
+    // raw projection and only the build shares the cache.
     val graph = nnDescentGraph(embeddings, k, iterations)
       .filter(col("id") < sampleNodes)
     val vecs = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -524,40 +524,51 @@ object Similarity {
         round(col("cov"), 4).as("cov"))
       .orderBy("dim_i", "dim_j")
 
-  /** Upper-triangle covariance entries (i, j 1-based, cov UNROUNDED) —
-    * shared by the q124 query surface (which rounds for the oracle)
-    * and the q144 PCA fit (which must not round before eigensolving). */
-  private def covarianceTriangle(embeddings: DataFrame, nDims: Int): DataFrame = {
-    val pairUdf = udf { (v: Seq[Float]) =>
-      val n = math.min(nDims, v.length)
-      val out = new Array[(Int, Int, Double)](n * (n + 1) / 2)
-      var k = 0; var i = 0
-      while (i < n) {
-        var j = i
-        while (j < n) { out(k) = (i + 1, j + 1, v(i).toDouble * v(j).toDouble); k += 1; j += 1 }
-        i += 1
-      }
-      out
+  /** The 1-row raw-moment frame: (dim_sum, dim_cnt, pair_sum, pair_cnt)
+    * arrays from ONE corpus scan through the
+    * [[graft.functions.VectorFunctions.momentMatrix]] aggregate — the
+    * r12 replacement for the explode-per-pair kernel (boxed
+    * Array[(Int,Int,Double)] emission + d²-row shuffle + two broadcast
+    * mean joins). Every moment consumer (q124 triangle, q144/q146 PCA
+    * fit) decomposes this single row. */
+  private def momentFrame(embeddings: DataFrame, nDims: Int): DataFrame =
+    embeddings.agg(
+      graft.functions.VectorFunctions.momentMatrix(col("embedding"), nDims).as("m"))
+
+  /** 1-based (i, j) of the row-major upper-triangle index k. */
+  private def triangleIndex(nDims: Int): (Array[Int], Array[Int]) = {
+    val m = nDims * (nDims + 1) / 2
+    val ia = new Array[Int](m); val ja = new Array[Int](m)
+    var k = 0; var i = 0
+    while (i < nDims) {
+      var j = i
+      while (j < nDims) { ia(k) = i + 1; ja(k) = j + 1; k += 1; j += 1 }
+      i += 1
     }
-    val prods = embeddings
-      .select(explode(pairUdf(col("embedding"))).as("p"))
-      .select(col("p._1").as("i"), col("p._2").as("j"), col("p._3").as("xy"))
-      .groupBy("i", "j")
-      .agg(sum("xy").as("sxy"), count(lit(1)).as("n"))
-    val means = dimensionMeans(embeddings, nDims)
-    prods
-      .join(broadcast(means.select(col("d").as("i"), col("mu").as("mi"))), Seq("i"))
-      .join(broadcast(means.select(col("d").as("j"), col("mu").as("mj"))), Seq("j"))
-      .select(col("i"), col("j"), (col("sxy") / col("n") - col("mi") * col("mj")).as("cov"))
+    (ia, ja)
   }
 
-  /** Per-dimension means (d 1-based) of the first `nDims` dimensions. */
-  private def dimensionMeans(embeddings: DataFrame, nDims: Int): DataFrame =
-    embeddings
-      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .filter(col("pos") < nDims)
-      .groupBy((col("pos") + 1).as("d"))
-      .agg(avg(col("v").cast("double")).as("mu"))
+  /** Upper-triangle covariance entries (i, j 1-based, cov UNROUNDED) —
+    * shared by the q124 query surface (which rounds for the oracle)
+    * and the q144 PCA fit (which must not round before eigensolving).
+    * cov(i,j) = Σxy/n − μ_i·μ_j, all read off the 1-row moment frame:
+    * one scan, one tiny exchange, no explode, no join. */
+  private def covarianceTriangle(embeddings: DataFrame, nDims: Int): DataFrame = {
+    val (ia, ja) = triangleIndex(nDims)
+    momentFrame(embeddings, nDims)
+      .select(
+        col("m.dim_sum").as("ds"), col("m.dim_cnt").as("dc"),
+        posexplode(arrays_zip(
+          lit(ia).as("i"), lit(ja).as("j"),
+          col("m.pair_sum").as("sxy"), col("m.pair_cnt").as("n"))).as(Seq("k", "e")))
+      .filter(col("e.n") > 0)
+      .select(
+        col("e.i").as("i"), col("e.j").as("j"),
+        (col("e.sxy") / col("e.n") -
+          (element_at(col("ds"), col("e.i")) / element_at(col("dc"), col("e.i"))) *
+          (element_at(col("ds"), col("e.j")) / element_at(col("dc"), col("e.j"))))
+          .as("cov"))
+  }
 
   /** q125: random-projection ANN (Johnson–Lindenstrauss): vectors are
     * compressed to `rDim` signed sums through deterministic Rademacher
@@ -684,13 +695,30 @@ object Similarity {
     * Jacobi. Total distributed cost is the q124 scan plus the d-row
     * means aggregate; nothing but d² numbers ever reaches the driver. */
   private[graft] def pcaFit(embeddings: DataFrame, nDims: Int = 16, k: Int = 8): PcaModel = {
+    // r12: ONE driver action — the former shape ran a means job AND a
+    // covariance job (whose plan re-computed the means to join them);
+    // everything here decomposes the single moment row.
+    val m = momentFrame(embeddings, nDims).head().getStruct(0)
+    val dimSum = m.getSeq[Double](0); val dimCnt = m.getSeq[Long](1)
+    val pairSum = m.getSeq[Double](2); val pairCnt = m.getSeq[Long](3)
     val means = new Array[Double](nDims)
-    dimensionMeans(embeddings, nDims).collect()
-      .foreach(r => means(r.getInt(0) - 1) = r.getDouble(1))
+    var d = 0
+    while (d < nDims) {
+      if (dimCnt(d) > 0) means(d) = dimSum(d) / dimCnt(d)
+      d += 1
+    }
     val cov = Array.fill(nDims)(new Array[Double](nDims))
-    covarianceTriangle(embeddings, nDims).collect().foreach { r =>
-      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1; val c = r.getDouble(2)
-      cov(i)(j) = c; cov(j)(i) = c
+    var kk = 0; var i = 0
+    while (i < nDims) {
+      var j = i
+      while (j < nDims) {
+        if (pairCnt(kk) > 0) {
+          val c = pairSum(kk) / pairCnt(kk) - means(i) * means(j)
+          cov(i)(j) = c; cov(j)(i) = c
+        }
+        kk += 1; j += 1
+      }
+      i += 1
     }
     val (eigVals, eigVecs) = jacobiEigen(cov)
     def canonical(w: Array[Double]): Array[Double] = {

@@ -863,6 +863,27 @@ object TextAnalysis {
     * Stops early when no pair remains (every word fully merged).
     * Returns the learned merge table: (rank, left, right, merged,
     * weighted_count) — the artifact a tokenizer ships. */
+  /** Unsigned UTF-8 byte order — Spark's string `asc`, replicated so the
+    * driver-side trainer picks bit-identical merges to the distributed
+    * `orderBy(asc(l), asc(r))` tie-break. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Vocab-row ceiling for running the merge loop in the driver: at
+    * ~50 B/row, 2 M rows ≈ 100 MB collected — inside default
+    * maxResultSize with room. Above it the trainer degrades to the
+    * distributed round loop (slower, unbounded) instead of OOMing. */
+  private[operators] val MaxDriverVocab = 2000000
+
   def bpeTrain(documents: DataFrame, numMerges: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -871,33 +892,89 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
-    var exhausted = false
-    BoundedIteration.fixpoint(init, numMerges, converged = (_, _, _) => exhausted) { (words, round) =>
-      val top = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(
-          expr("transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("n"))
-        .orderBy(desc("n"), asc("l"), asc("r"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) { exhausted = true; words }
-      else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round + 1L, l, r, l + r, n))
-        // left-to-right greedy non-overlapping rewrite — the standard
-        // BPE merge semantics ("aaa" under a+a → "aa","a", not 2 merges)
-        val mergeUdf = udf { (syms: Seq[String]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // r12 (guide §1.2): the merge loop is inherently SEQUENTIAL — each
+    // round's pair counts depend on the previous rewrite — so the old
+    // shape paid 2 driver-synchronized jobs per round (pair-count
+    // collect + rewrite checkpoint), 20+ jobs for 10 merges, all over a
+    // vocab-sized table. The vocab is sublinear in corpus bytes ("few
+    // million rows at 100 TB"), so when it fits the driver the whole
+    // loop runs in-process over ONE collected copy: 1 job total.
+    // limit(N+1) detects overflow in the same job; the oversized case
+    // falls back to the distributed rounds. Pair weights are exact
+    // integers and the tie-break replicates Spark's UTF-8 string order,
+    // so both paths emit bit-identical merge tables.
+    val collected = init.limit(MaxDriverVocab + 1).collect()
+    if (collected.length <= MaxDriverVocab) {
+      val words = collected.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      var round = 0
+      var exhausted = false
+      while (round < numMerges && !exhausted) {
+        val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+        words.foreach { case (syms, freq) =>
           var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
-            else { out += syms(i); i += 1 }
+          while (i + 1 < syms.length) {
+            counts.merge((syms(i), syms(i + 1)), freq, (a, b) => a + b)
+            i += 1
           }
-          out.toSeq
         }
-        words.select(mergeUdf(col("syms")).as("syms"), col("freq"))
+        if (counts.isEmpty) exhausted = true
+        else {
+          var bestL: String = null; var bestR: String = null; var bestN = Long.MinValue
+          counts.forEach { (k, v) =>
+            val better = v > bestN ||
+              (v == bestN && (utf8Less(k._1, bestL) ||
+                (k._1 == bestL && utf8Less(k._2, bestR))))
+            if (better) { bestL = k._1; bestR = k._2; bestN = v }
+          }
+          merges += ((round + 1L, bestL, bestR, bestL + bestR, bestN))
+          // left-to-right greedy non-overlapping rewrite, in place
+          var w = 0
+          while (w < words.length) {
+            val syms = words(w)._1
+            if (syms.length >= 2) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == bestL && syms(i + 1) == bestR) {
+                  out += (bestL + bestR); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              if (out.length != syms.length) words(w) = (out.toArray, words(w)._2)
+            }
+            w += 1
+          }
+        }
+        round += 1
+      }
+    } else {
+      var exhausted = false
+      BoundedIteration.fixpoint(init, numMerges, converged = (_, _, _) => exhausted) { (words, round) =>
+        val top = words
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(
+            expr("transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("n"))
+          .orderBy(desc("n"), asc("l"), asc("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) { exhausted = true; words }
+        else {
+          val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((round + 1L, l, r, l + r, n))
+          // left-to-right greedy non-overlapping rewrite — the standard
+          // BPE merge semantics ("aaa" under a+a → "aa","a", not 2 merges)
+          val mergeUdf = udf { (syms: Seq[String]) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+              else { out += syms(i); i += 1 }
+            }
+            out.toSeq
+          }
+          words.select(mergeUdf(col("syms")).as("syms"), col("freq"))
+        }
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "weighted_count")
