@@ -24,8 +24,20 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // WORK plans of operators whose registered surface is an eager
+    // checkpoint (the registered plan is just a checkpoint scan — the
+    // r11 "Exchange 26→0" plan-evidence lesson): dump the lazy builder
+    // so the operator's real stages are auditable.
+    val workPlans: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q201_containment_workplan" -> ((s, d) =>
+        graft.operators.Dedup.containmentJoinWorkPlan(graft.sources.Tables(s, d).documents)),
+      "q412_containment_budgeted_workplan" -> ((s, d) => {
+        val docs = graft.sources.Tables(s, d).documents
+        graft.operators.Dedup.containmentJoinWorkPlan(
+          docs, pairBudget = Some(graft.operators.Dedup.scaledPairBudget(docs)))
+      }))
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = workPlans.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(

@@ -836,6 +836,12 @@ object Dedup {
     * sizes from one (a,b) groupBy, and containment divides by the
     * smaller side's size. Both directions are reported in one row
     * (a < b canonical, c_ab / c_ba columns). */
+  /** NOTE on execution semantics: the returned frame is an EAGER
+    * `localCheckpoint` — constructing the query executes the full join
+    * (required to release the shared shingle/df caches safely), so
+    * downstream filters cannot prune work, and the registered-query
+    * plan is a checkpoint scan. The WORK plan stays lint-/dump-able
+    * through [[containmentJoinWorkPlan]] (r12, advice). */
   def containmentJoin(
       documents: DataFrame,
       theta: Double = 0.8,
@@ -853,10 +859,46 @@ object Dedup {
     // redundant full shuffle; and set sizes read off the array length
     // instead of a groupBy over the incidence — one less shuffle.
     val arrays = shingleSets(documents, shingleK).cache()
-    val sets = arrays.select(col("doc_id"), explode(col("shingles")).as("sh"))
     // the df table is itself read up to three times (budget histogram,
     // rare filter, disclosure share) — aggregate once
-    val dfs = sets.groupBy("sh").agg(count(lit(1)).as("df")).cache()
+    val dfs = arrays
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df")).cache()
+    // result-sized (pairs above theta); materialize before releasing the
+    // shared array/df caches
+    val result = containmentFrame(arrays, dfs, theta, maxDf, pairBudget)
+      .localCheckpoint(eager = true)
+    dfs.unpersist(blocking = false)
+    arrays.unpersist(blocking = false)
+    result
+  }
+
+  /** The LAZY work plan of [[containmentJoin]] (uncached inputs) — the
+    * pre-checkpoint shape PlanSpec lints and the optimization-round
+    * plan dumps show; the production path's caches/checkpoint change
+    * execution policy, never the plan's operators. */
+  private[graft] def containmentJoinWorkPlan(
+      documents: DataFrame,
+      theta: Double = 0.8,
+      shingleK: Int = 3,
+      maxDf: Int = 200,
+      pairBudget: Option[Long] = None): DataFrame = {
+    val arrays = shingleSets(documents, shingleK)
+    val dfs = arrays
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    containmentFrame(arrays, dfs, theta, maxDf, pairBudget)
+  }
+
+  /** The containment join proper over a shared (doc_id, shingles) arrays
+    * frame and its precomputed (sh, df) table. */
+  private def containmentFrame(
+      arrays: DataFrame,
+      dfs: DataFrame,
+      theta: Double,
+      maxDf: Int,
+      pairBudget: Option[Long]): DataFrame = {
+    val sets = arrays.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = arrays.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
     // ENFORCED pair budget (round-9: q411 priced the candidate stream
     // but nothing read the price — a duplication-heavy corpus grows
@@ -890,7 +932,7 @@ object Dedup {
     // near-dups" and believes it). When a budget is active, every
     // output row carries the derived cap and the share of shingle
     // incidence it discarded; a >50% discard additionally logs loud.
-    val annotated = pairBudget.fold(base) { _ =>
+    pairBudget.fold(base) { _ =>
       val share = incidenceDropShareFromDfs(dfs, effMaxDf)
       if (share > 0.5)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -902,12 +944,6 @@ object Dedup {
         .withColumn("dropped_incidence_share",
           lit(math.floor(share * 10000 + 0.5) / 10000))
     }
-    // result-sized (pairs above theta); materialize before releasing the
-    // shared array/df caches
-    val result = annotated.localCheckpoint(eager = true)
-    dfs.unpersist(blocking = false)
-    arrays.unpersist(blocking = false)
-    result
   }
 
   /** The budget → cap derivation [[containmentJoin]] enforces: largest

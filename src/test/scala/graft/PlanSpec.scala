@@ -233,6 +233,18 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"profile reads the input $scans times:\n$p")
   }
 
+  test("q201/q412: containment WORK plan (pre-checkpoint) stays equi-join-only") {
+    // the registered q201/q412 plans are checkpoint scans (the operator
+    // executes eagerly to release shared caches), which would blind the
+    // lint to a scale-killer inside the join — gate the lazy builder
+    // (r12, the dfBudgetFrame discipline applied to the whole operator)
+    val p = operators.Dedup.containmentJoinWorkPlan(
+      sources.Tables(spark, sfDir).documents).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment pair expansion degraded to a cartesian shape:\n$p")
+    assert(p.contains("LeftSemi"), s"rare-shingle prefilter lost its semi join:\n$p")
+  }
+
   test("q91: the split is a map-side expression — no shuffle before the audit aggregate") {
     val p = plan("q91_leakage_split")
     // exactly the two-phase agg exchange + the final orderBy range exchange
