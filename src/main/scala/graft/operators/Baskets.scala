@@ -34,6 +34,17 @@ object Baskets {
     * Baskets with fewer than `minItems` items are dropped (a 1-item
     * basket emits no pairs; keep minItems = 1 when per-item supports or
     * basket counts must include them). */
+  // NOTE (r12): pinning the emission stage's width with an explicit
+  // basket-keyed repartition after the aggregate (the fix that won for
+  // q349's customer-grain self-join, where it REPLACES the join's own
+  // exchange) was built and MEASURED SLOWER across this family
+  // (same-window BenchSeq: q106 2.38→3.56 s, q192 1.93→2.83, q310
+  // 2.63→3.36, q343 2.70→3.41; only the iterate-heavy q98 moved the
+  // other way) — here the repartition is a pure EXTRA exchange, and at
+  // sf0.1 the emission cpu it parallelizes is smaller than the
+  // shuffle+scheduling it adds. At real scale the basket-agg output is
+  // large enough that AQE widths the emission stage correctly on its
+  // own. Reverted; kept for q349 only.
   def basketArrays(
       items: DataFrame,
       key: String,

@@ -642,13 +642,23 @@ object Dedup {
       maxBucket: Int = 100): DataFrame = {
     val sr = signatures(reference, shingleK).cache()
     val sc = signatures(candidates, shingleK).cache()
-    def capped(sigs: DataFrame, idAs: String): DataFrame =
-      bands(sigs)
+    def capped(bnd: DataFrame, idAs: String): DataFrame =
+      bnd
         .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
         .filter(col("bsz") <= maxBucket)
         .select(col("band"), col("bucket"), col("doc_id").as(idAs))
-    val cand = capped(sr, "ref_doc")
-      .join(capped(sc, "cand_doc"), Seq("band", "bucket"))
+    // r12 (guide §3.2, verdict item 7): the candidate corpus is the BIG
+    // side and most of its band rows hit no reference bucket at all —
+    // semi-join them against the (small) reference band keys BEFORE the
+    // bucket-size window and the pair join, so non-matching buckets are
+    // never shuffled or windowed. Results are identical: the prune drops
+    // whole buckets only (a surviving bucket keeps every row, so its
+    // windowed size is unchanged), and dropped buckets produced no join
+    // rows anyway.
+    val candBands = bands(sc)
+      .join(bands(sr).select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+    val cand = capped(bands(sr), "ref_doc")
+      .join(capped(candBands, "cand_doc"), Seq("band", "bucket"))
       .select("cand_doc", "ref_doc")
       .distinct()
     val shr = sr.select(col("doc_id").as("ref_doc"), col("shingles").as("sh_r"))

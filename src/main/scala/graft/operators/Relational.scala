@@ -2417,9 +2417,21 @@ object Relational {
       .agg(count(lit(1)).as("__own"))
       .filter(col("__own") >= minCustomers)
       .select("part")
+    // r12 (guide §2.2/§2.5): the self-join below FANS OUT ~25× (5 MB of
+    // (cust, part) incidence → ~120 MB of pairs at sf0.1) — AQE sizes
+    // the join's shuffle by its INPUT bytes and coalesced it to ~6
+    // tasks, serializing ~10 cpu-s of pair emission onto 6 cores
+    // (measured wall 2.5 s of a 6 s query). An explicit cust-keyed
+    // repartition at the session's shuffle parallelism pins the
+    // emission stage's width (user-specified N opts out of AQE
+    // coalescing), and the self-join reuses this one exchange for both
+    // sides, so no shuffle is added — the join's own exchange is
+    // replaced. Parallelism follows spark.sql.shuffle.partitions, the
+    // cluster-scale knob, not a local constant.
     val owned = Skew.capPerKey(
       owned0.join(popular, Seq("part"), "left_semi"),
       key = "cust", item = "part", cap = maxPartsPerCustomer)
+      .repartition(lineitem.sparkSession.sessionState.conf.numShufflePartitions, col("cust"))
     // r11: the ORDER-grain expansion uses the Baskets single-shuffle
     // form (baskets are ≤ ~7 items — map-side emission wins); the
     // CUSTOMER-grain expansion deliberately KEEPS the shuffled
